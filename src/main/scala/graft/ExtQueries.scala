@@ -1,0 +1,261 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.{Dedup, Multimodal}
+
+/** String/JSON scalar functions, text analysis, dedup, and multimodal
+  * queries — SURVEY.md §2.2 P6–P8/P15/P16, §2.4 A7/A8, plus the
+  * LLM-pipeline extension surface.
+  */
+object ExtQueries {
+
+  // ---------------------------------------------------------------------
+  // P6/P8/P11/P1 — string scalar functions (regexp_replace README.md:379-381,
+  // split+getItem README.md:388-392, concat README.md:429-432).
+  def q18StringFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        split(col("p_name"), " ").getItem(1).as("word2"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_type"), "ECONOMY", "ECO").as("type_abbrev"),
+        length(col("p_name")).cast("long").as("name_len"),
+        upper(col("p_name")).as("name_upper"))
+      .orderBy(col("p_partkey"))
+
+  private val q18Sql =
+    """SELECT p_partkey, split_part(p_name, ' ', 2) AS word2,
+      |  p_brand || '/' || p_type AS brand_type,
+      |  regexp_replace(p_type, 'ECONOMY', 'ECO') AS type_abbrev,
+      |  length(p_name) AS name_len, upper(p_name) AS name_upper
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P16 — JSON scalar extraction from events.props.
+  def q19Json(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  private val q19Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P7 — null-on-bad-cast semantics (ANSI off; README.md:383 relies on
+  // this). DuckDB needs TRY_CAST for the same behavior.
+  def q20TryCast(spark: SparkSession, dir: String): DataFrame = {
+    // Declared P7 semantics: non-numeric cast → null (SURVEY.md §4.4).
+    // Spark 4 defaults to ANSI mode, which throws instead.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        split(col("p_brand"), "#").getItem(1).cast("long").as("brand_num"),
+        col("p_type").cast("long").as("bad_cast"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q20Sql =
+    """SELECT p_partkey, TRY_CAST(split_part(p_brand, '#', 2) AS BIGINT) AS brand_num,
+      |  TRY_CAST(p_type AS BIGINT) AS bad_cast
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A7 — deterministic key dedup: smallest doc_id survives per
+  // (lang, source) group.
+  def q21DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactByKey(Tables.documents(spark, dir),
+        Seq(col("lang"), col("source")), col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("lang"), col("source"))
+
+  private val q21Sql =
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source,
+      |    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
+      |  FROM documents)
+      |WHERE rn = 1 ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A8 — normalized-text dedup: group on canonical form, keep min id.
+  def q22DedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    Dedup.normalizedText(Tables.documents(spark, dir), col("text"), col("doc_id"))
+      .orderBy(col("keep_id"))
+
+  private val q22Sql =
+    """SELECT md5(lower(trim(text))) AS norm_fp, min(doc_id) AS keep_id,
+      |  count(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P15 — corpus statistics per language.
+  def q23TextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(TextOps.tokenCount(col("text"))).as("total_tokens"))
+      .withColumn("avg_tokens", col("total_tokens").cast("double") / col("n_docs"))
+      .orderBy(col("lang"))
+
+  private val q23Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P15 — rule-based language ID per document.
+  def q24LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TextOps.stopwordHits(col("text")).as("stop_hits"),
+        TextOps.langId(col("text")).as("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  private val q24Sql =
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in','is'))) AS stop_hits,
+      |  CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |            / len(string_split(text, ' ')) >= 0.05
+      |       THEN 'en' ELSE 'unknown' END AS predicted_lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P15 — quality scoring (length/stopword/char-volume sub-scores).
+  def q25Quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextOps.qualityScore(col("text"), col("n_chars")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  private val q25Sql =
+    """SELECT doc_id,
+      |  (least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0)
+      |   + least(1.0, 10.0 * CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |              / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |   + least(1.0, CAST(n_chars AS DOUBLE) / 1000.0)) / 3.0 AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P15 — document fingerprint (md5 of normalized text).
+  def q26Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val q26Sql =
+    """SELECT doc_id, substr(md5(lower(trim(text))), 1, 16) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // U3/P15 — generator surface: explode tokens, global top-20.
+  def q27TokenExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  private val q27Sql =
+    """SELECT token, count(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P5 — sentinel→null replacement (README.md:371) + null-aware ordering.
+  def q28SentinelNull(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .na.replace("source", Map("src0" -> null))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source").asc)  // Spark: nulls first on asc
+
+  private val q28Sql =
+    """SELECT CASE WHEN source = 'src0' THEN NULL ELSE source END AS source,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY source ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ST3 (batch form) — tumbling event-time window; the streaming variant
+  // in graft.streaming uses the identical expression over readStream.
+  def q29TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val q29Sql =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Multimodal — binary payload + stub metadata decode (plumbing is real,
+  // codec is a deterministic fake; see operators.Multimodal).
+  def q30MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    payloads
+      .select(col("doc_id") +: Multimodal.imageMetaCols(col("payload")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q30Sql =
+    """SELECT doc_id,
+      |  64 + (octet_length(encode(text)) * 31) % 512 AS width,
+      |  64 + (octet_length(encode(text)) * 17) % 512 AS height,
+      |  3 AS channels,
+      |  1 + octet_length(encode(text)) % 30 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_string_fns"       -> (q18StringFns _),
+    "q19_json"             -> (q19Json _),
+    "q20_try_cast"         -> (q20TryCast _),
+    "q21_dedup_exact"      -> (q21DedupExact _),
+    "q22_dedup_normalized" -> (q22DedupNormalized _),
+    "q23_text_stats"       -> (q23TextStats _),
+    "q24_lang_id"          -> (q24LangId _),
+    "q25_quality"          -> (q25Quality _),
+    "q26_fingerprint"      -> (q26Fingerprint _),
+    "q27_token_explode"    -> (q27TokenExplode _),
+    "q28_sentinel_null"    -> (q28SentinelNull _),
+    "q29_tumbling_window"  -> (q29TumblingWindow _),
+    "q30_multimodal_meta"  -> (q30MultimodalMeta _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q18_string_fns"       -> q18Sql,
+    "q19_json"             -> q19Sql,
+    "q20_try_cast"         -> q20Sql,
+    "q21_dedup_exact"      -> q21Sql,
+    "q22_dedup_normalized" -> q22Sql,
+    "q23_text_stats"       -> q23Sql,
+    "q24_lang_id"          -> q24Sql,
+    "q25_quality"          -> q25Sql,
+    "q26_fingerprint"      -> q26Sql,
+    "q27_token_explode"    -> q27Sql,
+    "q28_sentinel_null"    -> q28Sql,
+    "q29_tumbling_window"  -> q29Sql,
+    "q30_multimodal_meta"  -> q30Sql,
+  )
+}
