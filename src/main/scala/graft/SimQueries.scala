@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{NearDup, Similarity}
+
+/** Similarity-search and near-duplicate queries (SURVEY.md §2.3 J7,
+  * §2.4 A8, LLM-pipeline north star). The exact variants carry DuckDB
+  * oracles; the sketch/LSH variants (MinHash, SimHash, hyperplane LSH)
+  * depend on xxhash64 and are checked rows-only by the driver plus
+  * property tests in the scalatest suite.
+  */
+object SimQueries {
+
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+
+  // ---------------------------------------------------------------------
+  // J7 — exact brute-force cosine top-k: 10 query vectors against the
+  // full corpus. The query side broadcasts; the big side streams.
+  def q31CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.bruteForceTopK(e.filter(col("id") < 10), e, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q31Sql =
+    """WITH base AS (
+      |  SELECT vec_id, embedding AS e,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+      |  FROM embeddings
+      |), scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |    list_sum(list_transform(range(1, 65), i -> CAST(q.e[i] AS DOUBLE) * CAST(c.e[i] AS DOUBLE)))
+      |      / (sqrt(q.nsq) * sqrt(c.nsq)) AS sim
+      |  FROM base q JOIN base c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+      |), ranked AS (
+      |  SELECT query_id, cand_id, sim,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, rank, cand_id, sim FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J7 scale path — LSH-bucketed approximate top-k (no oracle: recall
+  // is approximate by design; determinism is tested in the suite).
+  def q32AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.lshTopK(e.filter(col("id") < 10), e, k = 5)
+  }
+
+  // ---------------------------------------------------------------------
+  // A8 — MinHash+LSH near-dup: top-20 candidate pairs by exact Jaccard
+  // (banded candidates only; no oracle — xxhash64 permutations).
+  def q33MinhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    NearDup.minhashNearDup(Tables.documents(spark, dir), col("doc_id"), col("text"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+
+  // ---------------------------------------------------------------------
+  // A8 — SimHash signatures (64-bit) per document (no oracle).
+  def q34Simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), NearDup.simhash64(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
+  // A8 — exact n-gram Jaccard near-dup, blocked by shared shingle.
+  def q35NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    NearDup.ngramJaccardPairs(Tables.documents(spark, dir), col("doc_id"), col("text"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+
+  private val q35Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 3
+      |), e AS (
+      |  SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared,
+      |  CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jaccard
+      |FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2, a.n, b.n
+      |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A8 — embedding-cosine near-dup pairs, blocked by label.
+  def q36EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    NearDup.embeddingPairs(embs(spark, dir), col("id"), col("vec"), col("label"))
+      .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+      .limit(20)
+
+  private val q36Sql =
+    """WITH base AS (
+      |  SELECT vec_id, label, embedding AS e,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+      |  FROM embeddings
+      |)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_sum(list_transform(range(1, 65), i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))
+      |    / (sqrt(a.nsq) * sqrt(b.nsq)) AS sim
+      |FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+      |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_cosine_topk"      -> (q31CosineTopK _),
+    "q32_ann_lsh"          -> (q32AnnLsh _),
+    "q33_minhash_neardup"  -> (q33MinhashNearDup _),
+    "q34_simhash"          -> (q34Simhash _),
+    "q35_ngram_jaccard"    -> (q35NgramJaccard _),
+    "q36_embedding_neardup" -> (q36EmbeddingNearDup _),
+  )
+
+  /** q32/q33/q34 are sketch-based (xxhash64) → rows-only check. */
+  val oracle: Map[String, String] = Map(
+    "q31_cosine_topk"       -> q31Sql,
+    "q35_ngram_jaccard"     -> q35Sql,
+    "q36_embedding_neardup" -> q36Sql,
+  )
+}

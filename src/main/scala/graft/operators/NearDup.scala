@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextOps, VectorOps}
+
+/** Near-duplicate detection for large text corpora — the LLM-pipeline
+  * dedup family: token-shingle Jaccard (exact, blocked join), MinHash +
+  * LSH banding (sketch, sub-quadratic), SimHash (single 64-bit
+  * signature), and embedding-cosine pairs (blocked).
+  *
+  * Everything is expression-level (no UDFs): shingles via
+  * transform/sequence, hashes via xxhash64, sketches via array folds.
+  * Candidate generation never materializes the O(n²) pair space —
+  * pairs only form through equality joins on shingles / band keys /
+  * block keys, which shuffle-partition cleanly at 100 TB.
+  */
+object NearDup {
+
+  /** Large prime < 2^31 for MinHash permutation arithmetic; keeps
+    * a·h+b within Long range (2^31·2^31 < 2^63).
+    */
+  private val P = 2147483647L
+
+  /** Distinct 3-gram token shingles of a text column (docs with <3
+    * tokens yield an empty set).
+    */
+  def shingles3(text: Column): Column = {
+    val t = TextOps.tokens(text)
+    array_distinct(
+      when(size(t) >= 3,
+        transform(sequence(lit(0), size(t) - 3), i =>
+          concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+        .otherwise(array()))
+  }
+
+  /** Exact pairwise Jaccard over 3-gram shingles, blocked by shared
+    * shingle: a pair is only scored if it shares ≥1 shingle, and the
+    * shared-count comes out of the same equality join — no cross
+    * product anywhere.
+    *
+    * Output: doc_a, doc_b, n_shared, n_a, n_b, jaccard.
+    */
+  def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val withShingles = docs
+      .select(id.as("doc_id"), shingles3(text).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val exploded = withShingles
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = exploded.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("s"))
+    val b = exploded.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("s"))
+    a.join(b, Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("jaccard",
+        col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared").cast("long").as("n_shared"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: `nPerms` universal-hash permutations
+    * h_i(x) = (a_i·x + b_i) mod P over xxhash64 shingle hashes, each
+    * taking the min across the doc's shingle set. Deterministic: a_i,
+    * b_i derive from the fixed seed.
+    */
+  def minhashSignature(shingleCol: Column, nPerms: Int): Column = {
+    val rnd = new scala.util.Random(42)
+    val coefs = Array.fill(nPerms)((1L + rnd.nextLong().abs % (P - 1), rnd.nextLong().abs % P))
+    val hashed = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
+    array(coefs.map { case (a, b) =>
+      array_min(transform(hashed, h => pmod(h * a + b, lit(P))))
+    }: _*)
+  }
+
+  /** MinHash + LSH banding near-dup candidates, verified with exact
+    * Jaccard. Bands of `rowsPerBand` signature rows hash to a band key;
+    * docs sharing any band key become candidates (sub-quadratic: only
+    * same-band-key pairs join). Candidates are then scored with the
+    * exact shingle Jaccard.
+    *
+    * Output: doc_a, doc_b, est_jaccard (signature agreement), jaccard.
+    */
+  def minhashNearDup(docs: DataFrame, id: Column, text: Column,
+                     nPerms: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    require(nPerms % rowsPerBand == 0)
+    val nBands = nPerms / rowsPerBand
+    val withSig = docs
+      .select(id.as("doc_id"), shingles3(text).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), nPerms))
+    val banded = withSig
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("band_key",
+        xxhash64(col("band"), concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("doc_id"), col("sh"), col("sig"), col("band"), col("band_key"))
+    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("doc_a", "doc_b") // collisions in several bands
+      .withColumn("est_jaccard",
+        size(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(null)))
+          .cast("double") / lit(nPerms.toDouble))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over token xxhash64 values: bit k of the signature
+    * is the sign of Σ_tokens (±1 by bit k of the token hash). Single
+    * array fold per document.
+    */
+  def simhash64(text: Column): Column = {
+    val t = TextOps.tokens(text)
+    val votes = aggregate(
+      t,
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, tok) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)), k =>
+          when(call_function("shiftright", xxhash64(tok), k).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))),
+        (a, v) => a + v))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, k) =>
+        when(v > 0, call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Embedding-cosine near-dup pairs, blocked by a coarse key (e.g. a
+    * label or an LSH bucket) so only same-block pairs are scored.
+    * Output: id_a, id_b, sim.
+    */
+  def embeddingPairs(embs: DataFrame, id: Column, vec: Column, block: Column): DataFrame = {
+    val base = embs.select(id.as("vid"), VectorOps.toDoubleArray(vec).as("v"), block.as("blk"))
+      .withColumn("nsq", VectorOps.normSq(col("v")))
+    val a = base.select(col("blk"), col("vid").as("id_a"), col("v").as("va"), col("nsq").as("na"))
+    val b = base.select(col("blk"), col("vid").as("id_b"), col("v").as("vb"), col("nsq").as("nb"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", VectorOps.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Similarity search over embedding columns (SURVEY.md §2.3 J7).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact: broadcast the (small) query side,
+  *    stream the candidate side, one window per query id. O(|Q|·|C|)
+  *    cosines but a single pass over the big side, no shuffle of the
+  *    candidate vectors themselves. This is the correctness baseline.
+  *  - [[lshTopK]] — approximate scale path: random-hyperplane signatures
+  *    bucket the candidates; only same-bucket pairs are scored. At
+  *    100 TB the bucket join replaces the cross product — recall is
+  *    tunable by nBits/nTables.
+  *
+  * Norms are computed once per row BEFORE the pair join (not once per
+  * pair): at |Q|=10, k=64 that is 10+N norm computations instead of 10·N.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors by cosine for each query row.
+    *
+    * @param queries    (id, vec) — must be small enough to broadcast
+    * @param candidates (id, vec)
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries
+      .select(col("id").as("query_id"), VectorOps.toDoubleArray(col("vec")).as("qv"))
+      .withColumn("q_norm_sq", VectorOps.normSq(col("qv")))
+    val c = candidates
+      .select(col("id").as("cand_id"), VectorOps.toDoubleArray(col("vec")).as("cv"))
+      .withColumn("c_norm_sq", VectorOps.normSq(col("cv")))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("sim",
+        VectorOps.cosineWithNorms(col("qv"), col("cv"), col("q_norm_sq"), col("c_norm_sq")))
+    Ranking.topPerGroup(scored, Seq(col("query_id")),
+        Seq(col("sim").desc, col("cand_id").asc), k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)))
+      .select(col("query_id"), col("rank"), col("cand_id"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component i of plane j is
+    * derived from a fixed-seed xorshift mix of (j, i). Stable across
+    * runs, sessions, and cluster sizes — required for reproducible
+    * bucketing.
+    */
+  private def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
+    Array.tabulate(nBits, dim) { (j, i) =>
+      var x = (j.toLong << 32) | (i.toLong + 1)
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      x ^= 0x9e3779b97f4a7c15L
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      (math.abs(x % 2000001L).toDouble / 1000000.0) - 1.0
+    }
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: candidates whose
+    * signature matches the query's in at least one band are scored.
+    * nBits bits split into nBands bands → same-band-hash pairs join.
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nBits: Int = 16, nBands: Int = 4): DataFrame = {
+    require(nBits % nBands == 0, "nBits must divide into nBands")
+    val rowsPerBand = nBits / nBands
+    val planes = hyperplanes(nBits, 64)
+    val planesLit = array(planes.map(p => array(p.map(lit): _*)): _*)
+
+    def withSignature(df: DataFrame, idAs: String): DataFrame = {
+      val v = col(s"${idAs}_v")
+      val bits = transform(planesLit, p =>
+        when(VectorOps.dot(v, p) >= 0, lit(1)).otherwise(lit(0)))
+      df.select(col("id").as(idAs), VectorOps.toDoubleArray(col("vec")).as(s"${idAs}_v"))
+        .withColumn(s"${idAs}_norm_sq", VectorOps.normSq(v))
+        .withColumn("__bits", bits)
+        .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+        .withColumn("band_key",
+          aggregate(slice(col("__bits"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+            lit(0L), (acc, b) => acc * 2 + b))
+        .drop("__bits")
+    }
+
+    val q = withSignature(queries, "query_id")
+    val c = withSignature(candidates, "cand_id")
+    val paired = c.join(broadcast(q), Seq("band", "band_key"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), col("query_id_v"), col("cand_id_v"),
+        col("query_id_norm_sq"), col("cand_id_norm_sq"))
+      .distinct() // a pair can collide in several bands
+      .withColumn("sim", VectorOps.cosineWithNorms(
+        col("query_id_v"), col("cand_id_v"),
+        col("query_id_norm_sq"), col("cand_id_norm_sq")))
+    Ranking.topPerGroup(paired, Seq(col("query_id")),
+        Seq(col("sim").desc, col("cand_id").asc), k)
+      .select(col("query_id"), col("cand_id"), col("sim"))
+      .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+  }
+}
