@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source connectors (SURVEY.md §2.1). Every reader takes a DECLARED
+  * schema — never `inferSchema` (the reference's inference over
+  * one-record-per-object JSON is an extra full pass, README.md:344-348).
+  */
+object Sources {
+
+  /** S2 — JSON directory scan with declared schema. */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** S9 — Parquet scan (schema from footer). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S1 — JDBC scan (optional source; no database ships in this
+    * environment, so this is the connector surface only). Credentials
+    * come from caller-supplied options, never source constants
+    * (SURVEY.md security note).
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           options: Map[String, String]): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options).load()
+
+  /** Streaming variant of the JSON source (ST1): same declared schema,
+    * same downstream cleaning functions as batch.
+    */
+  def jsonStream(spark: SparkSession, path: String, schema: StructType,
+                 maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+}
+
+/** Sink connectors (SURVEY.md §2.1 S6/S7). */
+object Sinks {
+
+  /** S6 — JSON directory sink (the engine's analog of the reference's
+    * S3 JSON connector; sanely batched, not flush.size=1).
+    */
+  def json(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Parquet sink, optionally partitioned — the 100 TB layout is
+    * date-partitioned parquet, which enables partition pruning.
+    */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}
