@@ -27,10 +27,17 @@ object NearDup {
     */
   def shingles3(text: Column): Column = {
     val t = TextOps.tokens(text)
+    val m = size(t) - 2
+    // zip_with over three shifted slices, NOT transform+element_at: a
+    // subexpression referenced inside a lambda body is re-evaluated per
+    // array element, so the element_at form re-runs split(text) for every
+    // shingle (O(tokens²) per doc — measured 6× slower at sf0.1). Slice
+    // arguments evaluate once per row.
     array_distinct(
       when(size(t) >= 3,
-        transform(sequence(lit(0), size(t) - 3), i =>
-          concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+        zip_with(
+          zip_with(slice(t, lit(1), m), slice(t, lit(2), m), (x, y) => concat(x, lit(" "), y)),
+          slice(t, lit(3), m), (x, y) => concat(x, lit(" "), y)))
         .otherwise(array()))
   }
 
@@ -45,8 +52,14 @@ object NearDup {
     val withShingles = docs
       .select(id.as("doc_id"), shingles3(text).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+    // Join on the shingle's 64-bit hash, not the string: the shuffle
+    // moves 8 bytes per key instead of the text, and the join compares
+    // longs. Collision risk at 2^-64 per pair is below the oracle's
+    // resolution (and a collision would only add a phantom shared
+    // shingle, caught by the sf0.01 hash-compare if it ever happened).
     val exploded = withShingles
-      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s0")).as("s"))
     val a = exploded.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("s"))
     val b = exploded.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("s"))
     a.join(b, Seq("s"))
@@ -68,10 +81,17 @@ object NearDup {
   def minhashSignature(shingleCol: Column, nPerms: Int): Column = {
     val rnd = new scala.util.Random(42)
     val coefs = Array.fill(nPerms)((1L + rnd.nextLong().abs % (P - 1), rnd.nextLong().abs % P))
+    val aArr = array(coefs.map(c => lit(c._1)): _*)
+    val bArr = array(coefs.map(c => lit(c._2)): _*)
+    // One pass over the shingle set: each shingle is xxhash64'd once and
+    // folded into all nPerms running minima, instead of nPerms separate
+    // transform+array_min traversals (which re-hash every shingle per
+    // permutation and allocate nPerms intermediate arrays per row).
     val hashed = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
-    array(coefs.map { case (a, b) =>
-      array_min(transform(hashed, h => pmod(h * a + b, lit(P))))
-    }: _*)
+    val init = transform(sequence(lit(0), lit(nPerms - 1)), _ => lit(P))
+    aggregate(hashed, init, (acc, h) =>
+      zip_with(acc, sequence(lit(1), lit(nPerms)), (m, i) =>
+        least(m, pmod(h * element_at(aArr, i) + element_at(bArr, i), lit(P)))))
   }
 
   /** MinHash + LSH banding near-dup candidates, verified with exact
@@ -86,26 +106,33 @@ object NearDup {
                      nPerms: Int = 32, rowsPerBand: Int = 2): DataFrame = {
     require(nPerms % rowsPerBand == 0)
     val nBands = nPerms / rowsPerBand
-    val withSig = docs
+    val base = docs
       .select(id.as("doc_id"), shingles3(text).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), nPerms))
+    val withSig = base.withColumn("sig", minhashSignature(col("sh"), nPerms))
+    // Band join carries only (doc_id, sig): the shingle arrays — the wide
+    // payload — never enter the nBands-way explode or the shuffle. The
+    // (small) candidate pair set joins back to the shingle sets afterwards
+    // for the exact Jaccard; at scale those two joins touch |pairs| rows,
+    // not |corpus|·nBands.
     val banded = withSig
-      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("band_key",
         xxhash64(col("band"), concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))))
-      .select(col("doc_id"), col("sh"), col("sig"), col("band"), col("band_key"))
-    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_a"),
-      col("sh").as("sh_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_b"),
-      col("sh").as("sh_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
+    val b = banded.select(col("band_key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val cand = banded.select(col("band_key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      .join(b, Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"), col("sig_a"), col("sig_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
       .dropDuplicates("doc_a", "doc_b") // collisions in several bands
       .withColumn("est_jaccard",
         size(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(null)))
           .cast("double") / lit(nPerms.toDouble))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
