@@ -63,15 +63,23 @@ object Emulator {
     * multi-file scans; the reference's flush.size=1 one-record-per-object
     * layout is the pathological extreme we do NOT copy).
     */
-  def write(dir: String, n: Int, seed: Long = 42L, filesPer: Int = 4): Unit = {
+  def write(dir: String, n: Int, seed: Long = 42L, filesPer: Int = 4): Unit =
+    writeWave(dir, start = 0, n = n, seed = seed, filesPer = filesPer)
+
+  /** Write one wave of records with indices [start, start+n) as NEW files
+    * (named by seed+start, so successive waves into the same directory
+    * never clobber earlier ones — this is how the streaming tests emulate
+    * late-arriving micro-batch input).
+    */
+  def writeWave(dir: String, start: Int, n: Int, seed: Long, filesPer: Int = 4): Unit = {
     val rnd = new Random(seed)
-    val triples = (0 until n).map(i => recordTriple(i, rnd))
+    val triples = (start until (start + n)).map(i => recordTriple(i, rnd))
     def dump(sub: String, rows: Seq[String]): Unit = {
       val d = new java.io.File(s"$dir/$sub"); d.mkdirs()
       rows.grouped(math.max(1, (rows.length + filesPer - 1) / filesPer)).zipWithIndex.foreach {
         case (chunk, fi) =>
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$dir/$sub/part-$fi.json"),
+            java.nio.file.Paths.get(s"$dir/$sub/wave-$seed-$start-part-$fi.json"),
             chunk.mkString("\n").getBytes("UTF-8"))
       }
     }
