@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *  - sentinel strings are replaced only on EXACT match (README.md:371),
   *    including the mangled `"N,o, ,T,a,g,s…"` value;
   *  - follower_count uses LITERAL substring replacement `k`→`000`,
-  *    `M`→`000000` then int cast, so `"2.5k"` → `"2.5000"` → null
-  *    (README.md:379-383) — wrong-looking but the reference's computable
+  *    `M`→`000000` then int cast, so `"2.5k"` → `"2.5000"` → 2 (the
+  *    non-ANSI decimal-string cast truncates toward zero,
+  *    README.md:379-383) — wrong-looking but the reference's computable
   *    semantic;
   *  - user_name is null-propagating `concat` (one null name ⇒ null,
   *    README.md:429-432), NOT concat_ws.

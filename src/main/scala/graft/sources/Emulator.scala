@@ -30,7 +30,7 @@ object Emulator {
       case 0 => "User Info Error"
       case 1 => s"${rnd.nextInt(900) + 1}k"
       case 2 => s"${rnd.nextInt(9) + 1}M"
-      case 3 => s"${(rnd.nextInt(90) + 10) / 10.0}k" // "2.5k" → null after clean
+      case 3 => s"${(rnd.nextInt(90) + 10) / 10.0}k" // "2.5k" → 2 after clean (truncating cast)
       case _ => s"${rnd.nextInt(100000)}"
     }
     val title = if (rnd.nextInt(10) == 0) "No Title Data Available" else s"Post $i"

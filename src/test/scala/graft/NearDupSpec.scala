@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.NearDup
+
+/** Near-duplicate machinery: shingles, MinHash signatures + LSH
+  * candidates, SimHash, and the exact-Jaccard scorer (SURVEY.md §5.2;
+  * sketch paths have no SQL oracle so their invariants are pinned here).
+  */
+class NearDupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("shingles3 emits distinct consecutive 3-grams") {
+    val df = Seq("a b c d", "x y", "a b c a b c a b c a b").toDF("text")
+    val r = df.select(NearDup.shingles3(col("text")).as("sh"))
+      .as[Seq[String]].collect()
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1) == Seq.empty)           // < 3 tokens
+    assert(r(2).sorted == Seq("a b c", "b c a", "c a b")) // distinct
+  }
+
+  test("minhash signature has nPerms entries, stable across evaluations") {
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    def sig() = df.select(
+      NearDup.minhashSignature(NearDup.shingles3(col("text")), 32).as("sig"))
+      .as[Seq[Long]].collect()(0)
+    val s1 = sig(); val s2 = sig()
+    assert(s1.length == 32)
+    assert(s1 == s2)
+    assert(s1.forall(v => v >= 0L && v < 2147483647L))
+  }
+
+  test("identical docs agree on every minhash permutation") {
+    val df = Seq((1L, "one two three four five six"), (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val sigs = df.select(
+      NearDup.minhashSignature(NearDup.shingles3(col("text")), 16).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("minhashNearDup finds exact duplicates with jaccard 1.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val r = NearDup.minhashNearDup(docs, col("doc_id"), col("text")).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("doc_a") == 1L && row.getAs[Long]("doc_b") == 2L)
+    assert(row.getAs[Double]("jaccard") == 1.0)
+    assert(row.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("ngramJaccardPairs scores overlap exactly and skips disjoint docs") {
+    // doc1 shingles: {a b c, b c d}; doc2: {a b c, b c x} → jaccard 1/3.
+    val docs = Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val r = NearDup.ngramJaccardPairs(docs, col("doc_id"), col("text")).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("doc_a") == 1L && r(0).getAs[Long]("doc_b") == 2L)
+    assert(r(0).getAs[Long]("n_shared") == 1L)
+    assert(math.abs(r(0).getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("simhash64 is deterministic; identical docs have hamming 0") {
+    val df = Seq((1L, "some sample document text"), (2L, "some sample document text"),
+      (3L, "completely different content"))
+      .toDF("id", "text")
+    val sigs = df.select(col("id"), NearDup.simhash64(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val df2 = Seq((sigs(1L), sigs(2L)), (sigs(1L), sigs(3L))).toDF("a", "b")
+    val hs = df2.select(NearDup.hamming64(col("a"), col("b"))).as[Long].collect()
+    assert(hs(0) == 0L)
+    assert(hs(1) > 0L)
+  }
+
+  test("near-identical docs have small hamming distance") {
+    val base = "the quick brown fox jumps over the lazy dog again and again every day"
+    val df = Seq((1L, base), (2L, base + " tail")).toDF("id", "text")
+    val sigs = df.select(col("id"), NearDup.simhash64(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val d = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    assert(d <= 16, s"hamming distance $d too large for near-identical docs")
+  }
+
+  test("embeddingPairs scores same-block pairs only") {
+    val docs = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"), (2L, Seq(1.0f, 0.0f), "A"),
+      (3L, Seq(0.0f, 1.0f), "B"))
+      .toDF("id", "vec", "label")
+    val r = NearDup.embeddingPairs(docs, col("id"), col("vec"), col("label")).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("id_a") == 1L && r(0).getAs[Long]("id_b") == 2L)
+    assert(math.abs(r(0).getAs[Double]("sim") - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.clean.{Cleaners, Schemas}
+import graft.operators.{NearDup, Ranking}
+
+/** Property-based layer (SURVEY.md §5.2 layer 2). Generators build raw
+  * wire rows to the §1.2 schemas; properties pin invariants the golden
+  * tests can't enumerate. Samples are drawn with fixed seeds (the
+  * scalatest+scalacheck bridge artifact is not in the offline cache, so
+  * generators are driven directly — deterministically, which suits a
+  * hash-compared engine anyway).
+  */
+class PropertiesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Draw `n` deterministic samples from a generator. */
+  private def forSamples[T](gen: Gen[T], n: Int = 8)(f: T => Unit): Unit =
+    (0 until n).foreach { i => f(gen.pureApply(Gen.Parameters.default, Seed(i.toLong))) }
+
+  private def javaRows(rows: Seq[Row]): java.util.List[Row] = {
+    val out = new java.util.ArrayList[Row](rows.size)
+    rows.foreach(out.add)
+    out
+  }
+
+  private val followerGen: Gen[String] = Gen.oneOf(
+    Gen.choose(0, 999999).map(_.toString),
+    Gen.choose(1, 999).map(n => s"${n}k"),
+    Gen.choose(1, 9).map(n => s"${n}M"),
+    Gen.const("User Info Error"),
+    Gen.choose(10, 99).map(n => s"${n / 10.0}k"))
+
+  test("property: cleaned follower_count is null or a non-negative int") {
+    forSamples(Gen.listOfN(30, followerGen)) { followers =>
+      val rows = followers.zipWithIndex.map { case (f, i) =>
+        Row(i.toLong, s"u$i", "t", "d", "p", f, "x", "image", "i", 0L,
+          "Local save in /data/x", "c")
+      }
+      val df = spark.createDataFrame(javaRows(rows), Schemas.rawPin)
+      val vals = Cleaners.pin(df).select("follower_count").collect()
+      assert(vals.forall(r => r.isNullAt(0) || r.getInt(0) >= 0))
+    }
+  }
+
+  test("property: plain-k counts expand exactly 1000x") {
+    forSamples(Gen.choose(1, 999)) { n =>
+      val df = spark.createDataFrame(
+        javaRows(Seq(Row(1L, "u", "t", "d", "p", s"${n}k", "x",
+          "image", "i", 0L, "Local save in /data/x", "c"))),
+        Schemas.rawPin)
+      assert(Cleaners.pin(df).collect()(0).getAs[Int]("follower_count") == n * 1000)
+    }
+  }
+
+  test("property: coordinates always length 2, [lat, lon]") {
+    forSamples(Gen.listOfN(20, Gen.zip(Gen.choose(-90.0, 90.0), Gen.choose(-180.0, 180.0)))) { coords =>
+      val rows = coords.zipWithIndex.map { case ((lat, lon), i) =>
+        Row(i.toLong, "X", lat, lon, "2020-01-01 00:00:00")
+      }
+      val df = spark.createDataFrame(javaRows(rows), Schemas.rawGeo)
+      val out = Cleaners.geo(df).select("coordinates").as[Seq[Double]].collect()
+      assert(out.forall(_.length == 2))
+      assert(out.map(_.head).sorted.toSeq == coords.map(_._1).sorted)
+    }
+  }
+
+  test("property: argmax emits exactly one row per distinct key") {
+    forSamples(Gen.listOfN(60, Gen.zip(Gen.choose(0, 9), Gen.choose(0L, 20L)))) { pairs =>
+      val df = pairs.zipWithIndex
+        .map { case ((k, cnt), i) => (k, s"v$i", cnt) }.toDF("k", "v", "cnt")
+      val r = Ranking.argmax(df, Seq(col("k")), col("cnt"), col("v"))
+      assert(r.count() == pairs.map(_._1).distinct.length.toLong)
+    }
+  }
+
+  test("property: argmax row carries the group's true max measure") {
+    forSamples(Gen.listOfN(40, Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 50L)))) { pairs =>
+      val df = pairs.zipWithIndex
+        .map { case ((k, cnt), i) => (k, s"v$i", cnt) }.toDF("k", "v", "cnt")
+      val got = Ranking.argmax(df, Seq(col("k")), col("cnt"), col("v"))
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val want = pairs.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(got == want)
+    }
+  }
+
+  test("property: jaccard in [0,1] and pairs ordered doc_a < doc_b") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    forSamples(Gen.listOfN(8, docGen), n = 4) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairs = NearDup.ngramJaccardPairs(df, col("doc_id"), col("text")).collect()
+      assert(pairs.forall { r =>
+        val j = r.getAs[Double]("jaccard")
+        j >= 0.0 && j <= 1.0 && r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")
+      })
+    }
+  }
+
+  test("property: minhash est_jaccard approximates exact jaccard on dup-heavy corpora") {
+    // clusters of identical docs: every same-cluster pair must surface
+    // with est_jaccard == jaccard == 1.0
+    val clusterGen = Gen.listOfN(3,
+      Gen.listOfN(10, Gen.oneOf("red", "green", "blue", "cyan", "teal", "pink",
+        "onyx", "jade", "ruby", "opal")).map(_.mkString(" ")))
+    forSamples(clusterGen, n = 4) { clusterTexts =>
+      val docs = clusterTexts.zipWithIndex.flatMap { case (t, c) =>
+        Seq((c * 10L, t), (c * 10L + 1L, t))
+      }.toDF("doc_id", "text")
+      val found = NearDup.minhashNearDup(docs, col("doc_id"), col("text"))
+        .filter(col("jaccard") === 1.0)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      clusterTexts.indices.foreach { c =>
+        assert(found.contains((c * 10L, c * 10L + 1L)),
+          s"identical pair in cluster $c not surfaced")
+      }
+    }
+  }
+}

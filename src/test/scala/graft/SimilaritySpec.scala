@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.operators.Similarity
+
+/** Similarity search: exact brute-force top-k correctness on known
+  * geometry, LSH candidate soundness (scores are exact cosines), vector
+  * math identities.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("dot / normSq / cosine match hand computation") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(
+      VectorOps.dot(col("a"), col("b")).as("dot"),
+      VectorOps.normSq(col("a")).as("na"),
+      VectorOps.cosine(col("a"), col("b")).as("cos")).collect()(0)
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == 14.0)
+    assert(math.abs(r.getDouble(2) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k nearest by cosine with rank order") {
+    // candidates at known angles from the x axis query.
+    val cands = Seq(
+      (10L, Seq(1.0f, 0.0f)),     // cos 1.0
+      (11L, Seq(1.0f, 1.0f)),     // cos ~0.707
+      (12L, Seq(0.0f, 1.0f)),     // cos 0
+      (13L, Seq(-1.0f, 0.0f)))    // cos -1
+      .toDF("id", "vec")
+    val query = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val r = Similarity.bruteForceTopK(query, cands, k = 3)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("cand_id")).toSeq == Seq(10L, 11L, 12L))
+    assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    assert(math.abs(r(1).getAs[Double]("sim") - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("bruteForceTopK excludes the query row itself") {
+    val pool = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f))).toDF("id", "vec")
+    val r = Similarity.bruteForceTopK(pool.filter(col("id") === 1), pool, k = 5).collect()
+    assert(r.map(_.getAs[Long]("cand_id")).toSeq == Seq(2L))
+  }
+
+  test("bruteForceTopK ties break by ascending candidate id") {
+    val cands = Seq((5L, Seq(2.0f, 0.0f)), (3L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val query = Seq((100L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val r = Similarity.bruteForceTopK(query, cands, k = 2).orderBy("rank").collect()
+    // both have cosine 1.0 → rank by id asc
+    assert(r.map(_.getAs[Long]("cand_id")).toSeq == Seq(3L, 5L))
+  }
+
+  test("lshTopK returns exact cosines for the candidates it surfaces") {
+    val dim = 64
+    def vec(seed: Int): Seq[Float] = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(dim)(rnd.nextFloat() * 2 - 1)
+    }
+    val base = vec(7)
+    // near-duplicates of base + unrelated vectors
+    val cands = (
+      Seq((10L, base.map(x => x * 0.99f + 0.001f))) ++
+      (20 to 40).map(i => (i.toLong, vec(i)))
+    ).toDF("id", "vec")
+    val query = Seq((1L, base)).toDF("id", "vec")
+    val approx = Similarity.lshTopK(query, cands, k = 3).collect()
+    val exact = Similarity.bruteForceTopK(query, cands, k = cands.count().toInt)
+      .collect().map(r => r.getAs[Long]("cand_id") -> r.getAs[Double]("sim")).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val id = r.getAs[Long]("cand_id")
+      assert(math.abs(r.getAs[Double]("sim") - exact(id)) < 1e-9,
+        s"LSH sim for $id disagrees with exact cosine")
+    }
+    // the near-duplicate must be surfaced (hyperplane LSH keeps
+    // near-identical vectors in the same buckets)
+    assert(approx.map(_.getAs[Long]("cand_id")).contains(10L))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.clean.{Cleaners, Schemas}
+import graft.sources.{Emulator, Sources}
+import graft.streaming.StreamJobs
+
+/** Streaming surface (SURVEY.md §5.2 layer 5): file-source micro-batch
+  * parity with the batch cleaner, checkpointed resume, and the
+  * watermarked windowed count against its batch twin.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-stream-test").toString
+
+  test("streaming clean output equals batch clean output on identical input") {
+    val work = tmpDir()
+    Emulator.write(s"$work/raw", n = 300, seed = 11L)
+
+    StreamJobs.cleanToParquet(spark, s"$work/raw/pin", Schemas.rawPin,
+      Cleaners.pin, s"$work/out/pin", s"$work/ckpt/pin").awaitTermination()
+
+    val streamed = spark.read.parquet(s"$work/out/pin")
+    val batch = Cleaners.pin(Sources.json(spark, s"$work/raw/pin", Schemas.rawPin))
+    assert(streamed.count() == 300)
+    // same rows regardless of order
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("checkpoint resume processes only newly arrived files") {
+    val work = tmpDir()
+    Emulator.write(s"$work/raw", n = 100, seed = 21L)
+    StreamJobs.cleanToParquet(spark, s"$work/raw/user", Schemas.rawUser,
+      Cleaners.user, s"$work/out/user", s"$work/ckpt/user").awaitTermination()
+    assert(spark.read.parquet(s"$work/out/user").count() == 100)
+
+    Emulator.writeWave(s"$work/raw", start = 100, n = 50, seed = 22L)
+    StreamJobs.cleanToParquet(spark, s"$work/raw/user", Schemas.rawUser,
+      Cleaners.user, s"$work/out/user", s"$work/ckpt/user").awaitTermination()
+    val out = spark.read.parquet(s"$work/out/user")
+    assert(out.count() == 150) // 100 + 50, not 100 + 150 reprocessed
+    assert(out.select("ind").distinct().count() == 150)
+  }
+
+  test("windowed count over the stream equals the batch windowed count") {
+    val work = tmpDir()
+    Emulator.write(s"$work/raw", n = 400, seed = 31L)
+
+    val geoStream = Cleaners.geo(
+      Sources.jsonStream(spark, s"$work/raw/geo", Schemas.rawGeo))
+    StreamJobs.toMemorySink(
+      StreamJobs.windowedCountsByCountry(geoStream), "windowed_test")
+      .awaitTermination()
+    val streamed = spark.table("windowed_test")
+
+    val geoBatch = Cleaners.geo(Sources.json(spark, s"$work/raw/geo", Schemas.rawGeo))
+    val batch = StreamJobs.windowedCountsByCountry(geoBatch)
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stream-static join windowed category counts match batch") {
+    val work = tmpDir()
+    Emulator.write(s"$work/raw", n = 200, seed = 41L)
+    val pinStatic = Cleaners.pin(Sources.json(spark, s"$work/raw/pin", Schemas.rawPin))
+
+    val geoStream = Cleaners.geo(
+      Sources.jsonStream(spark, s"$work/raw/geo", Schemas.rawGeo))
+    StreamJobs.toMemorySink(
+      StreamJobs.windowedCategoryCounts(geoStream, pinStatic), "windowed_cat_test")
+      .awaitTermination()
+    val streamed = spark.table("windowed_cat_test")
+
+    val geoBatch = Cleaners.geo(Sources.json(spark, s"$work/raw/geo", Schemas.rawGeo))
+    val batch = StreamJobs.windowedCategoryCounts(geoBatch, pinStatic)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
