@@ -18,8 +18,21 @@ object VectorOps {
   /** array<float> → array<double>. */
   def toDoubleArray(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float/double arrays — a native codegen'd
+    * Catalyst expression ([[graft.plans.DotProductExpr]]): one fused
+    * loop, no intermediate arrays, stays inside whole-stage codegen.
+    * Same sequential left-fold accumulation (in double) as the
+    * higher-order-function form it replaced, so results are
+    * bit-identical.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.DotProductExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** The pre-native HOF form, kept for differential testing. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Squared L2 norm (kept un-rooted so callers can defer the sqrt). */
