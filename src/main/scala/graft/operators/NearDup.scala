@@ -20,7 +20,16 @@ object NearDup {
   /** Large prime < 2^31 for MinHash permutation arithmetic; keeps
     * a·h+b within Long range (2^31·2^31 < 2^63).
     */
-  private val P = 2147483647L
+  private[graft] val P = 2147483647L
+
+  /** Fixed-seed universal-hash coefficients shared by the expression and
+    * Aggregator forms of the MinHash signature — both must agree so
+    * either can produce/verify the other's sketches.
+    */
+  private[graft] def permCoefs(nPerms: Int): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nPerms)((1L + rnd.nextLong().abs % (P - 1), rnd.nextLong().abs % P))
+  }
 
   /** Distinct 3-gram token shingles of a text column (docs with <3
     * tokens yield an empty set).
@@ -79,8 +88,7 @@ object NearDup {
     * b_i derive from the fixed seed.
     */
   def minhashSignature(shingleCol: Column, nPerms: Int): Column = {
-    val rnd = new scala.util.Random(42)
-    val coefs = Array.fill(nPerms)((1L + rnd.nextLong().abs % (P - 1), rnd.nextLong().abs % P))
+    val coefs = permCoefs(nPerms)
     val aArr = array(coefs.map(c => lit(c._1)): _*)
     val bArr = array(coefs.map(c => lit(c._2)): _*)
     // One pass over the shingle set: each shingle is xxhash64'd once and
