@@ -52,6 +52,15 @@ object SimQueries {
   }
 
   // ---------------------------------------------------------------------
+  // J7 scale path — IVF-partitioned approximate top-k (no oracle: recall
+  // is approximate by design; soundness of surfaced scores is tested in
+  // SimilaritySpec).
+  def q37AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.ivfTopK(e.filter(col("id") < 10), e, k = 5)
+  }
+
+  // ---------------------------------------------------------------------
   // A8 — MinHash+LSH near-dup: top-20 candidate pairs by exact Jaccard
   // (banded candidates only; no oracle — xxhash64 permutations).
   def q33MinhashNearDup(spark: SparkSession, dir: String): DataFrame =
@@ -115,6 +124,7 @@ object SimQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk"      -> (q31CosineTopK _),
     "q32_ann_lsh"          -> (q32AnnLsh _),
+    "q37_ann_ivf"          -> (q37AnnIvf _),
     "q33_minhash_neardup"  -> (q33MinhashNearDup _),
     "q34_simhash"          -> (q34Simhash _),
     "q35_ngram_jaccard"    -> (q35NgramJaccard _),

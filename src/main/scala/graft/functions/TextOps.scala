@@ -63,4 +63,17 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     substring(md5(normalized(text)), 1, 16)
+
+  /** Token-level polynomial rolling hash (Rabin–Karp shape): a single
+    * left fold `h ← h·B + hash(token)` over the token stream, in wrapping
+    * 64-bit arithmetic. Order-sensitive (unlike a token-set hash) and
+    * one pass — the streaming-friendly fingerprint for very long
+    * documents where md5 of the whole string would need the full text
+    * materialized.
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val B = 1000003L // prime base
+    aggregate(tokens(normalized(text)), lit(0L),
+      (acc, tok) => acc * B + xxhash64(tok))
+  }
 }

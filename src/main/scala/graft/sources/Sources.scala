@@ -54,4 +54,18 @@ object Sinks {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** Bucketed + sorted parquet table (catalog-managed): both sides of a
+    * recurring equi-join written with the same bucket spec join with NO
+    * exchange and no sort — the shuffle is paid once at write time
+    * instead of on every query. This is the co-located-join layout for
+    * fact tables at 100 TB (SURVEY.md "Partitioning & shuffle").
+    */
+  def parquetBucketed(df: DataFrame, table: String, bucketCol: String,
+                      nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

@@ -79,4 +79,40 @@ class SimilaritySpec extends SparkSpec {
     // near-identical vectors in the same buckets)
     assert(approx.map(_.getAs[Long]("cand_id")).contains(10L))
   }
+
+  test("ivfTopK surfaces exact cosines and finds the near-duplicate") {
+    val dim = 64
+    def vec(seed: Int): Seq[Float] = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(dim)(rnd.nextFloat() * 2 - 1)
+    }
+    val base = vec(3)
+    val cands = (
+      Seq((10L, base.map(x => x * 0.98f + 0.002f))) ++
+      (20 to 80).map(i => (i.toLong, vec(i)))
+    ).toDF("id", "vec")
+    val query = Seq((1L, base)).toDF("id", "vec")
+    val approx = Similarity.ivfTopK(query, cands, k = 3, nCentroids = 8, nProbes = 4)
+      .collect()
+    val exact = Similarity.bruteForceTopK(query, cands, k = cands.count().toInt)
+      .collect().map(r => r.getAs[Long]("cand_id") -> r.getAs[Double]("sim")).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val id = r.getAs[Long]("cand_id")
+      assert(math.abs(r.getAs[Double]("sim") - exact(id)) < 1e-9)
+    }
+    // the near-duplicate of the query lands in the query's probed bucket
+    assert(approx.map(_.getAs[Long]("cand_id")).contains(10L),
+      "IVF probes missed the near-duplicate")
+  }
+
+  test("ivfTopK is deterministic across runs") {
+    val cands = (0 to 50).map { i =>
+      val rnd = new scala.util.Random(i + 100)
+      (i.toLong, Seq.fill(16)(rnd.nextFloat()))
+    }.toDF("id", "vec")
+    def run() = Similarity.ivfTopK(cands.filter(col("id") < 3), cands, k = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSeq
+    assert(run() == run())
+  }
 }

@@ -44,6 +44,16 @@ class TextOpsSpec extends SparkSpec {
     assert(r(0) > r(1))
   }
 
+  test("rollingFingerprint: deterministic, order-sensitive, normalization-invariant") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha", "Alpha Beta Gamma  ")
+      .toDF("text")
+    val r = df.select(TextOps.rollingFingerprint(col("text"))).as[Long].collect()
+    assert(r(0) != r(1))   // order matters (unlike a set hash)
+    assert(r(0) == r(2))   // case/trim-normalized
+    val again = df.select(TextOps.rollingFingerprint(col("text"))).as[Long].collect()
+    assert(r.toSeq == again.toSeq)
+  }
+
   test("fingerprint: 16 hex chars, normalization-invariant, content-sensitive") {
     val r = Seq("Hello World", "  hello world ", "different").toDF("text")
       .select(TextOps.fingerprint(col("text"))).as[String].collect()
