@@ -226,6 +226,72 @@ object ExtQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] J5 — as-of join: for each purchase, the most recent click
+  // at-or-before it by the same user. Single-shuffle union+window form
+  // (operators.AsOf); DuckDB verifies with its native ASOF JOIN.
+  def q38AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // right side unique per (user_id, ts): keep the max event_id
+    val clicks = operators.Ranking.topPerGroup(
+      events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      Seq(col("user_id"), col("ts")), Seq(col("event_id").desc), 1)
+      .withColumnRenamed("event_id", "click_id")
+      .withColumnRenamed("value", "click_value")
+    operators.AsOf.joinAsOf(purchases, clicks, "user_id", "ts",
+        Seq("click_id", "click_value"))
+      .select(col("event_id"), col("user_id"), col("click_id"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q38Sql =
+    """WITH purchases AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      |), clicks AS (
+      |  SELECT user_id, ts, event_id AS click_id, value AS click_value FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'click')
+      |  WHERE rn = 1
+      |)
+      |SELECT p.event_id, p.user_id, c.click_id, c.click_value
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] — sessionization: 30-minute-gap sessions per user, one window
+  // pass (no range join), aggregated to one row per session.
+  def q39Sessionize(spark: SparkSession, dir: String): DataFrame =
+    operators.AsOf.sessionize(Tables.events(spark, dir),
+        col("user_id"), col("ts"), gapSeconds = 1800, tieBreak = Seq(col("event_id")))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_seq"))
+
+  private val q39Sql =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM marked
+      |)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_string_fns"       -> (q18StringFns _),
@@ -241,6 +307,8 @@ object ExtQueries {
     "q28_sentinel_null"    -> (q28SentinelNull _),
     "q29_tumbling_window"  -> (q29TumblingWindow _),
     "q30_multimodal_meta"  -> (q30MultimodalMeta _),
+    "q38_asof_join"        -> (q38AsofJoin _),
+    "q39_sessionize"       -> (q39Sessionize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -257,5 +325,7 @@ object ExtQueries {
     "q28_sentinel_null"    -> q28Sql,
     "q29_tumbling_window"  -> q29Sql,
     "q30_multimodal_meta"  -> q30Sql,
+    "q38_asof_join"        -> q38Sql,
+    "q39_sessionize"       -> q39Sql,
   )
 }

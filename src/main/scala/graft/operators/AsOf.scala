@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-at-or-before) join and event sessionization —
+  * time-series operators Spark lacks as built-ins (SURVEY.md §2.3 J5
+  * noted them absent in the reference; added as [EXT] rows for the
+  * engine surface).
+  *
+  * Both are implemented as single-shuffle window passes — NOT range
+  * joins: a range-condition join explodes to |L|·|R| per key before
+  * filtering, while the union+sort form here is O((|L|+|R|) log) with
+  * exactly one exchange on the key, which is the shape that survives
+  * 100 TB.
+  */
+object AsOf {
+
+  /** For each left row, attach the right row with the greatest `rightTs
+    * <= leftTs` for the same key (strictly most-recent-at-or-before;
+    * null columns when no such row).
+    *
+    * Mechanics: tag and union both sides, sort within each key by
+    * (ts, side) so a right row at ts T sorts before a left row at the
+    * same T, then carry the last non-null right values forward with
+    * `last(_, ignoreNulls = true)` over an unbounded-preceding window,
+    * and keep only left rows.
+    *
+    * The right side must be unique per (key, ts) — pre-aggregate it if
+    * not (the as-of result is otherwise ambiguous; DuckDB's ASOF JOIN
+    * has the same requirement for determinism).
+    *
+    * @param valueCols right-side columns to attach (by name)
+    */
+  def joinAsOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+               valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side 0 = right, 1 = left: at equal ts the right row sorts first,
+    // so "at-or-before" includes same-timestamp right rows.
+    val taggedLeft = left
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col(ts), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val taggedRight = right
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col(ts), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(taggedLeft.unionByName(taggedRight)) { (df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__side") === 1)
+      .drop("__side")
+      .withColumnsRenamed(valueCols.map(c => s"__r_$c" -> c).toMap)
+  }
+
+  /** Assign session ids within each key: a new session starts when the
+    * gap to the previous event exceeds `gapSeconds`. Session id is the
+    * epoch second of the session's first event — deterministic and
+    * stable across partitionings (no monotonically_increasing_id).
+    *
+    * One window pass: lag to mark session starts, running sum of the
+    * marker to number sessions, first_value to stamp the start time.
+    */
+  def sessionize(events: DataFrame, key: Column, ts: Column, gapSeconds: Long,
+                 tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts.asc +: tieBreak.map(_.asc): _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // gaps in microseconds: unix_micros is exact on TimestampType, so
+    // both engines compare the same integers (second-truncation would
+    // diverge from an oracle computing fractional-second gaps).
+    events
+      .withColumn("__prev_ts", lag(ts, 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev_ts").isNull ||
+          unix_micros(ts) - unix_micros(col("__prev_ts")) > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("__new_session")).over(cum))
+      .drop("__prev_ts", "__new_session")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+
+/** As-of join and sessionization semantics on hand-computed fixtures. */
+class AsOfSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("joinAsOf attaches the most recent right row at or before each left ts") {
+    val left = Seq(
+      (1L, 100L, t("2024-01-01 10:00:00")),
+      (2L, 100L, t("2024-01-01 12:00:00")),
+      (3L, 200L, t("2024-01-01 09:00:00"))) // user 200 has no click before
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, t("2024-01-01 09:30:00"), 11L, 1.5),
+      (100L, t("2024-01-01 11:00:00"), 12L, 2.5),
+      (200L, t("2024-01-01 09:30:00"), 13L, 3.5)) // after left's 09:00
+      .toDF("user_id", "ts", "click_id", "click_value")
+    val r = AsOf.joinAsOf(left, right, "user_id", "ts", Seq("click_id", "click_value"))
+      .orderBy("event_id").collect()
+    assert(r(0).getAs[Long]("click_id") == 11L)     // 10:00 → 09:30 click
+    assert(r(1).getAs[Long]("click_id") == 12L)     // 12:00 → 11:00 click
+    assert(r(2).isNullAt(r(2).fieldIndex("click_id"))) // nothing at/before 09:00
+    assert(r(0).getAs[Double]("click_value") == 1.5)
+  }
+
+  test("joinAsOf includes a right row at exactly the left timestamp") {
+    val left = Seq((1L, 7L, t("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, t("2024-01-01 10:00:00"), 99L, 1.0))
+      .toDF("user_id", "ts", "click_id", "click_value")
+    val r = AsOf.joinAsOf(left, right, "user_id", "ts", Seq("click_id", "click_value"))
+      .collect()(0)
+    assert(r.getAs[Long]("click_id") == 99L)
+  }
+
+  test("sessionize splits on gaps over the threshold only") {
+    val df = Seq(
+      (1L, 10L, t("2024-01-01 10:00:00")),
+      (2L, 10L, t("2024-01-01 10:10:00")),  // 10 min gap, same session
+      (3L, 10L, t("2024-01-01 11:30:00")),  // 80 min gap → new session
+      (4L, 10L, t("2024-01-01 11:40:00")),
+      (5L, 20L, t("2024-01-01 10:00:00")))  // other user: own numbering
+      .toDF("event_id", "user_id", "ts")
+    val r = AsOf.sessionize(df, col("user_id"), col("ts"), gapSeconds = 1800,
+        tieBreak = Seq(col("event_id")))
+      .orderBy("event_id")
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("sessionize boundary: a gap of exactly the threshold stays in-session") {
+    val df = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00")),
+      (2L, 1L, t("2024-01-01 10:30:00")))  // exactly 1800s
+      .toDF("event_id", "user_id", "ts")
+    val r = AsOf.sessionize(df, col("user_id"), col("ts"), 1800, Seq(col("event_id")))
+      .select("session_seq").as[Long].collect()
+    assert(r.toSeq == Seq(1L, 1L))
+  }
+}
