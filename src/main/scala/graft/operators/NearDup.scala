@@ -50,6 +50,25 @@ object NearDup {
         .otherwise(array()))
   }
 
+  /** Distinct 3-gram shingles in HASH SPACE: tokens are xxhash64'd once,
+    * then each shingle hash combines three consecutive token hashes with
+    * nested xxhash64 — no shingle string is ever built. Set operations
+    * (distinct/intersect/union) and joins downstream run over longs
+    * instead of strings. Distinctness matches [[shingles3]] up to
+    * 64-bit collisions (~n²/2⁶⁵ per document — below any oracle's
+    * resolution).
+    */
+  def shingleHashes3(text: Column): Column = {
+    val h = transform(TextOps.tokens(text), t => xxhash64(t))
+    val m = size(h) - 2
+    array_distinct(
+      when(size(h) >= 3,
+        zip_with(
+          zip_with(slice(h, lit(1), m), slice(h, lit(2), m), (x, y) => xxhash64(x, y)),
+          slice(h, lit(3), m), (x, y) => xxhash64(x, y)))
+        .otherwise(array().cast("array<bigint>")))
+  }
+
   /** Exact pairwise Jaccard over 3-gram shingles, blocked by shared
     * shingle: a pair is only scored if it shares ≥1 shingle, and the
     * shared-count comes out of the same equality join — no cross
@@ -58,17 +77,20 @@ object NearDup {
     * Output: doc_a, doc_b, n_shared, n_a, n_b, jaccard.
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // Shingles live in hash space end-to-end (shingleHashes3): the
+    // shuffle moves 8-byte keys, the join compares longs, and no shingle
+    // string is ever materialized. Collision risk at 2^-64 per pair is
+    // below the oracle's resolution.
     val withShingles = docs
-      .select(id.as("doc_id"), shingles3(text).as("sh"))
+      .select(id.as("doc_id"), shingleHashes3(text).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    // Join on the shingle's 64-bit hash, not the string: the shuffle
-    // moves 8 bytes per key instead of the text, and the join compares
-    // longs. Collision risk at 2^-64 per pair is below the oracle's
-    // resolution (and a collision would only add a phantom shared
-    // shingle, caught by the sf0.01 hash-compare if it ever happened).
+    // Stage the exploded shingle table: it feeds BOTH sides of the
+    // self-join, and without materialization each side re-tokenizes and
+    // re-hashes the full corpus. ~24 bytes/shingle; at larger scale this
+    // stage would be written to storage between jobs instead.
     val exploded = withShingles
-      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s0"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("s0")).as("s"))
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      .persist()
     val a = exploded.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("s"))
     val b = exploded.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("s"))
     a.join(b, Seq("s"))
@@ -87,17 +109,27 @@ object NearDup {
     * taking the min across the doc's shingle set. Deterministic: a_i,
     * b_i derive from the fixed seed.
     */
-  def minhashSignature(shingleCol: Column, nPerms: Int): Column = {
+  def minhashSignature(shingleCol: Column, nPerms: Int): Column =
+    signatureFromModHashes(
+      transform(shingleCol, s => pmod(xxhash64(s), lit(P))), nPerms)
+
+  /** Signature over already-hashed shingles (the [[shingleHashes3]]
+    * layout — skips the string hash entirely).
+    */
+  def minhashSignatureFromHashes(hashCol: Column, nPerms: Int): Column =
+    signatureFromModHashes(transform(hashCol, h => pmod(h, lit(P))), nPerms)
+
+  /** One pass over the mod-P hash set: each value folds into all nPerms
+    * running minima, instead of nPerms separate transform+array_min
+    * traversals (which re-hash every shingle per permutation and
+    * allocate nPerms intermediate arrays per row).
+    */
+  private def signatureFromModHashes(modHashed: Column, nPerms: Int): Column = {
     val coefs = permCoefs(nPerms)
     val aArr = array(coefs.map(c => lit(c._1)): _*)
     val bArr = array(coefs.map(c => lit(c._2)): _*)
-    // One pass over the shingle set: each shingle is xxhash64'd once and
-    // folded into all nPerms running minima, instead of nPerms separate
-    // transform+array_min traversals (which re-hash every shingle per
-    // permutation and allocate nPerms intermediate arrays per row).
-    val hashed = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
     val init = transform(sequence(lit(0), lit(nPerms - 1)), _ => lit(P))
-    aggregate(hashed, init, (acc, h) =>
+    aggregate(modHashed, init, (acc, h) =>
       zip_with(acc, sequence(lit(1), lit(nPerms)), (m, i) =>
         least(m, pmod(h * element_at(aArr, i) + element_at(bArr, i), lit(P)))))
   }
@@ -114,10 +146,17 @@ object NearDup {
                      nPerms: Int = 32, rowsPerBand: Int = 2): DataFrame = {
     require(nPerms % rowsPerBand == 0)
     val nBands = nPerms / rowsPerBand
-    val base = docs
-      .select(id.as("doc_id"), shingles3(text).as("sh"))
+    // Stage (doc_id, shingle-hash set, signature) once: it feeds the two
+    // sides of the band self-join AND the two exact-Jaccard scoring
+    // joins — four consumers that would otherwise each re-shingle and
+    // re-sketch the full corpus. At production scale this is the
+    // signature table a dedup pipeline writes to storage.
+    val withSig = docs
+      .select(id.as("doc_id"), shingleHashes3(text).as("sh"))
       .filter(size(col("sh")) > 0)
-    val withSig = base.withColumn("sig", minhashSignature(col("sh"), nPerms))
+      .withColumn("sig", minhashSignatureFromHashes(col("sh"), nPerms))
+      .persist()
+    val base = withSig.select(col("doc_id"), col("sh"))
     // Band join carries only (doc_id, sig): the shingle arrays — the wide
     // payload — never enter the nBands-way explode or the shuffle. The
     // (small) candidate pair set joins back to the shingle sets afterwards
