@@ -292,6 +292,48 @@ object ExtQueries {
       |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] A6 — rollup: order counts/revenue at (year, month), (year),
+  // and grand-total levels in one pass.
+  def q40Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+      .withColumn("order_month", month(col("o_orderdate")).cast("long"))
+      .rollup(col("order_year"), col("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+      .orderBy(col("order_year").asc_nulls_first, col("order_month").asc_nulls_first)
+
+  private val q40Sql =
+    """SELECT year(o_orderdate) AS order_year, month(o_orderdate) AS order_month,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP (order_year, order_month)
+      |ORDER BY order_year ASC NULLS FIRST, order_month ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] — pivot: event counts per user spread across event-type
+  // columns (Spark .pivot with explicit values ↔ DuckDB conditional
+  // aggregation; explicit value list keeps the schema static, which a
+  // 100 TB plan requires — dynamic pivot needs a pre-pass collect).
+  def q41Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  private val q41Sql =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_string_fns"       -> (q18StringFns _),
@@ -309,6 +351,8 @@ object ExtQueries {
     "q30_multimodal_meta"  -> (q30MultimodalMeta _),
     "q38_asof_join"        -> (q38AsofJoin _),
     "q39_sessionize"       -> (q39Sessionize _),
+    "q40_rollup"           -> (q40Rollup _),
+    "q41_pivot"            -> (q41Pivot _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -327,5 +371,7 @@ object ExtQueries {
     "q30_multimodal_meta"  -> q30Sql,
     "q38_asof_join"        -> q38Sql,
     "q39_sessionize"       -> q39Sql,
+    "q40_rollup"           -> q40Sql,
+    "q41_pivot"            -> q41Sql,
   )
 }
