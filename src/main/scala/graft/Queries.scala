@@ -339,6 +339,29 @@ object Queries {
       |FROM orders GROUP BY 1, 2 ORDER BY order_year, order_month""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] A5-adjacent — exact percentiles (interpolating): Spark's
+  // percentile ≡ DuckDB's quantile_cont. Exact (sort-based per group) —
+  // the approximate path at scale is percentile_approx (no cross-engine
+  // oracle; same API shape).
+  def q42Percentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("__q"),
+        expr("percentile(l_extendedprice, array(0.5D))").getItem(0).as("price_median"))
+      .select(col("l_returnflag"),
+        col("__q").getItem(0).as("qty_p25"),
+        col("__q").getItem(1).as("qty_p50"),
+        col("__q").getItem(2).as("qty_p75"),
+        col("price_median"))
+      .orderBy(col("l_returnflag"))
+
+  private val q42Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS qty_p25,
+      |  quantile_cont(l_quantity, 0.5) AS qty_p50,
+      |  quantile_cont(l_quantity, 0.75) AS qty_p75,
+      |  quantile_cont(l_extendedprice, 0.5) AS price_median
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -358,6 +381,7 @@ object Queries {
     "q15_except"          -> (q15Except _),
     "q16_case_bucket"     -> (q16CaseBucket _),
     "q17_date_part"       -> (q17DatePart _),
+    "q42_percentile"      -> (q42Percentile _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -378,5 +402,6 @@ object Queries {
     "q15_except"          -> q15Sql,
     "q16_case_bucket"     -> q16Sql,
     "q17_date_part"       -> q17Sql,
+    "q42_percentile"      -> q42Sql,
   )
 }
