@@ -114,9 +114,20 @@ object NearDup {
       transform(shingleCol, s => pmod(xxhash64(s), lit(P))), nPerms)
 
   /** Signature over already-hashed shingles (the [[shingleHashes3]]
-    * layout — skips the string hash entirely).
+    * layout) — the codegen'd native expression
+    * ([[graft.plans.MinHashSignatureExpr]]): one fused loop pair, no
+    * per-element allocation, inside whole-stage codegen.
     */
-  def minhashSignatureFromHashes(hashCol: Column, nPerms: Int): Column =
+  def minhashSignatureFromHashes(hashCol: Column, nPerms: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val coefs = permCoefs(nPerms)
+    GraftColumnBridge.column(graft.plans.MinHashSignatureExpr(
+      GraftColumnBridge.expression(hashCol),
+      coefs.map(_._1).toSeq, coefs.map(_._2).toSeq))
+  }
+
+  /** The pre-native HOF fold, kept for differential testing. */
+  private[graft] def minhashSignatureFromHashesHof(hashCol: Column, nPerms: Int): Column =
     signatureFromModHashes(transform(hashCol, h => pmod(h, lit(P))), nPerms)
 
   /** One pass over the mod-P hash set: each value folds into all nPerms

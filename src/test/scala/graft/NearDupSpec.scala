@@ -31,6 +31,17 @@ class NearDupSpec extends SparkSpec {
     assert(s1.forall(v => v >= 0L && v < 2147483647L))
   }
 
+  test("native minhash signature equals the HOF fold on random hash sets") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(40)(Seq.fill(rnd.nextInt(60) + 1)(rnd.nextLong()))
+    val df = rows.toDF("h")
+    val r = df.select(
+      NearDup.minhashSignatureFromHashes(col("h"), 32).as("native"),
+      NearDup.minhashSignatureFromHashesHof(col("h"), 32).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(r.forall { case (n, h) => n == h })
+  }
+
   test("identical docs agree on every minhash permutation") {
     val df = Seq((1L, "one two three four five six"), (2L, "one two three four five six"))
       .toDF("doc_id", "text")
