@@ -70,4 +70,45 @@ object Multimodal {
     df.select(col(idCol),
         explode(sequence(lit(0L), length(col(payloadCol)).cast("long") - 1, lit(stride.toLong)))
           .as("frame_offset"))
+
+  /** STUB feature extraction: a normalized 16-bin byte histogram as the
+    * payload's "embedding" — the per-partition batch shape (one model
+    * context per partition, rows streamed through) and the
+    * `array<float>` output schema are exactly what a real vision
+    * encoder produces; only the math inside is fake.
+    */
+  def featureExtractPartitioned(df: DataFrame, idCol: String, payloadCol: String,
+                                bins: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real build: load the encoder weights once per partition here
+        rows.map { case (id, payload) =>
+          val counts = new Array[Float](bins)
+          payload.foreach(b => counts((b & 0xff) * bins / 256) += 1f)
+          val n = math.max(1, payload.length).toFloat
+          (id, counts.map(_ / n))
+        }
+      }
+      .toDF(idCol, "embedding")
+  }
+
+  /** STUB resize: recompute the fake metadata for a target box,
+    * preserving aspect ratio (longest side fits `maxSide`). The
+    * expression stays inside codegen; a real build would emit the
+    * resized payload from a codec in [[decodePartitioned]]'s
+    * per-partition loop instead.
+    */
+  def resizedMetaCols(payload: Column, maxSide: Int): Seq[Column] = {
+    val len = length(payload).cast("long")
+    val w = lit(64L) + pmod(len * 31L, lit(512L))
+    val h = lit(64L) + pmod(len * 17L, lit(512L))
+    val scale = lit(maxSide.toDouble) / greatest(w, h).cast("double")
+    val clamped = least(scale, lit(1.0)) // never upscale
+    Seq(
+      floor(w.cast("double") * clamped).cast("long").as("resized_width"),
+      floor(h.cast("double") * clamped).cast("long").as("resized_height"))
+  }
 }

@@ -89,6 +89,31 @@ class OperatorsSpec extends SparkSpec {
     assert(viaExpr.map(_.toSeq).toSeq == viaPart.map(_.toSeq).toSeq)
   }
 
+  test("multimodal: feature extraction emits a normalized histogram embedding") {
+    val df = Seq((1L, "aaaabbbb"), (2L, "")).toDF("id", "s")
+      .select(col("id"), col("s").cast("binary").as("payload"))
+    val r = Multimodal.featureExtractPartitioned(df, "id", "payload", bins = 4)
+      .orderBy("id").as[(Long, Seq[Float])].collect()
+    assert(r(0)._2.length == 4)
+    assert(math.abs(r(0)._2.sum - 1.0f) < 1e-6) // normalized
+    assert(r(1)._2.forall(_ == 0f))             // empty payload
+  }
+
+  test("multimodal: resize preserves aspect ratio and never upscales") {
+    val df = Seq((1L, "x" * 300)).toDF("id", "s")
+      .select(col("id"), col("s").cast("binary").as("payload"))
+    val meta = df.select(col("id") +: Multimodal.imageMetaCols(col("payload")): _*)
+      .collect()(0)
+    val resized = df.select(col("id") +: Multimodal.resizedMetaCols(col("payload"), 128): _*)
+      .collect()(0)
+    val (w, h) = (meta.getAs[Long]("width"), meta.getAs[Long]("height"))
+    val (rw, rh) = (resized.getAs[Long]("resized_width"), resized.getAs[Long]("resized_height"))
+    assert(math.max(rw, rh) <= 128)
+    assert(rw <= w && rh <= h)
+    // aspect ratio within rounding
+    assert(math.abs(rw.toDouble / rh - w.toDouble / h) < 0.05)
+  }
+
   test("multimodal: frame sampling yields ceil(len/stride) offsets") {
     val df = Seq((1L, "0123456789")).toDF("id", "s")
       .select(col("id"), col("s").cast("binary").as("payload"))
