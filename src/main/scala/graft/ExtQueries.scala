@@ -26,7 +26,7 @@ object ExtQueries {
       .orderBy(col("p_partkey"))
 
   private val q18Sql =
-    """SELECT p_partkey, split_part(p_name, ' ', 2) AS word2,
+    """SELECT p_partkey, nullif(split_part(p_name, ' ', 2), '') AS word2,
       |  p_brand || '/' || p_type AS brand_type,
       |  regexp_replace(p_type, 'ECONOMY', 'ECO') AS type_abbrev,
       |  length(p_name) AS name_len, upper(p_name) AS name_upper
@@ -52,17 +52,17 @@ object ExtQueries {
   // ---------------------------------------------------------------------
   // P7 — null-on-bad-cast semantics (ANSI off; README.md:383 relies on
   // this). DuckDB needs TRY_CAST for the same behavior.
-  def q20TryCast(spark: SparkSession, dir: String): DataFrame = {
+  def q20TryCast(spark: SparkSession, dir: String): DataFrame =
     // Declared P7 semantics: non-numeric cast → null (SURVEY.md §4.4).
-    // Spark 4 defaults to ANSI mode, which throws instead.
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    // try_cast gives that in ANY session — mutating
+    // spark.sql.ansi.enabled here would change the semantics of every
+    // query built after this one in a shared session.
     Tables.part(spark, dir)
       .select(
         col("p_partkey"),
-        split(col("p_brand"), "#").getItem(1).cast("long").as("brand_num"),
-        col("p_type").cast("long").as("bad_cast"))
+        expr("try_cast(split(p_brand, '#')[1] AS BIGINT)").as("brand_num"),
+        expr("try_cast(p_type AS BIGINT)").as("bad_cast"))
       .orderBy(col("p_partkey"))
-  }
 
   private val q20Sql =
     """SELECT p_partkey, TRY_CAST(split_part(p_brand, '#', 2) AS BIGINT) AS brand_num,

@@ -36,29 +36,33 @@ object AsOf {
   def joinAsOf(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val rStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c).copy(name = c)))
     // side 0 = right, 1 = left: at equal ts the right row sorts first,
     // so "at-or-before" includes same-timestamp right rows.
     val taggedLeft = left
       .withColumn("__side", lit(1))
       .select(Seq(col(key), col(ts), col("__side")) ++
-        leftCols.filterNot(c => c == key || c == ts).map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.filterNot(c => c == key || c == ts).map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val taggedRight = right
       .withColumn("__side", lit(0))
       .select(Seq(col(key), col(ts), col("__side")) ++
         leftCols.filterNot(c => c == key || c == ts)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(col): _*).as("__r"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(taggedLeft.unionByName(taggedRight)) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    // carry ONE struct of all value columns: carrying each column
+    // independently would stitch together values from different right
+    // rows whenever a value column is null in the most recent row.
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
-      .withColumnsRenamed(valueCols.map(c => s"__r_$c" -> c).toMap)
+      .select((Seq(col(key), col(ts)) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++
+        valueCols.map(c => col(s"__r.$c").as(c))): _*)
   }
 
   /** Assign session ids within each key: a new session starts when the

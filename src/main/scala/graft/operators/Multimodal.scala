@@ -66,10 +66,16 @@ object Multimodal {
     * `stride`-th byte offset as a fake frame key — exercises the
     * explode/generator shape a frame extractor produces.
     */
-  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, stride: Int): DataFrame =
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, stride: Int): DataFrame = {
+    val len = length(col(payloadCol)).cast("long")
+    // empty payloads must yield no frames, not sequence(0, -1) — which
+    // Spark rejects at runtime ("Illegal sequence boundaries"); null
+    // payloads are already dropped by explode
     df.select(col(idCol),
-        explode(sequence(lit(0L), length(col(payloadCol)).cast("long") - 1, lit(stride.toLong)))
+        explode(when(len > 0, sequence(lit(0L), len - 1, lit(stride.toLong)))
+          .otherwise(array().cast("array<bigint>")))
           .as("frame_offset"))
+  }
 
   /** STUB feature extraction: a normalized 16-bin byte histogram as the
     * payload's "embedding" — the per-partition batch shape (one model

@@ -87,7 +87,11 @@ object NearDup {
     // Stage the exploded shingle table: it feeds BOTH sides of the
     // self-join, and without materialization each side re-tokenizes and
     // re-hashes the full corpus. ~24 bytes/shingle; at larger scale this
-    // stage would be written to storage between jobs instead.
+    // stage would be written to storage between jobs instead. The cache
+    // entry is deliberately not unpersisted (the returned plan is lazy);
+    // long-lived sessions evict it via LRU — callers running many
+    // corpora through this operator should spark.catalog.clearCache()
+    // between jobs.
     val exploded = withShingles
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
       .persist()
@@ -185,8 +189,10 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
       .dropDuplicates("doc_a", "doc_b") // collisions in several bands
       .withColumn("est_jaccard",
-        size(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(null)))
-          .cast("double") / lit(nPerms.toDouble))
+        // count TRUE positions: size() alone would count the whole
+        // zipped array (nulls included) and always return nPerms
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / lit(nPerms.toDouble))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
     cand
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))

@@ -36,11 +36,13 @@ object Similarity {
     val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
       .withColumn("sim",
         VectorOps.cosineWithNorms(col("qv"), col("cv"), col("q_norm_sq"), col("c_norm_sq")))
-    Ranking.topPerGroup(scored, Seq(col("query_id")),
-        Seq(col("sim").desc, col("cand_id").asc), k)
+    // single window pass computes AND keeps the rank (a topPerGroup +
+    // re-rank would run the identical window sort twice)
+    scored
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)))
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), col("sim"))
   }
 
@@ -86,11 +88,19 @@ object Similarity {
 
     val q = withSignature(queries, "query_id")
     val c = withSignature(candidates, "cand_id")
-    val paired = c.join(broadcast(q), Seq("band", "band_key"))
+    // dedup band collisions on the 16-byte id pair, then join the
+    // vectors back for scoring — distinct() over rows carrying two
+    // 64-element arrays would shuffle the full vectors per banded pair
+    val pairs = c.join(broadcast(q.select(col("band"), col("band_key"), col("query_id"))),
+        Seq("band", "band_key"))
       .filter(col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id"), col("query_id_v"), col("cand_id_v"),
-        col("query_id_norm_sq"), col("cand_id_norm_sq"))
-      .distinct() // a pair can collide in several bands
+      .select(col("query_id"), col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+    val paired = pairs
+      .join(c.select(col("cand_id"), col("cand_id_v"), col("cand_id_norm_sq"))
+        .dropDuplicates("cand_id"), Seq("cand_id"))
+      .join(broadcast(q.select(col("query_id"), col("query_id_v"), col("query_id_norm_sq"))
+        .dropDuplicates("query_id")), Seq("query_id"))
       .withColumn("sim", VectorOps.cosineWithNorms(
         col("query_id_v"), col("cand_id_v"),
         col("query_id_norm_sq"), col("cand_id_norm_sq")))

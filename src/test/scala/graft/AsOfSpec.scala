@@ -39,6 +39,21 @@ class AsOfSpec extends SparkSpec {
     assert(r.getAs[Long]("click_id") == 99L)
   }
 
+  test("joinAsOf keeps value columns from ONE right row when some are null") {
+    // most recent click has a null value: the result must be (12, null),
+    // never a stitched (12, 1.5) from two different right rows
+    val left = Seq((1L, 5L, t("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (5L, t("2024-01-01 10:00:00"), Some(11L), Some(1.5)),
+      (5L, t("2024-01-01 11:00:00"), Some(12L), Option.empty[Double]))
+      .toDF("user_id", "ts", "click_id", "click_value")
+    val r = AsOf.joinAsOf(left, right, "user_id", "ts", Seq("click_id", "click_value"))
+      .collect()(0)
+    assert(r.getAs[Long]("click_id") == 12L)
+    assert(r.isNullAt(r.fieldIndex("click_value")),
+      "click_value stitched from an older right row")
+  }
+
   test("sessionize splits on gaps over the threshold only") {
     val df = Seq(
       (1L, 10L, t("2024-01-01 10:00:00")),

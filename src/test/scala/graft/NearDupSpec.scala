@@ -65,6 +65,27 @@ class NearDupSpec extends SparkSpec {
     assert(row.getAs[Double]("est_jaccard") == 1.0)
   }
 
+  test("est_jaccard reflects partial signature agreement (not always 1.0)") {
+    // two near-dup docs sharing most shingles plus one unrelated: the
+    // near-dup pair must surface with 0 < est_jaccard < 1 strictly —
+    // a size()-based count of the zipped array would report exactly 1.0
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra trailing words here"),
+      (3L, (100 to 130).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = NearDup.minhashNearDup(docs, col("doc_id"), col("text"), rowsPerBand = 4)
+      .filter(col("doc_a") === 1 && col("doc_b") === 2)
+      .collect()
+    assert(r.length == 1, "near-dup pair not surfaced")
+    val est = r(0).getAs[Double]("est_jaccard")
+    val exact = r(0).getAs[Double]("jaccard")
+    assert(est > 0.0 && est < 1.0, s"est_jaccard=$est should be strictly between 0 and 1")
+    assert(exact > 0.5 && exact < 1.0)
+    assert(math.abs(est - exact) < 0.35, s"sketch estimate $est too far from exact $exact")
+  }
+
   test("ngramJaccardPairs scores overlap exactly and skips disjoint docs") {
     // doc1 shingles: {a b c, b c d}; doc2: {a b c, b c x} → jaccard 1/3.
     val docs = Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "p q r s"))

@@ -121,4 +121,10 @@ class OperatorsSpec extends SparkSpec {
       .select("frame_offset").as[Long].collect().sorted
     assert(frames.toSeq == Seq(0L, 4L, 8L))
   }
+
+  test("multimodal: frame sampling yields no rows for empty payloads") {
+    val df = Seq((1L, "")).toDF("id", "s")
+      .select(col("id"), col("s").cast("binary").as("payload"))
+    assert(Multimodal.sampleFrames(df, "id", "payload", stride = 4).count() == 0)
+  }
 }
