@@ -76,6 +76,14 @@ object SimQueries {
       .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------------
+  // A8 — SimHash banded near-dup pairs (hamming ≤ 3 via 16-bit-band
+  // pigeonhole; no oracle — xxhash64-based signatures).
+  def q43SimhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    NearDup.simhashNearDup(Tables.documents(spark, dir), col("doc_id"), col("text"))
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(50)
+
+  // ---------------------------------------------------------------------
   // A8 — exact n-gram Jaccard near-dup, blocked by shared shingle.
   def q35NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     NearDup.ngramJaccardPairs(Tables.documents(spark, dir), col("doc_id"), col("text"))
@@ -127,6 +135,7 @@ object SimQueries {
     "q37_ann_ivf"          -> (q37AnnIvf _),
     "q33_minhash_neardup"  -> (q33MinhashNearDup _),
     "q34_simhash"          -> (q34Simhash _),
+    "q43_simhash_neardup"  -> (q43SimhashNearDup _),
     "q35_ngram_jaccard"    -> (q35NgramJaccard _),
     "q36_embedding_neardup" -> (q36EmbeddingNearDup _),
   )

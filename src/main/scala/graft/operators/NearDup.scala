@@ -226,6 +226,37 @@ object NearDup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
+  /** SimHash near-dup pairs: band each 64-bit signature into four
+    * 16-bit keys; by pigeonhole, any pair within hamming distance 3 of
+    * each other shares at least one exact band, so the equality join on
+    * (band, key) finds all such pairs without a cross product. Pairs are
+    * then filtered to `maxHamming` (≤ 3 keeps the pigeonhole guarantee;
+    * larger values trade recall).
+    *
+    * Output: doc_a, doc_b, hamming.
+    */
+  def simhashNearDup(docs: DataFrame, id: Column, text: Column,
+                     maxHamming: Int = 3): DataFrame = {
+    val signed = docs
+      .select(id.as("doc_id"), simhash64(text).as("sig"))
+      .persist() // feeds both sides of the band self-join
+    val banded = signed
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_key",
+        call_function("shiftright", col("sig"), col("band") * 16).bitwiseAND(lit(0xffffL)))
+    val b = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    banded.select(col("band"), col("band_key"),
+        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      .join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a coarse key (e.g. a
     * label or an LSH bucket) so only same-block pairs are scored.
     * Output: id_a, id_b, sim.

@@ -119,6 +119,20 @@ class NearDupSpec extends SparkSpec {
     assert(d <= 16, s"hamming distance $d too large for near-identical docs")
   }
 
+  test("simhashNearDup surfaces identical and near-identical docs, skips unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                       // identical → hamming 0
+      (3L, (1 to 20).map(i => s"unrelated$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = NearDup.simhashNearDup(docs, col("doc_id"), col("text"))
+      .collect().map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"),
+        x.getAs[Long]("hamming")))
+    assert(r.contains((1L, 2L, 0L)))
+    assert(!r.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("embeddingPairs scores same-block pairs only") {
     val docs = Seq(
       (1L, Seq(1.0f, 0.0f), "A"), (2L, Seq(1.0f, 0.0f), "A"),
