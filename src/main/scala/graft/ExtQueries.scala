@@ -292,6 +292,30 @@ object ExtQueries {
       |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] J5 — range join: clicks per user in the hour before each
+  // purchase. Bucketed equality join, not an inequality cross product.
+  def q44RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    operators.AsOf.rangeCountJoin(purchases, clicks, "user_id", "ts",
+        windowSeconds = 3600, countAs = "clicks_before")
+      .select(col("event_id"), col("user_id"), col("clicks_before"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q44Sql =
+    """SELECT p.event_id, p.user_id, count(c.ts) AS clicks_before
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |GROUP BY p.event_id, p.user_id
+      |ORDER BY p.event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // [EXT] A6 — rollup: order counts/revenue at (year, month), (year),
   // and grand-total levels in one pass.
   def q40Rollup(spark: SparkSession, dir: String): DataFrame =
@@ -353,6 +377,7 @@ object ExtQueries {
     "q39_sessionize"       -> (q39Sessionize _),
     "q40_rollup"           -> (q40Rollup _),
     "q41_pivot"            -> (q41Pivot _),
+    "q44_range_join"       -> (q44RangeJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -373,5 +398,6 @@ object ExtQueries {
     "q39_sessionize"       -> q39Sql,
     "q40_rollup"           -> q40Sql,
     "q41_pivot"            -> q41Sql,
+    "q44_range_join"       -> q44Sql,
   )
 }

@@ -65,6 +65,39 @@ object AsOf {
         valueCols.map(c => col(s"__r.$c").as(c))): _*)
   }
 
+  /** Range-count join: for each left row, count right rows with the
+    * same key whose timestamp falls in `[leftTs - windowSeconds,
+    * leftTs)`. Left rows with no matches are kept with count 0.
+    *
+    * Scale shape: a naive inequality join degenerates to a per-key
+    * cross product. Here both sides are bucketed to `windowSeconds`-wide
+    * time bins; each left row probes its own and the previous bin (which
+    * together cover the whole window), so matching is an EQUALITY join
+    * on (key, bin) with an exact range filter after — per-pair work is
+    * bounded by bin occupancy, not key cardinality.
+    */
+  def rangeCountJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+                     windowSeconds: Long, countAs: String = "n_in_range"): DataFrame = {
+    val binMicros = windowSeconds * 1000000L
+    val leftBinned = left
+      .withColumn("__bin", explode(array(
+        floor(unix_micros(col(ts)) / binMicros).cast("long") - 1,
+        floor(unix_micros(col(ts)) / binMicros).cast("long"))))
+      .withColumn("__lts", unix_micros(col(ts)))
+    val rightBinned = right
+      .select(col(key), unix_micros(col(ts)).as("__rts"))
+      .withColumn("__bin", floor(col("__rts") / binMicros).cast("long"))
+    val leftKeys = left.columns.map(col).toSeq
+    leftBinned
+      .join(rightBinned, Seq(key, "__bin"), "left")
+      .withColumn("__hit",
+        when(col("__rts").isNotNull &&
+          col("__rts") >= col("__lts") - lit(binMicros) &&
+          col("__rts") < col("__lts"), 1L).otherwise(0L))
+      .groupBy(leftKeys: _*)
+      .agg(sum(col("__hit")).as(countAs))
+  }
+
   /** Assign session ids within each key: a new session starts when the
     * gap to the previous event exceeds `gapSeconds`. Session id is the
     * epoch second of the session's first event — deterministic and

@@ -69,6 +69,25 @@ class AsOfSpec extends SparkSpec {
     assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("rangeCountJoin counts rows in [ts-window, ts) with zero-match rows kept") {
+    val purchases = Seq(
+      (1L, 9L, t("2024-01-01 12:00:00")),
+      (2L, 9L, t("2024-01-01 18:00:00")),   // no clicks near
+      (3L, 8L, t("2024-01-01 12:00:00")))   // other user
+      .toDF("event_id", "user_id", "ts")
+    val clicks = Seq(
+      (9L, t("2024-01-01 11:00:00")),  // exactly window start → included
+      (9L, t("2024-01-01 11:30:00")),  // in window
+      (9L, t("2024-01-01 12:00:00")),  // at ts → excluded (half-open)
+      (9L, t("2024-01-01 10:59:59")),  // before window
+      (8L, t("2024-01-01 11:45:00")))
+      .toDF("user_id", "ts")
+    val r = AsOf.rangeCountJoin(purchases, clicks, "user_id", "ts", 3600)
+      .orderBy("event_id")
+      .select("event_id", "n_in_range").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 2L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("sessionize boundary: a gap of exactly the threshold stays in-session") {
     val df = Seq(
       (1L, 1L, t("2024-01-01 10:00:00")),
