@@ -208,14 +208,15 @@ object NearDup {
     * array fold per document.
     */
   def simhash64(text: Column): Column = {
-    val t = TextOps.tokens(text)
+    // hash per TOKEN, not inside the per-bit lambda — an expression
+    // referenced in a lambda body re-evaluates per element, so putting
+    // xxhash64(tok) inside the bit loop would hash every token 64 times
+    val th = transform(TextOps.tokens(text), t => xxhash64(t))
     val votes = aggregate(
-      t,
+      th,
       transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-      (acc, tok) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)), k =>
-          when(call_function("shiftright", xxhash64(tok), k).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))),
-        (a, v) => a + v))
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (a, k) =>
+        a + when(call_function("shiftright", h, k).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))))
     aggregate(
       zip_with(votes, sequence(lit(0), lit(63)), (v, k) =>
         when(v > 0, call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))),
