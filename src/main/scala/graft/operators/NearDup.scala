@@ -208,9 +208,18 @@ object NearDup {
     * array fold per document.
     */
   def simhash64(text: Column): Column = {
-    // hash per TOKEN, not inside the per-bit lambda — an expression
-    // referenced in a lambda body re-evaluates per element, so putting
-    // xxhash64(tok) inside the bit loop would hash every token 64 times
+    import org.apache.spark.sql.GraftColumnBridge
+    val th = transform(TextOps.tokens(text), t => xxhash64(t))
+    GraftColumnBridge.column(graft.plans.SimHash64Expr(
+      GraftColumnBridge.expression(th)))
+  }
+
+  /** The pre-native HOF fold, kept for differential testing. Note the
+    * token hash is bound per token (an expression referenced in a
+    * lambda body re-evaluates per element — putting xxhash64(tok)
+    * inside the bit loop would hash every token 64 times).
+    */
+  private[graft] def simhash64Hof(text: Column): Column = {
     val th = transform(TextOps.tokens(text), t => xxhash64(t))
     val votes = aggregate(
       th,

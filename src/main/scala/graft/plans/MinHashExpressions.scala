@@ -89,3 +89,73 @@ case class MinHashSignatureExpr(child: Expression, coefsA: Seq[Long], coefsB: Se
   override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
     copy(child = newChild)
 }
+
+/** Codegen'd 64-bit SimHash over an `array<long>` of token hashes: bit k
+  * of the output is the sign of Σ_tokens (±1 by bit k of the token
+  * hash). Replaces a per-token 64-element zip_with fold (interpreted,
+  * one array allocation per token) with two fused loops over a stack
+  * `int[64]`. Null elements are skipped; null array → null.
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < arr.numElements()) {
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+          k += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (votes(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $j = 0; $j < $arr.numElements(); $j++) {
+         |  if (!$arr.isNullAt($j)) {
+         |    long $h = $arr.getLong($j);
+         |    for (int $k = 0; $k < 64; $k++) {
+         |      if ((($h >>> $k) & 1L) == 1L) $votes[$k]++; else $votes[$k]--;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $k = 0; $k < 64; $k++) {
+         |  if ($votes[$k] > 0) $sig |= (1L << $k);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}

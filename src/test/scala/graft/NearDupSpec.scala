@@ -97,6 +97,15 @@ class NearDupSpec extends SparkSpec {
     assert(math.abs(r(0).getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
   }
 
+  test("native simhash64 equals the HOF fold") {
+    val texts = Seq("the quick brown fox", "a", "", "lorem ipsum dolor sit amet " * 10)
+    val df = texts.toDF("text")
+    val r = df.select(NearDup.simhash64(col("text")).as("native"),
+        NearDup.simhash64Hof(col("text")).as("hof"))
+      .as[(Long, Long)].collect()
+    assert(r.forall { case (n, h) => n == h })
+  }
+
   test("simhash64 is deterministic; identical docs have hamming 0") {
     val df = Seq((1L, "some sample document text"), (2L, "some sample document text"),
       (3L, "completely different content"))
