@@ -72,35 +72,38 @@ object Similarity {
     val planes = hyperplanes(nBits, 64)
     val planesLit = array(planes.map(p => array(p.map(lit): _*)): _*)
 
-    def withSignature(df: DataFrame, idAs: String): DataFrame = {
+    def base(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("id").as(idAs), VectorOps.toDoubleArray(col("vec")).as(s"${idAs}_v"))
+        .withColumn(s"${idAs}_norm_sq", VectorOps.normSq(col(s"${idAs}_v")))
+
+    // bands carry only (id, band, band_key): the hyperplane signature is
+    // computed exactly once per row, and the scoring join below fetches
+    // vectors from the plain base projection (no signature recompute)
+    def bands(b: DataFrame, idAs: String): DataFrame = {
       val v = col(s"${idAs}_v")
       val bits = transform(planesLit, p =>
         when(VectorOps.dot(v, p) >= 0, lit(1)).otherwise(lit(0)))
-      df.select(col("id").as(idAs), VectorOps.toDoubleArray(col("vec")).as(s"${idAs}_v"))
-        .withColumn(s"${idAs}_norm_sq", VectorOps.normSq(v))
-        .withColumn("__bits", bits)
+      b.withColumn("__bits", bits)
         .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
         .withColumn("band_key",
           aggregate(slice(col("__bits"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
             lit(0L), (acc, b) => acc * 2 + b))
-        .drop("__bits")
+        .select(col(idAs), col("band"), col("band_key"))
     }
 
-    val q = withSignature(queries, "query_id")
-    val c = withSignature(candidates, "cand_id")
+    val qBase = base(queries, "query_id")
+    val cBase = base(candidates, "cand_id")
     // dedup band collisions on the 16-byte id pair, then join the
     // vectors back for scoring — distinct() over rows carrying two
     // 64-element arrays would shuffle the full vectors per banded pair
-    val pairs = c.join(broadcast(q.select(col("band"), col("band_key"), col("query_id"))),
-        Seq("band", "band_key"))
+    val pairs = bands(cBase, "cand_id")
+      .join(broadcast(bands(qBase, "query_id")), Seq("band", "band_key"))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"))
       .dropDuplicates("query_id", "cand_id")
     val paired = pairs
-      .join(c.select(col("cand_id"), col("cand_id_v"), col("cand_id_norm_sq"))
-        .dropDuplicates("cand_id"), Seq("cand_id"))
-      .join(broadcast(q.select(col("query_id"), col("query_id_v"), col("query_id_norm_sq"))
-        .dropDuplicates("query_id")), Seq("query_id"))
+      .join(cBase, Seq("cand_id"))
+      .join(broadcast(qBase), Seq("query_id"))
       .withColumn("sim", VectorOps.cosineWithNorms(
         col("query_id_v"), col("cand_id_v"),
         col("query_id_norm_sq"), col("cand_id_norm_sq")))
