@@ -64,16 +64,16 @@ object TextOps {
   def fingerprint(text: Column): Column =
     substring(md5(normalized(text)), 1, 16)
 
-  /** Token-level polynomial rolling hash (Rabin–Karp shape): a single
-    * left fold `h ← h·B + hash(token)` over the token stream, in wrapping
-    * 64-bit arithmetic. Order-sensitive (unlike a token-set hash) and
-    * one pass — the streaming-friendly fingerprint for very long
-    * documents where md5 of the whole string would need the full text
-    * materialized.
+  /** Token-level rolling fingerprint: a single left fold
+    * `h ← xxhash64(h, token)` over the token stream. Order-sensitive
+    * (unlike a token-set hash) and one pass — the streaming-friendly
+    * fingerprint for very long documents where md5 of the whole string
+    * would need the full text materialized. Hash chaining instead of
+    * polynomial arithmetic keeps it valid in ANSI-mode sessions, where
+    * a multiply-accumulate over full-range 64-bit hashes would throw on
+    * overflow.
     */
-  def rollingFingerprint(text: Column): Column = {
-    val B = 1000003L // prime base
+  def rollingFingerprint(text: Column): Column =
     aggregate(tokens(normalized(text)), lit(0L),
-      (acc, tok) => acc * B + xxhash64(tok))
-  }
+      (acc, tok) => xxhash64(acc, tok))
 }

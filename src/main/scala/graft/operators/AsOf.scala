@@ -46,6 +46,10 @@ object AsOf {
         leftCols.filterNot(c => c == key || c == ts).map(col) :+
         lit(null).cast(rStructType).as("__r"): _*)
     val taggedRight = right
+      // SQL equality never matches NULL keys: a null-key right row must
+      // not donate values to null-key left rows (which the window's
+      // null partition would otherwise do)
+      .filter(col(key).isNotNull)
       .withColumn("__side", lit(0))
       .select(Seq(col(key), col(ts), col("__side")) ++
         leftCols.filterNot(c => c == key || c == ts)
@@ -80,6 +84,11 @@ object AsOf {
                      windowSeconds: Long, countAs: String = "n_in_range"): DataFrame = {
     val binMicros = windowSeconds * 1000000L
     val leftBinned = left
+      // per-row identity BEFORE the bin explode: grouping by the left
+      // columns alone would collapse duplicate left rows into one output
+      // row with a summed count (the id never leaves this function, so
+      // its run-to-run instability is harmless)
+      .withColumn("__row", monotonically_increasing_id())
       .withColumn("__bin", explode(array(
         floor(unix_micros(col(ts)) / binMicros).cast("long") - 1,
         floor(unix_micros(col(ts)) / binMicros).cast("long"))))
@@ -94,17 +103,20 @@ object AsOf {
         when(col("__rts").isNotNull &&
           col("__rts") >= col("__lts") - lit(binMicros) &&
           col("__rts") < col("__lts"), 1L).otherwise(0L))
-      .groupBy(leftKeys: _*)
+      .groupBy((leftKeys :+ col("__row")): _*)
       .agg(sum(col("__hit")).as(countAs))
+      .drop("__row")
   }
 
   /** Assign session ids within each key: a new session starts when the
-    * gap to the previous event exceeds `gapSeconds`. Session id is the
-    * epoch second of the session's first event — deterministic and
-    * stable across partitionings (no monotonically_increasing_id).
+    * gap to the previous event exceeds `gapSeconds`. `session_seq` is
+    * the per-key session ordinal (1-based, in time order) — deterministic
+    * given the data, but an ordinal: filtering the input shifts it, so
+    * join sessions across runs on (key, min(ts)) aggregates, not on the
+    * ordinal.
     *
     * One window pass: lag to mark session starts, running sum of the
-    * marker to number sessions, first_value to stamp the start time.
+    * marker to number sessions.
     */
   def sessionize(events: DataFrame, key: Column, ts: Column, gapSeconds: Long,
                  tieBreak: Seq[Column] = Nil): DataFrame = {

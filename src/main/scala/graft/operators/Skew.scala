@@ -31,6 +31,7 @@ object Skew {
     * threshold.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, nSalts: Int): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
     // Salt from the row's key hash + a per-row uniform component that is
     // deterministic given the data (xxhash64 over all big-side columns).
     val salted = big.withColumn("__salt",
@@ -45,12 +46,21 @@ object Skew {
     * key's partial work spreads over nSalts map-side groups.
     */
   def saltedCount(df: DataFrame, keys: Seq[Column], nSalts: Int): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    // Alias the keys in the partial pass: re-resolving an EXPRESSION key
+    // (e.g. col("ts").cast("date")) against the aggregated plan — where
+    // the source column no longer exists — would fail analysis. Output
+    // column names are taken from the plain groupBy's schema so the
+    // contract "identical to groupBy(keys).count()" includes naming.
+    val targetNames = df.groupBy(keys: _*).agg(count(lit(1)).as("count")).columns
+    val aliased = keys.zipWithIndex.map { case (k, i) => k.as(s"__k$i") }
     val salted = df.withColumn("__salt",
       pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(nSalts)).cast("int"))
     salted
-      .groupBy((keys :+ col("__salt")): _*)
+      .groupBy((aliased :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__partial"))
-      .groupBy(keys: _*)
+      .groupBy(keys.indices.map(i => col(s"__k$i")): _*)
       .agg(sum(col("__partial")).as("count"))
+      .toDF(targetNames.toIndexedSeq: _*)
   }
 }

@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
   * (`flatMapGroupsWithState`): the streaming counterpart of
   * [[graft.operators.AsOf.sessionize]].
   *
-  * Per user, events accumulate into an open session held in group state;
-  * when the event-time watermark passes the session's last event by the
-  * gap, the processing-time timeout fires and the closed session is
-  * emitted. State per key is O(1) (the open session's bounds only), so
-  * state size is bounded by |active users|, not |events| — the property
-  * that matters at 100 TB/day event volumes.
+  * Per user, the state holds every session that is not yet FINAL — a
+  * session is final only once the event-time watermark has passed its
+  * end by the gap, because until then a late event may still extend it
+  * or bridge it with a neighbor. Emitting earlier (e.g. as soon as a
+  * later in-batch event closes a gap) would split one true session into
+  * two append-mode outputs that can never be retracted.
+  *
+  * State per key is O(undecided sessions), bounded by the watermark
+  * delay divided by the gap (plus one open session) — small constants,
+  * so total state is ~|active users|, the property that matters at
+  * 100 TB/day event volumes.
   */
 object StatefulSessions {
 
@@ -26,54 +31,54 @@ object StatefulSessions {
     */
   case class EventRow(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
 
-  private def micros(t: java.sql.Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-
   case class OpenSession(startMicros: Long, endMicros: Long, nEvents: Long)
+
+  case class SessionState(sessions: Seq[OpenSession])
 
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long)
 
-  /** Fold a batch of events for one user into sessions; emit every
-    * session that is definitely closed (a later event arrived more than
-    * `gapMicros` after it), keep the still-open one in state.
-    *
-    * Pure function → unit-testable without a streaming query; the
-    * streaming wrapper below feeds it from flatMapGroupsWithState.
-    */
-  def foldEvents(userId: Long, sorted: Seq[Event], open: Option[OpenSession],
-                 gapMicros: Long): (Seq[ClosedSession], Option[OpenSession]) = {
-    var current = open
-    val closed = Seq.newBuilder[ClosedSession]
-    sorted.foreach { e =>
-      current match {
-        case Some(s) if e.tsMicros - s.endMicros <= gapMicros =>
-          current = Some(s.copy(
-            endMicros = math.max(s.endMicros, e.tsMicros),
-            nEvents = s.nEvents + 1))
-        case Some(s) =>
-          closed += toClosed(userId, s)
-          current = Some(OpenSession(e.tsMicros, e.tsMicros, 1L))
-        case None =>
-          current = Some(OpenSession(e.tsMicros, e.tsMicros, 1L))
-      }
-    }
-    (closed.result(), current)
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def toTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
   }
 
   private def toClosed(userId: Long, s: OpenSession): ClosedSession =
-    ClosedSession(userId,
-      new java.sql.Timestamp(s.startMicros / 1000).tap(_.setNanos(((s.startMicros % 1000000) * 1000).toInt)),
-      new java.sql.Timestamp(s.endMicros / 1000).tap(_.setNanos(((s.endMicros % 1000000) * 1000).toInt)),
-      s.nEvents)
+    ClosedSession(userId, toTs(s.startMicros), toTs(s.endMicros), s.nEvents)
 
-  private implicit class Tap[T](private val t: T) extends AnyVal {
-    def tap(f: T => Unit): T = { f(t); t }
-  }
+  /** Merge a batch of events into the undecided-session list. An event
+    * within `gapMicros` of a session's bounds (on either side — late
+    * events may precede the open session) extends it; adjacent sessions
+    * bridged by the new event are coalesced. Pure and total: emits
+    * nothing, only restructures state — finality is decided solely by
+    * the watermark in [[sessionStream]].
+    */
+  def mergeEvents(events: Seq[Event], state: Seq[OpenSession],
+                  gapMicros: Long): Seq[OpenSession] =
+    events.foldLeft(state.sortBy(_.startMicros)) { (sessions, e) =>
+      val t = e.tsMicros
+      val (touching, rest) = sessions.partition(s =>
+        t >= s.startMicros - gapMicros && t <= s.endMicros + gapMicros)
+      val merged = touching.foldLeft(OpenSession(t, t, 1L)) { (acc, s) =>
+        OpenSession(math.min(acc.startMicros, s.startMicros),
+          math.max(acc.endMicros, s.endMicros), acc.nEvents + s.nEvents)
+      }
+      (rest :+ merged).sortBy(_.startMicros)
+    }
 
-  /** Streaming wrapper: events(user_id, event_id, ts) → closed sessions.
-    * Uses event-time timeout keyed to the watermark: a session closes
-    * when the watermark passes its end by the gap.
+  /** Sessions final under `watermarkMicros` (end + gap strictly passed),
+    * and the remainder to keep in state.
+    */
+  def splitFinal(sessions: Seq[OpenSession], gapMicros: Long,
+                 watermarkMicros: Long): (Seq[OpenSession], Seq[OpenSession]) =
+    sessions.partition(s => s.endMicros + gapMicros < watermarkMicros)
+
+  /** Streaming wrapper: events(user_id, event_id, ts) → closed sessions,
+    * emitted only once the watermark makes them final.
     */
   def sessionStream(events: DataFrame, gapSeconds: Long,
                     watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
@@ -85,32 +90,26 @@ object StatefulSessions {
       .select(col("user_id").cast("long"), col("event_id").cast("long"), col("ts"))
       .as[EventRow]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, rows: Iterator[EventRow], state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            // watermark passed: the open session is final
-            val out = state.getOption.map(toClosed(userId, _))
-            state.remove()
-            out.iterator
-          } else {
-            val sorted = rows.map(r => Event(r.user_id, r.event_id, micros(r.ts)))
-              .toSeq.sortBy(e => (e.tsMicros, e.event_id))
-            val (closed, open) = foldEvents(userId, sorted, state.getOption, gapMicros)
-            open match {
-              case Some(s) =>
-                state.update(s)
-                // close when the watermark passes the session end by the
-                // gap; clamped above the current watermark so late
-                // micro-batches (files can arrive out of order) cannot
-                // set an already-elapsed timeout, which Spark rejects
-                state.setTimeoutTimestamp(math.max(
-                  (s.endMicros + gapMicros) / 1000 + 1,
-                  state.getCurrentWatermarkMs() + 1))
-              case None => state.remove()
-            }
-            closed.iterator
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val events = rows.map(r => Event(r.user_id, r.event_id, micros(r.ts)))
+            .toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          val sessions = mergeEvents(events, prior, gapMicros)
+          val watermarkMicros = state.getCurrentWatermarkMs() * 1000L
+          val (finals, undecided) = splitFinal(sessions, gapMicros, watermarkMicros)
+          if (undecided.isEmpty) state.remove()
+          else {
+            state.update(SessionState(undecided))
+            // wake when the earliest undecided session becomes final;
+            // clamped above the current watermark (late micro-batches
+            // cannot register an already-elapsed timeout)
+            state.setTimeoutTimestamp(math.max(
+              (undecided.map(_.endMicros).min + gapMicros) / 1000 + 1,
+              state.getCurrentWatermarkMs() + 1))
           }
+          finals.sortBy(_.startMicros).map(toClosed(userId, _)).iterator
       }
   }
 }

@@ -88,6 +88,35 @@ class AsOfSpec extends SparkSpec {
     assert(r == Map(1L -> 2L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("rangeCountJoin keeps duplicate left rows as separate output rows") {
+    val left = Seq((9L, t("2024-01-01 12:00:00")), (9L, t("2024-01-01 12:00:00")))
+      .toDF("user_id", "ts")
+    val right = Seq((9L, t("2024-01-01 11:30:00"))).toDF("user_id", "ts")
+    val r = AsOf.rangeCountJoin(left, right, "user_id", "ts", 3600)
+      .select("n_in_range").as[Long].collect()
+    assert(r.toSeq == Seq(1L, 1L)) // not one row with count 2
+  }
+
+  test("joinAsOf: null keys never match (SQL equality semantics)") {
+    val left = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, null, t("2024-01-01 12:00:00"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType))))
+    val right = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(null, t("2024-01-01 10:00:00"), 11L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("click_id", org.apache.spark.sql.types.LongType))))
+    val r = AsOf.joinAsOf(left, right, "user_id", "ts", Seq("click_id")).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("click_id")),
+      "null-key left row received values from a null-key right row")
+  }
+
   test("sessionize boundary: a gap of exactly the threshold stays in-session") {
     val df = Seq(
       (1L, 1L, t("2024-01-01 10:00:00")),

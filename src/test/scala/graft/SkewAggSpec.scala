@@ -35,6 +35,28 @@ class SkewAggSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedCount supports expression keys with matching output names") {
+    val df = Seq(("2024-01-01 10:00:00", 1), ("2024-01-01 11:00:00", 2),
+      ("2024-01-02 10:00:00", 3)).toDF("ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val plain = df.groupBy(col("ts").cast("date")).count()
+      .orderBy(col("count")).collect().map(_.toSeq).toSeq
+    val salted = Skew.saltedCount(df, Seq(col("ts").cast("date")), nSalts = 4)
+      .orderBy(col("count")).collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+    assert(Skew.saltedCount(df, Seq(col("ts").cast("date")), 4).columns.toSeq ==
+      df.groupBy(col("ts").cast("date")).count().columns.toSeq)
+  }
+
+  test("salt operators reject non-positive nSalts") {
+    intercept[IllegalArgumentException] {
+      Skew.saltedCount(skewed, Seq(col("k")), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, skewed, "k", -1)
+    }
+  }
+
   test("MinHashAggregator over exploded hashes equals the expression signature") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

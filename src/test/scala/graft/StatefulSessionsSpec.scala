@@ -1,41 +1,69 @@
 package graft
 
 import java.nio.file.Files
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.StatefulSessions
 import graft.streaming.StatefulSessions.{Event, OpenSession}
 
-/** Stateful streaming sessionization: the pure session fold, and the
-  * flatMapGroupsWithState stream end-to-end over file micro-batches.
+/** Stateful streaming sessionization: the pure merge/finality logic and
+  * the flatMapGroupsWithState stream end-to-end over file micro-batches.
   */
 class StatefulSessionsSpec extends SparkSpec {
 
   private val Gap = 1800L * 1000000L // 30 min in micros
   private def us(min: Long) = min * 60L * 1000000L
 
-  test("foldEvents groups by gap and carries the open session") {
-    val events = Seq(
-      Event(1, 1, us(0)), Event(1, 2, us(10)),  // session 1
-      Event(1, 3, us(90)),                       // 80-min gap → closes session 1
-      Event(1, 4, us(100)))
-    val (closed, open) = StatefulSessions.foldEvents(1, events, None, Gap)
-    assert(closed.map(_.n_events) == Seq(2L))
-    assert(open.contains(OpenSession(us(90), us(100), 2L)))
+  test("mergeEvents groups by gap and keeps separate sessions undecided") {
+    val sessions = StatefulSessions.mergeEvents(
+      Seq(Event(1, 1, us(0)), Event(1, 2, us(10)),
+        Event(1, 3, us(90)), Event(1, 4, us(100))),
+      Seq.empty, Gap)
+    assert(sessions == Seq(
+      OpenSession(us(0), us(10), 2L), OpenSession(us(90), us(100), 2L)))
   }
 
-  test("foldEvents extends a session restored from state") {
-    val prior = Some(OpenSession(us(0), us(5), 3L))
-    val (closed, open) = StatefulSessions.foldEvents(1, Seq(Event(1, 9, us(20))), prior, Gap)
-    assert(closed.isEmpty)
-    assert(open.contains(OpenSession(us(0), us(20), 4L)))
+  test("mergeEvents extends a session restored from state") {
+    val sessions = StatefulSessions.mergeEvents(
+      Seq(Event(1, 9, us(20))), Seq(OpenSession(us(0), us(5), 3L)), Gap)
+    assert(sessions == Seq(OpenSession(us(0), us(20), 4L)))
   }
 
-  test("foldEvents exact-gap boundary stays in-session") {
-    val (closed, open) = StatefulSessions.foldEvents(
-      1, Seq(Event(1, 1, us(0)), Event(1, 2, us(30))), None, Gap)
-    assert(closed.isEmpty)
-    assert(open.exists(_.nEvents == 2L))
+  test("mergeEvents: a late event before the session start extends it backwards") {
+    val sessions = StatefulSessions.mergeEvents(
+      Seq(Event(1, 9, us(36))), Seq(OpenSession(us(45), us(45), 1L)), Gap)
+    assert(sessions == Seq(OpenSession(us(36), us(45), 2L)))
+  }
+
+  test("mergeEvents: a too-old late event forms its own preceding session") {
+    val sessions = StatefulSessions.mergeEvents(
+      Seq(Event(1, 9, us(0))), Seq(OpenSession(us(60), us(60), 1L)), Gap)
+    assert(sessions == Seq(OpenSession(us(0), us(0), 1L), OpenSession(us(60), us(60), 1L)))
+  }
+
+  test("mergeEvents: a bridging event coalesces two undecided sessions") {
+    // sessions ending 10:00 and starting 11:00 with a 30-min gap rule:
+    // an event at 10:30 touches both → one session
+    val sessions = StatefulSessions.mergeEvents(
+      Seq(Event(1, 9, us(30))),
+      Seq(OpenSession(us(0), us(0), 1L), OpenSession(us(60), us(60), 1L)), Gap)
+    assert(sessions == Seq(OpenSession(us(0), us(60), 3L)))
+  }
+
+  test("mergeEvents exact-gap boundary stays in-session") {
+    val sessions = StatefulSessions.mergeEvents(
+      Seq(Event(1, 1, us(0)), Event(1, 2, us(30))), Seq.empty, Gap)
+    assert(sessions == Seq(OpenSession(us(0), us(30), 2L)))
+  }
+
+  test("splitFinal only finalizes sessions strictly past end+gap") {
+    val a = OpenSession(us(0), us(10), 2L)
+    val b = OpenSession(us(60), us(70), 1L)
+    val (fin, keep) = StatefulSessions.splitFinal(Seq(a, b), Gap, us(41))
+    assert(fin == Seq(a) && keep == Seq(b))
+    // exactly at end+gap: still undecided (a bridging event at that
+    // instant would be in-gap)
+    val (fin2, keep2) = StatefulSessions.splitFinal(Seq(a), Gap, us(40))
+    assert(fin2.isEmpty && keep2 == Seq(a))
   }
 
   test("sessionStream emits closed sessions across micro-batches") {
