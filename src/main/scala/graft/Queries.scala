@@ -363,6 +363,24 @@ object Queries {
       |  quantile_cont(l_extendedprice, 0.5) AS price_median
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // [EXT] — set-valued aggregation: the distinct members per group,
+  // rendered as a sorted joined string (deterministic and canon-safe;
+  // raw collect_set order is undefined in both engines).
+  def q45CollectSet(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q45Sql =
+    """SELECT o_orderstatus,
+      |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+      |  count(DISTINCT o_orderpriority) AS n_priorities
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -382,6 +400,7 @@ object Queries {
     "q16_case_bucket"     -> (q16CaseBucket _),
     "q17_date_part"       -> (q17DatePart _),
     "q42_percentile"      -> (q42Percentile _),
+    "q45_collect_set"     -> (q45CollectSet _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -403,5 +422,6 @@ object Queries {
     "q16_case_bucket"     -> q16Sql,
     "q17_date_part"       -> q17Sql,
     "q42_percentile"      -> q42Sql,
+    "q45_collect_set"     -> q45Sql,
   )
 }
