@@ -1,0 +1,360 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical, multi-dimensional, and outer-join query surface —
+  * widens SURVEY.md §2's *absent-in-reference* categories (A5/A6, W1/W2,
+  * J-outer, §2.7) into oracle-checked operators so the engine covers the
+  * full relational surface a user would expect, not just what the
+  * reference's five queries touch.
+  *
+  * Scale posture mirrors Queries.scala: aggregates are partial+final
+  * hash aggs; window functions shuffle once on the partition key; the
+  * scalar subquery broadcasts its 1-row side rather than collecting;
+  * exact sums go through DECIMAL(18,2) so both engines agree
+  * bit-for-bit regardless of partition-level summation order.
+  */
+object StatQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ---------------------------------------------------------------------
+  // [EXT] statistical aggregates: avg / stddev / variance / corr / covar.
+  // Inputs chosen for cross-engine determinism: l_quantity is a small
+  // exact integer-valued double (sum of squares stays in the 2^53 exact
+  // range) and corr/covar are scale-free, so 6dp canonicalization
+  // absorbs summation-order noise.
+  def q46StatsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        avg(col("l_quantity")).as("avg_qty"),
+        stddev_samp(col("l_quantity")).as("sd_qty"),
+        var_samp(col("l_quantity")).as("var_qty"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
+        covar_samp(col("l_quantity"), col("l_discount")).as("qty_disc_covar"))
+      .orderBy(col("l_returnflag"))
+
+  private val q46Sql =
+    """SELECT l_returnflag,
+      |  avg(l_quantity) AS avg_qty,
+      |  stddev_samp(l_quantity) AS sd_qty,
+      |  var_samp(l_quantity) AS var_qty,
+      |  corr(l_quantity, l_extendedprice) AS qty_price_corr,
+      |  covar_samp(l_quantity, l_discount) AS qty_disc_covar
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A6 — cube: all 4 grouping combinations in one pass (the rollup twin
+  // q40 covers the hierarchical case). grouping() flags disambiguate
+  // "NULL because rolled up" from a genuinely null key.
+  def q47Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private val q47Sql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority,
+      |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // W1/W2 — distribution window functions: ntile / percent_rank /
+  // cume_dist / first_value / last_value. The order key includes the
+  // unique o_orderkey so every rank is a total order (deterministic in
+  // both engines). last_value needs the explicit full frame — the
+  // default frame stops at CURRENT ROW in both engines.
+  def q48WindowDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"),
+        first_value(col("o_orderkey")).over(w).as("cheapest_key"),
+        last_value(col("o_orderkey")).over(wFull).as("priciest_key"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q48Sql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cum_dist,
+      |  first_value(o_orderkey) OVER w AS cheapest_key,
+      |  last_value(o_orderkey) OVER
+      |    (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // W2 — RANGE frame over event time: per-user rolling 10-minute sum.
+  // The frame is value-based (all events within 600 s), not row-based —
+  // the streaming-adjacent "rolling aggregate" shape. One shuffle on
+  // user_id; the frame scan is a single ordered pass per partition.
+  def q49RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-600, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .select(col("event_id"), col("user_id"), col("sec"),
+        sum(dec(col("value"))).over(w).cast("double").as("w_sum"),
+        count(lit(1)).over(w).as("w_cnt"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q49Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, sec,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS w_sum,
+      |  count(*) OVER w AS w_cnt
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] unpivot (wide → long): three measure columns melt into
+  // (metric, val) rows, then aggregate per metric. Spark's native
+  // Dataset.unpivot — no UDTF, stays in whole-stage codegen.
+  def q50Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "val")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("val"))).cast("double").as("total"))
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  private val q50Sql =
+    """SELECT l_returnflag, metric, count(*) AS n,
+      |  CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      |)
+      |GROUP BY 1, 2 ORDER BY l_returnflag, metric""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P12 extended — datetime function battery: truncation, ISO weekday,
+  // formatting, quarter, day arithmetic. Engine-mapping notes: Spark
+  // weekday() is Monday=0 (ISO = +1); DuckDB isodow() is Monday=1.
+  def q51DatetimeFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (expr("weekday(o_orderdate)") + 1).cast("long").as("dow_iso"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+      .orderBy(col("o_orderkey"))
+
+  private val q51Sql =
+    """SELECT o_orderkey,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  isodow(o_orderdate) AS dow_iso,
+      |  strftime(o_orderdate, '%Y-%m') AS ym,
+      |  quarter(o_orderdate) AS qtr,
+      |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] conditional aggregates: count_if / bool_or / bool_and /
+  // median / max_by. max_by's ordering value is the unique o_orderkey,
+  // so the argmax is deterministic (ties impossible) — same discipline
+  // as A3/A4.
+  def q52CondAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count_if(col("o_totalprice") > 300000).as("n_big"),
+        bool_or(col("o_totalprice") > 450000).as("any_huge"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        median(col("o_totalprice")).as("med_price"),
+        max_by(col("o_orderpriority"), col("o_orderkey")).as("latest_priority"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q52Sql =
+    """SELECT o_orderstatus,
+      |  CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,
+      |  bool_or(o_totalprice > 450000) AS any_huge,
+      |  bool_and(o_totalprice > 0) AS all_positive,
+      |  median(o_totalprice) AS med_price,
+      |  arg_max(o_orderpriority, o_orderkey) AS latest_priority
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] scalar subquery: orders above the global average price. The
+  // 1-row aggregate side is broadcast (never collected to the driver) —
+  // the distributed form of `WHERE x > (SELECT avg(x) …)`.
+  def q53ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val avgPrice = o.agg(avg(col("o_totalprice")).as("avg_price"))
+    o.crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_above"),
+        min(col("o_totalprice")).as("min_above"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q53Sql =
+    """SELECT o_orderstatus, count(*) AS n_above, min(o_totalprice) AS min_above
+      |FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] array scalar functions over the embedding column: size,
+  // element access, min/max. Float elements cast to double on BOTH
+  // sides (exact widening) before comparison.
+  def q54ArrayFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        array_max(col("embedding")).cast("double").as("vmax"),
+        array_min(col("embedding")).cast("double").as("vmin"),
+        element_at(col("embedding"), 1).cast("double").as("v_first"))
+      .orderBy(col("vec_id"))
+
+  private val q54Sql =
+    """SELECT vec_id, len(embedding) AS dim,
+      |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
+      |  CAST(list_min(embedding) AS DOUBLE) AS vmin,
+      |  CAST(embedding[1] AS DOUBLE) AS v_first
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ST3 extended — sliding event-time windows (10-minute window, 5-minute
+  // slide): each event lands in exactly 2 windows. The batch twin of the
+  // streaming sliding-window aggregation; window starts are epoch-aligned
+  // multiples of the slide in both engines.
+  def q55SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  private val q55Sql =
+    """WITH e AS (
+      |  SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+      |), x AS (
+      |  SELECT event_type, value,
+      |    epoch_ms(((sec // 300) * 300 - j * 300) * 1000) AS w_start
+      |  FROM e CROSS JOIN (VALUES (0), (1)) AS o(j)
+      |)
+      |SELECT w_start, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J-outer — left outer join: every customer, with their 1998 order
+  // stats or NULLs (354 customers at sf0.01 have no 1998 orders).
+  // Aggregate-then-join keeps the shuffled payload one row per customer
+  // instead of one per order.
+  def q56OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o98 = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === 1998)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_1998"),
+        sum(dec(col("o_totalprice"))).cast("double").as("spend_1998"))
+    Tables.customer(spark, dir)
+      .join(o98, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_1998"), col("spend_1998"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q56Sql =
+    """SELECT c_custkey, c_mktsegment, o.n_1998, o.spend_1998
+      |FROM customer c
+      |LEFT JOIN (
+      |  SELECT o_custkey, count(*) AS n_1998,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend_1998
+      |  FROM orders WHERE year(o_orderdate) = 1998 GROUP BY o_custkey
+      |) o ON c.c_custkey = o.o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J-outer — full outer join: per-nation high-balance customer counts
+  // vs supplier counts; nations present on only one side keep NULLs on
+  // the other (10 nations at sf0.01 have no >7000-balance supplier).
+  def q57FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 7000)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    val sn = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 7000)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q57Sql =
+    """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey, c.n_cust, s.n_supp
+      |FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer
+      |      WHERE c_acctbal > 7000 GROUP BY c_nationkey) c
+      |FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+      |      WHERE s_acctbal > 7000 GROUP BY s_nationkey) s
+      |  ON c.c_nationkey = s.s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_stats_agg"       -> (q46StatsAgg _),
+    "q47_cube"            -> (q47Cube _),
+    "q48_window_dist"     -> (q48WindowDist _),
+    "q49_range_frame"     -> (q49RangeFrame _),
+    "q50_unpivot"         -> (q50Unpivot _),
+    "q51_datetime_fns"    -> (q51DatetimeFns _),
+    "q52_cond_agg"        -> (q52CondAgg _),
+    "q53_scalar_subquery" -> (q53ScalarSubquery _),
+    "q54_array_fns"       -> (q54ArrayFns _),
+    "q55_sliding_window"  -> (q55SlidingWindow _),
+    "q56_outer_join"      -> (q56OuterJoin _),
+    "q57_full_outer"      -> (q57FullOuter _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q46_stats_agg"       -> q46Sql,
+    "q47_cube"            -> q47Sql,
+    "q48_window_dist"     -> q48Sql,
+    "q49_range_frame"     -> q49Sql,
+    "q50_unpivot"         -> q50Sql,
+    "q51_datetime_fns"    -> q51Sql,
+    "q52_cond_agg"        -> q52Sql,
+    "q53_scalar_subquery" -> q53Sql,
+    "q54_array_fns"       -> q54Sql,
+    "q55_sliding_window"  -> q55Sql,
+    "q56_outer_join"      -> q56Sql,
+    "q57_full_outer"      -> q57Sql,
+  )
+}
