@@ -1,6 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Evaluate EVERY output column and keep the final sort: a plain
+    * count() lets Catalyst prune unreferenced projections/window
+    * expressions and eliminate the terminal ORDER BY, under-measuring
+    * real work. A noop-sink write materializes the full rows in order.
+    */
+  def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -14,11 +22,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: pay JVM/codegen/scheduler startup outside the timed loop.
-    SparkEntry.entry(spark).count()
+    force(SparkEntry.entry(spark))
     // A failing query must not masquerade as a fast one: record -1.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { force(fn(spark, sfDir)); true } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

@@ -211,11 +211,16 @@ object StatQueries {
   // [EXT] scalar subquery: orders above the global average price. The
   // 1-row aggregate side is broadcast (never collected to the driver) —
   // the distributed form of `WHERE x > (SELECT avg(x) …)`.
+  // The threshold test is exact on both engines: `price > sum/count` is
+  // rewritten as `price * count > sum` over DECIMAL(18,2), so no
+  // engine-specific float summation order or decimal division rounding
+  // can flip a borderline row.
   def q53ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val avgPrice = o.agg(avg(col("o_totalprice")).as("avg_price"))
-    o.crossJoin(broadcast(avgPrice))
-      .filter(col("o_totalprice") > col("avg_price"))
+    val tot = o.agg(sum(dec(col("o_totalprice"))).as("sum_price"),
+      count(lit(1)).as("n_orders"))
+    o.crossJoin(broadcast(tot))
+      .filter(dec(col("o_totalprice")) * col("n_orders") > col("sum_price"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_above"),
         min(col("o_totalprice")).as("min_above"))
@@ -223,9 +228,14 @@ object StatQueries {
   }
 
   private val q53Sql =
-    """SELECT o_orderstatus, count(*) AS n_above, min(o_totalprice) AS min_above
-      |FROM orders
-      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """WITH t AS (
+      |  SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+      |         count(*) AS n_orders
+      |  FROM orders
+      |)
+      |SELECT o_orderstatus, count(*) AS n_above, min(o_totalprice) AS min_above
+      |FROM orders, t
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n_orders > sum_price
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -23,11 +23,18 @@ object Timeit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.entry(spark).count()
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}\n" +
+        s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      spark.stop(); sys.exit(2)
+    }
+    Bench.force(SparkEntry.entry(spark))
     names.foreach { name =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).count()
+        // Full evaluation incl. final sort — same measure as Bench.
+        Bench.force(SparkEntry.queries(name)(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$name%-24s ${times.map(t => f"$t%.3f").mkString(" ")}")
