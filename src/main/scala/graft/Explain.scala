@@ -11,9 +11,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq
-                else SparkEntry.queries.keys.toSeq.sorted
+    // First arg is the sf dir only if it looks like a path; bare query
+    // names can be passed without a dir.
+    val (sfDir, rest) = args.headOption match {
+      case Some(d) if d.startsWith("/") => (d, args.drop(1).toSeq)
+      case _ => ("/root/testdata/sf0.01", args.toSeq)
+    }
+    val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toSeq.sorted
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
