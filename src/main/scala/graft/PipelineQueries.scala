@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+/** Training-data-pipeline queries over the documents corpus
+  * (SURVEY.md §2 [EXT] north-star rows): TF-IDF, chunking, corpus
+  * n-gram stats, PII-style scrubbing, stratified sampling.
+  */
+object PipelineQueries {
+
+  // ---------------------------------------------------------------------
+  // [EXT] TF-IDF — top term per document under the textbook
+  // tf·ln(N/df) score, deterministic tie-break. The df table is
+  // vocabulary-sized → broadcast against tf; N is a 1-row cross join.
+  def q69Tfidf(spark: SparkSession, dir: String): DataFrame =
+    Corpus.topTermPerDoc(
+        Tables.documents(spark, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
+  private val q69Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tok,
+      |    CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+      |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+      |SELECT doc_id, tok AS top_term, tfidf FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rn
+      |  FROM scored)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] document chunking — 20-token windows every 15 tokens (5-token
+  // overlap), the LLM-context packing primitive. Map-side only: the
+  // chunk spine is sequence+explode per row, no shuffle anywhere.
+  def q70Chunk(spark: SparkSession, dir: String): DataFrame =
+    Corpus.chunk(
+        Tables.documents(spark, dir).filter(col("doc_id") < 50),
+        col("doc_id"), col("text"), size = 20, stride = 15)
+      .orderBy(col("doc_id"), col("chunk_start"))
+
+  private val q70Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS parts
+      |  FROM documents WHERE doc_id < 50),
+      |starts AS (
+      |  SELECT doc_id, parts, unnest(range(1, len(parts) + 1, 15)) AS chunk_start
+      |  FROM t)
+      |SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+      |  CAST(least(20, len(parts) - chunk_start + 1) AS BIGINT) AS n_tok,
+      |  array_to_string(parts[chunk_start : chunk_start + 19], ' ') AS chunk_text
+      |FROM starts ORDER BY doc_id, chunk_start""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] corpus n-gram statistics — top-20 bigrams (count desc, ngram
+  // asc). Explode → partial+final hash agg → TakeOrderedAndProject.
+  def q71TopBigrams(spark: SparkSession, dir: String): DataFrame =
+    Corpus.bigramCounts(Tables.documents(spark, dir), col("text"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(20)
+
+  private val q71Sql =
+    """WITH t AS (SELECT string_split(text, ' ') AS parts FROM documents),
+      |subs AS (
+      |  SELECT parts, generate_subscripts(parts, 1) AS i FROM t),
+      |bg AS (
+      |  SELECT parts[i] || ' ' || parts[i + 1] AS ngram
+      |  FROM subs WHERE i < len(parts))
+      |SELECT ngram, count(*) AS n FROM bg GROUP BY ngram
+      |ORDER BY n DESC, ngram ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] pattern scrubbing — global regexp_replace (DuckDB needs the
+  // 'g' flag; Spark is global by default) + masked-character accounting.
+  def q72Scrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_custkey"),
+        Corpus.scrub(col("c_name"), "[0-9]", "#").as("masked"),
+        (length(col("c_name")) -
+          length(Corpus.scrub(col("c_name"), "[0-9]", ""))).cast("long").as("n_masked"))
+      .orderBy(col("c_custkey"))
+
+  private val q72Sql =
+    """SELECT c_custkey,
+      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+      |  CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS n_masked
+      |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] stratified deterministic sample — ~20% per language via the
+  // md5 hash bucket; per-stratum counts + the full-stratum totals they
+  // sample from. Layout-independent (q67's property, per stratum).
+  def q73StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sampled = Corpus.stratifiedSample(docs, col("doc_id"), 20)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    totals.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  private val q73Sql =
+    """WITH s AS (
+      |  SELECT lang, count(*) AS n_sampled FROM documents
+      |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
+      |  GROUP BY lang)
+      |SELECT t.lang, count(*) AS n_total,
+      |  CAST(coalesce(any_value(s.n_sampled), 0) AS BIGINT) AS n_sampled
+      |FROM documents t LEFT JOIN s ON t.lang = s.lang
+      |GROUP BY t.lang ORDER BY t.lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_tfidf"             -> (q69Tfidf _),
+    "q70_chunk"             -> (q70Chunk _),
+    "q71_top_bigrams"       -> (q71TopBigrams _),
+    "q72_scrub"             -> (q72Scrub _),
+    "q73_stratified_sample" -> (q73StratifiedSample _))
+
+  val oracle: Map[String, String] = Map(
+    "q69_tfidf"             -> q69Sql,
+    "q70_chunk"             -> q70Sql,
+    "q71_top_bigrams"       -> q71Sql,
+    "q72_scrub"             -> q72Sql,
+    "q73_stratified_sample" -> q73Sql)
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Corpus-level text operators for training-data pipelines: TF-IDF
+  * scoring, overlapping token chunking, corpus n-gram statistics,
+  * pattern scrubbing, and deterministic stratified sampling.
+  *
+  * Scale shape: everything is explode → hash-aggregate → (broadcast)
+  * join. The only corpus-global state is the document count N (a 1-row
+  * aggregate, broadcast by construction) and the document-frequency
+  * table (|vocabulary| rows — orders of magnitude smaller than the
+  * token stream it aggregates).
+  */
+object Corpus {
+
+  /** (doc_id, tok) token stream — the base relation for corpus stats. */
+  def tokenStream(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("tok"))
+
+  /** TF-IDF per (doc, term): tf(d,t) · ln(N / df(t)). Plain (unsmoothed)
+    * IDF — matches the textbook form an oracle can recompute. Two hash
+    * aggregations over the token stream plus one join; df is vocabulary-
+    * sized, so Catalyst/AQE broadcasts it against the tf table.
+    */
+  def tfidf(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = tokenStream(docs, id, text)
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val n  = docs.agg(count(lit(1)).as("n"))
+    tf.join(df, Seq("tok"))
+      .crossJoin(n)
+      .withColumn("tfidf",
+        col("tf").cast("double") * log(col("n").cast("double") / col("df").cast("double")))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Highest-TF-IDF term per document, deterministic (score desc, then
+    * lexicographically smallest term).
+    */
+  def topTermPerDoc(docs: DataFrame, id: Column, text: Column): DataFrame =
+    Ranking.topPerGroup(tfidf(docs, id, text), Seq(col("doc_id")),
+      Seq(col("tfidf").desc, col("tok").asc), 1)
+      .select(col("doc_id"), col("tok").as("top_term"), col("tfidf"))
+
+  /** Overlapping token chunks: windows of `size` tokens starting every
+    * `stride` tokens (stride < size ⇒ overlap = size - stride). The
+    * chunk spine comes from sequence+explode — pure per-row generation,
+    * no shuffle; a 100 TB corpus chunks map-side only.
+    *
+    * Output: doc_id, chunk_start (1-based), n_tok, chunk_text.
+    */
+  def chunk(docs: DataFrame, id: Column, text: Column,
+            size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0)
+    val toks = TextOps.tokens(text)
+    docs
+      .select(id.as("doc_id"), toks.as("toks"), org.apache.spark.sql.functions.size(toks).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(1), col("n"), lit(stride))).as("chunk_start"))
+      .select(col("doc_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(size), col("n") - col("chunk_start") + 1).cast("long").as("n_tok"),
+        array_join(slice(col("toks"), col("chunk_start"), lit(size)), " ").as("chunk_text"))
+  }
+
+  /** Corpus-wide n-gram (bigram) frequency. Shingle construction reuses
+    * the zip_with-over-slices shape from [[NearDup.shingles3]] — slice
+    * args evaluate once per row, never per element.
+    */
+  def bigramCounts(docs: DataFrame, text: Column): DataFrame = {
+    val t = TextOps.tokens(text)
+    val m = org.apache.spark.sql.functions.size(t) - 1
+    val bigrams = when(org.apache.spark.sql.functions.size(t) >= 2,
+      zip_with(slice(t, lit(1), m), slice(t, lit(2), m),
+        (x, y) => concat(x, lit(" "), y))).otherwise(array())
+    docs.select(explode(bigrams).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Mask every run of characters matching `pattern` with `replacement`
+    * and report how many characters were masked. Spark's regexp_replace
+    * is global (DuckDB needs the 'g' flag to match).
+    */
+  def scrub(c: Column, pattern: String, replacement: String): Column =
+    regexp_replace(c, pattern, replacement)
+
+  /** Deterministic hash bucket in [0, 100): md5 of the key's string form
+    * — stable across engines, runs, and physical layout, which
+    * rand(seed)-based sampling is not (row order dependence).
+    */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+  /** Stratified deterministic sample: keep rows whose hash bucket falls
+    * below `pct` — the per-stratum rate converges to pct/100 without any
+    * per-stratum state or second pass.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, pct: Int): DataFrame =
+    df.filter(hashBucket(key) < pct)
+}

@@ -75,6 +75,20 @@ object StreamJobs {
       .agg(count(lit(1)).as("n_posts"))
       .select(col("window.start").as("window_start"), col("category"), col("n_posts"))
 
+  /** [EXT] streaming exact dedup — the streaming half of
+    * [[graft.operators.Dedup]]: drop records whose key was already seen
+    * within the watermark horizon. `dropDuplicatesWithinWatermark` keeps
+    * per-key state only until the watermark passes the key's event time,
+    * so state stays bounded on an unbounded stream (a plain
+    * `dropDuplicates` on a stream would grow state forever — the thing a
+    * 100 TB/day ingest cannot do).
+    */
+  def dedupStream(stream: DataFrame, eventTimeCol: String, lateness: String,
+                  idCols: Seq[String]): DataFrame =
+    stream
+      .withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Run a windowed aggregation stream into an in-memory table (test /
     * interactive sink; complete mode because windowed counts update).
     */

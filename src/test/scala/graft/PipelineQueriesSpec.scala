@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+/** Semantics checks for the corpus pipeline operators (PipelineQueries
+  * q69–q73) on sf0.001 testdata.
+  */
+class PipelineQueriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q69 tfidf: scores match a literal recomputation on a tiny corpus") {
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "a b b d"),
+      (3L, "c c c c")).toDF("doc_id", "text")
+    val scored = Corpus.tfidf(docs, col("doc_id"), col("text"))
+      .select("doc_id", "tok", "tfidf").as[(Long, String, Double)].collect()
+      .map { case (d, t, s) => (d, t) -> s }.toMap
+    def idf(df: Int) = math.log(3.0 / df)
+    // "a": df=2; doc1 tf=2, doc2 tf=1. "c": df=2; doc3 tf=4. "d": df=1.
+    assert(math.abs(scored((1L, "a")) - 2 * idf(2)) < 1e-12)
+    assert(math.abs(scored((2L, "a")) - 1 * idf(2)) < 1e-12)
+    assert(math.abs(scored((3L, "c")) - 4 * idf(2)) < 1e-12)
+    assert(math.abs(scored((2L, "d")) - 1 * idf(1)) < 1e-12)
+    // a term present in every doc scores exactly zero
+    val everywhere = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "text")
+    val z = Corpus.tfidf(everywhere, col("doc_id"), col("text"))
+      .select("tfidf").as[Double].collect()
+    assert(z.forall(_ == 0.0))
+  }
+
+  test("q70 chunks cover every token; overlap equals size - stride") {
+    val r = PipelineQueries.q70Chunk(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+    val texts = Tables.documents(spark, dir).filter(col("doc_id") < 50)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    r.groupBy(_._1).foreach { case (docId, chunks) =>
+      val tokens = texts(docId).split(" ")
+      val sorted = chunks.sortBy(_._2)
+      // starts advance by exactly the stride, beginning at 1
+      assert(sorted.map(_._2).toSeq ==
+        (1L to tokens.length.toLong by 15L).toSeq)
+      sorted.foreach { case (_, start, nTok, text) =>
+        val expected = tokens.slice(start.toInt - 1, start.toInt - 1 + 20)
+        assert(text == expected.mkString(" "))
+        assert(nTok == expected.length.toLong)
+      }
+      // concatenating non-overlapping prefixes of each chunk rebuilds the doc
+      val rebuilt = sorted.flatMap { case (_, start, _, text) =>
+        text.split(" ").take(15) // stride-sized prefix
+      }
+      assert(rebuilt.toSeq == tokens.toSeq)
+    }
+  }
+
+  test("q71 bigram counts equal a driver-side recount on a sample") {
+    val got = PipelineQueries.q71TopBigrams(spark, dir)
+      .as[(String, Long)].collect()
+    val all = Tables.documents(spark, dir).select("text").as[String].collect()
+      .flatMap(t => t.split(" ").sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expectedTop = all.toSeq.sortBy { case (ng, n) => (-n, ng) }.take(20)
+    assert(got.toSeq == expectedTop)
+  }
+
+  test("q72 scrub masks globally, not just the first match") {
+    val df = Seq((1L, "a1b22c333")).toDF("k", "s")
+    val r = df.select(Corpus.scrub(col("s"), "[0-9]", "#").as("m")).as[String].head()
+    assert(r == "a#b##c###")
+  }
+
+  test("q73 stratified sample: per-stratum subset, deterministic, ≈20%") {
+    val r = PipelineQueries.q73StratifiedSample(spark, dir)
+      .as[(String, Long, Long)].collect()
+    r.foreach { case (_, total, sampled) => assert(sampled <= total) }
+    val (tot, samp) = (r.map(_._2).sum, r.map(_._3).sum)
+    assert(math.abs(samp.toDouble / tot - 0.2) < 0.08,
+      s"sample fraction ${samp.toDouble / tot} far from 0.2")
+    // deterministic: the same ids are chosen on every evaluation
+    val ids1 = Corpus.stratifiedSample(Tables.documents(spark, dir), col("doc_id"), 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Corpus.stratifiedSample(
+        Tables.documents(spark, dir).repartition(7), col("doc_id"), 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+}

@@ -62,6 +62,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming dedup emits each key exactly once across duplicated files") {
+    val work = tmpDir()
+    Emulator.write(s"$work/raw", n = 120, seed = 51L)
+    // byte-identical duplicate files under new names: the same records
+    // arrive again, as a file stream would re-deliver on producer retry
+    val geoDir = new java.io.File(s"$work/raw/geo")
+    geoDir.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath, f.toPath.resolveSibling("dup_" + f.getName))
+    }
+    val geoStream = Cleaners.geo(
+      Sources.jsonStream(spark, s"$work/raw/geo", Schemas.rawGeo))
+    // fixture timestamps span years → a huge lateness bound so nothing is
+    // dropped as late; production would use minutes and bounded state
+    val deduped = StreamJobs.dedupStream(geoStream, "timestamp", "3650 days", Seq("ind"))
+    deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val out = spark.table("dedup_test")
+    assert(out.count() == 120, "each duplicated record must surface exactly once")
+    assert(out.select("ind").distinct().count() == 120)
+  }
+
   test("stream-static join windowed category counts match batch") {
     val work = tmpDir()
     Emulator.write(s"$work/raw", n = 200, seed = 41L)
