@@ -23,13 +23,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: pay JVM/codegen/scheduler startup outside the timed loop.
     force(SparkEntry.entry(spark))
+    // Steady-state timing: one untimed warm execution per query (pays
+    // codegen compilation, broadcast builds, and stray GC from the
+    // previous query), then the timed run. Single-shot numbers swung
+    // ±10× run-to-run on identical plans, which buries real regressions;
+    // the warm run measures the plan, not the JIT.
     // A failing query must not masquerade as a fast one: record -1.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       val ok = try { force(fn(spark, sfDir)); true } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val t = if (!ok) -1.0 else {
+        val t0 = System.nanoTime()
+        force(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
