@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Corpus
+import graft.operators.{Corpus, Upsert}
 
 /** Training-data-pipeline queries over the documents corpus
   * (SURVEY.md §2 [EXT] north-star rows): TF-IDF, chunking, corpus
@@ -118,18 +118,70 @@ object PipelineQueries {
       |GROUP BY t.lang ORDER BY t.lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] merge/upsert — the Delta-style MERGE the reference's credential
+  // table uses (reference README.md:300-304), as a snapshot-producing
+  // full-outer join: price corrections replace matched rows, new keys
+  // insert, everything else carries over. Verified through the post-
+  // merge aggregate so the oracle sees the merged STATE, not the plan.
+  def q74Upsert(spark: SparkSession, dir: String): DataFrame = {
+    // All price arithmetic in exact decimal space: a double `* 1.1` then
+    // cast-to-decimal rounds differently across engines (Spark rounds
+    // the true binary value half-up; DuckDB rounds the scaled double),
+    // so the bump is DECIMAL(19,3) × DECIMAL(2,1) — exact, no rounding
+    // anywhere until the final display cast.
+    val orders = Tables.orders(spark, dir)
+      .withColumn("o_totalprice", col("o_totalprice").cast("decimal(19,3)"))
+    val bump = lit(new java.math.BigDecimal("1.1"))
+    val priceBumps = orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", (col("o_totalprice") * bump).cast("decimal(19,3)"))
+    val inserts = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    Upsert.merge(orders, priceBumps.unionByName(inserts), Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q74Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         CAST(o_totalprice AS DECIMAL(19,3)) AS o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         CAST(o_totalprice * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(19,3)) AS o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM base WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM base WHERE o_orderkey % 97 = 0),
+      |merged AS (
+      |  SELECT * FROM upd
+      |  UNION ALL
+      |  SELECT * FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.o_orderkey = b.o_orderkey))
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(o_totalprice) AS DOUBLE) AS total
+      |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_tfidf"             -> (q69Tfidf _),
     "q70_chunk"             -> (q70Chunk _),
     "q71_top_bigrams"       -> (q71TopBigrams _),
     "q72_scrub"             -> (q72Scrub _),
-    "q73_stratified_sample" -> (q73StratifiedSample _))
+    "q73_stratified_sample" -> (q73StratifiedSample _),
+    "q74_upsert"            -> (q74Upsert _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
     "q70_chunk"             -> q70Sql,
     "q71_top_bigrams"       -> q71Sql,
     "q72_scrub"             -> q72Sql,
-    "q73_stratified_sample" -> q73Sql)
+    "q73_stratified_sample" -> q73Sql,
+    "q74_upsert"            -> q74Sql)
 }

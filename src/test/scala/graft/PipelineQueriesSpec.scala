@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Corpus
+import graft.operators.{Corpus, Upsert}
 
 /** Semantics checks for the corpus pipeline operators (PipelineQueries
   * q69–q73) on sf0.001 testdata.
@@ -71,6 +71,29 @@ class PipelineQueriesSpec extends SparkSpec {
     val df = Seq((1L, "a1b22c333")).toDF("k", "s")
     val r = df.select(Corpus.scrub(col("s"), "[0-9]", "#").as("m")).as[String].head()
     assert(r == "a#b##c###")
+  }
+
+  test("q74 merge: update replaces, insert adds, untouched rows carry over; idempotent") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val updates = Seq((2L, "B", 22.0), (9L, "z", 99.0)).toDF("k", "s", "v")
+    val merged = Upsert.merge(target, updates, Seq("k"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(merged.toSeq == Seq(
+      (1L, "a", 10.0), (2L, "B", 22.0), (3L, "c", 30.0), (9L, "z", 99.0)))
+    // merging the same batch again changes nothing
+    val twice = Upsert.merge(Upsert.merge(target, updates, Seq("k")), updates, Seq("k"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(twice.toSeq == merged.toSeq)
+    // updates derived from the target (self-lineage) must not be ambiguous
+    val derived = target.filter(col("k") === 1L).withColumn("v", col("v") * 2)
+    val selfMerged = Upsert.merge(target, derived, Seq("k"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(selfMerged.toSeq == Seq((1L, "a", 20.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    // delete drops exactly the tombstoned keys
+    val afterDelete = Upsert.delete(target, Seq(2L).toDF("k"), Seq("k"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(afterDelete.toSeq == Seq((1L, "a", 10.0), (3L, "c", 30.0)))
   }
 
   test("q73 stratified sample: per-stratum subset, deterministic, ≈20%") {

@@ -1,0 +1,61 @@
+package graft
+
+/** SQL-first entry surface: the ANSI subset of the oracle SQL corpus
+  * must run through `spark.sql` over [[Sql.registerTables]] views and
+  * produce exactly the rows the Column-API query produces. (Queries
+  * using DuckDB-only syntax — list functions, bare FILTER clauses,
+  * generate_subscripts — are exercised by the DuckDB oracle gate
+  * instead.)
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Oracle SQL strings that are pure ANSI — portable across Spark SQL
+    * and DuckDB unchanged.
+    */
+  private val ansiQueries = Seq(
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_join_agg",
+    "q04_join_3way",
+    "q09_window_rank",
+    "q11_topk",
+    "q13_union",
+    "q14_intersect",
+    "q15_except",
+    "q17_date_part",
+    "q56_outer_join",
+    "q57_full_outer",
+    "q64_window_battery",
+    "q66_shipping_priority")
+
+  test("ANSI oracle SQL runs through spark.sql with identical results to the Column API") {
+    Sql.registerTables(spark, dir)
+    ansiQueries.foreach { name =>
+      val viaSql = spark.sql(SparkEntry.oracleSql(name))
+      val viaApi = SparkEntry.queries(name)(spark, dir)
+      assert(viaSql.columns.map(_.toLowerCase).toSeq ==
+        viaApi.columns.map(_.toLowerCase).toSeq, s"$name: column mismatch")
+      val diff1 = viaSql.exceptAll(viaApi).count()
+      val diff2 = viaApi.exceptAll(viaSql).count()
+      assert(diff1 == 0 && diff2 == 0, s"$name: SQL and Column API rows differ")
+    }
+  }
+
+  test("native functions are SQL-callable in an extension-configured session") {
+    // The shared test session has no extensions config; register the
+    // same function the way GraftExtensions does and call it from SQL.
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    import graft.plans.DotProductExpr
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vec_dot_test"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot_test"),
+      (args: Seq[Expression]) => DotProductExpr(args.head, args(1)))
+    val r = spark.sql(
+      "SELECT vec_dot_test(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 32.0)
+  }
+}
