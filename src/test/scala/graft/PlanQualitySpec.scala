@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Engine-wide physical-plan invariants, enforced over EVERY query in
+  * the declared surface. These are the properties that decide whether a
+  * plan survives a 100× scale-up — checked structurally, not by timing:
+  *
+  *  - no CartesianProduct, ever (an O(n·m) shuffle explosion at scale);
+  *  - BroadcastNestedLoopJoin only where the algorithm declares a tiny
+  *    broadcast side (brute-force ANN baselines, 1-row aggregates);
+  *  - every query keeps at least one whole-stage-codegen span;
+  *  - selective predicates reach the parquet scan as PushedFilters.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Plan with AQE disabled: the pre-execution AdaptiveSparkPlan hides
+    * codegen stages (they materialize per query-stage at runtime), so
+    * structural assertions need the statically compiled plan.
+    */
+  private def planOf(name: String): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** Nested-loop joins that ARE the declared algorithm: the build side
+    * is constant-sized (query vectors q31, centroid table q37, 1-row
+    * aggregate q53/q69), so the "loop" is O(n·k) with tiny k — the
+    * standard scale shape for scan-scoring, not an accident.
+    */
+  private val intentionalNestedLoop = Set(
+    "q31_cosine_topk", "q37_ann_ivf", "q53_scalar_subquery", "q69_tfidf")
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!planOf(name).contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("nested-loop joins appear only where the algorithm declares them") {
+    SparkEntry.queries.keys.filterNot(intentionalNestedLoop).foreach { name =>
+      assert(!planOf(name).contains("BroadcastNestedLoopJoin"),
+        s"$name plans an undeclared BroadcastNestedLoopJoin — " +
+          "a join key is missing or a broadcast side grew")
+    }
+  }
+
+  test("every query keeps a whole-stage-codegen span") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(planOf(name).contains("[codegen id :"),
+        s"$name fell entirely out of codegen")
+    }
+  }
+
+  test("selective predicates reach the parquet scans as pushed filters") {
+    val pushed = raw"PushedFilters: \[[^\]]".r
+    Seq("q02_filter_project", "q60_regexp_extract", "q66_shipping_priority")
+      .foreach { name =>
+        assert(pushed.findFirstIn(planOf(name)).isDefined,
+          s"$name: no non-empty PushedFilters on any scan")
+      }
+  }
+}

@@ -31,7 +31,7 @@ class WideQueriesSpec extends SparkSpec {
 
   test("q59 prefix blocking finds every pair a brute-force O(n²) scan finds") {
     // The declared contract: a pair is reported iff it shares the
-    // 16-char normalized prefix AND edit_dist <= 200. Brute force over
+    // 16-char normalized prefix AND edit_dist <= 50. Brute force over
     // the sf0.001 corpus (500 docs -> 125k pairs) verifies the blocked
     // equality join loses nothing within its declared candidate set.
     val got = WideQueries.q59FuzzyLevenshtein(spark, dir)
@@ -41,7 +41,7 @@ class WideQueriesSpec extends SparkSpec {
     val brute = base.as("a").crossJoin(base.as("b"))
       .filter(col("a.doc_id") < col("b.doc_id") &&
         substring(col("a.norm"), 1, 16) === substring(col("b.norm"), 1, 16) &&
-        levenshtein(col("a.norm"), col("b.norm")) <= 200)
+        levenshtein(col("a.norm"), col("b.norm")) <= 50)
       .select(col("a.doc_id"), col("b.doc_id"),
         levenshtein(col("a.norm"), col("b.norm")).cast("long"))
       .as[(Long, Long, Long)].collect().toSet
