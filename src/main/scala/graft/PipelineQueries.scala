@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Corpus, Upsert}
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Corpus, Ids, Upsert}
 
 /** Training-data-pipeline queries over the documents corpus
   * (SURVEY.md §2 [EXT] north-star rows): TF-IDF, chunking, corpus
@@ -168,6 +169,48 @@ object PipelineQueries {
       |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] scalable global row ids — distributed zipWithIndex after a
+  // range-partitioned sort, NOT a partition-less window (which would
+  // funnel the table through one task). First 100 ids shown; assignment
+  // is global.
+  def q75RowIds(spark: SparkSession, dir: String): DataFrame =
+    Ids.stableRowIds(Tables.orders(spark, dir), Seq(col("o_orderkey")), "o_orderkey")
+      .filter(col("rid") <= 100)
+      .orderBy(col("rid"))
+
+  private val q75Sql =
+    """SELECT rid, o_orderkey FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rid, o_orderkey
+      |  FROM orders)
+      |WHERE rid <= 100 ORDER BY rid""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] cumulative distinct users per day — distinct-over-time without
+  // per-day re-scans: each user collapses to a first-seen day (one hash
+  // agg over the stream), then a running sum over the (tiny) day
+  // dimension. The unpartitioned window runs over #days rows, not #events.
+  def q76CumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+    val byDay = firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    byDay
+      .withColumn("cum_users",
+        sum(col("n_new")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("n_new"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  private val q76Sql =
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+      |d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+      |SELECT day, n_new,
+      |  CAST(sum(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM d ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_tfidf"             -> (q69Tfidf _),
@@ -175,7 +218,9 @@ object PipelineQueries {
     "q71_top_bigrams"       -> (q71TopBigrams _),
     "q72_scrub"             -> (q72Scrub _),
     "q73_stratified_sample" -> (q73StratifiedSample _),
-    "q74_upsert"            -> (q74Upsert _))
+    "q74_upsert"            -> (q74Upsert _),
+    "q75_row_ids"           -> (q75RowIds _),
+    "q76_cumulative_users"  -> (q76CumulativeUsers _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -183,5 +228,7 @@ object PipelineQueries {
     "q71_top_bigrams"       -> q71Sql,
     "q72_scrub"             -> q72Sql,
     "q73_stratified_sample" -> q73Sql,
-    "q74_upsert"            -> q74Sql)
+    "q74_upsert"            -> q74Sql,
+    "q75_row_ids"           -> q75Sql,
+    "q76_cumulative_users"  -> q76Sql)
 }

@@ -96,6 +96,29 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(afterDelete.toSeq == Seq((1L, "a", 10.0), (3L, "c", 30.0)))
   }
 
+  test("q75 row ids are a 1..N permutation in key order, layout-independent") {
+    import graft.operators.Ids
+    val orders = Tables.orders(spark, dir)
+    val ids = Ids.stableRowIds(orders, Seq(col("o_orderkey")), "o_orderkey")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(ids.map(_._1).toSeq == (1L to orders.count()).toSeq)
+    // rid order is exactly o_orderkey order
+    assert(ids.map(_._2).toSeq == ids.map(_._2).sorted.toSeq)
+    // identical assignment from a deliberately different physical layout
+    val shuffled = Ids.stableRowIds(orders.repartition(13), Seq(col("o_orderkey")), "o_orderkey")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(shuffled.toSeq == ids.toSeq)
+  }
+
+  test("q76 cumulative users are monotone and end at the total distinct count") {
+    val r = PipelineQueries.q76CumulativeUsers(spark, dir)
+      .as[(java.sql.Date, Long, Long)].collect()
+    assert(r.map(_._3).toSeq == r.map(_._3).sorted.toSeq)
+    assert(r.map(_._2).sum == r.last._3)
+    assert(r.last._3 ==
+      Tables.events(spark, dir).select("user_id").distinct().count())
+  }
+
   test("q73 stratified sample: per-stratum subset, deterministic, ≈20%") {
     val r = PipelineQueries.q73StratifiedSample(spark, dir)
       .as[(String, Long, Long)].collect()
