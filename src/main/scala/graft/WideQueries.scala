@@ -297,6 +297,30 @@ object WideQueries {
       |ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------------
+  // null-handling battery: nullif / coalesce / nvl2 / conditional null
+  // injection — ANSI-off null semantics pinned against the oracle.
+  def q77NullFns(spark: SparkSession, dir: String): DataFrame = {
+    val segOrNull = expr("nullif(c_mktsegment, 'BUILDING')")
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 150)
+      .select(col("c_custkey"),
+        segOrNull.as("seg_or_null"),
+        coalesce(segOrNull, lit("FALLBACK")).as("seg_filled"),
+        expr("nvl2(nullif(c_mktsegment, 'BUILDING'), 'has', 'none')").as("seg_flag"),
+        when(col("c_acctbal") < 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal_pos"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q77Sql =
+    """SELECT c_custkey,
+      |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'FALLBACK') AS seg_filled,
+      |  CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL THEN 'has' ELSE 'none' END AS seg_flag,
+      |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos
+      |FROM customer WHERE c_custkey <= 150 ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_grouping_sets"   -> (q58GroupingSets _),
@@ -309,7 +333,8 @@ object WideQueries {
     "q65_string_battery"  -> (q65StringBattery _),
     "q66_shipping_priority" -> (q66ShippingPriority _),
     "q67_hash_split"      -> (q67HashSplit _),
-    "q68_calendar_fill"   -> (q68CalendarFill _))
+    "q68_calendar_fill"   -> (q68CalendarFill _),
+    "q77_null_fns"        -> (q77NullFns _))
 
   val oracle: Map[String, String] = Map(
     "q58_grouping_sets"   -> q58Sql,
@@ -322,5 +347,6 @@ object WideQueries {
     "q65_string_battery"  -> q65Sql,
     "q66_shipping_priority" -> q66Sql,
     "q67_hash_split"      -> q67Sql,
-    "q68_calendar_fill"   -> q68Sql)
+    "q68_calendar_fill"   -> q68Sql,
+    "q77_null_fns"        -> q77Sql)
 }

@@ -28,6 +28,15 @@ object Sources {
       .option("url", url).option("dbtable", table)
       .options(options).load()
 
+  /** Parquet scan across files with EVOLVED schemas: later files may
+    * add columns; rows from older files surface the new columns as
+    * null. The footer-merge pass costs one metadata read per file —
+    * acceptable per-partition, which is why production tables carry the
+    * merged schema in a catalog instead of re-deriving it per scan.
+    */
+  def parquetMergeSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Streaming variant of the JSON source (ST1): same declared schema,
     * same downstream cleaning functions as batch.
     */
