@@ -129,4 +129,23 @@ class CleanersSpec extends SparkSpec {
     assert(user.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       Schemas.user.fields.map(f => (f.name, f.dataType)).toSeq)
   }
+
+  test("typed Dataset views bind cleaned output to case classes") {
+    import graft.clean.{Typed, Pin}
+    val work = java.nio.file.Files.createTempDirectory("graft-typed").toString
+    graft.sources.Emulator.write(work, n = 200, seed = 61L)
+    val pins = Typed.pin(Cleaners.pin(
+      graft.sources.Sources.json(spark, s"$work/pin", Schemas.rawPin)))
+    // typed lambdas compile against the case class and see real nulls
+    // as None (Option fields pin the nullability contract)
+    val noTitle = pins.filter((p: Pin) => p.title.isEmpty).count()
+    val viaSql  = pins.toDF().filter(org.apache.spark.sql.functions.col("title").isNull).count()
+    assert(noTitle == viaSql)
+    val geos = Typed.geo(Cleaners.geo(
+      graft.sources.Sources.json(spark, s"$work/geo", Schemas.rawGeo)))
+    assert(geos.head().coordinates.length == 2)
+    val users = Typed.user(Cleaners.user(
+      graft.sources.Sources.json(spark, s"$work/user", Schemas.rawUser)))
+    assert(users.count() == 200)
+  }
 }
