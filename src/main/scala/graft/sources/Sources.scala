@@ -28,6 +28,23 @@ object Sources {
       .option("url", url).option("dbtable", table)
       .options(options).load()
 
+  /** JSON scan that QUARANTINES malformed records instead of dropping
+    * them: parseable rows populate the declared fields, unparseable
+    * lines land whole in `corruptCol` with every declared field null.
+    * The ingest contract at scale — bad records are data to audit
+    * (count, sample, route to a dead-letter sink), never a silent loss
+    * or a job abort. (PERMISSIVE is Spark's default mode; this helper
+    * pins the corrupt-record column into the declared schema so the
+    * quarantine is part of the contract, not an implicit.)
+    */
+  def jsonWithCorrupt(spark: SparkSession, path: String, schema: StructType,
+                      corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
   /** Parquet scan across files with EVOLVED schemas: later files may
     * add columns; rows from older files surface the new columns as
     * null. The footer-merge pass costs one metadata read per file —

@@ -29,6 +29,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("malformed JSON records are quarantined, not dropped or fatal") {
+    val base = Files.createTempDirectory("graft-corrupt").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/data.json"),
+      Seq(
+        """{"ind":1,"country":"Peru","latitude":1.0,"longitude":2.0,"timestamp":"2020-01-01 00:00:00"}""",
+        """this is not json at all""",
+        """{"ind":2,"country":"Kenya","latitude":3.0,"longitude":4.0,"timestamp":"2020-01-02 00:00:00"}""",
+        """{"ind": BROKEN}""").mkString("\n").getBytes("UTF-8"))
+    // Spark disallows corrupt-column-only queries straight off the raw
+    // scan; a real pipeline lands the parse result before auditing it
+    val df = Sources.jsonWithCorrupt(spark, base, graft.clean.Schemas.rawGeo).cache()
+    assert(df.count() == 4, "every input line must surface")
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(bad.count() == 2)
+    // quarantined lines carry the raw text for the dead-letter sink
+    assert(bad.select("_corrupt_record").as[String].collect().toSet ==
+      Set("this is not json at all", """{"ind": BROKEN}"""))
+    // clean rows parsed fully
+    assert(df.filter(col("_corrupt_record").isNull).select("ind")
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("mergeSchema surfaces late-added columns as nulls on old files") {
     val base = Files.createTempDirectory("graft-evolve").toString
     Seq((1L, "a"), (2L, "b")).toDF("id", "s")
