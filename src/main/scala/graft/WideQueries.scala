@@ -321,6 +321,51 @@ object WideQueries {
       |FROM customer WHERE c_custkey <= 150 ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] data profiling — per-column completeness/cardinality/range in
+  // one scan (single hash agg for ALL columns, stack() to pivot).
+  def q78Profile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.describe(
+        Tables.customer(spark, dir),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        decimalCols = Set("c_acctbal"))
+      .orderBy(col("col_name"))
+
+  private def profileArm(c: String, ranged: String) =
+    s"""SELECT '$c' AS col_name, CAST(count($c) AS BIGINT) AS n_vals,
+       |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  CAST(min($ranged) AS VARCHAR) AS min_val,
+       |  CAST(max($ranged) AS VARCHAR) AS max_val
+       |FROM customer""".stripMargin
+
+  private val q78Sql =
+    Seq(
+      profileArm("c_custkey", "c_custkey"),
+      profileArm("c_name", "c_name"),
+      profileArm("c_nationkey", "c_nationkey"),
+      profileArm("c_acctbal", "CAST(c_acctbal AS DECIMAL(18,2))"),
+      profileArm("c_mktsegment", "c_mktsegment"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // ---------------------------------------------------------------------
+  // bitwise aggregates: bit_and / bit_or / bit_xor over the key space.
+  def q79Bitwise(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("bit_and(o_orderkey)").as("and_all"),
+        expr("bit_or(o_orderkey)").as("or_all"),
+        expr("bit_xor(o_orderkey)").as("xor_all"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q79Sql =
+    """SELECT o_orderstatus,
+      |  CAST(bit_and(o_orderkey) AS BIGINT) AS and_all,
+      |  CAST(bit_or(o_orderkey) AS BIGINT) AS or_all,
+      |  CAST(bit_xor(o_orderkey) AS BIGINT) AS xor_all
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_grouping_sets"   -> (q58GroupingSets _),
@@ -334,7 +379,9 @@ object WideQueries {
     "q66_shipping_priority" -> (q66ShippingPriority _),
     "q67_hash_split"      -> (q67HashSplit _),
     "q68_calendar_fill"   -> (q68CalendarFill _),
-    "q77_null_fns"        -> (q77NullFns _))
+    "q77_null_fns"        -> (q77NullFns _),
+    "q78_profile"         -> (q78Profile _),
+    "q79_bitwise"         -> (q79Bitwise _))
 
   val oracle: Map[String, String] = Map(
     "q58_grouping_sets"   -> q58Sql,
@@ -348,5 +395,7 @@ object WideQueries {
     "q66_shipping_priority" -> q66Sql,
     "q67_hash_split"      -> q67Sql,
     "q68_calendar_fill"   -> q68Sql,
-    "q77_null_fns"        -> q77Sql)
+    "q77_null_fns"        -> q77Sql,
+    "q78_profile"         -> q78Sql,
+    "q79_bitwise"         -> q79Sql)
 }
