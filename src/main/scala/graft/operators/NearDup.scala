@@ -86,21 +86,29 @@ object NearDup {
       .withColumn("n_sh", size(col("sh")))
     // Stage the exploded shingle table: it feeds BOTH sides of the
     // self-join, and without materialization each side re-tokenizes and
-    // re-hashes the full corpus. ~24 bytes/shingle; at larger scale this
+    // re-hashes the full corpus. ~16 bytes/shingle; at larger scale this
     // stage would be written to storage between jobs instead. The cache
     // entry is deliberately not unpersisted (the returned plan is lazy);
     // long-lived sessions evict it via LRU — callers running many
     // corpora through this operator should spark.catalog.clearCache()
     // between jobs.
+    //
+    // The self-join carries ONLY (doc_id, s): shingle-set sizes rejoin
+    // AFTER pair counting from the doc-sized (not token-sized) side
+    // table via broadcast, so the big shuffle moves two longs per row
+    // and the pair aggregation groups on two keys, not four.
     val exploded = withShingles
-      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
       .persist()
-    val a = exploded.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("s"))
-    val b = exploded.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("s"))
+    val sizes = withShingles.select(col("doc_id"), col("n_sh"))
+    val a = exploded.select(col("doc_id").as("doc_a"), col("s"))
+    val b = exploded.select(col("doc_id").as("doc_b"), col("s"))
     a.join(b, Seq("s"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))), Seq("doc_b"))
       .withColumn("jaccard",
         col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
