@@ -75,6 +75,29 @@ object StreamJobs {
       .agg(count(lit(1)).as("n_posts"))
       .select(col("window.start").as("window_start"), col("category"), col("n_posts"))
 
+  /** ST3+ — stream–stream inner join: geo records join pin records on
+    * `ind` with an event-time bound so BOTH sides' buffers stay finite.
+    * Watermarks + the time-range predicate tell Spark when a buffered
+    * row can never match again and is evicted — without the bound a
+    * stream-stream join buffers forever (the unbounded-state mistake).
+    * The pin side carries an ingest-time column for the constraint; in
+    * a Kafka deployment that is the record timestamp.
+    */
+  def streamStreamJoin(geoStream: DataFrame, pinStream: DataFrame,
+                       withinMinutes: Int): DataFrame = {
+    val g = geoStream.withWatermark("timestamp", s"$withinMinutes minutes")
+      .select(col("ind"), col("country"), col("timestamp").as("geo_ts"))
+    val p = pinStream.withWatermark("pin_ts", s"$withinMinutes minutes")
+      .select(col("ind"), col("category"), col("pin_ts"))
+    g.join(p,
+      g("ind") === p("ind") &&
+        col("pin_ts").between(
+          col("geo_ts") - expr(s"INTERVAL $withinMinutes MINUTES"),
+          col("geo_ts") + expr(s"INTERVAL $withinMinutes MINUTES")),
+      "inner")
+      .select(g("ind"), col("country"), col("category"), col("geo_ts"), col("pin_ts"))
+  }
+
   /** [EXT] streaming exact dedup — the streaming half of
     * [[graft.operators.Dedup]]: drop records whose key was already seen
     * within the watermark horizon. `dropDuplicatesWithinWatermark` keeps

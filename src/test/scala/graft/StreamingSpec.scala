@@ -85,6 +85,31 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("ind").distinct().count() == 120)
   }
 
+  test("stream-stream join within an event-time bound matches the batch join") {
+    val work = tmpDir()
+    Emulator.write(s"$work/raw", n = 150, seed = 71L)
+    def geoSide() = Cleaners.geo(
+      Sources.jsonStream(spark, s"$work/raw/geo", Schemas.rawGeo))
+    // the "pin" side reuses the geo records with an aligned event time —
+    // the test exercises the two-sided state machinery, not the data
+    def pinSide(df: org.apache.spark.sql.DataFrame) = df.select(
+      org.apache.spark.sql.functions.col("ind"),
+      org.apache.spark.sql.functions.col("country").as("category"),
+      org.apache.spark.sql.functions.col("timestamp").as("pin_ts"))
+
+    val joined = StreamJobs.streamStreamJoin(geoSide(), pinSide(geoSide()), withinMinutes = 10)
+    joined.writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val streamed = spark.table("ss_join_test")
+
+    val geoBatch = Cleaners.geo(Sources.json(spark, s"$work/raw/geo", Schemas.rawGeo))
+    val batch = StreamJobs.streamStreamJoin(geoBatch, pinSide(geoBatch), withinMinutes = 10)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stream-static join windowed category counts match batch") {
     val work = tmpDir()
     Emulator.write(s"$work/raw", n = 200, seed = 41L)
