@@ -366,6 +366,21 @@ object WideQueries {
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A5 scale path — approximate aggregates: HLL++ distinct and quantile
+  // sketch. These are the 100 TB substitutes for q12/q42's exact forms
+  // (constant memory per group vs per-group sorted state). No cross-
+  // engine oracle — sketch internals are engine-specific by design —
+  // so this is a declared rows-only check; WideQueriesSpec bounds the
+  // error against the exact answers instead.
+  def q80ApproxAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("nd_orders_approx"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("qty_p50_approx"))
+      .orderBy(col("l_returnflag"))
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_grouping_sets"   -> (q58GroupingSets _),
@@ -381,7 +396,8 @@ object WideQueries {
     "q68_calendar_fill"   -> (q68CalendarFill _),
     "q77_null_fns"        -> (q77NullFns _),
     "q78_profile"         -> (q78Profile _),
-    "q79_bitwise"         -> (q79Bitwise _))
+    "q79_bitwise"         -> (q79Bitwise _),
+    "q80_approx_aggs"     -> (q80ApproxAggs _))
 
   val oracle: Map[String, String] = Map(
     "q58_grouping_sets"   -> q58Sql,

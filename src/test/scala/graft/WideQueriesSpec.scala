@@ -128,4 +128,26 @@ class WideQueriesSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(viaMap == direct)
   }
+
+  test("q80 approximate aggregates stay within declared error of the exact answers") {
+    val approx = WideQueries.q80ApproxAggs(spark, dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("nd_orders_approx"), r.getAs[Double]("qty_p50_approx"))).toMap
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("nd"),
+        expr("percentile(l_quantity, 0.5D)").as("p50"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("nd"), r.getAs[Double]("p50"))).toMap
+    exact.foreach { case (flag, (nd, p50)) =>
+      val (andApprox, p50Approx) = approx(flag)
+      // HLL++ default rsd = 5%; allow 3 sigma
+      assert(math.abs(andApprox - nd).toDouble / nd < 0.15,
+        s"$flag: HLL $andApprox vs exact $nd")
+      // quantile sketch at accuracy 1000 on ~50 distinct values: near-exact
+      assert(math.abs(p50Approx - p50) <= 1.0,
+        s"$flag: approx median $p50Approx vs exact $p50")
+    }
+  }
 }
