@@ -38,6 +38,10 @@ object Bench {
         force(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
+      // Drop this query's persisted intermediates (sketch/shingle tables)
+      // before the next query: accumulated cache entries from 80 queries
+      // otherwise build eviction pressure that bleeds into later timings.
+      spark.catalog.clearCache()
       name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
