@@ -57,6 +57,37 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom-filter pruning injects on selective shuffle joins at scale thresholds") {
+    // The 100 TB shape: a big fact scan sort-merge-joined to a filtered
+    // side gets a bloom filter injected on the fact side, so shuffle
+    // input drops before the exchange. Spark gates the rewrite on the
+    // application-side scan size (default 10 GB) — at toy scale it
+    // correctly declines, so the spec pins BOTH behaviors.
+    import org.apache.spark.sql.functions._
+    def planWith(scanThreshold: String): String = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", scanThreshold)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      try {
+        val li = Tables.lineitem(spark, dir)
+        val sel = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+        li.join(sel, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus")).count()
+          .queryExecution.optimizedPlan.toString
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    }
+    assert(planWith("1KB").contains("bloom"),
+      "no bloom filter injected despite scale-like thresholds")
+    assert(!planWith("10GB").contains("bloom"),
+      "bloom filter injected below the cost threshold — the gate is off")
+  }
+
   test("selective predicates reach the parquet scans as pushed filters") {
     val pushed = raw"PushedFilters: \[[^\]]".r
     Seq("q02_filter_project", "q60_regexp_extract", "q66_shipping_priority")
