@@ -17,6 +17,20 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** CSV scan with DECLARED schema (same no-inference rule as JSON: an
+    * inference pass over CSV is a full extra read and guesses types).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  /** ORC scan (schema from file metadata, like parquet). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S1 — JDBC scan (optional source; no database ships in this
     * environment, so this is the connector surface only). Credentials
     * come from caller-supplied options, never source constants
@@ -80,6 +94,20 @@ object Sinks {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** CSV sink (header on; interchange format, not the analytics layout —
+    * no pushdown, no column pruning, row-text parse on read).
+    */
+  def csv(df: DataFrame, path: String, delimiter: String = ","): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("delimiter", delimiter)
+      .csv(path)
+
+  /** ORC sink — columnar alternative when the lake standard is ORC;
+    * same pushdown/pruning properties as parquet.
+    */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 
   /** Bucketed + sorted parquet table (catalog-managed): both sides of a
     * recurring equi-join written with the same bucket spec join with NO

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.operators.Maintenance
-import graft.sources.Sources
+import graft.sources.{Sinks, Sources}
 
 /** Table-maintenance surface: small-file compaction (the repair for the
   * reference's flush.size=1 layout) and schema-evolution reads.
@@ -49,6 +49,30 @@ class MaintenanceSpec extends SparkSpec {
     // clean rows parsed fully
     assert(df.filter(col("_corrupt_record").isNull).select("ind")
       .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("CSV and ORC round-trip the customer table losslessly") {
+    val base = Files.createTempDirectory("graft-formats").toString
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+
+    Sinks.csv(customer, s"$base/csv")
+    val viaCsv = Sources.csv(spark, s"$base/csv", customer.schema)
+    assert(viaCsv.count() == customer.count())
+    assert(viaCsv.exceptAll(customer).isEmpty && customer.exceptAll(viaCsv).isEmpty)
+
+    Sinks.orc(customer, s"$base/orc")
+    val viaOrc = Sources.orc(spark, s"$base/orc")
+    assert(viaOrc.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      customer.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(viaOrc.exceptAll(customer).isEmpty && customer.exceptAll(viaOrc).isEmpty)
+    // ORC scans push filters like parquet (the columnar contract holds)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = viaOrc.filter(col("c_custkey") === 7L).queryExecution
+        .executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,7)]"),
+        s"no pushed filters in ORC scan: $plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("mergeSchema surfaces late-added columns as nulls on old files") {

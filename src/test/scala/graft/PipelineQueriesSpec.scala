@@ -119,6 +119,30 @@ class PipelineQueriesSpec extends SparkSpec {
       Tables.events(spark, dir).select("user_id").distinct().count())
   }
 
+  test("corpus operators handle degenerate documents") {
+    import graft.operators.NearDup
+    val docs = Seq((1L, ""), (2L, "solo"), (3L, "a b")).toDF("doc_id", "text")
+    // chunking: every doc yields exactly one chunk when shorter than
+    // a window (the empty string tokenizes to one empty token)
+    val chunks = Corpus.chunk(docs, col("doc_id"), col("text"), 20, 15)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet == Set(1L, 2L, 3L))
+    assert(chunks.values.forall(_.length == 1))
+    assert(chunks(3L).head.getAs[String]("chunk_text") == "a b")
+    // bigrams: docs with < 2 tokens contribute nothing
+    val bgs = Corpus.bigramCounts(docs, col("text")).collect()
+    assert(bgs.map(r => (r.getAs[String]("ngram"), r.getAs[Long]("n"))).toSeq ==
+      Seq(("a b", 1L)))
+    // 3-gram shingles of < 3-token docs are empty, not an error
+    val sh = docs.select(NearDup.shingleHashes3(col("text")).as("s"))
+      .as[Seq[Long]].collect()
+    assert(sh.forall(_.isEmpty))
+    // tfidf of an empty corpus column degenerates cleanly
+    val scores = Corpus.tfidf(docs, col("doc_id"), col("text"))
+      .select("tok").as[String].collect().toSet
+    assert(scores == Set("", "solo", "a", "b"))
+  }
+
   test("q73 stratified sample: per-stratum subset, deterministic, ≈20%") {
     val r = PipelineQueries.q73StratifiedSample(spark, dir)
       .as[(String, Long, Long)].collect()
