@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, Dedup, NearDup}
+
+/** Scaling probe: time the corpus-heavy operators on 1×/3×/10×
+  * replicas of the documents table (ids offset per replica so the
+  * corpus grows, not the duplicate count per doc). Near-linear growth
+  * here is the evidence that candidate generation really is
+  * equality-join-shaped — a quadratic term shows up immediately at 10×.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 tools/run.sh graft.ScaleProbe [sfDir] [scales...]
+  */
+object ScaleProbe {
+
+  def replicate(docs: DataFrame, times: Int): DataFrame = {
+    val n = 1000000L
+    (0 until times).map { i =>
+      docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
+        // rewrite EVERY token with a replica tag: replicas then share no
+        // shingles/fingerprints with each other, so the duplicate
+        // structure grows linearly with the corpus (one token-prefix
+        // perturbation is not enough — replicas would remain near-dups
+        // of each other and the PROBE ITSELF would inject an O(replicas²)
+        // pair count that looks like operator super-linearity)
+        when(lit(i) === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "), t => concat(lit(s"r$i"), t)),
+            " ")).as("text"))
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scales = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "dedup_normalized" -> (d => Dedup.normalizedText(d, col("text"), col("doc_id"))),
+      "ngram_jaccard"    -> (d => NearDup.ngramJaccardPairs(d, col("doc_id"), col("text"))),
+      "minhash_lsh"      -> (d => NearDup.minhashNearDup(d, col("doc_id"), col("text"))),
+      "simhash_pairs"    -> (d => NearDup.simhashNearDup(d, col("doc_id"), col("text"))),
+      "tfidf_top_term"   -> (d => Corpus.topTermPerDoc(d, col("doc_id"), col("text"))),
+      "chunk_20_15"      -> (d => Corpus.chunk(d, col("doc_id"), col("text"), 20, 15)))
+
+    println(f"${"operator"}%-18s " + scales.map(s => f"${s}%8dx").mkString(" "))
+    ops.foreach { case (name, op) =>
+      val times = scales.map { s =>
+        val docs = replicate(Tables.documents(spark, sfDir), s)
+        Bench.force(op(docs))               // warm (codegen, listing)
+        val t0 = System.nanoTime()
+        Bench.force(op(docs))
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"$name%-18s " + times.map(t => f"$t%8.2f").mkString(" ") +
+        f"   (10x/1x ratio: ${times.last / times.head}%.1f)")
+    }
+    spark.stop()
+  }
+}
