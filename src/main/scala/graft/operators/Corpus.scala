@@ -28,7 +28,11 @@ object Corpus {
   def tfidf(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = tokenStream(docs, id, text)
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    // document frequency derives from tf — its rows are already distinct
+    // (doc, term) pairs, so df is a plain count: one shuffle over the
+    // compact tf table instead of a countDistinct (2 shuffles) over the
+    // full token stream.
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n  = docs.agg(count(lit(1)).as("n"))
     tf.join(df, Seq("tok"))
       .crossJoin(n)
