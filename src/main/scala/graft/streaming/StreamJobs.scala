@@ -112,6 +112,43 @@ object StreamJobs {
       .withWatermark(eventTimeCol, lateness)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** [EXT] CDC apply — each micro-batch MERGEs into a parquet snapshot
+    * (foreachBatch + [[graft.operators.Upsert.merge]]): matched keys
+    * update, new keys insert, the rest carry over. The snapshot swap is
+    * write-audit-publish: the merged state lands in a temp directory and
+    * atomically renames over the old snapshot — never read-and-overwrite
+    * in place (lazy reads would see their own deletes). Re-delivered
+    * micro-batches (checkpoint replay after failure) are safe: merging
+    * the same batch twice is a no-op.
+    *
+    * `orderCol` breaks intra-batch duplicates per key (highest wins) —
+    * a micro-batch can carry several CDC events for one key.
+    */
+  def upsertStream(stream: DataFrame, snapshotDir: String, keys: Seq[String],
+                   orderCol: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val snap = new org.apache.hadoop.fs.Path(snapshotDir)
+        val fs = snap.getFileSystem(hconf)
+        val latestPerKey = graft.operators.Ranking.topPerGroup(
+          batch, keys.map(org.apache.spark.sql.functions.col),
+          Seq(org.apache.spark.sql.functions.col(orderCol).desc), 1)
+        val merged =
+          if (fs.exists(snap))
+            graft.operators.Upsert.merge(
+              spark.read.parquet(snapshotDir), latestPerKey, keys)
+          else latestPerKey
+        val tmp = new org.apache.hadoop.fs.Path(snapshotDir + ".staging")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(snap)) fs.delete(snap, true)
+        fs.rename(tmp, snap): Unit
+      }
+      .start()
+
   /** Run a windowed aggregation stream into an in-memory table (test /
     * interactive sink; complete mode because windowed counts update).
     */

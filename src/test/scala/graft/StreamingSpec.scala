@@ -110,6 +110,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming CDC apply: micro-batches merge into a parquet snapshot") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val work = tmpDir()
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("seq", LongType)))
+    def writeBatch(name: String, rows: Seq[String]): Unit = {
+      new java.io.File(s"$work/cdc").mkdirs()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$work/cdc/$name"),
+        rows.mkString("\n").getBytes("UTF-8"))
+    }
+    def applyOnce(): Unit =
+      StreamJobs.upsertStream(
+        Sources.jsonStream(spark, s"$work/cdc", schema),
+        s"$work/snapshot", Seq("k"), "seq", s"$work/ckpt").awaitTermination()
+
+    // batch 1: keys 1..4; key 2 has TWO events — seq 11 must win
+    writeBatch("b1.json", Seq(
+      """{"k":1,"v":"a","seq":1}""", """{"k":2,"v":"b","seq":2}""",
+      """{"k":2,"v":"b2","seq":11}""",
+      """{"k":3,"v":"c","seq":3}""", """{"k":4,"v":"d","seq":4}"""))
+    applyOnce()
+    val s1 = spark.read.parquet(s"$work/snapshot")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(s1 == Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"))
+
+    // batch 2: update key 3, insert key 9; keys 1/2/4 must carry over
+    writeBatch("b2.json", Seq(
+      """{"k":3,"v":"C","seq":20}""", """{"k":9,"v":"z","seq":21}"""))
+    applyOnce()
+    val s2 = spark.read.parquet(s"$work/snapshot")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(s2 == Map(1L -> "a", 2L -> "b2", 3L -> "C", 4L -> "d", 9L -> "z"))
+  }
+
   test("stream-static join windowed category counts match batch") {
     val work = tmpDir()
     Emulator.write(s"$work/raw", n = 200, seed = 41L)
