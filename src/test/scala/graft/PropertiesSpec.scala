@@ -121,4 +121,62 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  // ------------------------------------------------------------------
+  // Corpus operator properties (round 2)
+
+  private val wordGen: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val textGen: Gen[String] =
+    Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  test("property: chunks reassemble the document for any size/stride") {
+    import graft.operators.Corpus
+    val cfg = for {
+      size   <- Gen.choose(1, 30)
+      stride <- Gen.choose(1, 30).map(math.min(_, size)) // stride <= size
+      texts  <- Gen.listOfN(12, textGen)
+    } yield (size, stride, texts)
+    forSamples(cfg, n = 6) { case (size, stride, texts) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = Corpus.chunk(docs, col("doc_id"), col("text"), size, stride)
+        .collect().groupBy(_.getAs[Long]("doc_id"))
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split(" ", -1)
+        val mine = chunks(i.toLong).sortBy(_.getAs[Long]("chunk_start"))
+        // stride-prefix concatenation reproduces the token stream
+        val rebuilt = mine.flatMap(r =>
+          r.getAs[String]("chunk_text").split(" ", -1).take(stride))
+        assert(rebuilt.toSeq == toks.toSeq, s"size=$size stride=$stride doc=$i")
+      }
+    }
+  }
+
+  test("property: hash buckets are stable, in-range, and roughly uniform") {
+    import graft.operators.Corpus
+    forSamples(Gen.choose(100L, 100000L), n = 6) { start =>
+      val ids = (start until start + 500L).toDF("id")
+      val buckets = ids.select(Corpus.hashBucket(col("id")).as("b"))
+        .as[Long].collect()
+      assert(buckets.forall(b => b >= 0 && b < 100))
+      // uniformity: no bucket takes more than 5x its fair share
+      val maxShare = buckets.groupBy(identity).values.map(_.length).max
+      assert(maxShare <= 25, s"hot bucket of $maxShare/500")
+    }
+  }
+
+  test("property: normalized dedup is idempotent and conserves rows") {
+    import graft.operators.Dedup
+    forSamples(Gen.listOfN(40, textGen), n = 4) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = Dedup.normalizedText(docs, col("text"), col("doc_id"))
+      assert(once.agg(sum(col("n_dups"))).as[Long].head() == texts.length.toLong)
+      // every keep_id is a real doc id and appears once
+      val keeps = once.select("keep_id").as[Long].collect()
+      assert(keeps.distinct.length == keeps.length)
+      assert(keeps.forall(k => k >= 0 && k < texts.length))
+    }
+  }
 }
