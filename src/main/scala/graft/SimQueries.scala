@@ -44,11 +44,54 @@ object SimQueries {
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
-  // J7 scale path — LSH-bucketed approximate top-k (no oracle: recall
-  // is approximate by design; determinism is tested in the suite).
+  // J7 scale path — LSH-bucketed approximate top-k. ORACLE-CHECKED even
+  // though approximate: the hyperplanes are deterministic constants, so
+  // the full pipeline (sign bits → band keys → candidate join → exact
+  // cosine → tie-broken top-k) is reproducible in SQL with the plane
+  // values baked in as literals (generated below from the same arrays
+  // the Spark plan embeds — Double.toString round-trips bit-exactly).
   def q32AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Similarity.lshTopK(e.filter(col("id") < 10), e, k = 5)
+  }
+
+  private[graft] def q32Sql: String = {
+    val planes = Similarity.hyperplanes(16, 64)
+    val planeRows = planes.zipWithIndex.map { case (p, j) =>
+      s"($j, [${p.mkString(", ")}])"
+    }.mkString(",\n      |    ").replace("\n      |", "\n")
+    // rowsPerBand = 4: band j//4, bit weight 2^(3 - j%4)
+    s"""WITH planes(j, p) AS (VALUES
+       |    $planeRows),
+       |base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+       |  FROM embeddings),
+       |bits AS (
+       |  SELECT b.vec_id, pl.j,
+       |    CASE WHEN list_sum(list_transform(range(1, 65), i -> b.v[i] * pl.p[i])) >= 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM base b CROSS JOIN planes pl),
+       |keys AS (
+       |  SELECT vec_id, j // 4 AS band,
+       |    CAST(sum(bit * (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS BIGINT) AS band_key
+       |  FROM bits GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+       |  FROM keys q JOIN keys c ON q.band = c.band AND q.band_key = c.band_key
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT p.query_id, p.cand_id,
+       |    list_sum(list_transform(range(1, 65), i -> qb.v[i] * cb.v[i]))
+       |      / (sqrt(qb.nsq) * sqrt(cb.nsq)) AS sim
+       |  FROM pairs p
+       |  JOIN base qb ON qb.vec_id = p.query_id
+       |  JOIN base cb ON cb.vec_id = p.cand_id)
+       |SELECT query_id, cand_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5
+       |ORDER BY query_id, sim DESC, cand_id""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -140,9 +183,12 @@ object SimQueries {
     "q36_embedding_neardup" -> (q36EmbeddingNearDup _),
   )
 
-  /** q32/q33/q34 are sketch-based (xxhash64) → rows-only check. */
+  /** q33/q34/q37/q43 are xxhash64-sketch-based → rows-only check
+    * (DuckDB has no xxhash64); q32's hyperplane LSH is pure arithmetic
+    * and IS oracle-checked via generated plane literals. */
   val oracle: Map[String, String] = Map(
     "q31_cosine_topk"       -> q31Sql,
+    "q32_ann_lsh"           -> q32Sql,
     "q35_ngram_jaccard"     -> q35Sql,
     "q36_embedding_neardup" -> q36Sql,
   )

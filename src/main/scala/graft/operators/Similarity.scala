@@ -51,7 +51,7 @@ object Similarity {
     * runs, sessions, and cluster sizes — required for reproducible
     * bucketing.
     */
-  private def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
+  private[graft] def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
     Array.tabulate(nBits, dim) { (j, i) =>
       var x = (j.toLong << 32) | (i.toLong + 1)
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
