@@ -95,12 +95,55 @@ object SimQueries {
   }
 
   // ---------------------------------------------------------------------
-  // J7 scale path — IVF-partitioned approximate top-k (no oracle: recall
-  // is approximate by design; soundness of surfaced scores is tested in
-  // SimilaritySpec).
+  // J7 scale path — IVF-partitioned approximate top-k. ORACLE-CHECKED:
+  // centroid sampling uses the engine's md5 hash-bucket key (stable AND
+  // cross-engine computable), so assignment → probes → bucket scan →
+  // tie-broken top-k all reproduce in SQL.
   def q37AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Similarity.ivfTopK(e.filter(col("id") < 10), e, k = 5)
+  }
+
+  private val q37Sql = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i]))"
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS centroid_id, v, nsq FROM base
+       |  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+       |           vec_id ASC
+       |  LIMIT 16),
+       |assigned AS (
+       |  SELECT centroid_id, cand_id, cv, cnsq FROM (
+       |    SELECT c.centroid_id, b.vec_id AS cand_id, b.v AS cv, b.nsq AS cnsq,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id, qv, qnsq FROM (
+       |    SELECT b.vec_id AS query_id, c.centroid_id, b.v AS qv, b.nsq AS qnsq,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent c
+       |    WHERE b.vec_id < 10)
+       |  WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.cand_id,
+       |    list_sum(list_transform(range(1, 65), i -> p.qv[i] * a.cv[i]))
+       |      / (sqrt(p.qnsq) * sqrt(a.cnsq)) AS sim
+       |  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+       |  WHERE a.cand_id <> p.query_id)
+       |SELECT query_id, cand_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5
+       |ORDER BY query_id, sim DESC, cand_id""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -189,6 +232,7 @@ object SimQueries {
   val oracle: Map[String, String] = Map(
     "q31_cosine_topk"       -> q31Sql,
     "q32_ann_lsh"           -> q32Sql,
+    "q37_ann_ivf"           -> q37Sql,
     "q35_ngram_jaccard"     -> q35Sql,
     "q36_embedding_neardup" -> q36Sql,
   )

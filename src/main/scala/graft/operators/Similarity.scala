@@ -130,8 +130,14 @@ object Similarity {
     val c = candidates
       .select(col("id").as("cand_id"), VectorOps.toDoubleArray(col("vec")).as("cv"))
       .withColumn("c_norm_sq", VectorOps.normSq(col("cv")))
+    // Sample key = md5-derived long (graft's deterministic hash-bucket
+    // family): stable across runs/layouts like xxhash64, but computable
+    // in any engine — which is what lets the DuckDB oracle reproduce
+    // the centroid set and hash-check the whole IVF pipeline.
+    val sampleKey =
+      conv(substring(md5(col("cand_id").cast("string")), 1, 8), 16, 10).cast("long")
     val centroids = c
-      .orderBy(xxhash64(col("cand_id")).asc, col("cand_id").asc)
+      .orderBy(sampleKey.asc, col("cand_id").asc)
       .limit(nCentroids)
       .select(col("cand_id").as("centroid_id"), col("cv").as("centv"),
         col("c_norm_sq").as("cent_norm_sq"))
