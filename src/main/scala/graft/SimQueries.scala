@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.{NearDup, Similarity}
 
 /** Similarity-search and near-duplicate queries (SURVEY.md §2.3 J7,
-  * §2.4 A8, LLM-pipeline north star). The exact variants carry DuckDB
-  * oracles; the sketch/LSH variants (MinHash, SimHash, hyperplane LSH)
-  * depend on xxhash64 and are checked rows-only by the driver plus
-  * property tests in the scalatest suite.
+  * §2.4 A8, LLM-pipeline north star). EVERY query here carries a DuckDB
+  * oracle: exact variants directly; the sketch/LSH/IVF variants through
+  * cross-engine hash families (md5-derived token/shingle/sample keys,
+  * deterministic hyperplane constants, fixed-seed permutation
+  * coefficients) baked into generated SQL. The xxhash64 fast paths
+  * remain the library defaults for Spark-only deployments.
   */
 object SimQueries {
 
@@ -148,26 +150,119 @@ object SimQueries {
 
   // ---------------------------------------------------------------------
   // A8 — MinHash+LSH near-dup: top-20 candidate pairs by exact Jaccard
-  // (banded candidates only; no oracle — xxhash64 permutations).
+  // over banded candidates. ORACLE-CHECKED: the portable hash family
+  // (md5 token hashes mod P, polynomial shingle roll, arithmetic band
+  // fold) replays in SQL with the fixed-seed permutation coefficients
+  // baked in as literals. The xxhash64 family stays the library default.
   def q33MinhashNearDup(spark: SparkSession, dir: String): DataFrame =
-    NearDup.minhashNearDup(Tables.documents(spark, dir), col("doc_id"), col("text"))
+    NearDup.minhashNearDup(Tables.documents(spark, dir), col("doc_id"), col("text"),
+        shingler = NearDup.shingleHashes3Md5, portableKeys = true)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
+  private val q33Sql = {
+    val permRows = NearDup.permCoefs(32).zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1}, ${a}, ${b})" }.mkString(", ")
+    s"""WITH perms(i, a, b) AS (VALUES $permRows),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_transform(t, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS h
+       |  FROM toks WHERE len(t) >= 3),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(h) - 1),
+       |      i -> ((h[i] * 1000003 + h[i+1]) % 2147483647 * 1000003 + h[i+2]) % 2147483647)) AS s
+       |  FROM th),
+       |es AS (SELECT doc_id, unnest(s) AS x FROM sh),
+       |sig AS (
+       |  SELECT doc_id, i, min((x * a + b) % 2147483647) AS m
+       |  FROM es CROSS JOIN perms GROUP BY 1, 2),
+       |bk AS (
+       |  SELECT doc_id, (i - 1) // 2 AS band,
+       |    (max(CASE WHEN i % 2 = 1 THEN m END) * 1000003
+       |      + max(CASE WHEN i % 2 = 0 THEN m END)) % 2147483647 AS band_key
+       |  FROM sig GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM bk a JOIN bk c ON a.band = c.band AND a.band_key = c.band_key
+       |    AND a.doc_id < c.doc_id),
+       |sigl AS (SELECT doc_id, list(m ORDER BY i) AS sl FROM sig GROUP BY doc_id),
+       |est AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(list_sum(list_transform(range(1, 33),
+       |      i -> CASE WHEN sa.sl[i] = sb.sl[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0 AS est_jaccard
+       |  FROM pairs p
+       |  JOIN sigl sa ON sa.doc_id = p.doc_a
+       |  JOIN sigl sb ON sb.doc_id = p.doc_b)
+       |SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       |  CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+       |    / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) AS jaccard
+       |FROM est e
+       |JOIN sh sa ON sa.doc_id = e.doc_a
+       |JOIN sh sb ON sb.doc_id = e.doc_b
+       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
-  // A8 — SimHash signatures (64-bit) per document (no oracle).
+  // A8 — SimHash signatures per document. ORACLE-CHECKED: token hashes
+  // come from the cross-engine md5 63-bit family (NearDup.tokenHash63),
+  // so the bit-vote fold reproduces in SQL. The xxhash64 form
+  // (NearDup.simhash64) remains the library default for Spark-only
+  // deployments.
   def q34Simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), NearDup.simhash64(col("text")).as("simhash"))
+      .select(col("doc_id"), NearDup.simhash64Md5(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
+
+  private val q34TokenHashSql =
+    """(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483648) * 4294967296
+      |      + CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT)""".stripMargin
+
+  private val q34SigCte =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    $q34TokenHashSql AS h
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id, ks.k,
+       |    sum(CASE WHEN (h >> ks.k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, 63)) AS k) ks
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(coalesce(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END), 0) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  private val q34Sql =
+    s"""WITH $q34SigCte
+       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // A8 — SimHash banded near-dup pairs (hamming ≤ 3 via 16-bit-band
-  // pigeonhole; no oracle — xxhash64-based signatures).
+  // pigeonhole). ORACLE-CHECKED over the same md5 signature family.
   def q43SimhashNearDup(spark: SparkSession, dir: String): DataFrame =
-    NearDup.simhashNearDup(Tables.documents(spark, dir), col("doc_id"), col("text"))
+    NearDup.simhashNearDup(Tables.documents(spark, dir), col("doc_id"), col("text"),
+        signature = NearDup.simhash64Md5)
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(50)
+
+  private val q43Sql =
+    s"""WITH $q34SigCte,
+       |banded AS (
+       |  SELECT doc_id, simhash, b.b AS band,
+       |    (simhash >> (b.b * 16)) & 65535 AS band_key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |    a.simhash AS sig_a, c.simhash AS sig_b
+       |  FROM banded a JOIN banded c
+       |    ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+       |FROM pairs
+       |WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |ORDER BY hamming, doc_a, doc_b LIMIT 50""".stripMargin
 
   // ---------------------------------------------------------------------
   // A8 — exact n-gram Jaccard near-dup, blocked by shared shingle.
@@ -233,6 +328,9 @@ object SimQueries {
     "q31_cosine_topk"       -> q31Sql,
     "q32_ann_lsh"           -> q32Sql,
     "q37_ann_ivf"           -> q37Sql,
+    "q33_minhash_neardup"   -> q33Sql,
+    "q34_simhash"           -> q34Sql,
+    "q43_simhash_neardup"   -> q43Sql,
     "q35_ngram_jaccard"     -> q35Sql,
     "q36_embedding_neardup" -> q36Sql,
   )

@@ -69,6 +69,29 @@ object NearDup {
         .otherwise(array().cast("array<bigint>")))
   }
 
+  /** Polynomial-roll constant for the cross-engine hash family. */
+  private[graft] val K = 1000003L
+
+  /** Cross-engine 3-gram shingle hashes in [0, P): md5-derived token
+    * hashes combined with a polynomial roll. Every intermediate stays
+    * under 2⁵² (h < P ≈ 2³¹, K ≈ 2²⁰), so strict-BIGINT engines
+    * evaluate it without overflow — the property that lets a DuckDB
+    * oracle replay the whole MinHash pipeline. xxhash64-based
+    * [[shingleHashes3]] remains the Spark-only fast path.
+    */
+  def shingleHashes3Md5(text: Column): Column = {
+    val th = transform(TextOps.tokens(text), t =>
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(P)))
+    val m = size(th) - 2
+    array_distinct(
+      when(size(th) >= 3,
+        zip_with(
+          zip_with(slice(th, lit(1), m), slice(th, lit(2), m),
+            (x, y) => pmod(x * lit(K) + y, lit(P))),
+          slice(th, lit(3), m), (x, y) => pmod(x * lit(K) + y, lit(P))))
+        .otherwise(array().cast("array<bigint>")))
+  }
+
   /** Exact pairwise Jaccard over 3-gram shingles, blocked by shared
     * shingle: a pair is only scored if it shares ≥1 shingle, and the
     * shared-count comes out of the same equality join — no cross
@@ -166,7 +189,9 @@ object NearDup {
     * Output: doc_a, doc_b, est_jaccard (signature agreement), jaccard.
     */
   def minhashNearDup(docs: DataFrame, id: Column, text: Column,
-                     nPerms: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+                     nPerms: Int = 32, rowsPerBand: Int = 2,
+                     shingler: Column => Column = shingleHashes3,
+                     portableKeys: Boolean = false): DataFrame = {
     require(nPerms % rowsPerBand == 0)
     val nBands = nPerms / rowsPerBand
     // Stage (doc_id, shingle-hash set, signature) once: it feeds the two
@@ -175,7 +200,7 @@ object NearDup {
     // re-sketch the full corpus. At production scale this is the
     // signature table a dedup pipeline writes to storage.
     val withSig = docs
-      .select(id.as("doc_id"), shingleHashes3(text).as("sh"))
+      .select(id.as("doc_id"), shingler(text).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignatureFromHashes(col("sh"), nPerms))
       .persist()
@@ -185,14 +210,26 @@ object NearDup {
     // (small) candidate pair set joins back to the shingle sets afterwards
     // for the exact Jaccard; at scale those two joins touch |pairs| rows,
     // not |corpus|·nBands.
+    //
+    // Band key: xxhash64 over the band's signature slice by default; the
+    // portable form folds the slice arithmetically ((acc·K + v) mod P —
+    // overflow-free) and joins on (band, band_key), so an external
+    // oracle can reproduce the candidate set.
+    val bandSlice = slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))
     val banded = withSig
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("band_key",
-        xxhash64(col("band"), concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))))
-    val b = banded.select(col("band_key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    val cand = banded.select(col("band_key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      .join(b, Seq("band_key"))
+        if (portableKeys)
+          aggregate(bandSlice, lit(0L), (acc, v) => pmod(acc * lit(K) + v, lit(P)))
+        else
+          xxhash64(col("band"), concat_ws(",", bandSlice)))
+    val joinKeys = if (portableKeys) Seq("band", "band_key") else Seq("band_key")
+    val b = banded.select((joinKeys.map(col) :+
+      col("doc_id").as("doc_b")) :+ col("sig").as("sig_b"): _*)
+    val cand = banded.select((joinKeys.map(col) :+
+        col("doc_id").as("doc_a")) :+ col("sig").as("sig_a"): _*)
+      .join(b, joinKeys)
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
       .dropDuplicates("doc_a", "doc_b") // collisions in several bands
@@ -218,6 +255,28 @@ object NearDup {
   def simhash64(text: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     val th = transform(TextOps.tokens(text), t => xxhash64(t))
+    GraftColumnBridge.column(graft.plans.SimHash64Expr(
+      GraftColumnBridge.expression(th)))
+  }
+
+  /** Cross-engine 63-bit token hash: md5's first two 32-bit halves
+    * packed as (A mod 2³¹)·2³² + B ∈ [0, 2⁶³) — never overflows
+    * strict-BIGINT engines, so an external oracle can recompute it
+    * (xxhash64 exists only in Spark).
+    */
+  def tokenHash63(t: Column): Column =
+    pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(2147483648L)) *
+      lit(4294967296L) +
+      conv(substring(md5(t), 9, 8), 16, 10).cast("long")
+
+  /** SimHash over the cross-engine [[tokenHash63]] family — same native
+    * [[graft.plans.SimHash64Expr]] fold, oracle-checkable end to end.
+    * Bit 63 of every token hash is 0, so signature bit 63 is always 0
+    * (effective width 63 bits; the hamming/banding math is unchanged).
+    */
+  def simhash64Md5(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val th = transform(TextOps.tokens(text), t => tokenHash63(t))
     GraftColumnBridge.column(graft.plans.SimHash64Expr(
       GraftColumnBridge.expression(th)))
   }
@@ -254,9 +313,10 @@ object NearDup {
     * Output: doc_a, doc_b, hamming.
     */
   def simhashNearDup(docs: DataFrame, id: Column, text: Column,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3,
+                     signature: Column => Column = simhash64): DataFrame = {
     val signed = docs
-      .select(id.as("doc_id"), simhash64(text).as("sig"))
+      .select(id.as("doc_id"), signature(text).as("sig"))
       .persist() // feeds both sides of the band self-join
     val banded = signed
       .select(col("doc_id"), col("sig"),
