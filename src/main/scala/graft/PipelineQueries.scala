@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Corpus, Ids, Upsert}
+import graft.operators.{Corpus, Graph, Ids, Upsert}
 
 /** Training-data-pipeline queries over the documents corpus
   * (SURVEY.md §2 [EXT] north-star rows): TF-IDF, chunking, corpus
@@ -211,6 +211,40 @@ object PipelineQueries {
       |FROM d ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] dedup clusters — connected components over the fuzzy near-dup
+  // pair graph (q59's edges): the transitive-closure step that turns
+  // PAIRS into CLUSTERS. Component id = min doc_id of the cluster;
+  // output is the cluster-size histogram row per component. Oracle:
+  // DuckDB recursive CTE computes the same min-reachable-label closure.
+  def q81Components(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(spark, dir).select(col("doc_id"))
+    val edges = WideQueries.q59FuzzyLevenshtein(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    Graph.connectedComponents(nodes, edges)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("component"))
+  }
+
+  private val q81Sql =
+    """WITH RECURSIVE b AS (
+      |  SELECT doc_id, lower(trim(text)) AS norm,
+      |         substr(lower(trim(text)), 1, 16) AS blk
+      |  FROM documents),
+      |e AS (
+      |  SELECT a.doc_id AS s, c.doc_id AS d
+      |  FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+      |  WHERE levenshtein(a.norm, c.norm) <= 50),
+      |sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+      |reach(node, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT sym.d, r.label FROM reach r JOIN sym ON sym.s = r.node),
+      |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+      |SELECT component, count(*) AS n_docs
+      |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_tfidf"             -> (q69Tfidf _),
@@ -220,7 +254,8 @@ object PipelineQueries {
     "q73_stratified_sample" -> (q73StratifiedSample _),
     "q74_upsert"            -> (q74Upsert _),
     "q75_row_ids"           -> (q75RowIds _),
-    "q76_cumulative_users"  -> (q76CumulativeUsers _))
+    "q76_cumulative_users"  -> (q76CumulativeUsers _),
+    "q81_components"        -> (q81Components _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -230,5 +265,6 @@ object PipelineQueries {
     "q73_stratified_sample" -> q73Sql,
     "q74_upsert"            -> q74Sql,
     "q75_row_ids"           -> q75Sql,
-    "q76_cumulative_users"  -> q76Sql)
+    "q76_cumulative_users"  -> q76Sql,
+    "q81_components"        -> q81Sql)
 }

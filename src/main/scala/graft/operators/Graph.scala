@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph operators over edge DataFrames — the transitive
+  * closure step a dedup pipeline needs AFTER pair generation: near-dup
+  * PAIRS (MinHash/SimHash/Jaccard/edit-distance) become dedup CLUSTERS,
+  * and one representative survives per cluster.
+  */
+object Graph {
+
+  /** Connected components by min-label propagation: every node
+    * repeatedly adopts the smallest label among itself and its
+    * neighbors until a fixpoint. Converges in O(component diameter)
+    * rounds — near-dup clusters are shallow (dups of a common original),
+    * so few iterations in practice, with `maxIter` as the backstop.
+    *
+    * Each round is one shuffle join + aggregation; the per-round
+    * `changed` count is the only driver-side value (a scalar action for
+    * loop control — the same shape GraphFrames' CC uses). Output:
+    * (node, component) where component = min node id of the component.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.toDF("s", "d")
+      .unionByName(edges.toDF("d", "s").select(col("s"), col("d")))
+      .distinct()
+      .persist()
+    // Lineage MUST be cut every round: the updated plan references the
+    // previous labels twice (once through the neighbor join, once for
+    // the carry-over), so an uncheckpointed loop doubles the plan per
+    // iteration — exponential analysis/planning cost that OOMs around a
+    // dozen rounds. localCheckpoint materializes the round's result and
+    // restarts the plan from the stored blocks (the standard shape for
+    // iterative algorithms on Spark; GraphX/GraphFrames do the same).
+    var labels = nodes.toDF("node")
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym.join(labels, sym("d") === labels("node"))
+        .groupBy(sym("s").as("nbr_node"))
+        .agg(min(col("label")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, labels("node") === neighborMin("nbr_node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.withColumnRenamed("label", "old_label"), Seq("node"))
+        .filter(col("label") =!= col("old_label"))
+        .count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+}

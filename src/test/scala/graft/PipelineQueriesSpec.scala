@@ -119,6 +119,30 @@ class PipelineQueriesSpec extends SparkSpec {
       Tables.events(spark, dir).select("user_id").distinct().count())
   }
 
+  test("q81 connected components: known graph, chains, singletons, conservation") {
+    import graft.operators.Graph
+    // chain 1-2-3, pair 5-6, singleton 9: the chain forces propagation
+    // beyond one hop (label 1 must travel two edges to reach 3)
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val got = Graph.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+    // a long chain converges within maxIter via doubling-free propagation
+    val n = 12
+    val chainNodes = (1L to n.toLong).toDF("node")
+    val chainEdges = (1L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val chain = Graph.connectedComponents(chainNodes, chainEdges, maxIter = n + 2)
+      .as[(Long, Long)].collect()
+    assert(chain.forall(_._2 == 1L))
+    // on the real corpus: component count + membership conservation
+    val comp = PipelineQueries.q81Components(spark, dir).collect()
+    assert(comp.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, dir).count())
+    // every component id is a member of its own cluster (min-label def)
+    assert(comp.forall(r => r.getAs[Long]("n_docs") >= 1L))
+  }
+
   test("corpus operators handle degenerate documents") {
     import graft.operators.NearDup
     val docs = Seq((1L, ""), (2L, "solo"), (3L, "a b")).toDF("doc_id", "text")
