@@ -226,6 +226,42 @@ object ExtQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Multimodal — deterministic frame sampling over binary payloads: the
+  // explode/generator shape a video frame extractor produces. Offsets
+  // are pure stride arithmetic → fully oracle-checked.
+  def q82FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Tables.documents(spark, dir).filter(col("doc_id") < 30)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload", stride = 64)
+      .orderBy(col("doc_id"), col("frame_offset"))
+
+  private val q82Sql =
+    """SELECT doc_id,
+      |  CAST(unnest(range(0, octet_length(encode(text)), 64)) AS BIGINT) AS frame_offset
+      |FROM documents WHERE doc_id < 30 ORDER BY doc_id, frame_offset""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Multimodal — the mapPartitions decode path (typed per-partition
+  // loop, one codec context per partition): same stub arithmetic as the
+  // expression form q30, so the oracle verifies the TYPED plumbing
+  // (encoders, partition iteration, schema) end to end.
+  def q83DecodePartitioned(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodePartitioned(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload")
+      .orderBy(col("doc_id"))
+
+  private val q83Sql =
+    """SELECT doc_id,
+      |  64 + (octet_length(encode(text)) * 31) % 512 AS width,
+      |  64 + (octet_length(encode(text)) * 17) % 512 AS height,
+      |  3 AS channels,
+      |  1 + octet_length(encode(text)) % 30 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // [EXT] J5 — as-of join: for each purchase, the most recent click
   // at-or-before it by the same user. Single-shuffle union+window form
   // (operators.AsOf); DuckDB verifies with its native ASOF JOIN.
@@ -373,6 +409,8 @@ object ExtQueries {
     "q28_sentinel_null"    -> (q28SentinelNull _),
     "q29_tumbling_window"  -> (q29TumblingWindow _),
     "q30_multimodal_meta"  -> (q30MultimodalMeta _),
+    "q82_frame_sample"     -> (q82FrameSample _),
+    "q83_decode_partitioned" -> (q83DecodePartitioned _),
     "q38_asof_join"        -> (q38AsofJoin _),
     "q39_sessionize"       -> (q39Sessionize _),
     "q40_rollup"           -> (q40Rollup _),
@@ -394,6 +432,8 @@ object ExtQueries {
     "q28_sentinel_null"    -> q28Sql,
     "q29_tumbling_window"  -> q29Sql,
     "q30_multimodal_meta"  -> q30Sql,
+    "q82_frame_sample"     -> q82Sql,
+    "q83_decode_partitioned" -> q83Sql,
     "q38_asof_join"        -> q38Sql,
     "q39_sessionize"       -> q39Sql,
     "q40_rollup"           -> q40Sql,
