@@ -381,6 +381,31 @@ object WideQueries {
       .orderBy(col("l_returnflag"))
 
   // ---------------------------------------------------------------------
+  // W2 — bounded ROWS frame: 4-row trailing moving average per user
+  // (q10's running sum is unbounded-preceding; q49's frame is
+  // value-RANGE — this pins the bounded physical-offset frame).
+  def q84MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 100)
+      .select(col("user_id"), col("event_id"),
+        avg(col("value")).over(w).as("mavg4"),
+        count(lit(1)).over(w).cast("long").as("n_in_frame"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val q84Sql =
+    """SELECT user_id, event_id,
+      |  avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mavg4,
+      |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_frame
+      |FROM events WHERE user_id < 100
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_grouping_sets"   -> (q58GroupingSets _),
@@ -397,7 +422,8 @@ object WideQueries {
     "q77_null_fns"        -> (q77NullFns _),
     "q78_profile"         -> (q78Profile _),
     "q79_bitwise"         -> (q79Bitwise _),
-    "q80_approx_aggs"     -> (q80ApproxAggs _))
+    "q80_approx_aggs"     -> (q80ApproxAggs _),
+    "q84_moving_avg"      -> (q84MovingAvg _))
 
   val oracle: Map[String, String] = Map(
     "q58_grouping_sets"   -> q58Sql,
@@ -413,5 +439,6 @@ object WideQueries {
     "q68_calendar_fill"   -> q68Sql,
     "q77_null_fns"        -> q77Sql,
     "q78_profile"         -> q78Sql,
-    "q79_bitwise"         -> q79Sql)
+    "q79_bitwise"         -> q79Sql,
+    "q84_moving_avg"      -> q84Sql)
 }
