@@ -1,13 +1,14 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.operators.{Corpus, Graph, Ids, Upsert}
 
-/** Training-data-pipeline queries over the documents corpus
-  * (SURVEY.md §2 [EXT] north-star rows): TF-IDF, chunking, corpus
-  * n-gram stats, PII-style scrubbing, stratified sampling.
+/** Training-data-pipeline queries (SURVEY.md §2 [EXT] north-star rows,
+  * q69–q76 + q81): TF-IDF, chunking, corpus n-gram stats, PII-style
+  * scrubbing, stratified sampling, merge/upsert, scalable row ids,
+  * cumulative distinct, and connected-component dedup clusters.
   */
 object PipelineQueries {
 

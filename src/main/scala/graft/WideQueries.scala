@@ -5,11 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-2 widening of the declared query surface (SURVEY.md §2 [EXT]
-  * rows + general-engine built-ins a reference user would expect):
-  * grouping sets, edit-distance fuzzy dedup, regexp extraction, map
-  * functions, date/interval arithmetic, positional explode, a second
-  * window battery, a string-function battery, a TPC-H-Q3-style
-  * composite, deterministic hash split, and calendar gap-fill.
+  * rows + general-engine built-ins a reference user would expect,
+  * q58–q68 + q77–q80 + q84): grouping sets, edit-distance fuzzy dedup,
+  * regexp extraction, map functions, date/interval arithmetic,
+  * positional explode, window/string/null batteries, a TPC-H-Q3-style
+  * composite, deterministic hash split, calendar gap-fill, one-pass
+  * profiling, bitwise and approximate aggregates, moving average.
   *
   * Same conventions as [[Queries]]: total-order sorts, DECIMAL(18,2)
   * money sums, aliases matching the DuckDB twin exactly.
