@@ -27,8 +27,13 @@ class SqlSurfaceSpec extends SparkSpec {
     "q17_date_part",
     "q56_outer_join",
     "q57_full_outer",
+    "q58_grouping_sets",
     "q64_window_battery",
-    "q66_shipping_priority")
+    "q66_shipping_priority",
+    "q74_upsert",
+    "q76_cumulative_users",
+    "q77_null_fns",
+    "q84_moving_avg")
 
   test("ANSI oracle SQL runs through spark.sql with identical results to the Column API") {
     Sql.registerTables(spark, dir)
