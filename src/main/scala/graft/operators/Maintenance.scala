@@ -36,6 +36,27 @@ object Maintenance {
     spark.read.parquet(inDir).coalesce(nFiles).write.mode("overwrite").parquet(outDir)
   }
 
+  /** Compact ONE partition of a partitioned table in place (by swap):
+    * the 100 TB cadence — yesterday's partition compacts after the day
+    * closes; the rest of the table is never read or rewritten. The
+    * rewritten files land in a staging directory first and rename over
+    * the partition only when complete (write-audit-publish, same as the
+    * CDC snapshot swap).
+    */
+  def compactPartition(spark: SparkSession, tableDir: String, partition: String,
+                       targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val partDir = s"$tableDir/$partition"
+    val part = new Path(partDir)
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(part), s"no such partition: $partDir")
+    val staging = new Path(s"$tableDir/.compact-staging-${partition.replace('/', '_')}")
+    val nFiles = math.max(1, math.ceil(dataBytes(spark, partDir).toDouble / targetBytes).toInt)
+    spark.read.parquet(partDir).coalesce(nFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.delete(part, true)
+    fs.rename(staging, part): Unit
+  }
+
   /** Count of data files in a directory (spec/report helper). */
   def dataFileCount(spark: SparkSession, dir: String): Int = {
     val p = new Path(dir)

@@ -29,6 +29,38 @@ class MaintenanceSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("per-partition compaction rewrites one day and leaves the rest untouched") {
+    val base = Files.createTempDirectory("graft-pcompact").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", to_date(col("ts")))
+    // scatter every day into many small files
+    Sinks.parquet(events.repartition(16), s"$base/t", partitionBy = Seq("day"))
+    val days = new java.io.File(s"$base/t").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day=")).map(_.getName).sorted
+    assert(days.length >= 2, "need at least two partitions")
+    val target = days.head
+    val other = days.last
+    val beforeTarget = Maintenance.dataFileCount(spark, s"$base/t/$target")
+    val beforeOther = new java.io.File(s"$base/t/$other").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+
+    // materialize the pre-compaction state: the lazy plan's file index
+    // would otherwise reference the deleted originals after the swap
+    val beforeRows = spark.read.parquet(s"$base/t")
+      .collect().map(_.toString).sorted.toSeq
+    Maintenance.compactPartition(spark, s"$base/t", target)
+
+    assert(Maintenance.dataFileCount(spark, s"$base/t/$target") < beforeTarget)
+    // untouched partition: identical file names and mtimes
+    val afterOther = new java.io.File(s"$base/t/$other").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(afterOther == beforeOther)
+    // whole-table contents unchanged
+    val afterRows = spark.read.parquet(s"$base/t")
+      .collect().map(_.toString).sorted.toSeq
+    assert(afterRows == beforeRows)
+  }
+
   test("malformed JSON records are quarantined, not dropped or fatal") {
     val base = Files.createTempDirectory("graft-corrupt").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/data.json"),
