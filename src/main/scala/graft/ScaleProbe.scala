@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Corpus, Dedup, NearDup}
+import graft.operators.{Corpus, Dedup, Graph, NearDup}
 
 /** Scaling probe: time the corpus-heavy operators on 1×/3×/10×
   * replicas of the documents table (ids offset per replica so the
@@ -50,7 +50,18 @@ object ScaleProbe {
       "minhash_lsh"      -> (d => NearDup.minhashNearDup(d, col("doc_id"), col("text"))),
       "simhash_pairs"    -> (d => NearDup.simhashNearDup(d, col("doc_id"), col("text"))),
       "tfidf_top_term"   -> (d => Corpus.topTermPerDoc(d, col("doc_id"), col("text"))),
-      "chunk_20_15"      -> (d => Corpus.chunk(d, col("doc_id"), col("text"), 20, 15)))
+      "chunk_20_15"      -> (d => Corpus.chunk(d, col("doc_id"), col("text"), 20, 15)),
+      // iterative operator: edges = exact normalized-dup pairs (cheap to
+      // generate), then min-label propagation to a fixpoint
+      "components"       -> { d =>
+        val groups = Dedup.normalizedText(d, col("text"), col("doc_id"))
+        val edges = d
+          .select(col("doc_id"), md5(lower(trim(col("text")))).as("norm_fp"))
+          .join(groups.filter(col("n_dups") > 1), Seq("norm_fp"))
+          .filter(col("doc_id") =!= col("keep_id"))
+          .select(col("keep_id").as("src"), col("doc_id").as("dst"))
+        Graph.connectedComponents(d.select(col("doc_id")), edges)
+      })
 
     println(f"${"operator"}%-18s " + scales.map(s => f"${s}%8dx").mkString(" "))
     ops.foreach { case (name, op) =>
