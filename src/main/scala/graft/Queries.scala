@@ -340,9 +340,12 @@ object Queries {
 
   // ---------------------------------------------------------------------
   // [EXT] A5-adjacent — exact percentiles (interpolating): Spark's
-  // percentile ≡ DuckDB's quantile_cont. Exact (sort-based per group) —
-  // the approximate path at scale is percentile_approx (no cross-engine
-  // oracle; same API shape).
+  // percentile ≡ DuckDB's quantile_cont. Exact = per-group buffered
+  // state (all values in one aggregation buffer) — kept HERE for
+  // cross-engine oracle parity at test scale only. The DECLARED 100 TB
+  // path is percentile_approx (q80 for these same quantiles, q89 for
+  // the money median): a fixed-size rank sketch, constant memory per
+  // group, error-bound-tested in WideQueriesSpec.
   def q42Percentile(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))

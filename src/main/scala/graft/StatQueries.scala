@@ -187,6 +187,10 @@ object StatQueries {
   // median / max_by. max_by's ordering value is the unique o_orderkey,
   // so the argmax is deterministic (ties impossible) — same discipline
   // as A3/A4.
+  // SCALE PATH: exact `median` buffers all group values in one
+  // aggregation buffer — kept HERE for cross-engine oracle parity at
+  // test scale only; the declared 100 TB form is q89's
+  // percentile_approx (constant memory per group, error-bound-tested).
   def q52CondAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))

@@ -18,13 +18,36 @@ object Tables {
     * production deployment amortizes that through the metastore/catalog;
     * this cache plays the same role for the path-addressed tables here.
     * Only the *plan* (relation + file index) is cached, never row data.
+    *
+    * CONTRACT: cached paths are immutable source tables. The cached
+    * file index goes stale if the files under a path are rewritten, so
+    * anything mutable goes AROUND this cache — compaction output and
+    * CDC snapshots read via `spark.read` directly (Maintenance,
+    * StreamJobs do), or the writer calls [[invalidate]] after the swap.
+    * Entries pinned by stopped sessions are evicted on the next access,
+    * so the cache is bounded by live-session tables, not process
+    * lifetime.
     */
   private val relationCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    relationCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) relationCache.remove(k): Unit
+    }
     relationCache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Drop cached relations for `path` (every session) — REQUIRED after
+    * rewriting files under a cached path, or readers keep serving the
+    * old file index (missing-file errors or stale rows).
+    */
+  def invalidate(path: String): Unit =
+    relationCache.keys.filter(_._2 == path).foreach(relationCache.remove(_): Unit)
+
+  /** Drop every cached relation (session teardown / test isolation). */
+  def invalidateAll(): Unit = relationCache.clear()
 
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")

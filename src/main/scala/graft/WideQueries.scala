@@ -382,6 +382,24 @@ object WideQueries {
       .orderBy(col("l_returnflag"))
 
   // ---------------------------------------------------------------------
+  // A5 scale path — approx median over a CONTINUOUS money column, the
+  // declared 100 TB substitute for q52's exact `median` (which buffers
+  // every group value in one aggregation buffer — an executor OOM by
+  // design at scale; fine at oracle scale where it stays for parity).
+  // percentile_approx is a fixed-size rank sketch: constant memory per
+  // group at any row count. No cross-engine oracle (sketch internals
+  // are engine-specific); WideQueriesSpec bounds the error against the
+  // exact median instead — the same carve-out as q80.
+  def q89ApproxMedian(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("med_price_approx"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  // ---------------------------------------------------------------------
   // W2 — bounded ROWS frame: 4-row trailing moving average per user
   // (q10's running sum is unbounded-preceding; q49's frame is
   // value-RANGE — this pins the bounded physical-offset frame).
@@ -424,7 +442,8 @@ object WideQueries {
     "q78_profile"         -> (q78Profile _),
     "q79_bitwise"         -> (q79Bitwise _),
     "q80_approx_aggs"     -> (q80ApproxAggs _),
-    "q84_moving_avg"      -> (q84MovingAvg _))
+    "q84_moving_avg"      -> (q84MovingAvg _),
+    "q89_approx_median"   -> (q89ApproxMedian _))
 
   val oracle: Map[String, String] = Map(
     "q58_grouping_sets"   -> q58Sql,

@@ -20,6 +20,13 @@ object Graph {
     * `changed` count is the only driver-side value (a scalar action for
     * loop control — the same shape GraphFrames' CC uses). Output:
     * (node, component) where component = min node id of the component.
+    *
+    * THROWS if the fixpoint is not reached within `maxIter` rounds:
+    * partially propagated labels are silently WRONG clusters (every
+    * dedup consumer would keep too many "representatives"), so
+    * non-convergence is an error, never a result. Components converge
+    * in O(diameter) rounds — raise `maxIter` for deep path-shaped
+    * graphs (the exception says how far propagation got).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20): DataFrame = {
@@ -39,6 +46,7 @@ object Graph {
       .localCheckpoint()
     var iter = 0
     var converged = false
+    var lastChanged = 0L
     while (!converged && iter < maxIter) {
       val neighborMin = sym.join(labels, sym("d") === labels("node"))
         .groupBy(sym("s").as("nbr_node"))
@@ -53,10 +61,16 @@ object Graph {
         .filter(col("label") =!= col("old_label"))
         .count()
       labels = updated
+      lastChanged = changed
       converged = changed == 0
       iter += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter iterations " +
+          s"($lastChanged labels still changing) — partial labels would be " +
+          s"WRONG clusters; raise maxIter above the component diameter")
     labels.withColumnRenamed("label", "component")
   }
 }

@@ -53,8 +53,10 @@ object Maintenance {
     val nFiles = math.max(1, math.ceil(dataBytes(spark, partDir).toDouble / targetBytes).toInt)
     spark.read.parquet(partDir).coalesce(nFiles)
       .write.mode("overwrite").parquet(staging.toString)
-    fs.delete(part, true)
-    fs.rename(staging, part): Unit
+    // rename-aside publish: a live copy exists at every instant, and
+    // every rename's boolean is checked (never delete-then-rename — a
+    // crash or a false rename there loses the partition)
+    Publish.swap(fs, staging, part)
   }
 
   /** Count of data files in a directory (spec/report helper). */

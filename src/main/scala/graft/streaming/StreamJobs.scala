@@ -134,18 +134,22 @@ object StreamJobs {
         val hconf = spark.sparkContext.hadoopConfiguration
         val snap = new org.apache.hadoop.fs.Path(snapshotDir)
         val fs = snap.getFileSystem(hconf)
-        val latestPerKey = graft.operators.Ranking.topPerGroup(
-          batch, keys.map(org.apache.spark.sql.functions.col),
-          Seq(org.apache.spark.sql.functions.col(orderCol).desc), 1)
         val merged =
           if (fs.exists(snap))
+            // orderCol resolves intra-batch duplicate keys INSIDE merge
+            // (highest wins) — the fan-out guard, not a separate pass
             graft.operators.Upsert.merge(
-              spark.read.parquet(snapshotDir), latestPerKey, keys)
-          else latestPerKey
+              spark.read.parquet(snapshotDir), batch, keys, Some(orderCol))
+          else graft.operators.Ranking.topPerGroup(
+            batch, keys.map(org.apache.spark.sql.functions.col),
+            Seq(org.apache.spark.sql.functions.col(orderCol).desc), 1)
         val tmp = new org.apache.hadoop.fs.Path(snapshotDir + ".staging")
         merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(snap)) fs.delete(snap, true)
-        fs.rename(tmp, snap): Unit
+        // rename-aside publish (graft.operators.Publish): the previous
+        // snapshot survives until the new one holds the live name, so a
+        // crashed swap + checkpoint replay re-merges against the intact
+        // snapshot instead of rebuilding from empty (dropped keys)
+        graft.operators.Publish.swap(fs, tmp, snap)
       }
       .start()
 

@@ -57,6 +57,23 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("correlated subqueries decorrelate to joins, never per-row execution") {
+    // EXISTS → left semi; IN → left semi; NOT IN → (null-aware) anti;
+    // correlated scalar agg → aggregate-then-join. If Catalyst ever
+    // left a correlated subquery in the physical plan it would surface
+    // as an InSubquery/exists subquery node or a nested-loop — both
+    // absent here, so each of these is ONE join keyed on the
+    // correlation column (the shape that survives 100 TB).
+    assert(planOf("q85_exists_correlated").contains("LeftSemi"))
+    assert(planOf("q86_in_subquery").contains("LeftSemi"))
+    val q87 = planOf("q87_not_in_null")
+    assert(q87.contains("LeftAnti"))
+    assert(!q87.contains("NestedLoop"), "null-aware anti fell to nested loop")
+    val q88 = planOf("q88_scalar_correlated")
+    assert(q88.contains("HashAggregate") &&
+      (q88.contains("BroadcastHashJoin") || q88.contains("SortMergeJoin")))
+  }
+
   test("runtime bloom-filter pruning injects on selective shuffle joins at scale thresholds") {
     // The 100 TB shape: a big fact scan sort-merge-joined to a filtered
     // side gets a bloom filter injected on the fact side, so shuffle

@@ -146,6 +146,47 @@ class StreamingSpec extends SparkSpec {
     assert(s2 == Map(1L -> "a", 2L -> "b2", 3L -> "C", 4L -> "d", 9L -> "z"))
   }
 
+  test("CDC apply survives a crashed swap's leftovers — no merged key dropped") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val work = tmpDir()
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("seq", LongType)))
+    def writeBatch(name: String, rows: Seq[String]): Unit = {
+      new java.io.File(s"$work/cdc").mkdirs()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$work/cdc/$name"),
+        rows.mkString("\n").getBytes("UTF-8"))
+    }
+    def applyOnce(): Unit =
+      StreamJobs.upsertStream(
+        Sources.jsonStream(spark, s"$work/cdc", schema),
+        s"$work/snapshot", Seq("k"), "seq", s"$work/ckpt").awaitTermination()
+
+    writeBatch("b1.json", Seq(
+      """{"k":1,"v":"a","seq":1}""", """{"k":2,"v":"b","seq":2}"""))
+    applyOnce()
+
+    // strand BOTH artifacts a crashed swap can leave behind: a stale
+    // staging dir (crash before the swap) and a stale .old dir (crash
+    // after step 2, before cleanup) — the next apply must ignore both
+    Seq((999L, "junk", 0L)).toDF("k", "v", "seq")
+      .write.parquet(s"$work/snapshot.staging")
+    spark.read.parquet(s"$work/snapshot").write.parquet(
+      graft.operators.Publish.retired(
+        new org.apache.hadoop.fs.Path(s"$work/snapshot")).toString)
+
+    writeBatch("b2.json", Seq(
+      """{"k":3,"v":"c","seq":10}""", """{"k":1,"v":"A","seq":11}"""))
+    applyOnce()
+    val s2 = spark.read.parquet(s"$work/snapshot")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    // every previously merged key survived; the junk staging never leaked
+    assert(s2 == Map(1L -> "A", 2L -> "b", 3L -> "c"))
+    // the stale .old was cleared by the successful swap
+    assert(!new java.io.File(s"$work/.snapshot.old").exists())
+  }
+
   test("stream-static join windowed category counts match batch") {
     val work = tmpDir()
     Emulator.write(s"$work/raw", n = 200, seed = 41L)

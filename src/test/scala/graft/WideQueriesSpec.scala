@@ -150,4 +150,18 @@ class WideQueriesSpec extends SparkSpec {
         s"$flag: approx median $p50Approx vs exact $p50")
     }
   }
+
+  test("q89 approx median (q52's declared scale path) stays within 1% of exact") {
+    val approx = WideQueries.q89ApproxMedian(spark, dir).collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        r.getAs[Double]("med_price_approx")).toMap
+    val exact = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("median(o_totalprice)").as("m")).collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Double]("m")).toMap
+    exact.foreach { case (status, m) =>
+      assert(math.abs(approx(status) - m) / m < 0.01,
+        s"$status: approx ${approx(status)} vs exact $m")
+    }
+  }
 }
