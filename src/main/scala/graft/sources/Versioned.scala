@@ -1,0 +1,319 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** S3 — a transactional, versioned table format over plain parquet,
+  * built on the PUBLIC Delta-protocol concepts (Armbrust et al., "Delta
+  * Lake: High-Performance ACID Table Storage over Cloud Object Stores",
+  * VLDB 2020): an append-only commit log of JSON actions beside the
+  * data files, optimistic concurrency on log-entry creation, snapshot
+  * isolation for readers, and time travel by replaying the log to an
+  * older version. The reference delegates exactly this to Delta
+  * (reference README.md:300-304); the zero-egress build rules out the
+  * delta jar, so the protocol is implemented here directly.
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     _graft_log/00000000000000000000.json   // one JSON object per line (action)
+  *     _graft_log/00000000000000000010.checkpoint.json  // consolidated state
+  *     data/v0-<salt>/part-*.parquet          // immutable once committed
+  * }}}
+  *
+  * Commit protocol (writer):
+  *  1. write data files under a fresh `data/v<N>-<salt>/` directory
+  *     (invisible to readers — only the log makes files live);
+  *  2. `create(logFile, overwrite = false)` — EXCLUSIVE create of
+  *     version N's log entry. Exactly one concurrent writer wins; the
+  *     loser re-reads the log and retries against the new snapshot.
+  *
+  * Reader isolation: a read resolves the log ONCE into a file list, so
+  * it sees exactly one version — concurrent commits change the log, not
+  * the already-resolved snapshot, and data files are never mutated or
+  * renamed after commit (no torn reads by construction).
+  *
+  * Scale posture: the log holds FILE METADATA only (grows with commits,
+  * not rows); checkpoints every [[checkpointInterval]] commits bound
+  * replay to O(interval) log files + one checkpoint, the same mechanism
+  * Delta uses at millions of commits. Data-file listing never happens —
+  * the log replaces directory listing, which is the expensive operation
+  * on object stores.
+  */
+object Versioned {
+
+  private val logDirName = "_graft_log"
+  val checkpointInterval = 10
+
+  /** One committed action. `add` paths are table-relative. */
+  private case class Commit(version: Long, action: String, add: Seq[String],
+                            schemaJson: String)
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(table: String) = new Path(table, logDirName)
+
+  private def logFile(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.json")
+
+  private def checkpointFile(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.checkpoint.json")
+
+  // ---------------------------------------------------------------- JSON
+  // Hand-rolled (strings + string arrays only) to stay dependency-free;
+  // paths/schemas go through proper JSON escaping.
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def render(c: Commit): String =
+    s"""{"version":${c.version},"action":"${c.action}","add":[${
+      c.add.map(p => s""""${esc(p)}"""").mkString(",")}],"schema":"${esc(c.schemaJson)}"}"""
+
+  private def parse(line: String): Commit = {
+    // minimal parser for exactly the shape `render` writes
+    def field(name: String): String = {
+      val m = ("\"" + name + "\":").r.findFirstMatchIn(line)
+        .getOrElse(sys.error(s"corrupt log line (no $name): $line"))
+      line.drop(m.end)
+    }
+    val version = field("version").takeWhile(_.isDigit).toLong
+    val action = field("action").drop(1).takeWhile(_ != '"')
+    val addRaw = field("add").drop(1).takeWhile(_ != ']')
+    val add = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(addRaw)
+      .map(m => unesc(m.group(1))).toSeq
+    val schema = {
+      val rest = field("schema").drop(1)
+      // schema is the last field; scan to the unescaped closing quote
+      val sb = new StringBuilder
+      var i = 0
+      var done = false
+      while (!done && i < rest.length) {
+        rest(i) match {
+          case '\\' => sb.append(rest(i)).append(rest(i + 1)); i += 2
+          case '"' => done = true
+          case c => sb.append(c); i += 1
+        }
+      }
+      unesc(sb.toString)
+    }
+    Commit(version, action, add, schema)
+  }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'u' => sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case c => sb.append(c); i += 2
+        }
+      } else { sb.append(s(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  // ------------------------------------------------------------ log I/O
+
+  private def writeString(f: FileSystem, p: Path, s: String,
+                          exclusive: Boolean): Boolean =
+    try {
+      val out = f.create(p, !exclusive)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+      true
+    } catch { case _: java.io.IOException if exclusive => false }
+
+  private def readString(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** All committed versions, ascending (checkpoint files excluded). */
+  private def versions(f: FileSystem, table: String): Seq[Long] = {
+    val dir = logDir(table)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.contains("checkpoint"))
+      .map(_.stripSuffix(".json").toLong).sorted.toSeq
+  }
+
+  /** Resolve the live file set at `asOf` (or latest): nearest checkpoint
+    * ≤ asOf, then replay the tail — O(checkpointInterval) reads however
+    * long the table's history is.
+    */
+  private def resolve(f: FileSystem, table: String, asOf: Option[Long]): Commit = {
+    val vs = versions(f, table)
+    require(vs.nonEmpty, s"not a versioned table (no $logDirName): $table")
+    val target = asOf match {
+      case Some(v) =>
+        require(vs.contains(v), s"version $v not in log (have ${vs.mkString(",")})")
+        v
+      case None => vs.last
+    }
+    val ckpts = f.listStatus(logDir(table)).map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint.json"))
+      .map(_.stripSuffix(".checkpoint.json").toLong)
+      .filter(_ <= target).sorted.lastOption
+    val start: (Seq[String], String) = ckpts match {
+      case Some(cv) =>
+        val c = parse(readString(f, checkpointFile(table, cv)))
+        (c.add, c.schemaJson)
+      case None => (Seq.empty, "")
+    }
+    val replayFrom = ckpts.map(_ + 1).getOrElse(0L)
+    vs.filter(v => v >= replayFrom && v <= target)
+      .foldLeft(Commit(target, "checkpoint", start._1, start._2)) { (state, v) =>
+        val c = parse(readString(f, logFile(table, v)))
+        c.action match {
+          case "append" => state.copy(add = state.add ++ c.add, schemaJson = c.schemaJson)
+          case "overwrite" => state.copy(add = c.add, schemaJson = c.schemaJson)
+          case a => sys.error(s"unknown log action: $a")
+        }
+      }
+  }
+
+  // ------------------------------------------------------------- writes
+
+  /** Stage `df` as parquet data files for version-to-be `v`, return
+    * table-relative paths. The salt keeps retried commits (same target
+    * version, different writers) from colliding in `data/`.
+    */
+  private def stage(df: DataFrame, table: String, v: Long): Seq[String] = {
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    val rel = s"data/v$v-$salt"
+    df.write.parquet(s"$table/$rel")
+    val f = fs(df.sparkSession, new Path(table))
+    f.listStatus(new Path(s"$table/$rel"))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(s => s"$rel/${s.getPath.getName}").sorted.toSeq
+  }
+
+  /** Commit `df` to `table` with `action` ("append" | "overwrite").
+    * Optimistic concurrency: on log-entry collision the data files are
+    * re-pointed at the next version (data is already durable; only the
+    * log entry retries). Returns the committed version.
+    */
+  def commit(df: DataFrame, table: String, action: String,
+             maxRetries: Int = 20): Long = {
+    require(action == "append" || action == "overwrite", s"bad action: $action")
+    val spark = df.sparkSession
+    val f = fs(spark, new Path(table))
+    val schemaJson = df.schema.json
+    var v = versions(f, table).lastOption.map(_ + 1).getOrElse(0L)
+    val files = stage(df, table, v)
+    var attempts = 0
+    while (!writeString(f, logFile(table, v),
+             render(Commit(v, action, files, schemaJson)), exclusive = true)) {
+      attempts += 1
+      require(attempts <= maxRetries, s"lost $maxRetries commit races on $table")
+      v = versions(f, table).lastOption.map(_ + 1).getOrElse(0L)
+    }
+    if (v % checkpointInterval == 0 && v > 0) {
+      val full = resolve(f, table, Some(v))
+      writeString(f, checkpointFile(table, v),
+        render(full.copy(action = "checkpoint")), exclusive = false): Unit
+    }
+    v
+  }
+
+  def append(df: DataFrame, table: String): Long = commit(df, table, "append")
+
+  def overwrite(df: DataFrame, table: String): Long = commit(df, table, "overwrite")
+
+  /** MERGE into the versioned table: read the latest snapshot, merge
+    * the updates ([[graft.operators.Upsert.merge]] semantics), commit
+    * the post-merge state as a new version. First merge into an empty
+    * table is the initial load.
+    */
+  def merge(updates: DataFrame, table: String, keys: Seq[String],
+            orderCol: Option[String] = None): Long = {
+    val spark = updates.sparkSession
+    val f = fs(spark, new Path(table))
+    if (versions(f, table).isEmpty) {
+      val init = orderCol match {
+        case Some(c) => graft.operators.Ranking.topPerGroup(
+          updates, keys.map(org.apache.spark.sql.functions.col),
+          Seq(org.apache.spark.sql.functions.col(c).desc), 1)
+        case None => updates
+      }
+      commit(init, table, "overwrite")
+    } else {
+      // materialize the merge BEFORE committing: the new version's data
+      // derives from the old version's files, which stay immutable
+      commit(graft.operators.Upsert.merge(read(spark, table), updates, keys, orderCol),
+        table, "overwrite")
+    }
+  }
+
+  // -------------------------------------------------------------- reads
+
+  /** Snapshot-isolated read of `table` at `asOf` (default: latest).
+    * The schema comes from the LOG (written at commit time), not from
+    * file footers — schema-on-read is pinned to schema-at-commit.
+    */
+  def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
+    val f = fs(spark, new Path(table))
+    val snap = resolve(f, table, asOf)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    if (snap.add.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(snap.add.map(p => s"$table/$p"): _*)
+  }
+
+  /** Latest committed version number. */
+  def latestVersion(spark: SparkSession, table: String): Long = {
+    val vs = versions(fs(spark, new Path(table)), table)
+    require(vs.nonEmpty, s"not a versioned table: $table")
+    vs.last
+  }
+
+  /** Table history: (version, action, fileCount) ascending. */
+  def history(spark: SparkSession, table: String): Seq[(Long, String, Int)] = {
+    val f = fs(spark, new Path(table))
+    versions(f, table).map { v =>
+      val c = parse(readString(f, logFile(table, v)))
+      (v, c.action, c.add.length)
+    }
+  }
+
+  /** Drop data files no longer referenced by ANY version ≥
+    * `retainVersions` back from latest (older time travel stops
+    * working — the documented trade, same as Delta's VACUUM).
+    */
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int = 2): Int = {
+    val f = fs(spark, new Path(table))
+    val vs = versions(f, table)
+    require(vs.nonEmpty, s"not a versioned table: $table")
+    val keep = vs.takeRight(math.max(1, retainVersions))
+      .flatMap(v => resolve(f, table, Some(v)).add).toSet
+    val dataDir = new Path(table, "data")
+    if (!f.exists(dataDir)) return 0
+    var removed = 0
+    f.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
+      f.listStatus(d.getPath).filter(_.isFile).foreach { file =>
+        val rel = s"data/${d.getPath.getName}/${file.getPath.getName}"
+        if (file.getPath.getName.startsWith("part-") && !keep.contains(rel)) {
+          if (f.delete(file.getPath, false)) removed += 1
+        }
+      }
+      if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, true): Unit
+    }
+    removed
+  }
+}
