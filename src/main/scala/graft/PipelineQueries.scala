@@ -246,6 +246,106 @@ object PipelineQueries {
       |FROM comp GROUP BY component ORDER BY component""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] Gopher-style repetition stats per document (type-token ratio,
+  // most-common-token fraction, most-common-bigram fraction) + the
+  // repetitive? verdict — the word-level MassiveText repetition rules.
+  def q90RepetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Corpus.repetitionStats(
+      Tables.documents(spark, dir), col("doc_id"), col("text"))
+    stats.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("distinct_ratio"), col("top_token_frac"), col("top_bigram_frac"),
+        Corpus.isRepetitive(col("distinct_ratio"), col("top_token_frac"),
+          col("top_bigram_frac")).as("is_repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q90Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |    CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+      |  FROM documents),
+      |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_distinct,
+      |         CAST(max(c) AS BIGINT) AS top_tok_n
+      |       FROM tc GROUP BY 1),
+      |bg AS (SELECT doc_id,
+      |         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      |       FROM toks),
+      |bc AS (SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+      |         CAST(sum(c) AS BIGINT) AS n_bigrams
+      |       FROM bc GROUP BY 1)
+      |SELECT ts.doc_id, n_tokens, n_distinct,
+      |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+      |  CAST(top_tok_n AS DOUBLE) / n_tokens AS top_token_frac,
+      |  COALESCE(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 0.0) AS top_bigram_frac,
+      |  (CAST(n_distinct AS DOUBLE) / n_tokens < 0.3
+      |   OR CAST(top_tok_n AS DOUBLE) / n_tokens > 0.2
+      |   OR COALESCE(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 0.0) > 0.1)
+      |    AS is_repetitive
+      |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+      |ORDER BY ts.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] corpus-quality rollup per source: the report a curation run
+  // ends with — how much of each slice fails which rule. Rolls q90's
+  // per-doc stats + TextOps.qualityScore into per-source fractions.
+  def q91QualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stats = Corpus.repetitionStats(docs, col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("source"),
+        graft.functions.TextOps.qualityScore(col("text"), col("n_chars")).as("q"))
+      .join(stats, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(Corpus.isRepetitive(col("distinct_ratio"), col("top_token_frac"),
+          col("top_bigram_frac")), 1L).otherwise(0L)).as("n_repetitive"),
+        sum(when(col("q") < 0.5, 1L).otherwise(0L)).as("n_low_quality"),
+        avg(col("distinct_ratio")).as("avg_distinct_ratio"))
+      .orderBy(col("source"))
+  }
+
+  private val q91Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |    CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+      |  FROM documents),
+      |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_distinct,
+      |         CAST(max(c) AS BIGINT) AS top_tok_n
+      |       FROM tc GROUP BY 1),
+      |bg AS (SELECT doc_id,
+      |         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      |       FROM toks),
+      |bc AS (SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+      |         CAST(sum(c) AS BIGINT) AS n_bigrams
+      |       FROM bc GROUP BY 1),
+      |s AS (
+      |  SELECT ts.doc_id,
+      |    CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+      |    (CAST(n_distinct AS DOUBLE) / n_tokens < 0.3
+      |     OR CAST(top_tok_n AS DOUBLE) / n_tokens > 0.2
+      |     OR COALESCE(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 0.0) > 0.1)
+      |      AS is_repetitive
+      |  FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id),
+      |docq AS (
+      |  SELECT doc_id, source,
+      |    (least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0)
+      |     + least(1.0, 10.0 * CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |                / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |     + least(1.0, CAST(n_chars AS DOUBLE) / 1000.0)) / 3.0 AS q
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN s.is_repetitive THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+      |  CAST(sum(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+      |  avg(s.distinct_ratio) AS avg_distinct_ratio
+      |FROM docq JOIN s ON docq.doc_id = s.doc_id
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_tfidf"             -> (q69Tfidf _),
@@ -256,7 +356,9 @@ object PipelineQueries {
     "q74_upsert"            -> (q74Upsert _),
     "q75_row_ids"           -> (q75RowIds _),
     "q76_cumulative_users"  -> (q76CumulativeUsers _),
-    "q81_components"        -> (q81Components _))
+    "q81_components"        -> (q81Components _),
+    "q90_repetition_stats"  -> (q90RepetitionStats _),
+    "q91_quality_report"    -> (q91QualityReport _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -267,5 +369,7 @@ object PipelineQueries {
     "q74_upsert"            -> q74Sql,
     "q75_row_ids"           -> q75Sql,
     "q76_cumulative_users"  -> q76Sql,
-    "q81_components"        -> q81Sql)
+    "q81_components"        -> q81Sql,
+    "q90_repetition_stats"  -> q90Sql,
+    "q91_quality_report"    -> q91Sql)
 }

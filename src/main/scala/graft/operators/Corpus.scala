@@ -104,4 +104,54 @@ object Corpus {
     */
   def stratifiedSample(df: DataFrame, key: Column, pct: Int): DataFrame =
     df.filter(hashBucket(key) < pct)
+
+  /** Per-document repetition statistics — the word-level half of the
+    * Gopher/MassiveText repetition rules (Rae et al. 2021, Appendix A:
+    * "fraction of characters in the most common n-gram", duplicate
+    * ratios): type-token ratio, most-common-token fraction, and
+    * most-common-bigram fraction, plus a combined repetitive? verdict.
+    *
+    * Shape: token explode → (doc, token) hash agg → per-doc agg, and
+    * the zip_with bigram construction (map-side, no window) → same two-
+    * level agg. Both shuffles key on doc_id(+gram): fully partial-
+    * aggregated, skew-free (docs are the unit of work), no windows over
+    * unpartitioned data — the per-doc stats pipeline at corpus scale.
+    */
+  def repetitionStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val t = TextOps.tokens(text)
+    val base = docs.select(id.as("doc_id"), t.as("toks"))
+    val tokStats = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_tok_n"))
+    val m = org.apache.spark.sql.functions.size(col("toks")) - 1
+    val bigrams = when(org.apache.spark.sql.functions.size(col("toks")) >= 2,
+      zip_with(slice(col("toks"), lit(1), m), slice(col("toks"), lit(2), m),
+        (x, y) => concat(x, lit(" "), y))).otherwise(array())
+    val biStats = base
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        max(col("c")).as("top_bigram_n"),
+        sum(col("c")).as("n_bigrams"))
+    tokStats.join(biStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+        (col("top_tok_n").cast("double") / col("n_tokens")).as("top_token_frac"),
+        coalesce(col("top_bigram_n").cast("double") / col("n_bigrams"), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
+  /** Gopher-style repetitive-document verdict over [[repetitionStats]]
+    * columns (thresholds tuned to the public rules' spirit; every input
+    * is an exact integer ratio, so the comparisons are engine-stable).
+    */
+  def isRepetitive(distinctRatio: Column, topTokenFrac: Column,
+                   topBigramFrac: Column): Column =
+    distinctRatio < lit(0.3) || topTokenFrac > lit(0.2) || topBigramFrac > lit(0.1)
 }

@@ -167,6 +167,29 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(scores == Set("", "solo", "a", "b"))
   }
 
+  test("q90 repetition stats: exact values on crafted docs, degenerate edges") {
+    val docs = Seq(
+      (1L, "a a a a"),          // maximally repetitive
+      (2L, "w x y z"),          // all distinct
+      (3L, "a b a b a b"),      // alternating: bigrams repeat
+      (4L, "solo")).toDF("doc_id", "text") // single token: no bigrams
+    val r = Corpus.repetitionStats(docs, col("doc_id"), col("text"))
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Double]("distinct_ratio"),
+          x.getAs[Double]("top_token_frac"), x.getAs[Double]("top_bigram_frac")))
+      .toMap
+    assert(r(1L) == ((4L, 0.25, 1.0, 1.0)))           // "a a" ×3 of 3
+    assert(r(2L) == ((4L, 1.0, 0.25, 1.0 / 3.0)))     // every bigram unique
+    assert(r(3L) == ((6L, 1.0 / 3.0, 0.5, 3.0 / 5.0))) // "a b" ×3 of 5
+    assert(r(4L) == ((1L, 1.0, 1.0, 0.0)))            // no bigrams → 0.0
+    // verdict thresholds fire on the designed-repetitive docs
+    val verdicts = Corpus.repetitionStats(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), Corpus.isRepetitive(col("distinct_ratio"),
+        col("top_token_frac"), col("top_bigram_frac")).as("v"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(verdicts(1L) && verdicts(3L))
+  }
+
   test("q73 stratified sample: per-stratum subset, deterministic, ≈20%") {
     val r = PipelineQueries.q73StratifiedSample(spark, dir)
       .as[(String, Long, Long)].collect()
