@@ -51,6 +51,7 @@ object ScaleProbe {
       "simhash_pairs"    -> (d => NearDup.simhashNearDup(d, col("doc_id"), col("text"))),
       "tfidf_top_term"   -> (d => Corpus.topTermPerDoc(d, col("doc_id"), col("text"))),
       "chunk_20_15"      -> (d => Corpus.chunk(d, col("doc_id"), col("text"), 20, 15)),
+      "repetition_stats" -> (d => Corpus.repetitionStats(d, col("doc_id"), col("text"))),
       // iterative operator: edges = exact normalized-dup pairs (cheap to
       // generate), then min-label propagation to a fixpoint
       "components"       -> { d =>

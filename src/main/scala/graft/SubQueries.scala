@@ -82,11 +82,43 @@ object SubQueries {
   def q88ScalarCorrelated(spark: SparkSession, dir: String): DataFrame =
     Sql.run(spark, dir, q88Sql)
 
+  // NOT EXISTS + correlated compound predicate: decorrelates to a
+  // left-ANTI join with both filters pushed below it — the complement
+  // shape of q85 (1094 of 2000 parts at sf0.01 were never shipped as a
+  // large 'A'-flag item).
+  private val q92Sql =
+    """SELECT p_partkey, p_name FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 48
+      |    AND l.l_returnflag = 'A')
+      |ORDER BY p_partkey""".stripMargin
+
+  def q92NotExistsCorrelated(spark: SparkSession, dir: String): DataFrame =
+    Sql.run(spark, dir, q92Sql)
+
+  // MULTI-column correlation (two equality predicates): the semi join
+  // keys on BOTH correlation columns — the tuple-membership shape
+  // (`(a,b) IN (…)`) expressed as EXISTS so the identical text binds in
+  // both engines. Finds small line items in orders where the same
+  // supplier also shipped a near-max item.
+  private val q93Sql =
+    """SELECT a.l_orderkey, a.l_linenumber, a.l_quantity FROM lineitem a
+      |WHERE EXISTS (SELECT 1 FROM lineitem b
+      |  WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey = a.l_suppkey
+      |    AND b.l_quantity >= 49)
+      |  AND a.l_quantity < 49
+      |ORDER BY a.l_orderkey, a.l_linenumber""".stripMargin
+
+  def q93MultiKeyExists(spark: SparkSession, dir: String): DataFrame =
+    Sql.run(spark, dir, q93Sql)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_exists_correlated" -> (q85ExistsCorrelated _),
     "q86_in_subquery"       -> (q86InSubquery _),
     "q87_not_in_null"       -> (q87NotInNull _),
     "q88_scalar_correlated" -> (q88ScalarCorrelated _),
+    "q92_not_exists"        -> (q92NotExistsCorrelated _),
+    "q93_multikey_exists"   -> (q93MultiKeyExists _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -94,5 +126,7 @@ object SubQueries {
     "q86_in_subquery"       -> q86Sql,
     "q87_not_in_null"       -> q87Sql,
     "q88_scalar_correlated" -> q88Sql,
+    "q92_not_exists"        -> q92Sql,
+    "q93_multikey_exists"   -> q93Sql,
   )
 }

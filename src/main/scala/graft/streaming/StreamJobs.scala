@@ -153,6 +153,25 @@ object StreamJobs {
       }
       .start()
 
+  /** [EXT] CDC apply into a VERSIONED table ([[graft.sources.Versioned]]):
+    * each micro-batch MERGEs as one atomic commit, so readers get
+    * snapshot isolation (a query never sees a half-applied batch), the
+    * pre-merge state stays time-travel readable, and a crashed batch
+    * leaves the table at the previous version — checkpoint replay
+    * re-merges idempotently (same-batch merge is a no-op on the keys).
+    * Supersedes the raw-directory swap of [[upsertStream]] wherever the
+    * consumer can read through `Versioned.read`.
+    */
+  def upsertStreamVersioned(stream: DataFrame, table: String, keys: Seq[String],
+                            orderCol: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Versioned.merge(batch, table, keys, Some(orderCol)): Unit
+      }
+      .start()
+
   /** Run a windowed aggregation stream into an in-memory table (test /
     * interactive sink; complete mode because windowed counts update).
     */

@@ -72,6 +72,11 @@ class PlanQualitySpec extends SparkSpec {
     val q88 = planOf("q88_scalar_correlated")
     assert(q88.contains("HashAggregate") &&
       (q88.contains("BroadcastHashJoin") || q88.contains("SortMergeJoin")))
+    val q92 = planOf("q92_not_exists")
+    assert(q92.contains("LeftAnti") && !q92.contains("NestedLoop"))
+    // multi-key correlation: BOTH equality predicates become join keys
+    val q93 = planOf("q93_multikey_exists")
+    assert(q93.contains("LeftSemi") && !q93.contains("NestedLoop"))
   }
 
   test("runtime bloom-filter pruning injects on selective shuffle joins at scale thresholds") {
