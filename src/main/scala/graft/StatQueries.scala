@@ -341,6 +341,33 @@ object StatQueries {
       |ORDER BY nationkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A5 — EXACT percentiles via distributed sort (operators.Stats): the
+  // same interpolated values as q42's buffered `percentile`, computed
+  // with a rank window (external sort, spillable) + an aggregation over
+  // only the rank-boundary rows. This is the declared 100 TB EXACT
+  // path; q42's one-buffer form stays for the built-in-function
+  // surface, q80/q89 sketches cover the approximate path.
+  def q94PercentileDist(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.exactPercentiles(
+        Tables.lineitem(spark, dir), col("l_returnflag"), col("l_quantity"),
+        Seq(0.25, 0.5, 0.75))
+      .groupBy(col("g"))
+      .agg(
+        min(when(col("p") === 0.25, col("pct"))).as("qty_p25"),
+        min(when(col("p") === 0.5, col("pct"))).as("qty_p50"),
+        min(when(col("p") === 0.75, col("pct"))).as("qty_p75"))
+      .select(col("g").as("l_returnflag"),
+        col("qty_p25"), col("qty_p50"), col("qty_p75"))
+      .orderBy(col("l_returnflag"))
+
+  private val q94Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS qty_p25,
+      |  quantile_cont(l_quantity, 0.5) AS qty_p50,
+      |  quantile_cont(l_quantity, 0.75) AS qty_p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_stats_agg"       -> (q46StatsAgg _),
@@ -355,6 +382,7 @@ object StatQueries {
     "q55_sliding_window"  -> (q55SlidingWindow _),
     "q56_outer_join"      -> (q56OuterJoin _),
     "q57_full_outer"      -> (q57FullOuter _),
+    "q94_percentile_dist" -> (q94PercentileDist _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -370,5 +398,6 @@ object StatQueries {
     "q55_sliding_window"  -> q55Sql,
     "q56_outer_join"      -> q56Sql,
     "q57_full_outer"      -> q57Sql,
+    "q94_percentile_dist" -> q94Sql,
   )
 }

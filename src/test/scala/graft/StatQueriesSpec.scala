@@ -123,4 +123,25 @@ class StatQueriesSpec extends SparkSpec {
       .toMap
     assert(got == want)
   }
+
+  test("q94 distributed exact percentiles ≡ the buffered percentile function") {
+    val dist = StatQueries.q94PercentileDist(spark, dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("qty_p25"), r.getAs[Double]("qty_p50"),
+          r.getAs[Double]("qty_p75"))).toMap
+    val buffered = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") -> {
+        val q = r.getSeq[Double](1); (q(0), q(1), q(2))
+      }).toMap
+    assert(dist == buffered)
+    // the scale property: the plan sorts within groups (spillable
+    // external sort) — no Percentile aggregation buffer anywhere
+    val plan = StatQueries.q94PercentileDist(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && !plan.contains("percentile("),
+      s"q94 must rank, not buffer:\n$plan")
+  }
 }
