@@ -6,14 +6,23 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video payloads as opaque
   * `binary` columns with typed metadata extracted alongside.
   *
-  * The decode step is a STUB — this container has no image/audio codecs
-  * — implemented as deterministic arithmetic over the payload bytes so
-  * the Spark-side plumbing (schema, batch shape, partitioning) is real
-  * and testable. A production build swaps [[decodeImageStub]]'s body for
-  * a real codec call; everything around it (the per-partition batching,
-  * the struct schema, the column API) is unchanged.
+  * Two decode tiers:
+  *
+  *  - REAL image decode ([[decodeImagesReal]], [[resizeImagesReal]],
+  *    [[luminanceHistogram]]) via the JDK's own `javax.imageio`
+  *    (PNG/BMP/GIF/JPEG — ships with Java, zero external codecs).
+  *    Undecodable payloads are QUARANTINED (`ok = false` row, fields
+  *    null), never dropped and never fatal — the corrupt-record
+  *    contract from the JSON sources applied to binary columns.
+  *  - STUB arithmetic ([[decodeImageStub]] and the expression forms)
+  *    for codecs the JDK lacks (video/audio): deterministic fake
+  *    metadata keeps the plumbing testable AND oracle-checkable in
+  *    DuckDB (q30/q82/q83), which a real codec output cannot be.
   */
 object Multimodal {
+
+  // force headless AWT before any ImageIO touch — executors have no X
+  System.setProperty("java.awt.headless", "true")
 
   /** Metadata struct a real image decoder would produce. */
   case class ImageMeta(width: Long, height: Long, channels: Long, nFrames: Long)
@@ -60,6 +69,121 @@ object Multimodal {
         }
       }
       .toDF(idCol, "width", "height", "channels", "n_frames")
+  }
+
+  /** REAL decode of one payload: (width, height, channels), or None if
+    * the bytes are not a decodable image. `ImageIO.read` sniffs the
+    * container from the header — PNG/BMP/GIF/JPEG all work out of the
+    * JDK with no external codec.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Long, Long, Long)] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        .map(img => (img.getWidth.toLong, img.getHeight.toLong,
+          img.getColorModel.getNumComponents.toLong))
+    } catch { case _: Exception => None }
+
+  /** REAL per-partition image decode: true dimensions and channel count
+    * from the payload bytes. Output (id, width, height, channels, ok);
+    * undecodable rows surface with ok = false and null metadata — audit
+    * data, not silent loss. Same mapPartitions batch shape as the stub
+    * path, so swapping tiers never changes the plan around it.
+    */
+  def decodeImagesReal(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          decodeImage(payload) match {
+            case Some((w, h, c)) => (id, Some(w), Some(h), Some(c), true)
+            case None => (id, None, None, None, false)
+          }
+        }
+      }
+      .toDF(idCol, "width", "height", "channels", "ok")
+  }
+
+  /** REAL resize: decode, scale so the longest side fits `maxSide`
+    * (never upscale), re-encode as PNG. Output (id, payload, width,
+    * height) with undecodable rows quarantined as null payload. The
+    * work is per-row CPU inside one mapPartitions — embarrassingly
+    * parallel, no shuffle, the 100 TB image-prep shape.
+    */
+  def resizeImagesReal(df: DataFrame, idCol: String, payloadCol: String,
+                       maxSide: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val out = try {
+            Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))).map { img =>
+              val scale = math.min(1.0,
+                maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+              val (w, h) = (math.max(1, math.floor(img.getWidth * scale).toInt),
+                math.max(1, math.floor(img.getHeight * scale).toInt))
+              val dst = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, w, h, null): Unit
+              } finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", bos)
+              (bos.toByteArray, w.toLong, h.toLong)
+            }
+          } catch { case _: Exception => None }
+          out match {
+            case Some((bytes, w, h)) => (id, Some(bytes), Some(w), Some(h))
+            case None => (id, None, None, None)
+          }
+        }
+      }
+      .toDF(idCol, payloadCol, "width", "height")
+  }
+
+  /** REAL feature extraction: normalized luminance histogram over the
+    * DECODED pixels (ITU-R BT.601 luma), `array<float>` like a vision
+    * encoder's embedding. Undecodable payloads yield null.
+    */
+  def luminanceHistogram(df: DataFrame, idCol: String, payloadCol: String,
+                         bins: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val emb = try {
+            Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))).map { img =>
+              val counts = new Array[Float](bins)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  val lum = (299 * ((rgb >> 16) & 0xff) +
+                    587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                  counts(lum * bins / 256) += 1f
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (img.getWidth * img.getHeight).toFloat
+              counts.map(_ / n)
+            }
+          } catch { case _: Exception => None }
+          (id, emb)
+        }
+      }
+      .toDF(idCol, "embedding")
   }
 
   /** Deterministic frame sampling for video-like payloads: pick every
