@@ -186,6 +186,49 @@ object Multimodal {
       .toDF(idCol, "embedding")
   }
 
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM —
+    * ships with Java): sample rate, channels, frame count, duration,
+    * and RMS amplitude over the 16-bit samples. Output (id, sample_rate,
+    * channels, n_frames, duration_s, rms, ok); undecodable payloads
+    * quarantine as ok = false, same contract as the image tier.
+    */
+  def decodeAudioReal(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              val fmt = in.getFormat
+              val nFrames = in.getFrameLength
+              val dur = nFrames.toDouble / fmt.getFrameRate
+              // RMS over 16-bit little-endian PCM samples
+              val bytes = in.readAllBytes()
+              var sumSq = 0.0
+              var n = 0
+              if (fmt.getSampleSizeInBits == 16) {
+                var i = 0
+                while (i + 1 < bytes.length) {
+                  val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+                  sumSq += s.toDouble * s; n += 1; i += 2
+                }
+              }
+              val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+              (id, Some(fmt.getSampleRate.toDouble), Some(fmt.getChannels.toLong),
+                Some(nFrames), Some(dur), Some(rms), true)
+            } finally in.close()
+          } catch {
+            case _: Exception => (id, None, None, None, None, None, false)
+          }
+        }
+      }
+      .toDF(idCol, "sample_rate", "channels", "n_frames", "duration_s", "rms", "ok")
+  }
+
   /** Deterministic frame sampling for video-like payloads: pick every
     * `stride`-th byte offset as a fake frame key — exercises the
     * explode/generator shape a frame extractor produces.

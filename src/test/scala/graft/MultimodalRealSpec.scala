@@ -59,6 +59,41 @@ class MultimodalRealSpec extends SparkSpec {
     assert(back.contains((100L, 62L, 3L)))
   }
 
+  /** Synthesize a 16-bit mono PCM WAV of a constant amplitude. */
+  private def wav(hz: Float, nFrames: Int, amplitude: Short): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(hz, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      data(2 * i) = (amplitude & 0xff).toByte
+      data(2 * i + 1) = ((amplitude >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos): Unit
+    bos.toByteArray
+  }
+
+  test("decodeAudioReal extracts true WAV properties; corrupt rows quarantine") {
+    val df = Seq(
+      (1L, wav(16000f, 16000, 1000)),      // 1 s @ 16 kHz, amp 1000
+      (2L, wav(8000f, 4000, 0)),           // 0.5 s of silence @ 8 kHz
+      (3L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    val r = Multimodal.decodeAudioReal(df, "id", "payload")
+      .as[(Long, Option[Double], Option[Long], Option[Long], Option[Double],
+        Option[Double], Boolean)]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._2.contains(16000.0) && r(1L)._3.contains(1L) &&
+      r(1L)._4.contains(16000L) && r(1L)._5.contains(1.0))
+    // constant-amplitude signal: RMS equals the amplitude exactly
+    assert(r(1L)._6.contains(1000.0))
+    assert(r(2L)._5.contains(0.5) && r(2L)._6.contains(0.0))
+    assert(!r(3L)._7 && r(3L)._2.isEmpty)
+  }
+
   test("luminanceHistogram reflects actual pixel content") {
     val r = Multimodal.luminanceHistogram(payloads, "id", "payload", bins = 16)
       .as[(Long, Option[Array[Float]])].collect().toMap
