@@ -341,21 +341,18 @@ object StatQueries {
       |ORDER BY nationkey""".stripMargin
 
   // ---------------------------------------------------------------------
-  // A5 — EXACT percentiles via distributed sort (operators.Stats): the
-  // same interpolated values as q42's buffered `percentile`, computed
-  // with a rank window (external sort, spillable) + an aggregation over
-  // only the rank-boundary rows. This is the declared 100 TB EXACT
-  // path; q42's one-buffer form stays for the built-in-function
-  // surface, q80/q89 sketches cover the approximate path.
+  // A5 — EXACT percentiles, distributed (operators.Stats): the same
+  // interpolated values as q42's buffered `percentile`, computed with
+  // ONE full pass (collapse to weighted distinct values), a range
+  // placement of the collapsed table, and exact rank intervals from
+  // slice offsets — no per-group window, no value buffer. This is the
+  // declared 100 TB EXACT path; q42's one-buffer form stays for the
+  // built-in-function surface, q80/q89 sketches cover the approximate
+  // path.
   def q94PercentileDist(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.exactPercentiles(
+    graft.operators.Stats.exactPercentilesWide(
         Tables.lineitem(spark, dir), col("l_returnflag"), col("l_quantity"),
-        Seq(0.25, 0.5, 0.75))
-      .groupBy(col("g"))
-      .agg(
-        min(when(col("p") === 0.25, col("pct"))).as("qty_p25"),
-        min(when(col("p") === 0.5, col("pct"))).as("qty_p50"),
-        min(when(col("p") === 0.75, col("pct"))).as("qty_p75"))
+        Seq(0.25, 0.5, 0.75), Seq("qty_p25", "qty_p50", "qty_p75"))
       .select(col("g").as("l_returnflag"),
         col("qty_p25"), col("qty_p50"), col("qty_p75"))
       .orderBy(col("l_returnflag"))

@@ -9,44 +9,160 @@ import org.apache.spark.sql.functions._
   * [[exactPercentiles]] is the EXACT-percentile scale path: Spark's
   * `percentile` (and DuckDB's `quantile_cont`) buffer every group value
   * in one aggregation buffer — per-group memory grows with the data, an
-  * executor OOM by design at 100 TB. This form computes the identical
-  * interpolated value with a distributed sort instead: one shuffle to
-  * rank values within each group (Spark's external sort spills, never
-  * buffers a group in memory), then an O(|groups|·|ps|) aggregation
-  * over ONLY the rank-boundary rows. Nothing anywhere holds a group's
-  * values in memory — the 100 TB-safe exact method, alongside the
-  * `percentile_approx` sketch (q80/q89) when an error bound is
-  * acceptable.
+  * executor OOM by design at 100 TB. A per-group rank window
+  * (`Window.partitionBy(g).orderBy(v)`) fixes memory but not
+  * parallelism: it funnels each group through ONE task, so 100 TB
+  * across 3 groups sorts ~33 TB per task (measured: the round-5 form
+  * was the slowest query in the suite, 35× DuckDB at sf0.1). This form
+  * keeps exact interpolated semantics with every core busy and only one
+  * full pass over the data:
+  *
+  *   1. ONE full scan, collapsed by a hash aggregation to distinct
+  *      (group, value) rows with multiplicities — map-side partial
+  *      combine makes the shuffle O(distinct), and every later step
+  *      runs on this collapsed table;
+  *   2. a range shuffle on (group, value) places contiguous value
+  *      slices on partitions — a big group spans MANY partitions, so
+  *      no task ever owns a whole group;
+  *   3. weighted cumulative counts within each (partition, group)
+  *      slice + cross-slice offsets from an O(partitions·groups)
+  *      side table give every distinct value its exact global rank
+  *      interval, and an aggregation over only the interval-boundary
+  *      rows interpolates the answer.
+  *
+  * The collapsed table is materialized once via `localCheckpoint`
+  * (same device as [[Graph]]'s per-round checkpoint and the
+  * zipWithIndex partition-count exchange in [[Ids]]): range-partition
+  * boundaries are SAMPLED, so two independent executions of the same
+  * range exchange may disagree on partition assignment — the slice
+  * offsets and the rank join must read the SAME physical placement,
+  * which only a materialization point guarantees. The checkpoint is
+  * O(distinct(group, value)) — bounded by the input projected to two
+  * columns in the worst case (all values unique), typically orders of
+  * magnitude smaller; storage is disk-backed, shuffle-comparable.
+  * Construction is therefore eager (it runs the collapse + placement
+  * jobs); timing the operator includes them by design.
   */
 object Stats {
 
   /** Exact interpolated percentiles (quantile_cont semantics: target
     * rank `1 + p·(n−1)`, linear interpolation between the two bounding
-    * ranks) per group, one output row per (group, p).
+    * ranks) per group, one output row per (group, p). Null values are
+    * ignored, matching `percentile` / `quantile_cont`. Null GROUPS are
+    * kept (null-safe rank join), matching SQL GROUP BY.
     *
-    * Ties in `value` are safe under any row_number tie order: equal
-    * values at the boundary ranks interpolate to the same result.
+    * Duplicate values collapse to one row covering the rank interval
+    * (cum_lo, cum_hi]; a boundary rank inside the interval reads the
+    * same value a row-number form would, so results are identical to
+    * the uncollapsed sort — and deterministic, because the collapsed
+    * (group, value) rows are unique (no tie order exists at all).
     */
+  /** Exact global rank interval per distinct (group, value): one row
+    * per distinct value with (cum_lo, cum_hi] — the ranks it covers —
+    * and the group total n. The shared core of both percentile forms.
+    */
+  private def rankIntervals(df: DataFrame, group: Column,
+                            value: Column): DataFrame = {
+    val base = df.select(group.as("g"), value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+
+    // 1. the ONLY full-data pass: collapse to weighted distinct rows.
+    // Checkpointed so the range sampler and the range shuffle don't
+    // each rescan the input.
+    val counts = base.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+
+    // 2. contiguous (g, v) slices, partition id stamped, materialized
+    // ONCE — both consumers below must agree on the sampled placement.
+    val ranged = counts
+      .repartitionByRange(col("g"), col("v"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+
+    // Weighted running count within a slice. The window key is
+    // (partition, group) — a slice, bounded by range-partition size,
+    // NEVER a whole group — so this stays parallel at any scale.
+    val slice = Window.partitionBy(col("pid"), col("g")).orderBy(col("v"))
+    val local = ranged.withColumn("cum_in_slice",
+      sum(col("cnt"))
+        .over(slice.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+    // Cross-slice offsets + group totals from the O(partitions·groups)
+    // side table; the only windows over it are tiny by construction.
+    val slices = ranged.groupBy(col("pid"), col("g"))
+      .agg(sum(col("cnt")).as("scnt"))
+    val w = Window.partitionBy(col("g")).orderBy(col("pid"))
+    val offsets = slices.select(col("pid").as("o_pid"), col("g").as("o_g"),
+      coalesce(sum(col("scnt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("off"),
+      sum(col("scnt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .as("n"))
+
+    // 3. exact global rank interval per distinct value: pure arithmetic
+    // after a broadcast join, all cores busy.
+    local
+      .join(broadcast(offsets),
+        col("pid") === col("o_pid") && col("g") <=> col("o_g"))
+      .select(col("g"), col("v"),
+        (col("off") + col("cum_in_slice") - col("cnt")).as("cum_lo"),
+        (col("off") + col("cum_in_slice")).as("cum_hi"),
+        col("n"))
+  }
+
+  private def covers(k: Column): Column =
+    k > col("cum_lo") && k <= col("cum_hi")
+
+  /** Long form: one output row per (group, p) with columns (g, p, pct). */
   def exactPercentiles(df: DataFrame, group: Column, value: Column,
                        ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
-    df.select(group.as("g"), value.cast("double").as("v"))
-      .select(col("g"), col("v"),
-        row_number().over(Window.partitionBy(col("g")).orderBy(col("v"))).as("rn"),
-        count(lit(1)).over(Window.partitionBy(col("g"))).as("n"))
-      .select(col("g"), col("v"), col("rn"), col("n"),
+    rankIntervals(df, group, value)
+      .select(col("g"), col("v"), col("cum_lo"), col("cum_hi"), col("n"),
         explode(array(ps.map(lit): _*)).as("p"))
       .withColumn("t", lit(1.0) + col("p") * (col("n") - lit(1)))
-      // only the two rank-boundary rows per (group, p) survive — the
-      // aggregation input is O(|groups|·|ps|), not O(rows)
-      .filter(col("rn") === floor(col("t")) || col("rn") === ceil(col("t")))
+      // only the interval-boundary rows per (group, p) survive — the
+      // aggregation input is O(|groups|·|ps|), not O(distinct)
+      .filter(covers(floor(col("t"))) || covers(ceil(col("t"))))
       .groupBy(col("g"), col("p"))
       .agg(
-        min(when(col("rn") === floor(col("t")), col("v"))).as("vlo"),
-        min(when(col("rn") === ceil(col("t")), col("v"))).as("vhi"),
+        min(when(covers(floor(col("t"))), col("v"))).as("vlo"),
+        min(when(covers(ceil(col("t"))), col("v"))).as("vhi"),
         min(col("t")).as("t"))
       .select(col("g"), col("p"),
         (col("vlo") + (col("t") - floor(col("t"))) * (col("vhi") - col("vlo")))
           .as("pct"))
+  }
+
+  /** Wide form: one output row per group, one named column per p —
+    * the report shape. ps is static, so the explode + per-(g, p)
+    * aggregation of the long form fold into ONE grouped aggregation
+    * (two fewer shuffles; at bench scale the tail is pure stage
+    * latency, at 100 TB the filter still reduces the input to
+    * O(|groups|·|ps|) boundary rows before the only exchange).
+    */
+  def exactPercentilesWide(df: DataFrame, group: Column, value: Column,
+                           ps: Seq[Double], names: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    require(names.length == ps.length, "one output name per percentile")
+    def t(p: Double): Column = lit(1.0) + lit(p) * (col("n") - lit(1))
+    val boundary = ps.map(p => covers(floor(t(p))) || covers(ceil(t(p))))
+      .reduce(_ || _)
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) => Seq(
+      min(when(covers(floor(t(p))), col("v"))).as(s"_vlo$i"),
+      min(when(covers(ceil(t(p))), col("v"))).as(s"_vhi$i"),
+      min(t(p)).as(s"_t$i"))
+    }
+    val outs = ps.indices.map { i =>
+      (col(s"_vlo$i") + (col(s"_t$i") - floor(col(s"_t$i"))) *
+        (col(s"_vhi$i") - col(s"_vlo$i"))).as(names(i))
+    }
+    rankIntervals(df, group, value)
+      .filter(boundary)
+      .groupBy(col("g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("g") +: outs: _*)
   }
 }

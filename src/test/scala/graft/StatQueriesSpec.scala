@@ -137,11 +137,56 @@ class StatQueriesSpec extends SparkSpec {
         val q = r.getSeq[Double](1); (q(0), q(1), q(2))
       }).toMap
     assert(dist == buffered)
-    // the scale property: the plan sorts within groups (spillable
-    // external sort) — no Percentile aggregation buffer anywhere
-    val plan = StatQueries.q94PercentileDist(spark, dir)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("Window") && !plan.contains("percentile("),
-      s"q94 must rank, not buffer:\n$plan")
+    // the scale property: no Percentile aggregation buffer, and no
+    // per-group window funnel — every window is either keyed by a
+    // (partition, group) SLICE (bounded by range-partition size) or
+    // runs over the already-aggregated O(partitions·groups) side table.
+    // sparkPlan, not executedPlan: AQE hides the tree behind an
+    // AdaptiveSparkPlanExec wrapper until runtime.
+    val physical = StatQueries.q94PercentileDist(spark, dir)
+      .queryExecution.sparkPlan
+    val plan = physical.toString
+    assert(!plan.contains("percentile("), s"q94 must rank, not buffer:\n$plan")
+    val windows = physical.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "rank-interval computation should be window-shaped")
+    windows.foreach { w =>
+      val sliceKeyed = w.partitionSpec.size >= 2
+      val overSideTable = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty
+      assert(sliceKeyed || overSideTable,
+        s"a window funnels whole groups through one task:\n$w")
+    }
+  }
+
+  test("exactPercentiles: unique values, duplicates, null groups, many partitions") {
+    import graft.operators.Stats
+    // adversarial shape: continuous values (distinct == rows), a null
+    // group, heavy duplicates in one group — exercised across enough
+    // rows that the collapsed table spans many range partitions
+    val rows = (1 to 5000).map(i => ("a", i.toDouble)) ++          // unique
+      (1 to 3000).map(i => ("b", (i % 7).toDouble)) ++             // 7 distinct
+      (1 to 100).map(i => (null.asInstanceOf[String], i.toDouble)) // null group
+    val df = rows.toDF("k", "x")
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val got = Stats.exactPercentiles(df, col("k"), col("x"), ps)
+      .collect()
+      .map(r => (Option(r.getAs[String]("g")), r.getAs[Double]("p")) ->
+        r.getAs[Double]("pct")).toMap
+    val want = df.groupBy(col("k"))
+      .agg(expr(s"percentile(x, array(${ps.mkString("D,")}D))").as("q"))
+      .collect()
+      .flatMap { r =>
+        val q = r.getSeq[Double](1)
+        ps.zipWithIndex.map { case (p, i) =>
+          (Option(r.getAs[String]("k")), p) -> q(i)
+        }
+      }.toMap
+    assert(got.keySet == want.keySet, "group/percentile keys differ")
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-9, s"$k: got $v want ${want(k)}")
+    }
   }
 }
