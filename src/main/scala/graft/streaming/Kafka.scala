@@ -41,21 +41,35 @@ object Kafka {
     records.select(from_json(col("value").cast("string"), schema).as("r"))
       .select(col("r.*"))
 
+  /** The decode half of [[source]], split out so it runs against ANY
+    * Kafka-shaped relation — rows carrying (`value`, `timestamp`), which
+    * is what `format("kafka").load()` emits and what a MemoryStream
+    * rehearsal feeds in tests: parse `value` under the declared schema
+    * (never inferred — ST1 rule) and surface the broker ingest time as
+    * `kafka_ts` (the watermark column when the payload carries no event
+    * time). Keeping this a pure DataFrame transform is what lets the
+    * zero-egress build execute the full source→clean→sink streaming
+    * pipeline without a broker.
+    */
+  def decode(records: DataFrame, schema: StructType): DataFrame =
+    records
+      .select(from_json(col("value").cast("string"), schema).as("r"),
+        col("timestamp").as("kafka_ts"))
+      .select(schema.fieldNames.map(n => col(s"r.`$n`")).toSeq :+ col("kafka_ts"): _*)
+
   /** S4 source — subscribe to a topic; emits the declared-schema
-    * columns plus `kafka_ts` (broker ingest time, the watermark column
-    * when the payload carries no event time).
+    * columns plus `kafka_ts` via [[decode]].
     */
   def source(spark: SparkSession, bootstrapServers: String, topic: String,
              schema: StructType,
              startingOffsets: String = "earliest"): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .load()
-      .select(from_json(col("value").cast("string"), schema).as("r"),
-        col("timestamp").as("kafka_ts"))
-      .select(schema.fieldNames.map(n => col(s"r.`$n`")).toSeq :+ col("kafka_ts"): _*)
+    decode(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load(),
+      schema)
 
   /** S4 sink — checkpointed exactly-once-per-epoch write of the
     * enveloped stream into a topic.

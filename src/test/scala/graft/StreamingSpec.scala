@@ -225,6 +225,86 @@ class StreamingSpec extends SparkSpec {
     assert(Versioned.history(spark, s"$work/vt").length == 2)
   }
 
+  test("kafka-shaped stream: envelope → decode → clean → sink runs as ONE streaming query") {
+    // The S4 execution rehearsal (zero-egress: no broker can exist, so a
+    // MemoryStream stands in for the topic): records enter as the exact
+    // (key, value, timestamp) relation format("kafka").load() emits,
+    // flow through Kafka.decode under the declared schema, the SAME
+    // batch cleaner, and a streaming sink — one running query end to
+    // end, not a pure-function round-trip.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Kafka
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val work = tmpDir()
+    Emulator.write(s"$work/raw", n = 200, seed = 91L)
+    val raw = Sources.json(spark, s"$work/raw/pin", Schemas.rawPin)
+    // what the producer publishes: the envelope of each raw record,
+    // stamped with a broker ingest time (fixed base + offset)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val published = Kafka.envelope(raw, "index").collect().zipWithIndex.map {
+      case (r, i) => (r.getString(0), r.getString(1), new java.sql.Timestamp(base + i * 1000L))
+    }
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    mem.addData(published.toIndexedSeq: _*)
+
+    val records = mem.toDF().toDF("key", "value", "timestamp")
+    val cleaned = Cleaners.pin(Kafka.decode(records, Schemas.rawPin))
+    val q = cleaned.writeStream.format("memory").queryName("kafka_rt_test")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("kafka_rt_test")
+    val batch = Cleaners.pin(raw)
+    assert(streamed.count() == 200)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("kafka_ts watermark finalizes closed windows and holds open ones") {
+    // The watermark column is the broker ingest time surfaced by
+    // Kafka.decode — the declared S4 posture when the payload has no
+    // event time. Append mode makes the watermark OBSERVABLE: a window
+    // emits only once the watermark passes its close, so the assertions
+    // below fail if kafka_ts stops driving eviction.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Kafka
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def rec(cat: String, ts: String): (String, String, java.sql.Timestamp) =
+      ("1", s"""{"index":1,"category":"$cat"}""", java.sql.Timestamp.valueOf(ts))
+
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val records = mem.toDF().toDF("key", "value", "timestamp")
+    val counts = Kafka.decode(records, Schemas.rawPin)
+      .withWatermark("kafka_ts", "10 minutes")
+      .groupBy(window(col("kafka_ts"), "1 hour"), col("category"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("category"), col("n"))
+    val q = counts.writeStream.format("memory").queryName("kafka_wm_test")
+      .outputMode("append").start()
+
+    // hour-0 records only: watermark (max - 10 min) is still inside
+    // hour 0, so no window may emit
+    mem.addData(rec("art", "2024-01-01 00:05:00"), rec("art", "2024-01-01 00:20:00"),
+      rec("diy", "2024-01-01 00:40:00"))
+    q.processAllAvailable()
+    assert(spark.table("kafka_wm_test").isEmpty,
+      "no window is closed yet — nothing may emit")
+
+    // an hour-2 record advances the watermark past hour 0's close:
+    // hour-0 windows finalize and emit; hour-2's window stays open
+    mem.addData(rec("art", "2024-01-01 02:30:00"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("kafka_wm_test")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(out == Set(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "art", 2L),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "diy", 1L)))
+  }
+
   test("stream-static join windowed category counts match batch") {
     val work = tmpDir()
     Emulator.write(s"$work/raw", n = 200, seed = 41L)
