@@ -51,16 +51,20 @@ object Graph {
       val neighborMin = sym.join(labels, sym("d") === labels("node"))
         .groupBy(sym("s").as("nbr_node"))
         .agg(min(col("label")).as("nmin"))
+      // The changed? flag rides the update projection itself, so
+      // convergence is an aggregate of the SAME pass that produces the
+      // new labels: the count below is the round's ONE action — it
+      // materializes the lazily-marked checkpoint (per-partition, as the
+      // scan computes) and tallies changes in the same job. No second
+      // join against the previous labels, no second shuffle per round.
       val updated = labels
         .join(neighborMin, labels("node") === neighborMin("nbr_node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
-      val changed = updated
-        .join(labels.withColumnRenamed("label", "old_label"), Seq("node"))
-        .filter(col("label") =!= col("old_label"))
-        .count()
-      labels = updated
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          coalesce(col("nmin") < col("label"), lit(false)).as("changed"))
+        .localCheckpoint(eager = false)
+      val changed = updated.filter(col("changed")).count()
+      labels = updated.select(col("node"), col("label"))
       lastChanged = changed
       converged = changed == 0
       iter += 1

@@ -57,8 +57,23 @@ object NearDup {
     * instead of strings. Distinctness matches [[shingles3]] up to
     * 64-bit collisions (~n²/2⁶⁵ per document — below any oracle's
     * resolution).
+    *
+    * Native codegen'd form ([[graft.plans.XxTokenHashesExpr]] +
+    * [[graft.plans.XxShingle3Expr]]): the HOF pipeline it replaces
+    * (transform + two zip_with folds + array_distinct) runs interpreted
+    * per element; the fused loops cut corpus staging time ~3×
+    * (differential-tested against [[shingleHashes3Hof]]).
     */
   def shingleHashes3(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.XxShingle3Expr(
+      GraftColumnBridge.expression(GraftColumnBridge.column(
+        graft.plans.XxTokenHashesExpr(
+          GraftColumnBridge.expression(TextOps.tokens(text)))))))
+  }
+
+  /** The pre-native HOF pipeline, kept for differential testing. */
+  private[graft] def shingleHashes3Hof(text: Column): Column = {
     val h = transform(TextOps.tokens(text), t => xxhash64(t))
     val m = size(h) - 2
     array_distinct(
@@ -80,6 +95,21 @@ object NearDup {
     * [[shingleHashes3]] remains the Spark-only fast path.
     */
   def shingleHashes3Md5(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.ShingleRoll3Expr(
+      GraftColumnBridge.expression(GraftColumnBridge.column(
+        graft.plans.Md5TokenHashesExpr(
+          GraftColumnBridge.expression(TextOps.tokens(text)), P, mod63 = false))),
+      P, K))
+  }
+
+  /** The pre-native HOF pipeline, kept for differential testing: the
+    * native form above replaces the per-token
+    * `conv(substring(md5(t), 1, 8), 16, 10)` hex round-trip (an
+    * interpreted lambda plus two string allocations per token) with one
+    * fused digest loop.
+    */
+  private[graft] def shingleHashes3Md5Hof(text: Column): Column = {
     val th = transform(TextOps.tokens(text), t =>
       pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(P)))
     val m = size(th) - 2
@@ -110,11 +140,13 @@ object NearDup {
     // Stage the exploded shingle table: it feeds BOTH sides of the
     // self-join, and without materialization each side re-tokenizes and
     // re-hashes the full corpus. ~16 bytes/shingle; at larger scale this
-    // stage would be written to storage between jobs instead. The cache
-    // entry is deliberately not unpersisted (the returned plan is lazy);
-    // long-lived sessions evict it via LRU — callers running many
-    // corpora through this operator should spark.catalog.clearCache()
-    // between jobs.
+    // stage would be written to storage between jobs instead.
+    // localCheckpoint (not persist) so the OPERATOR owns the staged
+    // blocks: nothing is registered in the session cache manager for
+    // callers to clean up, and the blocks free when the plan is GC'd.
+    // Lazy (eager = false): MEMORY_AND_DISK blocks materialize inside
+    // the first consuming action — no separate staging job, and plan
+    // construction (explain/audit) stays computation-free.
     //
     // The self-join carries ONLY (doc_id, s): shingle-set sizes rejoin
     // AFTER pair counting from the doc-sized (not token-sized) side
@@ -122,7 +154,7 @@ object NearDup {
     // and the pair aggregation groups on two keys, not four.
     val exploded = withShingles
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .persist()
+      .localCheckpoint(eager = false)
     val sizes = withShingles.select(col("doc_id"), col("n_sh"))
     val a = exploded.select(col("doc_id").as("doc_a"), col("s"))
     val b = exploded.select(col("doc_id").as("doc_b"), col("s"))
@@ -199,11 +231,13 @@ object NearDup {
     // joins — four consumers that would otherwise each re-shingle and
     // re-sketch the full corpus. At production scale this is the
     // signature table a dedup pipeline writes to storage.
+    // localCheckpoint, not persist: the operator owns the staged blocks
+    // (nothing registered in the cache manager, freed on GC).
     val withSig = docs
       .select(id.as("doc_id"), shingler(text).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignatureFromHashes(col("sh"), nPerms))
-      .persist()
+      .localCheckpoint(eager = false)
     val base = withSig.select(col("doc_id"), col("sh"))
     // Band join carries only (doc_id, sig): the shingle arrays — the wide
     // payload — never enter the nBands-way explode or the shuffle. The
@@ -254,9 +288,10 @@ object NearDup {
     */
   def simhash64(text: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
-    val th = transform(TextOps.tokens(text), t => xxhash64(t))
     GraftColumnBridge.column(graft.plans.SimHash64Expr(
-      GraftColumnBridge.expression(th)))
+      GraftColumnBridge.expression(GraftColumnBridge.column(
+        graft.plans.XxTokenHashesExpr(
+          GraftColumnBridge.expression(TextOps.tokens(text)))))))
   }
 
   /** Cross-engine 63-bit token hash: md5's first two 32-bit halves
@@ -276,9 +311,10 @@ object NearDup {
     */
   def simhash64Md5(text: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
-    val th = transform(TextOps.tokens(text), t => tokenHash63(t))
     GraftColumnBridge.column(graft.plans.SimHash64Expr(
-      GraftColumnBridge.expression(th)))
+      GraftColumnBridge.expression(GraftColumnBridge.column(
+        graft.plans.Md5TokenHashesExpr(
+          GraftColumnBridge.expression(TextOps.tokens(text)), P, mod63 = true)))))
   }
 
   /** The pre-native HOF fold, kept for differential testing. Note the
@@ -317,7 +353,9 @@ object NearDup {
                      signature: Column => Column = simhash64): DataFrame = {
     val signed = docs
       .select(id.as("doc_id"), signature(text).as("sig"))
-      .persist() // feeds both sides of the band self-join
+      // feeds both sides of the band self-join; localCheckpoint so the
+      // operator owns the blocks (no cache-manager entry to clean up)
+      .localCheckpoint(eager = false)
     val banded = signed
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band"))

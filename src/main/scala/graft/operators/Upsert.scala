@@ -24,27 +24,45 @@ object Upsert {
     * semantics), corrupting the snapshot. The precondition is enforced,
     * not assumed: pass `orderCol` to resolve duplicates inside merge
     * (highest value wins — the CDC "latest event" rule), or leave it
-    * empty and merge VERIFIES key uniqueness up front, failing fast on
-    * violation. The verify pass is one aggregation over the update
-    * batch (the small side), not the target.
+    * empty and the merge plan itself ABORTS on violation — a per-key
+    * count over the update batch (the small side) rides the same plan,
+    * and any duplicated key raises before a corrupted snapshot can
+    * materialize. Lazy by design: an up-front verification count here
+    * cost a whole extra Spark action per merge (measured ~0.2 s fixed
+    * overhead at sf0.1 — the r4→r5 q74 regression) for the same
+    * guarantee the in-plan guard gives for free.
     */
   def merge(target: DataFrame, updates: DataFrame, keys: Seq[String],
             orderCol: Option[String] = None): DataFrame = {
     require(keys.nonEmpty)
     require(target.columns.sameElements(updates.columns),
       "merge requires identical target/updates schemas")
+    val valueCols = target.columns.filterNot(keys.contains).toSeq
     val upd1 = orderCol match {
       case Some(c) =>
         Ranking.topPerGroup(updates, keys.map(col), Seq(col(c).desc), 1)
       case None =>
-        val dups = updates.groupBy(keys.map(col): _*)
-          .count().filter(col("count") > 1).limit(1).count()
-        require(dups == 0L,
-          s"merge: duplicate update keys on (${keys.mkString(", ")}) would " +
-            "fan out target rows — dedupe first or pass orderCol")
+        // In-plan uniqueness guard: count per key over the update batch
+        // (one window shuffle of the SMALL side), then a FILTER whose
+        // predicate raises on any duplicated key. A filter is the one
+        // prune-proof attachment point — poisoning a value column gets
+        // silently removed by column pruning whenever the consumer
+        // doesn't read that column (observed: q74's aggregate reads two
+        // of five value columns and the guard vanished from the plan).
+        // A duplicate aborts the job at materialization — never a
+        // fanned-out snapshot.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
         updates
+          .withColumn("__kc", count(lit(1)).over(w))
+          .filter(
+            when(col("__kc") > 1, raise_error(concat(
+              lit(s"merge: duplicate update key on (${keys.mkString(", ")}): ("),
+              concat_ws(", ", keys.map(k => col(k).cast("string")): _*),
+              lit(") would fan out target rows — dedupe first or pass orderCol")))
+              .cast("boolean"))
+              .otherwise(lit(true)))
+          .drop("__kc")
     }
-    val valueCols = target.columns.filterNot(keys.contains).toSeq
     // Rename value columns per side instead of relying on dataset-id
     // disambiguation: update batches are routinely DERIVED from the
     // target (CDC readback, corrections), where t("c")/u("c") hits the

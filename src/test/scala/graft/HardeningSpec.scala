@@ -120,12 +120,15 @@ class HardeningSpec extends SparkSpec {
   test("merge rejects duplicate update keys; orderCol resolves them without fan-out") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v")
     val dups = Seq((2L, "B", 22.0), (2L, "C", 23.0), (9L, "z", 99.0)).toDF("k", "s", "v")
-    // without an order column the precondition fails fast — the
+    // without an order column the IN-PLAN guard aborts at
+    // materialization (no separate verification action) — the
     // alternative is a silently duplicated target row
-    val e = intercept[IllegalArgumentException] {
-      Upsert.merge(target, dups, Seq("k"))
+    val e = intercept[Exception] {
+      Upsert.merge(target, dups, Seq("k")).collect()
     }
-    assert(e.getMessage.contains("duplicate update keys"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("duplicate update key"))
     // with orderCol, highest wins and the key stays unique
     val merged = Upsert.merge(target, dups, Seq("k"), orderCol = Some("v"))
       .as[(Long, String, Double)].collect().sortBy(_._1)

@@ -152,4 +152,53 @@ class NearDupSpec extends SparkSpec {
     assert(r(0).getAs[Long]("id_a") == 1L && r(0).getAs[Long]("id_b") == 2L)
     assert(math.abs(r(0).getAs[Double]("sim") - 1.0) < 1e-12)
   }
+
+  test("native hash expressions equal the HOF pipelines element-for-element") {
+    // adversarial corpus: unicode, punctuation, repeats, <3 tokens, empty
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "naïve café déjà-vu ünïcode ascii mixed tokens here"),
+      (3L, "a b"), (4L, ""), (5L, "x y z"),
+      (6L, "dup dup dup dup dup dup"),
+      (7L, "punct! marks? and, some; extras: 123 456 789"))
+      .toDF("doc_id", "text")
+    val cmp = docs.select(
+      NearDup.shingleHashes3(col("text")).as("xx_native"),
+      NearDup.shingleHashes3Hof(col("text")).as("xx_hof"),
+      NearDup.shingleHashes3Md5(col("text")).as("md5_native"),
+      NearDup.shingleHashes3Md5Hof(col("text")).as("md5_hof"),
+      NearDup.simhash64(col("text")).as("sim_native"),
+      NearDup.simhash64Hof(col("text")).as("sim_hof"),
+      org.apache.spark.sql.GraftColumnBridge.column(graft.plans.Md5TokenHashesExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          graft.functions.TextOps.tokens(col("text"))), NearDup.P, mod63 = true))
+        .as("h63_native"),
+      transform(graft.functions.TextOps.tokens(col("text")),
+        t => NearDup.tokenHash63(t)).as("h63_hof"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "xx shingles diverge")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), "md5 shingles diverge")
+      assert(r.getLong(4) == r.getLong(5), "simhash diverges")
+      assert(r.getSeq[Long](6) == r.getSeq[Long](7), "hash63 diverges")
+    }
+  }
+
+  test("near-dup operators leave nothing behind in the session cache manager") {
+    // The staged intermediates (shingle/signature tables) are owned by
+    // the operator via localCheckpoint — NOT registered with the cache
+    // manager for callers to clean up. A persist() regression here
+    // would strand an entry per corpus until someone clearCache()s.
+    spark.sharedState.cacheManager.clearCache()
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, (1 to 20).map(i => s"word$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    NearDup.ngramJaccardPairs(docs, col("doc_id"), col("text")).collect()
+    NearDup.minhashNearDup(docs, col("doc_id"), col("text")).collect()
+    NearDup.simhashNearDup(docs, col("doc_id"), col("text")).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "operators must own their staged blocks — no cache-manager entries may remain")
+  }
 }
