@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** ANN quality probe: recall@k of the approximate similarity paths
+  * against the brute-force truth, per parameter setting — the dial that
+  * justifies IVF/LSH defaults (uniform random embeddings are the ANN
+  * worst case, so these numbers are lower bounds on real corpora).
+  *
+  * Usage: tools/run.sh graft.RecallProbe [sfDir]
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, e, 5))
+    def recall(s: Set[(Long, Long)]): Double = (exact & s).size.toDouble / exact.size
+
+    for (iters <- Seq(0, 1, 2, 3))
+      println(f"ivf lloydIters=$iters%d  recall@5 = ${
+        recall(pairs(Similarity.ivfTopK(q, e, 5, lloydIters = iters)))}%.3f")
+    for (probes <- Seq(4, 6, 8))
+      println(f"ivf nProbes=$probes%d (lloyd=2) recall@5 = ${
+        recall(pairs(Similarity.ivfTopK(q, e, 5, nProbes = probes, lloydIters = 2)))}%.3f")
+    println(f"lsh                recall@5 = ${recall(pairs(Similarity.lshTopK(q, e, 5)))}%.3f")
+    spark.stop()
+  }
+}

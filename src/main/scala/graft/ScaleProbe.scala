@@ -31,9 +31,23 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
   }
 
+  /** Adversarial skew: every third doc's text becomes one shared
+    * boilerplate template, so the replicated corpus carries a duplicate
+    * cluster that GROWS WITH THE CORPUS (n/3 docs). Uncapped banding
+    * pairs that cluster quadratically — (n/3)²/2 candidates at any
+    * band key — which is exactly the input shape the frequency cap
+    * exists for.
+    */
+  def injectSkew(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("all work and no play makes jack a dull boy every single day"))
+        .otherwise(col("text")))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val scales = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 3, 10)
+    val (scaleArgs, opFilter) = args.drop(1).toSeq.partition(_.forall(_.isDigit))
+    val scales = if (scaleArgs.nonEmpty) scaleArgs.map(_.toInt) else Seq(1, 3, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,10 +76,21 @@ object ScaleProbe {
           .filter(col("doc_id") =!= col("keep_id"))
           .select(col("keep_id").as("src"), col("doc_id").as("dst"))
         Graph.connectedComponents(d.select(col("doc_id")), edges)
-      })
+      },
+      // skewed corpus (one boilerplate cluster = n/3 of all docs) with
+      // the frequency cap engaged: time must stay near-linear — the cap
+      // drops the cluster's heavy band keys instead of pairing them
+      "minhash_skew_cap" -> (d => NearDup.minhashNearDup(injectSkew(d),
+        col("doc_id"), col("text"), maxBandFreq = Some(50))),
+      "simhash_skew_cap" -> (d => NearDup.simhashNearDup(injectSkew(d),
+        col("doc_id"), col("text"), maxBandFreq = Some(50))),
+      "jaccard_skew_cap" -> (d => NearDup.ngramJaccardPairs(injectSkew(d),
+        col("doc_id"), col("text"), maxShingleFreq = Some(50))))
 
+    val selected = if (opFilter.isEmpty) ops
+                   else ops.filter(o => opFilter.exists(o._1.contains))
     println(f"${"operator"}%-18s " + scales.map(s => f"${s}%8dx").mkString(" "))
-    ops.foreach { case (name, op) =>
+    selected.foreach { case (name, op) =>
       val times = scales.map { s =>
         val docs = replicate(Tables.documents(spark, sfDir), s)
         Bench.force(op(docs))               // warm (codegen, listing)

@@ -160,7 +160,24 @@ object SimQueries {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
-  private val q33Sql = {
+  // ---------------------------------------------------------------------
+  // A8 — MinHash+LSH with the band-key frequency cap engaged: band keys
+  // shared by more than `cap` docs are dropped before pairing (the skew
+  // guard — one boilerplate template must not pin the job on a k²/2
+  // bucket). ORACLE-CHECKED including the cap: the DuckDB twin applies
+  // the identical heavy-key anti-join, so the capped candidate set
+  // itself is what hash-matches.
+  def q97MinhashCapped(spark: SparkSession, dir: String): DataFrame =
+    NearDup.minhashNearDup(Tables.documents(spark, dir), col("doc_id"), col("text"),
+        shingler = NearDup.shingleHashes3Md5, portableKeys = true,
+        maxBandFreq = Some(2))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+
+  /** Shared q33/q97 oracle body; `capCte` rewrites the banded table
+    * before pairing (identity for q33, heavy-key anti-join for q97).
+    */
+  private def minhashSql(capCte: String): String = {
     val permRows = NearDup.permCoefs(32).zipWithIndex
       .map { case ((a, b), i) => s"(${i + 1}, ${a}, ${b})" }.mkString(", ")
     s"""WITH perms(i, a, b) AS (VALUES $permRows),
@@ -183,9 +200,10 @@ object SimQueries {
        |    (max(CASE WHEN i % 2 = 1 THEN m END) * 1000003
        |      + max(CASE WHEN i % 2 = 0 THEN m END)) % 2147483647 AS band_key
        |  FROM sig GROUP BY 1, 2),
+       |$capCte
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-       |  FROM bk a JOIN bk c ON a.band = c.band AND a.band_key = c.band_key
+       |  FROM bkf a JOIN bkf c ON a.band = c.band AND a.band_key = c.band_key
        |    AND a.doc_id < c.doc_id),
        |sigl AS (SELECT doc_id, list(m ORDER BY i) AS sl FROM sig GROUP BY doc_id),
        |est AS (
@@ -203,6 +221,16 @@ object SimQueries {
        |JOIN sh sb ON sb.doc_id = e.doc_b
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin
   }
+
+  private val q33Sql = minhashSql("bkf AS (SELECT * FROM bk),")
+
+  private val q97Sql = minhashSql(
+    """heavy AS (
+      |  SELECT band, band_key FROM bk GROUP BY band, band_key HAVING count(*) > 2),
+      |bkf AS (
+      |  SELECT bk.* FROM bk
+      |  WHERE NOT EXISTS (SELECT 1 FROM heavy h
+      |                    WHERE h.band = bk.band AND h.band_key = bk.band_key)),""".stripMargin)
 
   // ---------------------------------------------------------------------
   // A8 — SimHash signatures per document. ORACLE-CHECKED: token hashes
@@ -315,6 +343,7 @@ object SimQueries {
     "q32_ann_lsh"          -> (q32AnnLsh _),
     "q37_ann_ivf"          -> (q37AnnIvf _),
     "q33_minhash_neardup"  -> (q33MinhashNearDup _),
+    "q97_minhash_capped"   -> (q97MinhashCapped _),
     "q34_simhash"          -> (q34Simhash _),
     "q43_simhash_neardup"  -> (q43SimhashNearDup _),
     "q35_ngram_jaccard"    -> (q35NgramJaccard _),
@@ -329,6 +358,7 @@ object SimQueries {
     "q32_ann_lsh"           -> q32Sql,
     "q37_ann_ivf"           -> q37Sql,
     "q33_minhash_neardup"   -> q33Sql,
+    "q97_minhash_capped"    -> q97Sql,
     "q34_simhash"           -> q34Sql,
     "q43_simhash_neardup"   -> q43Sql,
     "q35_ngram_jaccard"     -> q35Sql,

@@ -128,8 +128,16 @@ object NearDup {
     * product anywhere.
     *
     * Output: doc_a, doc_b, n_shared, n_a, n_b, jaccard.
+    *
+    * `maxShingleFreq`: drop blocking shingles shared by more than that
+    * many docs (see [[dropHeavyKeys]]) — one stop-shingle in half the
+    * corpus otherwise generates |corpus|²/8 candidate pairs on its own.
+    * CHANGES SEMANTICS when set: n_shared/jaccard then count
+    * non-stop-shingles only, and pairs sharing nothing else disappear
+    * (the skew-safe production posture; None preserves exact Jaccard).
     */
-  def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
+                        maxShingleFreq: Option[Int] = None): DataFrame = {
     // Shingles live in hash space end-to-end (shingleHashes3): the
     // shuffle moves 8-byte keys, the join compares longs, and no shingle
     // string is ever materialized. Collision risk at 2^-64 per pair is
@@ -152,9 +160,10 @@ object NearDup {
     // AFTER pair counting from the doc-sized (not token-sized) side
     // table via broadcast, so the big shuffle moves two longs per row
     // and the pair aggregation groups on two keys, not four.
-    val exploded = withShingles
+    val staged = withShingles
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .localCheckpoint(eager = false)
+    val exploded = maxShingleFreq.fold(staged)(dropHeavyKeys(staged, Seq("s"), _))
     val sizes = withShingles.select(col("doc_id"), col("n_sh"))
     val a = exploded.select(col("doc_id").as("doc_a"), col("s"))
     val b = exploded.select(col("doc_id").as("doc_b"), col("s"))
@@ -220,10 +229,29 @@ object NearDup {
     *
     * Output: doc_a, doc_b, est_jaccard (signature agreement), jaccard.
     */
+  /** Drop band/block keys shared by more than `cap` rows — the skew
+    * guard for candidate generation. A heavy key (boilerplate shared by
+    * k docs) generates k²/2 candidate pairs while carrying almost no
+    * signal; at 100 TB one viral template would pin the whole job on a
+    * single quadratic bucket. Salting does NOT fix this — it only
+    * spreads the shuffle, the pair count stays k²/2 — so the guard
+    * drops the key: true near-dups of any doc in a heavy bucket still
+    * meet in their other, non-degenerate keys. The heavy-key table has
+    * one row per HEAVY key (tiny by construction), so the anti-join
+    * broadcasts.
+    */
+  private def dropHeavyKeys(rows: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val heavy = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+      .select(keys.map(col): _*)
+    rows.join(broadcast(heavy), keys, "left_anti")
+  }
+
   def minhashNearDup(docs: DataFrame, id: Column, text: Column,
                      nPerms: Int = 32, rowsPerBand: Int = 2,
                      shingler: Column => Column = shingleHashes3,
-                     portableKeys: Boolean = false): DataFrame = {
+                     portableKeys: Boolean = false,
+                     maxBandFreq: Option[Int] = None): DataFrame = {
     require(nPerms % rowsPerBand == 0)
     val nBands = nPerms / rowsPerBand
     // Stage (doc_id, shingle-hash set, signature) once: it feeds the two
@@ -259,9 +287,10 @@ object NearDup {
         else
           xxhash64(col("band"), concat_ws(",", bandSlice)))
     val joinKeys = if (portableKeys) Seq("band", "band_key") else Seq("band_key")
-    val b = banded.select((joinKeys.map(col) :+
+    val capped = maxBandFreq.fold(banded)(dropHeavyKeys(banded, joinKeys, _))
+    val b = capped.select((joinKeys.map(col) :+
       col("doc_id").as("doc_b")) :+ col("sig").as("sig_b"): _*)
-    val cand = banded.select((joinKeys.map(col) :+
+    val cand = capped.select((joinKeys.map(col) :+
         col("doc_id").as("doc_a")) :+ col("sig").as("sig_a"): _*)
       .join(b, joinKeys)
       .filter(col("doc_a") < col("doc_b"))
@@ -350,7 +379,8 @@ object NearDup {
     */
   def simhashNearDup(docs: DataFrame, id: Column, text: Column,
                      maxHamming: Int = 3,
-                     signature: Column => Column = simhash64): DataFrame = {
+                     signature: Column => Column = simhash64,
+                     maxBandFreq: Option[Int] = None): DataFrame = {
     val signed = docs
       .select(id.as("doc_id"), signature(text).as("sig"))
       // feeds both sides of the band self-join; localCheckpoint so the
@@ -361,9 +391,15 @@ object NearDup {
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_key",
         call_function("shiftright", col("sig"), col("band") * 16).bitwiseAND(lit(0xffffL)))
-    val b = banded.select(col("band"), col("band_key"),
+    // NOTE: capping trades the pigeonhole guarantee for skew safety on
+    // the heavy keys only — a pair whose every shared band is heavy is
+    // missed, which for hamming ≤ 3 requires the pair to sit inside a
+    // >cap-sized near-identical cluster (boilerplate by definition).
+    val capped = maxBandFreq.fold(banded)(
+      dropHeavyKeys(banded, Seq("band", "band_key"), _))
+    val b = capped.select(col("band"), col("band_key"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    banded.select(col("band"), col("band_key"),
+    capped.select(col("band"), col("band_key"),
         col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       .join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))

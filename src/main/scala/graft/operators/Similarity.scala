@@ -120,13 +120,20 @@ object Similarity {
     * bucket-equality join whose cost is |corpus|·nProbes/nCentroids per
     * query — the classic IVF-flat recall/cost dial.
     *
-    * Centroids here are a deterministic pseudo-random sample of the
-    * corpus (smallest xxhash64(id): stable across runs and cluster
-    * sizes). A production build would run k-means refinement; the
-    * assignment/probe machinery — the Spark-shaped part — is identical.
+    * Seed centroids are a deterministic pseudo-random sample of the
+    * corpus (smallest md5-bucket key: stable across runs and cluster
+    * sizes, reproducible by an external engine). `lloydIters` runs that
+    * many k-means (Lloyd) refinement passes over the seeds — each is
+    * one assignment pass plus a per-dimension mean. The means are
+    * DETERMINISTIC AND CROSS-ENGINE REPRODUCIBLE: per-dimension sums
+    * run in DECIMAL(27,10) (exact, order-independent — a double sum
+    * would vary with partitioning), then one double division by the
+    * cluster size. Empty clusters drop; their seed id disappears from
+    * the centroid set in every engine identically.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbes: Int = 4): DataFrame = {
+              nCentroids: Int = 16, nProbes: Int = 4,
+              lloydIters: Int = 0): DataFrame = {
     val c = candidates
       .select(col("id").as("cand_id"), VectorOps.toDoubleArray(col("vec")).as("cv"))
       .withColumn("c_norm_sq", VectorOps.normSq(col("cv")))
@@ -136,19 +143,35 @@ object Similarity {
     // the centroid set and hash-check the whole IVF pipeline.
     val sampleKey =
       conv(substring(md5(col("cand_id").cast("string")), 1, 8), 16, 10).cast("long")
-    val centroids = c
+    val seeds = c
       .orderBy(sampleKey.asc, col("cand_id").asc)
       .limit(nCentroids)
       .select(col("cand_id").as("centroid_id"), col("cv").as("centv"),
         col("c_norm_sq").as("cent_norm_sq"))
 
     // assignment: nearest centroid per candidate (cosine, ties → smaller id)
-    val assigned = Ranking.topPerGroup(
-      c.join(broadcast(centroids), lit(true))
+    def assignTo(cent: DataFrame): DataFrame = Ranking.topPerGroup(
+      c.join(broadcast(cent), lit(true))
         .withColumn("casim", VectorOps.cosineWithNorms(
           col("cv"), col("centv"), col("c_norm_sq"), col("cent_norm_sq"))),
       Seq(col("cand_id")), Seq(col("casim").desc, col("centroid_id").asc), 1)
       .select(col("centroid_id"), col("cand_id"), col("cv"), col("c_norm_sq"))
+
+    val centroids = (1 to lloydIters).foldLeft(seeds) { (cent, _) =>
+      assignTo(cent)
+        .select(col("centroid_id"), posexplode(col("cv")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(sum(col("col").cast("decimal(27,10)")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            (col("s").cast("double") / col("n")).as("m")))),
+          x => x("m")).as("centv"))
+        .withColumn("cent_norm_sq", VectorOps.normSq(col("centv")))
+        .select(col("centroid_id"), col("centv"), col("cent_norm_sq"))
+    }
+
+    val assigned = assignTo(centroids)
 
     // probes: nProbes nearest centroids per query
     val q = queries

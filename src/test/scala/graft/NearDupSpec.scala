@@ -184,6 +184,54 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("frequency cap bounds candidate pairs under adversarial skew, keeps true pairs") {
+    // Adversarial corpus: a 60-doc boilerplate cluster (identical text —
+    // every band key collides → 60²/2 candidate pairs per band uncapped)
+    // plus two true near-dup pairs with distinct content. The cap must
+    // (a) bound the candidate space, (b) not lose the true pairs.
+    val boiler = (1 to 60).map(i =>
+      (i.toLong, "all work and no play makes jack a dull boy every single day"))
+    val trueA = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (102L, "the quick brown fox jumps over the lazy dog near the river bend"))
+    val trueB = Seq(
+      (201L, "spark partitions shuffle data across executors during wide operations"),
+      (202L, "spark partitions shuffle data across executors during wide transformations"))
+    val docs = (boiler ++ trueA ++ trueB).toDF("doc_id", "text")
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def boilerOnly(p: (Long, Long)): Boolean = p._1 <= 60 && p._2 <= 60
+
+    // in this corpus the ONLY >10-frequency keys are the boilerplate
+    // cluster's, so the cap must remove exactly its internal pairs and
+    // nothing else — for all three candidate generators
+    val uncapped = pairs(NearDup.minhashNearDup(docs, col("doc_id"), col("text")))
+    val capped = pairs(NearDup.minhashNearDup(docs, col("doc_id"), col("text"),
+      maxBandFreq = Some(10)))
+    assert(uncapped.size >= 60 * 59 / 2, "uncapped boilerplate must explode quadratically")
+    assert(capped == uncapped.filterNot(boilerOnly),
+      "cap must drop exactly the heavy cluster's pairs")
+    assert(capped.contains((101L, 102L)) && capped.contains((201L, 202L)),
+      "true near-dup pairs must survive the cap")
+
+    val simUncapped = pairs(NearDup.simhashNearDup(docs, col("doc_id"), col("text")))
+    val simCapped = pairs(NearDup.simhashNearDup(docs, col("doc_id"), col("text"),
+      maxBandFreq = Some(10)))
+    assert(simUncapped.count(boilerOnly) == 60 * 59 / 2)
+    assert(simCapped == simUncapped.filterNot(boilerOnly))
+
+    // one stop-shingle in >half the corpus: jaccard blocking explodes
+    // without the cap, stays exact on everything else with it
+    val jacUncapped = pairs(NearDup.ngramJaccardPairs(docs, col("doc_id"), col("text")))
+    val jacCapped = pairs(NearDup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      maxShingleFreq = Some(10)))
+    assert(jacUncapped.count(boilerOnly) == 60 * 59 / 2)
+    assert(jacCapped == jacUncapped.filterNot(boilerOnly))
+    assert(jacCapped.contains((101L, 102L)) && jacCapped.contains((201L, 202L)))
+  }
+
   test("near-dup operators leave nothing behind in the session cache manager") {
     // The staged intermediates (shingle/signature tables) are owned by
     // the operator via localCheckpoint — NOT registered with the cache
