@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{NearDup, Similarity}
+import graft.operators.{Graph, NearDup, Similarity}
 
 /** Similarity-search and near-duplicate queries (SURVEY.md §2.3 J7,
   * §2.4 A8, LLM-pipeline north star). EVERY query here carries a DuckDB
@@ -133,6 +133,84 @@ object SimQueries {
        |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
        |                 c.centroid_id ASC) AS rn
        |    FROM base b CROSS JOIN cent c
+       |    WHERE b.vec_id < 10)
+       |  WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.cand_id,
+       |    list_sum(list_transform(range(1, 65), i -> p.qv[i] * a.cv[i]))
+       |      / (sqrt(p.qnsq) * sqrt(a.cnsq)) AS sim
+       |  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+       |  WHERE a.cand_id <> p.query_id)
+       |SELECT query_id, cand_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5
+       |ORDER BY query_id, sim DESC, cand_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // J7 scale path, refined — IVF with two deterministic Lloyd passes
+  // over the sampled seeds (Similarity.ivfTopK lloydIters = 2).
+  // ORACLE-CHECKED end-to-end: each pass is an assignment (cosine
+  // argmax, ties → smaller centroid id) plus a per-dimension mean whose
+  // sum runs in DECIMAL(27,10) — exact and order-independent — so the
+  // refined centroid set is identical cross-engine and the whole
+  // refined pipeline (assign → probe → bucket scan → top-k) replays in
+  // SQL. Empty clusters yield no mean rows and drop in both engines.
+  def q98AnnIvfRefined(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.ivfTopK(e.filter(col("id") < 10), e, k = 5, lloydIters = 2)
+  }
+
+  private val q98Sql = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i]))"
+    // One Lloyd pass: assign every corpus vector to its nearest centroid
+    // in `prev`, then per-dimension DECIMAL-exact mean → `next`.
+    def lloyd(prev: String, asg: String, mean: String, next: String) =
+      s"""$asg AS (
+         |  SELECT centroid_id, cv FROM (
+         |    SELECT c.centroid_id, b.v AS cv,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+         |                 c.centroid_id ASC) AS rn
+         |    FROM base b CROSS JOIN $prev c)
+         |  WHERE rn = 1),
+         |$mean AS (
+         |  SELECT centroid_id, i,
+         |    CAST(sum(CAST(cv[i] AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+         |  FROM $asg CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+         |  GROUP BY 1, 2),
+         |$next AS (
+         |  SELECT centroid_id, v, list_sum(list_transform(v, x -> x * x)) AS nsq
+         |  FROM (SELECT centroid_id, list(m ORDER BY i) AS v FROM $mean GROUP BY 1))"""
+        .stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id AS centroid_id, v, nsq FROM base
+       |  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+       |           vec_id ASC
+       |  LIMIT 16),
+       |${lloyd("cent0", "asg1", "m1", "cent1")},
+       |${lloyd("cent1", "asg2", "m2", "cent2")},
+       |assigned AS (
+       |  SELECT centroid_id, cand_id, cv, cnsq FROM (
+       |    SELECT c.centroid_id, b.vec_id AS cand_id, b.v AS cv, b.nsq AS cnsq,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent2 c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id, qv, qnsq FROM (
+       |    SELECT b.vec_id AS query_id, c.centroid_id, b.v AS qv, b.nsq AS qnsq,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent2 c
        |    WHERE b.vec_id < 10)
        |  WHERE rn <= 4),
        |scored AS (
@@ -337,17 +415,68 @@ object SimQueries {
       |ORDER BY sim DESC, id_a, id_b LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A8 composition — SEMANTIC DEDUP CLUSTERS (the SemDeDup pipeline
+  // shape): embedding-cosine pairs above a threshold become edges, the
+  // transitive closure (Graph.connectedComponents) turns pairs into
+  // clusters, and the dedup decision is one representative (= component
+  // min id) per cluster with the rest dropped. Pair generation is the
+  // label-blocked equality join (never all-pairs); the closure is
+  // O(diameter) label-propagation rounds. Oracle: DuckDB recursive CTE
+  // over the identical pair set.
+  def q99SemanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    // The threshold is the dedup dial: it must select genuinely-near
+    // pairs, not "vaguely related" ones — a lax threshold (0.30 on this
+    // corpus) grows a giant sprawling component whose diameter scales
+    // with the corpus, which is the wrong OBJECT, not just slow.
+    // Near-dup clusters proper are shallow (dups of a common original),
+    // so rounds stay O(1) at any scale; maxIter = 60 is the backstop.
+    val pairs = NearDup.embeddingPairs(e, col("id"), col("vec"), col("label"))
+      .filter(col("sim") >= 0.35)
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    Graph.connectedComponents(nodes, pairs.select(col("id_a"), col("id_b")),
+        maxIter = 60)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"),
+        (count(lit(1)) - lit(1)).as("n_dropped"))
+      .orderBy(col("component"))
+  }
+
+  private val q99Sql =
+    """WITH RECURSIVE base AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+      |          / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.35),
+      |sym AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+      |nodes AS (SELECT DISTINCT s AS node FROM sym),
+      |reach(node, label) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT sym.d, r.label FROM reach r JOIN sym ON sym.s = r.node),
+      |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+      |SELECT component, count(*) AS cluster_size, count(*) - 1 AS n_dropped
+      |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk"      -> (q31CosineTopK _),
     "q32_ann_lsh"          -> (q32AnnLsh _),
     "q37_ann_ivf"          -> (q37AnnIvf _),
+    "q98_ann_ivf_refined"  -> (q98AnnIvfRefined _),
     "q33_minhash_neardup"  -> (q33MinhashNearDup _),
     "q97_minhash_capped"   -> (q97MinhashCapped _),
     "q34_simhash"          -> (q34Simhash _),
     "q43_simhash_neardup"  -> (q43SimhashNearDup _),
     "q35_ngram_jaccard"    -> (q35NgramJaccard _),
     "q36_embedding_neardup" -> (q36EmbeddingNearDup _),
+    "q99_semantic_clusters" -> (q99SemanticClusters _),
   )
 
   /** q33/q34/q37/q43 are xxhash64-sketch-based → rows-only check
@@ -357,11 +486,13 @@ object SimQueries {
     "q31_cosine_topk"       -> q31Sql,
     "q32_ann_lsh"           -> q32Sql,
     "q37_ann_ivf"           -> q37Sql,
+    "q98_ann_ivf_refined"   -> q98Sql,
     "q33_minhash_neardup"   -> q33Sql,
     "q97_minhash_capped"    -> q97Sql,
     "q34_simhash"           -> q34Sql,
     "q43_simhash_neardup"   -> q43Sql,
     "q35_ngram_jaccard"     -> q35Sql,
     "q36_embedding_neardup" -> q36Sql,
+    "q99_semantic_clusters" -> q99Sql,
   )
 }

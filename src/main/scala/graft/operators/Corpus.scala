@@ -148,10 +148,18 @@ object Corpus {
   }
 
   /** Gopher-style repetitive-document verdict over [[repetitionStats]]
-    * columns (thresholds tuned to the public rules' spirit; every input
-    * is an exact integer ratio, so the comparisons are engine-stable).
+    * columns (default thresholds tuned to the public rules' spirit;
+    * every input is an exact integer ratio, so the comparisons are
+    * engine-stable). Thresholds are per-corpus dials — a code corpus
+    * tolerates more repetition than prose — so they're parameters with
+    * the published defaults, not constants.
     */
   def isRepetitive(distinctRatio: Column, topTokenFrac: Column,
-                   topBigramFrac: Column): Column =
-    distinctRatio < lit(0.3) || topTokenFrac > lit(0.2) || topBigramFrac > lit(0.1)
+                   topBigramFrac: Column,
+                   minDistinctRatio: Double = 0.3,
+                   maxTopTokenFrac: Double = 0.2,
+                   maxTopBigramFrac: Double = 0.1): Column =
+    distinctRatio < lit(minDistinctRatio) ||
+      topTokenFrac > lit(maxTopTokenFrac) ||
+      topBigramFrac > lit(maxTopBigramFrac)
 }

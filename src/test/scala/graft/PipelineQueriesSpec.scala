@@ -188,6 +188,19 @@ class PipelineQueriesSpec extends SparkSpec {
         col("top_token_frac"), col("top_bigram_frac")).as("v"))
       .as[(Long, Boolean)].collect().toMap
     assert(verdicts(1L) && verdicts(3L))
+    // non-default thresholds move the verdict boundary: an all-permissive
+    // dial acquits everything, a draconian one convicts everything
+    def verdictAt(minDr: Double, maxTt: Double, maxTb: Double) =
+      Corpus.repetitionStats(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), Corpus.isRepetitive(col("distinct_ratio"),
+          col("top_token_frac"), col("top_bigram_frac"),
+          minDistinctRatio = minDr, maxTopTokenFrac = maxTt,
+          maxTopBigramFrac = maxTb).as("v"))
+        .as[(Long, Boolean)].collect().toMap
+    val lax = verdictAt(0.0, 1.0, 1.0)
+    assert(lax.values.forall(!_), s"lax thresholds must acquit all: $lax")
+    val strict = verdictAt(2.0, 0.0, 0.0)
+    assert(strict.values.count(identity) == 4, s"strict convicts all: $strict")
   }
 
   test("q73 stratified sample: per-stratum subset, deterministic, ≈20%") {

@@ -134,6 +134,11 @@ class SimilaritySpec extends SparkSpec {
     val ivfRecall = (exact & ivf).size.toDouble / exact.size
     assert(lshRecall >= 0.3, s"LSH recall $lshRecall")
     assert(ivfRecall >= 0.3, s"IVF recall $ivfRecall")
+    // Lloyd refinement moves the sampled seeds to cluster means, which
+    // tightens buckets and lifts recall at identical probe cost
+    val refined = pairs(Similarity.ivfTopK(q, e, 5, lloydIters = 2))
+    val refinedRecall = (exact & refined).size.toDouble / exact.size
+    assert(refinedRecall >= 0.5, s"refined IVF recall $refinedRecall")
     // probing every centroid degenerates IVF to the exact scan
     val exhaustive = pairs(Similarity.ivfTopK(q, e, 5, nCentroids = 16, nProbes = 16))
     assert(exhaustive == exact, "IVF with nProbes = nCentroids must equal brute force")
