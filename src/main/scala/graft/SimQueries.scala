@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Graph, NearDup, Similarity}
+import graft.operators.{Corpus, Graph, NearDup, Ranking, Similarity}
 
 /** Similarity-search and near-duplicate queries (SURVEY.md §2.3 J7,
   * §2.4 A8, LLM-pipeline north star). EVERY query here carries a DuckDB
@@ -464,6 +464,50 @@ object SimQueries {
       |FROM comp GROUP BY component ORDER BY component""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A8 cross-corpus — TRAIN/TEST DECONTAMINATION: split the corpus with
+  // the deterministic md5 90/10 bucket (q67's split), then for each
+  // test doc find the training doc sharing the most 3-gram shingles
+  // (≥ 2). The canonical eval-leakage check before a training run; the
+  // pair space is the shared-shingle equality join, never train×test.
+  // Oracle: identical split + string-shingle join in SQL (Spark joins
+  // on shingle HASHES — collisions at 2⁻⁶³ are below the oracle's
+  // resolution, same convention as q35).
+  def q100Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bucket = Corpus.hashBucket(col("doc_id"))
+    val pairs = NearDup.contaminationPairs(
+      docs.filter(bucket < 90), docs.filter(bucket >= 90),
+      col("doc_id"), col("text"), minShared = 2)
+    Ranking.topPerGroup(pairs, Seq(col("right_id")),
+        Seq(col("n_shared").desc, col("left_id").asc), 1)
+      .select(col("right_id").as("test_id"), col("left_id").as("train_id"),
+        col("n_shared"))
+      .orderBy(col("test_id"))
+  }
+
+  private val q100Sql =
+    """WITH b AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bkt
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, bkt,
+      |    unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      |  FROM b WHERE len(t) >= 3),
+      |p AS (
+      |  SELECT te.doc_id AS test_id, tr.doc_id AS train_id, count(*) AS n_shared
+      |  FROM sh te JOIN sh tr ON te.g = tr.g
+      |  WHERE te.bkt >= 90 AND tr.bkt < 90
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 2)
+      |SELECT test_id, train_id, n_shared FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY test_id
+      |    ORDER BY n_shared DESC, train_id ASC) AS rn FROM p)
+      |WHERE rn = 1
+      |ORDER BY test_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk"      -> (q31CosineTopK _),
@@ -477,6 +521,7 @@ object SimQueries {
     "q35_ngram_jaccard"    -> (q35NgramJaccard _),
     "q36_embedding_neardup" -> (q36EmbeddingNearDup _),
     "q99_semantic_clusters" -> (q99SemanticClusters _),
+    "q100_decontamination"  -> (q100Decontamination _),
   )
 
   /** q33/q34/q37/q43 are xxhash64-sketch-based → rows-only check
@@ -494,5 +539,6 @@ object SimQueries {
     "q35_ngram_jaccard"     -> q35Sql,
     "q36_embedding_neardup" -> q36Sql,
     "q99_semantic_clusters" -> q99Sql,
+    "q100_decontamination"  -> q100Sql,
   )
 }

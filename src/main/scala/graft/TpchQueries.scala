@@ -91,13 +91,235 @@ object TpchQueries {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // TPC-H Q6 — forecasting revenue change: one tight scan-agg, every
+  // predicate pushed to parquet, zero joins. The canonical "is the scan
+  // path clean" probe: the whole query is one codegen stage.
+  def q101TpchQ6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  private val q101Sql =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q13 — customer order-count distribution: LEFT join so
+  // zero-order customers survive with c_count = 0, then a second agg
+  // over the count itself. Two hash aggs; the histogram side is tiny.
+  def q102TpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    counts.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q102Sql =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q14 — promotion effect: share of one month's revenue from
+  // PROMO-type parts. Part is the broadcast dim; the conditional sum
+  // skips non-promo rows via null (no otherwise branch), and the ratio
+  // divides DOUBLE casts of the two exact DECIMAL sums.
+  def q103TpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val rev = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("date") &&
+        col("l_shipdate") < lit("1996-04-01").cast("date"))
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .agg(((lit(100.0) * sum(when(col("p_type") === "PROMO", rev)).cast("double"))
+        / sum(rev).cast("double")).as("promo_revenue"))
+  }
+
+  private val q103Sql =
+    """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+      |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |  AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q17 — small-quantity-order revenue: lineitems of one brand
+  // below 20% of their part's average quantity. The correlated scalar
+  // subquery decorrelates to a per-part aggregate joined back; the
+  // brand filter shrinks the fact side FIRST, so the threshold agg runs
+  // over the brand's lineitems only, then broadcasts.
+  def q104TpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val thresh = li.groupBy(col("p_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_thresh"))
+    li.join(broadcast(thresh), Seq("p_partkey"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  private val q104Sql =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q18 — large-volume orders: orders whose lineitems sum past a
+  // quantity threshold, with customer detail, top 100 by price. The
+  // HAVING collapses lineitem FIRST (hash agg on orderkey), so the
+  // 3-way join touches only qualifying orders; top-k rides the sort.
+  def q105TpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q105Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+      |  ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q19 — discounted revenue under disjunctive brand/size/
+  // quantity predicates (adapted: the generator has no container
+  // column, p_size carries the second dimension). One broadcast join;
+  // the OR-of-ANDs stays a single codegen'd filter, no union-of-scans.
+  def q106TpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    def arm(brand: String, sizeMax: Int, qLo: Int, qHi: Int): Column =
+      col("p_brand") === brand &&
+        col("p_size").between(1, sizeMax) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(arm("Brand#12", 15, 1, 11) || arm("Brand#23", 25, 10, 20) ||
+        arm("Brand#34", 35, 20, 30))
+      .agg(revenue)
+  }
+
+  private val q106Sql =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q22 — global sales opportunity (adapted: c_nationkey stands
+  // in for the phone country code): customers above the positive-
+  // balance average with no orders at all, grouped by nation. Scalar
+  // subquery = 1-row broadcast (threshold through an exact DECIMAL sum
+  // so the double boundary is engine-identical); the no-orders arm is
+  // a left-anti join, never per-row NOT EXISTS.
+  def q107TpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val threshold = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    cust.filter(col("c_nationkey").isin(1, 3, 5, 7, 9))
+      .crossJoin(broadcast(threshold))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
+  private val q107Sql =
+    """SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+      |  AND c_acctbal > (
+      |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |    FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q12 (adapted — the generator has no ship mode or commit/
+  // receipt dates): late-shipment accounting per order priority. A
+  // lineitem is late when it ships 60+ days after the order date; one
+  // fact-fact join, conditional sums ride the same hash agg.
+  def q108TpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(when(late, 1).otherwise(0)).as("late_count"),
+        sum(when(late, 0).otherwise(1)).as("ontime_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q108Sql =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+      |  CAST(sum(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY THEN 0 ELSE 1 END) AS BIGINT) AS ontime_count
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q95_tpch_q5"  -> (q95TpchQ5 _),
-    "q96_tpch_q10" -> (q96TpchQ10 _),
+    "q95_tpch_q5"   -> (q95TpchQ5 _),
+    "q96_tpch_q10"  -> (q96TpchQ10 _),
+    "q101_tpch_q6"  -> (q101TpchQ6 _),
+    "q102_tpch_q13" -> (q102TpchQ13 _),
+    "q103_tpch_q14" -> (q103TpchQ14 _),
+    "q104_tpch_q17" -> (q104TpchQ17 _),
+    "q105_tpch_q18" -> (q105TpchQ18 _),
+    "q106_tpch_q19" -> (q106TpchQ19 _),
+    "q107_tpch_q22" -> (q107TpchQ22 _),
+    "q108_tpch_q12" -> (q108TpchQ12 _),
   )
 
   val oracle: Map[String, String] = Map(
-    "q95_tpch_q5"  -> q95Sql,
-    "q96_tpch_q10" -> q96Sql,
+    "q95_tpch_q5"   -> q95Sql,
+    "q96_tpch_q10"  -> q96Sql,
+    "q101_tpch_q6"  -> q101Sql,
+    "q102_tpch_q13" -> q102Sql,
+    "q103_tpch_q14" -> q103Sql,
+    "q104_tpch_q17" -> q104Sql,
+    "q105_tpch_q18" -> q105Sql,
+    "q106_tpch_q19" -> q106Sql,
+    "q107_tpch_q22" -> q107Sql,
+    "q108_tpch_q12" -> q108Sql,
   )
 }

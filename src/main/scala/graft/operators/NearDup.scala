@@ -180,6 +180,33 @@ object NearDup {
         col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"), col("jaccard"))
   }
 
+  /** Cross-corpus contamination pairs — the train/test DECONTAMINATION
+    * primitive: for each doc in `right` (the eval/test corpus), every
+    * doc in `left` (the training corpus) sharing at least `minShared`
+    * distinct 3-gram shingles. Same blocked-equality-join shape as
+    * [[ngramJaccardPairs]] — shingles stay in hash space end-to-end,
+    * the join key is a long, and the pair space is shared-shingle pairs
+    * only, never |left|·|right|. `maxShingleFreq` drops stop-shingle
+    * blocks on the LEFT (big) side before the join, the same skew guard
+    * with the same semantics note: capped runs count rare shared
+    * shingles only.
+    *
+    * Output: right_id, left_id, n_shared (distinct shared shingles).
+    */
+  def contaminationPairs(left: DataFrame, right: DataFrame,
+                         id: Column, text: Column, minShared: Int = 2,
+                         maxShingleFreq: Option[Int] = None): DataFrame = {
+    def shingled(df: DataFrame, n: String) = df
+      .select(id.as(n), explode(shingleHashes3(text)).as("s"))
+    val l = shingled(left, "left_id")
+    val lf = maxShingleFreq.fold(l)(dropHeavyKeys(l, Seq("s"), _))
+    shingled(right, "right_id")
+      .join(lf, Seq("s"))
+      .groupBy(col("right_id"), col("left_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash signature: `nPerms` universal-hash permutations
     * h_i(x) = (a_i·x + b_i) mod P over xxhash64 shingle hashes, each
     * taking the min across the doc's shingle set. Deterministic: a_i,

@@ -249,4 +249,23 @@ class NearDupSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "operators must own their staged blocks — no cache-manager entries may remain")
   }
+
+  test("contaminationPairs flags planted train→test leakage, not clean docs") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated training material body here")).toDF("doc_id", "text")
+    val test = Seq(
+      // test 10 embeds train 1's full text — the classic leaked-eval doc
+      (10L, "intro words the quick brown fox jumps over the lazy dog outro"),
+      (11L, "nothing in common with anything at all truly")).toDF("doc_id", "text")
+    val r = NearDup.contaminationPairs(train, test, col("doc_id"), col("text"),
+        minShared = 2)
+      .collect()
+      .map(x => (x.getAs[Long]("right_id"), x.getAs[Long]("left_id"),
+        x.getAs[Long]("n_shared")))
+    assert(r.map(_._1).toSet == Set(10L), s"only the leaked doc flags: ${r.toSeq}")
+    assert(r.forall(_._2 == 1L), s"only train 1 is the source: ${r.toSeq}")
+    // train 1 has 9 tokens → 7 shingles, all contained in test 10
+    assert(r.head._3 == 7L, s"all 7 shingles shared: ${r.toSeq}")
+  }
 }
