@@ -508,6 +508,45 @@ object SimQueries {
       |ORDER BY test_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // J7 compressed-scan path — SQ8 scalar quantization: one GLOBAL
+  // max-|x| scale from the corpus (shared across dimensions, so the
+  // code dot is a constant multiple of the value dot — ranking-
+  // preserving), codes in [−127, 127], ranking on the INTEGER code dot
+  // product. The integer score is exact in both engines (|qdot| ≤
+  // 127²·64 per pair), so unlike float-cosine variants the whole
+  // ranking hash-matches with no decimal scaffolding. The scan streams
+  // byte-width codes — the 4–8× bandwidth cut that keeps brute-force
+  // viable at 100 TB.
+  def q109AnnSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.sq8TopK(e.filter(col("id") < 10), e, k = 5)
+  }
+
+  private val q109Sql =
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT max(abs(x)) AS s
+      |  FROM (SELECT unnest(v) AS x FROM base)),
+      |qv AS (
+      |  SELECT vec_id, list_transform(v,
+      |    x -> CASE WHEN s = 0 THEN 0
+      |         ELSE CAST(round(x / s * 127) AS INTEGER) END) AS q
+      |  FROM base CROSS JOIN sc),
+      |scored AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS BIGINT) AS qdot
+      |  FROM qv a JOIN qv b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 10)
+      |SELECT query_id, cand_id, qdot FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY qdot DESC, cand_id ASC) AS rn FROM scored)
+      |WHERE rn <= 5
+      |ORDER BY query_id, qdot DESC, cand_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk"      -> (q31CosineTopK _),
@@ -522,6 +561,7 @@ object SimQueries {
     "q36_embedding_neardup" -> (q36EmbeddingNearDup _),
     "q99_semantic_clusters" -> (q99SemanticClusters _),
     "q100_decontamination"  -> (q100Decontamination _),
+    "q109_ann_sq8"          -> (q109AnnSq8 _),
   )
 
   /** q33/q34/q37/q43 are xxhash64-sketch-based → rows-only check
@@ -540,5 +580,6 @@ object SimQueries {
     "q36_embedding_neardup" -> q36Sql,
     "q99_semantic_clusters" -> q99Sql,
     "q100_decontamination"  -> q100Sql,
+    "q109_ann_sq8"          -> q109Sql,
   )
 }

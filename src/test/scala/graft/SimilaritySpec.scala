@@ -143,4 +143,31 @@ class SimilaritySpec extends SparkSpec {
     val exhaustive = pairs(Similarity.ivfTopK(q, e, 5, nCentroids = 16, nProbes = 16))
     assert(exhaustive == exact, "IVF with nProbes = nCentroids must equal brute force")
   }
+
+  test("SQ8 codes are bounded and the quantized ranking tracks the exact dot ranking") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val vecs = e.collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val sq8 = Similarity.sq8TopK(e.filter(col("id") < 10), e, 5).collect()
+    // integer scores can never exceed 127²·dims — the exact-in-double bound
+    sq8.foreach(r => assert(math.abs(r.getAs[Long]("qdot")) <= 127L * 127L * 64L))
+    val got = sq8.groupBy(_.getAs[Long]("query_id"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("cand_id")).toSet }
+    // ground truth: exact (unquantized) dot-product top-5 per query —
+    // the apples-to-apples target, so the measured gap is quantization
+    // error alone, not dot-vs-cosine disagreement
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val hits = (0L until 10L).map { qid =>
+      val qv = vecs(qid)
+      val top = vecs.view.filter(_._1 != qid).toSeq
+        .map { case (i, v) => (i, dot(qv, v)) }
+        .sortBy { case (i, d) => (-d, i) }.take(5).map(_._1).toSet
+      (top & got(qid)).size
+    }.sum
+    val recall = hits / 50.0
+    assert(recall >= 0.8, s"SQ8 recall vs exact dot: $recall")
+  }
 }
