@@ -346,6 +346,123 @@ object PipelineQueries {
       |GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] THE CURATION FUNNEL — the whole engine in one query: every
+  // cleaning/dedup stage a training-data run chains, applied
+  // cumulatively, reporting survivors per stage. Stage order is the
+  // production order (cheap row-local filters first, the near-dup
+  // closure over the smallest surviving set last):
+  //   0 total → 1 language-ID → 2 quality score → 3 repetition rules →
+  //   4 exact-normalized dedup → 5 near-dup clusters (jaccard ≥ 0.6,
+  //   keep component min) → 6 train split (deterministic md5 90%).
+  // Each stage is the already-oracle-checked operator (q24, q25, q90,
+  // q22, q35+q81, q67); the funnel's own oracle replays the identical
+  // composition in one recursive-CTE SQL statement.
+  def q110CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    import graft.operators.NearDup
+    val docs = Tables.documents(spark, dir)
+    val s1 = docs.filter(TextOps.langId(col("text")) === "en")
+    val s2 = s1.filter(TextOps.qualityScore(col("text"), col("n_chars")) >= 0.4)
+    val keepRep = Corpus.repetitionStats(s2, col("doc_id"), col("text"))
+      .filter(!Corpus.isRepetitive(col("distinct_ratio"),
+        col("top_token_frac"), col("top_bigram_frac")))
+      .select(col("doc_id"))
+    val s3 = s2.join(keepRep, Seq("doc_id"))
+    val keepExact = s3.groupBy(TextOps.normalized(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s4 = s3.join(keepExact, Seq("doc_id"))
+    val pairs = NearDup.ngramJaccardPairs(s4, col("doc_id"), col("text"))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    val nodes = pairs.select(col("doc_a").as("id"))
+      .unionByName(pairs.select(col("doc_b").as("id"))).distinct()
+    val dropNear = Graph.connectedComponents(nodes, pairs, maxIter = 60)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    val s5 = s4.join(dropNear, Seq("doc_id"), "left_anti")
+    val s6 = s5.filter(Corpus.hashBucket(col("doc_id")) < 90)
+    def stage(i: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n_docs"))
+    stage(0, "total", docs)
+      .unionByName(stage(1, "lang_en", s1))
+      .unionByName(stage(2, "quality", s2))
+      .unionByName(stage(3, "not_repetitive", s3))
+      .unionByName(stage(4, "exact_dedup", s4))
+      .unionByName(stage(5, "near_dedup", s5))
+      .unionByName(stage(6, "train_split", s6))
+      .orderBy(col("stage_idx"))
+  }
+
+  private val q110Sql =
+    """WITH RECURSIVE
+      |s1 AS (SELECT * FROM documents
+      |  WHERE CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) >= 0.05),
+      |s2 AS (SELECT * FROM s1 WHERE
+      |  (least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0)
+      |   + least(1.0, 10.0 * CAST(len(list_filter(string_split(text, ' '),
+      |       x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |     / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |   + least(1.0, CAST(n_chars AS DOUBLE) / 1000.0)) / 3.0 >= 0.4),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |    CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+      |  FROM s2),
+      |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_distinct,
+      |         CAST(max(c) AS BIGINT) AS top_tok_n
+      |       FROM tc GROUP BY 1),
+      |bg AS (SELECT doc_id,
+      |         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      |       FROM toks),
+      |bc AS (SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+      |         CAST(sum(c) AS BIGINT) AS n_bigrams
+      |       FROM bc GROUP BY 1),
+      |rep AS (SELECT ts.doc_id,
+      |    (CAST(n_distinct AS DOUBLE) / n_tokens < 0.3
+      |     OR CAST(top_tok_n AS DOUBLE) / n_tokens > 0.2
+      |     OR COALESCE(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 0.0) > 0.1) AS is_rep
+      |  FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id),
+      |s3 AS (SELECT s2.* FROM s2 JOIN rep USING (doc_id) WHERE NOT is_rep),
+      |k4 AS (SELECT min(doc_id) AS doc_id FROM s3 GROUP BY lower(trim(text))),
+      |s4 AS (SELECT s3.* FROM s3 JOIN k4 USING (doc_id)),
+      |t4 AS (SELECT doc_id, string_split(text, ' ') AS t FROM s4),
+      |shg AS (SELECT doc_id,
+      |    len(list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n,
+      |    unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      |  FROM t4 WHERE len(t) >= 3),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |      FROM shg a JOIN shg b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, a.n, b.n
+      |      HAVING CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) >= 0.6),
+      |sym AS (SELECT doc_a AS s, doc_b AS d FROM p UNION SELECT doc_b, doc_a FROM p),
+      |nodes AS (SELECT DISTINCT s AS node FROM sym),
+      |reach(node, label) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT sym.d, r.label FROM reach r JOIN sym ON sym.s = r.node),
+      |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+      |drop5 AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+      |s5 AS (SELECT s4.* FROM s4 WHERE NOT EXISTS
+      |        (SELECT 1 FROM drop5 WHERE drop5.doc_id = s4.doc_id)),
+      |s6 AS (SELECT * FROM s5
+      |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90)
+      |SELECT 0 AS stage_idx, 'total' AS stage, count(*) AS n_docs FROM documents
+      |UNION ALL SELECT 1, 'lang_en', count(*) FROM s1
+      |UNION ALL SELECT 2, 'quality', count(*) FROM s2
+      |UNION ALL SELECT 3, 'not_repetitive', count(*) FROM s3
+      |UNION ALL SELECT 4, 'exact_dedup', count(*) FROM s4
+      |UNION ALL SELECT 5, 'near_dedup', count(*) FROM s5
+      |UNION ALL SELECT 6, 'train_split', count(*) FROM s6
+      |ORDER BY stage_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_tfidf"             -> (q69Tfidf _),
@@ -358,7 +475,8 @@ object PipelineQueries {
     "q76_cumulative_users"  -> (q76CumulativeUsers _),
     "q81_components"        -> (q81Components _),
     "q90_repetition_stats"  -> (q90RepetitionStats _),
-    "q91_quality_report"    -> (q91QualityReport _))
+    "q91_quality_report"    -> (q91QualityReport _),
+    "q110_curation_funnel"  -> (q110CurationFunnel _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -371,5 +489,6 @@ object PipelineQueries {
     "q76_cumulative_users"  -> q76Sql,
     "q81_components"        -> q81Sql,
     "q90_repetition_stats"  -> q90Sql,
-    "q91_quality_report"    -> q91Sql)
+    "q91_quality_report"    -> q91Sql,
+    "q110_curation_funnel"  -> q110Sql)
 }
