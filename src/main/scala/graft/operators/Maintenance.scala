@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators.
   *
@@ -57,6 +58,54 @@ object Maintenance {
     // every rename's boolean is checked (never delete-then-rename — a
     // crash or a false rename there loses the partition)
     Publish.swap(fs, staging, part)
+  }
+
+  /** Map `x` onto a 16-bit bucket of its [lo, hi] range (constant
+    * columns collapse to bucket 0). The fixed-point grid makes the
+    * Z-value deterministic and layout-independent — no sampling, no
+    * rand(), so a re-run clusters identically.
+    */
+  private def bucket16(x: Column, lo: Column, hi: Column): Column =
+    when(hi === lo, lit(0)).otherwise(
+      least(lit(65535), floor((x.cast("double") - lo) / (hi - lo) * 65536)
+        .cast("int")))
+
+  /** Bit-interleave two 16-bit bucket values into a 32-bit Z-value —
+    * the Morton curve: close in Z ⇒ close in BOTH dimensions. A plain
+    * OR-fold of 64 shift/mask terms; stays inside whole-stage codegen.
+    */
+  private def morton16(a: Column, b: Column): Column =
+    (0 until 16).flatMap { i =>
+      Seq(shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i + 1),
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Z-ORDER CLUSTERED REWRITE — the multi-dimensional data-skipping
+    * layout: rows sort along the Morton curve of (`colA`, `colB`), so
+    * every output file covers a narrow range of BOTH columns and
+    * parquet min/max footer stats prune scans filtered on EITHER one.
+    * A single-column sort gives perfect skipping on that column and
+    * none on the second; Z-order trades a little of the first for
+    * locality on both — the standard layout for a fact table queried
+    * by (time, key) interchangeably. One range shuffle on the Z-value
+    * (the same cost as any global sort), local sort within files, no
+    * driver-side data movement; at 100 TB this runs per partition,
+    * like [[compactPartition]].
+    */
+  def zorderWrite(df: DataFrame, colA: Column, colB: Column,
+                  outDir: String, numFiles: Int): Unit = {
+    val stats = df.agg(
+      min(colA).cast("double").as("__loA"), max(colA).cast("double").as("__hiA"),
+      min(colB).cast("double").as("__loB"), max(colB).cast("double").as("__hiB"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", morton16(
+        bucket16(colA, col("__loA"), col("__hiA")),
+        bucket16(colB, col("__loB"), col("__hiB"))))
+      .drop("__loA", "__hiA", "__loB", "__hiB")
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
   }
 
   /** Count of data files in a directory (spec/report helper). */

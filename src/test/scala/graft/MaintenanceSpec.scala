@@ -61,6 +61,58 @@ class MaintenanceSpec extends SparkSpec {
     assert(afterRows == beforeRows)
   }
 
+  test("z-order write clusters BOTH dimensions; random layout clusters neither") {
+    val base = Files.createTempDirectory("graft-zorder").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.01")
+    val nFiles = 8
+    // baseline: hash-scattered layout — every file spans ~the full range
+    events.repartition(nFiles).write.parquet(s"$base/random")
+    Maintenance.zorderWrite(events, col("user_id"), col("value"),
+      s"$base/zorder", nFiles)
+
+    // per-file footer stats, as parquet row-group pruning would see them
+    def fileRanges(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+        min("value").as("vlo"), max("value").as("vhi"))
+      .collect()
+    // files a mid-range slice predicate cannot skip
+    def overlapping(dir: String, uSlice: Option[(Long, Long)],
+                    vSlice: Option[(Double, Double)]) =
+      fileRanges(dir).count { r =>
+        uSlice.forall { case (lo, hi) =>
+          r.getAs[Long]("ulo") <= hi && r.getAs[Long]("uhi") >= lo } &&
+        vSlice.forall { case (lo, hi) =>
+          r.getAs[Double]("vlo") <= hi && r.getAs[Double]("vhi") >= lo }
+      }
+    val (uLo, uHi) = {
+      val s = events.agg(min("user_id"), max("user_id")).head()
+      (s.getLong(0), s.getLong(1))
+    }
+    val (vLo, vHi) = {
+      val s = events.agg(min("value"), max("value")).head()
+      (s.getDouble(0), s.getDouble(1))
+    }
+    // a ~10%-wide slice of each dimension, placed inside [0.25, 0.5) of
+    // the range so it doesn't straddle a top-bucket-bit boundary
+    val uSlice = (uLo + (uHi - uLo) * 30 / 100, uLo + (uHi - uLo) * 40 / 100)
+    val vSlice = (vLo + (vHi - vLo) * 0.30, vLo + (vHi - vLo) * 0.40)
+    // random layout: every file straddles both slices — zero skipping
+    assert(overlapping(s"$base/random", Some(uSlice), None) == nFiles)
+    assert(overlapping(s"$base/random", None, Some(vSlice)) == nFiles)
+    // z-order: a narrow slice on EITHER dimension prunes files. At 8
+    // files the Morton prefix is (a15, b15, a14): the first dimension
+    // gets two interleave levels (≤ 1/4 of files + straddlers), the
+    // second one level (≤ 1/2 + straddlers) — both prune, the first
+    // harder; more files would deepen both.
+    val zU = overlapping(s"$base/zorder", Some(uSlice), None)
+    val zV = overlapping(s"$base/zorder", None, Some(vSlice))
+    assert(zU <= nFiles / 2, s"user_id slice still touches $zU of $nFiles files")
+    assert(zV <= nFiles * 5 / 8, s"value slice still touches $zV of $nFiles files")
+    // clustering must not lose or duplicate rows
+    assert(spark.read.parquet(s"$base/zorder").count() == events.count())
+  }
+
   test("malformed JSON records are quarantined, not dropped or fatal") {
     val base = Files.createTempDirectory("graft-corrupt").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/data.json"),
