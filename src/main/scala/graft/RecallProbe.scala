@@ -39,6 +39,10 @@ object RecallProbe {
       println(f"ivf nProbes=$probes%d (lloyd=2) recall@5 = ${
         recall(pairs(Similarity.ivfTopK(q, e, 5, nProbes = probes, lloydIters = 2)))}%.3f")
     println(f"lsh                recall@5 = ${recall(pairs(Similarity.lshTopK(q, e, 5)))}%.3f")
+    // sq8 ranks by (quantized) DOT, the truth by cosine — the gap below
+    // bundles quantization noise with dot/cosine disagreement; the
+    // quantization-only gap is measured in SimilaritySpec vs exact dot
+    println(f"sq8 (dot ranking)  recall@5 = ${recall(pairs(Similarity.sq8TopK(q, e, 5)))}%.3f")
     spark.stop()
   }
 }

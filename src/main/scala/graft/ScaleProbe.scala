@@ -85,7 +85,14 @@ object ScaleProbe {
       "simhash_skew_cap" -> (d => NearDup.simhashNearDup(injectSkew(d),
         col("doc_id"), col("text"), maxBandFreq = Some(50))),
       "jaccard_skew_cap" -> (d => NearDup.ngramJaccardPairs(injectSkew(d),
-        col("doc_id"), col("text"), maxShingleFreq = Some(50))))
+        col("doc_id"), col("text"), maxShingleFreq = Some(50))),
+      // cross-corpus decontamination: 90/10 deterministic split of the
+      // same corpus, pair space = shared-shingle join (never train×test)
+      "decontamination"  -> { d =>
+        val bucket = Corpus.hashBucket(col("doc_id"))
+        NearDup.contaminationPairs(d.filter(bucket < 90),
+          d.filter(bucket >= 90), col("doc_id"), col("text"), minShared = 2)
+      })
 
     val selected = if (opFilter.isEmpty) ops
                    else ops.filter(o => opFilter.exists(o._1.contains))
