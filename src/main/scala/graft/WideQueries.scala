@@ -400,6 +400,23 @@ object WideQueries {
       .orderBy(col("o_orderstatus"))
 
   // ---------------------------------------------------------------------
+  // A5 incremental rollup — MERGEABLE sketches (DataSketches HLL): the
+  // per-day sketch is the artifact a daily job persists (a few KB); the
+  // period-level distinct comes from MERGING sketches, never from
+  // re-scanning history — a 3-year rollup reads ~1000 sketch rows
+  // instead of the raw events. HLL register merges are max-merges, so
+  // the estimate is identical for any partitioning or merge order.
+  // Same rows-only carve-out as q80/q89 (sketch bytes are
+  // engine-specific); WideQueriesSpec bounds the merged estimate
+  // against the exact distinct and proves layout-independence.
+  def q111SketchRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_distinct"))
+
+  // ---------------------------------------------------------------------
   // W2 — bounded ROWS frame: 4-row trailing moving average per user
   // (q10's running sum is unbounded-preceding; q49's frame is
   // value-RANGE — this pins the bounded physical-offset frame).
@@ -443,7 +460,8 @@ object WideQueries {
     "q79_bitwise"         -> (q79Bitwise _),
     "q80_approx_aggs"     -> (q80ApproxAggs _),
     "q84_moving_avg"      -> (q84MovingAvg _),
-    "q89_approx_median"   -> (q89ApproxMedian _))
+    "q89_approx_median"   -> (q89ApproxMedian _),
+    "q111_sketch_rollup"  -> (q111SketchRollup _))
 
   val oracle: Map[String, String] = Map(
     "q58_grouping_sets"   -> q58Sql,

@@ -151,6 +151,24 @@ class WideQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q111 merged daily HLL sketches estimate the period distinct, layout-independent") {
+    val r = WideQueries.q111SketchRollup(spark, dir).head()
+    val merged = r.getAs[Long]("merged_distinct")
+    val exact = Tables.events(spark, dir)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    // DataSketches HLL at the default lgK: ~1.6% rsd — allow 3 sigma
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged $merged vs exact $exact")
+    // register merges are max-merges: any partitioning yields the SAME
+    // sketch, so the rolled-up estimate is layout-independent
+    val repart = Tables.events(spark, dir).repartition(7)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("m"))
+      .head().getAs[Long]("m")
+    assert(repart == merged, s"layout changed the merged estimate: $repart vs $merged")
+  }
+
   test("q89 approx median (q52's declared scale path) stays within 1% of exact") {
     val approx = WideQueries.q89ApproxMedian(spark, dir).collect()
       .map(r => r.getAs[String]("o_orderstatus") ->
