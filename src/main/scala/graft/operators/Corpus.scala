@@ -147,6 +147,41 @@ object Corpus {
           .as("top_bigram_frac"))
   }
 
+  /** ROW-LOCAL repetition statistics over a token-array column — the
+    * same three ratios as [[repetitionStats]] computed entirely with
+    * array HOFs: zero shuffles, so it runs inside a streaming filter
+    * chain (or any map-only batch stage) where the two-level hash agg
+    * cannot. Cost trade: O(tokens·distinct) compute per row instead of
+    * two shuffles over the corpus — the right side of that trade for
+    * per-doc gating, the wrong one for corpus-wide reporting (q90/q91
+    * keep the agg form).
+    *
+    * `toks` MUST be a materialized column (withColumn first), not an
+    * inline expression — a HOF lambda body re-evaluates any unbound
+    * subexpression once per array element.
+    *
+    * Returns struct(distinct_ratio, top_token_frac, top_bigram_frac),
+    * value-identical to [[repetitionStats]] (spec-proven).
+    */
+  def repetitionStatsLocal(toks: Column): Column = {
+    val n = size(toks)
+    val dist = array_distinct(toks)
+    val topTok = array_max(transform(dist, d =>
+      size(filter(toks, x => x === d))))
+    val m = n - 1
+    val bigrams = when(n >= 2,
+      zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+        (a, b) => concat(a, lit(" "), b))).otherwise(array())
+    val nBg = size(bigrams)
+    val topBg = array_max(transform(array_distinct(bigrams), d =>
+      size(filter(bigrams, x => x === d))))
+    struct(
+      (size(dist).cast("double") / n.cast("double")).as("distinct_ratio"),
+      (topTok.cast("double") / n.cast("double")).as("top_token_frac"),
+      when(nBg > 0, topBg.cast("double") / nBg.cast("double"))
+        .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Gopher-style repetitive-document verdict over [[repetitionStats]]
     * columns (default thresholds tuned to the public rules' spirit;
     * every input is an exact integer ratio, so the comparisons are

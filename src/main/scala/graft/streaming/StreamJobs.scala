@@ -112,6 +112,33 @@ object StreamJobs {
       .withWatermark(eventTimeCol, lateness)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** [EXT] STREAMING CURATION — the row-local half of the batch
+    * curation funnel (q110) as a pure streaming transform: language-ID,
+    * quality score, and the Gopher repetition rules are all per-doc, so
+    * they gate a document stream with ZERO shuffles and no state
+    * (repetition via [[graft.operators.Corpus.repetitionStatsLocal]],
+    * the HOF form — the batch funnel's two-level hash agg cannot run on
+    * an unbounded stream). Corpus-WIDE stages (near-dup clusters, the
+    * global split) stay in the batch layer by design: they need the
+    * full corpus; compose with [[dedupStream]] on a fingerprint column
+    * for watermark-bounded exact dedup.
+    *
+    * Expects columns: doc_id, text, n_chars (+ anything else, carried
+    * through). Emits surviving rows unchanged.
+    */
+  def curateStream(docs: DataFrame, minQuality: Double = 0.4): DataFrame = {
+    import graft.functions.TextOps
+    import graft.operators.Corpus
+    docs
+      .filter(TextOps.langId(col("text")) === "en")
+      .filter(TextOps.qualityScore(col("text"), col("n_chars")) >= minQuality)
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__rep", Corpus.repetitionStatsLocal(col("__toks")))
+      .filter(!Corpus.isRepetitive(col("__rep")("distinct_ratio"),
+        col("__rep")("top_token_frac"), col("__rep")("top_bigram_frac")))
+      .drop("__toks", "__rep")
+  }
+
   /** [EXT] CDC apply — each micro-batch MERGEs into a parquet snapshot
     * (foreachBatch + [[graft.operators.Upsert.merge]]): matched keys
     * update, new keys insert, the rest carry over. The snapshot swap is

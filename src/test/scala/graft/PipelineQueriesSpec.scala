@@ -203,6 +203,21 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(strict.values.count(identity) == 4, s"strict convicts all: $strict")
   }
 
+  test("row-local repetition stats equal the aggregation form on the real corpus") {
+    val docs = Tables.documents(spark, dir)
+    val agg = Corpus.repetitionStats(docs, col("doc_id"), col("text"))
+      .select("doc_id", "distinct_ratio", "top_token_frac", "top_bigram_frac")
+    val local = docs
+      .withColumn("__toks", graft.functions.TextOps.tokens(col("text")))
+      .withColumn("r", Corpus.repetitionStatsLocal(col("__toks")))
+      .select(col("doc_id"), col("r")("distinct_ratio").as("distinct_ratio"),
+        col("r")("top_token_frac").as("top_token_frac"),
+        col("r")("top_bigram_frac").as("top_bigram_frac"))
+    // exact integer ratios on both sides — equality, not tolerance
+    assert(agg.exceptAll(local).isEmpty && local.exceptAll(agg).isEmpty,
+      "HOF form diverged from the aggregation form")
+  }
+
   test("q73 stratified sample: per-stratum subset, deterministic, ≈20%") {
     val r = PipelineQueries.q73StratifiedSample(spark, dir)
       .as[(String, Long, Long)].collect()

@@ -322,4 +322,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming curation gates a document stream, batch-parity with the funnel's row-local stages") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "n_chars")
+    val rows = docs.as[(Long, String, Long)].collect()
+    val mem = MemoryStream[(Long, String, Long)]
+    mem.addData(rows.toIndexedSeq: _*)
+
+    val stream = mem.toDF().toDF("doc_id", "text", "n_chars")
+    val q = StreamJobs.curateStream(stream)
+      .writeStream.format("memory").queryName("curate_test")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("curate_test")
+
+    val batch = StreamJobs.curateStream(docs)
+    // the stream must actually gate (not pass everything), keep
+    // something, and agree row-for-row with the batch application
+    assert(streamed.count() > 0 && streamed.count() < docs.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
