@@ -179,4 +179,44 @@ class PropertiesSpec extends SparkSpec {
       assert(keeps.forall(k => k >= 0 && k < texts.length))
     }
   }
+
+  test("property: contamination pairs are side-symmetric with identical n_shared") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val textGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    forSamples(Gen.listOfN(20, textGen), n = 4) { texts =>
+      val (l, r) = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .splitAt(10)
+      val left = l.toDF("doc_id", "text")
+      val right = r.toDF("doc_id", "text")
+      def pairsOf(a: org.apache.spark.sql.DataFrame,
+                  b: org.apache.spark.sql.DataFrame) =
+        NearDup.contaminationPairs(a, b, col("doc_id"), col("text"),
+            minShared = 1)
+          .collect()
+          .map(x => (x.getAs[Long]("left_id"), x.getAs[Long]("right_id"),
+            x.getAs[Long]("n_shared"))).toSet
+      val fwd = pairsOf(left, right)
+      val rev = pairsOf(right, left).map { case (a, b, n) => (b, a, n) }
+      assert(fwd == rev, s"asymmetric contamination: ${fwd.diff(rev)}")
+    }
+  }
+
+  test("property: sq8 ranking is deterministic across layouts, codes bounded") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-1000, 1000).map(_ / 250.0f))
+    forSamples(Gen.listOfN(30, vecGen), n = 4) { vecs =>
+      val cands = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "vec")
+      def run(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Similarity.sq8TopK(df.filter(col("id") < 3), df, 4)
+          .collect()
+          .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+            r.getAs[Long]("qdot"))).toSeq
+      val a = run(cands)
+      // scale = global max-abs: layout-independent, so re-partitioning
+      // must not move a single code or flip a single rank
+      val b = run(cands.repartition(7))
+      assert(a == b, "sq8 ranking changed under repartition")
+      assert(a.forall { case (_, _, d) => math.abs(d) <= 127L * 127L * 16L })
+    }
+  }
 }
