@@ -33,7 +33,20 @@ class SqlSurfaceSpec extends SparkSpec {
     "q74_upsert",
     "q76_cumulative_users",
     "q77_null_fns",
-    "q84_moving_avg")
+    "q84_moving_avg",
+    // the TPC-H battery is classic ANSI — the strongest "bring your SQL
+    // as-is" evidence (joins, HAVING, correlated + scalar subqueries,
+    // NOT EXISTS, interval arithmetic)
+    "q95_tpch_q5",
+    "q96_tpch_q10",
+    "q101_tpch_q6",
+    "q102_tpch_q13",
+    "q103_tpch_q14",
+    "q104_tpch_q17",
+    "q105_tpch_q18",
+    "q106_tpch_q19",
+    "q107_tpch_q22",
+    "q108_tpch_q12")
 
   test("ANSI oracle SQL runs through spark.sql with identical results to the Column API") {
     Sql.registerTables(spark, dir)
