@@ -60,53 +60,65 @@ object Maintenance {
     Publish.swap(fs, staging, part)
   }
 
-  /** Map `x` onto a 16-bit bucket of its [lo, hi] range (constant
+  /** Map `x` onto a `bits`-wide bucket of its [lo, hi] range (constant
     * columns collapse to bucket 0). The fixed-point grid makes the
     * Z-value deterministic and layout-independent — no sampling, no
     * rand(), so a re-run clusters identically.
     */
-  private def bucket16(x: Column, lo: Column, hi: Column): Column =
+  private def bucketN(x: Column, lo: Column, hi: Column, bits: Int): Column =
     when(hi === lo, lit(0)).otherwise(
-      least(lit(65535), floor((x.cast("double") - lo) / (hi - lo) * 65536)
-        .cast("int")))
+      least(lit((1 << bits) - 1),
+        floor((x.cast("double") - lo) / (hi - lo) * (1 << bits)).cast("int")))
 
-  /** Bit-interleave two 16-bit bucket values into a 32-bit Z-value —
-    * the Morton curve: close in Z ⇒ close in BOTH dimensions. A plain
-    * OR-fold of 64 shift/mask terms; stays inside whole-stage codegen.
+  /** Bit-interleave N `bits`-wide bucket values into one Z-value — the
+    * Morton curve: close in Z ⇒ close in EVERY dimension. A plain
+    * OR-fold of N·bits shift/mask terms; stays inside whole-stage
+    * codegen. Earlier columns take the higher interleave positions
+    * (they prune hardest — order columns by filter frequency).
     */
-  private def morton16(a: Column, b: Column): Column =
-    (0 until 16).flatMap { i =>
-      Seq(shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i + 1),
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i))
+  private def mortonN(bs: Seq[Column], bits: Int): Column = {
+    val n = bs.size
+    (0 until bits).flatMap { i =>
+      bs.zipWithIndex.map { case (b, k) =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), i * n + (n - 1 - k)) }
     }.reduce(_.bitwiseOR(_))
+  }
 
   /** Z-ORDER CLUSTERED REWRITE — the multi-dimensional data-skipping
-    * layout: rows sort along the Morton curve of (`colA`, `colB`), so
-    * every output file covers a narrow range of BOTH columns and
-    * parquet min/max footer stats prune scans filtered on EITHER one.
-    * A single-column sort gives perfect skipping on that column and
-    * none on the second; Z-order trades a little of the first for
-    * locality on both — the standard layout for a fact table queried
-    * by (time, key) interchangeably. One range shuffle on the Z-value
-    * (the same cost as any global sort), local sort within files, no
-    * driver-side data movement; at 100 TB this runs per partition,
-    * like [[compactPartition]].
+    * layout: rows sort along the Morton curve of 2–4 columns, so every
+    * output file covers a narrow range of EACH column and parquet
+    * min/max footer stats prune scans filtered on ANY of them. A
+    * single-column sort gives perfect skipping on that column and none
+    * on the others; Z-order trades a little of the first for locality
+    * on all — the standard layout for a fact table queried by
+    * (time, key) interchangeably. The bit budget (32 total) splits
+    * evenly across columns: 16/16 for two, 10 each for three. One
+    * range shuffle on the Z-value (the same cost as any global sort),
+    * local sort within files, no driver-side data movement; at 100 TB
+    * this runs per partition, like [[compactPartition]].
     */
-  def zorderWrite(df: DataFrame, colA: Column, colB: Column,
-                  outDir: String, numFiles: Int): Unit = {
-    val stats = df.agg(
-      min(colA).cast("double").as("__loA"), max(colA).cast("double").as("__hiA"),
-      min(colB).cast("double").as("__loB"), max(colB).cast("double").as("__hiB"))
+  def zorderWrite(df: DataFrame, cols: Seq[Column], outDir: String,
+                  numFiles: Int): Unit = {
+    require(cols.size >= 2 && cols.size <= 4, "z-order takes 2-4 columns")
+    val bits = 32 / cols.size
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      min(c).cast("double").as(s"__lo$i"), max(c).cast("double").as(s"__hi$i")) }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      bucketN(c, col(s"__lo$i"), col(s"__hi$i"), bits) }
     df.crossJoin(broadcast(stats))
-      .withColumn("__z", morton16(
-        bucket16(colA, col("__loA"), col("__hiA")),
-        bucket16(colB, col("__loB"), col("__hiB"))))
-      .drop("__loA", "__hiA", "__loB", "__hiB")
+      .withColumn("__z", mortonN(buckets, bits))
+      .drop(cols.indices.flatMap(i => Seq(s"__lo$i", s"__hi$i")): _*)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** Two-column form (16-bit buckets each). */
+  def zorderWrite(df: DataFrame, colA: Column, colB: Column,
+                  outDir: String, numFiles: Int): Unit =
+    zorderWrite(df, Seq(colA, colB), outDir, numFiles)
 
   /** Count of data files in a directory (spec/report helper). */
   def dataFileCount(spark: SparkSession, dir: String): Int = {

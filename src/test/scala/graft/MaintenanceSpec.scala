@@ -113,6 +113,40 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/zorder").count() == events.count())
   }
 
+  test("3-column z-order clusters every dimension at once") {
+    val base = Files.createTempDirectory("graft-zorder3").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.01")
+    val nFiles = 16
+    Maintenance.zorderWrite(events,
+      Seq(col("user_id"), col("value"), col("ts")), s"$base/z3", nFiles)
+    val ranges = spark.read.parquet(s"$base/z3")
+      .groupBy(input_file_name())
+      .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+        min("value").as("vlo"), max("value").as("vhi"),
+        min(col("ts").cast("double")).as("tlo"),
+        max(col("ts").cast("double")).as("thi"))
+      .collect()
+    def slice(lo: Double, hi: Double) = (lo + (hi - lo) * 0.30, lo + (hi - lo) * 0.40)
+    def overlap(loF: String, hiF: String, s: (Double, Double)) = ranges.count { r =>
+      val lo = r.get(r.fieldIndex(loF)) match { case l: Long => l.toDouble; case d: Double => d }
+      val hi = r.get(r.fieldIndex(hiF)) match { case l: Long => l.toDouble; case d: Double => d }
+      lo <= s._2 && hi >= s._1
+    }
+    val glob = events.agg(
+      min("user_id").cast("double"), max("user_id").cast("double"),
+      min("value"), max("value"),
+      min(col("ts").cast("double")), max(col("ts").cast("double"))).head()
+    val u = overlap("ulo", "uhi", slice(glob.getDouble(0), glob.getDouble(1)))
+    val v = overlap("vlo", "vhi", slice(glob.getDouble(2), glob.getDouble(3)))
+    val t = overlap("tlo", "thi", slice(glob.getDouble(4), glob.getDouble(5)))
+    // 16 files = 4 Morton prefix bits (u,v,t,u): the first column prunes
+    // to ~1/4 of files, the others to ~1/2, all strictly below the
+    // prune-nothing baseline of 16
+    assert(u <= nFiles / 2, s"user_id slice touches $u of $nFiles")
+    assert(v <= nFiles * 5 / 8, s"value slice touches $v of $nFiles")
+    assert(t <= nFiles * 5 / 8, s"ts slice touches $t of $nFiles")
+  }
+
   test("malformed JSON records are quarantined, not dropped or fatal") {
     val base = Files.createTempDirectory("graft-corrupt").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/data.json"),
