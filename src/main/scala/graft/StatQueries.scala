@@ -365,6 +365,34 @@ object StatQueries {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------------
+  // W1 scale path — top-k per group through the BOUNDED-BUFFER
+  // aggregator (functions.TopKAggregator) instead of a window: the
+  // window form shuffles every row of every group; the aggregator
+  // map-side combines with O(k) state, so the shuffle carries k rows
+  // per group per partition. Oracle: the window form in SQL — the two
+  // must agree exactly (same measure-DESC, id-ASC tie-break).
+  def q112TopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")))
+      .select(col("c_mktsegment"), (col("pos") + 1).as("rank"),
+        col("col")("_1").as("o_totalprice"), col("col")("_2").as("o_orderkey"))
+      .orderBy(col("c_mktsegment"), col("rank"))
+  }
+
+  private val q112Sql =
+    """SELECT c_mktsegment, CAST(rn AS INTEGER) AS rank, o_totalprice, o_orderkey
+      |FROM (
+      |  SELECT c_mktsegment, o_totalprice, o_orderkey,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, rank""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_stats_agg"       -> (q46StatsAgg _),
@@ -380,6 +408,7 @@ object StatQueries {
     "q56_outer_join"      -> (q56OuterJoin _),
     "q57_full_outer"      -> (q57FullOuter _),
     "q94_percentile_dist" -> (q94PercentileDist _),
+    "q112_topk_agg"       -> (q112TopkAgg _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -396,5 +425,6 @@ object StatQueries {
     "q56_outer_join"      -> q56Sql,
     "q57_full_outer"      -> q57Sql,
     "q94_percentile_dist" -> q94Sql,
+    "q112_topk_agg"       -> q112Sql,
   )
 }

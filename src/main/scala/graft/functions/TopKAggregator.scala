@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded per-group top-k as a typed Aggregator (SURVEY.md §2.9 U2) —
+  * the SCALE form of [[graft.operators.Ranking.topPerGroup]]: the
+  * window form shuffles EVERY row of every group to rank them; this
+  * aggregator keeps at most k (measure, id) pairs in its buffer at
+  * every stage, so map-side partial aggregation bounds the shuffle to
+  * k rows per group per partition. At 100 TB a top-3-per-segment over
+  * a fact table moves O(k · partitions · groups) rows instead of the
+  * whole table.
+  *
+  * Ordering: measure DESC, then id ASC (the deterministic tie-break
+  * every top-k in this engine uses). `finish` emits the buffer already
+  * sorted, rank 1 first.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  require(k > 0, "top-k needs k >= 1")
+
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    s.sortWith(better).take(k)
+
+  override def zero: Seq[(Double, Long)] = Seq.empty
+
+  override def reduce(buf: Seq[(Double, Long)],
+                      v: (Double, Long)): Seq[(Double, Long)] =
+    // cheap pre-filter: a full buffer whose worst entry beats v is
+    // unchanged without re-sorting (the common case on sorted-ish data)
+    if (buf.size == k && better(buf.last, v)) buf else trim(buf :+ v)
+
+  override def merge(x: Seq[(Double, Long)],
+                     y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    trim(x ++ y)
+
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+}

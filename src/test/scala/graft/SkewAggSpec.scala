@@ -94,4 +94,29 @@ class SkewAggSpec extends SparkSpec {
                            h2.foldLeft(agg.zero)(agg.reduce))
     assert(all.toSeq == merged.toSeq)
   }
+
+  test("TopKAggregator equals the window top-k, with duplicate measures tie-broken") {
+    val rnd = new scala.util.Random(7)
+    // duplicate measures on purpose: the id tie-break must decide
+    val rows = (0 until 300).map(i =>
+      (s"g${i % 5}", (rnd.nextInt(40) * 0.5), i.toLong))
+    val df = rows.toDF("g", "m", "id").repartition(13)
+    val viaWindow = graft.operators.Ranking
+      .topPerGroup(df, Seq(col("g")), Seq(col("m").desc, col("id").asc), 4)
+      .select("g", "m", "id").as[(String, Double, Long)].collect().toSet
+    val topk = udaf(new graft.functions.TopKAggregator(4))
+    val viaAgg = df.groupBy(col("g"))
+      .agg(topk(col("m"), col("id")).as("top"))
+      .select(col("g"), explode(col("top")).as("t"))
+      .select(col("g"), col("t")("_1").as("m"), col("t")("_2").as("id"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(viaAgg == viaWindow,
+      s"aggregator diverged: ${viaAgg.diff(viaWindow)} / ${viaWindow.diff(viaAgg)}")
+    // buffer bound holds at every stage by construction: reduce and
+    // merge both trim to k — a buffer can never exceed k entries
+    val a = new graft.functions.TopKAggregator(4)
+    val big = (0 until 100).foldLeft(a.zero)((b, i) => a.reduce(b, (i * 1.0, i.toLong)))
+    assert(big.size == 4)
+    assert(a.merge(big, big).size == 4)
+  }
 }
