@@ -297,6 +297,142 @@ object TpchQueries {
       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // TPC-H Q7 — volume shipping between nations, by direction and year:
+  // which direction of trade moved how much (the classic two-nation
+  // pair widened to a five-nation trade bloc so every scale factor of
+  // the synthetic data populates it). Both nation dims broadcast; the
+  // cross-nation predicate rides the joined row, and the year comes
+  // out of the shipdate AFTER the date-range filter pushed to the scan.
+  def q113TpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val bloc = Seq(0, 1, 2, 3, 4)
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("s_nk").isin(bloc: _*) && col("c_nk").isin(bloc: _*) &&
+        col("s_nk") =!= col("c_nk"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(revenue)
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  private val q113Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(extract(year FROM l_shipdate) AS INTEGER) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1997-01-01'
+      |  AND n1.n_nationkey IN (0, 1, 2, 3, 4) AND n2.n_nationkey IN (0, 1, 2, 3, 4)
+      |  AND n1.n_nationkey <> n2.n_nationkey
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q8 — national market share: one supplier-nation's slice of a
+  // region's ECONOMY-part revenue, by order year. The share divides two
+  // conditional DECIMAL sums (cast to DOUBLE at the end), so the ratio
+  // is engine-identical; the region chain collapses into the customer
+  // dim before the fact join.
+  def q114TpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val americaCust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+            .filter(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val vol = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(americaCust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", vol)).cast("double") /
+        sum(vol).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  private val q114Sql =
+    """SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+      |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |  AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q15 — top supplier(s) by quarterly revenue: the revenue CTE
+  // aggregates lineitem once; the max is a 1-row broadcast compared
+  // against EXACT DECIMAL revenues (equality on exact decimals is
+  // engine-safe where double equality would not be); ties all surface,
+  // ordered by suppkey.
+  def q115TpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1996-04-01").cast("date"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .as("rev_exact"))
+    val top = rev.agg(max(col("rev_exact")).as("rev_max"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("rev_exact") === col("rev_max"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_exact").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q115Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_exact
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(rev_exact AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_exact = (SELECT max(rev_exact) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_tpch_q5"   -> (q95TpchQ5 _),
     "q96_tpch_q10"  -> (q96TpchQ10 _),
@@ -308,6 +444,9 @@ object TpchQueries {
     "q106_tpch_q19" -> (q106TpchQ19 _),
     "q107_tpch_q22" -> (q107TpchQ22 _),
     "q108_tpch_q12" -> (q108TpchQ12 _),
+    "q113_tpch_q7"  -> (q113TpchQ7 _),
+    "q114_tpch_q8"  -> (q114TpchQ8 _),
+    "q115_tpch_q15" -> (q115TpchQ15 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -321,5 +460,8 @@ object TpchQueries {
     "q106_tpch_q19" -> q106Sql,
     "q107_tpch_q22" -> q107Sql,
     "q108_tpch_q12" -> q108Sql,
+    "q113_tpch_q7"  -> q113Sql,
+    "q114_tpch_q8"  -> q114Sql,
+    "q115_tpch_q15" -> q115Sql,
   )
 }

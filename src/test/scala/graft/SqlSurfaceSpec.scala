@@ -46,7 +46,10 @@ class SqlSurfaceSpec extends SparkSpec {
     "q105_tpch_q18",
     "q106_tpch_q19",
     "q107_tpch_q22",
-    "q108_tpch_q12")
+    "q108_tpch_q12",
+    "q113_tpch_q7",
+    "q114_tpch_q8",
+    "q115_tpch_q15")
 
   test("ANSI oracle SQL runs through spark.sql with identical results to the Column API") {
     Sql.registerTables(spark, dir)
