@@ -118,5 +118,13 @@ class SkewAggSpec extends SparkSpec {
     val big = (0 until 100).foldLeft(a.zero)((b, i) => a.reduce(b, (i * 1.0, i.toLong)))
     assert(big.size == 4)
     assert(a.merge(big, big).size == 4)
+    // k larger than the group: every row surfaces, still rank-ordered
+    val tiny = Seq(("g", 1.0, 1L), ("g", 3.0, 2L)).toDF("g", "m", "id")
+    val wide = udaf(new graft.functions.TopKAggregator(10))
+    val all10 = tiny.groupBy(col("g"))
+      .agg(wide(col("m"), col("id")).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t")("_1")).as[Double].collect().toSeq
+    assert(all10 == Seq(3.0, 1.0))
   }
 }
