@@ -47,7 +47,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full line as a repo artifact: driver-side capture
+    // keeps only a 2000-char tail of stdout, which truncates the
+    // per-query map — BENCH_LOCAL.json is the untruncated record,
+    // overwritten per run and committed per round.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json: $e") }
     spark.stop()
   }
 }

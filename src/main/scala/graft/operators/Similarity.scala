@@ -149,13 +149,43 @@ object Similarity {
       .select(col("cand_id").as("centroid_id"), col("cv").as("centv"),
         col("c_norm_sq").as("cent_norm_sq"))
 
+    // Centroid set as ONE row holding an array of (centroid_id, centv,
+    // cent_norm_sq) structs: broadcast-joined onto the corpus so nearest-
+    // centroid selection is a PER-ROW array fold — zero shuffles of the
+    // corpus, where the previous window-ranking form (`topPerGroup` over
+    // candidate×centroid pairs) shuffled the full corpus WITH its vectors
+    // once per call and once per Lloyd iteration. At 100 TB that window
+    // was 1+lloydIters avoidable full-corpus vector shuffles.
+    def centArray(cent: DataFrame): DataFrame = cent
+      .agg(collect_list(struct(col("centroid_id"), col("centv"),
+        col("cent_norm_sq"))).as("cents"))
+
+    // (sim, centroid_id) per centroid, computed once per element inside
+    // `transform` (the lambda binds everything it dereferences — an
+    // unbound subexpression would re-evaluate per element). Null sims
+    // (zero-norm vectors) rank last, matching the window form's
+    // descending NULLS LAST.
+    def scoredCents(v: Column, normSq: Column): Column =
+      transform(col("cents"), ct => struct(
+        coalesce(VectorOps.cosineWithNorms(v, ct("centv"), normSq, ct("cent_norm_sq")),
+          lit(Double.NegativeInfinity)).as("sim"),
+        ct("centroid_id").as("centroid_id")))
+
+    // comparator = sim DESC, centroid_id ASC — the same total order the
+    // window form used, so ties resolve identically (order-independent:
+    // collect_list's arbitrary array order cannot change the result)
+    val bySimDescIdAsc = (l: Column, r: Column) =>
+      when(l("sim") > r("sim"), lit(-1)).when(l("sim") < r("sim"), lit(1))
+        .when(l("centroid_id") < r("centroid_id"), lit(-1))
+        .when(l("centroid_id") > r("centroid_id"), lit(1)).otherwise(lit(0))
+
     // assignment: nearest centroid per candidate (cosine, ties → smaller id)
-    def assignTo(cent: DataFrame): DataFrame = Ranking.topPerGroup(
-      c.join(broadcast(cent), lit(true))
-        .withColumn("casim", VectorOps.cosineWithNorms(
-          col("cv"), col("centv"), col("c_norm_sq"), col("cent_norm_sq"))),
-      Seq(col("cand_id")), Seq(col("casim").desc, col("centroid_id").asc), 1)
-      .select(col("centroid_id"), col("cand_id"), col("cv"), col("c_norm_sq"))
+    def assignTo(cent: DataFrame): DataFrame = c
+      .join(broadcast(centArray(cent)), lit(true))
+      .withColumn("__best",
+        element_at(array_sort(scoredCents(col("cv"), col("c_norm_sq")), bySimDescIdAsc), 1))
+      .select(col("__best")("centroid_id").as("centroid_id"),
+        col("cand_id"), col("cv"), col("c_norm_sq"))
 
     val centroids = (1 to lloydIters).foldLeft(seeds) { (cent, _) =>
       assignTo(cent)
@@ -173,16 +203,18 @@ object Similarity {
 
     val assigned = assignTo(centroids)
 
-    // probes: nProbes nearest centroids per query
+    // probes: nProbes nearest centroids per query — same map-side shape
+    // (sort the 16-element scored array, slice the prefix, explode)
     val q = queries
       .select(col("id").as("query_id"), VectorOps.toDoubleArray(col("vec")).as("qv"))
       .withColumn("q_norm_sq", VectorOps.normSq(col("qv")))
-    val probes = Ranking.topPerGroup(
-      q.join(broadcast(centroids), lit(true))
-        .withColumn("qcsim", VectorOps.cosineWithNorms(
-          col("qv"), col("centv"), col("q_norm_sq"), col("cent_norm_sq"))),
-      Seq(col("query_id")), Seq(col("qcsim").desc, col("centroid_id").asc), nProbes)
-      .select(col("query_id"), col("centroid_id"), col("qv"), col("q_norm_sq"))
+    val probes = q
+      .join(broadcast(centArray(centroids)), lit(true))
+      .withColumn("__probe", explode(slice(
+        array_sort(scoredCents(col("qv"), col("q_norm_sq")), bySimDescIdAsc),
+        1, nProbes)))
+      .select(col("query_id"), col("__probe")("centroid_id").as("centroid_id"),
+        col("qv"), col("q_norm_sq"))
 
     // scan only the probed buckets
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
