@@ -24,20 +24,47 @@ class TopKAggregator(k: Int)
   private def better(a: (Double, Long), b: (Double, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
-  private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    s.sortWith(better).take(k)
+  // INVARIANT: every buffer is sorted best-first (zero trivially; reduce
+  // inserts in place; merge interleaves two sorted runs) — so inserts
+  // are a binary search + splice, O(log k + k) per row, not the
+  // O(k log k) re-sort of the first cut (which is quadratic-ish pain at
+  // k=1000, see SkewAggSpec's property case).
 
   override def zero: Seq[(Double, Long)] = Seq.empty
 
   override def reduce(buf: Seq[(Double, Long)],
                       v: (Double, Long)): Seq[(Double, Long)] =
     // cheap pre-filter: a full buffer whose worst entry beats v is
-    // unchanged without re-sorting (the common case on sorted-ish data)
-    if (buf.size == k && better(buf.last, v)) buf else trim(buf :+ v)
+    // unchanged (the common case on sorted-ish data)
+    if (buf.size == k && better(buf.last, v)) buf
+    else {
+      val b = buf.toIndexedSeq
+      var lo = 0
+      var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (better(b(mid), v)) lo = mid + 1 else hi = mid
+      }
+      val out = (b.take(lo) :+ v) ++ b.drop(lo)
+      if (out.length > k) out.take(k) else out
+    }
 
   override def merge(x: Seq[(Double, Long)],
-                     y: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    trim(x ++ y)
+                     y: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+    val a = x.toIndexedSeq
+    val b = y.toIndexedSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    var i = 0
+    var j = 0
+    while (out.length < k && (i < a.length || j < b.length)) {
+      if (j >= b.length || (i < a.length && better(a(i), b(j)))) {
+        out += a(i); i += 1
+      } else {
+        out += b(j); j += 1
+      }
+    }
+    out.toSeq
+  }
 
   override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
 

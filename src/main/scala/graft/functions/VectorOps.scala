@@ -35,6 +35,16 @@ object VectorOps {
   private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** Integer dot of two array<int> code columns → BIGINT
+    * ([[graft.plans.IntDotProductExpr]]): the SQ8 scoring kernel, exact
+    * long accumulation with no per-pair widening to double arrays.
+    */
+  def dotInt(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.IntDotProductExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
   /** Squared L2 norm (kept un-rooted so callers can defer the sqrt). */
   def normSq(a: Column): Column = dot(a, a)
 

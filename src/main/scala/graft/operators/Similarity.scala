@@ -268,11 +268,12 @@ object Similarity {
     val ranges = sq8Scale(cb)
     val cq = sq8Apply(cb, ranges).withColumnRenamed("q", "cq")
     val qq = sq8Apply(qb, ranges).withColumnRenamed("q", "qq")
+    // scoring stays INTEGER end-to-end (IntDotProductExpr): codes are
+    // never widened back to double arrays per pair, so the compressed
+    // scan keeps its bandwidth AND compute win
     val scored = cq.join(broadcast(qq), lit(true))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("qdot", VectorOps.dot(
-        VectorOps.toDoubleArray(col("qq")),
-        VectorOps.toDoubleArray(col("cq"))).cast("long"))
+      .withColumn("qdot", VectorOps.dotInt(col("qq"), col("cq")))
     Ranking.topPerGroup(scored, Seq(col("query_id")),
         Seq(col("qdot").desc, col("cand_id").asc), k)
       .select(col("query_id"), col("cand_id"), col("qdot"))

@@ -50,6 +50,40 @@ class DotProductSpec extends SparkSpec {
     assert(withNullElem.select(VectorOps.dot(col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
+  test("integer dot: exact long accumulation, null semantics, matches widened form") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(50)((Seq.fill(64)(rnd.nextInt(255) - 127),
+                             Seq.fill(64)(rnd.nextInt(255) - 127)))
+    val df = rows.toDF("a", "b")
+    val r = df.select(
+      VectorOps.dotInt(col("a"), col("b")).as("int_dot"),
+      VectorOps.dot(VectorOps.toDoubleArray(col("a")),
+        VectorOps.toDoubleArray(col("b"))).cast("long").as("widened")).collect()
+    assert(r.forall(x => x.getLong(0) == x.getLong(1)))
+
+    val edge = Seq(
+      (Some(Seq(127, -127)), Some(Seq(127, 127))),   // 0
+      (None, Some(Seq(1))),                           // null array
+      (Some(Seq(1, 2)), Some(Seq(1))),                // length mismatch
+    ).toDF("a", "b")
+    val e = edge.select(VectorOps.dotInt(col("a"), col("b"))).collect()
+    assert(e(0).getLong(0) == 0L)
+    assert(e(1).isNullAt(0))
+    assert(e(2).isNullAt(0))
+  }
+
+  test("integer dot runs inside whole-stage codegen") {
+    val df = spark.range(100)
+      .select(
+        array((0 to 7).map(i => (col("id") + i).cast("int")): _*).as("a"),
+        array((0 to 7).map(i => (col("id") * i).cast("int")): _*).as("b"))
+      .select(VectorOps.dotInt(col("a"), col("b")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("vec_dot_int") && l.trim.startsWith("*")),
+      s"vec_dot_int projection not codegen'd in:\n$plan")
+    assert(df.agg(sum("d")).collect()(0).getLong(0) > 0L)
+  }
+
   test("the expression runs inside whole-stage codegen") {
     // non-literal, HOF-free arrays: constant folding can't collapse the
     // plan, and nothing else in the projection breaks codegen.

@@ -127,4 +127,28 @@ class SkewAggSpec extends SparkSpec {
       .select(col("t")("_1")).as[Double].collect().toSeq
     assert(all10 == Seq(3.0, 1.0))
   }
+
+  test("TopKAggregator at k=1000: binary insert, no quadratic blowup, exact result") {
+    // 50k driver-side reduces at k=1000 in ascending order — the worst
+    // case for the insert path (every row displaces the buffer head).
+    // The sortWith-per-row form re-sorted 1000 entries 50k times; the
+    // binary-insert form must stay well under a second.
+    val a = new graft.functions.TopKAggregator(1000)
+    val n = 50000
+    val t0 = System.nanoTime()
+    val buf = (0 until n).foldLeft(a.zero)((b, i) => a.reduce(b, (i.toDouble, i.toLong)))
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(buf.size == 1000)
+    // exact: top 1000 of ascending measures = n-1 down to n-1000
+    assert(buf.head == ((n - 1).toDouble, (n - 1).toLong))
+    assert(buf.last == ((n - 1000).toDouble, (n - 1000).toLong))
+    assert(buf == buf.sortBy(p => (-p._1, p._2)), "buffer lost its sort invariant")
+    assert(elapsed < 5.0, s"k=1000 insert path took ${elapsed}s — quadratic regression")
+    // merge of two disjoint sorted runs interleaves exactly
+    val odd = (1 until 4001 by 2).map(i => (i.toDouble, i.toLong)).reverse
+    val even = (0 until 4000 by 2).map(i => (i.toDouble, i.toLong)).reverse
+    val m = a.merge(odd, even)
+    assert(m.size == 1000)
+    assert(m == (3000 until 4000).map(i => (i.toDouble, i.toLong)).reverse)
+  }
 }
