@@ -339,24 +339,30 @@ object Queries {
       |FROM orders GROUP BY 1, 2 ORDER BY order_year, order_month""".stripMargin
 
   // ---------------------------------------------------------------------
-  // [EXT] A5-adjacent — exact percentiles (interpolating): Spark's
-  // percentile ≡ DuckDB's quantile_cont. Exact = per-group buffered
-  // state (all values in one aggregation buffer) — kept HERE for
-  // cross-engine oracle parity at test scale only. The DECLARED 100 TB
-  // path is percentile_approx (q80 for these same quantiles, q89 for
-  // the money median): a fixed-size rank sketch, constant memory per
-  // group, error-bound-tested in WideQueriesSpec.
-  def q42Percentile(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("__q"),
-        expr("percentile(l_extendedprice, array(0.5D))").getItem(0).as("price_median"))
-      .select(col("l_returnflag"),
-        col("__q").getItem(0).as("qty_p25"),
-        col("__q").getItem(1).as("qty_p50"),
-        col("__q").getItem(2).as("qty_p75"),
-        col("price_median"))
+  // [EXT] A5-adjacent — exact percentiles (interpolating, quantile_cont
+  // semantics) over TWO value columns, on the DISTRIBUTED machinery
+  // (operators.Stats.exactPercentilesWide, q94's path): collapse to
+  // weighted distinct values, range placement, exact rank intervals.
+  // This query previously rode Spark's one-buffer `percentile`
+  // aggregate — per-group memory grows with the data, the documented
+  // OOM-by-design at 100 TB and the suite's one real >2×-of-oracle
+  // bench offender — kept only as an oracle-parity twin. No bench query
+  // rides the one-buffer form anymore; the approximate 100 TB path
+  // stays q80/q89 (rank sketches, constant memory).
+  def q42Percentile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val qty = graft.operators.Stats.exactPercentilesWide(
+      li, col("l_returnflag"), col("l_quantity"),
+      Seq(0.25, 0.5, 0.75), Seq("qty_p25", "qty_p50", "qty_p75"))
+    val price = graft.operators.Stats.exactPercentilesWide(
+      li, col("l_returnflag"), col("l_extendedprice"),
+      Seq(0.5), Seq("price_median"))
+    // per-group join of two 3-row results — broadcast, not a data join
+    qty.join(broadcast(price), Seq("g"))
+      .select(col("g").as("l_returnflag"),
+        col("qty_p25"), col("qty_p50"), col("qty_p75"), col("price_median"))
       .orderBy(col("l_returnflag"))
+  }
 
   private val q42Sql =
     """SELECT l_returnflag,
