@@ -547,6 +547,25 @@ object SimQueries {
       |ORDER BY query_id, qdot DESC, cand_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // J7 production shape — PERSISTED IVF index: build once
+  // (Similarity.buildIvfIndex → two Versioned tables: centroids +
+  // bucket assignment), probe many times (queryIvfIndex). Same
+  // parameters as q98 (16 centroids, 2 Lloyd passes), so the
+  // query-from-index output is IDENTICAL to q98's inline pipeline and
+  // shares its oracle SQL. Build-if-absent mirrors the deployment
+  // cadence: one batch build job, then every query batch pays only
+  // probe selection + the bucket scan — no seed sample, no Lloyd
+  // passes, no corpus assignment rescan.
+  def q116AnnIndex(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val idx = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_c16_l2_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+    if (!new java.io.File(s"$idx/centroids/_graft_log").exists())
+      Similarity.buildIvfIndex(e, idx, nCentroids = 16, lloydIters = 2): Unit
+    Similarity.queryIvfIndex(spark, idx, e.filter(col("id") < 10), k = 5)
+  }
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk"      -> (q31CosineTopK _),
@@ -562,6 +581,7 @@ object SimQueries {
     "q99_semantic_clusters" -> (q99SemanticClusters _),
     "q100_decontamination"  -> (q100Decontamination _),
     "q109_ann_sq8"          -> (q109AnnSq8 _),
+    "q116_ann_index"        -> (q116AnnIndex _),
   )
 
   /** q33/q34/q37/q43 are xxhash64-sketch-based → rows-only check
@@ -581,5 +601,7 @@ object SimQueries {
     "q99_semantic_clusters" -> q99Sql,
     "q100_decontamination"  -> q100Sql,
     "q109_ann_sq8"          -> q109Sql,
+    // the persisted-index probe replays q98's inline pipeline exactly
+    "q116_ann_index"        -> q98Sql,
   )
 }

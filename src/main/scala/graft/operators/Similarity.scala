@@ -134,9 +134,22 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nCentroids: Int = 16, nProbes: Int = 4,
               lloydIters: Int = 0): DataFrame = {
-    val c = candidates
-      .select(col("id").as("cand_id"), VectorOps.toDoubleArray(col("vec")).as("cv"))
-      .withColumn("c_norm_sq", VectorOps.normSq(col("cv")))
+    val c = prepCandidates(candidates)
+    val (centroids, assigned) = centroidsAndAssignment(c, nCentroids, lloydIters)
+    probeIndex(queries, centroids, assigned, k, nProbes)
+  }
+
+  /** Corpus projection shared by the inline and persisted IVF paths. */
+  private def prepCandidates(candidates: DataFrame): DataFrame = candidates
+    .select(col("id").as("cand_id"), VectorOps.toDoubleArray(col("vec")).as("cv"))
+    .withColumn("c_norm_sq", VectorOps.normSq(col("cv")))
+
+  /** The IVF build: deterministic seed sample, optional Lloyd passes,
+    * final assignment. Returns (centroids, assignment) — exactly the
+    * two relations a persisted index stores.
+    */
+  private def centroidsAndAssignment(c: DataFrame, nCentroids: Int,
+                                     lloydIters: Int): (DataFrame, DataFrame) = {
     // Sample key = md5-derived long (graft's deterministic hash-bucket
     // family): stable across runs/layouts like xxhash64, but computable
     // in any engine — which is what lets the DuckDB oracle reproduce
@@ -149,46 +162,8 @@ object Similarity {
       .select(col("cand_id").as("centroid_id"), col("cv").as("centv"),
         col("c_norm_sq").as("cent_norm_sq"))
 
-    // Centroid set as ONE row holding an array of (centroid_id, centv,
-    // cent_norm_sq) structs: broadcast-joined onto the corpus so nearest-
-    // centroid selection is a PER-ROW array fold — zero shuffles of the
-    // corpus, where the previous window-ranking form (`topPerGroup` over
-    // candidate×centroid pairs) shuffled the full corpus WITH its vectors
-    // once per call and once per Lloyd iteration. At 100 TB that window
-    // was 1+lloydIters avoidable full-corpus vector shuffles.
-    def centArray(cent: DataFrame): DataFrame = cent
-      .agg(collect_list(struct(col("centroid_id"), col("centv"),
-        col("cent_norm_sq"))).as("cents"))
-
-    // (sim, centroid_id) per centroid, computed once per element inside
-    // `transform` (the lambda binds everything it dereferences — an
-    // unbound subexpression would re-evaluate per element). Null sims
-    // (zero-norm vectors) rank last, matching the window form's
-    // descending NULLS LAST.
-    def scoredCents(v: Column, normSq: Column): Column =
-      transform(col("cents"), ct => struct(
-        coalesce(VectorOps.cosineWithNorms(v, ct("centv"), normSq, ct("cent_norm_sq")),
-          lit(Double.NegativeInfinity)).as("sim"),
-        ct("centroid_id").as("centroid_id")))
-
-    // comparator = sim DESC, centroid_id ASC — the same total order the
-    // window form used, so ties resolve identically (order-independent:
-    // collect_list's arbitrary array order cannot change the result)
-    val bySimDescIdAsc = (l: Column, r: Column) =>
-      when(l("sim") > r("sim"), lit(-1)).when(l("sim") < r("sim"), lit(1))
-        .when(l("centroid_id") < r("centroid_id"), lit(-1))
-        .when(l("centroid_id") > r("centroid_id"), lit(1)).otherwise(lit(0))
-
-    // assignment: nearest centroid per candidate (cosine, ties → smaller id)
-    def assignTo(cent: DataFrame): DataFrame = c
-      .join(broadcast(centArray(cent)), lit(true))
-      .withColumn("__best",
-        element_at(array_sort(scoredCents(col("cv"), col("c_norm_sq")), bySimDescIdAsc), 1))
-      .select(col("__best")("centroid_id").as("centroid_id"),
-        col("cand_id"), col("cv"), col("c_norm_sq"))
-
     val centroids = (1 to lloydIters).foldLeft(seeds) { (cent, _) =>
-      assignTo(cent)
+      assignTo(c, cent)
         .select(col("centroid_id"), posexplode(col("cv")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(sum(col("col").cast("decimal(27,10)")).as("s"), count(lit(1)).as("n"))
@@ -200,11 +175,59 @@ object Similarity {
         .withColumn("cent_norm_sq", VectorOps.normSq(col("centv")))
         .select(col("centroid_id"), col("centv"), col("cent_norm_sq"))
     }
+    (centroids, assignTo(c, centroids))
+  }
 
-    val assigned = assignTo(centroids)
+  /** Centroid set as ONE row holding an array of (centroid_id, centv,
+    * cent_norm_sq) structs: broadcast-joined onto the corpus so nearest-
+    * centroid selection is a PER-ROW array fold — zero shuffles of the
+    * corpus, where the previous window-ranking form (`topPerGroup` over
+    * candidate×centroid pairs) shuffled the full corpus WITH its vectors
+    * once per call and once per Lloyd iteration. At 100 TB that window
+    * was 1+lloydIters avoidable full-corpus vector shuffles.
+    */
+  private def centArray(cent: DataFrame): DataFrame = cent
+    .agg(collect_list(struct(col("centroid_id"), col("centv"),
+      col("cent_norm_sq"))).as("cents"))
 
+  /** (sim, centroid_id) per centroid, computed once per element inside
+    * `transform` (the lambda binds everything it dereferences — an
+    * unbound subexpression would re-evaluate per element). Null sims
+    * (zero-norm vectors) rank last, matching the window form's
+    * descending NULLS LAST.
+    */
+  private def scoredCents(v: Column, normSq: Column): Column =
+    transform(col("cents"), ct => struct(
+      coalesce(VectorOps.cosineWithNorms(v, ct("centv"), normSq, ct("cent_norm_sq")),
+        lit(Double.NegativeInfinity)).as("sim"),
+      ct("centroid_id").as("centroid_id")))
+
+  /** Comparator = sim DESC, centroid_id ASC — the same total order the
+    * window form used, so ties resolve identically (order-independent:
+    * collect_list's arbitrary array order cannot change the result).
+    */
+  private val bySimDescIdAsc = (l: Column, r: Column) =>
+    when(l("sim") > r("sim"), lit(-1)).when(l("sim") < r("sim"), lit(1))
+      .when(l("centroid_id") < r("centroid_id"), lit(-1))
+      .when(l("centroid_id") > r("centroid_id"), lit(1)).otherwise(lit(0))
+
+  /** Assignment: nearest centroid per candidate (cosine, ties → smaller
+    * id), map-side per-row argmax over the broadcast centroid array.
+    */
+  private def assignTo(c: DataFrame, cent: DataFrame): DataFrame = c
+    .join(broadcast(centArray(cent)), lit(true))
+    .withColumn("__best",
+      element_at(array_sort(scoredCents(col("cv"), col("c_norm_sq")), bySimDescIdAsc), 1))
+    .select(col("__best")("centroid_id").as("centroid_id"),
+      col("cand_id"), col("cv"), col("c_norm_sq"))
+
+  /** Probe + scan + rank against a (centroids, assignment) pair —
+    * shared by the inline path and [[queryIvfIndex]].
+    */
+  private def probeIndex(queries: DataFrame, centroids: DataFrame,
+                         assigned: DataFrame, k: Int, nProbes: Int): DataFrame = {
     // probes: nProbes nearest centroids per query — same map-side shape
-    // (sort the 16-element scored array, slice the prefix, explode)
+    // as assignment (sort the 16-element scored array, slice, explode)
     val q = queries
       .select(col("id").as("query_id"), VectorOps.toDoubleArray(col("vec")).as("qv"))
       .withColumn("q_norm_sq", VectorOps.normSq(col("qv")))
@@ -225,6 +248,43 @@ object Similarity {
         Seq(col("sim").desc, col("cand_id").asc), k)
       .select(col("query_id"), col("cand_id"), col("sim"))
       .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+  }
+
+  /** Build the IVF index ONCE and persist it as two
+    * [[graft.sources.Versioned]] tables under `indexDir`
+    * (`centroids/`, `assignment/`): a real 100 TB deployment builds the
+    * index in one batch job and probes it many times — recomputing
+    * seeds, Lloyd passes, and the full corpus assignment per query
+    * batch (the inline [[ivfTopK]] shape) would rescan the corpus every
+    * time. Both tables commit atomically-enough for this engine's
+    * single-writer builds: one `overwrite` version each per build, so
+    * version N of `centroids/` pairs with version N of `assignment/` —
+    * and time travel (`asOf`) reproduces any historical index exactly.
+    * Returns the committed version.
+    */
+  def buildIvfIndex(candidates: DataFrame, indexDir: String,
+                    nCentroids: Int = 16, lloydIters: Int = 0): Long = {
+    val c = prepCandidates(candidates)
+    val (centroids, assigned) = centroidsAndAssignment(c, nCentroids, lloydIters)
+    val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
+    val va = graft.sources.Versioned.overwrite(assigned, s"$indexDir/assignment")
+    require(vc == va, s"index tables diverged: centroids v$vc vs assignment v$va " +
+      s"(was $indexDir written by something other than buildIvfIndex?)")
+    vc
+  }
+
+  /** Probe a persisted IVF index: identical output to the [[ivfTopK]]
+    * call whose corpus/params built it, but the only work per query
+    * batch is probe selection + the bucket-equality scan — no seed
+    * sample, no Lloyd passes, no corpus assignment. `asOf` time-travels
+    * to a historical index version (both tables pin the same version).
+    */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                    queries: DataFrame, k: Int, nProbes: Int = 4,
+                    asOf: Option[Long] = None): DataFrame = {
+    val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids", asOf)
+    val assigned = graft.sources.Versioned.read(spark, s"$indexDir/assignment", asOf)
+    probeIndex(queries, centroids, assigned, k, nProbes)
   }
 
   /** Global quantization scale of a corpus: max |component| across

@@ -170,4 +170,38 @@ class SimilaritySpec extends SparkSpec {
     val recall = hits / 50.0
     assert(recall >= 0.8, s"SQ8 recall vs exact dot: $recall")
   }
+
+  test("persisted IVF index: probe ≡ inline pipeline, reusable across sessions, time travel") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "sim")
+        .as[(Long, Long, Double)].collect().toSeq
+
+    // build once, probe — identical to the inline call (same params)
+    val v0 = Similarity.buildIvfIndex(e, idx, nCentroids = 16, lloydIters = 2)
+    assert(v0 == 0L)
+    val fromIndex = rows(Similarity.queryIvfIndex(spark, idx, q, k = 5))
+    val inline = rows(Similarity.ivfTopK(q, e, k = 5, lloydIters = 2))
+    assert(fromIndex == inline, "index probe diverged from the inline pipeline")
+
+    // another session (shared context, fresh state) reads the same
+    // index from disk — the build is a durable artifact, not plan state
+    val s2 = spark.newSession()
+    assert(rows(Similarity.queryIvfIndex(s2, idx, q, k = 5)) == inline)
+
+    // rebuild over a mutated corpus → version 1; latest reflects the
+    // new corpus, asOf(0) reproduces the ORIGINAL index exactly
+    val mutated = e.filter(col("id") % 7 =!= 0)
+    val v1 = Similarity.buildIvfIndex(mutated, idx, nCentroids = 16, lloydIters = 2)
+    assert(v1 == 1L)
+    val latest = rows(Similarity.queryIvfIndex(spark, idx, q, k = 5))
+    assert(latest == rows(Similarity.ivfTopK(q, mutated, k = 5, lloydIters = 2)))
+    assert(latest.forall { case (_, cand, _) => cand % 7 != 0 })
+    assert(rows(Similarity.queryIvfIndex(spark, idx, q, k = 5, asOf = Some(0L))) == inline,
+      "time travel to index v0 must reproduce the original build")
+  }
 }
