@@ -420,7 +420,10 @@ object PipelineQueries {
       .orderBy(col("stage_idx"))
   }
 
-  private val q110Sql =
+  /** CTE chain shared by q110 (funnel counts) and q117 (incremental
+    * survivors): stages s1–s6 of the curation composition.
+    */
+  private val curationCtes =
     """WITH RECURSIVE
       |s1 AS (SELECT * FROM documents
       |  WHERE CAST(len(list_filter(string_split(text, ' '),
@@ -477,8 +480,10 @@ object PipelineQueries {
       |s5 AS (SELECT s4.* FROM s4 WHERE NOT EXISTS
       |        (SELECT 1 FROM drop5 WHERE drop5.doc_id = s4.doc_id)),
       |s6 AS (SELECT * FROM s5
-      |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90)
-      |SELECT 0 AS stage_idx, 'total' AS stage, count(*) AS n_docs FROM documents
+      |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90)""".stripMargin
+
+  private val q110Sql = curationCtes + "\n" +
+    """SELECT 0 AS stage_idx, 'total' AS stage, count(*) AS n_docs FROM documents
       |UNION ALL SELECT 1, 'lang_en', count(*) FROM s1
       |UNION ALL SELECT 2, 'quality', count(*) FROM s2
       |UNION ALL SELECT 3, 'not_repetitive', count(*) FROM s3
@@ -486,6 +491,32 @@ object PipelineQueries {
       |UNION ALL SELECT 5, 'near_dedup', count(*) FROM s5
       |UNION ALL SELECT 6, 'train_split', count(*) FROM s6
       |ORDER BY stage_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] INCREMENTAL CURATION — q110's composition at daily cadence
+  // (operators.Curation): the corpus arrives as two appended batches;
+  // each batch pays row-local filters on ITS docs only, an anti-join of
+  // its norms against the accumulated exact-dedup keepers, and
+  // batch×(batch ∪ state) near-dup joins — never a state×state rescan.
+  // Survivors derive from CC over the ACCUMULATED pair graph, so a new
+  // doc bridging two old clusters merges them exactly as a full
+  // recompute would (CurationSpec proves incremental ≡ full). The
+  // oracle replays the one-shot composition (shared CTEs with q110) —
+  // passing means the incremental decomposition IS the full pipeline.
+  def q117IncrementalCuration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, dir)
+    val state = java.nio.file.Files.createTempDirectory("graft_curation_state").toString
+    Curation.curateBatch(docs.filter(col("doc_id") < 250), state): Unit
+    Curation.curateBatch(docs.filter(col("doc_id") >= 250), state): Unit
+    Curation.survivors(spark, state).orderBy(col("doc_id"))
+  }
+
+  private val q117Sql = curationCtes + "\n" +
+    """SELECT doc_id,
+      |  (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90)
+      |    AS is_train
+      |FROM s5 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
 
@@ -501,7 +532,8 @@ object PipelineQueries {
     "q81_components"        -> (q81Components _),
     "q90_repetition_stats"  -> (q90RepetitionStats _),
     "q91_quality_report"    -> (q91QualityReport _),
-    "q110_curation_funnel"  -> (q110CurationFunnel _))
+    "q110_curation_funnel"  -> (q110CurationFunnel _),
+    "q117_incremental_curation" -> (q117IncrementalCuration _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -515,5 +547,6 @@ object PipelineQueries {
     "q81_components"        -> q81Sql,
     "q90_repetition_stats"  -> q90Sql,
     "q91_quality_report"    -> q91Sql,
-    "q110_curation_funnel"  -> q110Sql)
+    "q110_curation_funnel"  -> q110Sql,
+    "q117_incremental_curation" -> q117Sql)
 }

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.sources.Versioned
+
+/** INCREMENTAL corpus curation — the daily-cadence form of the q110
+  * curation funnel (the reference runs its pipeline on a daily Airflow
+  * schedule, 0affc6b7559b_dag.py:30): curate ONLY an appended batch
+  * against accumulated state instead of re-curating the full corpus.
+  * At 100 TB the difference is the whole game — a daily batch is ~0.1%
+  * of the corpus, and every stage here touches O(batch) new text, never
+  * O(corpus):
+  *
+  *  - row-local filters (language / quality / repetition) are per-doc →
+  *    evaluated on the batch only;
+  *  - exact dedup: batch docs whose normalized text already has a
+  *    keeper in state are dropped by an anti-join on the norm key —
+  *    the accumulated corpus is never re-normalized;
+  *  - near-dup: pairs WITHIN the batch (self-join) plus batch×state
+  *    pairs ([[NearDup.ngramJaccardPairsAcross]]) — never state×state,
+  *    whose pairs are already in the accumulated pair table.
+  *
+  * State = two [[Versioned]] tables under `stateDir`, one commit EACH
+  * per batch (versions stay in lockstep, so `asOf = n` reproduces the
+  * state after batch n — the audit/rollback story for a daily feed):
+  *
+  *   candidates/  (doc_id, text, norm) — docs surviving stages f1–f4
+  *                (the near-dup candidate set; includes docs later
+  *                dropped by clustering, because FUTURE batches must
+  *                pair against them exactly as a full recompute would);
+  *   pairs/       (doc_a, doc_b) — accumulated near-dup pairs (jaccard
+  *                ≥ `minJaccard`) among candidates.
+  *
+  * Survivors are DERIVED ([[survivors]]): connected components over the
+  * accumulated pair graph, drop non-component-min, stamp the
+  * deterministic train split. The CC runs over the pair graph only
+  * (near-dup pairs, orders of magnitude smaller than the corpus).
+  *
+  * EQUIVALENCE INVARIANT (spec-proven in CurationSpec): incremental
+  * curation over batches b1..bn ≡ [[fullCurate]] over b1 ∪ … ∪ bn,
+  * PROVIDED doc ids are monotone across batches (append-only ingestion
+  * ids) — the exact-dedup keeper (min id per norm) then never moves
+  * once chosen, so state never needs retraction at the norm stage.
+  * Near-dup clustering needs no such guard: the pair set decomposes
+  * exactly (a pair depends only on its two texts), and CC runs on the
+  * complete accumulated graph, so a new doc bridging two old clusters
+  * merges them — and may retroactively drop an old survivor — exactly
+  * as the full recompute does.
+  */
+object Curation {
+
+  /** Stage thresholds, shared by the incremental and one-shot paths
+    * (and mirrored by q110's oracle SQL).
+    */
+  val minQuality = 0.4
+  val minJaccard = 0.6
+  val trainPct = 90
+
+  private def candTable(stateDir: String) = s"$stateDir/candidates"
+  private def pairTable(stateDir: String) = s"$stateDir/pairs"
+
+  /** Row-local stages f1–f3 (language-ID, quality score, repetition
+    * rules) — per-doc predicates, no cross-doc state. Output:
+    * (doc_id, text, norm) for the survivors.
+    */
+  private[graft] def rowLocal(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .filter(TextOps.langId(col("text")) === "en")
+      .filter(TextOps.qualityScore(col("text"), col("n_chars")) >= minQuality)
+    val keepRep = Corpus.repetitionStats(base, col("doc_id"), col("text"))
+      .filter(!Corpus.isRepetitive(col("distinct_ratio"),
+        col("top_token_frac"), col("top_bigram_frac")))
+      .select(col("doc_id"))
+    base.join(keepRep, Seq("doc_id"))
+      .select(col("doc_id"), col("text"), TextOps.normalized(col("text")).as("norm"))
+  }
+
+  /** Exact-dedup keepers within `f3`: min doc_id per normalized text,
+    * carrying the keeper's text.
+    */
+  private def exactKeepers(f3: DataFrame): DataFrame =
+    Ranking.topPerGroup(f3, Seq(col("norm")), Seq(col("doc_id").asc), 1)
+
+  /** Curate one appended batch against the accumulated state and commit
+    * the new candidates + pairs (one Versioned version each). Returns
+    * the committed state version (= number of batches ingested − 1).
+    */
+  def curateBatch(batch: DataFrame, stateDir: String): Long = {
+    val spark = batch.sparkSession
+    val f3 = rowLocal(batch)
+    val inBatch = exactKeepers(f3)
+    val hasState = Versioned.exists(spark, candTable(stateDir))
+    val f4Batch =
+      if (!hasState) inBatch
+      else inBatch.join(
+        Versioned.read(spark, candTable(stateDir)).select(col("norm")),
+        Seq("norm"), "left_anti")
+    // Stage the batch candidates once: they feed the within-batch
+    // self-join, the across join, and the state commit.
+    val f4B = f4Batch.select(col("doc_id"), col("text"), col("norm"))
+      .localCheckpoint(eager = false)
+
+    val within = NearDup.ngramJaccardPairs(f4B, col("doc_id"), col("text"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val newPairs =
+      if (!hasState) within
+      else within.unionByName(
+        NearDup.ngramJaccardPairsAcross(
+            f4B, Versioned.read(spark, candTable(stateDir)),
+            col("doc_id"), col("text"))
+          .filter(col("jaccard") >= minJaccard)
+          .select(col("doc_a"), col("doc_b")))
+
+    val vc = Versioned.append(f4B, candTable(stateDir))
+    val vp = Versioned.append(newPairs, pairTable(stateDir))
+    require(vc == vp, s"curation state diverged: candidates v$vc vs pairs v$vp")
+    vc
+  }
+
+  /** The curated corpus at state version `asOf` (default latest):
+    * candidates minus near-dup cluster non-representatives, with the
+    * deterministic train-split flag. Output: (doc_id, is_train).
+    */
+  def survivors(spark: SparkSession, stateDir: String,
+                asOf: Option[Long] = None): DataFrame = {
+    val cands = Versioned.read(spark, candTable(stateDir), asOf)
+    val prs = Versioned.read(spark, pairTable(stateDir), asOf)
+      .select(col("doc_a"), col("doc_b"))
+    survivorsFrom(cands, prs)
+  }
+
+  private def survivorsFrom(cands: DataFrame, prs: DataFrame): DataFrame = {
+    val nodes = prs.select(col("doc_a").as("id"))
+      .unionByName(prs.select(col("doc_b").as("id"))).distinct()
+    val dropNear = Graph.connectedComponents(nodes, prs, maxIter = 60)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    cands.join(broadcast(dropNear), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        (Corpus.hashBucket(col("doc_id")) < trainPct).as("is_train"))
+  }
+
+  /** One-shot recompute over the whole corpus — the equivalence oracle
+    * for the incremental path (and the same composition as q110's
+    * stages f1–f6, survivor SET instead of funnel counts).
+    */
+  def fullCurate(docs: DataFrame): DataFrame = {
+    val f4 = exactKeepers(rowLocal(docs))
+      .select(col("doc_id"), col("text"), col("norm"))
+      .localCheckpoint(eager = false)
+    val prs = NearDup.ngramJaccardPairs(f4, col("doc_id"), col("text"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    survivorsFrom(f4, prs)
+  }
+}

@@ -180,6 +180,42 @@ object NearDup {
         col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard pairs BETWEEN two DISJOINT corpora — the
+    * incremental-curation join: an appended batch (`left`) against the
+    * accumulated candidate state (`right`), never state×state (those
+    * pairs are already known) and never a rescan of the old corpus
+    * text pipeline beyond its shingles. Same blocked-equality shape and
+    * output schema as [[ngramJaccardPairs]]; ids normalize to
+    * doc_a < doc_b so downstream union with the within-batch pairs is
+    * seamless. Caller guarantees disjoint id sets (asserted per pair).
+    */
+  def ngramJaccardPairsAcross(left: DataFrame, right: DataFrame,
+                              id: Column, text: Column): DataFrame = {
+    def base(df: DataFrame, n: String) = df
+      .select(id.as(n), shingleHashes3(text).as("sh"))
+      .withColumn(s"n_$n", size(col("sh")))
+    val l = base(left, "lid")
+    val r = base(right, "rid")
+    l.select(col("lid"), explode(col("sh")).as("s"))
+      .join(r.select(col("rid"), explode(col("sh")).as("s")), Seq("s"))
+      .filter(col("lid") =!= col("rid"))
+      .groupBy(col("lid"), col("rid"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(l.select(col("lid"), col("n_lid"))), Seq("lid"))
+      .join(broadcast(r.select(col("rid"), col("n_rid"))), Seq("rid"))
+      .select(
+        least(col("lid"), col("rid")).as("doc_a"),
+        greatest(col("lid"), col("rid")).as("doc_b"),
+        col("n_shared").cast("long").as("n_shared"),
+        when(col("lid") < col("rid"), col("n_lid")).otherwise(col("n_rid"))
+          .cast("long").as("n_a"),
+        when(col("lid") < col("rid"), col("n_rid")).otherwise(col("n_lid"))
+          .cast("long").as("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_lid") + col("n_rid") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Cross-corpus contamination pairs — the train/test DECONTAMINATION
     * primitive: for each doc in `right` (the eval/test corpus), every
     * doc in `left` (the training corpus) sharing at least `minShared`

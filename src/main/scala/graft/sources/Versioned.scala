@@ -276,6 +276,10 @@ object Versioned {
     else spark.read.schema(schema).parquet(snap.add.map(p => s"$table/$p"): _*)
   }
 
+  /** True if `table` has at least one committed version. */
+  def exists(spark: SparkSession, table: String): Boolean =
+    versions(fs(spark, new Path(table)), table).nonEmpty
+
   /** Latest committed version number. */
   def latestVersion(spark: SparkSession, table: String): Long = {
     val vs = versions(fs(spark, new Path(table)), table)
