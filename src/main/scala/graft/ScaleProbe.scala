@@ -110,6 +110,32 @@ object ScaleProbe {
       println(f"$name%-18s " + times.map(t => f"$t%8.2f").mkString(" ") +
         f"   (10x/1x ratio: ${times.last / times.head}%.1f)")
     }
+
+    // Incremental curation: the probe question is different — not "how
+    // does the operator scale with its input" but "how does a
+    // FIXED-SIZE daily batch cost grow as the ACCUMULATED STATE grows".
+    // The daily batch stays 1× while state is 1×/3×/10×; near-flat
+    // growth is the evidence that a batch pays O(batch) text work and
+    // joins stored 8-byte shingle keys, never re-shingling history.
+    if (opFilter.isEmpty || opFilter.exists("incremental_batch".contains)) {
+      val docs = Tables.documents(spark, sfDir)
+      val batch = docs.select((col("doc_id") + lit(900000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "), t => concat(lit("zz"), t)),
+          " ").as("text"), col("n_chars"))
+      val times = scales.map { s =>
+        val state = java.nio.file.Files
+          .createTempDirectory(s"scaleprobe_curation_$s").toString
+        graft.operators.Curation.curateBatch(
+          replicate(docs, s).withColumn("n_chars", length(col("text"))), state): Unit
+        val t0 = System.nanoTime()
+        graft.operators.Curation.curateBatch(batch, state): Unit
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"incremental_batch"}%-18s " + times.map(t => f"$t%8.2f").mkString(" ") +
+        f"   (10x/1x ratio: ${times.last / times.head}%.1f)  [fixed 1x batch vs growing state]")
+    }
     spark.stop()
   }
 }

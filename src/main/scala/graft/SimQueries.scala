@@ -560,7 +560,8 @@ object SimQueries {
     val e = embs(spark, dir)
     val idx = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_ivf_c16_l2_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
-    if (!new java.io.File(s"$idx/centroids/_graft_log").exists())
+    if (!new java.io.File(s"$idx/centroids/_graft_log").exists() ||
+        !new java.io.File(s"$idx/assignment/_graft_log").exists())
       Similarity.buildIvfIndex(e, idx, nCentroids = 16, lloydIters = 2): Unit
     Similarity.queryIvfIndex(spark, idx, e.filter(col("id") < 10), k = 5)
   }

@@ -19,14 +19,18 @@ import graft.sources.Versioned
   *    keeper in state are dropped by an anti-join on the norm key —
   *    the accumulated corpus is never re-normalized;
   *  - near-dup: pairs WITHIN the batch (self-join) plus batch×state
-  *    pairs ([[NearDup.ngramJaccardPairsAcross]]) — never state×state,
-  *    whose pairs are already in the accumulated pair table.
+  *    pairs ([[NearDup.ngramJaccardPairsAcrossHashed]]) — never
+  *    state×state, whose pairs are already in the accumulated pair
+  *    table, and never a re-shingle of state: candidates persist their
+  *    DISTINCT SHINGLE HASHES (8-byte longs, the same hash space the
+  *    pair join keys on), so each batch joins against stored keys
+  *    instead of re-tokenizing/re-hashing the historical corpus text.
   *
   * State = two [[Versioned]] tables under `stateDir`, one commit EACH
   * per batch (versions stay in lockstep, so `asOf = n` reproduces the
   * state after batch n — the audit/rollback story for a daily feed):
   *
-  *   candidates/  (doc_id, text, norm) — docs surviving stages f1–f4
+  *   candidates/  (doc_id, norm, sh) — docs surviving stages f1–f4
   *                (the near-dup candidate set; includes docs later
   *                dropped by clustering, because FUTURE batches must
   *                pair against them exactly as a full recompute would);
@@ -97,20 +101,29 @@ object Curation {
       else inBatch.join(
         Versioned.read(spark, candTable(stateDir)).select(col("norm")),
         Seq("norm"), "left_anti")
-    // Stage the batch candidates once: they feed the within-batch
-    // self-join, the across join, and the state commit.
-    val f4B = f4Batch.select(col("doc_id"), col("text"), col("norm"))
+    // Stage the batch candidates once — WITH their shingle hashes: the
+    // batch text is tokenized/hashed exactly once here, then the staged
+    // rows feed the within-batch self-join, the across join, and the
+    // state commit (text itself never enters state).
+    val f4B = f4Batch
+      .select(col("doc_id"), col("norm"),
+        NearDup.shingleHashes3(col("text")).as("sh"))
       .localCheckpoint(eager = false)
+    val f4Sh = f4B.select(col("doc_id").as("id"), col("sh"))
 
-    val within = NearDup.ngramJaccardPairs(f4B, col("doc_id"), col("text"))
+    // self-application emits each unordered pair once per direction
+    // (both normalize to the same (min, max) row) → dropDuplicates
+    val within = NearDup.ngramJaccardPairsAcrossHashed(f4Sh, f4Sh)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
     val newPairs =
       if (!hasState) within
       else within.unionByName(
-        NearDup.ngramJaccardPairsAcross(
-            f4B, Versioned.read(spark, candTable(stateDir)),
-            col("doc_id"), col("text"))
+        NearDup.ngramJaccardPairsAcrossHashed(
+            f4Sh,
+            Versioned.read(spark, candTable(stateDir))
+              .select(col("doc_id").as("id"), col("sh")))
           .filter(col("jaccard") >= minJaccard)
           .select(col("doc_a"), col("doc_b")))
 

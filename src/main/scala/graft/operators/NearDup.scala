@@ -190,9 +190,20 @@ object NearDup {
     * seamless. Caller guarantees disjoint id sets (asserted per pair).
     */
   def ngramJaccardPairsAcross(left: DataFrame, right: DataFrame,
-                              id: Column, text: Column): DataFrame = {
+                              id: Column, text: Column): DataFrame =
+    ngramJaccardPairsAcrossHashed(
+      left.select(id.as("id"), shingleHashes3(text).as("sh")),
+      right.select(id.as("id"), shingleHashes3(text).as("sh")))
+
+  /** [[ngramJaccardPairsAcross]] over PRE-SHINGLED sides — (id, sh)
+    * with sh = the distinct shingle-hash array. The incremental-
+    * curation hot path: the accumulated state stores its shingle
+    * hashes, so a daily batch joins against stored 8-byte keys and
+    * NEVER re-tokenizes/re-hashes the historical corpus text.
+    */
+  def ngramJaccardPairsAcrossHashed(left: DataFrame, right: DataFrame): DataFrame = {
     def base(df: DataFrame, n: String) = df
-      .select(id.as(n), shingleHashes3(text).as("sh"))
+      .select(col("id").as(n), col("sh"))
       .withColumn(s"n_$n", size(col("sh")))
     val l = base(left, "lid")
     val r = base(right, "rid")
