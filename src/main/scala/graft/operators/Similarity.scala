@@ -273,6 +273,28 @@ object Similarity {
     vc
   }
 
+  /** Append a vector batch to a persisted IVF index WITHOUT rebuilding:
+    * the new vectors are assigned to the EXISTING (frozen) centroids —
+    * one map-side pass over the batch, no seed resample, no Lloyd
+    * passes, no touch of the already-assigned corpus. This is standard
+    * IVF maintenance (FAISS `add` does the same): centroids drift from
+    * the corpus distribution as appends accumulate, and the operator
+    * leaves rebuild cadence to the caller ([[buildIvfIndex]] again when
+    * recall decays). The centroid table re-commits its unchanged rows
+    * so both tables stay version-lockstep — `asOf = n` still snapshots
+    * a coherent (centroids, assignment) pair after any append.
+    * Returns the committed version.
+    */
+  def appendToIvfIndex(batch: DataFrame, indexDir: String): Long = {
+    val spark = batch.sparkSession
+    val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids")
+    val assignedNew = assignTo(prepCandidates(batch), centroids)
+    val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
+    val va = graft.sources.Versioned.append(assignedNew, s"$indexDir/assignment")
+    require(vc == va, s"index tables diverged: centroids v$vc vs assignment v$va")
+    vc
+  }
+
   /** Probe a persisted IVF index: identical output to the [[ivfTopK]]
     * call whose corpus/params built it, but the only work per query
     * batch is probe selection + the bucket-equality scan — no seed

@@ -204,4 +204,34 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(Similarity.queryIvfIndex(spark, idx, q, k = 5, asOf = Some(0L))) == inline,
       "time travel to index v0 must reproduce the original build")
   }
+
+  test("appendToIvfIndex: frozen-centroid assignment, exhaustive probe stays exact") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val initial = e.filter(col("id") % 5 =!= 0)
+    val batch = e.filter(col("id") % 5 === 0)
+    val q = e.filter(col("id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "sim")
+        .as[(Long, Long, Double)].collect().toSeq
+
+    Similarity.buildIvfIndex(initial, idx, nCentroids = 8): Unit
+    val before = rows(Similarity.queryIvfIndex(spark, idx, q, k = 5))
+    assert(Similarity.appendToIvfIndex(batch, idx) == 1L)
+
+    // appended vectors are probe-reachable: an exhaustive probe over the
+    // appended index equals brute force over the UNION corpus — the
+    // append really placed every new vector in a scannable bucket
+    val exhaustive = rows(Similarity.queryIvfIndex(spark, idx, q, k = 5, nProbes = 8))
+    val brute = Similarity.bruteForceTopK(q, e, k = 5)
+      .select(col("query_id"), col("cand_id"), col("sim"))
+      .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+    assert(exhaustive == rows(brute),
+      "exhaustive probe of the appended index must equal brute force over the union")
+
+    // time travel: version 0 still answers with the pre-append corpus
+    assert(rows(Similarity.queryIvfIndex(spark, idx, q, k = 5, asOf = Some(0L))) == before)
+  }
 }
