@@ -350,17 +350,25 @@ object Queries {
   // rides the one-buffer form anymore; the approximate 100 TB path
   // stays q80/q89 (rank sketches, constant memory).
   def q42Percentile(spark: SparkSession, dir: String): DataFrame = {
+    // BOTH value columns ride ONE rank-interval pass: the measures
+    // unpivot into a long form and the measure name joins the group key
+    // (a struct group), so the collapse, range placement, and boundary
+    // aggregation run once over 2N skinny rows instead of twice over N
+    // (two full chains + a join measured ~0.5 s slower at sf0.1).
     val li = Tables.lineitem(spark, dir)
-    val qty = graft.operators.Stats.exactPercentilesWide(
-      li, col("l_returnflag"), col("l_quantity"),
-      Seq(0.25, 0.5, 0.75), Seq("qty_p25", "qty_p50", "qty_p75"))
-    val price = graft.operators.Stats.exactPercentilesWide(
-      li, col("l_returnflag"), col("l_extendedprice"),
-      Seq(0.5), Seq("price_median"))
-    // per-group join of two 3-row results — broadcast, not a data join
-    qty.join(broadcast(price), Seq("g"))
-      .select(col("g").as("l_returnflag"),
-        col("qty_p25"), col("qty_p50"), col("qty_p75"), col("price_median"))
+    def long(m: String, v: Column) = li.select(
+      col("l_returnflag").as("rf"), lit(m).as("m"), v.cast("double").as("v"))
+    val wide = graft.operators.Stats.exactPercentilesWide(
+      long("qty", col("l_quantity"))
+        .unionByName(long("price", col("l_extendedprice"))),
+      struct(col("rf"), col("m")), col("v"),
+      Seq(0.25, 0.5, 0.75), Seq("p25", "p50", "p75"))
+    wide.groupBy(col("g")("rf").as("l_returnflag"))
+      .agg(
+        max(when(col("g")("m") === "qty", col("p25"))).as("qty_p25"),
+        max(when(col("g")("m") === "qty", col("p50"))).as("qty_p50"),
+        max(when(col("g")("m") === "qty", col("p75"))).as("qty_p75"),
+        max(when(col("g")("m") === "price", col("p50"))).as("price_median"))
       .orderBy(col("l_returnflag"))
   }
 
