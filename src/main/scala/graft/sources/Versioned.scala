@@ -261,6 +261,26 @@ object Versioned {
     }
   }
 
+  /** Compact the current snapshot into ~`targetFileMB`-sized files as a
+    * new "overwrite" version — Delta's OPTIMIZE: the daily-append
+    * cadence (incremental curation batches, ANN index appends) leaves
+    * one small file set per commit, and object-store scan cost grows
+    * with file COUNT, not just bytes. Rewrites via `coalesce` (merge
+    * only, no shuffle — compaction is an IO rewrite, not a
+    * repartition). Readers are never disturbed: pre-compaction versions
+    * time-travel until [[vacuum]] reclaims them. Returns the committed
+    * version.
+    */
+  def compact(spark: SparkSession, table: String, targetFileMB: Int = 128): Long = {
+    val f = fs(spark, new Path(table))
+    val snap = resolve(f, table, None)
+    val totalBytes = snap.add
+      .map(p => f.getFileStatus(new Path(s"$table/$p")).getLen).sum
+    val nFiles = math.max(1L,
+      math.ceil(totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toLong).toInt
+    commit(read(spark, table).coalesce(nFiles), table, "overwrite")
+  }
+
   // -------------------------------------------------------------- reads
 
   /** Snapshot-isolated read of `table` at `asOf` (default: latest).

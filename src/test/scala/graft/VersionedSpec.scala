@@ -104,6 +104,31 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.vacuum(spark, t, retainVersions = 1) == 0)
   }
 
+  test("compact merges many small append files into few; history intact") {
+    val t = tmpTable()
+    // the daily-append pattern: one small file set per batch
+    (0 until 6).foreach { i =>
+      Versioned.append(
+        Seq((i.toLong, s"batch$i")).toDF("id", "s").repartition(4), t): Unit
+    }
+    val before = Versioned.read(spark, t).inputFiles.length
+    assert(before >= 6, s"expected ≥6 files before compaction, got $before")
+    val all = Versioned.read(spark, t).as[(Long, String)].collect().sortBy(_._1).toSeq
+
+    val v = Versioned.compact(spark, t)
+    assert(v == 6L)
+    // identical content, far fewer files (6 rows → one 128 MB target file)
+    assert(Versioned.read(spark, t).as[(Long, String)].collect().sortBy(_._1).toSeq == all)
+    assert(Versioned.read(spark, t).inputFiles.length == 1)
+    // compaction is a new version, not a rewrite of history: every
+    // pre-compaction version still time-travels
+    assert(Versioned.read(spark, t, asOf = Some(2L))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq == all.take(3))
+    // vacuum reclaims the superseded small files; latest still reads
+    assert(Versioned.vacuum(spark, t, retainVersions = 1) > 0)
+    assert(Versioned.read(spark, t).as[(Long, String)].collect().sortBy(_._1).toSeq == all)
+  }
+
   test("merge: CDC upserts produce new versions with Upsert semantics") {
     val t = tmpTable()
     Versioned.merge(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "seq"), t,
