@@ -567,6 +567,78 @@ object SimQueries {
   }
 
   // ---------------------------------------------------------------------
+  // J7 production shape, compressed — SQ8-QUANTIZED IVF INDEX: the two
+  // ANN scale levers combined. Probes prune the scan to
+  // nProbes/nCentroids of the corpus (IVF) and the pruned buckets
+  // stream byte-width integer codes (SQ8), so a probe moves
+  // ~nProbes/nCentroids ÷ 4 of the float-index bytes. ORACLE-CHECKED
+  // end-to-end: md5-sampled centroids, full-precision assignment and
+  // probe selection, the one global quantization scale, and the exact
+  // integer code dots all replay in SQL — the whole compressed-index
+  // ranking hash-matches with no decimal scaffolding.
+  def q118AnnIvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val idx = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivfsq8_c16_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+    if (!new java.io.File(s"$idx/centroids/_graft_log").exists() ||
+        !new java.io.File(s"$idx/assignment/_graft_log").exists())
+      Similarity.buildIvfSq8Index(e, idx, nCentroids = 16): Unit
+    Similarity.queryIvfSq8Index(spark, idx, e.filter(col("id") < 10), k = 5)
+  }
+
+  private val q118Sql = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i]))"
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT max(abs(x)) AS s FROM (SELECT unnest(v) AS x FROM base)),
+       |codes AS (
+       |  SELECT vec_id, list_transform(v,
+       |    x -> CASE WHEN s = 0 THEN 0
+       |         ELSE CAST(round(x / s * 127) AS INTEGER) END) AS q
+       |  FROM base CROSS JOIN sc),
+       |cent AS (
+       |  SELECT vec_id AS centroid_id, v, nsq FROM base
+       |  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+       |           vec_id ASC
+       |  LIMIT 16),
+       |assigned AS (
+       |  SELECT centroid_id, cand_id FROM (
+       |    SELECT c.centroid_id, b.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT b.vec_id AS query_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent c
+       |    WHERE b.vec_id < 10)
+       |  WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.cand_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(qq.q[i] AS BIGINT) * qc.q[i])) AS BIGINT) AS qdot
+       |  FROM assigned a
+       |  JOIN probes p ON a.centroid_id = p.centroid_id
+       |  JOIN codes qq ON qq.vec_id = p.query_id
+       |  JOIN codes qc ON qc.vec_id = a.cand_id
+       |  WHERE a.cand_id <> p.query_id)
+       |SELECT query_id, cand_id, qdot FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY qdot DESC, cand_id ASC) AS rn FROM scored)
+       |WHERE rn <= 5
+       |ORDER BY query_id, qdot DESC, cand_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk"      -> (q31CosineTopK _),
@@ -583,6 +655,7 @@ object SimQueries {
     "q100_decontamination"  -> (q100Decontamination _),
     "q109_ann_sq8"          -> (q109AnnSq8 _),
     "q116_ann_index"        -> (q116AnnIndex _),
+    "q118_ann_ivf_sq8"      -> (q118AnnIvfSq8 _),
   )
 
   /** q33/q34/q37/q43 are xxhash64-sketch-based → rows-only check
@@ -604,5 +677,6 @@ object SimQueries {
     "q109_ann_sq8"          -> q109Sql,
     // the persisted-index probe replays q98's inline pipeline exactly
     "q116_ann_index"        -> q98Sql,
+    "q118_ann_ivf_sq8"      -> q118Sql,
   )
 }

@@ -309,6 +309,72 @@ object Similarity {
     probeIndex(queries, centroids, assigned, k, nProbes)
   }
 
+  /** Build an IVF index whose buckets store SQ8 CODES instead of float
+    * vectors — the two ANN scale levers combined: probes prune the scan
+    * to nProbes/nCentroids of the corpus (IVF) and the pruned scan
+    * streams byte-width integer codes (SQ8's 4–8× bandwidth cut), so a
+    * probe moves ~nProbes/nCentroids ÷ 4 of the float-index bytes.
+    * Centroids stay full-precision (probe selection quality is the
+    * recall dial; their size is nCentroids rows — irrelevant), and each
+    * centroid row carries the ONE global quantization scale (max |x|
+    * over the corpus, the ranking-preserving shared scale q109 uses).
+    * Assignment runs in full precision BEFORE quantization, so bucket
+    * membership is identical to [[buildIvfIndex]]'s.
+    */
+  def buildIvfSq8Index(candidates: DataFrame, indexDir: String,
+                       nCentroids: Int = 16, lloydIters: Int = 0): Long = {
+    val c = prepCandidates(candidates)
+    val (centroids, assigned) = centroidsAndAssignment(c, nCentroids, lloydIters)
+    val scale = sq8Scale(c.select(col("cv").as("v")))
+    val codes = sq8Apply(c.select(col("cand_id"), col("cv").as("v")), scale)
+    val assignedQ = assigned.select(col("centroid_id"), col("cand_id"))
+      .join(codes, Seq("cand_id"))
+      .select(col("centroid_id"), col("cand_id"), col("q").as("cq"))
+    val vc = graft.sources.Versioned.overwrite(
+      centroids.crossJoin(broadcast(scale)), s"$indexDir/centroids")
+    val va = graft.sources.Versioned.overwrite(assignedQ, s"$indexDir/assignment")
+    require(vc == va, s"index tables diverged: centroids v$vc vs assignment v$va")
+    vc
+  }
+
+  /** Probe an SQ8 IVF index: probe selection in full precision against
+    * the stored centroids, queries quantized on the STORED scale, and
+    * the pruned bucket scan scored on the exact INTEGER code dot
+    * ([[graft.plans.IntDotProductExpr]] — bit-identical in any engine).
+    * Output (query_id, cand_id, qdot), ranked qdot DESC, id ASC.
+    * With nProbes = nCentroids this degenerates to exactly
+    * [[sq8TopK]]'s full quantized scan (spec-proven).
+    */
+  def queryIvfSq8Index(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                       queries: DataFrame, k: Int, nProbes: Int = 4,
+                       asOf: Option[Long] = None): DataFrame = {
+    val cents = graft.sources.Versioned.read(spark, s"$indexDir/centroids", asOf)
+    val assigned = graft.sources.Versioned.read(spark, s"$indexDir/assignment", asOf)
+    val scale = cents.select(col("s").as("s")).limit(1)
+
+    val q = queries
+      .select(col("id").as("query_id"), VectorOps.toDoubleArray(col("vec")).as("qv"))
+      .withColumn("q_norm_sq", VectorOps.normSq(col("qv")))
+    val probes = q
+      .join(broadcast(centArray(
+        cents.select(col("centroid_id"), col("centv"), col("cent_norm_sq")))), lit(true))
+      .withColumn("__probe", explode(slice(
+        array_sort(scoredCents(col("qv"), col("q_norm_sq")), bySimDescIdAsc),
+        1, nProbes)))
+      .select(col("query_id"), col("__probe")("centroid_id").as("centroid_id"))
+    val qq = sq8Apply(q.select(col("query_id"), col("qv").as("v")), scale)
+      .select(col("query_id"), col("q").as("qq"))
+      .join(probes, Seq("query_id"))
+
+    val scored = assigned.join(broadcast(qq), Seq("centroid_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("qdot", VectorOps.dotInt(col("qq"), col("cq")))
+    Ranking.topPerGroup(scored, Seq(col("query_id")),
+        Seq(col("qdot").desc, col("cand_id").asc), k)
+      .select(col("query_id"), col("cand_id"), col("qdot"))
+      .orderBy(col("query_id"), col("qdot").desc, col("cand_id"))
+  }
+
   /** Global quantization scale of a corpus: max |component| across
     * every vector — ONE broadcast scalar. The scale is deliberately
     * global, not per-dimension: a shared scale multiplies every code

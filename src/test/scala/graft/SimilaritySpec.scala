@@ -234,4 +234,32 @@ class SimilaritySpec extends SparkSpec {
     // time travel: version 0 still answers with the pre-append corpus
     assert(rows(Similarity.queryIvfIndex(spark, idx, q, k = 5, asOf = Some(0L))) == before)
   }
+
+  test("SQ8 IVF index: exhaustive probe ≡ full quantized scan; pruned probe scores agree") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfsq8").toString
+    Similarity.buildIvfSq8Index(e, idx, nCentroids = 16): Unit
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "qdot")
+        .as[(Long, Long, Long)].collect().toSeq
+
+    // probing every bucket = the full quantized brute-force scan,
+    // bit-for-bit (integer scores, so exact equality is meaningful)
+    val exhaustive = rows(Similarity.queryIvfSq8Index(spark, idx, q, k = 5, nProbes = 16))
+    assert(exhaustive == rows(Similarity.sq8TopK(q, e, 5)),
+      "exhaustive SQ8-index probe must equal sq8TopK exactly")
+
+    // pruned probes surface a subset; every surfaced score must be the
+    // same integer code dot the full scan computes for that pair
+    val full = rows(Similarity.queryIvfSq8Index(spark, idx, q, k = 1000, nProbes = 16))
+      .map { case (qid, cid, d) => (qid, cid) -> d }.toMap
+    val pruned = rows(Similarity.queryIvfSq8Index(spark, idx, q, k = 5, nProbes = 4))
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (qid, cid, d) =>
+      assert(full((qid, cid)) == d, s"pruned score for ($qid,$cid) diverged")
+    }
+  }
 }
