@@ -199,6 +199,32 @@ object StreamJobs {
       }
       .start()
 
+  /** [EXT] STATEFUL STREAMING CURATION — the FULL curation funnel on an
+    * unbounded document stream. [[curateStream]] covers the row-local
+    * stages only (corpus-wide stages used to be batch-layer by design);
+    * with [[graft.operators.Curation]] the constraint is gone: each
+    * micro-batch runs `curateBatch` against the accumulated Versioned
+    * state — batch-side text work is O(micro-batch), the near-dup join
+    * hits stored 8-byte shingle keys, and survivors stay derivable at
+    * any commit (`Curation.survivors`, any `asOf`).
+    *
+    * Checkpoint-replay safe: a re-delivered micro-batch's surviving
+    * norms are already keepers in state, so the whole batch anti-joins
+    * away and the replay commits an EMPTY version — idempotent by the
+    * same mechanism that dedups genuine re-posts. Expects monotone
+    * doc ids across batches (append-only ingestion), the same
+    * equivalence invariant as the batch-side operator.
+    */
+  def curateStreamIncremental(docs: DataFrame, stateDir: String,
+                              checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Curation.curateBatch(batch, stateDir): Unit
+      }
+      .start()
+
   /** Run a windowed aggregation stream into an in-memory table (test /
     * interactive sink; complete mode because windowed counts update).
     */

@@ -347,4 +347,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0 && streamed.count() < docs.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("stateful streaming curation: micro-batches accumulate state ≡ full recompute; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Curation
+    import graft.sources.Versioned
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "n_chars")
+    val rows = docs.as[(Long, String, Long)].collect().sortBy(_._1)
+    val (b1, b2) = rows.partition(_._1 < 250)
+    val work = tmpDir()
+    val state = s"$work/curation_state"
+    // fresh checkpoint per delivery: each delivery is a new MemoryStream
+    // source, and the replay-safety under test is Curation's norm
+    // anti-join, not checkpoint offset tracking
+    var nIngest = 0
+
+    def ingest(batch: Seq[(Long, String, Long)]): Unit = {
+      nIngest += 1
+      val mem = MemoryStream[(Long, String, Long)]
+      mem.addData(batch.toIndexedSeq: _*)
+      StreamJobs.curateStreamIncremental(
+        mem.toDF().toDF("doc_id", "text", "n_chars"), state, s"$work/ckpt$nIngest")
+        .awaitTermination()
+    }
+
+    ingest(b1.toSeq)
+    ingest(b2.toSeq)
+    val streamed = Curation.survivors(spark, state)
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    val full = Curation.fullCurate(docs)
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(streamed == full,
+      "streaming micro-batch curation diverged from the full recompute")
+
+    // replay: re-delivering batch 2 (fresh checkpoint, same docs) must
+    // commit an EMPTY version — every surviving norm is already a keeper
+    val vBefore = Versioned.latestVersion(spark, s"$state/candidates")
+    ingest(b2.toSeq)
+    assert(Versioned.latestVersion(spark, s"$state/candidates") == vBefore + 1)
+    assert(Versioned.read(spark, s"$state/candidates").count() ==
+      Versioned.read(spark, s"$state/candidates", Some(vBefore)).count(),
+      "replayed batch must add zero candidates")
+    assert(Curation.survivors(spark, state)
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq == full)
+  }
 }
