@@ -30,10 +30,15 @@ import graft.sources.Versioned
   * per batch (versions stay in lockstep, so `asOf = n` reproduces the
   * state after batch n — the audit/rollback story for a daily feed):
   *
-  *   candidates/  (doc_id, norm, sh) — docs surviving stages f1–f4
+  *   candidates/  (doc_id, norm_fp, sh) — docs surviving stages f1–f4
   *                (the near-dup candidate set; includes docs later
   *                dropped by clustering, because FUTURE batches must
-  *                pair against them exactly as a full recompute would);
+  *                pair against them exactly as a full recompute would).
+  *                norm_fp is the md5 FINGERPRINT of the normalized
+  *                text, not the text: state carries 16 bytes per doc
+  *                for the exact-dedup key instead of re-storing the
+  *                corpus (collision odds 2⁻⁶⁴-scale — the same
+  *                convention as the shingle-hash join);
   *   pairs/       (doc_a, doc_b) — accumulated near-dup pairs (jaccard
   *                ≥ `minJaccard`) among candidates.
   *
@@ -67,7 +72,7 @@ object Curation {
 
   /** Row-local stages f1–f3 (language-ID, quality score, repetition
     * rules) — per-doc predicates, no cross-doc state. Output:
-    * (doc_id, text, norm) for the survivors.
+    * (doc_id, text, norm_fp) for the survivors.
     */
   private[graft] def rowLocal(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"), col("n_chars"))
@@ -78,14 +83,15 @@ object Curation {
         col("top_token_frac"), col("top_bigram_frac")))
       .select(col("doc_id"))
     base.join(keepRep, Seq("doc_id"))
-      .select(col("doc_id"), col("text"), TextOps.normalized(col("text")).as("norm"))
+      .select(col("doc_id"), col("text"),
+        md5(TextOps.normalized(col("text"))).as("norm_fp"))
   }
 
-  /** Exact-dedup keepers within `f3`: min doc_id per normalized text,
-    * carrying the keeper's text.
+  /** Exact-dedup keepers within `f3`: min doc_id per normalized-text
+    * fingerprint, carrying the keeper's text.
     */
   private def exactKeepers(f3: DataFrame): DataFrame =
-    Ranking.topPerGroup(f3, Seq(col("norm")), Seq(col("doc_id").asc), 1)
+    Ranking.topPerGroup(f3, Seq(col("norm_fp")), Seq(col("doc_id").asc), 1)
 
   /** Curate one appended batch against the accumulated state and commit
     * the new candidates + pairs (one Versioned version each). Returns
@@ -99,14 +105,14 @@ object Curation {
     val f4Batch =
       if (!hasState) inBatch
       else inBatch.join(
-        Versioned.read(spark, candTable(stateDir)).select(col("norm")),
-        Seq("norm"), "left_anti")
+        Versioned.read(spark, candTable(stateDir)).select(col("norm_fp")),
+        Seq("norm_fp"), "left_anti")
     // Stage the batch candidates once — WITH their shingle hashes: the
     // batch text is tokenized/hashed exactly once here, then the staged
     // rows feed the within-batch self-join, the across join, and the
     // state commit (text itself never enters state).
     val f4B = f4Batch
-      .select(col("doc_id"), col("norm"),
+      .select(col("doc_id"), col("norm_fp"),
         NearDup.shingleHashes3(col("text")).as("sh"))
       .localCheckpoint(eager = false)
     val f4Sh = f4B.select(col("doc_id").as("id"), col("sh"))
@@ -162,7 +168,7 @@ object Curation {
     */
   def fullCurate(docs: DataFrame): DataFrame = {
     val f4 = exactKeepers(rowLocal(docs))
-      .select(col("doc_id"), col("text"), col("norm"))
+      .select(col("doc_id"), col("text"))
       .localCheckpoint(eager = false)
     val prs = NearDup.ngramJaccardPairs(f4, col("doc_id"), col("text"))
       .filter(col("jaccard") >= minJaccard)
