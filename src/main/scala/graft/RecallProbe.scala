@@ -43,6 +43,13 @@ object RecallProbe {
     // bundles quantization noise with dot/cosine disagreement; the
     // quantization-only gap is measured in SimilaritySpec vs exact dot
     println(f"sq8 (dot ranking)  recall@5 = ${recall(pairs(Similarity.sq8TopK(q, e, 5)))}%.3f")
+    // the persisted compressed index stacks BOTH approximations
+    // (IVF pruning + SQ8 quantized dot) — the production-path floor
+    val idx = java.nio.file.Files.createTempDirectory("recall_ivfsq8").toString
+    Similarity.buildIvfSq8Index(e, idx, nCentroids = 16): Unit
+    for (probes <- Seq(4, 8, 16))
+      println(f"ivf+sq8 nProbes=$probes%-2d recall@5 = ${
+        recall(pairs(Similarity.queryIvfSq8Index(spark, idx, q, 5, nProbes = probes)))}%.3f")
     spark.stop()
   }
 }
