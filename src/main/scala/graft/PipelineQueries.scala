@@ -366,11 +366,12 @@ object PipelineQueries {
     // sf0.1). Instead each doc carries cumulative survival flags
     // f1..f6, the heavy text predicates evaluate once, and the funnel
     // is one aggregation unpivoted by stack().
+    import graft.operators.Curation.{minQuality, minJaccard, trainPct}
     val docs = Tables.documents(spark, dir)
     val base = docs.select(col("doc_id"), col("text"), col("n_chars"))
       .withColumn("f1", TextOps.langId(col("text")) === "en")
       .withColumn("f2", col("f1") &&
-        TextOps.qualityScore(col("text"), col("n_chars")) >= 0.4)
+        TextOps.qualityScore(col("text"), col("n_chars")) >= minQuality)
     val keepRep = Corpus.repetitionStats(
         base.filter(col("f2")), col("doc_id"), col("text"))
       .filter(!Corpus.isRepetitive(col("distinct_ratio"),
@@ -392,16 +393,18 @@ object PipelineQueries {
       .localCheckpoint(eager = false)
     val pairs = NearDup.ngramJaccardPairs(
         withF4.filter(col("f4")), col("doc_id"), col("text"))
-      .filter(col("jaccard") >= 0.6)
+      .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"))
     val nodes = pairs.select(col("doc_a").as("id"))
       .unionByName(pairs.select(col("doc_b").as("id"))).distinct()
     val dropNear = Graph.connectedComponents(nodes, pairs, maxIter = 60)
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"), lit(true).as("dn"))
-    withF4.join(broadcast(dropNear), Seq("doc_id"), "left")
+    // no broadcast hint: the drop set grows with the corpus's duplicate
+    // mass — AQE broadcasts it at runtime while it is actually small
+    withF4.join(dropNear, Seq("doc_id"), "left")
       .withColumn("f5", col("f4") && col("dn").isNull)
-      .withColumn("f6", col("f5") && Corpus.hashBucket(col("doc_id")) < 90)
+      .withColumn("f6", col("f5") && Corpus.hashBucket(col("doc_id")) < trainPct)
       .agg(count(lit(1)).as("c0"),
         sum(when(col("f1"), 1).otherwise(0)).as("c1"),
         sum(when(col("f2"), 1).otherwise(0)).as("c2"),
@@ -506,7 +509,11 @@ object PipelineQueries {
   def q117IncrementalCuration(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Curation
     val docs = Tables.documents(spark, dir)
-    val state = java.nio.file.Files.createTempDirectory("graft_curation_state").toString
+    // deterministic per-dataset state path, wiped per invocation: one
+    // bounded directory per SF instead of an unbounded temp-dir leak
+    val state = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_curation_q117_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(state)): Unit
     Curation.curateBatch(docs.filter(col("doc_id") < 250), state): Unit
     Curation.curateBatch(docs.filter(col("doc_id") >= 250), state): Unit
     Curation.survivors(spark, state).orderBy(col("doc_id"))

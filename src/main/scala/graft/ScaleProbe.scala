@@ -121,7 +121,8 @@ object ScaleProbe {
       val docs = Tables.documents(spark, sfDir)
       val batch = docs.select((col("doc_id") + lit(900000000L)).as("doc_id"),
         array_join(transform(split(col("text"), " "), t => concat(lit("zz"), t)),
-          " ").as("text"), col("n_chars"))
+          " ").as("text"))
+        .withColumn("n_chars", length(col("text")))
       val times = scales.map { s =>
         val state = java.nio.file.Files
           .createTempDirectory(s"scaleprobe_curation_$s").toString

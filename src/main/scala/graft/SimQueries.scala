@@ -556,13 +556,35 @@ object SimQueries {
   // cadence: one batch build job, then every query batch pays only
   // probe selection + the bucket scan — no seed sample, no Lloyd
   // passes, no corpus assignment rescan.
+  /** Build-if-absent index cache for q116/q118. The cache key includes
+    * a FINGERPRINT of the source parquet (paths, sizes, mtimes), so
+    * regenerated testdata at the same path gets a fresh index instead
+    * of stale rankings; a half-completed build (either log missing, or
+    * the two tables' versions out of lockstep after a crash between
+    * commits) is wiped and rebuilt rather than wedging every later run.
+    */
+  private def cachedIndex(spark: SparkSession, dir: String, tag: String)
+                         (build: String => Unit): String = {
+    def fp(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles.map(fp).foldLeft(17L)((a, b) => a * 31 + b)
+      else f.lastModified ^ (f.length * 1315423911L)
+    val key = java.lang.Long.toHexString(fp(new java.io.File(dir, "embeddings.parquet")))
+    val idx = new java.io.File(sys.props("java.io.tmpdir"), s"graft_${tag}_$key").getPath
+    val healthy =
+      try graft.sources.Versioned.latestVersion(spark, s"$idx/centroids") ==
+        graft.sources.Versioned.latestVersion(spark, s"$idx/assignment")
+      catch { case _: Exception => false }
+    if (!healthy) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx)): Unit
+      build(idx)
+    }
+    idx
+  }
+
   def q116AnnIndex(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
-    val idx = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivf_c16_l2_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
-    if (!new java.io.File(s"$idx/centroids/_graft_log").exists() ||
-        !new java.io.File(s"$idx/assignment/_graft_log").exists())
-      Similarity.buildIvfIndex(e, idx, nCentroids = 16, lloydIters = 2): Unit
+    val idx = cachedIndex(spark, dir, "ivf_c16_l2")(
+      Similarity.buildIvfIndex(e, _, nCentroids = 16, lloydIters = 2): Unit)
     Similarity.queryIvfIndex(spark, idx, e.filter(col("id") < 10), k = 5)
   }
 
@@ -578,11 +600,8 @@ object SimQueries {
   // ranking hash-matches with no decimal scaffolding.
   def q118AnnIvfSq8(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
-    val idx = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivfsq8_c16_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
-    if (!new java.io.File(s"$idx/centroids/_graft_log").exists() ||
-        !new java.io.File(s"$idx/assignment/_graft_log").exists())
-      Similarity.buildIvfSq8Index(e, idx, nCentroids = 16): Unit
+    val idx = cachedIndex(spark, dir, "ivfsq8_c16")(
+      Similarity.buildIvfSq8Index(e, _, nCentroids = 16): Unit)
     Similarity.queryIvfSq8Index(spark, idx, e.filter(col("id") < 10), k = 5)
   }
 

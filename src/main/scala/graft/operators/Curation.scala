@@ -93,12 +93,60 @@ object Curation {
   private def exactKeepers(f3: DataFrame): DataFrame =
     Ranking.topPerGroup(f3, Seq(col("norm_fp")), Seq(col("doc_id").asc), 1)
 
+  /** The pairs a candidate batch contributes: within-batch near-dups
+    * plus batch×state near-dups. Both sides arrive PRE-SHINGLED as
+    * (id, sh). The self-application emits each unordered pair once per
+    * direction (both normalize to the same (min, max) row) →
+    * dropDuplicates.
+    */
+  private def newPairsFor(batchSh: DataFrame,
+                          stateSh: Option[DataFrame]): DataFrame = {
+    val within = NearDup.ngramJaccardPairsAcrossHashed(batchSh, batchSh)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    stateSh.fold(within)(st => within.unionByName(
+      NearDup.ngramJaccardPairsAcrossHashed(batchSh, st)
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("doc_a"), col("doc_b"))))
+  }
+
+  /** Read-repair for a crash between the two state commits (state is
+    * SINGLE-WRITER, like any daily pipeline): if candidates is one
+    * version ahead of pairs, the orphan batch's shingles are already IN
+    * the candidates table, so its missing pair version is recomputed
+    * from state alone — no replay of the batch source needed. Any other
+    * divergence is unrecoverable and throws.
+    */
+  private def heal(spark: SparkSession, stateDir: String): Unit = {
+    if (!Versioned.exists(spark, candTable(stateDir))) return
+    val vc = Versioned.latestVersion(spark, candTable(stateDir))
+    val vp = if (Versioned.exists(spark, pairTable(stateDir)))
+      Versioned.latestVersion(spark, pairTable(stateDir)) else -1L
+    if (vc == vp) return
+    require(vc == vp + 1,
+      s"curation state unrecoverable: candidates v$vc vs pairs v$vp")
+    val all = Versioned.read(spark, candTable(stateDir))
+    val prev = if (vp >= 0)
+      Some(Versioned.read(spark, candTable(stateDir), Some(vp))) else None
+    val orphan = prev.fold(all)(p =>
+        all.join(p.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+      .select(col("doc_id").as("id"), col("sh"))
+      .localCheckpoint(eager = false)
+    Versioned.append(
+      newPairsFor(orphan, prev.map(_.select(col("doc_id").as("id"), col("sh")))),
+      pairTable(stateDir)): Unit
+  }
+
   /** Curate one appended batch against the accumulated state and commit
     * the new candidates + pairs (one Versioned version each). Returns
     * the committed state version (= number of batches ingested − 1).
+    * Self-healing: a previous crash between the two commits is repaired
+    * ([[heal]]) before the batch is processed.
     */
   def curateBatch(batch: DataFrame, stateDir: String): Long = {
     val spark = batch.sparkSession
+    heal(spark, stateDir)
     val f3 = rowLocal(batch)
     val inBatch = exactKeepers(f3)
     val hasState = Versioned.exists(spark, candTable(stateDir))
@@ -116,22 +164,10 @@ object Curation {
         NearDup.shingleHashes3(col("text")).as("sh"))
       .localCheckpoint(eager = false)
     val f4Sh = f4B.select(col("doc_id").as("id"), col("sh"))
-
-    // self-application emits each unordered pair once per direction
-    // (both normalize to the same (min, max) row) → dropDuplicates
-    val within = NearDup.ngramJaccardPairsAcrossHashed(f4Sh, f4Sh)
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    val newPairs =
-      if (!hasState) within
-      else within.unionByName(
-        NearDup.ngramJaccardPairsAcrossHashed(
-            f4Sh,
-            Versioned.read(spark, candTable(stateDir))
-              .select(col("doc_id").as("id"), col("sh")))
-          .filter(col("jaccard") >= minJaccard)
-          .select(col("doc_a"), col("doc_b")))
+    val newPairs = newPairsFor(f4Sh,
+      if (!hasState) None
+      else Some(Versioned.read(spark, candTable(stateDir))
+        .select(col("doc_id").as("id"), col("sh"))))
 
     val vc = Versioned.append(f4B, candTable(stateDir))
     val vp = Versioned.append(newPairs, pairTable(stateDir))
@@ -142,9 +178,13 @@ object Curation {
   /** The curated corpus at state version `asOf` (default latest):
     * candidates minus near-dup cluster non-representatives, with the
     * deterministic train-split flag. Output: (doc_id, is_train).
+    * Latest-reads read-repair a crash-wedged state first ([[heal]]);
+    * `asOf` reads don't need to — every committed batch boundary is a
+    * consistent (candidates, pairs) version pair.
     */
   def survivors(spark: SparkSession, stateDir: String,
                 asOf: Option[Long] = None): DataFrame = {
+    if (asOf.isEmpty) heal(spark, stateDir)
     val cands = Versioned.read(spark, candTable(stateDir), asOf)
     val prs = Versioned.read(spark, pairTable(stateDir), asOf)
       .select(col("doc_a"), col("doc_b"))
@@ -157,7 +197,9 @@ object Curation {
     val dropNear = Graph.connectedComponents(nodes, prs, maxIter = 60)
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
-    cands.join(broadcast(dropNear), Seq("doc_id"), "left_anti")
+    // no broadcast hint: the drop set grows with the accumulated
+    // corpus's duplicate mass — AQE broadcasts it while small
+    cands.join(dropNear, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),
         (Corpus.hashBucket(col("doc_id")) < trainPct).as("is_train"))
   }

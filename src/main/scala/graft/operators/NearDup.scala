@@ -207,13 +207,17 @@ object NearDup {
       .withColumn(s"n_$n", size(col("sh")))
     val l = base(left, "lid")
     val r = base(right, "rid")
+    // size rejoin: LEFT (the batch) broadcasts — it is the bounded
+    // side; RIGHT is the accumulated state and grows without bound
+    // under the daily cadence, so its sizes stay a shuffle join (AQE
+    // still broadcasts it at runtime while it is actually small)
     l.select(col("lid"), explode(col("sh")).as("s"))
       .join(r.select(col("rid"), explode(col("sh")).as("s")), Seq("s"))
       .filter(col("lid") =!= col("rid"))
       .groupBy(col("lid"), col("rid"))
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(l.select(col("lid"), col("n_lid"))), Seq("lid"))
-      .join(broadcast(r.select(col("rid"), col("n_rid"))), Seq("rid"))
+      .join(r.select(col("rid"), col("n_rid")), Seq("rid"))
       .select(
         least(col("lid"), col("rid")).as("doc_a"),
         greatest(col("lid"), col("rid")).as("doc_b"),

@@ -288,7 +288,21 @@ object Similarity {
   def appendToIvfIndex(batch: DataFrame, indexDir: String): Long = {
     val spark = batch.sparkSession
     val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids")
-    val assignedNew = assignTo(prepCandidates(batch), centroids)
+    // an SQ8 index carries the quantization scale on its centroid rows;
+    // its assignment stores codes, so the appended rows must be
+    // quantized on the SAME stored scale (a float-schema append would
+    // silently replace the table schema and corrupt every probe)
+    val isSq8 = centroids.columns.contains("s")
+    val c = prepCandidates(batch)
+    val assignedNew = {
+      val a = assignTo(c,
+        centroids.select(col("centroid_id"), col("centv"), col("cent_norm_sq")))
+      if (!isSq8) a
+      else a.select(col("centroid_id"), col("cand_id"))
+        .join(sq8Apply(c.select(col("cand_id"), col("cv").as("v")),
+          centroids.select(col("s")).limit(1)), Seq("cand_id"))
+        .select(col("centroid_id"), col("cand_id"), col("q").as("cq"))
+    }
     val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
     val va = graft.sources.Versioned.append(assignedNew, s"$indexDir/assignment")
     require(vc == va, s"index tables diverged: centroids v$vc vs assignment v$va")

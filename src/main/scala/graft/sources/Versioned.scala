@@ -261,6 +261,28 @@ object Versioned {
     }
   }
 
+  /** Commit `df` at EXACTLY version `v`, or return false if another
+    * writer got there first — the conflict-DETECTING commit that
+    * read-modify-write maintenance ([[compact]]) needs: its output is
+    * derived from version v−1, so blind re-numbering (what [[commit]]'s
+    * retry does, correct for self-contained appends/overwrites) would
+    * silently drop whatever the interleaved commit added. Losing
+    * stagers leave unreferenced data files; [[vacuum]] reclaims them.
+    */
+  private def tryCommitAt(df: DataFrame, table: String, action: String,
+                          v: Long): Boolean = {
+    val f = fs(df.sparkSession, new Path(table))
+    val files = stage(df, table, v)
+    val ok = writeString(f, logFile(table, v),
+      render(Commit(v, action, files, df.schema.json)), exclusive = true)
+    if (ok && v % checkpointInterval == 0 && v > 0) {
+      val full = resolve(f, table, Some(v))
+      writeString(f, checkpointFile(table, v),
+        render(full.copy(action = "checkpoint")), exclusive = false): Unit
+    }
+    ok
+  }
+
   /** Compact the current snapshot into ~`targetFileMB`-sized files as a
     * new "overwrite" version — Delta's OPTIMIZE: the daily-append
     * cadence (incremental curation batches, ANN index appends) leaves
@@ -268,17 +290,30 @@ object Versioned {
     * with file COUNT, not just bytes. Rewrites via `coalesce` (merge
     * only, no shuffle — compaction is an IO rewrite, not a
     * repartition). Readers are never disturbed: pre-compaction versions
-    * time-travel until [[vacuum]] reclaims them. Returns the committed
-    * version.
+    * time-travel until [[vacuum]] reclaims them. Concurrency-safe the
+    * way Delta OPTIMIZE is: the compacted output derives from a pinned
+    * snapshot and commits via [[tryCommitAt]], so an append that lands
+    * mid-compaction wins and the compaction re-reads and retries —
+    * never silently dropping the interleaved rows. Returns the
+    * committed version.
     */
-  def compact(spark: SparkSession, table: String, targetFileMB: Int = 128): Long = {
+  def compact(spark: SparkSession, table: String, targetFileMB: Int = 128,
+              maxRetries: Int = 20): Long = {
     val f = fs(spark, new Path(table))
-    val snap = resolve(f, table, None)
-    val totalBytes = snap.add
-      .map(p => f.getFileStatus(new Path(s"$table/$p")).getLen).sum
-    val nFiles = math.max(1L,
-      math.ceil(totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toLong).toInt
-    commit(read(spark, table).coalesce(nFiles), table, "overwrite")
+    var attempts = 0
+    while (true) {
+      val snap = resolve(f, table, None)
+      val totalBytes = snap.add
+        .map(p => f.getFileStatus(new Path(s"$table/$p")).getLen).sum
+      val nFiles = math.max(1L,
+        math.ceil(totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toLong).toInt
+      val compacted = read(spark, table, Some(snap.version)).coalesce(nFiles)
+      if (tryCommitAt(compacted, table, "overwrite", snap.version + 1))
+        return snap.version + 1
+      attempts += 1
+      require(attempts <= maxRetries, s"lost $maxRetries compaction races on $table")
+    }
+    -1L // unreachable
   }
 
   // -------------------------------------------------------------- reads

@@ -89,6 +89,40 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq(5L), s"norm keeper must stay doc 5, got $got")
   }
 
+  test("crash between the two state commits read-repairs: pairs recomputed from stored shingles") {
+    val state = java.nio.file.Files.createTempDirectory("curation_heal").toString
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    Curation.curateBatch(b1, state): Unit
+
+    // simulate the crash: commit batch 2's CANDIDATES exactly as
+    // curateBatch would, but die before the pairs commit
+    val f3 = Curation.rowLocal(b2)
+    val keepers = graft.operators.Ranking.topPerGroup(
+      f3, Seq(col("norm_fp")), Seq(col("doc_id").asc), 1)
+    val orphan = keepers
+      .join(Versioned.read(spark, s"$state/candidates").select("norm_fp"),
+        Seq("norm_fp"), "left_anti")
+      .select(col("doc_id"), col("norm_fp"),
+        NearDup.shingleHashes3(col("text")).as("sh"))
+    Versioned.append(orphan, s"$state/candidates"): Unit
+    assert(Versioned.latestVersion(spark, s"$state/candidates") == 1L)
+    assert(Versioned.latestVersion(spark, s"$state/pairs") == 0L) // wedged
+
+    // a latest-read heals the wedge and answers as if nothing crashed
+    val healed = ids(Curation.survivors(spark, state))
+    assert(Versioned.latestVersion(spark, s"$state/pairs") == 1L)
+    assert(healed == ids(Curation.fullCurate(docs)),
+      "healed state diverged from the full recompute")
+
+    // and the next batch proceeds normally on the repaired state
+    val extra = Seq((900000L, "the of and to in is a " +
+      (1 to 40).map(i => s"x$i").mkString(" "), 250L))
+      .toDF("doc_id", "text", "n_chars")
+    assert(Curation.curateBatch(extra, state) == 2L)
+    assert(Versioned.latestVersion(spark, s"$state/pairs") == 2L)
+  }
+
   test("ngramJaccardPairsAcross ≡ the self-join restricted to cross pairs") {
     val sample = docs.filter(col("doc_id") < 120)
     val left = sample.filter(col("doc_id") < 60)

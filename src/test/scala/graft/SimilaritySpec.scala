@@ -262,4 +262,36 @@ class SimilaritySpec extends SparkSpec {
       assert(full((qid, cid)) == d, s"pruned score for ($qid,$cid) diverged")
     }
   }
+
+  test("appendToIvfIndex on an SQ8 index quantizes the batch on the STORED scale") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // batch = the same vectors under shifted ids, so the union corpus
+    // shares the initial corpus's max-abs — the stored scale IS the
+    // union scale, making the post-append expectation exactly derivable
+    val batch = e.select((col("id") + 100000L).as("id"), col("vec"))
+    val q = e.filter(col("id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfsq8_append").toString
+    Similarity.buildIvfSq8Index(e, idx, nCentroids = 8): Unit
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "qdot")
+        .as[(Long, Long, Long)].collect().toSeq
+
+    val before = rows(Similarity.queryIvfSq8Index(spark, idx, q, k = 5, nProbes = 8))
+    assert(Similarity.appendToIvfIndex(batch, idx) == 1L)
+
+    // exhaustive probe of the appended index ≡ the full quantized scan
+    // over the union, bit-for-bit: the append stored int CODES on the
+    // frozen scale, not raw floats under a replaced schema
+    val after = rows(Similarity.queryIvfSq8Index(spark, idx, q, k = 5, nProbes = 8))
+    assert(after == rows(Similarity.sq8TopK(q, e.unionByName(batch), 5)),
+      "appended SQ8 index must score like the quantized scan of the union corpus")
+    assert(after.exists { case (_, cid, _) => cid >= 100000L },
+      "appended vectors must be probe-reachable")
+
+    // time travel: version 0 still answers with the pre-append corpus
+    assert(rows(Similarity.queryIvfSq8Index(spark, idx, q, k = 5, nProbes = 8,
+      asOf = Some(0L))) == before)
+  }
 }
