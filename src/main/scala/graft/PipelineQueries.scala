@@ -526,6 +526,70 @@ object PipelineQueries {
       |FROM s5 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] training-sequence packing (Corpus.packSequences) — the
+  // concat-and-chunk step from curated corpus to fixed-budget training
+  // sequences. The oracle replays the same arithmetic with DuckDB's
+  // single-threaded cumulative window; the engine side computes the
+  // global token offsets with the slice machinery (range shuffle +
+  // per-slice prefix sums + O(partitions) offsets), never a
+  // single-partition window over the corpus.
+  def q119PackSequences(spark: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), budget = 512)
+      .orderBy(col("seq_id"), col("doc_id"))
+
+  private val q119Sql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) - n_tok AS tok_start
+      |  FROM d),
+      |s AS (
+      |  SELECT doc_id, n_tok, tok_start,
+      |    unnest(generate_series(tok_start // 512,
+      |                           (tok_start + n_tok - 1) // 512)) AS seq_id
+      |  FROM c)
+      |SELECT seq_id, doc_id,
+      |  greatest(CAST(0 AS BIGINT), seq_id * 512 - tok_start) + 1 AS doc_tok_start,
+      |  least((seq_id + 1) * 512, tok_start + n_tok)
+      |    - greatest(seq_id * 512, tok_start) AS n_tok_in_seq
+      |FROM s ORDER BY seq_id, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] chunk-level exact dedup (Corpus.dedupChunks) — the C4/
+  // RefinedWeb "drop duplicated paragraphs" rule at 16-token-chunk
+  // granularity: keep each distinct chunk's first corpus occurrence,
+  // reassemble documents from their surviving chunks. Docs fully made
+  // of already-seen chunks drop out (boilerplate sink).
+  def q120ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    Corpus.dedupChunks(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), size = 16)
+      .orderBy(col("doc_id"))
+
+  private val q120Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      |starts AS (
+      |  SELECT doc_id, parts,
+      |    unnest(range(1, len(parts) + 1, 16)) AS chunk_start
+      |  FROM t),
+      |ch AS (
+      |  SELECT doc_id, chunk_start,
+      |    array_to_string(parts[chunk_start : chunk_start + 15], ' ') AS chunk_text
+      |  FROM starts),
+      |r AS (
+      |  SELECT doc_id, chunk_start, chunk_text,
+      |    row_number() OVER (PARTITION BY md5(chunk_text)
+      |      ORDER BY doc_id, chunk_start) AS rn
+      |  FROM ch)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |  string_agg(chunk_text, ' ' ORDER BY chunk_start) AS clean_text
+      |FROM r WHERE rn = 1
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_tfidf"             -> (q69Tfidf _),
@@ -540,7 +604,9 @@ object PipelineQueries {
     "q90_repetition_stats"  -> (q90RepetitionStats _),
     "q91_quality_report"    -> (q91QualityReport _),
     "q110_curation_funnel"  -> (q110CurationFunnel _),
-    "q117_incremental_curation" -> (q117IncrementalCuration _))
+    "q117_incremental_curation" -> (q117IncrementalCuration _),
+    "q119_pack_sequences"   -> (q119PackSequences _),
+    "q120_chunk_dedup"      -> (q120ChunkDedup _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -555,5 +621,7 @@ object PipelineQueries {
     "q90_repetition_stats"  -> q90Sql,
     "q91_quality_report"    -> q91Sql,
     "q110_curation_funnel"  -> q110Sql,
-    "q117_incremental_curation" -> q117Sql)
+    "q117_incremental_curation" -> q117Sql,
+    "q119_pack_sequences"   -> q119Sql,
+    "q120_chunk_dedup"      -> q120Sql)
 }

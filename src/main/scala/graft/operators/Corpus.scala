@@ -105,6 +105,102 @@ object Corpus {
   def stratifiedSample(df: DataFrame, key: Column, pct: Int): DataFrame =
     df.filter(hashBucket(key) < pct)
 
+  /** Training-sequence packing — the GPT-style "concatenate and chunk"
+    * step that turns a curated corpus into fixed-`budget`-token training
+    * sequences: conceptually, every document's tokens are laid end to
+    * end in doc-id order and the stream is cut every `budget` tokens;
+    * the output maps each document to the sequence(s) it lands in, with
+    * the 1-based token span it contributes. A document longer than the
+    * budget (or one straddling a cut) spans several sequences.
+    *
+    * Scale shape: the global running token offset is the whole problem —
+    * `sum() OVER (ORDER BY doc_id)` with no partition key funnels the
+    * corpus through ONE task. This uses [[Stats]]' slice machinery
+    * instead: a range shuffle on doc_id places contiguous doc slices on
+    * partitions, a per-slice window computes local prefix sums in
+    * parallel, and cross-slice offsets come from an O(partitions) side
+    * table — the only unpartitioned window runs over ~32 rows. The
+    * ranged table is materialized once (`localCheckpoint`) because
+    * range-partition boundaries are sampled and both consumers must
+    * read the same placement. Doc→sequence fan-out is sequence+explode,
+    * pure per-row generation. Offsets are exact: token totals stay far
+    * below 2^53, so the floor-division stays integer-exact.
+    *
+    * Output: (seq_id 0-based, doc_id, doc_tok_start 1-based,
+    * n_tok_in_seq) — one row per (sequence, document) overlap.
+    */
+  def packSequences(docs: DataFrame, id: Column, text: Column,
+                    budget: Int): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val d = docs.select(id.as("doc_id"), TextOps.tokenCount(text).as("n_tok"))
+    val ranged = d.repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val slice = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("doc_id"))
+    val local = ranged.withColumn("cum_in_slice",
+      sum(col("n_tok")).over(slice.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+    val offsets = ranged.groupBy(col("pid")).agg(sum(col("n_tok")).as("scnt"))
+      .select(col("pid").as("o_pid"),
+        coalesce(sum(col("scnt")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)).as("off"))
+    local.join(broadcast(offsets), col("pid") === col("o_pid"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("off") + col("cum_in_slice") - col("n_tok")).as("tok_start"))
+      .select(col("doc_id"), col("n_tok"), col("tok_start"),
+        explode(sequence(
+          floor(col("tok_start") / budget),
+          floor((col("tok_start") + col("n_tok") - 1) / budget))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        (greatest(lit(0L), col("seq_id") * budget - col("tok_start")) + 1)
+          .as("doc_tok_start"),
+        (least((col("seq_id") + 1) * budget, col("tok_start") + col("n_tok"))
+          - greatest(col("seq_id") * budget, col("tok_start")))
+          .as("n_tok_in_seq"))
+  }
+
+  /** Chunk-level exact dedup — the C4/RefinedWeb "drop duplicated
+    * paragraphs" rule at token-window granularity (the corpus has no
+    * paragraph breaks, so the unit is a non-overlapping `size`-token
+    * chunk): every distinct chunk text keeps only its FIRST occurrence
+    * corpus-wide (min (doc_id, chunk_start)), and each document is
+    * reassembled from its surviving chunks. Documents whose every chunk
+    * is a duplicate of an earlier one vanish entirely — the boilerplate
+    * sink the rule exists for.
+    *
+    * Scale shape: chunking is map-side ([[chunk]]); first-occurrence is
+    * a hash aggregation keyed on the chunk's md5 (the shuffle carries
+    * (hash, doc_id, chunk_start) — never the text); survivors come back
+    * via an equality join on (doc_id, chunk_start); reassembly is one
+    * per-doc aggregation (sort_array over a doc's own chunks — bounded
+    * by doc length, no window).
+    *
+    * Output: (doc_id, n_kept, clean_text).
+    */
+  def dedupChunks(docs: DataFrame, id: Column, text: Column,
+                  size: Int): DataFrame = {
+    val hashed = chunk(docs, id, text, size, size)
+      .select(col("doc_id"), col("chunk_start"), col("chunk_text"),
+        md5(col("chunk_text")).as("h"))
+    val first = hashed
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("chunk_start"))).as("k"))
+      .select(col("k")("doc_id").as("doc_id"),
+        col("k")("chunk_start").as("chunk_start"))
+    hashed.join(first, Seq("doc_id", "chunk_start"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("chunk_start"), col("chunk_text")))),
+            c => c("chunk_text")),
+          " ").as("clean_text"))
+  }
+
   /** Per-document repetition statistics — the word-level half of the
     * Gopher/MassiveText repetition rules (Rae et al. 2021, Appendix A:
     * "fraction of characters in the most common n-gram", duplicate

@@ -233,4 +233,62 @@ class PipelineQueriesSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(ids1 == ids2)
   }
+
+  test("q119 packSequences: exact spans on a crafted stream; conservation + layout independence on the corpus") {
+    // token counts 3, 3, 2 over budget 4: the concatenated stream is
+    // cut at token 4 — doc 20 straddles the cut
+    val tiny = Seq(
+      (10L, "a b c"), (20L, "d e f"), (30L, "g h")).toDF("doc_id", "text")
+    val got = Corpus.packSequences(tiny, col("doc_id"), col("text"), budget = 4)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(
+      (0L, 10L, 1L, 3L),  // doc 10 entirely in seq 0
+      (0L, 20L, 1L, 1L),  // doc 20: first token fills seq 0
+      (1L, 20L, 2L, 2L),  // …rest opens seq 1
+      (1L, 30L, 1L, 2L))) // doc 30 entirely in seq 1
+
+    val docs = Tables.documents(spark, dir)
+    val packed = Corpus.packSequences(docs, col("doc_id"), col("text"), budget = 128)
+    // conservation: every doc's contributions sum to its token count
+    val perDoc = packed.groupBy("doc_id").agg(sum("n_tok_in_seq").as("s"))
+    val counts = docs.select(col("doc_id"),
+      graft.functions.TextOps.tokenCount(col("text")).as("n"))
+    assert(perDoc.join(counts, "doc_id").filter(col("s") =!= col("n")).isEmpty,
+      "token conservation violated")
+    // every sequence except the last holds exactly the budget
+    val perSeq = packed.groupBy("seq_id").agg(sum("n_tok_in_seq").as("s"))
+      .orderBy("seq_id").as[(Long, Long)].collect()
+    assert(perSeq.dropRight(1).forall(_._2 == 128L),
+      "a non-final sequence missed its budget")
+    assert(perSeq.last._2 <= 128L)
+    assert(perSeq.map(_._1).toSeq == perSeq.indices.map(_.toLong),
+      "sequence ids must be dense from 0")
+    // the slice cumsum is layout-independent
+    val again = Corpus.packSequences(docs.repartition(7), col("doc_id"),
+      col("text"), budget = 128)
+    assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
+  }
+
+  test("q120 dedupChunks: first occurrence survives, boilerplate docs vanish, chunks conserved") {
+    val a = (1 to 4).map(i => s"a$i").mkString(" ")  // one 4-token chunk
+    val b = (1 to 4).map(i => s"b$i").mkString(" ")
+    val c = (1 to 4).map(i => s"c$i").mkString(" ")
+    val tiny = Seq(
+      (1L, s"$a $b"),   // first occurrence of A and B
+      (2L, s"$a $c"),   // A is boilerplate here → keeps only C
+      (3L, s"$a $b"))   // nothing new → vanishes
+      .toDF("doc_id", "text")
+    val got = Corpus.dedupChunks(tiny, col("doc_id"), col("text"), size = 4)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, 2L, s"$a $b"), (2L, 1L, c)))
+
+    // real corpus: kept chunks = exactly one survivor per distinct chunk
+    val docs = Tables.documents(spark, dir)
+    val allChunks = Corpus.chunk(docs, col("doc_id"), col("text"), 16, 16)
+    val kept = Corpus.dedupChunks(docs, col("doc_id"), col("text"), size = 16)
+    val keptTotal = kept.agg(sum("n_kept")).as[Long].head()
+    val distinctChunks = allChunks.select("chunk_text").distinct().count()
+    assert(keptTotal == distinctChunks,
+      s"kept $keptTotal chunks, expected one per distinct chunk ($distinctChunks)")
+  }
 }
