@@ -442,6 +442,31 @@ object WideQueries {
       |ORDER BY user_id, event_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // J6 scale path — Bloom-pruned semi join (operators.BloomJoin):
+  // orders of top-balance customers, but the fact scan is prefiltered
+  // MAP-SIDE by a Bloom filter over the dimension keys before the semi
+  // join makes it exact. Same answer as the plain semi join (the
+  // oracle), radically less join input at scale. Money through
+  // DECIMAL(18,2) as everywhere.
+  def q121BloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir).filter(col("c_acctbal") > 9000)
+    graft.operators.BloomJoin.prunedSemiJoin(
+        Tables.orders(spark, dir), col("o_custkey"), dim, col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q121Sql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_grouping_sets"   -> (q58GroupingSets _),
@@ -461,7 +486,8 @@ object WideQueries {
     "q80_approx_aggs"     -> (q80ApproxAggs _),
     "q84_moving_avg"      -> (q84MovingAvg _),
     "q89_approx_median"   -> (q89ApproxMedian _),
-    "q111_sketch_rollup"  -> (q111SketchRollup _))
+    "q111_sketch_rollup"  -> (q111SketchRollup _),
+    "q121_bloom_semi_join" -> (q121BloomSemiJoin _))
 
   val oracle: Map[String, String] = Map(
     "q58_grouping_sets"   -> q58Sql,
@@ -478,5 +504,6 @@ object WideQueries {
     "q77_null_fns"        -> q77Sql,
     "q78_profile"         -> q78Sql,
     "q79_bitwise"         -> q79Sql,
-    "q84_moving_avg"      -> q84Sql)
+    "q84_moving_avg"      -> q84Sql,
+    "q121_bloom_semi_join" -> q121Sql)
 }
