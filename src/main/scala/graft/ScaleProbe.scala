@@ -92,7 +92,15 @@ object ScaleProbe {
         val bucket = Corpus.hashBucket(col("doc_id"))
         NearDup.contaminationPairs(d.filter(bucket < 90),
           d.filter(bucket >= 90), col("doc_id"), col("text"), minShared = 2)
-      })
+      },
+      // sequence packing: the slice-machinery cumsum must scale like the
+      // range sort it rides on — a single-partition window would go
+      // super-linear immediately
+      "pack_sequences"   -> (d => Corpus.packSequences(
+        d, col("doc_id"), col("text"), budget = 512)),
+      // chunk dedup: hash agg on chunk md5 + equality join back
+      "chunk_dedup"      -> (d => Corpus.dedupChunks(
+        d, col("doc_id"), col("text"), size = 16)))
 
     val selected = if (opFilter.isEmpty) ops
                    else ops.filter(o => opFilter.exists(o._1.contains))
