@@ -225,6 +225,35 @@ object StreamJobs {
       }
       .start()
 
+  /** Probe a persisted ANN index ([[graft.operators.Similarity]]
+    * `buildIvfIndex`) with an unbounded stream of query vectors
+    * (id, vec): each micro-batch pays only probe selection + the
+    * bucket scan — the online-serving half of the build-once /
+    * probe-many cadence. The index version is PINNED at stream start,
+    * so a concurrent append or rebuild never shifts answers
+    * mid-stream (the operational invariant an online ranker needs);
+    * restarting the stream picks up the new latest version.
+    * foreachBatch because the probe is a batch join against Versioned
+    * state, same pattern as [[curateStreamIncremental]].
+    */
+  def annProbeStream(queryStream: DataFrame, indexDir: String,
+                     outDir: String, checkpointDir: String,
+                     k: Int = 5, nProbes: Int = 4): StreamingQuery = {
+    val spark = queryStream.sparkSession
+    val pinned = graft.sources.Versioned
+      .latestVersion(spark, s"$indexDir/centroids")
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity
+          .queryIvfIndex(spark, indexDir, batch, k, nProbes,
+            asOf = Some(pinned))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
+
   /** Run a windowed aggregation stream into an in-memory table (test /
     * interactive sink; complete mode because windowed counts update).
     */

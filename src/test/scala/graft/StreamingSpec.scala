@@ -395,4 +395,52 @@ class StreamingSpec extends SparkSpec {
     assert(Curation.survivors(spark, state)
       .as[(Long, Boolean)].collect().sortBy(_._1).toSeq == full)
   }
+
+  test("streaming ANN probe: deliveries ≡ one batch probe; answers ride the version pinned at start") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Similarity
+
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val work = tmpDir()
+    val idx = s"$work/ivf"
+    Similarity.buildIvfIndex(e, idx, nCentroids = 8): Unit
+
+    val qRows = e.filter(col("id") < 12)
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    var n = 0
+    def deliver(rows: Seq[(Long, Array[Float])], out: String): Unit = {
+      n += 1
+      val mem = MemoryStream[(Long, Array[Float])]
+      mem.addData(rows.toIndexedSeq: _*)
+      StreamJobs.annProbeStream(mem.toDF().toDF("id", "vec"), idx,
+        out, s"$work/ckpt$n", k = 5, nProbes = 8).awaitTermination()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.select("query_id", "cand_id", "sim")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+
+    // two deliveries accumulate to exactly the one-shot batch probe
+    val (d1, d2) = qRows.partition(_._1 < 6)
+    deliver(d1, s"$work/out1")
+    deliver(d2, s"$work/out1")
+    val batchProbe = Similarity.queryIvfIndex(
+      spark, idx, e.filter(col("id") < 12), k = 5, nProbes = 8)
+    assert(rows(spark.read.parquet(s"$work/out1")) == rows(batchProbe),
+      "streamed probes diverged from the batch probe")
+
+    // append new vectors (same vectors, shifted ids): a stream started
+    // AFTER the append answers from the appended snapshot...
+    val batch = e.select((col("id") + 500000L).as("id"), col("vec"))
+    Similarity.appendToIvfIndex(batch, idx): Unit
+    deliver(d1, s"$work/out2")
+    assert(rows(spark.read.parquet(s"$work/out2"))
+        .exists { case (_, cid, _) => cid >= 500000L },
+      "post-append stream must reach the appended vectors")
+    // ...while the pre-append stream's answers (pinned at v0) did not
+    assert(!rows(spark.read.parquet(s"$work/out1"))
+        .exists { case (_, cid, _) => cid >= 500000L })
+  }
 }
