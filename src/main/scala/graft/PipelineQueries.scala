@@ -590,6 +590,45 @@ object PipelineQueries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] materialized training sequences — q119's spans assembled into
+  // the actual sequence texts (the artifact a trainer reads): slice each
+  // doc's tokens per span, concatenate per sequence in doc-id order.
+  def q122PackedTexts(spark: SparkSession, dir: String): DataFrame =
+    Corpus.packedSequenceTexts(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), budget = 512)
+      .orderBy(col("seq_id"))
+
+  private val q122Sql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) - n_tok AS tok_start
+      |  FROM d),
+      |s AS (
+      |  SELECT doc_id, n_tok, tok_start,
+      |    unnest(generate_series(tok_start // 512,
+      |                           (tok_start + n_tok - 1) // 512)) AS seq_id
+      |  FROM c),
+      |spans AS (
+      |  SELECT seq_id, doc_id,
+      |    greatest(CAST(0 AS BIGINT), seq_id * 512 - tok_start) + 1 AS doc_tok_start,
+      |    least((seq_id + 1) * 512, tok_start + n_tok)
+      |      - greatest(seq_id * 512, tok_start) AS n_tok_in_seq
+      |  FROM s),
+      |p AS (
+      |  SELECT spans.seq_id, spans.doc_id, spans.n_tok_in_seq,
+      |    array_to_string(list_slice(string_split(doc.text, ' '),
+      |      spans.doc_tok_start,
+      |      spans.doc_tok_start + spans.n_tok_in_seq - 1), ' ') AS piece
+      |  FROM spans JOIN documents doc USING (doc_id))
+      |SELECT seq_id, CAST(sum(n_tok_in_seq) AS BIGINT) AS n_tok,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  string_agg(piece, ' ' ORDER BY doc_id) AS seq_text
+      |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_tfidf"             -> (q69Tfidf _),
@@ -606,7 +645,8 @@ object PipelineQueries {
     "q110_curation_funnel"  -> (q110CurationFunnel _),
     "q117_incremental_curation" -> (q117IncrementalCuration _),
     "q119_pack_sequences"   -> (q119PackSequences _),
-    "q120_chunk_dedup"      -> (q120ChunkDedup _))
+    "q120_chunk_dedup"      -> (q120ChunkDedup _),
+    "q122_packed_texts"     -> (q122PackedTexts _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -623,5 +663,6 @@ object PipelineQueries {
     "q110_curation_funnel"  -> q110Sql,
     "q117_incremental_curation" -> q117Sql,
     "q119_pack_sequences"   -> q119Sql,
-    "q120_chunk_dedup"      -> q120Sql)
+    "q120_chunk_dedup"      -> q120Sql,
+    "q122_packed_texts"     -> q122Sql)
 }

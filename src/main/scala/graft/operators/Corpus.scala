@@ -163,6 +163,32 @@ object Corpus {
           .as("n_tok_in_seq"))
   }
 
+  /** Materialized training sequences — [[packSequences]]' spans joined
+    * back to the documents and assembled into the actual fixed-budget
+    * sequence texts a trainer reads. Each document's contribution is a
+    * token slice (map-side, after one equality join on doc_id); a
+    * sequence's text is the doc-id-ordered concatenation of its pieces
+    * (one per-seq aggregation, bounded by budget tokens — no window).
+    *
+    * Output: (seq_id, n_tok, n_docs, seq_text).
+    */
+  def packedSequenceTexts(docs: DataFrame, id: Column, text: Column,
+                          budget: Int): DataFrame = {
+    val spans = packSequences(docs, id, text, budget)
+    val toks = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+    spans.join(toks, Seq("doc_id"))
+      .select(col("seq_id"), col("doc_id"), col("n_tok_in_seq"),
+        array_join(slice(col("toks"), col("doc_tok_start").cast("int"),
+          col("n_tok_in_seq").cast("int")), " ").as("piece"))
+      .groupBy(col("seq_id"))
+      .agg(sum(col("n_tok_in_seq")).as("n_tok"),
+        count(lit(1)).as("n_docs"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("doc_id"), col("piece")))),
+            c => c("piece")),
+          " ").as("seq_text"))
+  }
+
   /** Chunk-level exact dedup — the C4/RefinedWeb "drop duplicated
     * paragraphs" rule at token-window granularity (the corpus has no
     * paragraph breaks, so the unit is a non-overlapping `size`-token

@@ -269,6 +269,36 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
   }
 
+  test("q122 packedSequenceTexts: exact texts on a crafted stream; reassembly matches spans on the corpus") {
+    // same stream as the q119 case: budget 4 cuts "a b c d e f g h"
+    // into two sequences, doc 20 straddling the cut
+    val tiny = Seq(
+      (10L, "a b c"), (20L, "d e f"), (30L, "g h")).toDF("doc_id", "text")
+    val got = Corpus.packedSequenceTexts(tiny, col("doc_id"), col("text"), budget = 4)
+      .as[(Long, Long, Long, String)].collect().sorted.toSeq
+    assert(got == Seq(
+      (0L, 4L, 2L, "a b c d"),
+      (1L, 4L, 2L, "e f g h")))
+
+    // real corpus: each sequence's text holds exactly n_tok tokens, and
+    // the texts are the q119 spans realized — same per-seq token totals
+    val docs = Tables.documents(spark, dir)
+    val texts = Corpus.packedSequenceTexts(docs, col("doc_id"), col("text"), budget = 128)
+    assert(texts.filter(
+      graft.functions.TextOps.tokenCount(col("seq_text")) =!= col("n_tok")).isEmpty,
+      "a sequence text disagrees with its token count")
+    val spans = Corpus.packSequences(docs, col("doc_id"), col("text"), budget = 128)
+      .groupBy("seq_id").agg(sum("n_tok_in_seq").as("n_tok"),
+        count(lit(1)).as("n_docs"))
+    val joined = texts.select("seq_id", "n_tok", "n_docs")
+      .exceptAll(spans.select("seq_id", "n_tok", "n_docs"))
+    assert(joined.isEmpty, "sequence texts disagree with q119 spans")
+    // layout independence
+    val again = Corpus.packedSequenceTexts(docs.repartition(7), col("doc_id"),
+      col("text"), budget = 128)
+    assert(texts.exceptAll(again).isEmpty && again.exceptAll(texts).isEmpty)
+  }
+
   test("q120 dedupChunks: first occurrence survives, boilerplate docs vanish, chunks conserved") {
     val a = (1 to 4).map(i => s"a$i").mkString(" ")  // one 4-token chunk
     val b = (1 to 4).map(i => s"b$i").mkString(" ")
