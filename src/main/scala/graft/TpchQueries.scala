@@ -433,6 +433,128 @@ object TpchQueries {
       |WHERE rev_exact = (SELECT max(rev_exact) FROM rev)
       |ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // TPC-H Q3 — shipping priority (adapted: o_orderpriority stands in
+  // for the generator's missing o_shippriority): the 10 highest-revenue
+  // unshipped orders of one market segment at a cutoff date. Both date
+  // filters push to their scans before the joins; the segment filter
+  // collapses customer to a broadcast-able key set; the top-10 rides
+  // the sort (TakeOrderedAndProject) — no full ranking materializes.
+  def q123TpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("date")
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .join(Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(revenue)
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q123Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < DATE '1998-06-01' AND l_shipdate > DATE '1998-06-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q4 — order priority checking (adapted: "late" = shipped 60+
+  // days after the order date, the q108 lateness rule, since the
+  // generator has no commit/receipt dates): one quarter's orders with
+  // at least one late lineitem, counted by priority. The EXISTS is a
+  // LEFT SEMI join — the fact table never fans out, each order emits
+  // at most once regardless of how many lineitems are late.
+  def q124TpchQ4(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-04-01").cast("date"))
+      .join(Tables.lineitem(spark, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q124Sql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q21 — suppliers who kept orders waiting (adapted to the q108
+  // lateness rule; q113's five-nation bloc stands in for the single
+  // nation so every scale factor populates it): late lineitems of
+  // finished multi-supplier orders where the supplier was the ONLY
+  // late one. The classic's two correlated subqueries (EXISTS another
+  // supplier / NOT EXISTS another late supplier) collapse into one
+  // (order, supplier)-grain aggregate off a SINGLE fact scan — the
+  // only fact-sized shuffle; the order-level qualification and the
+  // join back both ride the collapsed rows (per-supplier-per-order,
+  // orders of magnitude smaller). No per-row subquery execution.
+  def q125TpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    // one fact scan: collapse lineitems to (order, supplier) grain with
+    // a late-row count — everything after this shuffle is order-grain
+    val perOrderSupp = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("l_shipdate") >=
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0))
+        .as("n_late_rows"))
+      // two consumers (order-level qualification + join back): stage the
+      // collapsed rows so the fact table is scanned exactly once
+      .localCheckpoint()
+    val waitingOrders = perOrderSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("n_late_rows") > 0, 1).otherwise(0)).as("n_late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .select(col("l_orderkey").as("wait_orderkey"))
+    val blocSuppliers = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_nationkey").isin(0, 1, 2, 3, 4))
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    perOrderSupp.filter(col("n_late_rows") > 0)
+      .join(waitingOrders, col("l_orderkey") === col("wait_orderkey"))
+      .join(broadcast(blocSuppliers), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("n_late_rows")).cast("long").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  private val q125Sql =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F' AND n_nationkey IN (0, 1, 2, 3, 4)
+      |  AND l1.l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_tpch_q5"   -> (q95TpchQ5 _),
     "q96_tpch_q10"  -> (q96TpchQ10 _),
@@ -447,6 +569,9 @@ object TpchQueries {
     "q113_tpch_q7"  -> (q113TpchQ7 _),
     "q114_tpch_q8"  -> (q114TpchQ8 _),
     "q115_tpch_q15" -> (q115TpchQ15 _),
+    "q123_tpch_q3"  -> (q123TpchQ3 _),
+    "q124_tpch_q4"  -> (q124TpchQ4 _),
+    "q125_tpch_q21" -> (q125TpchQ21 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -463,5 +588,8 @@ object TpchQueries {
     "q113_tpch_q7"  -> q113Sql,
     "q114_tpch_q8"  -> q114Sql,
     "q115_tpch_q15" -> q115Sql,
+    "q123_tpch_q3"  -> q123Sql,
+    "q124_tpch_q4"  -> q124Sql,
+    "q125_tpch_q21" -> q125Sql,
   )
 }

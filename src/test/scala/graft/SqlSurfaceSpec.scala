@@ -49,7 +49,10 @@ class SqlSurfaceSpec extends SparkSpec {
     "q108_tpch_q12",
     "q113_tpch_q7",
     "q114_tpch_q8",
-    "q115_tpch_q15")
+    "q115_tpch_q15",
+    "q123_tpch_q3",
+    "q124_tpch_q4",
+    "q125_tpch_q21")
 
   test("ANSI oracle SQL runs through spark.sql with identical results to the Column API") {
     Sql.registerTables(spark, dir)
