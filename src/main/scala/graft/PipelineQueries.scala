@@ -629,6 +629,34 @@ object PipelineQueries {
       |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] training-mixture sampling — per-language weights realized as
+  // a concrete epoch-expanded corpus: en upsampled 2.5× (2 full epochs
+  // + a deterministic half), zh kept whole, es halved, de quartered,
+  // fr dropped (absent = weight 0). Verified at (lang, epoch) grain so
+  // the oracle sees both the epoch fan-out and the fractional arm.
+  def q126MixtureSample(spark: SparkSession, dir: String): DataFrame =
+    Corpus.mixtureSample(Tables.documents(spark, dir), col("lang"),
+        col("doc_id"),
+        Map("en" -> 2.5, "zh" -> 1.0, "es" -> 0.5, "de" -> 0.25))
+      .groupBy(col("lang"), col("epoch"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("epoch"))
+
+  private val q126Sql =
+    """WITH w(lang, mix_full, frac_bp) AS (
+      |  VALUES ('en', 2, 5000), ('zh', 1, 0), ('es', 0, 5000), ('de', 0, 2500)),
+      |c AS (
+      |  SELECT d.lang, doc_id, mix_full
+      |    + (CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        % 10000 < frac_bp THEN 1 ELSE 0 END) AS n
+      |  FROM documents d JOIN w USING (lang)),
+      |e AS (
+      |  SELECT lang, doc_id, unnest(generate_series(0, n - 1)) AS epoch
+      |  FROM c WHERE n > 0)
+      |SELECT lang, CAST(epoch AS INTEGER) AS epoch, count(*) AS n_docs
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_tfidf"             -> (q69Tfidf _),
@@ -646,7 +674,8 @@ object PipelineQueries {
     "q117_incremental_curation" -> (q117IncrementalCuration _),
     "q119_pack_sequences"   -> (q119PackSequences _),
     "q120_chunk_dedup"      -> (q120ChunkDedup _),
-    "q122_packed_texts"     -> (q122PackedTexts _))
+    "q122_packed_texts"     -> (q122PackedTexts _),
+    "q126_mixture_sample"   -> (q126MixtureSample _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -664,5 +693,6 @@ object PipelineQueries {
     "q117_incremental_curation" -> q117Sql,
     "q119_pack_sequences"   -> q119Sql,
     "q120_chunk_dedup"      -> q120Sql,
-    "q122_packed_texts"     -> q122Sql)
+    "q122_packed_texts"     -> q122Sql,
+    "q126_mixture_sample"   -> q126Sql)
 }

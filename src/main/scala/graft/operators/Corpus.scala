@@ -105,6 +105,46 @@ object Corpus {
   def stratifiedSample(df: DataFrame, key: Column, pct: Int): DataFrame =
     df.filter(hashBucket(key) < pct)
 
+  /** [[hashBucket]] at basis-point granularity ([0, 10000)) — the
+    * resolution fractional mixture weights need.
+    */
+  private def fineBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 10000
+
+  /** Deterministic training-mixture sampling — the Pile/Dolma-style
+    * step that turns per-domain mixture weights into a concrete corpus:
+    * a domain with weight `w` contributes `floor(w)` full copies of
+    * every document ("epochs", upsampling) plus a deterministic
+    * `frac(w)` sample of one more; `w < 1` downsamples, a domain absent
+    * from `weights` is dropped (weight 0). The fractional arm keys on
+    * the md5 basis-point bucket of `id` — stable across engines, runs,
+    * and layout, where `rand(seed)` is not. Fractions are honored to
+    * 1/10000 (weights are rounded to basis points).
+    *
+    * Scale shape: ZERO shuffles — the weight table is a broadcast of
+    * |domains| rows, the epoch fan-out is sequence+explode, and both
+    * run map-side over the corpus scan. Output = the input columns
+    * plus `epoch` (0-based copy number; a doc's fractional-arm copy is
+    * its highest epoch).
+    */
+  def mixtureSample(df: DataFrame, domain: Column, id: Column,
+                    weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1000.0),
+      "mixture weights must be in [0, 1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lookup = weights.toSeq.map { case (d, w) =>
+      val full = math.floor(w).toInt
+      (d, full, math.round((w - full) * 10000).toInt)
+    }.toDF("mix_domain", "mix_full", "mix_frac_bp")
+    df.join(broadcast(lookup), domain === col("mix_domain"))
+      .withColumn("mix_n", col("mix_full") +
+        when(fineBucket(id) < col("mix_frac_bp"), 1).otherwise(0))
+      .filter(col("mix_n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("mix_n") - 1)))
+      .drop("mix_domain", "mix_full", "mix_frac_bp", "mix_n")
+  }
+
   /** Training-sequence packing — the GPT-style "concatenate and chunk"
     * step that turns a curated corpus into fixed-`budget`-token training
     * sequences: conceptually, every document's tokens are laid end to

@@ -64,7 +64,7 @@ class MaintenanceSpec extends SparkSpec {
   test("z-order write clusters BOTH dimensions; random layout clusters neither") {
     val base = Files.createTempDirectory("graft-zorder").toString
     val events = Tables.events(spark, "/root/testdata/sf0.01")
-    val nFiles = 8
+    val nFiles = 16
     // baseline: hash-scattered layout — every file spans ~the full range
     events.repartition(nFiles).write.parquet(s"$base/random")
     Maintenance.zorderWrite(events, col("user_id"), col("value"),
@@ -100,17 +100,18 @@ class MaintenanceSpec extends SparkSpec {
     // random layout: every file straddles both slices — zero skipping
     assert(overlapping(s"$base/random", Some(uSlice), None) == nFiles)
     assert(overlapping(s"$base/random", None, Some(vSlice)) == nFiles)
-    // z-order: a narrow slice on EITHER dimension prunes files. At 8
-    // files the Morton prefix is (a15, b15, a14): the first dimension
-    // gets two interleave levels (≤ 1/4 of files + straddlers), the
-    // second one level (≤ 1/2 + straddlers) — both prune, the first
-    // harder; more files would deepen both. Bounds carry slack because
-    // repartitionByRange samples its cut points (±1-2 straddlers
-    // run-to-run); the clustering itself is deterministic.
+    // z-order: a narrow slice on EITHER dimension prunes files. At 16
+    // files the Morton prefix is (a15, b15, a14, b14): BOTH dimensions
+    // get two interleave levels, so a slice inside one quarter of the
+    // range touches ≤ 1/4 of files + boundary straddlers. Bound at 1/2
+    // because repartitionByRange samples its cut points (±2 straddlers
+    // run-to-run, more under concurrent-suite load — the old 8-file
+    // bounds left 1 straddler of slack and flaked); the clustering
+    // itself is deterministic.
     val zU = overlapping(s"$base/zorder", Some(uSlice), None)
     val zV = overlapping(s"$base/zorder", None, Some(vSlice))
-    assert(zU <= nFiles * 5 / 8, s"user_id slice still touches $zU of $nFiles files")
-    assert(zV <= nFiles * 3 / 4, s"value slice still touches $zV of $nFiles files")
+    assert(zU <= nFiles / 2, s"user_id slice still touches $zU of $nFiles files")
+    assert(zV <= nFiles / 2, s"value slice still touches $zV of $nFiles files")
     // clustering must not lose or duplicate rows
     assert(spark.read.parquet(s"$base/zorder").count() == events.count())
   }

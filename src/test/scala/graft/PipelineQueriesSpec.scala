@@ -234,6 +234,37 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("q126 mixtureSample: epoch fan-out exact, fractional arm deterministic, absent domain dropped") {
+    val docs = Tables.documents(spark, dir)
+    val w = Map("en" -> 2.5, "zh" -> 1.0, "es" -> 0.5, "de" -> 0.25)
+    val mixed = Corpus.mixtureSample(docs, col("lang"), col("doc_id"), w)
+    // absent domain vanishes; listed domains keep their full epochs
+    assert(mixed.filter(col("lang") === "fr").isEmpty, "weight-0 domain leaked")
+    val perLangEpoch = mixed.groupBy("lang", "epoch").count()
+      .as[(String, Int, Long)].collect()
+      .map { case (l, e, n) => (l, e) -> n }.toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // full epochs contain every doc of the domain
+    assert(perLangEpoch(("en", 0)) == totals("en"))
+    assert(perLangEpoch(("en", 1)) == totals("en"))
+    assert(perLangEpoch(("zh", 0)) == totals("zh"))
+    // the fractional arm is the md5 basis-point sample, recomputed here
+    def fracCount(lang: String, bp: Int): Long = docs
+      .filter(col("lang") === lang)
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000 < bp)
+      .count()
+    assert(perLangEpoch(("en", 2)) == fracCount("en", 5000))
+    assert(perLangEpoch(("es", 0)) == fracCount("es", 5000))
+    assert(perLangEpoch(("de", 0)) == fracCount("de", 2500))
+    assert(!perLangEpoch.contains(("zh", 1)) && !perLangEpoch.contains(("es", 1)))
+    // deterministic under physical layout
+    val again = Corpus.mixtureSample(docs.repartition(7), col("lang"),
+      col("doc_id"), w).select("doc_id", "lang", "epoch")
+    val base = mixed.select("doc_id", "lang", "epoch")
+    assert(base.exceptAll(again).isEmpty && again.exceptAll(base).isEmpty)
+  }
+
   test("q119 packSequences: exact spans on a crafted stream; conservation + layout independence on the corpus") {
     // token counts 3, 3, 2 over budget 4: the concatenated stream is
     // cut at token 4 — doc 20 straddles the cut
