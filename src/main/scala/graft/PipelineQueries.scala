@@ -657,6 +657,93 @@ object PipelineQueries {
       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] trainer-export funnel — the full "raw corpus → trainer-ready
+  // sequences" composition, end to end: row-local quality gates
+  // (language + quality score, evaluated once on the scan), exact
+  // dedup on normalized text, source-weighted mixture with epochs
+  // (8 sources at weights 2.5×…0.25×, the rest dropped), and
+  // fixed-512-token sequence packing over the epoch-expanded stream
+  // (copy id = doc_id·4 + epoch keeps packing deterministic). Reported
+  // per source: docs in, copies after mixture, tokens exported, and
+  // sequences touched — the numbers a training run is provisioned by.
+  // Every stage is a hash agg, broadcast join, or map-side transform;
+  // the mixed corpus is staged once (localCheckpoint) because packing
+  // and the stats join both consume it.
+  def q127TrainerExport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    import graft.operators.Curation.minQuality
+    val docs = Tables.documents(spark, dir)
+    val clean = docs
+      .filter(TextOps.langId(col("text")) === "en" &&
+        TextOps.qualityScore(col("text"), col("n_chars")) >= minQuality)
+    val keep = clean.groupBy(TextOps.normalized(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val deduped = clean.join(keep, Seq("doc_id"))
+    val mixed = Corpus.mixtureSample(deduped, col("source"), col("doc_id"),
+        Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 1.5, "src3" -> 1.0,
+            "src4" -> 1.0, "src5" -> 0.75, "src6" -> 0.5, "src7" -> 0.25))
+      .withColumn("mid", col("doc_id") * 4 + col("epoch"))
+      .localCheckpoint(eager = false)
+    val spans = Corpus.packSequences(mixed, col("mid"), col("text"), budget = 512)
+    spans.join(mixed.select(col("mid").as("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(countDistinct(floor(col("doc_id") / 4)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_copies"),
+        sum(col("n_tok_in_seq")).as("n_tokens"),
+        countDistinct(col("seq_id")).as("n_seqs"))
+      .orderBy(col("source"))
+  }
+
+  private val q127Sql =
+    """WITH c1 AS (
+      |  SELECT * FROM documents
+      |  WHERE CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) >= 0.05),
+      |c2 AS (
+      |  SELECT * FROM c1 WHERE
+      |  (least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0)
+      |   + least(1.0, 10.0 * CAST(len(list_filter(string_split(text, ' '),
+      |       x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |     / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |   + least(1.0, CAST(n_chars AS DOUBLE) / 1000.0)) / 3.0 >= 0.4),
+      |k AS (SELECT min(doc_id) AS doc_id FROM c2 GROUP BY lower(trim(text))),
+      |d AS (SELECT c2.* FROM c2 JOIN k USING (doc_id)),
+      |w(source, mix_full, frac_bp) AS (VALUES
+      |  ('src0', 2, 5000), ('src1', 2, 0), ('src2', 1, 5000), ('src3', 1, 0),
+      |  ('src4', 1, 0), ('src5', 0, 7500), ('src6', 0, 5000), ('src7', 0, 2500)),
+      |m AS (
+      |  SELECT d.doc_id, d.source, d.text, mix_full
+      |    + (CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        % 10000 < frac_bp THEN 1 ELSE 0 END) AS n
+      |  FROM d JOIN w USING (source)),
+      |e AS (
+      |  SELECT doc_id, source, text,
+      |    doc_id * 4 + unnest(generate_series(0, n - 1)) AS mid
+      |  FROM m WHERE n > 0),
+      |t AS (SELECT mid, doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM e),
+      |c AS (
+      |  SELECT mid, doc_id, source, n_tok,
+      |    CAST(sum(n_tok) OVER (ORDER BY mid) AS BIGINT) - n_tok AS tok_start
+      |  FROM t),
+      |s AS (
+      |  SELECT mid, doc_id, source, n_tok, tok_start,
+      |    unnest(generate_series(tok_start // 512,
+      |                           (tok_start + n_tok - 1) // 512)) AS seq_id
+      |  FROM c),
+      |spans AS (
+      |  SELECT seq_id, mid, doc_id, source,
+      |    least((seq_id + 1) * 512, tok_start + n_tok)
+      |      - greatest(seq_id * 512, tok_start) AS n_tok_in_seq
+      |  FROM s)
+      |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT mid) AS BIGINT) AS n_copies,
+      |  CAST(sum(n_tok_in_seq) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs
+      |FROM spans GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_tfidf"             -> (q69Tfidf _),
@@ -675,7 +762,8 @@ object PipelineQueries {
     "q119_pack_sequences"   -> (q119PackSequences _),
     "q120_chunk_dedup"      -> (q120ChunkDedup _),
     "q122_packed_texts"     -> (q122PackedTexts _),
-    "q126_mixture_sample"   -> (q126MixtureSample _))
+    "q126_mixture_sample"   -> (q126MixtureSample _),
+    "q127_trainer_export"   -> (q127TrainerExport _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -694,5 +782,6 @@ object PipelineQueries {
     "q119_pack_sequences"   -> q119Sql,
     "q120_chunk_dedup"      -> q120Sql,
     "q122_packed_texts"     -> q122Sql,
-    "q126_mixture_sample"   -> q126Sql)
+    "q126_mixture_sample"   -> q126Sql,
+    "q127_trainer_export"   -> q127Sql)
 }

@@ -265,6 +265,40 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(base.exceptAll(again).isEmpty && again.exceptAll(base).isEmpty)
   }
 
+  test("q127 trainerExport: token conservation per source; mixture arithmetic holds") {
+    import graft.functions.TextOps
+    import graft.operators.Curation.minQuality
+    val docs = Tables.documents(spark, dir)
+    val got = PipelineQueries.q127TrainerExport(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // independent recompute of the pre-packing stages (no packSequences):
+    // exported tokens per source must equal the mixed copies' token sum —
+    // packing lost and invented nothing
+    val clean = docs.filter(TextOps.langId(col("text")) === "en" &&
+      TextOps.qualityScore(col("text"), col("n_chars")) >= minQuality)
+    val keep = clean.groupBy(TextOps.normalized(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val mixed = Corpus.mixtureSample(clean.join(keep, Seq("doc_id")),
+      col("source"), col("doc_id"),
+      Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 1.5, "src3" -> 1.0,
+          "src4" -> 1.0, "src5" -> 0.75, "src6" -> 0.5, "src7" -> 0.25))
+    val expect = mixed.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_copies"),
+        sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == expect.keySet, "source sets differ")
+    got.foreach { case (src, (_, nDocs, nCopies, nTokens, nSeqs)) =>
+      val (_, eDocs, eCopies, eTokens) = expect(src)
+      assert(nDocs == eDocs, s"$src: docs $nDocs != $eDocs")
+      assert(nCopies == eCopies, s"$src: copies $nCopies != $eCopies")
+      assert(nTokens == eTokens, s"$src: tokens $nTokens != $eTokens")
+      // a source's tokens can't occupy fewer sequences than its budget floor
+      assert(nSeqs >= nTokens / 512, s"$src: $nSeqs seqs for $nTokens tokens")
+    }
+  }
+
   test("q119 packSequences: exact spans on a crafted stream; conservation + layout independence on the corpus") {
     // token counts 3, 3, 2 over budget 4: the concatenated stream is
     // cut at token 4 — doc 20 straddles the cut
