@@ -100,7 +100,20 @@ object ScaleProbe {
         d, col("doc_id"), col("text"), budget = 512)),
       // chunk dedup: hash agg on chunk md5 + equality join back
       "chunk_dedup"      -> (d => Corpus.dedupChunks(
-        d, col("doc_id"), col("text"), size = 16)))
+        d, col("doc_id"), col("text"), size = 16)),
+      // mixture + packing (q127's tail): broadcast-join fan-out into the
+      // range-sorted packing cumsum — the epoch expansion must cost like
+      // the ~1.6× rows it adds, not like a shuffle of the corpus
+      "mixture_pack"     -> { d =>
+        val mixed = Corpus.mixtureSample(
+          d.withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(8)))),
+          col("source"), col("doc_id"),
+          Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 1.5, "src3" -> 1.0,
+              "src4" -> 1.0, "src5" -> 0.75, "src6" -> 0.5, "src7" -> 0.25))
+          .withColumn("mid", col("doc_id") * 4 + col("epoch"))
+        Corpus.packSequences(mixed, col("mid"), col("text"), budget = 512)
+      })
 
     val selected = if (opFilter.isEmpty) ops
                    else ops.filter(o => opFilter.exists(o._1.contains))

@@ -139,6 +139,22 @@ object StreamJobs {
       .drop("__toks", "__rep")
   }
 
+  /** [EXT] STREAMING MIXTURE — [[graft.operators.Corpus.mixtureSample]]
+    * applied to an unbounded document stream: the weight table is a
+    * stream-static broadcast join, the epoch fan-out is a per-row
+    * generator, and the fractional arm keys on the deterministic md5
+    * bucket — zero state, zero shuffles, and every micro-batch makes
+    * exactly the decision the batch operator would (replay-safe:
+    * re-delivered rows re-derive the same epochs). Composes after
+    * [[curateStream]] as the mixing stage of a streaming trainer-export
+    * path; corpus-wide packing stays in the batch layer by design (a
+    * global token offset cannot exist on an unbounded stream).
+    */
+  def mixStream(docs: DataFrame, domain: org.apache.spark.sql.Column,
+                id: org.apache.spark.sql.Column,
+                weights: Map[String, Double]): DataFrame =
+    graft.operators.Corpus.mixtureSample(docs, domain, id, weights)
+
   /** [EXT] CDC apply — each micro-batch MERGEs into a parquet snapshot
     * (foreachBatch + [[graft.operators.Upsert.merge]]): matched keys
     * update, new keys insert, the rest carry over. The snapshot swap is

@@ -348,6 +348,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming mixture: epoch fan-out on an unbounded stream, batch parity, replay-deterministic") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+    val rows = docs.as[(Long, String, String)].collect()
+    val w = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5)
+
+    def deliver(name: String): org.apache.spark.sql.DataFrame = {
+      val mem = MemoryStream[(Long, String, String)]
+      mem.addData(rows.toIndexedSeq: _*)
+      val stream = mem.toDF().toDF("doc_id", "source", "text")
+      val q = StreamJobs.mixStream(stream, col("source"), col("doc_id"), w)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).select("doc_id", "source", "epoch")
+    }
+
+    val streamed = deliver("mix_test")
+    val batch = graft.operators.Corpus.mixtureSample(docs, col("source"), col("doc_id"), w)
+      .select("doc_id", "source", "epoch")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming mixture diverged from the batch operator")
+    // a re-delivery derives exactly the same epochs (no rand(), no state)
+    val again = deliver("mix_test2")
+    assert(streamed.exceptAll(again).isEmpty && again.exceptAll(streamed).isEmpty,
+      "replay produced different epochs")
+  }
+
   test("stateful streaming curation: micro-batches accumulate state ≡ full recompute; replay is a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
