@@ -669,7 +669,17 @@ object PipelineQueries {
   // Every stage is a hash agg, broadcast join, or map-side transform;
   // the mixed corpus is staged once (localCheckpoint) because packing
   // and the stats join both consume it.
-  def q127TrainerExport(spark: SparkSession, dir: String): DataFrame = {
+  /** The default export mixture (q127 and the TrainingExport app). */
+  val exportWeights: Map[String, Double] =
+    Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 1.5, "src3" -> 1.0,
+        "src4" -> 1.0, "src5" -> 0.75, "src6" -> 0.5, "src7" -> 0.25)
+
+  /** Shared front half of the trainer export: quality gates → exact
+    * dedup → source-weighted mixture, with the copy id (`mid` =
+    * doc_id·4 + epoch) packing keys on. Staged once — q127's stats and
+    * the app's sequence materialization both consume it.
+    */
+  def trainerExportMixed(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextOps
     import graft.operators.Curation.minQuality
     val docs = Tables.documents(spark, dir)
@@ -679,11 +689,13 @@ object PipelineQueries {
     val keep = clean.groupBy(TextOps.normalized(col("text")).as("norm"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val deduped = clean.join(keep, Seq("doc_id"))
-    val mixed = Corpus.mixtureSample(deduped, col("source"), col("doc_id"),
-        Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 1.5, "src3" -> 1.0,
-            "src4" -> 1.0, "src5" -> 0.75, "src6" -> 0.5, "src7" -> 0.25))
+    Corpus.mixtureSample(deduped, col("source"), col("doc_id"), exportWeights)
       .withColumn("mid", col("doc_id") * 4 + col("epoch"))
       .localCheckpoint(eager = false)
+  }
+
+  def q127TrainerExport(spark: SparkSession, dir: String): DataFrame = {
+    val mixed = trainerExportMixed(spark, dir)
     val spans = Corpus.packSequences(mixed, col("mid"), col("text"), budget = 512)
     spans.join(mixed.select(col("mid").as("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))

@@ -1,0 +1,66 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.PipelineQueries
+import graft.operators.Corpus
+
+/** End-to-end trainer export (SURVEY.md §8 flagship composition #2,
+  * artifact side): the q127 chain — quality gates → exact dedup →
+  * source-weighted mixture — materialized all the way to the files a
+  * training run mounts:
+  *
+  *  - `outDir/sequences`: one row per fixed-512-token training
+  *    sequence (seq_id, n_tok, n_docs, seq_text), range-partitioned by
+  *    seq_id so shard k holds a contiguous, reproducible slice of the
+  *    training stream (what a data loader addresses by offset);
+  *  - `outDir/manifest`: q127's per-source provisioning stats, written
+  *    next to the data they describe.
+  *
+  * Scale shape: everything is the audited q127/q122 machinery; the only
+  * addition is the range-partitioned write, one shuffle that IS the
+  * artifact's layout contract.
+  *
+  * Run: tools/run.sh graft.app.TrainingExport [sfDir] [outDir]
+  */
+object TrainingExport {
+
+  case class ExportStats(nSequences: Long, nTokens: Long, nSources: Long)
+
+  /** Build and write both artifacts; returns read-back totals. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          shards: Int = 8): ExportStats = {
+    val mixed = PipelineQueries.trainerExportMixed(spark, sfDir)
+    val seqs = Corpus.packedSequenceTexts(mixed, col("mid"), col("text"),
+        budget = 512)
+    seqs.repartitionByRange(shards, col("seq_id"))
+      .sortWithinPartitions(col("seq_id"))
+      .write.mode("overwrite").parquet(s"$outDir/sequences")
+    PipelineQueries.q127TrainerExport(spark, sfDir)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/manifest")
+
+    val back = spark.read.parquet(s"$outDir/sequences")
+    val agg = back.agg(count(lit(1)), sum(col("n_tok"))).head()
+    val srcs = spark.read.parquet(s"$outDir/manifest").count()
+    ExportStats(agg.getLong(0), agg.getLong(1), srcs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_training_export")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val s = run(spark, sfDir, outDir)
+    println(s"[export] sequences=${s.nSequences} tokens=${s.nTokens} " +
+      s"sources=${s.nSources} -> $outDir")
+    spark.stop()
+  }
+}

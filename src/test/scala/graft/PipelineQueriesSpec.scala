@@ -299,6 +299,25 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("TrainingExport app: written artifacts reconcile — budget-exact shards, manifest totals match") {
+    val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val stats = graft.app.TrainingExport.run(spark, dir, out, shards = 4)
+    val seqs = spark.read.parquet(s"$out/sequences")
+    assert(stats.nSequences > 0 && stats.nSequences == seqs.count())
+    // every sequence except the last is budget-exact; texts agree with counts
+    val perSeq = seqs.orderBy("seq_id").select("seq_id", "n_tok")
+      .as[(Long, Long)].collect()
+    assert(perSeq.dropRight(1).forall(_._2 == 512L), "a non-final shard row missed budget")
+    assert(perSeq.map(_._1).toSeq == perSeq.indices.map(_.toLong), "seq ids not dense")
+    assert(seqs.filter(graft.functions.TextOps.tokenCount(col("seq_text"))
+      =!= col("n_tok")).isEmpty, "sequence text disagrees with token count")
+    // manifest tokens = written tokens
+    val manifestTokens = spark.read.parquet(s"$out/manifest")
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(manifestTokens == stats.nTokens,
+      s"manifest says $manifestTokens tokens, artifacts hold ${stats.nTokens}")
+  }
+
   test("q119 packSequences: exact spans on a crafted stream; conservation + layout independence on the corpus") {
     // token counts 3, 3, 2 over budget 4: the concatenated stream is
     // cut at token 4 — doc 20 straddles the cut
