@@ -756,6 +756,81 @@ object PipelineQueries {
       |FROM spans GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] corpus-LM perplexity scoring — CCNet's quality gate with the
+  // corpus standing in for the external KenLM. Counts are exact
+  // integers, ln terms identical rationals, per-doc sums DECIMAL(27,10)
+  // → the whole model replays in SQL and hash-matches.
+  def q128LmScore(spark: SparkSession, dir: String): DataFrame =
+    Corpus.lmScore(Tables.documents(spark, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
+  private val q128Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      |bg AS (
+      |  SELECT doc_id, parts[i] AS w1, parts[i] || ' ' || parts[i + 1] AS ngram
+      |  FROM (SELECT doc_id, parts, generate_subscripts(parts, 1) AS i FROM t)
+      |  WHERE i < len(parts)),
+      |c1 AS (
+      |  SELECT tok, count(*) AS c1
+      |  FROM (SELECT unnest(parts) AS tok FROM t) GROUP BY tok),
+      |c12 AS (SELECT ngram, count(*) AS c12 FROM bg GROUP BY ngram),
+      |v AS (SELECT count(*) AS v FROM c1),
+      |terms AS (
+      |  SELECT doc_id,
+      |    CAST(ln(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))
+      |         AS DECIMAL(27,10)) AS term
+      |  FROM bg JOIN c12 USING (ngram) JOIN c1 ON bg.w1 = c1.tok CROSS JOIN v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(term) AS DOUBLE) / count(*) AS avg_ll,
+      |  exp(-(CAST(sum(term) AS DOUBLE) / count(*))) AS ppl
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] DSIR importance resampling — tilt the corpus toward the 'en'
+  // slice: hashed-unigram models (512 buckets), Gumbel top-100 on the
+  // md5 basis-point uniform. lang joined back AFTER selection (k-row
+  // broadcast) so the operator stays generic.
+  def q129DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Corpus.dsirSelect(docs, col("doc_id"), col("text"),
+        col("lang") === "en", k = 100, buckets = 512)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("log_w"), col("sel_key"))
+      .orderBy(col("sel_key").desc, col("doc_id").asc)
+  }
+
+  private val q129Sql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS parts,
+      |    lang = 'en' AS is_t
+      |  FROM documents),
+      |tb AS (
+      |  SELECT doc_id, is_t,
+      |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 512 AS b
+      |  FROM (SELECT doc_id, is_t, unnest(parts) AS tok FROM t)),
+      |model AS (
+      |  SELECT b, count(*) AS c_raw, count(*) FILTER (is_t) AS c_tgt
+      |  FROM tb GROUP BY b),
+      |tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM model),
+      |delta AS (
+      |  SELECT b,
+      |    ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(t_tgt + 512 AS DOUBLE))
+      |    - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(t_raw + 512 AS DOUBLE)) AS delta
+      |  FROM model CROSS JOIN tot),
+      |doc AS (
+      |  SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |    CAST(sum(CAST(delta AS DECIMAL(27,10))) AS DOUBLE) AS log_w
+      |  FROM tb JOIN delta USING (b) GROUP BY tb.doc_id),
+      |keyed AS (
+      |  SELECT doc_id, n_tok, log_w,
+      |    log_w + -ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |                          AS BIGINT) % 10000 + 0.5) / 10000.0)) AS sel_key
+      |  FROM doc)
+      |SELECT k.doc_id, d.lang, k.n_tok, k.log_w, k.sel_key
+      |FROM keyed k JOIN documents d ON k.doc_id = d.doc_id
+      |ORDER BY sel_key DESC, k.doc_id ASC LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_tfidf"             -> (q69Tfidf _),
@@ -775,7 +850,9 @@ object PipelineQueries {
     "q120_chunk_dedup"      -> (q120ChunkDedup _),
     "q122_packed_texts"     -> (q122PackedTexts _),
     "q126_mixture_sample"   -> (q126MixtureSample _),
-    "q127_trainer_export"   -> (q127TrainerExport _))
+    "q127_trainer_export"   -> (q127TrainerExport _),
+    "q128_lm_score"         -> (q128LmScore _),
+    "q129_dsir_select"      -> (q129DsirSelect _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -795,5 +872,7 @@ object PipelineQueries {
     "q120_chunk_dedup"      -> q120Sql,
     "q122_packed_texts"     -> q122Sql,
     "q126_mixture_sample"   -> q126Sql,
-    "q127_trainer_export"   -> q127Sql)
+    "q127_trainer_export"   -> q127Sql,
+    "q128_lm_score"         -> q128Sql,
+    "q129_dsir_select"      -> q129Sql)
 }

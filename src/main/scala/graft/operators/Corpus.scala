@@ -359,4 +359,122 @@ object Corpus {
     distinctRatio < lit(minDistinctRatio) ||
       topTokenFrac > lit(maxTopTokenFrac) ||
       topBigramFrac > lit(maxTopBigramFrac)
+
+  /** CCNet-style corpus-LM quality scoring (Wenzek et al. 2020 — the
+    * "perplexity filter" every public pretraining pipeline runs):
+    * every document is scored by the average log-likelihood of its
+    * bigram instances under an add-one-smoothed bigram model trained
+    * on the corpus itself — text that looks like the corpus scores
+    * high, rare garble scores low. The corpus stands in for CCNet's
+    * external KenLM (no model artifact can ship in this sandbox); the
+    * plumbing is identical.
+    *
+    * P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V);  score(d) = avg over the
+    * doc's bigrams of ln P;  ppl(d) = exp(-score). Every count is an
+    * exact integer, each ln term is a double over identical rationals
+    * in any engine, and the per-doc sum runs in DECIMAL(27,10)
+    * (exact, order-independent) — so scores hash-match an SQL replay.
+    *
+    * Scale shape: the model is vocabulary-bounded — c1 is |V| rows,
+    * c12 is |distinct bigrams| (Zipf ⇒ ≪ the token stream) — and both
+    * derive from one explode + hash agg with map-side combine. The
+    * per-doc stream that joins the model carries (doc_id, w1, ngram)
+    * only, never text; the c12 join is the one wide shuffle. Docs
+    * with < 2 tokens have no bigrams and are absent from the output.
+    *
+    * Output: doc_id, n_bigrams, avg_ll, ppl.
+    */
+  def lmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val sz = org.apache.spark.sql.functions.size _
+    val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+    // (doc_id, w1, "w1 w2") bigram instances — zip_with over slices, the
+    // [[bigramCounts]] shape (slice args evaluate once per row).
+    val bg = base
+      .filter(sz(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), sz(col("toks")) - 1),
+          slice(col("toks"), lit(2), sz(col("toks")) - 1),
+          (x, y) => struct(x.as("w1"), concat(x, lit(" "), y).as("ngram")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.ngram").as("ngram"))
+    val c1  = base.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val c12 = bg.groupBy(col("ngram")).agg(count(lit(1)).as("c12"))
+    val v   = c1.agg(count(lit(1)).as("v"))           // 1 row → broadcast
+    val term = log((col("c12") + 1).cast("double") /
+                   (col("c1") + col("v")).cast("double"))
+    bg.join(c12, Seq("ngram"))
+      .join(c1, col("w1") === col("tok"))
+      .crossJoin(v)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(term.cast("decimal(27,10)")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s").cast("double") / col("n_bigrams")).as("avg_ll"),
+        exp(-(col("s").cast("double") / col("n_bigrams"))).as("ppl"))
+  }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): estimate per-doc
+    * importance weights p_target/p_raw under bag-of-hashed-token
+    * models, then draw a deterministic sample WITHOUT replacement
+    * proportional to the weights via the Gumbel top-k trick — the
+    * published recipe for tilting a 100 TB raw crawl toward a small
+    * high-quality target domain without a trained classifier.
+    *
+    * Model: tokens hash (md5 — cross-engine, layout-stable) into
+    * `buckets` feature buckets; p(b) = (c(b)+1)/(total+buckets),
+    * estimated over the `isTarget` slice and the whole corpus.
+    * log w(d) = Σ_tokens [ln p_t(b) − ln p_r(b)], summed in
+    * DECIMAL(27,10). The Gumbel key is g = −ln(−ln(u)) with
+    * u = (md5-basis-point(id)+0.5)/10⁴ — never rand(), never 0 or 1 —
+    * so sel_key = log w + g is engine- and layout-reproducible, and
+    * the top-k by sel_key IS the weighted sample.
+    *
+    * Scale shape: two corpus passes total. Pass 1 builds the model —
+    * raw and target counts ride ONE grouped aggregate (≤`buckets`
+    * groups, map-side combine), totals fold from the model table, not
+    * a rescan. Pass 2 scores: map-side explode + broadcast model join,
+    * one per-doc hash agg, then a global top-k (TakeOrderedAndProject)
+    * — nothing wide moves but the per-doc partial aggregates.
+    *
+    * Output: the k selected (doc_id, n_tok, log_w, sel_key), ordered
+    * by sel_key desc.
+    */
+  def dsirSelect(docs: DataFrame, id: Column, text: Column,
+                 isTarget: Column, k: Int, buckets: Int = 512): DataFrame = {
+    require(k > 0 && buckets > 0)
+    val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"),
+      isTarget.as("is_target"))
+    val tb = base.select(col("doc_id"), col("is_target"),
+        explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("is_target"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
+    // ONE model pass over the token stream: raw and target counts ride
+    // the same grouped aggregate, and the totals fold from the model
+    // table (≤`buckets` rows) instead of rescanning the corpus.
+    val model = tb.groupBy(col("b")).agg(
+      count(lit(1)).as("c_raw"),
+      count(when(col("is_target"), 1)).as("c_tgt"))
+    val tot = model.agg(sum(col("c_raw")).as("t_raw"),
+      sum(col("c_tgt")).as("t_tgt"))
+    // per-bucket log-likelihood ratio; every bucket a token maps to has
+    // c_raw ≥ 1 by construction, so the model covers the domain.
+    val delta = model.crossJoin(tot)
+      .select(col("b"),
+        (log((col("c_tgt") + 1).cast("double") /
+             (col("t_tgt") + buckets).cast("double")) -
+         log((col("c_raw") + 1).cast("double") /
+             (col("t_raw") + buckets).cast("double"))).as("delta"))
+    val scored = tb.join(broadcast(delta), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+           sum(col("delta").cast("decimal(27,10)")).as("s"))
+      .select(col("doc_id"), col("n_tok"), col("s").cast("double").as("log_w"))
+    val u = (fineBucket(col("doc_id")).cast("double") + 0.5) / 10000.0
+    scored
+      .withColumn("sel_key", col("log_w") + -log(-log(u)))
+      .orderBy(col("sel_key").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

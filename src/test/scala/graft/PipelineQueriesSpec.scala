@@ -405,4 +405,67 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(keptTotal == distinctChunks,
       s"kept $keptTotal chunks, expected one per distinct chunk ($distinctChunks)")
   }
+
+  test("q128 lmScore: hand-computed add-one bigram likelihoods; corpus-like beats garble") {
+    // corpus: "a b" twice, "x q" once → V = 4 tokens {a,b,x,q}
+    //   c(a)=2, c(b)=2, c(x)=1, c(q)=1; c("a b")=2, c("x q")=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "x q")).toDF("doc_id", "text")
+    val got = Corpus.lmScore(docs, col("doc_id"), col("text"))
+      .select("doc_id", "n_bigrams", "avg_ll", "ppl")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got.forall(_._2 == 1L))
+    val llAB = math.log((2 + 1).toDouble / (2 + 4))  // P(b|a) = 3/6
+    val llXQ = math.log((1 + 1).toDouble / (1 + 4))  // P(q|x) = 2/5
+    assert(math.abs(got(0)._3 - llAB) < 1e-9 && math.abs(got(1)._3 - llAB) < 1e-9)
+    assert(math.abs(got(2)._3 - llXQ) < 1e-9)
+    // the repeated (corpus-like) doc is less perplexing than the singleton
+    assert(got(0)._4 < got(2)._4)
+    // ppl = exp(-avg_ll), and a sub-2-token doc yields no row
+    assert(got.forall(r => math.abs(r._4 - math.exp(-r._3)) < 1e-9))
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(Corpus.lmScore(one, col("doc_id"), col("text")).count() == 0)
+    // per-doc row count = tokens - 1 on the real corpus; layout-independent
+    val real = Tables.documents(spark, dir)
+    val scored = Corpus.lmScore(real, col("doc_id"), col("text"))
+    val nb = scored.select("doc_id", "n_bigrams").as[(Long, Long)].collect().toMap
+    val expect = real.select(col("doc_id"),
+        (size(split(col("text"), " ")) - 1).cast("long"))
+      .as[(Long, Long)].collect().toMap.filter(_._2 >= 1)
+    assert(nb == expect)
+    val again = Corpus.lmScore(real.repartition(7), col("doc_id"), col("text"))
+    assert(scored.exceptAll(again).isEmpty && again.exceptAll(scored).isEmpty)
+  }
+
+  test("q129 dsirSelect: target-vocab docs outweigh off-vocab; selection enriches the target; deterministic") {
+    // target slice speaks {t1,t2}, the rest speak {z1,z2}; a doc written
+    // in target vocabulary must carry a higher importance weight.
+    val docs = (1L to 20L).map { i =>
+      if (i <= 5)       (i, "t1 t2 t1 t2", true)   // target slice
+      else if (i <= 10) (i, "t1 t2 t2 t1", false)  // target-like raw docs
+      else              (i, "z1 z2 z1 z2", false)  // off-target raw docs
+    }.toDF("doc_id", "text", "is_t")
+    val all = Corpus.dsirSelect(docs, col("doc_id"), col("text"),
+      col("is_t"), k = 20, buckets = 64)
+    val w = all.select("doc_id", "log_w").as[(Long, Double)].collect().toMap
+    assert((1L to 10L).forall(i => (11L to 20L).forall(j => w(i) > w(j))),
+      "every target-vocab doc must outweigh every off-vocab doc")
+    // top-10 under Gumbel-perturbed weights = exactly the target-vocab docs
+    // (the weight gap here dwarfs any Gumbel draw from the md5 uniform)
+    val top10 = Corpus.dsirSelect(docs, col("doc_id"), col("text"),
+      col("is_t"), k = 10, buckets = 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top10 == (1L to 10L).toSet)
+    // layout independence: same rows, same order keys
+    val again = Corpus.dsirSelect(docs.repartition(7), col("doc_id"),
+      col("text"), col("is_t"), k = 10, buckets = 64)
+    assert(all.limit(10).exceptAll(again).isEmpty && again.exceptAll(all.limit(10)).isEmpty)
+    // real corpus: the en-fraction of the selected set is enriched vs the corpus
+    val real = Tables.documents(spark, dir)
+    val sel = PipelineQueries.q129DsirSelect(spark, dir)
+    val selEn = sel.filter(col("lang") === "en").count().toDouble / sel.count()
+    val corpusEn = real.filter(col("lang") === "en").count().toDouble / real.count()
+    assert(selEn > corpusEn,
+      s"selected en-fraction $selEn must exceed corpus en-fraction $corpusEn")
+  }
 }
