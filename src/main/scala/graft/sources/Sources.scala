@@ -68,6 +68,27 @@ object Sources {
   def parquetMergeSchema(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Binary-file ingestion — the multimodal LANDING ZONE read: every
+    * matching file becomes ONE row of Spark's built-in `binaryFile`
+    * schema (path, modificationTime, length, content). This is how raw
+    * image/audio payloads ENTER the engine at 100 TB: scan the landing
+    * directory once, decode/validate with [[graft.operators.Multimodal]]
+    * (corrupt payloads quarantine, never abort), and compact into
+    * parquet with a `binary` column — after which every query reads the
+    * columnar table and the million-small-files problem is confined to
+    * the ingest job. binaryFile never splits a file (parallelism = file
+    * count, which a media landing zone has in abundance), and a length
+    * predicate (`df.filter(col("length") <= maxBytes)`) belongs on any
+    * untrusted drop directory — one oversized payload otherwise owns an
+    * executor's memory. `glob` prunes by extension AT LISTING TIME
+    * (e.g. "*.png"), before any byte of content is read.
+    */
+  def binaryFiles(spark: SparkSession, path: String,
+                  glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
   /** Streaming variant of the JSON source (ST1): same declared schema,
     * same downstream cleaning functions as batch.
     */
