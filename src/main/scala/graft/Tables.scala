@@ -56,19 +56,30 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as LONG (legacy conf) and
-    * convert to a microsecond TimestampType column — lossless here, the
-    * generator emits microsecond-precision values.
+  /** events.parquet has shipped `ts` in two physical layouts across
+    * testdata generations: TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects, so it is read as LONG nanos (legacy conf) and
+    * converted — and plain TIMESTAMP(MICROS) without timezone, which
+    * reads natively as TIMESTAMP_NTZ. Both normalize to a microsecond
+    * TimestampType column with identical values (session TZ is UTC, so
+    * the NTZ→LTZ cast is value-preserving).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div` = integral division. `/` would promote to DOUBLE, and 2024+
-    // epoch-nanos (~1.7e18) exceed a double's 2^53 integer range — ~1.6%
-    // of values would come back off by 1 µs after the truncating cast.
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // `div` = integral division. `/` would promote to DOUBLE, and
+        // 2024+ epoch-nanos (~1.7e18) exceed a double's 2^53 integer
+        // range — ~1.6% of values would come back off by 1 µs after the
+        // truncating cast.
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
