@@ -831,6 +831,92 @@ object PipelineQueries {
       |ORDER BY sel_key DESC, k.doc_id ASC LIMIT 100""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] duplicated-n-gram fraction — the MassiveText/RefinedWeb
+  // span-level boilerplate signal, corpus-wide: per doc, the fraction
+  // of its 3-gram instances shared with at least one other document.
+  def q130DupNgrams(spark: SparkSession, dir: String): DataFrame =
+    Corpus.dupNgramStats(Tables.documents(spark, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
+  private val q130Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      |g AS (
+      |  SELECT doc_id, parts[i] || ' ' || parts[i + 1] || ' ' || parts[i + 2] AS ngram
+      |  FROM (SELECT doc_id, parts, generate_subscripts(parts, 1) AS i FROM t)
+      |  WHERE i + 2 <= len(parts)),
+      |pd AS (SELECT doc_id, ngram, count(*) AS cnt FROM g GROUP BY doc_id, ngram),
+      |nd AS (SELECT ngram, count(*) AS nd FROM pd GROUP BY ngram)
+      |SELECT pd.doc_id, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+      |  CAST(sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(cnt) AS DOUBLE) AS dup_frac
+      |FROM pd JOIN nd USING (ngram)
+      |GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] Naive Bayes classification — train on the deterministic 90%
+  // md5 split of the corpus (label = lang), predict the held-out 10%,
+  // report the confusion matrix. The whole model (counts, not weights)
+  // replays in SQL, so the gate is exact.
+  def q131NbClassify(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir)
+    val train = docs.filter(Corpus.hashBucket(col("doc_id")) < 90)
+    val test  = docs.filter(Corpus.hashBucket(col("doc_id")) >= 90)
+    Corpus.nbClassify(train, test, col("doc_id"), col("lang"), col("text"),
+        buckets = 512)
+      .join(docs.select(col("doc_id"), col("lang").as("actual")), Seq("doc_id"))
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+
+  private val q131Sql =
+    """WITH tr AS (
+      |  SELECT * FROM documents
+      |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90),
+      |te AS (
+      |  SELECT * FROM documents
+      |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 >= 90),
+      |trt AS (
+      |  SELECT lang AS label,
+      |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 512 AS b
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM tr)),
+      |seen AS (SELECT label, b, count(*) AS c FROM trt GROUP BY label, b),
+      |grid AS (
+      |  SELECT l.label, s.b, coalesce(seen.c, 0) AS c
+      |  FROM (SELECT DISTINCT lang AS label FROM tr) l
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS b) s
+      |  LEFT JOIN seen ON seen.label = l.label AND seen.b = s.b),
+      |tot AS (SELECT label, sum(c) AS tot FROM grid GROUP BY label),
+      |model AS (
+      |  SELECT grid.label, grid.b,
+      |    ln(CAST(c + 1 AS DOUBLE) / CAST(tot + 512 AS DOUBLE)) AS ll
+      |  FROM grid JOIN tot USING (label)),
+      |pri AS (SELECT lang AS label, count(*) AS n_docs FROM tr GROUP BY lang),
+      |prior AS (
+      |  SELECT label, ln(CAST(n_docs AS DOUBLE)
+      |    / CAST((SELECT sum(n_docs) FROM pri) AS DOUBLE)) AS lp
+      |  FROM pri),
+      |tet AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 512 AS b
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM te)),
+      |sc AS (
+      |  SELECT doc_id, model.label, sum(CAST(ll AS DECIMAL(27,10))) AS s
+      |  FROM tet JOIN model USING (b)
+      |  GROUP BY doc_id, model.label),
+      |scored AS (
+      |  SELECT doc_id, sc.label, lp + CAST(s AS DOUBLE) AS score
+      |  FROM sc JOIN prior USING (label)),
+      |pick AS (
+      |  SELECT doc_id, label AS predicted,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+      |  FROM scored)
+      |SELECT d.lang AS actual, p.predicted, CAST(count(*) AS BIGINT) AS n
+      |FROM pick p JOIN documents d USING (doc_id)
+      |WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_tfidf"             -> (q69Tfidf _),
@@ -852,7 +938,9 @@ object PipelineQueries {
     "q126_mixture_sample"   -> (q126MixtureSample _),
     "q127_trainer_export"   -> (q127TrainerExport _),
     "q128_lm_score"         -> (q128LmScore _),
-    "q129_dsir_select"      -> (q129DsirSelect _))
+    "q129_dsir_select"      -> (q129DsirSelect _),
+    "q130_dup_ngrams"       -> (q130DupNgrams _),
+    "q131_nb_classify"      -> (q131NbClassify _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -874,5 +962,7 @@ object PipelineQueries {
     "q126_mixture_sample"   -> q126Sql,
     "q127_trainer_export"   -> q127Sql,
     "q128_lm_score"         -> q128Sql,
-    "q129_dsir_select"      -> q129Sql)
+    "q129_dsir_select"      -> q129Sql,
+    "q130_dup_ngrams"       -> q130Sql,
+    "q131_nb_classify"      -> q131Sql)
 }

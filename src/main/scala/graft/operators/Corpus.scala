@@ -414,6 +414,53 @@ object Corpus {
         exp(-(col("s").cast("double") / col("n_bigrams"))).as("ppl"))
   }
 
+  /** Cross-document duplicated-n-gram fraction — the corpus-wide
+    * boilerplate signal from the MassiveText/RefinedWeb curation
+    * recipes: for each document, the fraction of its 3-gram instances
+    * whose 3-gram also occurs in at least one OTHER document. High
+    * fractions flag templated/boilerplate text that exact and near-dup
+    * passes miss (the duplication is span-level, not document-level).
+    * Complements [[repetitionStats]], which is purely row-local: this
+    * one compares every document against the rest of the corpus.
+    *
+    * Scale shape: instances collapse to (doc_id, ngram, cnt) in one
+    * hash agg with map-side combine, the ngram→doc-count table derives
+    * from that collapsed relation (Zipf ⇒ ≪ the instance stream), and
+    * the one wide join carries (doc_id, ngram, cnt) — never text. The
+    * n-gram strings could ride the 8-byte shingle hashes
+    * ([[NearDup.shingleHashes3Md5]]) at 100 TB; the string form is kept
+    * so the oracle replays byte-identically.
+    *
+    * Docs with < 3 tokens have no 3-grams and are absent. Output:
+    * doc_id, n_ngrams, n_dup, dup_frac.
+    */
+  def dupNgramStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val sz = org.apache.spark.sql.functions.size _
+    val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+    val m = sz(col("toks")) - 2
+    // 3-gram INSTANCES (not distinct): zip_with over three shifted
+    // slices, the [[NearDup.shingles3]] shape — slice args evaluate
+    // once per row, never per element.
+    val inst = base.filter(sz(col("toks")) >= 3)
+      .select(col("doc_id"), explode(
+        zip_with(
+          zip_with(slice(col("toks"), lit(1), m), slice(col("toks"), lit(2), m),
+            (x, y) => concat(x, lit(" "), y)),
+          slice(col("toks"), lit(3), m),
+          (x, y) => concat(x, lit(" "), y))).as("ngram"))
+    val perDoc = inst.groupBy(col("doc_id"), col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+    // docs-per-ngram off the collapsed relation: each (doc, ngram) row
+    // counts once, so count(*) IS the distinct-doc count.
+    val nd = perDoc.groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
+    perDoc.join(nd, Seq("ngram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_ngrams"),
+           sum(when(col("nd") >= 2, col("cnt")).otherwise(lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_ngrams").cast("double")).as("dup_frac"))
+  }
+
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): estimate per-doc
     * importance weights p_target/p_raw under bag-of-hashed-token
@@ -477,4 +524,78 @@ object Corpus {
       .orderBy(col("sel_key").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** md5 feature bucket in [0, buckets) — the DSIR hashing-trick
+    * feature map, shared by [[dsirSelect]] and [[nbModel]]. Cross-engine
+    * (DuckDB replays the same md5 prefix) and layout-stable.
+    */
+  private def tokenBucket(tok: Column, buckets: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Multinomial Naive Bayes over hashed bag-of-token features — the
+    * deterministic stand-in for the fastText-style linear classifier
+    * that production curation stacks (CCNet, RedPajama, Dolma) use for
+    * language/quality gating. Trains counts, not weights: no SGD, no
+    * rand(), so the model and every score replay exactly in SQL.
+    *
+    * Model tables (both tiny, broadcast by construction):
+    *  - counts: the DENSE labels × buckets grid (missing (label, b)
+    *    cells materialized at 0 — a sparse table would silently drop
+    *    the +1 smoothing term for unseen cells at scoring time);
+    *  - priors: docs per label + the corpus total folded from it.
+    *
+    * P(b|l) = (c(l,b)+1)/(tot_l+B);  score(d,l) = ln P(l) + Σ ln P(b|l).
+    *
+    * Scale shape: ONE pass over the train token stream (hash agg with
+    * map-side combine, ≤ L·B groups) builds the grid; scoring is
+    * map-side explode + broadcast grid join (fans each token row to L
+    * label rows — L is the label count, single digits) + one per-(doc,
+    * label) hash agg + a per-doc argmax window over L rows. Per-doc
+    * sums ride DECIMAL(27,10) so label ties are exact, broken by label
+    * asc.
+    *
+    * @return (doc_id, predicted, score, n_tok) — one row per test doc.
+    */
+  def nbClassify(train: DataFrame, test: DataFrame, id: Column, label: Column,
+                 text: Column, buckets: Int = 512): DataFrame = {
+    require(buckets > 0)
+    val trainToks = train.select(label.as("label"), explode(TextOps.tokens(text)).as("tok"))
+      .select(col("label"), tokenBucket(col("tok"), buckets).as("b"))
+    val seen = trainToks.groupBy(col("label"), col("b")).agg(count(lit(1)).as("c"))
+    val labels = train.select(label.as("label")).distinct()
+    val spine = labels.sparkSession.range(1)
+      .select(explode(sequence(lit(0L), lit(buckets - 1L))).as("b"))
+    val grid = labels
+      .crossJoin(spine)
+      .join(seen, Seq("label", "b"), "left")
+      .select(col("label"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val tot = grid.groupBy(col("label")).agg(sum(col("c")).as("tot"))
+    val model = grid.join(tot, Seq("label"))
+      .select(col("label"), col("b"),
+        log((col("c") + 1).cast("double") /
+            (col("tot") + buckets).cast("double")).as("ll"))
+    val priors = train.groupBy(label.as("label")).agg(count(lit(1)).as("n_docs"))
+    val nTotal = priors.agg(sum(col("n_docs")).as("n_total"))
+    val prior = priors.crossJoin(nTotal)
+      .select(col("label"),
+        log(col("n_docs").cast("double") / col("n_total").cast("double")).as("lp"))
+    val testToks = test.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("tok"))
+      .select(col("doc_id"), tokenBucket(col("tok"), buckets).as("b"))
+    val scored = testToks.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(count(lit(1)).as("n_tok"),
+           sum(col("ll").cast("decimal(27,10)")).as("s"))
+      .join(broadcast(prior), Seq("label"))
+      .select(col("doc_id"), col("label"), col("n_tok"),
+        (col("lp") + col("s").cast("double")).as("score"))
+    scored
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("label").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("predicted"),
+        col("score"), col("n_tok"))
+  }
+
 }

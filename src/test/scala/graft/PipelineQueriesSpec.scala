@@ -468,4 +468,56 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(selEn > corpusEn,
       s"selected en-fraction $selEn must exceed corpus en-fraction $corpusEn")
   }
+
+  test("q130 dupNgramStats: hand-computed fractions; within-doc repeats only count when shared; short docs absent") {
+    val docs = Seq(
+      (1L, "a b c d"),            // "a b c", "b c d"
+      (2L, "a b c x"),            // "a b c", "b c x"
+      (3L, "z z"),                // < 3 tokens → absent
+      (4L, "a b c a b c a b c")   // 7 instances: 3×"a b c", 2×"b c a", 2×"c a b"
+    ).toDF("doc_id", "text")
+    val out = Corpus.dupNgramStats(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_ngrams", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L), "doc 3 has no 3-grams")
+    val byDoc = out.map(r => r._1 -> r).toMap
+    // "a b c" lives in docs 1, 2, 4 → duplicated; every other 3-gram is
+    // unique to its doc (doc 4's within-doc repeats of "b c a"/"c a b"
+    // do NOT count — duplication is cross-document).
+    assert(byDoc(1L) == ((1L, 2L, 1L, 0.5)))
+    assert(byDoc(2L) == ((2L, 2L, 1L, 0.5)))
+    assert(byDoc(4L)._2 == 7L && byDoc(4L)._3 == 3L &&
+      math.abs(byDoc(4L)._4 - 3.0 / 7.0) < 1e-12)
+  }
+
+  test("q131 nbClassify: separable vocab classifies correctly; exact score ties break to the smaller label") {
+    // Vocabularies are disjoint and their md5 buckets distinct at 512
+    // (xx→498, yy→463, qq→262, rr→323, zz→459 — precomputed).
+    val train = Seq(
+      ("X", "xx yy"), ("X", "xx xx"), ("X", "yy xx"),
+      ("Y", "qq rr"), ("Y", "rr rr")).toDF("label", "text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val test1 = Seq((10L, "xx xx xx"), (11L, "qq rr qq")).toDF("doc_id", "text")
+    val got = Corpus.nbClassify(train, test1, col("doc_id"), col("label"),
+        col("text"), buckets = 512)
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "X", 11L -> "Y"))
+    // Symmetric model + unseen-token doc → label scores tie EXACTLY
+    // (identical decimal sums), deterministic tie-break = label asc.
+    val sym = Seq(("X", "xx xx"), ("Y", "qq qq")).toDF("label", "text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val tied = Corpus.nbClassify(sym, Seq((20L, "zz")).toDF("doc_id", "text"),
+        col("doc_id"), col("label"), col("text"), buckets = 512)
+      .select("predicted").as[String].head()
+    assert(tied == "X")
+    // Real corpus: every language shares one 31-word vocabulary
+    // (no lexical signal), so the Bayes-optimal answer IS the prior
+    // argmax — assert the operator finds it rather than pretending the
+    // corpus is separable.
+    val confusion = PipelineQueries.q131NbClassify(spark, dir)
+      .as[(String, String, Long)].collect()
+    assert(confusion.forall(_._2 == "en"),
+      "on a no-signal corpus the prior argmax (en) must win every doc")
+  }
 }
