@@ -917,6 +917,43 @@ object PipelineQueries {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] persisted classifier model — q131's NB gate in production
+  // shape: train ONCE into two Versioned tables (model grid + priors,
+  // lockstep versions), score the held-out slice against the frozen
+  // artifact. Output ≡ q131's inline pipeline, so the same oracle SQL
+  // carries the check (the q116-reuses-q98Sql pattern).
+  private def cachedModel(spark: SparkSession, dir: String, tag: String)
+                         (build: String => Unit): String = {
+    def fp(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles.map(fp).foldLeft(17L)((a, b) => a * 31 + b)
+      else f.lastModified ^ (f.length * 1315423911L)
+    val key = java.lang.Long.toHexString(fp(new java.io.File(dir, "documents.parquet")))
+    val mdl = new java.io.File(sys.props("java.io.tmpdir"), s"graft_${tag}_$key").getPath
+    val healthy =
+      try graft.sources.Versioned.latestVersion(spark, s"$mdl/model") ==
+        graft.sources.Versioned.latestVersion(spark, s"$mdl/priors")
+      catch { case _: Exception => false }
+    if (!healthy) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mdl)): Unit
+      build(mdl)
+    }
+    mdl
+  }
+
+  def q132NbModelScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir)
+    val train = docs.filter(Corpus.hashBucket(col("doc_id")) < 90)
+    val test  = docs.filter(Corpus.hashBucket(col("doc_id")) >= 90)
+    val mdl = cachedModel(spark, dir, "nb_lang_512")(
+      Corpus.buildNbModel(train, col("lang"), col("text"), _, buckets = 512): Unit)
+    Corpus.scoreWithNbModel(spark, mdl, test, col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id"), col("lang").as("actual")), Seq("doc_id"))
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_tfidf"             -> (q69Tfidf _),
@@ -940,7 +977,8 @@ object PipelineQueries {
     "q128_lm_score"         -> (q128LmScore _),
     "q129_dsir_select"      -> (q129DsirSelect _),
     "q130_dup_ngrams"       -> (q130DupNgrams _),
-    "q131_nb_classify"      -> (q131NbClassify _))
+    "q131_nb_classify"      -> (q131NbClassify _),
+    "q132_nb_model_score"   -> (q132NbModelScore _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -964,5 +1002,7 @@ object PipelineQueries {
     "q128_lm_score"         -> q128Sql,
     "q129_dsir_select"      -> q129Sql,
     "q130_dup_ngrams"       -> q130Sql,
-    "q131_nb_classify"      -> q131Sql)
+    "q131_nb_classify"      -> q131Sql,
+    // the persisted-model probe replays q131's inline pipeline exactly
+    "q132_nb_model_score"   -> q131Sql)
 }

@@ -558,6 +558,17 @@ object Corpus {
     */
   def nbClassify(train: DataFrame, test: DataFrame, id: Column, label: Column,
                  text: Column, buckets: Int = 512): DataFrame = {
+    val (model, prior) = nbModelFrames(train, label, text, buckets)
+    nbScore(test, id, text, model, prior)
+  }
+
+  /** The two NB model tables — both tiny, broadcast by construction:
+    *  - model: the DENSE labels × buckets grid with per-cell smoothed
+    *    log-likelihood ll = ln((c+1)/(tot_label+buckets));
+    *  - prior: per-label ln P(label) over the training doc counts.
+    */
+  private[graft] def nbModelFrames(train: DataFrame, label: Column,
+      text: Column, buckets: Int): (DataFrame, DataFrame) = {
     require(buckets > 0)
     val trainToks = train.select(label.as("label"), explode(TextOps.tokens(text)).as("tok"))
       .select(col("label"), tokenBucket(col("tok"), buckets).as("b"))
@@ -579,16 +590,29 @@ object Corpus {
     val prior = priors.crossJoin(nTotal)
       .select(col("label"),
         log(col("n_docs").cast("double") / col("n_total").cast("double")).as("lp"))
+    (model, prior)
+  }
+
+  /** Score `test` docs against NB model tables. The bucket count is
+    * recovered IN-PLAN from the dense grid (max b + 1, a 1-row
+    * broadcast) — a persisted model carries its own feature-map width,
+    * so a scoring job cannot silently hash into a different space than
+    * the model was trained in.
+    */
+  private[graft] def nbScore(test: DataFrame, id: Column, text: Column,
+      model: DataFrame, prior: DataFrame): DataFrame = {
+    val nb = model.agg((max(col("b")) + 1).as("nb"))
     val testToks = test.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("tok"))
-      .select(col("doc_id"), tokenBucket(col("tok"), buckets).as("b"))
-    val scored = testToks.join(broadcast(model), Seq("b"))
+      .crossJoin(broadcast(nb))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % col("nb")).as("b"))
+    testToks.join(broadcast(model), Seq("b"))
       .groupBy(col("doc_id"), col("label"))
       .agg(count(lit(1)).as("n_tok"),
            sum(col("ll").cast("decimal(27,10)")).as("s"))
       .join(broadcast(prior), Seq("label"))
       .select(col("doc_id"), col("label"), col("n_tok"),
         (col("lp") + col("s").cast("double")).as("score"))
-    scored
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
@@ -596,6 +620,34 @@ object Corpus {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("label").as("predicted"),
         col("score"), col("n_tok"))
+  }
+
+  /** Persist an NB model as two Versioned tables committing in
+    * lockstep — train once, score many times, `asOf` time-travels to
+    * any historical model version (the [[Similarity]] persisted-index
+    * discipline applied to a classifier). Returns the committed
+    * version.
+    */
+  def buildNbModel(train: DataFrame, label: Column, text: Column,
+                   modelDir: String, buckets: Int = 512): Long = {
+    val (model, prior) = nbModelFrames(train, label, text, buckets)
+    val vm = graft.sources.Versioned.overwrite(model, s"$modelDir/model")
+    val vp = graft.sources.Versioned.overwrite(prior, s"$modelDir/priors")
+    require(vm == vp, s"model tables diverged: model v$vm vs priors v$vp " +
+      s"(was $modelDir written by something other than buildNbModel?)")
+    vm
+  }
+
+  /** Score against a persisted NB model (optionally a pinned historical
+    * version). A scoring run pays the test-corpus pass only — no
+    * training rescan; the model tables are KB-sized broadcasts.
+    */
+  def scoreWithNbModel(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String, test: DataFrame, id: Column, text: Column,
+      asOf: Option[Long] = None): DataFrame = {
+    val model = graft.sources.Versioned.read(spark, s"$modelDir/model", asOf)
+    val prior = graft.sources.Versioned.read(spark, s"$modelDir/priors", asOf)
+    nbScore(test, id, text, model, prior)
   }
 
 }

@@ -270,6 +270,30 @@ object StreamJobs {
       .start()
   }
 
+  /** Online classification against a persisted NB model
+    * ([[graft.operators.Corpus.buildNbModel]]): each micro-batch of
+    * documents pays one scoring pass against the FROZEN model tables —
+    * KB-sized broadcasts, no training rescan. The model version is
+    * pinned at stream start, so a concurrent retrain never shifts
+    * predictions mid-stream (a restart picks up the new latest) — the
+    * [[annProbeStream]] discipline applied to the classifier gate.
+    */
+  def classifyStream(docStream: DataFrame, modelDir: String, outDir: String,
+                     checkpointDir: String): StreamingQuery = {
+    val spark = docStream.sparkSession
+    val pinned = graft.sources.Versioned.latestVersion(spark, s"$modelDir/model")
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Corpus
+          .scoreWithNbModel(spark, modelDir, batch,
+            col("doc_id"), col("text"), asOf = Some(pinned))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
+
   /** Run a windowed aggregation stream into an in-memory table (test /
     * interactive sink; complete mode because windowed counts update).
     */

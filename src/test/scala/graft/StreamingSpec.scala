@@ -476,4 +476,54 @@ class StreamingSpec extends SparkSpec {
     assert(!rows(spark.read.parquet(s"$work/out1"))
         .exists { case (_, cid, _) => cid >= 500000L })
   }
+
+  test("streaming classification: deliveries ≡ one batch scoring pass; predictions ride the model version pinned at start") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Corpus
+
+    val work = tmpDir()
+    val mdl = s"$work/nb"
+    val train = Seq(("X", "xx yy"), ("X", "xx xx"), ("Y", "qq rr"), ("Y", "rr rr"))
+      .toDF("label", "text")
+    assert(Corpus.buildNbModel(train, col("label"), col("text"), mdl,
+      buckets = 512) == 0L)
+
+    val docs = Seq((1L, "xx xx"), (2L, "qq rr"), (3L, "yy xx yy"), (4L, "rr"))
+    var n = 0
+    def deliver(rows: Seq[(Long, String)], out: String): Unit = {
+      n += 1
+      val mem = MemoryStream[(Long, String)]
+      mem.addData(rows.toIndexedSeq: _*)
+      StreamJobs.classifyStream(mem.toDF().toDF("doc_id", "text"), mdl,
+        out, s"$work/ckpt$n").awaitTermination()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Double)] =
+      df.select("doc_id", "predicted", "score")
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+
+    // two deliveries accumulate to exactly the one-shot batch scoring
+    val (d1, d2) = docs.partition(_._1 <= 2)
+    deliver(d1, s"$work/out1")
+    deliver(d2, s"$work/out1")
+    val batch = Corpus.scoreWithNbModel(spark, mdl,
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"))
+    assert(rows(spark.read.parquet(s"$work/out1")) == rows(batch),
+      "streamed predictions diverged from the batch scoring pass")
+
+    // retrain with swapped labels: a stream started AFTER the retrain
+    // answers from the new model...
+    val swapped = train.withColumn("label",
+      when(col("label") === "X", "Y").otherwise("X"))
+    assert(Corpus.buildNbModel(swapped, col("label"), col("text"), mdl,
+      buckets = 512) == 1L)
+    deliver(d1, s"$work/out2")
+    assert(rows(spark.read.parquet(s"$work/out2")).map(_._2) == Seq("Y", "X"),
+      "post-retrain stream must score with the retrained model")
+    // ...while asOf the original version still gives the old answers
+    val pinned = Corpus.scoreWithNbModel(spark, mdl,
+      d1.toDF("doc_id", "text"), col("doc_id"), col("text"), asOf = Some(0L))
+    assert(rows(pinned).map(_._2) == Seq("X", "Y"))
+  }
 }
