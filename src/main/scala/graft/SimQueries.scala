@@ -46,6 +46,35 @@ object SimQueries {
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] hard-negative mining — for each anchor, the 5 most-similar
+  // vectors with a DIFFERENT label: the contrastive-training pair-prep
+  // step. Same broadcast × scan shape as q31; the label inequality
+  // rides the join so same-label pairs never materialize.
+  def q133HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.hardNegatives(e.filter(col("id") < 10), e, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q133Sql =
+    """WITH base AS (
+      |  SELECT vec_id, label, embedding AS e,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+      |  FROM embeddings
+      |), scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS cand_label,
+      |    list_sum(list_transform(range(1, 65), i -> CAST(q.e[i] AS DOUBLE) * CAST(c.e[i] AS DOUBLE)))
+      |      / (sqrt(q.nsq) * sqrt(c.nsq)) AS sim
+      |  FROM base q JOIN base c ON q.vec_id < 10 AND c.label <> q.label
+      |), ranked AS (
+      |  SELECT query_id, cand_id, cand_label, sim,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS INT) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, rank, cand_id, cand_label, sim FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // J7 scale path — LSH-bucketed approximate top-k. ORACLE-CHECKED even
   // though approximate: the hyperplanes are deterministic constants, so
   // the full pipeline (sign bits → band keys → candidate join → exact
@@ -675,6 +704,7 @@ object SimQueries {
     "q109_ann_sq8"          -> (q109AnnSq8 _),
     "q116_ann_index"        -> (q116AnnIndex _),
     "q118_ann_ivf_sq8"      -> (q118AnnIvfSq8 _),
+    "q133_hard_negatives"   -> (q133HardNegatives _),
   )
 
   /** q33/q34/q37/q43 are xxhash64-sketch-based → rows-only check
@@ -697,5 +727,6 @@ object SimQueries {
     // the persisted-index probe replays q98's inline pipeline exactly
     "q116_ann_index"        -> q98Sql,
     "q118_ann_ivf_sq8"      -> q118Sql,
+    "q133_hard_negatives"   -> q133Sql,
   )
 }

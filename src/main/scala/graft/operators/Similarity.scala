@@ -46,6 +46,42 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"), col("sim"))
   }
 
+  /** Hard-negative mining — the contrastive-training data-prep step
+    * (dense-retrieval recipes à la DPR/ANCE): for each query row, the
+    * k most-similar candidates carrying a DIFFERENT label. "Close in
+    * embedding space but differently labeled" is exactly the pair a
+    * contrastive loss learns most from.
+    *
+    * Scale shape = [[bruteForceTopK]]: broadcast query side × one pass
+    * over the candidate scan (declared BNLJ), with the label
+    * inequality riding the join condition so same-label pairs never
+    * materialize. At 100 TB the same composition rides the IVF index
+    * ([[queryIvfIndex]] with a post-filter on label, over-fetching
+    * k·labels to survive the filter) — the brute form is the exact
+    * baseline the index path is measured against.
+    *
+    * @param queries    (id, vec, label) — small enough to broadcast
+    * @param candidates (id, vec, label)
+    */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries
+      .select(col("id").as("query_id"), VectorOps.toDoubleArray(col("vec")).as("qv"),
+        col("label").as("q_label"))
+      .withColumn("q_norm_sq", VectorOps.normSq(col("qv")))
+    val c = candidates
+      .select(col("id").as("cand_id"), VectorOps.toDoubleArray(col("vec")).as("cv"),
+        col("label").as("cand_label"))
+      .withColumn("c_norm_sq", VectorOps.normSq(col("cv")))
+    c.join(broadcast(q), col("cand_label") =!= col("q_label"))
+      .withColumn("sim",
+        VectorOps.cosineWithNorms(col("qv"), col("cv"), col("q_norm_sq"), col("c_norm_sq")))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cand_label"), col("sim"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component i of plane j is
     * derived from a fixed-seed xorshift mix of (j, i). Stable across
     * runs, sessions, and cluster sizes — required for reproducible

@@ -53,6 +53,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("cand_id")).toSeq == Seq(3L, 5L))
   }
 
+  test("hardNegatives: nearest differently-labeled rows only; same-label neighbors never surface") {
+    val pool = Seq(
+      (1L, Seq(1.0f, 0.0f),  0),   // anchor
+      (2L, Seq(0.99f, 0.1f), 0),   // nearest overall — but same label
+      (3L, Seq(0.9f, 0.3f),  1),   // nearest hard negative
+      (4L, Seq(0.0f, 1.0f),  1),
+      (5L, Seq(-1.0f, 0.0f), 2))
+      .toDF("id", "vec", "label")
+    val r = Similarity.hardNegatives(pool.filter(col("id") === 1), pool, k = 2)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("cand_id")).toSeq == Seq(3L, 4L),
+      "the same-label near-duplicate (id 2) must be excluded")
+    assert(r.map(_.getAs[Int]("cand_label")).forall(_ != 0))
+    // ≡ brute-force top-k over the differently-labeled candidate subset
+    val viaFilter = Similarity.bruteForceTopK(
+      pool.filter(col("id") === 1), pool.filter(col("label") =!= 0), k = 2)
+      .select("query_id", "rank", "cand_id", "sim")
+    val direct = Similarity.hardNegatives(pool.filter(col("id") === 1), pool, k = 2)
+      .select("query_id", "rank", "cand_id", "sim")
+    assert(direct.exceptAll(viaFilter).isEmpty && viaFilter.exceptAll(direct).isEmpty)
+  }
+
   test("lshTopK returns exact cosines for the candidates it surfaces") {
     val dim = 64
     def vec(seed: Int): Seq[Float] = {
