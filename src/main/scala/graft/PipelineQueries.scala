@@ -917,6 +917,37 @@ object PipelineQueries {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] longest duplicated span — q130's signal made position-aware
+  // (the exact-substring-dedup criterion): per doc, the token length of
+  // the longest run of consecutive 3-grams shared with other docs.
+  def q134DupSpans(spark: SparkSession, dir: String): DataFrame =
+    Corpus.dupSpanStats(Tables.documents(spark, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
+  private val q134Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      |g AS (
+      |  SELECT doc_id, i AS pos,
+      |    parts[i] || ' ' || parts[i + 1] || ' ' || parts[i + 2] AS ngram
+      |  FROM (SELECT doc_id, parts, generate_subscripts(parts, 1) AS i FROM t)
+      |  WHERE i + 2 <= len(parts)),
+      |nd AS (
+      |  SELECT ngram, count(*) AS nd
+      |  FROM (SELECT DISTINCT doc_id, ngram FROM g) GROUP BY ngram),
+      |dp AS (
+      |  SELECT g.doc_id, g.pos FROM g JOIN nd USING (ngram) WHERE nd >= 2),
+      |runs AS (
+      |  SELECT doc_id,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM dp),
+      |rl AS (
+      |  SELECT doc_id, grp, count(*) AS run_len
+      |  FROM runs GROUP BY doc_id, grp)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+      |  CAST(max(run_len) + 2 AS BIGINT) AS max_span_tokens
+      |FROM rl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // [EXT] persisted classifier model — q131's NB gate in production
   // shape: train ONCE into two Versioned tables (model grid + priors,
   // lockstep versions), score the held-out slice against the frozen
@@ -978,7 +1009,8 @@ object PipelineQueries {
     "q129_dsir_select"      -> (q129DsirSelect _),
     "q130_dup_ngrams"       -> (q130DupNgrams _),
     "q131_nb_classify"      -> (q131NbClassify _),
-    "q132_nb_model_score"   -> (q132NbModelScore _))
+    "q132_nb_model_score"   -> (q132NbModelScore _),
+    "q134_dup_spans"        -> (q134DupSpans _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -1004,5 +1036,6 @@ object PipelineQueries {
     "q130_dup_ngrams"       -> q130Sql,
     "q131_nb_classify"      -> q131Sql,
     // the persisted-model probe replays q131's inline pipeline exactly
-    "q132_nb_model_score"   -> q131Sql)
+    "q132_nb_model_score"   -> q131Sql,
+    "q134_dup_spans"        -> q134Sql)
 }

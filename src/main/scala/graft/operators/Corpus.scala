@@ -461,6 +461,53 @@ object Corpus {
         (col("n_dup").cast("double") / col("n_ngrams").cast("double")).as("dup_frac"))
   }
 
+  /** Longest cross-document duplicated span — the position-aware form
+    * of [[dupNgramStats]] and the per-doc signal behind exact-substring
+    * dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", which removes ≥50-token spans shared
+    * across documents): for each document, the token length of its
+    * longest run of consecutive 3-grams that all occur in at least one
+    * OTHER document. A run of r consecutive duplicated 3-grams covers
+    * r + 2 tokens, so a doc sharing a 50-token passage reports ≥ 50
+    * while scattered single-3-gram matches report 3.
+    *
+    * Scale shape: the duplicated-position stream is |dup instances|
+    * rows of (doc_id, pos) — text never moves; runs collapse with the
+    * classic gaps-and-islands key (pos − row_number), both windows
+    * partitioned by doc_id. Docs with no duplicated 3-gram are absent
+    * (no span to report).
+    *
+    * Output: doc_id, n_runs, max_span_tokens.
+    */
+  def dupSpanStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val sz = org.apache.spark.sql.functions.size _
+    val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+    val m = sz(col("toks")) - 2
+    val inst = base.filter(sz(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(
+        zip_with(
+          zip_with(slice(col("toks"), lit(1), m), slice(col("toks"), lit(2), m),
+            (x, y) => concat(x, lit(" "), y)),
+          slice(col("toks"), lit(3), m),
+          (x, y) => concat(x, lit(" "), y))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("ngram"))
+    val nd = inst.select(col("doc_id"), col("ngram")).distinct()
+      .groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
+    // one ngram per (doc, pos) by construction and one nd row per
+    // ngram, so the join preserves (doc_id, pos) uniqueness — no
+    // distinct (and no extra exchange) needed.
+    val dupPos = inst.join(nd.filter(col("nd") >= 2), Seq("ngram"))
+      .select(col("doc_id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_runs"),
+           (max(col("run_len")) + 2).as("max_span_tokens"))
+  }
+
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): estimate per-doc
     * importance weights p_target/p_raw under bag-of-hashed-token

@@ -491,6 +491,30 @@ class PipelineQueriesSpec extends SparkSpec {
       math.abs(byDoc(4L)._4 - 3.0 / 7.0) < 1e-12)
   }
 
+  test("q134 dupSpanStats: run lengths map to span tokens; scattered matches report 3; no-dup docs absent") {
+    val docs = Seq(
+      // docs 1 and 2 share the 5-token passage "p q r s t" → 3 consecutive
+      // duplicated 3-grams → span = 3 + 2 = 5 tokens in both
+      (1L, "a1 a2 p q r s t a3"),
+      (2L, "b1 p q r s t b2 b3"),
+      // doc 3 shares only the single 3-gram "x y z" with doc 4 (two
+      // separated occurrences in doc 3 → two runs of length 1, span 3)
+      (3L, "x y z m1 m2 x y z"),
+      (4L, "x y z n1 n2 n3"),
+      // doc 5 shares nothing
+      (5L, "u1 u2 u3 u4 u5")).toDF("doc_id", "text")
+    val out = Corpus.dupSpanStats(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_runs", "max_span_tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L), "doc 5 has no duplicated 3-gram")
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(byDoc(1L) == ((1L, 1L, 5L)), "one run of 3 consecutive dup 3-grams = 5 tokens")
+    assert(byDoc(2L) == ((2L, 1L, 5L)))
+    assert(byDoc(3L) == ((3L, 2L, 3L)), "two separated single-3-gram runs, span 3 each")
+    assert(byDoc(4L) == ((4L, 1L, 3L)))
+  }
+
   test("q131 nbClassify: separable vocab classifies correctly; exact score ties break to the smaller label") {
     // Vocabularies are disjoint and their md5 buckets distinct at 512
     // (xx→498, yy→463, qq→262, rr→323, zz→459 — precomputed).
