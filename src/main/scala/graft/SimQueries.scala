@@ -75,6 +75,21 @@ object SimQueries {
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] hard negatives over the persisted IVF index — the scale path
+  // for q133: label filter applied to the full scored set BEFORE
+  // ranking. Exhaustive probing (nProbes = nCentroids) makes the
+  // bucket scan a full scan, so the output ≡ q133 and the same oracle
+  // SQL carries the hash check.
+  def q135HardNegativesIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val idx = cachedIndex(spark, dir, "ivf_c16_l2")(
+      Similarity.buildIvfIndex(e, _, nCentroids = 16, lloydIters = 2): Unit)
+    Similarity.hardNegativesIndexed(spark, idx, e.filter(col("id") < 10), e,
+        k = 5, nProbes = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------------
   // J7 scale path — LSH-bucketed approximate top-k. ORACLE-CHECKED even
   // though approximate: the hyperplanes are deterministic constants, so
   // the full pipeline (sign bits → band keys → candidate join → exact
@@ -705,6 +720,7 @@ object SimQueries {
     "q116_ann_index"        -> (q116AnnIndex _),
     "q118_ann_ivf_sq8"      -> (q118AnnIvfSq8 _),
     "q133_hard_negatives"   -> (q133HardNegatives _),
+    "q135_hard_negatives_indexed" -> (q135HardNegativesIndexed _),
   )
 
   /** q33/q34/q37/q43 are xxhash64-sketch-based → rows-only check
@@ -728,5 +744,7 @@ object SimQueries {
     "q116_ann_index"        -> q98Sql,
     "q118_ann_ivf_sq8"      -> q118Sql,
     "q133_hard_negatives"   -> q133Sql,
+    // exhaustive-probe indexed mining replays q133's brute form exactly
+    "q135_hard_negatives_indexed" -> q133Sql,
   )
 }

@@ -260,10 +260,14 @@ object Similarity {
   /** Probe + scan + rank against a (centroids, assignment) pair —
     * shared by the inline path and [[queryIvfIndex]].
     */
-  private def probeIndex(queries: DataFrame, centroids: DataFrame,
-                         assigned: DataFrame, k: Int, nProbes: Int): DataFrame = {
-    // probes: nProbes nearest centroids per query — same map-side shape
-    // as assignment (sort the 16-element scored array, slice, explode)
+  /** The probe pipeline up to (query_id, cand_id, sim) scored pairs —
+    * the pre-ranking seam [[probeIndex]] and label-aware consumers
+    * ([[hardNegativesIndexed]]) share: probe selection is map-side
+    * (sort the broadcast centroid array, slice, explode), and only the
+    * probed buckets are scanned.
+    */
+  private def probeScored(queries: DataFrame, centroids: DataFrame,
+                          assigned: DataFrame, nProbes: Int): DataFrame = {
     val q = queries
       .select(col("id").as("query_id"), VectorOps.toDoubleArray(col("vec")).as("qv"))
       .withColumn("q_norm_sq", VectorOps.normSq(col("qv")))
@@ -276,14 +280,53 @@ object Similarity {
         col("qv"), col("q_norm_sq"))
 
     // scan only the probed buckets
-    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("sim", VectorOps.cosineWithNorms(
         col("qv"), col("cv"), col("q_norm_sq"), col("c_norm_sq")))
-    Ranking.topPerGroup(scored, Seq(col("query_id")),
-        Seq(col("sim").desc, col("cand_id").asc), k)
+      .select(col("query_id"), col("cand_id"), col("sim"))
+  }
+
+  private def probeIndex(queries: DataFrame, centroids: DataFrame,
+                         assigned: DataFrame, k: Int, nProbes: Int): DataFrame =
+    Ranking.topPerGroup(probeScored(queries, centroids, assigned, nProbes),
+        Seq(col("query_id")), Seq(col("sim").desc, col("cand_id").asc), k)
       .select(col("query_id"), col("cand_id"), col("sim"))
       .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+
+  /** [[hardNegatives]] over a persisted IVF index — the scale path:
+    * only the probed buckets are scanned, and the label constraint is
+    * applied to the FULL scored candidate set BEFORE ranking (not as a
+    * post-filter on an already-truncated top-k, which could starve a
+    * query whose nearest neighbors share its label). Labels ride a
+    * separate (id, label) relation joined on cand_id — an equality
+    * join against the pruned pair stream; a deployment that mines
+    * negatives every day would bake the label column into the index
+    * assignment instead and skip the join.
+    *
+    * With nProbes = nCentroids the bucket scan is exhaustive and the
+    * output is EXACTLY [[hardNegatives]] (spec-proven, and how the
+    * oracle checks it); at lower probe counts recall follows the
+    * RecallProbe dial like every other index consumer.
+    */
+  def hardNegativesIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, candLabels: DataFrame, k: Int,
+      nProbes: Int = 4, asOf: Option[Long] = None): DataFrame = {
+    val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids", asOf)
+    val assigned  = graft.sources.Versioned.read(spark, s"$indexDir/assignment", asOf)
+    val scored = probeScored(queries.select(col("id"), col("vec")),
+      centroids, assigned, nProbes)
+    val qLab = queries.select(col("id").as("query_id"), col("label").as("q_label"))
+    val cLab = candLabels.select(col("id").as("cand_id"), col("label").as("cand_label"))
+    scored
+      .join(broadcast(qLab), Seq("query_id"))
+      .join(cLab, Seq("cand_id"))
+      .filter(col("cand_label") =!= col("q_label"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cand_label"), col("sim"))
   }
 
   /** Build the IVF index ONCE and persist it as two

@@ -75,6 +75,29 @@ class SimilaritySpec extends SparkSpec {
     assert(direct.exceptAll(viaFilter).isEmpty && viaFilter.exceptAll(direct).isEmpty)
   }
 
+  test("hardNegativesIndexed: exhaustive probe ≡ brute-force mining; labels filter before ranking") {
+    val pool = Seq(
+      (1L, Seq(1.0f, 0.0f),  0),
+      (2L, Seq(0.99f, 0.1f), 0),
+      (3L, Seq(0.9f, 0.3f),  1),
+      (4L, Seq(0.0f, 1.0f),  1),
+      (5L, Seq(-1.0f, 0.0f), 2),
+      (6L, Seq(0.7f, 0.7f),  2))
+      .toDF("id", "vec", "label")
+    val idx = java.nio.file.Files.createTempDirectory("hn_idx").toString
+    Similarity.buildIvfIndex(pool, idx, nCentroids = 3): Unit
+    val q = pool.filter(col("id") <= 2)
+    val viaIndex = Similarity.hardNegativesIndexed(spark, idx, q, pool,
+      k = 3, nProbes = 3)
+    val brute = Similarity.hardNegatives(q, pool, k = 3)
+    assert(viaIndex.exceptAll(brute).isEmpty && brute.exceptAll(viaIndex).isEmpty,
+      "exhaustive-probe indexed mining must equal the brute-force form")
+    // every surfaced negative carries a label different from its anchor
+    val labels = pool.select(col("id").as("query_id"), col("label").as("q_label"))
+    assert(viaIndex.join(labels, Seq("query_id"))
+      .filter(col("cand_label") === col("q_label")).isEmpty)
+  }
+
   test("lshTopK returns exact cosines for the candidates it surfaces") {
     val dim = 64
     def vec(seed: Int): Seq[Float] = {
