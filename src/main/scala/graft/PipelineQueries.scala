@@ -985,6 +985,109 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------------
+  // [EXT] doc-signals sheet (flagship composition #3) — the Dolma-style
+  // "attributes" artifact: every curation signal the engine computes,
+  // joined into one per-doc table. Production stacks materialize
+  // exactly this once per corpus snapshot so every downstream gate
+  // (mixture, filtering, reporting) reads KB-wide attribute rows
+  // instead of re-touching text. Row-local signals (lang, quality) ride
+  // the scan; corpus-global families (repetition aggs, cross-doc dup
+  // fraction, LM perplexity) are independent shuffle families joined
+  // back on doc_id. Short docs carry NULLs where a signal is undefined
+  // (<2 tokens: no bigrams → no ppl; <3: no 3-grams → no dup_frac).
+  def q136SignalSheet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    val docs = Tables.documents(spark, dir)
+    val local = docs.select(col("doc_id"),
+      TextOps.langId(col("text")).as("predicted_lang"),
+      TextOps.qualityScore(col("text"), col("n_chars")).as("quality"))
+    val rep = Corpus.repetitionStats(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
+        Corpus.isRepetitive(col("distinct_ratio"), col("top_token_frac"),
+          col("top_bigram_frac")).as("is_repetitive"))
+    val dup = Corpus.dupNgramStats(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("dup_frac"))
+    val ppl = Corpus.lmScore(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("ppl"))
+    local
+      .join(rep, Seq("doc_id"))
+      .join(dup, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q136Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |    CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+      |  FROM documents),
+      |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_distinct,
+      |         CAST(max(c) AS BIGINT) AS top_tok_n
+      |       FROM tc GROUP BY 1),
+      |bg AS (SELECT doc_id,
+      |         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      |       FROM toks),
+      |bc AS (SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+      |         CAST(sum(c) AS BIGINT) AS n_bigrams
+      |       FROM bc GROUP BY 1),
+      |dt AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      |dg AS (
+      |  SELECT doc_id, parts[i] || ' ' || parts[i + 1] || ' ' || parts[i + 2] AS ngram
+      |  FROM (SELECT doc_id, parts, generate_subscripts(parts, 1) AS i FROM dt)
+      |  WHERE i + 2 <= len(parts)),
+      |dpd AS (SELECT doc_id, ngram, count(*) AS cnt FROM dg GROUP BY doc_id, ngram),
+      |dnd AS (SELECT ngram, count(*) AS nd FROM dpd GROUP BY ngram),
+      |ddup AS (
+      |  SELECT dpd.doc_id,
+      |    CAST(sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+      |      / CAST(sum(cnt) AS DOUBLE) AS dup_frac
+      |  FROM dpd JOIN dnd USING (ngram) GROUP BY dpd.doc_id),
+      |pbg AS (
+      |  SELECT doc_id, parts[i] AS w1, parts[i] || ' ' || parts[i + 1] AS ngram
+      |  FROM (SELECT doc_id, parts, generate_subscripts(parts, 1) AS i FROM dt)
+      |  WHERE i < len(parts)),
+      |pc1 AS (
+      |  SELECT tok, count(*) AS c1
+      |  FROM (SELECT unnest(parts) AS tok FROM dt) GROUP BY tok),
+      |pc12 AS (SELECT ngram, count(*) AS c12 FROM pbg GROUP BY ngram),
+      |pv AS (SELECT count(*) AS v FROM pc1),
+      |pterms AS (
+      |  SELECT doc_id,
+      |    CAST(ln(CAST(pc12.c12 + 1 AS DOUBLE) / CAST(pc1.c1 + pv.v AS DOUBLE))
+      |         AS DECIMAL(27,10)) AS term
+      |  FROM pbg JOIN pc12 USING (ngram) JOIN pc1 ON pbg.w1 = pc1.tok CROSS JOIN pv),
+      |pppl AS (
+      |  SELECT doc_id, exp(-(CAST(sum(term) AS DOUBLE) / count(*))) AS ppl
+      |  FROM pterms GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CASE WHEN CAST(len(list_filter(string_split(d.text, ' '),
+      |         x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |         / len(string_split(d.text, ' ')) >= 0.05
+      |       THEN 'en' ELSE 'unknown' END AS predicted_lang,
+      |  (least(1.0, CAST(len(string_split(d.text, ' ')) AS DOUBLE) / 200.0)
+      |   + least(1.0, 10.0 * CAST(len(list_filter(string_split(d.text, ' '),
+      |         x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |              / CAST(len(string_split(d.text, ' ')) AS DOUBLE))
+      |   + least(1.0, CAST(d.n_chars AS DOUBLE) / 1000.0)) / 3.0 AS quality,
+      |  ts.n_tokens,
+      |  CAST(ts.n_distinct AS DOUBLE) / ts.n_tokens AS distinct_ratio,
+      |  (CAST(ts.n_distinct AS DOUBLE) / ts.n_tokens < 0.3
+      |   OR CAST(ts.top_tok_n AS DOUBLE) / ts.n_tokens > 0.2
+      |   OR COALESCE(CAST(bs.top_bigram_n AS DOUBLE) / bs.n_bigrams, 0.0) > 0.1)
+      |    AS is_repetitive,
+      |  ddup.dup_frac,
+      |  pppl.ppl
+      |FROM documents d
+      |JOIN ts ON d.doc_id = ts.doc_id
+      |LEFT JOIN bs ON d.doc_id = bs.doc_id
+      |LEFT JOIN ddup ON d.doc_id = ddup.doc_id
+      |LEFT JOIN pppl ON d.doc_id = pppl.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_tfidf"             -> (q69Tfidf _),
@@ -1010,7 +1113,8 @@ object PipelineQueries {
     "q130_dup_ngrams"       -> (q130DupNgrams _),
     "q131_nb_classify"      -> (q131NbClassify _),
     "q132_nb_model_score"   -> (q132NbModelScore _),
-    "q134_dup_spans"        -> (q134DupSpans _))
+    "q134_dup_spans"        -> (q134DupSpans _),
+    "q136_signal_sheet"     -> (q136SignalSheet _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -1037,5 +1141,6 @@ object PipelineQueries {
     "q131_nb_classify"      -> q131Sql,
     // the persisted-model probe replays q131's inline pipeline exactly
     "q132_nb_model_score"   -> q131Sql,
-    "q134_dup_spans"        -> q134Sql)
+    "q134_dup_spans"        -> q134Sql,
+    "q136_signal_sheet"     -> q136Sql)
 }

@@ -515,6 +515,24 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(byDoc(4L) == ((4L, 1L, 3L)))
   }
 
+  test("q136 signal sheet: one row per doc; columns agree with the standalone signal operators") {
+    val sheet = PipelineQueries.q136SignalSheet(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    assert(sheet.count() == docs.count(), "one attributes row per document")
+    val dup = Corpus.dupNgramStats(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("dup_frac"))
+    val sheetDup = sheet.select(col("doc_id"), col("dup_frac"))
+      .filter(col("dup_frac").isNotNull)
+    assert(sheetDup.exceptAll(dup).isEmpty && dup.exceptAll(sheetDup).isEmpty,
+      "dup_frac column must equal the standalone dupNgramStats")
+    val ppl = Corpus.lmScore(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("ppl"))
+    val sheetPpl = sheet.select(col("doc_id"), col("ppl"))
+      .filter(col("ppl").isNotNull)
+    assert(sheetPpl.exceptAll(ppl).isEmpty && ppl.exceptAll(sheetPpl).isEmpty,
+      "ppl column must equal the standalone lmScore")
+  }
+
   test("q131 nbClassify: separable vocab classifies correctly; exact score ties break to the smaller label") {
     // Vocabularies are disjoint and their md5 buckets distinct at 512
     // (xx→498, yy→463, qq→262, rr→323, zz→459 — precomputed).
