@@ -688,10 +688,23 @@ object Corpus {
   /** Score against a persisted NB model (optionally a pinned historical
     * version). A scoring run pays the test-corpus pass only — no
     * training rescan; the model tables are KB-sized broadcasts.
+    *
+    * Latest-version reads REFUSE an out-of-lockstep pair (a build that
+    * crashed between its two commits): scoring a new model grid with
+    * stale priors would be silently wrong. The model dir is a derived
+    * artifact — repair is a rebuild into a fresh directory (pinned
+    * `asOf` reads of intact historical versions keep working).
     */
   def scoreWithNbModel(spark: org.apache.spark.sql.SparkSession,
       modelDir: String, test: DataFrame, id: Column, text: Column,
       asOf: Option[Long] = None): DataFrame = {
+    if (asOf.isEmpty) {
+      val vm = graft.sources.Versioned.latestVersion(spark, s"$modelDir/model")
+      val vp = graft.sources.Versioned.latestVersion(spark, s"$modelDir/priors")
+      require(vm == vp, s"NB model tables out of lockstep (model v$vm, " +
+        s"priors v$vp) — a build crashed between commits; rebuild into a " +
+        "fresh directory or pin an intact version with asOf")
+    }
     val model = graft.sources.Versioned.read(spark, s"$modelDir/model", asOf)
     val prior = graft.sources.Versioned.read(spark, s"$modelDir/priors", asOf)
     nbScore(test, id, text, model, prior)

@@ -312,8 +312,7 @@ object Similarity {
   def hardNegativesIndexed(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queries: DataFrame, candLabels: DataFrame, k: Int,
       nProbes: Int = 4, asOf: Option[Long] = None): DataFrame = {
-    val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids", asOf)
-    val assigned  = graft.sources.Versioned.read(spark, s"$indexDir/assignment", asOf)
+    val (centroids, assigned) = readIndexPair(spark, indexDir, asOf)
     val scored = probeScored(queries.select(col("id"), col("vec")),
       centroids, assigned, nProbes)
     val qLab = queries.select(col("id").as("query_id"), col("label").as("q_label"))
@@ -394,11 +393,30 @@ object Similarity {
     * sample, no Lloyd passes, no corpus assignment. `asOf` time-travels
     * to a historical index version (both tables pin the same version).
     */
+  /** Read the (centroids, assignment) pair of a persisted index.
+    * Latest-version reads REFUSE an out-of-lockstep pair (a build or
+    * append that crashed between its two commits): probing new
+    * centroids against a stale assignment silently drops vectors. The
+    * index is a derived artifact — repair is a rebuild; pinned `asOf`
+    * reads of intact historical versions keep working.
+    */
+  private def readIndexPair(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, asOf: Option[Long]): (DataFrame, DataFrame) = {
+    if (asOf.isEmpty) {
+      val vc = graft.sources.Versioned.latestVersion(spark, s"$indexDir/centroids")
+      val va = graft.sources.Versioned.latestVersion(spark, s"$indexDir/assignment")
+      require(vc == va, s"index tables out of lockstep (centroids v$vc, " +
+        s"assignment v$va) — a build/append crashed between commits; " +
+        "rebuild the index or pin an intact version with asOf")
+    }
+    (graft.sources.Versioned.read(spark, s"$indexDir/centroids", asOf),
+     graft.sources.Versioned.read(spark, s"$indexDir/assignment", asOf))
+  }
+
   def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                     queries: DataFrame, k: Int, nProbes: Int = 4,
                     asOf: Option[Long] = None): DataFrame = {
-    val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids", asOf)
-    val assigned = graft.sources.Versioned.read(spark, s"$indexDir/assignment", asOf)
+    val (centroids, assigned) = readIndexPair(spark, indexDir, asOf)
     probeIndex(queries, centroids, assigned, k, nProbes)
   }
 
@@ -441,8 +459,7 @@ object Similarity {
   def queryIvfSq8Index(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                        queries: DataFrame, k: Int, nProbes: Int = 4,
                        asOf: Option[Long] = None): DataFrame = {
-    val cents = graft.sources.Versioned.read(spark, s"$indexDir/centroids", asOf)
-    val assigned = graft.sources.Versioned.read(spark, s"$indexDir/assignment", asOf)
+    val (cents, assigned) = readIndexPair(spark, indexDir, asOf)
     val scale = cents.select(col("s").as("s")).limit(1)
 
     val q = queries

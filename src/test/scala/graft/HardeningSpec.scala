@@ -153,4 +153,47 @@ class HardeningSpec extends SparkSpec {
     assert(!(second eq first))
     assert(second.as[(Long, String)].collect().toSeq == Seq((2L, "b")))
   }
+
+  test("paired Versioned artifacts refuse out-of-lockstep latest reads; pinned asOf survives") {
+    import graft.operators.{Corpus, Similarity}
+    import graft.sources.Versioned
+
+    // NB model: a crashed build = one table advanced, the other not
+    val mdir = Files.createTempDirectory("nb_lockstep").toString
+    val train = Seq(("X", "xx xx"), ("Y", "qq qq")).toDF("label", "text")
+    assert(Corpus.buildNbModel(train, col("label"), col("text"), mdir) == 0L)
+    val intact = Corpus.scoreWithNbModel(spark, mdir,
+        Seq((1L, "xx")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .select("predicted").as[String].head()
+    assert(intact == "X")
+    // simulate the crash window: model commits v1, priors never does
+    Versioned.overwrite(
+      Versioned.read(spark, s"$mdir/model"), s"$mdir/model"): Unit
+    val e1 = intercept[IllegalArgumentException] {
+      Corpus.scoreWithNbModel(spark, mdir,
+        Seq((1L, "xx")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+    }
+    assert(e1.getMessage.contains("out of lockstep"))
+    // the intact historical pair still scores under a pinned asOf
+    val pinned = Corpus.scoreWithNbModel(spark, mdir,
+        Seq((1L, "xx")).toDF("doc_id", "text"), col("doc_id"), col("text"),
+        asOf = Some(0L))
+      .select("predicted").as[String].head()
+    assert(pinned == "X")
+
+    // IVF index: same discipline
+    val idir = Files.createTempDirectory("ivf_lockstep").toString
+    val pool = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.7f, 0.7f))).toDF("id", "vec")
+    Similarity.buildIvfIndex(pool, idir, nCentroids = 2): Unit
+    Versioned.overwrite(
+      Versioned.read(spark, s"$idir/assignment"), s"$idir/assignment"): Unit
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.queryIvfIndex(spark, idir,
+        pool.filter(col("id") === 1), k = 2, nProbes = 2)
+    }
+    assert(e2.getMessage.contains("out of lockstep"))
+    assert(Similarity.queryIvfIndex(spark, idir, pool.filter(col("id") === 1),
+      k = 2, nProbes = 2, asOf = Some(0L)).count() == 2)
+  }
 }
