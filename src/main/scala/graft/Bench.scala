@@ -25,15 +25,19 @@ object Bench {
     force(SparkEntry.entry(spark))
     // Steady-state timing: one untimed warm execution per query (pays
     // codegen compilation, broadcast builds, and stray GC from the
-    // previous query), then the timed run. Single-shot numbers swung
-    // ±10× run-to-run on identical plans, which buries real regressions;
-    // the warm run measures the plan, not the JIT.
+    // previous query), then TWO timed runs, reporting the min. Single-
+    // shot numbers swung ±10× run-to-run on identical plans, which
+    // buries real regressions, and even warm single runs produced
+    // phantom 2–8× "regressions" under driver-side contention two
+    // rounds straight (r6: q37/q38; r7: q97/q98/q99) — min-of-2 makes
+    // the committed artifact self-defending: a contended outlier can't
+    // survive both runs. Both raws land under "raw" for inspection.
     // A failing query must not masquerade as a fast one: record -1.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ok = try { force(fn(spark, sfDir)); true } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
-      val t = if (!ok) -1.0 else {
+      val ts = if (!ok) Seq(-1.0) else Seq.fill(2) {
         val t0 = System.nanoTime()
         force(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
@@ -42,12 +46,14 @@ object Bench {
       // before the next query: accumulated cache entries from 80 queries
       // otherwise build eviction pressure that bleeds into later timings.
       spark.catalog.clearCache()
-      name -> t
+      name -> ts
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val raw = results.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.min).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line as a repo artifact: driver-side capture
     // keeps only a 2000-char tail of stdout, which truncates the

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Corpus, Graph, Ids, Upsert}
+import graft.operators.{Corpus, Graph, Ids, NearDup, Upsert}
 
 /** Training-data-pipeline queries (SURVEY.md §2 [EXT] north-star rows,
   * q69–q76 + q81): TF-IDF, chunking, corpus n-gram stats, PII-style
@@ -834,16 +834,25 @@ object PipelineQueries {
   // [EXT] duplicated-n-gram fraction — the MassiveText/RefinedWeb
   // span-level boilerplate signal, corpus-wide: per doc, the fraction
   // of its 3-gram instances shared with at least one other document.
+  // Joins on 8-byte shingle hashes (the md5-roll family so DuckDB
+  // replays the exact keys); the corpus-wide join carries longs, not
+  // n-gram text.
   def q130DupNgrams(spark: SparkSession, dir: String): DataFrame =
-    Corpus.dupNgramStats(Tables.documents(spark, dir), col("doc_id"), col("text"))
+    Corpus.dupNgramStats(Tables.documents(spark, dir), col("doc_id"), col("text"),
+        shingler = NearDup.shingleHashes3Md5Inst)
       .orderBy(col("doc_id"))
 
   private val q130Sql =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      |th AS (
+      |  SELECT doc_id,
+      |    list_transform(parts, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS h
+      |  FROM t),
       |g AS (
-      |  SELECT doc_id, parts[i] || ' ' || parts[i + 1] || ' ' || parts[i + 2] AS ngram
-      |  FROM (SELECT doc_id, parts, generate_subscripts(parts, 1) AS i FROM t)
-      |  WHERE i + 2 <= len(parts)),
+      |  SELECT doc_id,
+      |    ((h[i] * 1000003 + h[i + 1]) % 2147483647 * 1000003 + h[i + 2]) % 2147483647 AS ngram
+      |  FROM (SELECT doc_id, h, generate_subscripts(h, 1) AS i FROM th)
+      |  WHERE i + 2 <= len(h)),
       |pd AS (SELECT doc_id, ngram, count(*) AS cnt FROM g GROUP BY doc_id, ngram),
       |nd AS (SELECT ngram, count(*) AS nd FROM pd GROUP BY ngram)
       |SELECT pd.doc_id, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
@@ -921,16 +930,21 @@ object PipelineQueries {
   // (the exact-substring-dedup criterion): per doc, the token length of
   // the longest run of consecutive 3-grams shared with other docs.
   def q134DupSpans(spark: SparkSession, dir: String): DataFrame =
-    Corpus.dupSpanStats(Tables.documents(spark, dir), col("doc_id"), col("text"))
+    Corpus.dupSpanStats(Tables.documents(spark, dir), col("doc_id"), col("text"),
+        shingler = NearDup.shingleHashes3Md5Inst)
       .orderBy(col("doc_id"))
 
   private val q134Sql =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      |th AS (
+      |  SELECT doc_id,
+      |    list_transform(parts, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS h
+      |  FROM t),
       |g AS (
       |  SELECT doc_id, i AS pos,
-      |    parts[i] || ' ' || parts[i + 1] || ' ' || parts[i + 2] AS ngram
-      |  FROM (SELECT doc_id, parts, generate_subscripts(parts, 1) AS i FROM t)
-      |  WHERE i + 2 <= len(parts)),
+      |    ((h[i] * 1000003 + h[i + 1]) % 2147483647 * 1000003 + h[i + 2]) % 2147483647 AS ngram
+      |  FROM (SELECT doc_id, h, generate_subscripts(h, 1) AS i FROM th)
+      |  WHERE i + 2 <= len(h)),
       |nd AS (
       |  SELECT ngram, count(*) AS nd
       |  FROM (SELECT DISTINCT doc_id, ngram FROM g) GROUP BY ngram),
@@ -954,22 +968,10 @@ object PipelineQueries {
   // artifact. Output ≡ q131's inline pipeline, so the same oracle SQL
   // carries the check (the q116-reuses-q98Sql pattern).
   private def cachedModel(spark: SparkSession, dir: String, tag: String)
-                         (build: String => Unit): String = {
-    def fp(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles.map(fp).foldLeft(17L)((a, b) => a * 31 + b)
-      else f.lastModified ^ (f.length * 1315423911L)
-    val key = java.lang.Long.toHexString(fp(new java.io.File(dir, "documents.parquet")))
-    val mdl = new java.io.File(sys.props("java.io.tmpdir"), s"graft_${tag}_$key").getPath
-    val healthy =
-      try graft.sources.Versioned.latestVersion(spark, s"$mdl/model") ==
-        graft.sources.Versioned.latestVersion(spark, s"$mdl/priors")
-      catch { case _: Exception => false }
-    if (!healthy) {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mdl)): Unit
-      build(mdl)
-    }
-    mdl
-  }
+                         (build: String => Unit): String =
+    graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), tag,
+      "model", "priors")(build)
 
   def q132NbModelScore(spark: SparkSession, dir: String): DataFrame = {
     val docs  = Tables.documents(spark, dir)
@@ -992,9 +994,12 @@ object PipelineQueries {
   // (mixture, filtering, reporting) reads KB-wide attribute rows
   // instead of re-touching text. Row-local signals (lang, quality) ride
   // the scan; corpus-global families (repetition aggs, cross-doc dup
-  // fraction, LM perplexity) are independent shuffle families joined
-  // back on doc_id. Short docs carry NULLs where a signal is undefined
-  // (<2 tokens: no bigrams → no ppl; <3: no 3-grams → no dup_frac).
+  // fraction, longest dup span, LM perplexity) are independent shuffle
+  // families joined back on doc_id. Short docs carry NULLs where a
+  // signal is undefined (<2 tokens: no bigrams → no ppl; <3: no
+  // 3-grams → no dup_frac; no cross-doc 3-gram → no dup_span). The
+  // dup families join on 8-byte md5-roll shingle hashes (DuckDB
+  // replays the exact keys).
   def q136SignalSheet(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextOps
     val docs = Tables.documents(spark, dir)
@@ -1005,13 +1010,18 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
         Corpus.isRepetitive(col("distinct_ratio"), col("top_token_frac"),
           col("top_bigram_frac")).as("is_repetitive"))
-    val dup = Corpus.dupNgramStats(docs, col("doc_id"), col("text"))
+    val dup = Corpus.dupNgramStats(docs, col("doc_id"), col("text"),
+        shingler = NearDup.shingleHashes3Md5Inst)
       .select(col("doc_id"), col("dup_frac"))
+    val span = Corpus.dupSpanStats(docs, col("doc_id"), col("text"),
+        shingler = NearDup.shingleHashes3Md5Inst)
+      .select(col("doc_id"), col("max_span_tokens").as("dup_span"))
     val ppl = Corpus.lmScore(docs, col("doc_id"), col("text"))
       .select(col("doc_id"), col("ppl"))
     local
       .join(rep, Seq("doc_id"))
       .join(dup, Seq("doc_id"), "left")
+      .join(span, Seq("doc_id"), "left")
       .join(ppl, Seq("doc_id"), "left")
       .orderBy(col("doc_id"))
   }
@@ -1034,10 +1044,15 @@ object PipelineQueries {
       |         CAST(sum(c) AS BIGINT) AS n_bigrams
       |       FROM bc GROUP BY 1),
       |dt AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      |dth AS (
+      |  SELECT doc_id,
+      |    list_transform(parts, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS h
+      |  FROM dt),
       |dg AS (
-      |  SELECT doc_id, parts[i] || ' ' || parts[i + 1] || ' ' || parts[i + 2] AS ngram
-      |  FROM (SELECT doc_id, parts, generate_subscripts(parts, 1) AS i FROM dt)
-      |  WHERE i + 2 <= len(parts)),
+      |  SELECT doc_id, i AS pos,
+      |    ((h[i] * 1000003 + h[i + 1]) % 2147483647 * 1000003 + h[i + 2]) % 2147483647 AS ngram
+      |  FROM (SELECT doc_id, h, generate_subscripts(h, 1) AS i FROM dth)
+      |  WHERE i + 2 <= len(h)),
       |dpd AS (SELECT doc_id, ngram, count(*) AS cnt FROM dg GROUP BY doc_id, ngram),
       |dnd AS (SELECT ngram, count(*) AS nd FROM dpd GROUP BY ngram),
       |ddup AS (
@@ -1045,6 +1060,16 @@ object PipelineQueries {
       |    CAST(sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
       |      / CAST(sum(cnt) AS DOUBLE) AS dup_frac
       |  FROM dpd JOIN dnd USING (ngram) GROUP BY dpd.doc_id),
+      |sdp AS (
+      |  SELECT dg.doc_id, dg.pos FROM dg JOIN dnd USING (ngram) WHERE nd >= 2),
+      |sruns AS (
+      |  SELECT doc_id,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM sdp),
+      |srl AS (SELECT doc_id, grp, count(*) AS run_len FROM sruns GROUP BY doc_id, grp),
+      |sspan AS (
+      |  SELECT doc_id, CAST(max(run_len) + 2 AS BIGINT) AS dup_span
+      |  FROM srl GROUP BY doc_id),
       |pbg AS (
       |  SELECT doc_id, parts[i] AS w1, parts[i] || ' ' || parts[i + 1] AS ngram
       |  FROM (SELECT doc_id, parts, generate_subscripts(parts, 1) AS i FROM dt)
@@ -1079,11 +1104,13 @@ object PipelineQueries {
       |   OR COALESCE(CAST(bs.top_bigram_n AS DOUBLE) / bs.n_bigrams, 0.0) > 0.1)
       |    AS is_repetitive,
       |  ddup.dup_frac,
+      |  sspan.dup_span,
       |  pppl.ppl
       |FROM documents d
       |JOIN ts ON d.doc_id = ts.doc_id
       |LEFT JOIN bs ON d.doc_id = bs.doc_id
       |LEFT JOIN ddup ON d.doc_id = ddup.doc_id
+      |LEFT JOIN sspan ON d.doc_id = sspan.doc_id
       |LEFT JOIN pppl ON d.doc_id = pppl.doc_id
       |ORDER BY d.doc_id""".stripMargin
 

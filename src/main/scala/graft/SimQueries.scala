@@ -600,30 +600,15 @@ object SimQueries {
   // cadence: one batch build job, then every query batch pays only
   // probe selection + the bucket scan — no seed sample, no Lloyd
   // passes, no corpus assignment rescan.
-  /** Build-if-absent index cache for q116/q118. The cache key includes
-    * a FINGERPRINT of the source parquet (paths, sizes, mtimes), so
-    * regenerated testdata at the same path gets a fresh index instead
-    * of stale rankings; a half-completed build (either log missing, or
-    * the two tables' versions out of lockstep after a crash between
-    * commits) is wiped and rebuilt rather than wedging every later run.
+  /** Build-if-absent index cache for q116/q118 — the shared
+    * [[graft.sources.CachedArtifact]] discipline keyed on the
+    * embeddings parquet.
     */
   private def cachedIndex(spark: SparkSession, dir: String, tag: String)
-                         (build: String => Unit): String = {
-    def fp(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles.map(fp).foldLeft(17L)((a, b) => a * 31 + b)
-      else f.lastModified ^ (f.length * 1315423911L)
-    val key = java.lang.Long.toHexString(fp(new java.io.File(dir, "embeddings.parquet")))
-    val idx = new java.io.File(sys.props("java.io.tmpdir"), s"graft_${tag}_$key").getPath
-    val healthy =
-      try graft.sources.Versioned.latestVersion(spark, s"$idx/centroids") ==
-        graft.sources.Versioned.latestVersion(spark, s"$idx/assignment")
-      catch { case _: Exception => false }
-    if (!healthy) {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx)): Unit
-      build(idx)
-    }
-    idx
-  }
+                         (build: String => Unit): String =
+    graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "embeddings.parquet"), tag,
+      "centroids", "assignment")(build)
 
   def q116AnnIndex(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)

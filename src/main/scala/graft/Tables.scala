@@ -66,6 +66,11 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→LTZ cast below is only value-preserving under UTC; every
+    // graft entry point sets it, but a library caller's session might
+    // not — pin it here so both physical layouts normalize identically
+    // regardless of caller config.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -426,28 +426,23 @@ object Corpus {
     * Scale shape: instances collapse to (doc_id, ngram, cnt) in one
     * hash agg with map-side combine, the ngram→doc-count table derives
     * from that collapsed relation (Zipf ⇒ ≪ the instance stream), and
-    * the one wide join carries (doc_id, ngram, cnt) — never text. The
-    * n-gram strings could ride the 8-byte shingle hashes
-    * ([[NearDup.shingleHashes3Md5]]) at 100 TB; the string form is kept
-    * so the oracle replays byte-identically.
+    * the one wide join carries (doc_id, ngram, cnt) where ngram is an
+    * 8-byte shingle hash ([[NearDup.shingleHashes3Inst]] xxhash64
+    * default; [[NearDup.shingleHashes3Md5Inst]] is the cross-engine
+    * family a DuckDB oracle replays) — text never moves. The legacy
+    * string key ([[NearDup.shingles3Inst]]) survives as a `shingler`
+    * override for differential testing.
     *
     * Docs with < 3 tokens have no 3-grams and are absent. Output:
     * doc_id, n_ngrams, n_dup, dup_frac.
     */
-  def dupNgramStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val sz = org.apache.spark.sql.functions.size _
-    val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
-    val m = sz(col("toks")) - 2
-    // 3-gram INSTANCES (not distinct): zip_with over three shifted
-    // slices, the [[NearDup.shingles3]] shape — slice args evaluate
-    // once per row, never per element.
-    val inst = base.filter(sz(col("toks")) >= 3)
-      .select(col("doc_id"), explode(
-        zip_with(
-          zip_with(slice(col("toks"), lit(1), m), slice(col("toks"), lit(2), m),
-            (x, y) => concat(x, lit(" "), y)),
-          slice(col("toks"), lit(3), m),
-          (x, y) => concat(x, lit(" "), y))).as("ngram"))
+  def dupNgramStats(docs: DataFrame, id: Column, text: Column,
+                    shingler: Column => Column = NearDup.shingleHashes3Inst)
+      : DataFrame = {
+    // 3-gram INSTANCES (not distinct), one hashed key per token
+    // position — <3-token docs produce an empty array and vanish at
+    // the explode.
+    val inst = docs.select(id.as("doc_id"), explode(shingler(text)).as("ngram"))
     val perDoc = inst.groupBy(col("doc_id"), col("ngram"))
       .agg(count(lit(1)).as("cnt"))
     // docs-per-ngram off the collapsed relation: each (doc, ngram) row
@@ -471,25 +466,22 @@ object Corpus {
     * r + 2 tokens, so a doc sharing a 50-token passage reports ≥ 50
     * while scattered single-3-gram matches report 3.
     *
-    * Scale shape: the duplicated-position stream is |dup instances|
-    * rows of (doc_id, pos) — text never moves; runs collapse with the
+    * Scale shape: the candidate stream is (doc_id, pos, ngram-hash) —
+    * 8-byte keys ([[NearDup.shingleHashes3Inst]] family, same contract
+    * as [[dupNgramStats]]), text never moves; runs collapse with the
     * classic gaps-and-islands key (pos − row_number), both windows
     * partitioned by doc_id. Docs with no duplicated 3-gram are absent
     * (no span to report).
     *
     * Output: doc_id, n_runs, max_span_tokens.
     */
-  def dupSpanStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val sz = org.apache.spark.sql.functions.size _
-    val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
-    val m = sz(col("toks")) - 2
-    val inst = base.filter(sz(col("toks")) >= 3)
-      .select(col("doc_id"), posexplode(
-        zip_with(
-          zip_with(slice(col("toks"), lit(1), m), slice(col("toks"), lit(2), m),
-            (x, y) => concat(x, lit(" "), y)),
-          slice(col("toks"), lit(3), m),
-          (x, y) => concat(x, lit(" "), y))))
+  def dupSpanStats(docs: DataFrame, id: Column, text: Column,
+                   shingler: Column => Column = NearDup.shingleHashes3Inst)
+      : DataFrame = {
+    // Instance shinglers emit element i = the 3-gram starting at token
+    // i (in order), so posexplode's 0-based pos + 1 IS the 1-based
+    // token position the run algebra expects.
+    val inst = docs.select(id.as("doc_id"), posexplode(shingler(text)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("ngram"))
     val nd = inst.select(col("doc_id"), col("ngram")).distinct()
       .groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
@@ -543,7 +535,7 @@ object Corpus {
     val tb = base.select(col("doc_id"), col("is_target"),
         explode(col("toks")).as("tok"))
       .select(col("doc_id"), col("is_target"),
-        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
+        tokenBucket(col("tok"), buckets).as("b"))
     // ONE model pass over the token stream: raw and target counts ride
     // the same grouped aggregate, and the totals fold from the model
     // table (≤`buckets` rows) instead of rescanning the corpus.
@@ -577,6 +569,13 @@ object Corpus {
     * (DuckDB replays the same md5 prefix) and layout-stable.
     */
   private def tokenBucket(tok: Column, buckets: Int): Column =
+    tokenBucket(tok, lit(buckets))
+
+  /** Column-width overload — the ONE definition of the feature map, so
+    * a scoring job recovering its bucket count in-plan ([[nbScore]])
+    * hashes into exactly the space the model was trained in.
+    */
+  private def tokenBucket(tok: Column, buckets: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % buckets
 
   /** Multinomial Naive Bayes over hashed bag-of-token features — the
@@ -651,8 +650,7 @@ object Corpus {
     val nb = model.agg((max(col("b")) + 1).as("nb"))
     val testToks = test.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("tok"))
       .crossJoin(broadcast(nb))
-      .select(col("doc_id"),
-        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % col("nb")).as("b"))
+      .select(col("doc_id"), tokenBucket(col("tok"), col("nb")).as("b"))
     testToks.join(broadcast(model), Seq("b"))
       .groupBy(col("doc_id"), col("label"))
       .agg(count(lit(1)).as("n_tok"),

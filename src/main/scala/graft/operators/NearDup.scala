@@ -122,6 +122,55 @@ object NearDup {
         .otherwise(array().cast("array<bigint>")))
   }
 
+  /** 3-gram shingle-hash INSTANCES in token order (element i = the
+    * shingle starting at token i; no distinct) — the join key the
+    * span-level dup signals ([[Corpus.dupNgramStats]] /
+    * [[Corpus.dupSpanStats]]) carry corpus-wide instead of n-gram
+    * strings: 8 bytes/row on the wide join at 100 TB, and positions
+    * survive a `posexplode`. xxhash64 family — Spark-only fast path;
+    * 64-bit space, so collisions are below any oracle's resolution.
+    */
+  def shingleHashes3Inst(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.XxShingle3Expr(
+      GraftColumnBridge.expression(GraftColumnBridge.column(
+        graft.plans.XxTokenHashesExpr(
+          GraftColumnBridge.expression(TextOps.tokens(text))))),
+      distinct = false))
+  }
+
+  /** Cross-engine twin of [[shingleHashes3Inst]] (md5 token hashes +
+    * polynomial roll in [0, P), instances in order) — the family a
+    * DuckDB oracle replays. P ≈ 2³¹, so two distinct n-grams collide
+    * with probability ~n²/2³² per corpus; both engines compute the
+    * SAME hash, so oracle comparison is unaffected — only the signal
+    * itself blurs, and only at that rate.
+    */
+  def shingleHashes3Md5Inst(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.ShingleRoll3Expr(
+      GraftColumnBridge.expression(GraftColumnBridge.column(
+        graft.plans.Md5TokenHashesExpr(
+          GraftColumnBridge.expression(TextOps.tokens(text)), P, mod63 = false))),
+      P, K, distinct = false))
+  }
+
+  /** 3-gram STRING instances in token order — the legacy text-carrying
+    * key, kept for differential testing against the hash families
+    * (string ≡ hashed up to hash collisions).
+    */
+  private[graft] def shingles3Inst(text: Column): Column = {
+    val t = TextOps.tokens(text)
+    val m = size(t) - 2
+    when(size(t) >= 3,
+      zip_with(
+        zip_with(slice(t, lit(1), m), slice(t, lit(2), m),
+          (x, y) => concat(x, lit(" "), y)),
+        slice(t, lit(3), m),
+        (x, y) => concat(x, lit(" "), y)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Exact pairwise Jaccard over 3-gram shingles, blocked by shared
     * shingle: a pair is only scored if it shares ≥1 shingle, and the
     * shared-count comes out of the same equality join — no cross

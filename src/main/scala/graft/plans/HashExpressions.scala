@@ -118,8 +118,13 @@ case class Md5TokenHashesExpr(child: Expression, modulus: Long, mod63: Boolean)
   * intermediate stays under 2⁵² — the strict-BIGINT bound that lets the
   * DuckDB oracle replay the roll. Null elements are treated as absent
   * (token-hash arrays never contain nulls); null array → null.
+  *
+  * `distinct = false` keeps every 3-gram INSTANCE in token order
+  * (element i is the shingle starting at token i), the form the
+  * span-level dup signals need: positions survive a `posexplode`.
   */
-case class ShingleRoll3Expr(child: Expression, modulus: Long, k: Long)
+case class ShingleRoll3Expr(child: Expression, modulus: Long, k: Long,
+                            distinct: Boolean = true)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -137,19 +142,30 @@ case class ShingleRoll3Expr(child: Expression, modulus: Long, k: Long)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n < 3) return new GenericArrayData(Array.emptyLongArray)
-    val seen = new java.util.LinkedHashSet[java.lang.Long](n)
-    var i = 0
-    while (i + 2 < n) {
-      val s = ((arr.getLong(i) * k + arr.getLong(i + 1)) % modulus * k +
-        arr.getLong(i + 2)) % modulus
-      seen.add(s)
-      i += 1
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[java.lang.Long](n)
+      var i = 0
+      while (i + 2 < n) {
+        val s = ((arr.getLong(i) * k + arr.getLong(i + 1)) % modulus * k +
+          arr.getLong(i + 2)) % modulus
+        seen.add(s)
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Long](n - 2)
+      var i = 0
+      while (i + 2 < n) {
+        out(i) = ((arr.getLong(i) * k + arr.getLong(i + 1)) % modulus * k +
+          arr.getLong(i + 2)) % modulus
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -161,23 +177,36 @@ case class ShingleRoll3Expr(child: Expression, modulus: Long, k: Long)
       val seen = ctx.freshName("seen")
       val out = ctx.freshName("out")
       val it = ctx.freshName("it")
+      val fill =
+        if (distinct)
+          s"""
+             |  java.util.LinkedHashSet<Long> $seen = new java.util.LinkedHashSet<Long>($n);
+             |  for (int $i = 0; $i + 2 < $n; $i++) {
+             |    long $s = (($arr.getLong($i) * ${k}L + $arr.getLong($i + 1)) % ${modulus}L
+             |      * ${k}L + $arr.getLong($i + 2)) % ${modulus}L;
+             |    $seen.add($s);
+             |  }
+             |  $out = new long[$seen.size()];
+             |  int $j = 0;
+             |  for (java.util.Iterator<Long> $it = $seen.iterator(); $it.hasNext(); $j++) {
+             |    $out[$j] = ((Long) $it.next()).longValue();
+             |  }
+           """.stripMargin
+        else
+          s"""
+             |  $out = new long[$n - 2];
+             |  for (int $i = 0; $i + 2 < $n; $i++) {
+             |    $out[$i] = (($arr.getLong($i) * ${k}L + $arr.getLong($i + 1)) % ${modulus}L
+             |      * ${k}L + $arr.getLong($i + 2)) % ${modulus}L;
+             |  }
+           """.stripMargin
       s"""
          |int $n = $arr.numElements();
          |long[] $out;
          |if ($n < 3) {
          |  $out = new long[0];
          |} else {
-         |  java.util.LinkedHashSet<Long> $seen = new java.util.LinkedHashSet<Long>($n);
-         |  for (int $i = 0; $i + 2 < $n; $i++) {
-         |    long $s = (($arr.getLong($i) * ${k}L + $arr.getLong($i + 1)) % ${modulus}L
-         |      * ${k}L + $arr.getLong($i + 2)) % ${modulus}L;
-         |    $seen.add($s);
-         |  }
-         |  $out = new long[$seen.size()];
-         |  int $j = 0;
-         |  for (java.util.Iterator<Long> $it = $seen.iterator(); $it.hasNext(); $j++) {
-         |    $out[$j] = ((Long) $it.next()).longValue();
-         |  }
+         |$fill
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
@@ -245,8 +274,13 @@ case class XxTokenHashesExpr(child: Expression) extends UnaryExpression {
   * first-occurrence distinct, <3 tokens → empty. Replaces two
   * interpreted zip_with folds + array_distinct. Null elements are
   * treated as absent; null array → null.
+  *
+  * `distinct = false` keeps every 3-gram INSTANCE in token order
+  * (element i is the shingle starting at token i) for the span-level
+  * dup signals, where positions survive a `posexplode`.
   */
-case class XxShingle3Expr(child: Expression) extends UnaryExpression {
+case class XxShingle3Expr(child: Expression, distinct: Boolean = true)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -262,18 +296,29 @@ case class XxShingle3Expr(child: Expression) extends UnaryExpression {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n < 3) return new GenericArrayData(Array.emptyLongArray)
-    val seen = new java.util.LinkedHashSet[java.lang.Long](n)
-    var i = 0
-    while (i + 2 < n) {
-      val inner = XXH64.hashLong(arr.getLong(i + 1), XXH64.hashLong(arr.getLong(i), 42L))
-      seen.add(XXH64.hashLong(arr.getLong(i + 2), XXH64.hashLong(inner, 42L)))
-      i += 1
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[java.lang.Long](n)
+      var i = 0
+      while (i + 2 < n) {
+        val inner = XXH64.hashLong(arr.getLong(i + 1), XXH64.hashLong(arr.getLong(i), 42L))
+        seen.add(XXH64.hashLong(arr.getLong(i + 2), XXH64.hashLong(inner, 42L)))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Long](n - 2)
+      var i = 0
+      while (i + 2 < n) {
+        val inner = XXH64.hashLong(arr.getLong(i + 1), XXH64.hashLong(arr.getLong(i), 42L))
+        out(i) = XXH64.hashLong(arr.getLong(i + 2), XXH64.hashLong(inner, 42L))
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -286,22 +331,35 @@ case class XxShingle3Expr(child: Expression) extends UnaryExpression {
       val out = ctx.freshName("out")
       val it = ctx.freshName("it")
       val xx = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val fill =
+        if (distinct)
+          s"""
+             |  java.util.LinkedHashSet<Long> $seen = new java.util.LinkedHashSet<Long>($n);
+             |  for (int $i = 0; $i + 2 < $n; $i++) {
+             |    long $inner = $xx.hashLong($arr.getLong($i + 1), $xx.hashLong($arr.getLong($i), 42L));
+             |    $seen.add($xx.hashLong($arr.getLong($i + 2), $xx.hashLong($inner, 42L)));
+             |  }
+             |  $out = new long[$seen.size()];
+             |  int $j = 0;
+             |  for (java.util.Iterator<Long> $it = $seen.iterator(); $it.hasNext(); $j++) {
+             |    $out[$j] = ((Long) $it.next()).longValue();
+             |  }
+           """.stripMargin
+        else
+          s"""
+             |  $out = new long[$n - 2];
+             |  for (int $i = 0; $i + 2 < $n; $i++) {
+             |    long $inner = $xx.hashLong($arr.getLong($i + 1), $xx.hashLong($arr.getLong($i), 42L));
+             |    $out[$i] = $xx.hashLong($arr.getLong($i + 2), $xx.hashLong($inner, 42L));
+             |  }
+           """.stripMargin
       s"""
          |int $n = $arr.numElements();
          |long[] $out;
          |if ($n < 3) {
          |  $out = new long[0];
          |} else {
-         |  java.util.LinkedHashSet<Long> $seen = new java.util.LinkedHashSet<Long>($n);
-         |  for (int $i = 0; $i + 2 < $n; $i++) {
-         |    long $inner = $xx.hashLong($arr.getLong($i + 1), $xx.hashLong($arr.getLong($i), 42L));
-         |    $seen.add($xx.hashLong($arr.getLong($i + 2), $xx.hashLong($inner, 42L)));
-         |  }
-         |  $out = new long[$seen.size()];
-         |  int $j = 0;
-         |  for (java.util.Iterator<Long> $it = $seen.iterator(); $it.hasNext(); $j++) {
-         |    $out[$j] = ((Long) $it.next()).longValue();
-         |  }
+         |$fill
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

@@ -251,6 +251,11 @@ object StreamJobs {
     * restarting the stream picks up the new latest version.
     * foreachBatch because the probe is a batch join against Versioned
     * state, same pattern as [[curateStreamIncremental]].
+    *
+    * Exactly-once output: results land partitioned by `batch_id` with
+    * dynamic partition overwrite, so a micro-batch re-delivered after
+    * a crash (output written, checkpoint not yet committed) overwrites
+    * its own partition instead of appending duplicate rows.
     */
   def annProbeStream(queryStream: DataFrame, indexDir: String,
                      outDir: String, checkpointDir: String,
@@ -261,14 +266,35 @@ object StreamJobs {
     queryStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Similarity
-          .queryIvfIndex(spark, indexDir, batch, k, nProbes,
-            asOf = Some(pinned))
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(
+          graft.operators.Similarity
+            .queryIvfIndex(spark, indexDir, batch, k, nProbes,
+              asOf = Some(pinned)),
+          checkpointDir, batchId, outDir)
       }
       .start()
   }
+
+  /** The idempotent foreachBatch parquet sink: partition by (run_id,
+    * batch_id) and overwrite ONLY that partition (dynamic mode).
+    * batch_id alone is the replay key — a micro-batch re-delivered
+    * after a crash (output written, checkpoint not yet committed)
+    * replaces its own prior output instead of appending duplicates —
+    * but it is only unique per checkpoint, so run_id (a stable hash of
+    * the checkpoint path, the stream's identity) keeps two streams
+    * feeding the same directory from clobbering each other's batch 0.
+    * At-least-once delivery, exactly-once directory contents.
+    */
+  private[graft] def writeBatchIdempotent(result: DataFrame, checkpointDir: String,
+                                          batchId: Long, outDir: String): Unit =
+    result
+      .withColumn("run_id", lit(java.lang.Integer.toHexString(checkpointDir.hashCode)))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_id", "batch_id")
+      .parquet(outDir)
 
   /** Online classification against a persisted NB model
     * ([[graft.operators.Corpus.buildNbModel]]): each micro-batch of
@@ -276,7 +302,8 @@ object StreamJobs {
     * KB-sized broadcasts, no training rescan. The model version is
     * pinned at stream start, so a concurrent retrain never shifts
     * predictions mid-stream (a restart picks up the new latest) — the
-    * [[annProbeStream]] discipline applied to the classifier gate.
+    * [[annProbeStream]] discipline applied to the classifier gate,
+    * including its batch_id-partitioned idempotent sink.
     */
   def classifyStream(docStream: DataFrame, modelDir: String, outDir: String,
                      checkpointDir: String): StreamingQuery = {
@@ -285,11 +312,12 @@ object StreamJobs {
     docStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Corpus
-          .scoreWithNbModel(spark, modelDir, batch,
-            col("doc_id"), col("text"), asOf = Some(pinned))
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(
+          graft.operators.Corpus
+            .scoreWithNbModel(spark, modelDir, batch,
+              col("doc_id"), col("text"), asOf = Some(pinned)),
+          checkpointDir, batchId, outDir)
       }
       .start()
   }

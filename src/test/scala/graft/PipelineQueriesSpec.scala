@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Corpus, Upsert}
+import graft.operators.{Corpus, NearDup, Upsert}
 
 /** Semantics checks for the corpus pipeline operators (PipelineQueries
   * q69–q73) on sf0.001 testdata.
@@ -515,6 +515,24 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(byDoc(4L) == ((4L, 1L, 3L)))
   }
 
+  test("dup signals differential: string, xxhash64, and md5-roll shingle families agree") {
+    import org.apache.spark.sql.Column
+    val docs = Tables.documents(spark, dir)
+    val families = Seq[(String, Column => Column)](
+      "string" -> NearDup.shingles3Inst,
+      "xx"     -> NearDup.shingleHashes3Inst,
+      "md5"    -> NearDup.shingleHashes3Md5Inst)
+    val ngramOut = families.map { case (n, s) =>
+      n -> Corpus.dupNgramStats(docs, col("doc_id"), col("text"), s) }
+    val spanOut = families.map { case (n, s) =>
+      n -> Corpus.dupSpanStats(docs, col("doc_id"), col("text"), s) }
+    for (outs <- Seq(ngramOut, spanOut); (name, df) <- outs.tail) {
+      val base = outs.head._2
+      assert(df.exceptAll(base).isEmpty && base.exceptAll(df).isEmpty,
+        s"$name shingle family must reproduce the string-key results")
+    }
+  }
+
   test("q136 signal sheet: one row per doc; columns agree with the standalone signal operators") {
     val sheet = PipelineQueries.q136SignalSheet(spark, dir)
     val docs = Tables.documents(spark, dir)
@@ -525,6 +543,12 @@ class PipelineQueriesSpec extends SparkSpec {
       .filter(col("dup_frac").isNotNull)
     assert(sheetDup.exceptAll(dup).isEmpty && dup.exceptAll(sheetDup).isEmpty,
       "dup_frac column must equal the standalone dupNgramStats")
+    val span = Corpus.dupSpanStats(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("max_span_tokens").as("dup_span"))
+    val sheetSpan = sheet.select(col("doc_id"), col("dup_span"))
+      .filter(col("dup_span").isNotNull)
+    assert(sheetSpan.exceptAll(span).isEmpty && span.exceptAll(sheetSpan).isEmpty,
+      "dup_span column must equal the standalone dupSpanStats")
     val ppl = Corpus.lmScore(docs, col("doc_id"), col("text"))
       .select(col("doc_id"), col("ppl"))
     val sheetPpl = sheet.select(col("doc_id"), col("ppl"))

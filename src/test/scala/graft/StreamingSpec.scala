@@ -477,6 +477,25 @@ class StreamingSpec extends SparkSpec {
         .exists { case (_, cid, _) => cid >= 500000L })
   }
 
+  test("idempotent foreachBatch sink: a redelivered batch replaces its prior output; distinct streams accumulate") {
+    import spark.implicits._
+    val work = tmpDir()
+    val out = s"$work/out"
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    // batch 0 written, then redelivered (crash between output and
+    // checkpoint commit) — the replay must overwrite, not append
+    StreamJobs.writeBatchIdempotent(a, s"$work/ckptA", 0L, out)
+    StreamJobs.writeBatchIdempotent(a, s"$work/ckptA", 0L, out)
+    assert(spark.read.parquet(out).count() == 2,
+      "replayed batch 0 must replace its own partition")
+    // a different stream (different checkpoint) also emitting batch 0
+    // accumulates instead of clobbering
+    val b = Seq((3L, "z")).toDF("id", "v")
+    StreamJobs.writeBatchIdempotent(b, s"$work/ckptB", 0L, out)
+    assert(spark.read.parquet(out).count() == 3,
+      "a second stream's batch 0 must land beside the first stream's")
+  }
+
   test("streaming classification: deliveries ≡ one batch scoring pass; predictions ride the model version pinned at start") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
