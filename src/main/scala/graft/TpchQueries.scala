@@ -555,6 +555,285 @@ object TpchQueries {
       |      AND l3.l_shipdate >= o_orderdate + INTERVAL 60 DAY)
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Synthesized PARTSUPP — the driver testdata lacks TPC-H's fourth
+  // base table, so the five classics that need it (Q2, Q9, Q11, Q16,
+  // Q20) run over a DETERMINISTIC synthesis: each part gets 4 suppliers
+  // by the TPC-H stride rule (suppkey = (partkey + i·⌊S/4⌋) mod S, keys
+  // 0-based like the testdata), and availqty/supplycost are
+  // md5-arithmetic on the (part, supplier) pair. Pure expressions over
+  // part × the 1-row supplier count, so the DuckDB oracle regenerates
+  // the IDENTICAL table from the same parquet and no fixture file is
+  // ever written. 4·|part| rows; at 100 TB this is a derived dimension
+  // you'd materialize once, bucketed by ps_partkey.
+  private[graft] def partsupp(spark: SparkSession, dir: String): DataFrame = {
+    val md5i = (c: Column) => conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val pair = (a: Column, b: Column) =>
+      concat(a.cast("string"), lit("-"), b.cast("string"))
+    val sCnt = Tables.supplier(spark, dir).agg(count(lit(1)).as("s_cnt"))
+    Tables.part(spark, dir).select(col("p_partkey"))
+      .crossJoin(broadcast(sCnt)) // 1-row broadcast, not a cross product
+      .select(col("p_partkey").as("ps_partkey"),
+        explode(sequence(lit(0L), lit(3L))).as("i"), col("s_cnt"))
+      .select(col("ps_partkey"),
+        ((col("ps_partkey") + col("i") * greatest(lit(1L), expr("s_cnt div 4")))
+          % col("s_cnt")).as("ps_suppkey"))
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        (md5i(pair(col("ps_partkey"), col("ps_suppkey"))) % 9999 + 1)
+          .cast("int").as("ps_availqty"),
+        ((md5i(pair(col("ps_suppkey"), col("ps_partkey"))) % 99901 + 100)
+          .cast("double") / 100.0).as("ps_supplycost"))
+  }
+
+  /** The oracle-side twin: CTEs that rebuild [[partsupp]] in DuckDB
+    * from the same parquet (open with `WITH `, then append the query).
+    */
+  private val partsuppCte =
+    """scnt AS (SELECT count(*) AS s_cnt FROM supplier),
+      |ps0 AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    (p_partkey + i * greatest(1, s_cnt // 4)) % s_cnt AS ps_suppkey
+      |  FROM part CROSS JOIN scnt CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+      |partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    CAST(CAST(('0x' || substr(md5(CAST(ps_partkey AS VARCHAR) || '-' ||
+      |      CAST(ps_suppkey AS VARCHAR)), 1, 8)) AS BIGINT) % 9999 + 1 AS INTEGER)
+      |      AS ps_availqty,
+      |    CAST(CAST(('0x' || substr(md5(CAST(ps_suppkey AS VARCHAR) || '-' ||
+      |      CAST(ps_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 99901 + 100 AS DOUBLE)
+      |      / 100.0 AS ps_supplycost
+      |  FROM ps0)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q2 — minimum-cost supplier (adapted: the size predicate
+  // alone selects the part subset — adding the classic's type filter
+  // empties the answer at every testdata SF — and the output is
+  // trimmed to the generator's columns): for each size-15 part, the
+  // EUROPE suppliers
+  // quoting its minimum supply cost. The min-per-part rides a window
+  // over the ALREADY part-filtered candidate rows (partitioned by
+  // ps_partkey — never an unpartitioned window, never a second
+  // partsupp pass), ties keep every minimal supplier, exactly the
+  // correlated-subquery semantics.
+  def q137TpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    val eurSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val targetParts = Tables.part(spark, dir)
+      .filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_brand"))
+    val cand = partsupp(spark, dir)
+      .join(broadcast(targetParts), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(eurSupp), col("ps_suppkey") === col("s_suppkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ps_partkey"))
+    cand
+      .withColumn("min_cost", min(col("ps_supplycost")).over(w))
+      .filter(col("ps_supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("ps_partkey").as("p_partkey"), col("p_brand"), col("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  private val q137Sql =
+    s"""WITH $partsuppCte
+       |SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_brand,
+       |  ps_supplycost
+       |FROM partsupp ps
+       |JOIN part ON p_partkey = ps.ps_partkey
+       |JOIN supplier ON s_suppkey = ps.ps_suppkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |JOIN region ON r_regionkey = n_regionkey
+       |WHERE p_size = 15 AND r_name = 'EUROPE'
+       |  AND ps_supplycost = (
+       |    SELECT min(ps2.ps_supplycost)
+       |    FROM partsupp ps2
+       |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+       |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+       |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+       |    WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q9 — product-type profit ('red' parts): revenue minus supply
+  // cost by supplier nation and order year. The p_name filter prunes
+  // the fact scan through a broadcast BEFORE the partsupp join; profit
+  // stays DECIMAL until the final cast so the sum is order-insensitive.
+  def q138TpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(spark, dir)
+      .filter(col("p_name").like("%red%")).select(col("p_partkey"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val profit = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))) -
+      dec(col("ps_supplycost")) * dec(col("l_quantity"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(partsupp(spark, dir),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(profit).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val q138Sql =
+    s"""WITH $partsuppCte
+       |SELECT n_name AS nation,
+       |  CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       |    - CAST(ps_supplycost AS DECIMAL(18,2))
+       |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q11 — important stock identification: one nation's share of
+  // partsupp value, parts above 1/10000 of the total. The threshold is
+  // a 1-row aggregate broadcast against the per-part sums (declared
+  // 1-row cross join, the q53 scalar-subquery shape) — the nation's
+  // partsupp slice is scanned once, reused for both aggregates via
+  // localCheckpoint.
+  def q139TpchQ11(spark: SparkSession, dir: String): DataFrame = {
+    val nationSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name") === "NATION_13").select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val vals = partsupp(spark, dir)
+      .join(broadcast(nationSupp), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"),
+        (dec(col("ps_supplycost")) * col("ps_availqty").cast("decimal(18,2)"))
+          .as("v"))
+      .localCheckpoint() // two consumers: per-part sums + the threshold
+    val perPart = vals.groupBy(col("ps_partkey"))
+      .agg(sum(col("v")).as("value_dec"))
+    val threshold = vals.agg((sum(col("v")) * lit(0.0001).cast("decimal(6,4)"))
+      .as("thr"))
+    perPart.crossJoin(broadcast(threshold))
+      .filter(col("value_dec") > col("thr"))
+      .select(col("ps_partkey"), col("value_dec").cast("double").as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  private val q139Sql =
+    s"""WITH $partsuppCte,
+       |vals AS (
+       |  SELECT ps_partkey,
+       |    CAST(ps_supplycost AS DECIMAL(18,2))
+       |      * CAST(ps_availqty AS DECIMAL(18,2)) AS v
+       |  FROM partsupp
+       |  JOIN supplier ON s_suppkey = ps_suppkey
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |  WHERE n_name = 'NATION_13')
+       |SELECT ps_partkey, CAST(sum(v) AS DOUBLE) AS value
+       |FROM vals
+       |GROUP BY ps_partkey
+       |HAVING sum(v) > (SELECT sum(v) * CAST(0.0001 AS DECIMAL(6,4)) FROM vals)
+       |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q16 — parts/supplier relationship (adapted: the excluded
+  // "complaints" suppliers become the negative-balance ones — the
+  // generator has no s_comment): supplier counts per (brand, type,
+  // size) over selected sizes, excluding one brand, one type family,
+  // and the flagged suppliers. The NOT IN is a broadcast anti-join
+  // (the excluded set is tiny and null-free by construction).
+  def q140TpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#13" && !col("p_type").like("PROMO%") &&
+        col("p_size").isin(1, 4, 9, 15, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    partsupp(spark, dir)
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("ps_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  private val q140Sql =
+    s"""WITH $partsuppCte
+       |SELECT p_brand, p_type, p_size,
+       |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM partsupp
+       |JOIN part ON p_partkey = ps_partkey
+       |WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+       |  AND p_size IN (1, 4, 9, 15, 23, 36, 45, 49)
+       |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // TPC-H Q20 — potential part promotion: suppliers in one nation whose
+  // stock of 'small…' parts exceeds half of what they actually shipped
+  // in one year. The correlated per-(part, supplier) shipment sum is
+  // ONE grouped aggregate off the date-pruned fact scan, joined back on
+  // the pair key — pairs with no shipments drop, exactly the NULL
+  // comparison semantics of the classic's scalar subquery.
+  def q141TpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(spark, dir)
+      .filter(col("p_name").like("small%")).select(col("p_partkey"))
+    val shipped = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val qualifying = partsupp(spark, dir)
+      .join(broadcast(smallParts), col("ps_partkey") === col("p_partkey"))
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty").cast("double") > lit(0.5) * col("qty"))
+      .select(col("ps_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name") === "NATION_13").select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  private val q141Sql =
+    s"""WITH $partsuppCte
+       |SELECT s_name, s_acctbal
+       |FROM supplier
+       |JOIN nation ON n_nationkey = s_nationkey
+       |WHERE n_name = 'NATION_13'
+       |  AND s_suppkey IN (
+       |    SELECT ps_suppkey FROM partsupp
+       |    WHERE ps_partkey IN
+       |        (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+       |      AND CAST(ps_availqty AS DOUBLE) > 0.5 * (
+       |        SELECT sum(l_quantity) FROM lineitem
+       |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |          AND l_shipdate >= DATE '1996-01-01'
+       |          AND l_shipdate < DATE '1997-01-01'))
+       |ORDER BY s_name""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_tpch_q5"   -> (q95TpchQ5 _),
     "q96_tpch_q10"  -> (q96TpchQ10 _),
@@ -572,6 +851,11 @@ object TpchQueries {
     "q123_tpch_q3"  -> (q123TpchQ3 _),
     "q124_tpch_q4"  -> (q124TpchQ4 _),
     "q125_tpch_q21" -> (q125TpchQ21 _),
+    "q137_tpch_q2"  -> (q137TpchQ2 _),
+    "q138_tpch_q9"  -> (q138TpchQ9 _),
+    "q139_tpch_q11" -> (q139TpchQ11 _),
+    "q140_tpch_q16" -> (q140TpchQ16 _),
+    "q141_tpch_q20" -> (q141TpchQ20 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -591,5 +875,10 @@ object TpchQueries {
     "q123_tpch_q3"  -> q123Sql,
     "q124_tpch_q4"  -> q124Sql,
     "q125_tpch_q21" -> q125Sql,
+    "q137_tpch_q2"  -> q137Sql,
+    "q138_tpch_q9"  -> q138Sql,
+    "q139_tpch_q11" -> q139Sql,
+    "q140_tpch_q16" -> q140Sql,
+    "q141_tpch_q20" -> q141Sql,
   )
 }
