@@ -60,15 +60,28 @@ object Stats {
   /** Exact global rank interval per distinct (group, value): one row
     * per distinct value with (cum_lo, cum_hi] — the ranks it covers —
     * and the group total n. The shared core of both percentile forms.
+    *
+    * `boundaryPs`: the percentile fractions the caller will read.
+    * Both forms only consume rows whose interval covers a target rank
+    * t(p) = 1 + p·(n−1) (floor or ceil), and a row's interval is
+    * contained in its slice's global rank range — so every slice whose
+    * range contains NO target rank is dropped BEFORE the cumulative
+    * window. Group totals still fold over ALL slices (the side table),
+    * so the pruning is invisible to the arithmetic; it just shrinks
+    * the window + join input from O(distinct) rows to the boundary
+    * slices (O(|groups|·|ps|) of them — at 10k partitions, ~all of the
+    * post-collapse work disappears).
     */
-  private def rankIntervals(df: DataFrame, group: Column,
-                            value: Column): DataFrame = {
+  private def rankIntervals(df: DataFrame, group: Column, value: Column,
+                            boundaryPs: Seq[Double]): DataFrame = {
     val base = df.select(group.as("g"), value.cast("double").as("v"))
       .filter(col("v").isNotNull)
 
     // 1. the ONLY full-data pass: collapse to weighted distinct rows.
     // Checkpointed so the range sampler and the range shuffle don't
-    // each rescan the input.
+    // each rescan the input (measured: dropping this checkpoint and
+    // letting shuffle reuse re-run the reduce agg is ~25% SLOWER at
+    // sf0.1 — round 8).
     val counts = base.groupBy(col("g"), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
@@ -80,20 +93,13 @@ object Stats {
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
 
-    // Weighted running count within a slice. The window key is
-    // (partition, group) — a slice, bounded by range-partition size,
-    // NEVER a whole group — so this stays parallel at any scale.
-    val slice = Window.partitionBy(col("pid"), col("g")).orderBy(col("v"))
-    val local = ranged.withColumn("cum_in_slice",
-      sum(col("cnt"))
-        .over(slice.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-
     // Cross-slice offsets + group totals from the O(partitions·groups)
     // side table; the only windows over it are tiny by construction.
     val slices = ranged.groupBy(col("pid"), col("g"))
       .agg(sum(col("cnt")).as("scnt"))
     val w = Window.partitionBy(col("g")).orderBy(col("pid"))
     val offsets = slices.select(col("pid").as("o_pid"), col("g").as("o_g"),
+      col("scnt"),
       coalesce(sum(col("scnt"))
         .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
         .as("off"),
@@ -101,11 +107,31 @@ object Stats {
         .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
         .as("n"))
 
-    // 3. exact global rank interval per distinct value: pure arithmetic
-    // after a broadcast join, all cores busy.
-    local
-      .join(broadcast(offsets),
+    // Boundary-slice pruning: keep a slice iff some target rank lands
+    // in its global range (off, off + scnt]. Every rank in [1, n] is
+    // covered by exactly one slice, so each (group, p) survives.
+    val inSlice = (k: Column) => k > col("off") && k <= col("off") + col("scnt")
+    val keep = boundaryPs.map { p =>
+      val t = lit(1.0) + lit(p) * (col("n") - lit(1))
+      inSlice(floor(t)) || inSlice(ceil(t))
+    }.reduce(_ || _)
+    val cells = offsets.filter(keep).drop("scnt")
+
+    // 3. weighted running count within the surviving slices, then pure
+    // arithmetic. The offsets join moved BEFORE the window (round 8):
+    // RangePartitioning(g, v) cannot satisfy the window's (pid, g)
+    // clustering, so this window is a shuffle — pruning first means it
+    // moves only boundary-slice rows, not the whole collapsed table.
+    // The window key is (partition, group) — a slice, bounded by
+    // range-partition size, NEVER a whole group — parallel at any
+    // scale.
+    val slice = Window.partitionBy(col("pid"), col("g")).orderBy(col("v"))
+    ranged
+      .join(broadcast(cells),
         col("pid") === col("o_pid") && col("g") <=> col("o_g"))
+      .withColumn("cum_in_slice",
+        sum(col("cnt"))
+          .over(slice.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("g"), col("v"),
         (col("off") + col("cum_in_slice") - col("cnt")).as("cum_lo"),
         (col("off") + col("cum_in_slice")).as("cum_hi"),
@@ -119,7 +145,7 @@ object Stats {
   def exactPercentiles(df: DataFrame, group: Column, value: Column,
                        ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
-    rankIntervals(df, group, value)
+    rankIntervals(df, group, value, ps)
       .select(col("g"), col("v"), col("cum_lo"), col("cum_hi"), col("n"),
         explode(array(ps.map(lit): _*)).as("p"))
       .withColumn("t", lit(1.0) + col("p") * (col("n") - lit(1)))
@@ -159,7 +185,7 @@ object Stats {
       (col(s"_vlo$i") + (col(s"_t$i") - floor(col(s"_t$i"))) *
         (col(s"_vhi$i") - col(s"_vlo$i"))).as(names(i))
     }
-    rankIntervals(df, group, value)
+    rankIntervals(df, group, value, ps)
       .filter(boundary)
       .groupBy(col("g"))
       .agg(aggs.head, aggs.tail: _*)
