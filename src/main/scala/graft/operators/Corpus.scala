@@ -500,6 +500,136 @@ object Corpus {
            (max(col("run_len")) + 2).as("max_span_tokens"))
   }
 
+  /** Freeze the corpus-global halves of the doc-signals sheet as FOUR
+    * Versioned tables committing in lockstep under `stateDir` — the
+    * build-once / score-many cadence ([[buildNbModel]]'s discipline
+    * applied to the signal families):
+    *  - `nd`:  shingle-hash → number of documents containing it (the
+    *    cross-doc dup family's lookup table);
+    *  - `c1` / `c12` / `vsz`: the add-one bigram LM ([[lmScore]]'s
+    *    model — token counts, bigram counts, the 1-row vocabulary
+    *    size).
+    * All four are vocabulary/shingle-bounded — orders of magnitude
+    * smaller than the corpus. Returns the committed version.
+    */
+  def buildSignalState(docs: DataFrame, id: Column, text: Column,
+      stateDir: String,
+      shingler: Column => Column = NearDup.shingleHashes3Inst): Long = {
+    val inst = docs.select(id.as("doc_id"), explode(shingler(text)).as("ngram"))
+    val nd = inst.distinct().groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
+    val sz = org.apache.spark.sql.functions.size _
+    val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+    val bg = base.filter(sz(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), sz(col("toks")) - 1),
+        slice(col("toks"), lit(2), sz(col("toks")) - 1),
+        (x, y) => concat(x, lit(" "), y))).as("ngram"))
+    val c1  = base.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val c12 = bg.groupBy(col("ngram")).agg(count(lit(1)).as("c12"))
+    val vsz = c1.agg(count(lit(1)).as("v"))
+    val versions = Seq(
+      graft.sources.Versioned.overwrite(nd, s"$stateDir/nd"),
+      graft.sources.Versioned.overwrite(c1, s"$stateDir/c1"),
+      graft.sources.Versioned.overwrite(c12, s"$stateDir/c12"),
+      graft.sources.Versioned.overwrite(vsz, s"$stateDir/vsz"))
+    require(versions.distinct.size == 1,
+      s"signal-state tables diverged: ${versions.mkString(", ")} " +
+        s"(was $stateDir written by something other than buildSignalState?)")
+    versions.head
+  }
+
+  /** The doc-signals sheet ([[graft.PipelineQueries.q136SignalSheet]]'s
+    * columns) for a BATCH of documents scored against FROZEN
+    * [[buildSignalState]] state — the streaming half of the sheet:
+    * row-local families (lang, quality, repetition) compute on the
+    * batch alone; the corpus-global families join the persisted lookup
+    * tables (all broadcast-sized) instead of rescanning a corpus.
+    *
+    * Smoothing joins are LEFT + coalesce(0), so documents with tokens
+    * or bigrams the frozen corpus never saw still score (add-one mass
+    * only) — on a replayed corpus every key hits and the output is
+    * row-identical to the batch sheet (StreamingSpec proves it).
+    *
+    * `dupThreshold`: a doc's n-gram counts as duplicated when the
+    * frozen corpus shows ≥ this many documents containing it. The
+    * default 2 assumes the scored docs ARE corpus members (replay /
+    * re-attribution); pass 1 when scoring documents from OUTSIDE the
+    * frozen corpus, where a single corpus occurrence is already
+    * "someone else has this text".
+    */
+  def signalSheetWith(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, docs: DataFrame, id: Column, text: Column,
+      nChars: Column, asOf: Option[Long] = None, dupThreshold: Int = 2,
+      shingler: Column => Column = NearDup.shingleHashes3Inst): DataFrame = {
+    val v = asOf.getOrElse {
+      val vs = Seq("nd", "c1", "c12", "vsz")
+        .map(t => graft.sources.Versioned.latestVersion(spark, s"$stateDir/$t"))
+      require(vs.distinct.size == 1,
+        s"signal-state tables out of lockstep (versions ${vs.mkString(", ")}) " +
+          "— rebuild the state dir; pinned asOf reads of intact versions still work")
+      vs.head
+    }
+    def tbl(t: String) = graft.sources.Versioned.read(spark, s"$stateDir/$t", Some(v))
+    val nd = tbl("nd")
+
+    val local = docs.select(id.as("doc_id"),
+      TextOps.langId(text).as("predicted_lang"),
+      TextOps.qualityScore(text, nChars).as("quality"))
+    val rep = repetitionStats(docs, id, text)
+      .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
+        isRepetitive(col("distinct_ratio"), col("top_token_frac"),
+          col("top_bigram_frac")).as("is_repetitive"))
+
+    // dup families: batch instances × frozen nd — batch×state, never
+    // corpus×corpus (the [[Curation.curateBatch]] join discipline)
+    val inst = docs.select(id.as("doc_id"), posexplode(shingler(text)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("ngram"))
+    val dupped = inst.join(nd, Seq("ngram"), "left")
+      .select(col("doc_id"), col("pos"),
+        (coalesce(col("nd"), lit(0L)) >= dupThreshold).as("is_dup"))
+    val dup = dupped.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"),
+        (col("n_dup").cast("double") / col("n_ngrams").cast("double"))
+          .as("dup_frac"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val span = dupped.filter(col("is_dup"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("run_len")) + 2).as("dup_span"))
+
+    // ppl: batch bigrams × frozen LM tables, [[lmScore]]'s arithmetic
+    val sz = org.apache.spark.sql.functions.size _
+    val toks = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+    val bg = toks.filter(sz(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), sz(col("toks")) - 1),
+          slice(col("toks"), lit(2), sz(col("toks")) - 1),
+          (x, y) => struct(x.as("w1"), concat(x, lit(" "), y).as("ngram")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.ngram").as("ngram"))
+    val term = log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+                   (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+    val ppl = bg.join(tbl("c12"), Seq("ngram"), "left")
+      .join(tbl("c1"), col("w1") === col("tok"), "left")
+      .crossJoin(broadcast(tbl("vsz")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(term.cast("decimal(27,10)")).as("s"))
+      .select(col("doc_id"),
+        exp(-(col("s").cast("double") / col("n_bigrams"))).as("ppl"))
+
+    local
+      .join(rep, Seq("doc_id"))
+      .join(dup, Seq("doc_id"), "left")
+      .join(span, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+  }
+
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): estimate per-doc
     * importance weights p_target/p_raw under bag-of-hashed-token

@@ -322,6 +322,37 @@ object StreamJobs {
       .start()
   }
 
+  /** Online doc-signals sheet: each micro-batch of documents
+    * (doc_id, text, n_chars) scores against FROZEN
+    * [[graft.operators.Corpus.buildSignalState]] state — row-local
+    * families on the batch, corpus-global families (cross-doc dup,
+    * LM perplexity) as batch×state joins against the persisted lookup
+    * tables. The state version is pinned at stream start (a concurrent
+    * rebuild never shifts signals mid-stream; a restart picks up the
+    * new latest) and the sink is the (run_id, batch_id)-partitioned
+    * idempotent parquet — the [[classifyStream]] discipline applied to
+    * the whole attributes artifact. On a replayed corpus the
+    * accumulated sheet is row-identical to the batch q136 sheet
+    * (StreamingSpec).
+    */
+  def signalSheetStream(docStream: DataFrame, stateDir: String,
+                        outDir: String, checkpointDir: String,
+                        dupThreshold: Int = 2): StreamingQuery = {
+    val spark = docStream.sparkSession
+    val pinned = graft.sources.Versioned.latestVersion(spark, s"$stateDir/nd")
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(
+          graft.operators.Corpus.signalSheetWith(spark, stateDir, batch,
+            col("doc_id"), col("text"), col("n_chars"),
+            asOf = Some(pinned), dupThreshold = dupThreshold),
+          checkpointDir, batchId, outDir)
+      }
+      .start()
+  }
+
   /** Run a windowed aggregation stream into an in-memory table (test /
     * interactive sink; complete mode because windowed counts update).
     */

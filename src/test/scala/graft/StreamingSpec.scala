@@ -477,6 +477,44 @@ class StreamingSpec extends SparkSpec {
         .exists { case (_, cid, _) => cid >= 500000L })
   }
 
+  test("streaming doc-signals sheet: replayed corpus accumulates to exactly the batch q136 sheet") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Corpus
+
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val work = tmpDir()
+    val state = s"$work/sig"
+    assert(Corpus.buildSignalState(docs, col("doc_id"), col("text"), state) == 0L)
+
+    val rows = docs.select(col("doc_id"), col("text"),
+        col("n_chars").cast("long"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    var n = 0
+    def deliver(batch: Seq[(Long, String, Long)], out: String): Unit = {
+      n += 1
+      val mem = MemoryStream[(Long, String, Long)]
+      mem.addData(batch.toIndexedSeq: _*)
+      StreamJobs.signalSheetStream(
+        mem.toDF().toDF("doc_id", "text", "n_chars"), state,
+        out, s"$work/ckpt$n").awaitTermination()
+    }
+    // two deliveries splitting the corpus accumulate to the batch sheet
+    val (d1, d2) = rows.partition(_._1 % 2 == 0)
+    deliver(d1, s"$work/out")
+    deliver(d2, s"$work/out")
+    val streamed = spark.read.parquet(s"$work/out")
+      .drop("run_id", "batch_id")
+    val batchSheet = PipelineQueries.q136SignalSheet(spark, dir)
+    assert(streamed.count() == batchSheet.count())
+    val cols = batchSheet.columns.map(col).toSeq
+    val s = streamed.select(cols: _*)
+    assert(s.exceptAll(batchSheet).isEmpty && batchSheet.exceptAll(s).isEmpty,
+      "streamed sheet diverged from the batch sheet on a replayed corpus")
+  }
+
   test("idempotent foreachBatch sink: a redelivered batch replaces its prior output; distinct streams accumulate") {
     import spark.implicits._
     val work = tmpDir()
