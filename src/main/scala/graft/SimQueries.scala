@@ -415,6 +415,52 @@ object SimQueries {
        |ORDER BY hamming, doc_a, doc_b LIMIT 50""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A8/multimodal — perceptual image near-dup over binary payloads:
+  // dHash-shaped 64-bit keys, 8×8-bit band candidate join (pigeonhole
+  // guarantee hamming ≤ 7), exact popcount verify. ORACLE-CHECKED via
+  // the stub-arithmetic tier (md5-63 of the payload stands in for
+  // pixels — the q30/q82/q83 pattern); the REAL JDK-decode dHash path
+  // (Multimodal.dHash64/imageNearDup) is differential-tested in
+  // MultimodalRealSpec with resized-duplicate and distinct image pairs.
+  def q142ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    // ten re-ingested copies under shifted ids (the re-encoded-upload
+    // shape): guarantees hamming-0 pairs at every SF — the raw corpus
+    // has byte-identical texts only at sf0.1
+    val copies = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("payload"))
+    graft.operators.Multimodal.imageNearDupStub(
+        docs.unionByName(copies), "doc_id", "payload")
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  private val q142Sql =
+    """WITH imgs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10),
+      |ph AS (
+      |  SELECT doc_id,
+      |    (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 2147483648) * 4294967296
+      |      + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) AS dhash
+      |  FROM imgs),
+      |banded AS (
+      |  SELECT doc_id, dhash, b.b AS band,
+      |    (dhash >> (b.b * 8)) & 255 AS band_key
+      |  FROM ph CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+      |    a.dhash AS sig_a, c.dhash AS sig_b
+      |  FROM banded a JOIN banded c
+      |    ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+      |FROM pairs
+      |WHERE bit_count(xor(sig_a, sig_b)) <= 6
+      |ORDER BY hamming, doc_a, doc_b LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A8 — exact n-gram Jaccard near-dup, blocked by shared shingle.
   def q35NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     NearDup.ngramJaccardPairs(Tables.documents(spark, dir), col("doc_id"), col("text"))
@@ -697,6 +743,7 @@ object SimQueries {
     "q97_minhash_capped"   -> (q97MinhashCapped _),
     "q34_simhash"          -> (q34Simhash _),
     "q43_simhash_neardup"  -> (q43SimhashNearDup _),
+    "q142_image_neardup"   -> (q142ImageNearDup _),
     "q35_ngram_jaccard"    -> (q35NgramJaccard _),
     "q36_embedding_neardup" -> (q36EmbeddingNearDup _),
     "q99_semantic_clusters" -> (q99SemanticClusters _),
@@ -720,6 +767,7 @@ object SimQueries {
     "q97_minhash_capped"    -> q97Sql,
     "q34_simhash"           -> q34Sql,
     "q43_simhash_neardup"   -> q43Sql,
+    "q142_image_neardup"    -> q142Sql,
     "q35_ngram_jaccard"     -> q35Sql,
     "q36_embedding_neardup" -> q36Sql,
     "q99_semantic_clusters" -> q99Sql,

@@ -186,6 +186,95 @@ object Multimodal {
       .toDF(idCol, "embedding")
   }
 
+  /** 64-bit perceptual difference hash (dHash) over the REAL decode
+    * path: decode, bilinear-downscale to 9×8 luminance, one bit per
+    * adjacent-pixel comparison (bit y·8+x = lum(x+1,y) > lum(x,y)).
+    * Robust to resizing and re-encoding — the standard cheap
+    * perceptual key for image dedup at crawl scale. Output
+    * (id, dhash, ok); undecodable payloads quarantine as ok = false
+    * with null dhash, the [[decodeImagesReal]] contract.
+    */
+  def dHash64(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val h = try {
+            Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload))).map { img =>
+              val dst = new java.awt.image.BufferedImage(9, 8,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, 9, 8, null): Unit
+              } finally g.dispose()
+              def lum(x: Int, y: Int): Int = {
+                val rgb = dst.getRGB(x, y)
+                (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                  114 * (rgb & 0xff)) / 1000
+              }
+              var bits = 0L
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  if (lum(x + 1, y) > lum(x, y)) bits |= 1L << (y * 8 + x)
+                  x += 1
+                }
+                y += 1
+              }
+              bits
+            }
+          } catch { case _: Exception => None }
+          (id, h, h.isDefined)
+        }
+      }
+      .toDF(idCol, "dhash", "ok")
+  }
+
+  /** Perceptual image near-dup pairs over the REAL decode path:
+    * [[dHash64]] each payload (undecodable rows quarantine out), then
+    * the [[NearDup.simhashNearDup]] banding machinery on the hash —
+    * 8×8-bit bands, so every pair within hamming `maxHamming` ≤ 7
+    * shares an exact band and the candidate generation stays an
+    * equality join. A resized/re-encoded copy of an image lands within
+    * a few bits of the original; unrelated images sit near hamming 32.
+    * Output: doc_a, doc_b, hamming.
+    */
+  def imageNearDup(df: DataFrame, idCol: String, payloadCol: String,
+                   maxHamming: Int = 6,
+                   maxBandFreq: Option[Int] = None): DataFrame =
+    NearDup.simhashNearDup(
+      dHash64(df, idCol, payloadCol).filter(col("ok")),
+      col(idCol), col("dhash"),
+      maxHamming = maxHamming, signature = c => c,
+      maxBandFreq = maxBandFreq, nBands = 8)
+
+  /** STUB perceptual hash for the oracle-checked twin
+    * ([[imageNearDupStub]]): the cross-engine md5 63-bit value of the
+    * payload bytes stands in for pixels — deterministic, replayable in
+    * SQL, and identical payloads (exact image duplicates) collide at
+    * hamming 0 exactly as the real hash would.
+    */
+  def imageDHashStub(payload: Column): Column =
+    (pmod(conv(substring(md5(payload), 1, 8), 16, 10).cast("long"),
+      lit(2147483648L)) * lit(4294967296L)) +
+      conv(substring(md5(payload), 9, 8), 16, 10).cast("long")
+
+  /** The stub-arithmetic twin of [[imageNearDup]] (the q30/q82/q83
+    * pattern): same banding, same Hamming filter, fake pixels — so the
+    * whole candidate-generation and verification pipeline
+    * oracle-checks in DuckDB, which a real codec output cannot.
+    */
+  def imageNearDupStub(df: DataFrame, idCol: String, payloadCol: String,
+                       maxHamming: Int = 6): DataFrame =
+    NearDup.simhashNearDup(df, col(idCol), col(payloadCol),
+      maxHamming = maxHamming, signature = imageDHashStub, nBands = 8)
+
   /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM —
     * ships with Java): sample rate, channels, frame count, duration,
     * and RMS amplitude over the 16-bit samples. Output (id, sample_rate,

@@ -495,19 +495,27 @@ object NearDup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
-  /** SimHash near-dup pairs: band each 64-bit signature into four
-    * 16-bit keys; by pigeonhole, any pair within hamming distance 3 of
-    * each other shares at least one exact band, so the equality join on
-    * (band, key) finds all such pairs without a cross product. Pairs are
-    * then filtered to `maxHamming` (≤ 3 keeps the pigeonhole guarantee;
-    * larger values trade recall).
+  /** SimHash near-dup pairs: band each 64-bit signature into `nBands`
+    * equal-width keys; by pigeonhole, any pair within hamming distance
+    * nBands−1 of each other shares at least one exact band, so the
+    * equality join on (band, key) finds all such pairs without a cross
+    * product. Pairs are then filtered to `maxHamming` (≤ nBands−1
+    * keeps the pigeonhole guarantee; larger values trade recall).
+    * More bands widen the guarantee but narrow the keys (64/nBands
+    * bits), so collision-driven candidate volume grows — 4×16-bit fits
+    * text SimHash (hamming ≤ 3), 8×8-bit fits perceptual image hashes
+    * (hamming ≤ 7, [[Multimodal.imageNearDup]]).
     *
     * Output: doc_a, doc_b, hamming.
     */
   def simhashNearDup(docs: DataFrame, id: Column, text: Column,
                      maxHamming: Int = 3,
                      signature: Column => Column = simhash64,
-                     maxBandFreq: Option[Int] = None): DataFrame = {
+                     maxBandFreq: Option[Int] = None,
+                     nBands: Int = 4): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0, "nBands must divide 64")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val signed = docs
       .select(id.as("doc_id"), signature(text).as("sig"))
       // feeds both sides of the band self-join; localCheckpoint so the
@@ -515,9 +523,10 @@ object NearDup {
       .localCheckpoint(eager = false)
     val banded = signed
       .select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("band"))
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("band_key",
-        call_function("shiftright", col("sig"), col("band") * 16).bitwiseAND(lit(0xffffL)))
+        call_function("shiftright", col("sig"), col("band") * width)
+          .bitwiseAND(lit(mask)))
     // NOTE: capping trades the pigeonhole guarantee for skew safety on
     // the heavy keys only — a pair whose every shared band is heavy is
     // missed, which for hamming ≤ 3 requires the pair to sit inside a
