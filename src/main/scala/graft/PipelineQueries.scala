@@ -766,20 +766,25 @@ object PipelineQueries {
 
   private val q128Sql =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      |th AS (
+      |  SELECT doc_id,
+      |    list_transform(parts, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS h
+      |  FROM t),
       |bg AS (
-      |  SELECT doc_id, parts[i] AS w1, parts[i] || ' ' || parts[i + 1] AS ngram
-      |  FROM (SELECT doc_id, parts, generate_subscripts(parts, 1) AS i FROM t)
-      |  WHERE i < len(parts)),
+      |  SELECT doc_id, h[i] AS w1k,
+      |    (h[i] * 1000003 + h[i + 1]) % 2147483647 AS ngk
+      |  FROM (SELECT doc_id, h, generate_subscripts(h, 1) AS i FROM th)
+      |  WHERE i < len(h)),
       |c1 AS (
-      |  SELECT tok, count(*) AS c1
-      |  FROM (SELECT unnest(parts) AS tok FROM t) GROUP BY tok),
-      |c12 AS (SELECT ngram, count(*) AS c12 FROM bg GROUP BY ngram),
+      |  SELECT tk, count(*) AS c1
+      |  FROM (SELECT unnest(h) AS tk FROM th) GROUP BY tk),
+      |c12 AS (SELECT ngk, count(*) AS c12 FROM bg GROUP BY ngk),
       |v AS (SELECT count(*) AS v FROM c1),
       |terms AS (
       |  SELECT doc_id,
       |    CAST(ln(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))
       |         AS DECIMAL(27,10)) AS term
-      |  FROM bg JOIN c12 USING (ngram) JOIN c1 ON bg.w1 = c1.tok CROSS JOIN v)
+      |  FROM bg JOIN c12 USING (ngk) JOIN c1 ON bg.w1k = c1.tk CROSS JOIN v)
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
       |  CAST(sum(term) AS DOUBLE) / count(*) AS avg_ll,
       |  exp(-(CAST(sum(term) AS DOUBLE) / count(*))) AS ppl
@@ -1071,19 +1076,20 @@ object PipelineQueries {
       |  SELECT doc_id, CAST(max(run_len) + 2 AS BIGINT) AS dup_span
       |  FROM srl GROUP BY doc_id),
       |pbg AS (
-      |  SELECT doc_id, parts[i] AS w1, parts[i] || ' ' || parts[i + 1] AS ngram
-      |  FROM (SELECT doc_id, parts, generate_subscripts(parts, 1) AS i FROM dt)
-      |  WHERE i < len(parts)),
+      |  SELECT doc_id, h[i] AS w1k,
+      |    (h[i] * 1000003 + h[i + 1]) % 2147483647 AS ngk
+      |  FROM (SELECT doc_id, h, generate_subscripts(h, 1) AS i FROM dth)
+      |  WHERE i < len(h)),
       |pc1 AS (
-      |  SELECT tok, count(*) AS c1
-      |  FROM (SELECT unnest(parts) AS tok FROM dt) GROUP BY tok),
-      |pc12 AS (SELECT ngram, count(*) AS c12 FROM pbg GROUP BY ngram),
+      |  SELECT tk, count(*) AS c1
+      |  FROM (SELECT unnest(h) AS tk FROM dth) GROUP BY tk),
+      |pc12 AS (SELECT ngk, count(*) AS c12 FROM pbg GROUP BY ngk),
       |pv AS (SELECT count(*) AS v FROM pc1),
       |pterms AS (
       |  SELECT doc_id,
       |    CAST(ln(CAST(pc12.c12 + 1 AS DOUBLE) / CAST(pc1.c1 + pv.v AS DOUBLE))
       |         AS DECIMAL(27,10)) AS term
-      |  FROM pbg JOIN pc12 USING (ngram) JOIN pc1 ON pbg.w1 = pc1.tok CROSS JOIN pv),
+      |  FROM pbg JOIN pc12 USING (ngk) JOIN pc1 ON pbg.w1k = pc1.tk CROSS JOIN pv),
       |pppl AS (
       |  SELECT doc_id, exp(-(CAST(sum(term) AS DOUBLE) / count(*))) AS ppl
       |  FROM pterms GROUP BY doc_id)

@@ -375,36 +375,47 @@ object Corpus {
     * in any engine, and the per-doc sum runs in DECIMAL(27,10)
     * (exact, order-independent) — so scores hash-match an SQL replay.
     *
+    * Model space (round 8): tokens and bigrams live as 8-byte md5-roll
+    * hashes ([[NearDup.tokenHashesMd5]] tokens in [0, P); bigram key =
+    * (h₁·K + h₂) mod P — the q130 shingle-hash contract applied to the
+    * LM), so the per-doc scoring stream carries (doc_id, w1k, ngk)
+    * longs, never text, and DuckDB still replays the exact keys. Two
+    * distinct tokens/bigrams collide with probability ~n²/2³² — both
+    * engines merge the SAME cells, so oracle comparison is unaffected;
+    * the model itself blurs only at that rate.
+    *
     * Scale shape: the model is vocabulary-bounded — c1 is |V| rows,
     * c12 is |distinct bigrams| (Zipf ⇒ ≪ the token stream) — and both
-    * derive from one explode + hash agg with map-side combine. The
-    * per-doc stream that joins the model carries (doc_id, w1, ngram)
-    * only, never text; the c12 join is the one wide shuffle. Docs
-    * with < 2 tokens have no bigrams and are absent from the output.
+    * derive from one explode + hash agg with map-side combine; the c12
+    * join is the one wide shuffle. Docs with < 2 tokens have no
+    * bigrams and are absent from the output.
     *
     * Output: doc_id, n_bigrams, avg_ll, ppl.
     */
   def lmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val sz = org.apache.spark.sql.functions.size _
-    val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
-    // (doc_id, w1, "w1 w2") bigram instances — zip_with over slices, the
-    // [[bigramCounts]] shape (slice args evaluate once per row).
+    val base = docs.select(id.as("doc_id"), NearDup.tokenHashesMd5(text).as("th"))
+    val m = sz(col("th")) - 1
+    // (doc_id, w1-key, bigram-key) instances — zip_with over slices,
+    // the [[bigramCounts]] shape (slice args evaluate once per row;
+    // the lambda binds every subexpression it uses).
     val bg = base
-      .filter(sz(col("toks")) >= 2)
+      .filter(sz(col("th")) >= 2)
       .select(col("doc_id"),
         explode(zip_with(
-          slice(col("toks"), lit(1), sz(col("toks")) - 1),
-          slice(col("toks"), lit(2), sz(col("toks")) - 1),
-          (x, y) => struct(x.as("w1"), concat(x, lit(" "), y).as("ngram")))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.ngram").as("ngram"))
-    val c1  = base.select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-    val c12 = bg.groupBy(col("ngram")).agg(count(lit(1)).as("c12"))
+          slice(col("th"), lit(1), m),
+          slice(col("th"), lit(2), m),
+          (a, b) => struct(a.as("w1k"),
+            pmod(a * lit(NearDup.K) + b, lit(NearDup.P)).as("ngk")))).as("b"))
+      .select(col("doc_id"), col("b.w1k").as("w1k"), col("b.ngk").as("ngk"))
+    val c1  = base.select(explode(col("th")).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("c1"))
+    val c12 = bg.groupBy(col("ngk")).agg(count(lit(1)).as("c12"))
     val v   = c1.agg(count(lit(1)).as("v"))           // 1 row → broadcast
     val term = log((col("c12") + 1).cast("double") /
                    (col("c1") + col("v")).cast("double"))
-    bg.join(c12, Seq("ngram"))
-      .join(c1, col("w1") === col("tok"))
+    bg.join(c12, Seq("ngk"))
+      .join(c1, col("w1k") === col("tk"))
       .crossJoin(v)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -517,16 +528,19 @@ object Corpus {
       shingler: Column => Column = NearDup.shingleHashes3Inst): Long = {
     val inst = docs.select(id.as("doc_id"), explode(shingler(text)).as("ngram"))
     val nd = inst.distinct().groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
+    // LM model in [[lmScore]]'s hashed key space (md5-roll tokens and
+    // bigrams — 8-byte keys, cross-engine)
     val sz = org.apache.spark.sql.functions.size _
-    val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
-    val bg = base.filter(sz(col("toks")) >= 2)
+    val base = docs.select(id.as("doc_id"), NearDup.tokenHashesMd5(text).as("th"))
+    val m = sz(col("th")) - 1
+    val bg = base.filter(sz(col("th")) >= 2)
       .select(explode(zip_with(
-        slice(col("toks"), lit(1), sz(col("toks")) - 1),
-        slice(col("toks"), lit(2), sz(col("toks")) - 1),
-        (x, y) => concat(x, lit(" "), y))).as("ngram"))
-    val c1  = base.select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-    val c12 = bg.groupBy(col("ngram")).agg(count(lit(1)).as("c12"))
+        slice(col("th"), lit(1), m),
+        slice(col("th"), lit(2), m),
+        (a, b) => pmod(a * lit(NearDup.K) + b, lit(NearDup.P)))).as("ngk"))
+    val c1  = base.select(explode(col("th")).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("c1"))
+    val c12 = bg.groupBy(col("ngk")).agg(count(lit(1)).as("c12"))
     val vsz = c1.agg(count(lit(1)).as("v"))
     val versions = Seq(
       graft.sources.Versioned.overwrite(nd, s"$stateDir/nd"),
@@ -603,19 +617,22 @@ object Corpus {
       .agg((max(col("run_len")) + 2).as("dup_span"))
 
     // ppl: batch bigrams × frozen LM tables, [[lmScore]]'s arithmetic
+    // in its hashed key space
     val sz = org.apache.spark.sql.functions.size _
-    val toks = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
-    val bg = toks.filter(sz(col("toks")) >= 2)
+    val toks = docs.select(id.as("doc_id"), NearDup.tokenHashesMd5(text).as("th"))
+    val m = sz(col("th")) - 1
+    val bg = toks.filter(sz(col("th")) >= 2)
       .select(col("doc_id"),
         explode(zip_with(
-          slice(col("toks"), lit(1), sz(col("toks")) - 1),
-          slice(col("toks"), lit(2), sz(col("toks")) - 1),
-          (x, y) => struct(x.as("w1"), concat(x, lit(" "), y).as("ngram")))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.ngram").as("ngram"))
+          slice(col("th"), lit(1), m),
+          slice(col("th"), lit(2), m),
+          (a, b) => struct(a.as("w1k"),
+            pmod(a * lit(NearDup.K) + b, lit(NearDup.P)).as("ngk")))).as("b"))
+      .select(col("doc_id"), col("b.w1k").as("w1k"), col("b.ngk").as("ngk"))
     val term = log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
                    (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
-    val ppl = bg.join(tbl("c12"), Seq("ngram"), "left")
-      .join(tbl("c1"), col("w1") === col("tok"), "left")
+    val ppl = bg.join(tbl("c12"), Seq("ngk"), "left")
+      .join(tbl("c1"), col("w1k") === col("tk"), "left")
       .crossJoin(broadcast(tbl("vsz")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),

@@ -155,6 +155,17 @@ object NearDup {
       P, K, distinct = false))
   }
 
+  /** Per-token md5 hashes in [0, P), in token order — the cross-engine
+    * token key ([[Corpus.lmScore]]'s model space; bigram keys roll two
+    * adjacent elements with K mod P). One fused digest loop
+    * ([[graft.plans.Md5TokenHashesExpr]]).
+    */
+  private[graft] def tokenHashesMd5(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.Md5TokenHashesExpr(
+      GraftColumnBridge.expression(TextOps.tokens(text)), P, mod63 = false))
+  }
+
   /** 3-gram STRING instances in token order — the legacy text-carrying
     * key, kept for differential testing against the hash families
     * (string ≡ hashed up to hash collisions).
