@@ -967,6 +967,63 @@ object PipelineQueries {
       |FROM rl GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] exact-substring dedup, the REMOVE step (Lee et al. 2021):
+  // q134's spans actually deleted — every cross-doc duplicated run of
+  // ≥ 12 tokens is stripped and the text rebuilt from the survivors
+  // (12 fits this corpus's span distribution; the operator default is
+  // the published 50). One row per doc; untouched docs pass through.
+  def q143StripDupSpans(spark: SparkSession, dir: String): DataFrame =
+    Corpus.stripDupSpans(Tables.documents(spark, dir), col("doc_id"),
+        col("text"), minSpanTokens = 12,
+        shingler = NearDup.shingleHashes3Md5Inst)
+      .orderBy(col("doc_id"))
+
+  private val q143Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      |th AS (
+      |  SELECT doc_id,
+      |    list_transform(parts, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 2147483647) AS h
+      |  FROM t),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    ((h[i] * 1000003 + h[i + 1]) % 2147483647 * 1000003 + h[i + 2]) % 2147483647 AS ngram
+      |  FROM (SELECT doc_id, h, generate_subscripts(h, 1) AS i FROM th)
+      |  WHERE i + 2 <= len(h)),
+      |nd AS (
+      |  SELECT ngram, count(*) AS nd
+      |  FROM (SELECT DISTINCT doc_id, ngram FROM g) GROUP BY ngram),
+      |dp AS (SELECT g.doc_id, g.pos FROM g JOIN nd USING (ngram) WHERE nd >= 2),
+      |runs AS (
+      |  SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM dp),
+      |rl AS (
+      |  SELECT doc_id, min(pos) AS s, count(*) + 2 AS span
+      |  FROM runs GROUP BY doc_id, grp),
+      |spans AS (SELECT doc_id, s, s + span - 1 AS e FROM rl WHERE span >= 12),
+      |rem AS (
+      |  SELECT DISTINCT doc_id, CAST(unnest(generate_series(s, e)) AS BIGINT) AS tpos
+      |  FROM spans),
+      |tokpos AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS tpos, parts[i] AS tok
+      |  FROM (SELECT doc_id, parts, generate_subscripts(parts, 1) AS i FROM t)),
+      |kept AS (
+      |  SELECT tk.doc_id, tk.tpos, tk.tok FROM tokpos tk
+      |  WHERE NOT EXISTS (SELECT 1 FROM rem
+      |                    WHERE rem.doc_id = tk.doc_id AND rem.tpos = tk.tpos)),
+      |reb AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+      |  FROM kept GROUP BY doc_id),
+      |rc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(reb.clean_text, '') AS clean_text,
+      |  coalesce(rc.n_removed, 0) AS n_removed
+      |FROM documents d
+      |LEFT JOIN reb ON reb.doc_id = d.doc_id
+      |LEFT JOIN rc ON rc.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // [EXT] persisted classifier model — q131's NB gate in production
   // shape: train ONCE into two Versioned tables (model grid + priors,
   // lockstep versions), score the held-out slice against the frozen
@@ -1147,7 +1204,8 @@ object PipelineQueries {
     "q131_nb_classify"      -> (q131NbClassify _),
     "q132_nb_model_score"   -> (q132NbModelScore _),
     "q134_dup_spans"        -> (q134DupSpans _),
-    "q136_signal_sheet"     -> (q136SignalSheet _))
+    "q136_signal_sheet"     -> (q136SignalSheet _),
+    "q143_strip_dup_spans"  -> (q143StripDupSpans _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -1175,5 +1233,6 @@ object PipelineQueries {
     // the persisted-model probe replays q131's inline pipeline exactly
     "q132_nb_model_score"   -> q131Sql,
     "q134_dup_spans"        -> q134Sql,
-    "q136_signal_sheet"     -> q136Sql)
+    "q136_signal_sheet"     -> q136Sql,
+    "q143_strip_dup_spans"  -> q143Sql)
 }

@@ -511,6 +511,67 @@ object Corpus {
            (max(col("run_len")) + 2).as("max_span_tokens"))
   }
 
+  /** Exact-substring dedup, the REMOVE step (Lee et al. 2021 — their
+    * pipeline deletes every ≥50-token span shared across documents,
+    * not just flags it): drop the tokens covered by every
+    * cross-document duplicated run of [[dupSpanStats]]'s algebra whose
+    * span reaches `minSpanTokens`, and rebuild the text from the
+    * surviving tokens in order. Docs untouched by any qualifying span
+    * pass through verbatim (token-joined); a doc that is ONE big
+    * duplicated span comes out empty — deletion, not dropping, is the
+    * published semantics (the empties then fall to the length gate).
+    *
+    * Scale shape: the candidate stream carries (doc_id, pos, 8-byte
+    * shingle hash); spans collapse per doc (gaps-and-islands, windows
+    * partitioned by doc_id); the rebuild is a per-doc bounded
+    * aggregation (a document's own tokens — KB, never corpus-wide).
+    *
+    * Output: doc_id, clean_text, n_removed — one row per input doc.
+    */
+  def stripDupSpans(docs: DataFrame, id: Column, text: Column,
+                    minSpanTokens: Int = 50,
+                    shingler: Column => Column = NearDup.shingleHashes3Inst)
+      : DataFrame = {
+    require(minSpanTokens >= 3, "a 3-gram already spans 3 tokens")
+    val inst = docs.select(id.as("doc_id"), posexplode(shingler(text)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("ngram"))
+    val nd = inst.select(col("doc_id"), col("ngram")).distinct()
+      .groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
+    val dupPos = inst.join(nd.filter(col("nd") >= 2), Seq("ngram"))
+      .select(col("doc_id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // a run of r consecutive duplicated 3-grams starting at s covers
+    // tokens [s, s + r + 1] — r + 2 tokens
+    val spans = dupPos
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), (count(lit(1)) + 2).as("span"))
+      .filter(col("span") >= minSpanTokens)
+      .select(col("doc_id"), col("s"), (col("s") + col("span") - 1).as("e"))
+    // adjacent spans' token coverage can touch — distinct the positions
+    val removed = spans
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("tpos"))
+      .distinct()
+    val tokpos = docs.select(id.as("doc_id"), posexplode(TextOps.tokens(text)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("tpos"),
+        col("col").as("tok"))
+    val rebuilt = tokpos.join(removed, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          x => x("tok")), " ").as("clean_text"))
+    val removedCnt = removed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"))
+    docs.select(id.as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .join(removedCnt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Freeze the corpus-global halves of the doc-signals sheet as FOUR
     * Versioned tables committing in lockstep under `stateDir` — the
     * build-once / score-many cadence ([[buildNbModel]]'s discipline

@@ -515,6 +515,36 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(byDoc(4L) == ((4L, 1L, 3L)))
   }
 
+  test("q143 stripDupSpans: qualifying shared passages deleted, short matches kept, lone docs verbatim") {
+    val shared = (1 to 10).map(i => s"p$i").mkString(" ") // 10-token passage
+    val docs = Seq(
+      (1L, s"a1 a2 $shared a3"),        // shares the 10-token passage…
+      (2L, s"b1 $shared b2 b3"),        // …with doc 2 → span 10 ≥ 8 → stripped
+      (3L, "x y z m1 m2"),              // shares only "x y z" with doc 4
+      (4L, "x y z n1 n2 n3"),           //   → span 3 < 8 → kept
+      (5L, "u1 u2 u3 u4 u5")            // shares nothing → verbatim
+    ).toDF("doc_id", "text")
+    val out = Corpus.stripDupSpans(docs, col("doc_id"), col("text"),
+        minSpanTokens = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect()
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(out.length == 5, "one row per input doc")
+    assert(byDoc(1L) == ((1L, "a1 a2 a3", 10L)))
+    assert(byDoc(2L) == ((2L, "b1 b2 b3", 10L)))
+    assert(byDoc(3L) == ((3L, "x y z m1 m2", 0L)), "sub-threshold spans survive")
+    assert(byDoc(4L) == ((4L, "x y z n1 n2 n3", 0L)))
+    assert(byDoc(5L) == ((5L, "u1 u2 u3 u4 u5", 0L)))
+    // a doc that IS one big duplicated span deletes to empty, not dropped
+    val all = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+    val gone = Corpus.stripDupSpans(all, col("doc_id"), col("text"),
+        minSpanTokens = 8)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().toSet
+    assert(gone == Set((1L, "", 10L), (2L, "", 10L)))
+  }
+
   test("dup signals differential: string, xxhash64, and md5-roll shingle families agree") {
     import org.apache.spark.sql.Column
     val docs = Tables.documents(spark, dir)
