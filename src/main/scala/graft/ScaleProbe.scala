@@ -113,7 +113,24 @@ object ScaleProbe {
               "src4" -> 1.0, "src5" -> 0.75, "src6" -> 0.5, "src7" -> 0.25))
           .withColumn("mid", col("doc_id") * 4 + col("epoch"))
         Corpus.packSequences(mixed, col("mid"), col("text"), budget = 512)
-      })
+      },
+      // round-8 span-dup family: hashed instance shingles corpus-wide —
+      // the wide join carries 8-byte keys; growth must track the
+      // instance count, not pair anything quadratically
+      "dup_ngrams"       -> (d => Corpus.dupNgramStats(d, col("doc_id"), col("text"))),
+      "dup_spans"        -> (d => Corpus.dupSpanStats(d, col("doc_id"), col("text"))),
+      "strip_dup_spans"  -> (d => Corpus.stripDupSpans(d, col("doc_id"),
+        col("text"), minSpanTokens = 12)),
+      // round-8 hashed-key LM: model tables stay vocabulary-bounded as
+      // the corpus grows (replica-tagged tokens grow V linearly here —
+      // the worst case for the model side)
+      "lm_score"         -> (d => Corpus.lmScore(d, col("doc_id"), col("text"))),
+      // round-8 perceptual near-dup (stub hash tier): banded equality
+      // join over 8×8-bit keys — narrow keys mean collision-driven
+      // candidates; the Hamming filter must keep growth near-linear
+      "image_neardup"    -> (d => graft.operators.Multimodal.imageNearDupStub(
+        d.select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload")))
 
     val selected = if (opFilter.isEmpty) ops
                    else ops.filter(o => opFilter.exists(o._1.contains))
