@@ -1072,18 +1072,17 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
         Corpus.isRepetitive(col("distinct_ratio"), col("top_token_frac"),
           col("top_bigram_frac")).as("is_repetitive"))
-    val dup = Corpus.dupNgramStats(docs, col("doc_id"), col("text"),
+    // both dup families from ONE instance pass (shared nd table +
+    // staged marked stream) — one corpus tokenize+hash, not two
+    val dupBoth = Corpus.dupSignals(docs, col("doc_id"), col("text"),
         shingler = NearDup.shingleHashes3Md5Inst)
-      .select(col("doc_id"), col("dup_frac"))
-    val span = Corpus.dupSpanStats(docs, col("doc_id"), col("text"),
-        shingler = NearDup.shingleHashes3Md5Inst)
-      .select(col("doc_id"), col("max_span_tokens").as("dup_span"))
+      .select(col("doc_id"), col("dup_frac"),
+        col("max_span_tokens").as("dup_span"))
     val ppl = Corpus.lmScore(docs, col("doc_id"), col("text"))
       .select(col("doc_id"), col("ppl"))
     local
       .join(rep, Seq("doc_id"))
-      .join(dup, Seq("doc_id"), "left")
-      .join(span, Seq("doc_id"), "left")
+      .join(dupBoth, Seq("doc_id"), "left")
       .join(ppl, Seq("doc_id"), "left")
       .orderBy(col("doc_id"))
   }

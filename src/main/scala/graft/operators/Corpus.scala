@@ -511,6 +511,47 @@ object Corpus {
            (max(col("run_len")) + 2).as("max_span_tokens"))
   }
 
+  /** Both span-dup signal families from ONE instance pass:
+    * [[dupNgramStats]]'s fraction and [[dupSpanStats]]'s runs share
+    * the (doc_id, pos, shingle-hash) stream and the ngram→doc-count
+    * table, so a signal-sheet build pays one corpus tokenize + hash +
+    * nd shuffle instead of two. The dup-marked instance stream is
+    * staged (two consumers — at production scale this is the parquet
+    * stage between jobs, the NearDup signature-table discipline).
+    *
+    * Output: doc_id, n_ngrams, n_dup, dup_frac, n_runs,
+    * max_span_tokens (span columns NULL for docs with no cross-doc
+    * duplicated 3-gram). Row set ≡ [[dupNgramStats]] (docs with ≥1
+    * 3-gram); column semantics ≡ the standalone operators
+    * (spec-asserted).
+    */
+  def dupSignals(docs: DataFrame, id: Column, text: Column,
+                 shingler: Column => Column = NearDup.shingleHashes3Inst)
+      : DataFrame = {
+    val inst = docs.select(id.as("doc_id"), posexplode(shingler(text)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("ngram"))
+    val nd = inst.select(col("doc_id"), col("ngram")).distinct()
+      .groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
+    val marked = inst.join(nd, Seq("ngram"))
+      .select(col("doc_id"), col("pos"), (col("nd") >= 2).as("is_dup"))
+      .localCheckpoint(eager = false)
+    val frac = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_ngrams").cast("double"))
+          .as("dup_frac"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val span = marked.filter(col("is_dup"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        (max(col("run_len")) + 2).as("max_span_tokens"))
+    frac.join(span, Seq("doc_id"), "left")
+  }
+
   /** Exact-substring dedup, the REMOVE step (Lee et al. 2021 — their
     * pipeline deletes every ≥50-token span shared across documents,
     * not just flags it): drop the tokens covered by every

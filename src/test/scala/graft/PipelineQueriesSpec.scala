@@ -563,6 +563,18 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dupSignals: the one-pass form equals the two standalone dup operators joined") {
+    val docs = Tables.documents(spark, dir)
+    val both = Corpus.dupSignals(docs, col("doc_id"), col("text"))
+    val expected = Corpus.dupNgramStats(docs, col("doc_id"), col("text"))
+      .join(Corpus.dupSpanStats(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_runs"), col("max_span_tokens")),
+        Seq("doc_id"), "left")
+      .select(both.columns.map(col).toSeq: _*)
+    assert(both.exceptAll(expected).isEmpty && expected.exceptAll(both).isEmpty,
+      "shared-pass dup signals diverged from the standalone operators")
+  }
+
   test("q136 signal sheet: one row per doc; columns agree with the standalone signal operators") {
     val sheet = PipelineQueries.q136SignalSheet(spark, dir)
     val docs = Tables.documents(spark, dir)
