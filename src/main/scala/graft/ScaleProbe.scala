@@ -130,7 +130,13 @@ object ScaleProbe {
       // candidates; the Hamming filter must keep growth near-linear
       "image_neardup"    -> (d => graft.operators.Multimodal.imageNearDupStub(
         d.select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "doc_id", "payload")))
+        "doc_id", "payload")),
+      // capped variant — the 100 TB path: 8-bit band keys saturate on
+      // near-uniform hashes (O(n²/256) candidates uncapped); the
+      // frequency cap keeps growth linear by dropping only heavy keys
+      "image_neardup_cap" -> (d => graft.operators.Multimodal.imageNearDupStub(
+        d.select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload", maxBandFreq = Some(50))))
 
     val selected = if (opFilter.isEmpty) ops
                    else ops.filter(o => opFilter.exists(o._1.contains))

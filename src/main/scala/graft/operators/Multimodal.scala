@@ -269,11 +269,20 @@ object Multimodal {
     * pattern): same banding, same Hamming filter, fake pixels — so the
     * whole candidate-generation and verification pipeline
     * oracle-checks in DuckDB, which a real codec output cannot.
+    *
+    * Scale note (measured, ScaleProbe): 8-bit band keys saturate as
+    * the corpus outgrows 256·cap docs per key — near-uniform hashes
+    * then pair O(n²/256) candidates. At corpus scale either set
+    * `maxBandFreq` (drops only heavy keys — a heavy PERCEPTUAL key is
+    * a boilerplate/blank-image cluster by definition) or trade recall
+    * down to hamming ≤ 3 with 4×16-bit bands.
     */
   def imageNearDupStub(df: DataFrame, idCol: String, payloadCol: String,
-                       maxHamming: Int = 6): DataFrame =
+                       maxHamming: Int = 6,
+                       maxBandFreq: Option[Int] = None): DataFrame =
     NearDup.simhashNearDup(df, col(idCol), col(payloadCol),
-      maxHamming = maxHamming, signature = imageDHashStub, nBands = 8)
+      maxHamming = maxHamming, signature = imageDHashStub,
+      maxBandFreq = maxBandFreq, nBands = 8)
 
   /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM —
     * ships with Java): sample rate, channels, frame count, duration,
