@@ -545,6 +545,26 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(gone == Set((1L, "", 10L), (2L, "", 10L)))
   }
 
+  test("round-8 operator edges: short/empty docs pass stripDupSpans verbatim; dupSignals on empty input is empty") {
+    val docs = Seq(
+      (1L, ""),                 // empty text
+      (2L, "solo"),             // 1 token — no 3-grams
+      (3L, "two tokens"),       // 2 tokens
+      (4L, "two tokens")        // exact dup of 3, still < 3 tokens
+    ).toDF("doc_id", "text")
+    val out = Corpus.stripDupSpans(docs, col("doc_id"), col("text"),
+        minSpanTokens = 3)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((1L, "", 0L), (2L, "solo", 0L),
+      (3L, "two tokens", 0L), (4L, "two tokens", 0L)),
+      s"sub-3-gram docs must pass through untouched, got $out")
+    val empty = Corpus.dupSignals(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    assert(empty.count() == 0)
+  }
+
   test("dup signals differential: string, xxhash64, and md5-roll shingle families agree") {
     import org.apache.spark.sql.Column
     val docs = Tables.documents(spark, dir)
