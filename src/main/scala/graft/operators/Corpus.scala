@@ -655,6 +655,69 @@ object Corpus {
     versions.head
   }
 
+  /** Incremental maintenance for [[buildSignalState]] — the daily
+    * cadence: merge a NEW batch of documents into the frozen lookup
+    * tables without rescanning the corpus. All three count tables are
+    * additive under the append-only invariant ([[graft.operators
+    * .Curation]]'s contract — batch doc_ids never repeat state
+    * doc_ids): nd adds per-ngram distinct-doc counts, c1/c12 add
+    * token/bigram instance counts, and the vocabulary size recomputes
+    * from the merged c1 key set (NOT additive — shared tokens must not
+    * double-count). Cost is batch-sized: batch aggregation + a merge
+    * join against the vocabulary/shingle-bounded tables. Commits all
+    * four tables in lockstep; returns the new version. Streams pinned
+    * to the previous version ([[graft.streaming.StreamJobs
+    * .signalSheetStream]]) are untouched; a restart picks up the
+    * merged state.
+    */
+  def appendSignalState(batch: DataFrame, id: Column, text: Column,
+      stateDir: String,
+      shingler: Column => Column = NearDup.shingleHashes3Inst): Long = {
+    val spark = batch.sparkSession
+    val vs = Seq("nd", "c1", "c12", "vsz")
+      .map(t => graft.sources.Versioned.latestVersion(spark, s"$stateDir/$t"))
+    require(vs.distinct.size == 1,
+      s"signal-state tables out of lockstep (versions ${vs.mkString(", ")}) " +
+        "— rebuild the state dir before appending")
+    def tbl(t: String) = graft.sources.Versioned.read(spark, s"$stateDir/$t",
+      Some(vs.head))
+
+    val inst = batch.select(id.as("doc_id"), explode(shingler(text)).as("ngram"))
+    val ndB = inst.distinct().groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
+    val sz = org.apache.spark.sql.functions.size _
+    val base = batch.select(id.as("doc_id"), NearDup.tokenHashesMd5(text).as("th"))
+    val m = sz(col("th")) - 1
+    val bgB = base.filter(sz(col("th")) >= 2)
+      .select(explode(zip_with(
+        slice(col("th"), lit(1), m),
+        slice(col("th"), lit(2), m),
+        (a, b) => pmod(a * lit(NearDup.K) + b, lit(NearDup.P)))).as("ngk"))
+    val c1B  = base.select(explode(col("th")).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("c1"))
+    val c12B = bgB.groupBy(col("ngk")).agg(count(lit(1)).as("c12"))
+
+    def merge(state: DataFrame, delta: DataFrame, key: String,
+              cnt: String): DataFrame =
+      state.withColumnRenamed(cnt, "_old")
+        .join(delta.withColumnRenamed(cnt, "_new"), Seq(key), "full_outer")
+        .select(col(key),
+          (coalesce(col("_old"), lit(0L)) + coalesce(col("_new"), lit(0L)))
+            .as(cnt))
+
+    val nd  = merge(tbl("nd"),  ndB,  "ngram", "nd")
+    val c1  = merge(tbl("c1"),  c1B,  "tk",    "c1")
+    val c12 = merge(tbl("c12"), c12B, "ngk",   "c12")
+    val vsz = c1.agg(count(lit(1)).as("v"))
+    val versions = Seq(
+      graft.sources.Versioned.overwrite(nd, s"$stateDir/nd"),
+      graft.sources.Versioned.overwrite(c1, s"$stateDir/c1"),
+      graft.sources.Versioned.overwrite(c12, s"$stateDir/c12"),
+      graft.sources.Versioned.overwrite(vsz, s"$stateDir/vsz"))
+    require(versions.distinct.size == 1,
+      s"signal-state append diverged: ${versions.mkString(", ")}")
+    versions.head
+  }
+
   /** The doc-signals sheet ([[graft.PipelineQueries.q136SignalSheet]]'s
     * columns) for a BATCH of documents scored against FROZEN
     * [[buildSignalState]] state — the streaming half of the sheet:

@@ -595,6 +595,34 @@ class PipelineQueriesSpec extends SparkSpec {
       "shared-pass dup signals diverged from the standalone operators")
   }
 
+  test("appendSignalState: build + daily append ≡ one-shot build over the union; scores agree") {
+    val docs = Tables.documents(spark, dir)
+    val d1 = docs.filter(col("doc_id") % 2 === 0)
+    val d2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val inc  = java.nio.file.Files.createTempDirectory("sigstate_inc").toString
+    val full = java.nio.file.Files.createTempDirectory("sigstate_full").toString
+    assert(Corpus.buildSignalState(d1, col("doc_id"), col("text"), inc) == 0L)
+    assert(Corpus.appendSignalState(d2, col("doc_id"), col("text"), inc) == 1L)
+    assert(Corpus.buildSignalState(docs, col("doc_id"), col("text"), full) == 0L)
+    for (t <- Seq("nd", "c1", "c12", "vsz")) {
+      val a = graft.sources.Versioned.read(spark, s"$inc/$t")
+      val b = graft.sources.Versioned.read(spark, s"$full/$t")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"table $t diverged between incremental and one-shot state")
+    }
+    val sa = Corpus.signalSheetWith(spark, inc, docs, col("doc_id"),
+      col("text"), col("n_chars"))
+    val sb = Corpus.signalSheetWith(spark, full, docs, col("doc_id"),
+      col("text"), col("n_chars"))
+    assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty,
+      "sheet scored against merged state diverged from one-shot state")
+    // the pre-append version is still pinnable (time travel intact)
+    val v0 = graft.sources.Versioned.read(spark, s"$inc/nd", Some(0L))
+    val b1 = Corpus.buildSignalState(d1, col("doc_id"), col("text"),
+      java.nio.file.Files.createTempDirectory("sigstate_d1").toString)
+    assert(b1 == 0L && v0.count() > 0)
+  }
+
   test("q136 signal sheet: one row per doc; columns agree with the standalone signal operators") {
     val sheet = PipelineQueries.q136SignalSheet(spark, dir)
     val docs = Tables.documents(spark, dir)
