@@ -616,11 +616,17 @@ class PipelineQueriesSpec extends SparkSpec {
       col("text"), col("n_chars"))
     assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty,
       "sheet scored against merged state diverged from one-shot state")
-    // the pre-append version is still pinnable (time travel intact)
-    val v0 = graft.sources.Versioned.read(spark, s"$inc/nd", Some(0L))
-    val b1 = Corpus.buildSignalState(d1, col("doc_id"), col("text"),
-      java.nio.file.Files.createTempDirectory("sigstate_d1").toString)
-    assert(b1 == 0L && v0.count() > 0)
+    // the pre-append version is still pinnable: scoring asOf v0 AFTER
+    // the append ≡ scoring against a fresh d1-only state — the
+    // invariant a running signalSheetStream (pinned at start) relies on
+    val d1Dir = java.nio.file.Files.createTempDirectory("sigstate_d1").toString
+    assert(Corpus.buildSignalState(d1, col("doc_id"), col("text"), d1Dir) == 0L)
+    val pinned = Corpus.signalSheetWith(spark, inc, docs, col("doc_id"),
+      col("text"), col("n_chars"), asOf = Some(0L))
+    val freshD1 = Corpus.signalSheetWith(spark, d1Dir, docs, col("doc_id"),
+      col("text"), col("n_chars"))
+    assert(pinned.exceptAll(freshD1).isEmpty && freshD1.exceptAll(pinned).isEmpty,
+      "a concurrent append must not shift scores pinned at the old version")
   }
 
   test("q136 signal sheet: one row per doc; columns agree with the standalone signal operators") {
