@@ -425,11 +425,13 @@ object SimQueries {
   def q142ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    // ten re-ingested copies under shifted ids (the re-encoded-upload
+    // ten re-ingested copies under NEGATIVE ids (the re-encoded-upload
     // shape): guarantees hamming-0 pairs at every SF — the raw corpus
-    // has byte-identical texts only at sf0.1
+    // has byte-identical texts only at sf0.1 — and the negative range
+    // cannot collide with real doc_ids at any corpus size (a fixed
+    // positive offset would once the corpus outgrows it)
     val copies = docs.filter(col("doc_id") < 10)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("payload"))
+      .select((-(col("doc_id") + 1L)).as("doc_id"), col("payload"))
     graft.operators.Multimodal.imageNearDupStub(
         docs.unionByName(copies), "doc_id", "payload")
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
@@ -440,7 +442,7 @@ object SimQueries {
     """WITH imgs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10),
+      |  SELECT -(doc_id + 1), text FROM documents WHERE doc_id < 10),
       |ph AS (
       |  SELECT doc_id,
       |    (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 2147483648) * 4294967296

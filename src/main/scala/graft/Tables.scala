@@ -66,11 +66,15 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The NTZ→LTZ cast below is only value-preserving under UTC; every
-    // graft entry point sets it, but a library caller's session might
-    // not — pin it here so both physical layouts normalize identically
-    // regardless of caller config.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // The NTZ→LTZ cast below evaluates LAZILY under the session
+    // timezone and is only value-preserving under UTC. Fail fast
+    // instead of silently shifting `ts` (or silently mutating the
+    // caller's session-wide timezone as a read side effect): every
+    // graft entry point sets UTC; a library caller must too.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables.events requires spark.sql.session.timeZone=UTC: the " +
+        "TIMESTAMP_NTZ->TIMESTAMP normalization is timezone-sensitive " +
+        "and evaluates lazily under the session config")
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -392,14 +392,24 @@ object Corpus {
     *
     * Output: doc_id, n_bigrams, avg_ll, ppl.
     */
-  def lmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  /** (doc_id, th) — md5-roll hashed tokens, the ONE definition of the
+    * LM model key space ([[lmScore]], the signal-state tables, and the
+    * streaming scorer all hash through here, so builder and scorer can
+    * never drift apart — the [[tokenBucket]] unification applied to
+    * the LM).
+    */
+  private def hashedTokenBase(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), NearDup.tokenHashesMd5(text).as("th"))
+
+  /** (doc_id, w1k, ngk) bigram-key instances over a hashed base —
+    * zip_with over slices, the [[bigramCounts]] shape (slice args
+    * evaluate once per row; the lambda binds every subexpression it
+    * uses). Bigram key = (h₁·K + h₂) mod P, cross-engine.
+    */
+  private def lmBigrams(base: DataFrame): DataFrame = {
     val sz = org.apache.spark.sql.functions.size _
-    val base = docs.select(id.as("doc_id"), NearDup.tokenHashesMd5(text).as("th"))
     val m = sz(col("th")) - 1
-    // (doc_id, w1-key, bigram-key) instances — zip_with over slices,
-    // the [[bigramCounts]] shape (slice args evaluate once per row;
-    // the lambda binds every subexpression it uses).
-    val bg = base
+    base
       .filter(sz(col("th")) >= 2)
       .select(col("doc_id"),
         explode(zip_with(
@@ -408,10 +418,35 @@ object Corpus {
           (a, b) => struct(a.as("w1k"),
             pmod(a * lit(NearDup.K) + b, lit(NearDup.P)).as("ngk")))).as("b"))
       .select(col("doc_id"), col("b.w1k").as("w1k"), col("b.ngk").as("ngk"))
-    val c1  = base.select(explode(col("th")).as("tk"))
-      .groupBy(col("tk")).agg(count(lit(1)).as("c1"))
-    val c12 = bg.groupBy(col("ngk")).agg(count(lit(1)).as("c12"))
-    val v   = c1.agg(count(lit(1)).as("v"))           // 1 row → broadcast
+  }
+
+  /** The two LM count tables (c1 token counts, c12 bigram counts) from
+    * a hashed base and its bigram stream.
+    */
+  private def lmCountTables(base: DataFrame, bg: DataFrame): (DataFrame, DataFrame) = (
+    base.select(explode(col("th")).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("c1")),
+    bg.groupBy(col("ngk")).agg(count(lit(1)).as("c12")))
+
+  /** (doc_id, pos, ngram) shingle-hash instances, pos 1-based BIGINT —
+    * the shared candidate stream of the span-dup family.
+    */
+  private def shingleInstances(docs: DataFrame, id: Column, text: Column,
+                               shingler: Column => Column): DataFrame =
+    docs.select(id.as("doc_id"), posexplode(shingler(text)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("ngram"))
+
+  /** ngram → number of distinct documents containing it. */
+  private def ngramDocCounts(inst: DataFrame): DataFrame =
+    inst.select(col("doc_id"), col("ngram")).distinct()
+      .groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
+
+  def lmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = hashedTokenBase(docs, id, text)
+    val bg = lmBigrams(base)
+    val (c1, c12) = lmCountTables(base, bg)
+    val v = c1.agg(count(lit(1)).as("v"))             // 1 row → broadcast
     val term = log((col("c12") + 1).cast("double") /
                    (col("c1") + col("v")).cast("double"))
     bg.join(c12, Seq("ngk"))
@@ -453,7 +488,7 @@ object Corpus {
     // 3-gram INSTANCES (not distinct), one hashed key per token
     // position — <3-token docs produce an empty array and vanish at
     // the explode.
-    val inst = docs.select(id.as("doc_id"), explode(shingler(text)).as("ngram"))
+    val inst = shingleInstances(docs, id, text, shingler)
     val perDoc = inst.groupBy(col("doc_id"), col("ngram"))
       .agg(count(lit(1)).as("cnt"))
     // docs-per-ngram off the collapsed relation: each (doc, ngram) row
@@ -492,10 +527,8 @@ object Corpus {
     // Instance shinglers emit element i = the 3-gram starting at token
     // i (in order), so posexplode's 0-based pos + 1 IS the 1-based
     // token position the run algebra expects.
-    val inst = docs.select(id.as("doc_id"), posexplode(shingler(text)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("ngram"))
-    val nd = inst.select(col("doc_id"), col("ngram")).distinct()
-      .groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
+    val inst = shingleInstances(docs, id, text, shingler)
+    val nd = ngramDocCounts(inst)
     // one ngram per (doc, pos) by construction and one nd row per
     // ngram, so the join preserves (doc_id, pos) uniqueness — no
     // distinct (and no extra exchange) needed.
@@ -528,10 +561,8 @@ object Corpus {
   def dupSignals(docs: DataFrame, id: Column, text: Column,
                  shingler: Column => Column = NearDup.shingleHashes3Inst)
       : DataFrame = {
-    val inst = docs.select(id.as("doc_id"), posexplode(shingler(text)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("ngram"))
-    val nd = inst.select(col("doc_id"), col("ngram")).distinct()
-      .groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
+    val inst = shingleInstances(docs, id, text, shingler)
+    val nd = ngramDocCounts(inst)
     val marked = inst.join(nd, Seq("ngram"))
       .select(col("doc_id"), col("pos"), (col("nd") >= 2).as("is_dup"))
       .localCheckpoint(eager = false)
@@ -574,11 +605,8 @@ object Corpus {
                     shingler: Column => Column = NearDup.shingleHashes3Inst)
       : DataFrame = {
     require(minSpanTokens >= 3, "a 3-gram already spans 3 tokens")
-    val inst = docs.select(id.as("doc_id"), posexplode(shingler(text)))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("ngram"))
-    val nd = inst.select(col("doc_id"), col("ngram")).distinct()
-      .groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
+    val inst = shingleInstances(docs, id, text, shingler)
+    val nd = ngramDocCounts(inst)
     val dupPos = inst.join(nd.filter(col("nd") >= 2), Seq("ngram"))
       .select(col("doc_id"), col("pos"))
     val w = org.apache.spark.sql.expressions.Window
@@ -624,35 +652,71 @@ object Corpus {
     *    size).
     * All four are vocabulary/shingle-bounded — orders of magnitude
     * smaller than the corpus. Returns the committed version.
+    *
+    * Commit protocol (shared with [[appendSignalState]]): the four
+    * tables commit through the compare-and-swap
+    * [[graft.sources.Versioned.overwriteExpecting]], nd first — of two
+    * concurrent writers, the loser fails at its FIRST table before
+    * committing anything, so a race is a clean error, never silently
+    * dropped counts. A crash BETWEEN commits leaves the tables out of
+    * lockstep; build REPAIRS such a dir by wiping it and starting
+    * fresh (the state is a derived artifact — pinned readers of the
+    * wiped history must rebuild, which the lockstep check tells them).
     */
   def buildSignalState(docs: DataFrame, id: Column, text: Column,
       stateDir: String,
       shingler: Column => Column = NearDup.shingleHashes3Inst): Long = {
-    val inst = docs.select(id.as("doc_id"), explode(shingler(text)).as("ngram"))
-    val nd = inst.distinct().groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
-    // LM model in [[lmScore]]'s hashed key space (md5-roll tokens and
-    // bigrams — 8-byte keys, cross-engine)
-    val sz = org.apache.spark.sql.functions.size _
-    val base = docs.select(id.as("doc_id"), NearDup.tokenHashesMd5(text).as("th"))
-    val m = sz(col("th")) - 1
-    val bg = base.filter(sz(col("th")) >= 2)
-      .select(explode(zip_with(
-        slice(col("th"), lit(1), m),
-        slice(col("th"), lit(2), m),
-        (a, b) => pmod(a * lit(NearDup.K) + b, lit(NearDup.P)))).as("ngk"))
-    val c1  = base.select(explode(col("th")).as("tk"))
-      .groupBy(col("tk")).agg(count(lit(1)).as("c1"))
-    val c12 = bg.groupBy(col("ngk")).agg(count(lit(1)).as("c12"))
+    val spark = docs.sparkSession
+    val latests = signalStateTables.map(t =>
+      try Some(graft.sources.Versioned.latestVersion(spark, s"$stateDir/$t"))
+      catch { case _: Exception => None })
+    val wedged = latests.exists(_.isDefined) &&
+      (latests.exists(_.isEmpty) || latests.flatten.distinct.size > 1)
+    if (wedged) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir)): Unit
+    }
+    val expected =
+      if (wedged) 0L else latests.head.map(_ + 1).getOrElse(0L)
+
+    val nd = ngramDocCounts(shingleInstances(docs, id, text, shingler))
+    // LM model in [[lmScore]]'s hashed key space. The base is STAGED:
+    // each Versioned commit is its own action, so without staging c1,
+    // c12, and vsz would each re-run the corpus tokenize+md5 pass.
+    val base = hashedTokenBase(docs, id, text).localCheckpoint(eager = false)
+    val (c1raw, c12) = lmCountTables(base, lmBigrams(base))
+    val c1 = c1raw.localCheckpoint(eager = false) // feeds its commit AND vsz
     val vsz = c1.agg(count(lit(1)).as("v"))
-    val versions = Seq(
-      graft.sources.Versioned.overwrite(nd, s"$stateDir/nd"),
-      graft.sources.Versioned.overwrite(c1, s"$stateDir/c1"),
-      graft.sources.Versioned.overwrite(c12, s"$stateDir/c12"),
-      graft.sources.Versioned.overwrite(vsz, s"$stateDir/vsz"))
-    require(versions.distinct.size == 1,
-      s"signal-state tables diverged: ${versions.mkString(", ")} " +
-        s"(was $stateDir written by something other than buildSignalState?)")
-    versions.head
+    commitSignalState(stateDir, nd, c1, c12, vsz, expected)
+  }
+
+  private val signalStateTables = Seq("nd", "c1", "c12", "vsz")
+
+  /** CAS-commit the four signal-state tables in fixed order at exactly
+    * `expected` (see [[buildSignalState]]'s commit protocol).
+    */
+  private def commitSignalState(stateDir: String, nd: DataFrame, c1: DataFrame,
+      c12: DataFrame, vsz: DataFrame, expected: Long): Long = {
+    import graft.sources.Versioned.overwriteExpecting
+    overwriteExpecting(nd, s"$stateDir/nd", expected): Unit
+    overwriteExpecting(c1, s"$stateDir/c1", expected): Unit
+    overwriteExpecting(c12, s"$stateDir/c12", expected): Unit
+    overwriteExpecting(vsz, s"$stateDir/vsz", expected)
+  }
+
+  /** The latest LOCKSTEP version of a signal-state dir — the one
+    * version pinning primitive every reader (batch scorer, stream
+    * start) shares. Throws with a repair hint on a dir wedged by a
+    * mid-commit crash.
+    */
+  def signalStateVersion(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Long = {
+    val vs = signalStateTables
+      .map(t => graft.sources.Versioned.latestVersion(spark, s"$stateDir/$t"))
+    require(vs.distinct.size == 1,
+      s"signal-state tables out of lockstep (versions ${vs.mkString(", ")}) " +
+        "— rerun buildSignalState (it repairs the dir); pinned asOf reads " +
+        "of intact versions keep working")
+    vs.head
   }
 
   /** Incremental maintenance for [[buildSignalState]] — the daily
@@ -674,27 +738,15 @@ object Corpus {
       stateDir: String,
       shingler: Column => Column = NearDup.shingleHashes3Inst): Long = {
     val spark = batch.sparkSession
-    val vs = Seq("nd", "c1", "c12", "vsz")
-      .map(t => graft.sources.Versioned.latestVersion(spark, s"$stateDir/$t"))
-    require(vs.distinct.size == 1,
-      s"signal-state tables out of lockstep (versions ${vs.mkString(", ")}) " +
-        "— rebuild the state dir before appending")
+    val v0 = signalStateVersion(spark, stateDir)
     def tbl(t: String) = graft.sources.Versioned.read(spark, s"$stateDir/$t",
-      Some(vs.head))
+      Some(v0))
 
-    val inst = batch.select(id.as("doc_id"), explode(shingler(text)).as("ngram"))
-    val ndB = inst.distinct().groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
-    val sz = org.apache.spark.sql.functions.size _
-    val base = batch.select(id.as("doc_id"), NearDup.tokenHashesMd5(text).as("th"))
-    val m = sz(col("th")) - 1
-    val bgB = base.filter(sz(col("th")) >= 2)
-      .select(explode(zip_with(
-        slice(col("th"), lit(1), m),
-        slice(col("th"), lit(2), m),
-        (a, b) => pmod(a * lit(NearDup.K) + b, lit(NearDup.P)))).as("ngk"))
-    val c1B  = base.select(explode(col("th")).as("tk"))
-      .groupBy(col("tk")).agg(count(lit(1)).as("c1"))
-    val c12B = bgB.groupBy(col("ngk")).agg(count(lit(1)).as("c12"))
+    val ndB = ngramDocCounts(shingleInstances(batch, id, text, shingler))
+    // batch-side aggregates through the shared LM helpers; the base is
+    // staged so c1/c12 don't each re-tokenize the batch
+    val base = hashedTokenBase(batch, id, text).localCheckpoint(eager = false)
+    val (c1B, c12B) = lmCountTables(base, lmBigrams(base))
 
     def merge(state: DataFrame, delta: DataFrame, key: String,
               cnt: String): DataFrame =
@@ -705,17 +757,15 @@ object Corpus {
             .as(cnt))
 
     val nd  = merge(tbl("nd"),  ndB,  "ngram", "nd")
-    val c1  = merge(tbl("c1"),  c1B,  "tk",    "c1")
+    // merged c1 feeds its own commit AND the vocab recount — staged so
+    // the full_outer merge join runs once
+    val c1  = merge(tbl("c1"),  c1B,  "tk",    "c1").localCheckpoint(eager = false)
     val c12 = merge(tbl("c12"), c12B, "ngk",   "c12")
     val vsz = c1.agg(count(lit(1)).as("v"))
-    val versions = Seq(
-      graft.sources.Versioned.overwrite(nd, s"$stateDir/nd"),
-      graft.sources.Versioned.overwrite(c1, s"$stateDir/c1"),
-      graft.sources.Versioned.overwrite(c12, s"$stateDir/c12"),
-      graft.sources.Versioned.overwrite(vsz, s"$stateDir/vsz"))
-    require(versions.distinct.size == 1,
-      s"signal-state append diverged: ${versions.mkString(", ")}")
-    versions.head
+    // CAS at v0+1: a concurrent appender that read the same v0 fails
+    // cleanly at the nd commit before touching anything — a lost
+    // update is impossible, not just detectable (see buildSignalState)
+    commitSignalState(stateDir, nd, c1, c12, vsz, v0 + 1)
   }
 
   /** The doc-signals sheet ([[graft.PipelineQueries.q136SignalSheet]]'s
@@ -741,14 +791,7 @@ object Corpus {
       stateDir: String, docs: DataFrame, id: Column, text: Column,
       nChars: Column, asOf: Option[Long] = None, dupThreshold: Int = 2,
       shingler: Column => Column = NearDup.shingleHashes3Inst): DataFrame = {
-    val v = asOf.getOrElse {
-      val vs = Seq("nd", "c1", "c12", "vsz")
-        .map(t => graft.sources.Versioned.latestVersion(spark, s"$stateDir/$t"))
-      require(vs.distinct.size == 1,
-        s"signal-state tables out of lockstep (versions ${vs.mkString(", ")}) " +
-          "— rebuild the state dir; pinned asOf reads of intact versions still work")
-      vs.head
-    }
+    val v = asOf.getOrElse(signalStateVersion(spark, stateDir))
     def tbl(t: String) = graft.sources.Versioned.read(spark, s"$stateDir/$t", Some(v))
     val nd = tbl("nd")
 
@@ -761,12 +804,13 @@ object Corpus {
           col("top_bigram_frac")).as("is_repetitive"))
 
     // dup families: batch instances × frozen nd — batch×state, never
-    // corpus×corpus (the [[Curation.curateBatch]] join discipline)
-    val inst = docs.select(id.as("doc_id"), posexplode(shingler(text)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("ngram"))
+    // corpus×corpus (the [[Curation.curateBatch]] join discipline);
+    // staged for its two consumers (fraction + span)
+    val inst = shingleInstances(docs, id, text, shingler)
     val dupped = inst.join(nd, Seq("ngram"), "left")
       .select(col("doc_id"), col("pos"),
         (coalesce(col("nd"), lit(0L)) >= dupThreshold).as("is_dup"))
+      .localCheckpoint(eager = false)
     val dup = dupped.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
@@ -782,18 +826,9 @@ object Corpus {
       .agg((max(col("run_len")) + 2).as("dup_span"))
 
     // ppl: batch bigrams × frozen LM tables, [[lmScore]]'s arithmetic
-    // in its hashed key space
-    val sz = org.apache.spark.sql.functions.size _
-    val toks = docs.select(id.as("doc_id"), NearDup.tokenHashesMd5(text).as("th"))
-    val m = sz(col("th")) - 1
-    val bg = toks.filter(sz(col("th")) >= 2)
-      .select(col("doc_id"),
-        explode(zip_with(
-          slice(col("th"), lit(1), m),
-          slice(col("th"), lit(2), m),
-          (a, b) => struct(a.as("w1k"),
-            pmod(a * lit(NearDup.K) + b, lit(NearDup.P)).as("ngk")))).as("b"))
-      .select(col("doc_id"), col("b.w1k").as("w1k"), col("b.ngk").as("ngk"))
+    // in its hashed key space (same helpers — builder and scorer
+    // cannot drift)
+    val bg = lmBigrams(hashedTokenBase(docs, id, text))
     val term = log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
                    (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
     val ppl = bg.join(tbl("c12"), Seq("ngk"), "left")

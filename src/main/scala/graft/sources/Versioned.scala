@@ -236,6 +236,39 @@ object Versioned {
 
   def overwrite(df: DataFrame, table: String): Long = commit(df, table, "overwrite")
 
+  /** Compare-and-swap overwrite: commit ONLY if it lands exactly at
+    * `expected` — no retry onto the next free version. This is the
+    * primitive multi-table artifacts need (an ANN index's or signal
+    * state's tables advancing in lockstep): writers commit their
+    * tables in one fixed order with the same `expected`, so of two
+    * concurrent writers the one that loses the FIRST table's log-entry
+    * race aborts before committing anything — a lost update becomes a
+    * clean failure instead of silently vanishing counts. Staged data
+    * files of an aborted commit are orphans for [[vacuum]].
+    */
+  def overwriteExpecting(df: DataFrame, table: String, expected: Long): Long = {
+    require(expected >= 0, s"bad expected version: $expected")
+    val spark = df.sparkSession
+    val f = fs(spark, new Path(table))
+    val next = versions(f, table).lastOption.map(_ + 1).getOrElse(0L)
+    require(next == expected,
+      s"stale snapshot on $table: expected to commit v$expected but the " +
+        s"table is at v${next - 1} — a concurrent writer advanced it; " +
+        "re-read the latest state before retrying")
+    val files = stage(df, table, expected)
+    require(writeString(f, logFile(table, expected),
+        render(Commit(expected, "overwrite", files, df.schema.json)),
+        exclusive = true),
+      s"lost the commit race on $table at v$expected (concurrent writer) — " +
+        "re-read the latest state before retrying")
+    if (expected % checkpointInterval == 0 && expected > 0) {
+      val full = resolve(f, table, Some(expected))
+      writeString(f, checkpointFile(table, expected),
+        render(full.copy(action = "checkpoint")), exclusive = false): Unit
+    }
+    expected
+  }
+
   /** MERGE into the versioned table: read the latest snapshot, merge
     * the updates ([[graft.operators.Upsert.merge]] semantics), commit
     * the post-merge state as a new version. First merge into an empty

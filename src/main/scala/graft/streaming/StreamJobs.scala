@@ -281,20 +281,29 @@ object StreamJobs {
     * batch_id alone is the replay key — a micro-batch re-delivered
     * after a crash (output written, checkpoint not yet committed)
     * replaces its own prior output instead of appending duplicates —
-    * but it is only unique per checkpoint, so run_id (a stable hash of
-    * the checkpoint path, the stream's identity) keeps two streams
-    * feeding the same directory from clobbering each other's batch 0.
+    * but it is only unique per checkpoint, so run_id (a 64-bit md5 of
+    * the CANONICAL checkpoint path, the stream's identity) keeps two
+    * streams feeding the same directory from clobbering each other's
+    * batch 0. Canonicalizing means a restart addressing the same
+    * checkpoint through a different path spelling still replaces its
+    * own partitions; 64 bits (not String.hashCode's 32) puts an
+    * accidental cross-stream collision below any real fleet size.
     * At-least-once delivery, exactly-once directory contents.
     */
   private[graft] def writeBatchIdempotent(result: DataFrame, checkpointDir: String,
-                                          batchId: Long, outDir: String): Unit =
+                                          batchId: Long, outDir: String): Unit = {
+    val canonical = new java.io.File(checkpointDir).getCanonicalPath
+    val runId = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
     result
-      .withColumn("run_id", lit(java.lang.Integer.toHexString(checkpointDir.hashCode)))
+      .withColumn("run_id", lit(runId))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("run_id", "batch_id")
       .parquet(outDir)
+  }
 
   /** Online classification against a persisted NB model
     * ([[graft.operators.Corpus.buildNbModel]]): each micro-batch of
@@ -339,7 +348,10 @@ object StreamJobs {
                         outDir: String, checkpointDir: String,
                         dupThreshold: Int = 2): StreamingQuery = {
     val spark = docStream.sparkSession
-    val pinned = graft.sources.Versioned.latestVersion(spark, s"$stateDir/nd")
+    // pin through the LOCKSTEP resolver, not one table's latest — a
+    // dir wedged by a mid-commit crash fails here with the repair
+    // hint instead of per-batch with a raw missing-version error
+    val pinned = graft.operators.Corpus.signalStateVersion(spark, stateDir)
     docStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
