@@ -27,23 +27,32 @@ object TrainingExport {
 
   case class ExportStats(nSequences: Long, nTokens: Long, nSources: Long)
 
-  /** Build and write both artifacts; returns read-back totals. */
+  /** Build and write both artifacts; the sequence totals are OBSERVED
+    * counters riding the export write itself ([[graft.operators
+    * .Audit]]) — the artifact's provenance numbers come out of the job
+    * that produced it, not a second scan of what was just written.
+    */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           shards: Int = 8): ExportStats = {
     val mixed = PipelineQueries.trainerExportMixed(spark, sfDir)
     val seqs = Corpus.packedSequenceTexts(mixed, col("mid"), col("text"),
         budget = 512)
-    seqs.repartitionByRange(shards, col("seq_id"))
-      .sortWithinPartitions(col("seq_id"))
-      .write.mode("overwrite").parquet(s"$outDir/sequences")
+    // observe ABOVE the range exchange: the boundary sampler re-executes
+    // everything below it, which would double-count metrics placed there
+    val (instrumented, obs) = graft.operators.Audit.observed(
+      seqs.repartitionByRange(shards, col("seq_id"))
+        .sortWithinPartitions(col("seq_id")),
+      "export",
+      Seq(count(lit(1)).as("sequences"), sum(col("n_tok")).as("tokens")))
+    instrumented.write.mode("overwrite").parquet(s"$outDir/sequences")
     PipelineQueries.q127TrainerExport(spark, sfDir)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/manifest")
 
-    val back = spark.read.parquet(s"$outDir/sequences")
-    val agg = back.agg(count(lit(1)), sum(col("n_tok"))).head()
+    val m = obs.get
     val srcs = spark.read.parquet(s"$outDir/manifest").count()
-    ExportStats(agg.getLong(0), agg.getLong(1), srcs)
+    ExportStats(m("sequences").asInstanceOf[Long],
+      m("tokens").asInstanceOf[Long], srcs)
   }
 
   def main(args: Array[String]): Unit = {

@@ -10,6 +10,19 @@ class OperatorsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("Audit.observed: counters ride the job and equal a recomputation; no second scan needed") {
+    import graft.operators.Audit
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("lang", when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("lang")))
+    val (instrumented, obs) = Audit.observed(docs, "gate",
+      Audit.qualityMetrics(Seq("lang", "text")))
+    instrumented.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("rows") == docs.count())
+    assert(m("lang_nulls") == docs.filter(col("lang").isNull).count())
+    assert(m("text_nulls") == 0L)
+  }
+
   test("argmax picks max measure per group") {
     val df = Seq(("us", "art", 5L), ("us", "diy", 9L), ("pe", "art", 2L))
       .toDF("country", "category", "cnt")

@@ -515,6 +515,31 @@ class StreamingSpec extends SparkSpec {
       "streamed sheet diverged from the batch sheet on a replayed corpus")
   }
 
+  test("streaming observe: every micro-batch's progress carries the quality counters") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Audit
+
+    val work = tmpDir()
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, null), (3L, "c"))
+    val ms = Audit.qualityMetrics(Seq("v"))
+    val q = mem.toDF().toDF("id", "v")
+      .observe("gate", ms.head, ms.tail: _*)
+      .writeStream
+      .format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val observed = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("gate")))
+    assert(observed.nonEmpty, "no progress event carried the gate metrics")
+    assert(observed.map(_.getAs[Long]("rows")).sum == 3L)
+    assert(observed.map(_.getAs[Long]("v_nulls")).sum == 1L)
+  }
+
   test("idempotent foreachBatch sink: a redelivered batch replaces its prior output; distinct streams accumulate") {
     import spark.implicits._
     val work = tmpDir()
