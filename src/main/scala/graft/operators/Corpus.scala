@@ -401,23 +401,22 @@ object Corpus {
   private def hashedTokenBase(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.select(id.as("doc_id"), NearDup.tokenHashesMd5(text).as("th"))
 
-  /** (doc_id, w1k, ngk) bigram-key instances over a hashed base —
-    * zip_with over slices, the [[bigramCounts]] shape (slice args
-    * evaluate once per row; the lambda binds every subexpression it
-    * uses). Bigram key = (h₁·K + h₂) mod P, cross-engine.
+  /** (doc_id, w1k, ngk) bigram-key instances over a hashed base.
+    * Bigram key = (h₁·K + h₂) mod P, cross-engine, computed by the
+    * codegen'd [[graft.plans.PairRollExpr]] fused loop (the zip_with
+    * form it replaces ran its lambda INTERPRETED per element); w1k
+    * reads back out of the retained hash array by position —
+    * element_at stays inside whole-stage codegen.
     */
   private def lmBigrams(base: DataFrame): DataFrame = {
-    val sz = org.apache.spark.sql.functions.size _
-    val m = sz(col("th")) - 1
+    import org.apache.spark.sql.GraftColumnBridge
+    val roll = GraftColumnBridge.column(graft.plans.PairRollExpr(
+      GraftColumnBridge.expression(col("th")), NearDup.P, NearDup.K))
     base
-      .filter(sz(col("th")) >= 2)
+      .select(col("doc_id"), col("th"), posexplode(roll))
       .select(col("doc_id"),
-        explode(zip_with(
-          slice(col("th"), lit(1), m),
-          slice(col("th"), lit(2), m),
-          (a, b) => struct(a.as("w1k"),
-            pmod(a * lit(NearDup.K) + b, lit(NearDup.P)).as("ngk")))).as("b"))
-      .select(col("doc_id"), col("b.w1k").as("w1k"), col("b.ngk").as("ngk"))
+        element_at(col("th"), col("pos") + 1).as("w1k"),
+        col("col").as("ngk"))
   }
 
   /** The two LM count tables (c1 token counts, c12 bigram counts) from

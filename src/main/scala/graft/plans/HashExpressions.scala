@@ -216,6 +216,66 @@ case class ShingleRoll3Expr(child: Expression, modulus: Long, k: Long,
     copy(child = newChild)
 }
 
+/** Adjacent-pair polynomial roll over an `array<long>` of token hashes
+  * in [0, P): element i = (h[i]·K + h[i+1]) mod P, instances in token
+  * order, <2 tokens → empty. The bigram-key twin of
+  * [[ShingleRoll3Expr]] (the corpus-LM model space): one codegen'd
+  * loop, replacing an interpreted zip_with lambda (higher-order
+  * functions are CodegenFallback). Every intermediate stays under 2⁵²
+  * — the strict-BIGINT bound the DuckDB oracle replays. Null array →
+  * null; token-hash arrays never contain null elements.
+  */
+case class PairRollExpr(child: Expression, modulus: Long, k: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if modulus > 0 && k > 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckFailure("modulus and k must be positive")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pair_roll"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - 1)
+    var i = 0
+    while (i + 1 < n) {
+      out(i) = (arr.getLong(i) * k + arr.getLong(i + 1)) % modulus
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $out;
+         |if ($n < 2) {
+         |  $out = new long[0];
+         |} else {
+         |  $out = new long[$n - 1];
+         |  for (int $i = 0; $i + 1 < $n; $i++) {
+         |    $out[$i] = ($arr.getLong($i) * ${k}L + $arr.getLong($i + 1)) % ${modulus}L;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PairRollExpr =
+    copy(child = newChild)
+}
+
 /** Per-element xxhash64 of an `array<string>` — element i =
   * `xxhash64(t[i])` (XXH64 with Spark's default seed 42), in one
   * codegen'd loop instead of an interpreted `transform` lambda. The

@@ -174,13 +174,31 @@ class NearDupSpec extends SparkSpec {
           graft.functions.TextOps.tokens(col("text"))), NearDup.P, mod63 = true))
         .as("h63_native"),
       transform(graft.functions.TextOps.tokens(col("text")),
-        t => NearDup.tokenHash63(t)).as("h63_hof"))
+        t => NearDup.tokenHash63(t)).as("h63_hof"),
+      org.apache.spark.sql.GraftColumnBridge.column(graft.plans.PairRollExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.plans.Md5TokenHashesExpr(
+              org.apache.spark.sql.GraftColumnBridge.expression(
+                graft.functions.TextOps.tokens(col("text"))),
+              NearDup.P, mod63 = false))),
+        NearDup.P, NearDup.K)).as("pair_native"),
+      {
+        val th = transform(graft.functions.TextOps.tokens(col("text")),
+          t => pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(NearDup.P)))
+        val m = size(th) - 1
+        when(size(th) >= 2,
+          zip_with(slice(th, lit(1), m), slice(th, lit(2), m),
+            (a, b) => pmod(a * lit(NearDup.K) + b, lit(NearDup.P))))
+          .otherwise(array().cast("array<bigint>")).as("pair_hof")
+      })
       .collect()
     cmp.foreach { r =>
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), "xx shingles diverge")
       assert(r.getSeq[Long](2) == r.getSeq[Long](3), "md5 shingles diverge")
       assert(r.getLong(4) == r.getLong(5), "simhash diverges")
       assert(r.getSeq[Long](6) == r.getSeq[Long](7), "hash63 diverges")
+      assert(r.getSeq[Long](8) == r.getSeq[Long](9), "bigram pair-roll diverges")
     }
   }
 
