@@ -608,6 +608,40 @@ object Corpus {
     val nd = ngramDocCounts(inst)
     val dupPos = inst.join(nd.filter(col("nd") >= 2), Seq("ngram"))
       .select(col("doc_id"), col("pos"))
+    stripByDupPositions(docs, id, text, dupPos, minSpanTokens)
+  }
+
+  /** Incremental REMOVE step: strip a batch of NEW documents against
+    * FROZEN [[buildSignalState]] shingle counts instead of rescanning
+    * a corpus — the daily-cadence form of [[stripDupSpans]] (Lee et
+    * al.'s deletion at ingestion time: text that duplicates the
+    * accumulated corpus is cut before the batch ever lands).
+    * Batch×state join only ([[signalSheetWith]]'s discipline,
+    * including its `dupThreshold` member/external semantics and
+    * version pinning). On a replayed corpus the output is
+    * row-identical to the batch operator (spec-asserted).
+    */
+  def stripDupSpansWith(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, docs: DataFrame, id: Column, text: Column,
+      minSpanTokens: Int = 50, asOf: Option[Long] = None,
+      dupThreshold: Int = 2,
+      shingler: Column => Column = NearDup.shingleHashes3Inst): DataFrame = {
+    require(minSpanTokens >= 3, "a 3-gram already spans 3 tokens")
+    val v = asOf.getOrElse(signalStateVersion(spark, stateDir))
+    val nd = graft.sources.Versioned.read(spark, s"$stateDir/nd", Some(v))
+    val dupPos = shingleInstances(docs, id, text, shingler)
+      .join(nd, Seq("ngram"), "left")
+      .filter(coalesce(col("nd"), lit(0L)) >= dupThreshold)
+      .select(col("doc_id"), col("pos"))
+    stripByDupPositions(docs, id, text, dupPos, minSpanTokens)
+  }
+
+  /** Shared tail of the two REMOVE forms: collapse duplicated
+    * positions to qualifying spans, delete the covered tokens, rebuild
+    * the text (per-doc bounded aggregation).
+    */
+  private def stripByDupPositions(docs: DataFrame, id: Column, text: Column,
+      dupPos: DataFrame, minSpanTokens: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     // a run of r consecutive duplicated 3-grams starting at s covers

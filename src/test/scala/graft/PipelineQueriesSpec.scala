@@ -545,6 +545,29 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(gone == Set((1L, "", 10L), (2L, "", 10L)))
   }
 
+  test("stripDupSpansWith: replayed corpus against frozen state ≡ the batch remove; new docs strip at threshold 1") {
+    val docs = Tables.documents(spark, dir)
+    val state = java.nio.file.Files.createTempDirectory("sigstate_strip").toString
+    assert(Corpus.buildSignalState(docs, col("doc_id"), col("text"), state) == 0L)
+    // member replay (threshold 2) ≡ the corpus-rescanning batch operator
+    val inc = Corpus.stripDupSpansWith(spark, state, docs, col("doc_id"),
+      col("text"), minSpanTokens = 12)
+    val full = Corpus.stripDupSpans(docs, col("doc_id"), col("text"),
+      minSpanTokens = 12)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "state-based strip diverged from the corpus-rescanning form on replay")
+    // an EXTERNAL doc duplicating a corpus passage strips at threshold 1
+    // (one corpus occurrence already means someone else has the text)
+    val passage = docs.orderBy("doc_id").select("text")
+      .as[String].head().split(" ").take(15).mkString(" ")
+    val newcomer = Seq((999999L, s"zq1 zq2 $passage zq3")).toDF("doc_id", "text")
+    val stripped = Corpus.stripDupSpansWith(spark, state, newcomer,
+        col("doc_id"), col("text"), minSpanTokens = 12, dupThreshold = 1)
+      .select("clean_text", "n_removed").as[(String, Long)].head()
+    assert(stripped._1 == "zq1 zq2 zq3" && stripped._2 == 15L,
+      s"the borrowed passage must be cut, got $stripped")
+  }
+
   test("round-8 operator edges: short/empty docs pass stripDupSpans verbatim; dupSignals on empty input is empty") {
     val docs = Seq(
       (1L, ""),                 // empty text
