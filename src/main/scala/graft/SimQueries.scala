@@ -735,6 +735,151 @@ object SimQueries {
   }
 
   // ---------------------------------------------------------------------
+  // J7 compressed-scan path, tier 3 — PRODUCT QUANTIZATION (ADC):
+  // beyond SQ8's byte-per-dimension, PQ stores m = 8 CODES for the whole
+  // 64-dim vector (~32× below float32), and scoring is m lookups into a
+  // per-query table of subspace dots — no per-pair float math.
+  // ORACLE-CHECKED end-to-end including one Lloyd refinement pass per
+  // subspace: md5-sampled seeds (code = rank in sample order),
+  // DECIMAL-exact per-dimension means, L2 assignment with ties → smaller
+  // code, and every float fold sequential — the full ADC ranking
+  // hash-matches in SQL.
+  def q144PqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.pqTopK(e.filter(col("id") < 10), e, k = 5, lloydIters = 1)
+  }
+
+  /** Shared PQ oracle scaffolding: subspace slicing (8 subspaces × 8
+    * dims), seed codebook, one optional Lloyd pass, encoding, and the
+    * per-query LUT — parameterized by the codebook CTE the encoder and
+    * LUT read. `l2` is the in-order squared-L2 fold, `lutDot` the
+    * in-order subspace dot; both match Spark's sequential left folds.
+    */
+  private def pqCommonSql(withLloyd: Boolean): String = {
+    val l2 =
+      """list_sum(list_transform(range(1, 9),
+        |          i -> (b.v[c.j*8+i] - c.cb[i]) * (b.v[c.j*8+i] - c.cb[i])))""".stripMargin
+    val finalCb = if (withLloyd) "cb1" else "cb0"
+    val lloyd = if (!withLloyd) "" else s"""
+       |asgq AS (
+       |  SELECT j, code, xj FROM (
+       |    SELECT c.j, c.code, list_slice(b.v, c.j*8+1, c.j*8+8) AS xj,
+       |      row_number() OVER (PARTITION BY b.vec_id, c.j
+       |        ORDER BY $l2 ASC, c.code ASC) AS rn
+       |    FROM base b CROSS JOIN cb0 c)
+       |  WHERE rn = 1),
+       |mq AS (
+       |  SELECT j, code, i,
+       |    CAST(sum(CAST(xj[i] AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+       |  FROM asgq CROSS JOIN (SELECT unnest(range(1, 9)) AS i) d
+       |  GROUP BY 1, 2, 3),
+       |cb1 AS (SELECT j, code, list(m ORDER BY i) AS cb FROM mq GROUP BY 1, 2),""".stripMargin
+    s"""seeds AS (
+       |  SELECT vec_id, v,
+       |    row_number() OVER (ORDER BY
+       |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+       |      vec_id ASC) - 1 AS code
+       |  FROM base
+       |  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+       |           vec_id ASC
+       |  LIMIT 16),
+       |cb0 AS (
+       |  SELECT j, code, list_slice(v, j*8+1, j*8+8) AS cb
+       |  FROM seeds CROSS JOIN (SELECT unnest(range(0, 8)) AS j) sj),$lloyd
+       |enc AS (
+       |  SELECT cand_id, j, code FROM (
+       |    SELECT b.vec_id AS cand_id, c.j, c.code,
+       |      row_number() OVER (PARTITION BY b.vec_id, c.j
+       |        ORDER BY $l2 ASC, c.code ASC) AS rn
+       |    FROM base b CROSS JOIN $finalCb c)
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT b.vec_id AS query_id, c.j, c.code,
+       |    list_sum(list_transform(range(1, 9), i -> b.v[c.j*8+i] * c.cb[i])) AS d
+       |  FROM base b CROSS JOIN $finalCb c
+       |  WHERE b.vec_id < 10)""".stripMargin
+  }
+
+  private val q144Sql =
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |${pqCommonSql(withLloyd = true)},
+       |scored AS (
+       |  SELECT l.query_id, e.cand_id, list_sum(list(l.d ORDER BY l.j)) AS pqdot
+       |  FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+       |  WHERE e.cand_id <> l.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, cand_id, pqdot FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY pqdot DESC, cand_id ASC) AS rn FROM scored)
+       |WHERE rn <= 5
+       |ORDER BY query_id, pqdot DESC, cand_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J7 production shape, maximum compression — PERSISTED IVF-PQ INDEX
+  // (the FAISS-IVFPQ composition): probes prune the scan to
+  // nProbes/nCentroids of the corpus AND the pruned buckets stream
+  // m-code rows, so a probe moves ~nProbes/nCentroids ÷ 32 of the
+  // float-index bytes. Three Versioned tables (centroids, codebook,
+  // assignment) in lockstep; bucket membership assigned in full
+  // precision before quantization. ORACLE-CHECKED end-to-end: IVF
+  // probe selection, PQ encoding, and the ADC ranking all replay in SQL.
+  def q145AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val idx = graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "embeddings.parquet"), "ivfpq_c16",
+      "centroids", "codebook", "assignment")(
+      Similarity.buildIvfPqIndex(e, _, nCentroids = 16): Unit)
+    Similarity.queryIvfPqIndex(spark, idx, e.filter(col("id") < 10), k = 5, nProbes = 4)
+  }
+
+  private val q145Sql = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i]))"
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS centroid_id, v, nsq FROM base
+       |  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+       |           vec_id ASC
+       |  LIMIT 16),
+       |assigned AS (
+       |  SELECT centroid_id, cand_id FROM (
+       |    SELECT c.centroid_id, b.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT b.vec_id AS query_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent c
+       |    WHERE b.vec_id < 10)
+       |  WHERE rn <= 4),
+       |${pqCommonSql(withLloyd = false)},
+       |scored AS (
+       |  SELECT p.query_id, a.cand_id, list_sum(list(l.d ORDER BY l.j)) AS pqdot
+       |  FROM assigned a
+       |  JOIN probes p ON a.centroid_id = p.centroid_id
+       |  JOIN enc e ON e.cand_id = a.cand_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.j = e.j AND l.code = e.code
+       |  WHERE a.cand_id <> p.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, cand_id, pqdot FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY pqdot DESC, cand_id ASC) AS rn FROM scored)
+       |WHERE rn <= 5
+       |ORDER BY query_id, pqdot DESC, cand_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk"      -> (q31CosineTopK _),
@@ -755,6 +900,8 @@ object SimQueries {
     "q118_ann_ivf_sq8"      -> (q118AnnIvfSq8 _),
     "q133_hard_negatives"   -> (q133HardNegatives _),
     "q135_hard_negatives_indexed" -> (q135HardNegativesIndexed _),
+    "q144_pq_topk"          -> (q144PqTopK _),
+    "q145_ann_ivf_pq"       -> (q145AnnIvfPq _),
   )
 
   /** q33/q34/q37/q43 are xxhash64-sketch-based → rows-only check
@@ -781,5 +928,7 @@ object SimQueries {
     "q133_hard_negatives"   -> q133Sql,
     // exhaustive-probe indexed mining replays q133's brute form exactly
     "q135_hard_negatives_indexed" -> q133Sql,
+    "q144_pq_topk"          -> q144Sql,
+    "q145_ann_ivf_pq"       -> q145Sql,
   )
 }

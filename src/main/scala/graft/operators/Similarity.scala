@@ -365,6 +365,9 @@ object Similarity {
     */
   def appendToIvfIndex(batch: DataFrame, indexDir: String): Long = {
     val spark = batch.sparkSession
+    require(!new java.io.File(indexDir, "codebook").exists(),
+      s"$indexDir is an IVF-PQ index (has codebook/) — use appendToIvfPqIndex; " +
+        "a float-schema append would corrupt the code-row assignment table")
     val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids")
     // an SQ8 index carries the quantization scale on its centroid rows;
     // its assignment stores codes, so the appended rows must be
@@ -508,6 +511,270 @@ object Similarity {
       when(col("s") === 0.0, lit(0))
         .otherwise(round(x / col("s") * 127).cast("int"))))
     .drop("v", "s")
+
+  // -------------------------------------------------------------------
+  // Product quantization (PQ) — the third compression tier.
+  // SQ8 cuts the scan to 1 byte/dimension; PQ cuts it to m CODES for
+  // the whole vector (64 float32 dims = 256 B → m = 8 codes ≈ 8 B, a
+  // ~32× reduction): the vector space is split into m subspaces, each
+  // quantized against its own ks-entry codebook, and a vector is stored
+  // as its m nearest-codebook-entry indices. Scoring is ADC
+  // (asymmetric distance computation, Jégou et al. 2011): the QUERY
+  // stays full-precision, a per-query lookup table holds
+  // dot(query_subvector, codebook_entry) for all m·ks entries, and a
+  // candidate's score is m table lookups + adds — no per-pair float
+  // math at all. At 100 TB this is the difference between scanning the
+  // corpus and scanning 3% of its bytes with ~1/8 the multiplies.
+  //
+  // Everything is deterministic and cross-engine reproducible, same
+  // contract as IVF/SQ8: seeds are the md5-sampled corpus rows (code =
+  // rank in the sample order), Lloyd refinement per subspace runs its
+  // per-dimension means in DECIMAL(27,10), nearest-entry assignment
+  // breaks L2 ties toward the smaller code, and every float fold (L2
+  // distances, LUT dots, the final m-term score sum) is a sequential
+  // in-order left fold — so the whole PQ ranking hash-matches in SQL.
+  // -------------------------------------------------------------------
+
+  /** In-order squared-L2 fold — same sequential accumulation DuckDB's
+    * `list_sum(list_transform(...))` uses, so distances (and therefore
+    * tie-broken assignments) are bit-identical cross-engine.
+    */
+  private def pqL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Comparator = distance ASC, code ASC — deterministic assignment
+    * under exact-tie subvectors.
+    */
+  private val byDistAscCodeAsc = (l: Column, r: Column) =>
+    when(l("d") < r("d"), lit(-1)).when(l("d") > r("d"), lit(1))
+      .when(l("code") < r("code"), lit(-1))
+      .when(l("code") > r("code"), lit(1)).otherwise(lit(0))
+
+  /** Train the PQ codebook: (j, code, cb) rows — subspace j ∈ [0, m),
+    * code ∈ [0, ks), cb = the `sub`-dim codebook entry. Seeds are the
+    * ks smallest-md5-key corpus rows (code = rank in that order, the
+    * same deterministic sample family as IVF seeds), sliced into their
+    * m subvectors. Each Lloyd pass reassigns every corpus subvector to
+    * its nearest entry and replaces entries by DECIMAL-exact
+    * per-dimension means; empty cells drop identically in any engine.
+    */
+  private def pqCodebook(c: DataFrame, m: Int, sub: Int, ks: Int,
+                         lloydIters: Int): DataFrame = {
+    val sampleKey =
+      conv(substring(md5(col("cand_id").cast("string")), 1, 8), 16, 10).cast("long")
+    val seeds = c.orderBy(sampleKey.asc, col("cand_id").asc).limit(ks)
+      .withColumn("code",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(sampleKey.asc, col("cand_id").asc)) - 1)
+    val seedCb = seeds
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("j"), col("code"),
+        slice(col("cv"), col("j") * sub + 1, lit(sub)).as("cb"))
+    (1 to lloydIters).foldLeft(seedCb) { (cb, _) =>
+      withPqCodes(c, cb, m, sub)
+        .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+        .select(col("j"), element_at(col("pqcode"), col("j") + 1).as("code"),
+          posexplode(element_at(col("subs"), col("j") + 1)))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(sum(col("col").cast("decimal(27,10)")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("j"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            (col("s").cast("double") / col("n")).as("m")))),
+          x => x("m")).as("cb"))
+    }
+  }
+
+  /** Codebook as ONE row: cbs[j+1] = the subspace-j entries as an array
+    * of (code, cb) structs sorted by code — broadcast onto the corpus
+    * so encoding is a per-row zip over subspaces, zero shuffles (the
+    * centArray discipline applied to the codebook).
+    */
+  private def pqCbNested(cb: DataFrame): DataFrame = cb
+    .groupBy(col("j"))
+    .agg(array_sort(collect_list(struct(col("code"), col("cb")))).as("ent"))
+    .agg(transform(array_sort(collect_list(struct(col("j"), col("ent")))),
+      x => x("ent")).as("cbs"))
+
+  /** Guard: the broadcast codebook must carry exactly the m subspaces
+    * the caller's slice arithmetic assumes — a PQ index probed with the
+    * wrong m would silently slice wrong, so it fails loudly in-plan
+    * instead (the nbScore bucket-recovery discipline).
+    */
+  private def pqGuard(df: DataFrame, m: Int): DataFrame = df
+    .filter(assert_true(size(col("cbs")) === m,
+      lit(s"PQ codebook subspace count != caller's m = $m")).isNull)
+
+  /** Encode: attach `subs` (the row's m subvectors) and `pqcode` (the m
+    * nearest-entry codes, L2 ties → smaller code) — one map-side pass
+    * against the broadcast codebook. The lambda chain binds everything
+    * it dereferences (subs/cbs zip per subspace, entries per code), so
+    * nothing re-evaluates per array element.
+    */
+  private def withPqCodes(c: DataFrame, cb: DataFrame, m: Int, sub: Int): DataFrame =
+    pqGuard(c.join(broadcast(pqCbNested(cb)), lit(true)), m)
+      .withColumn("subs", transform(sequence(lit(0), lit(m - 1)), j =>
+        slice(col("cv"), j * sub + 1, lit(sub))))
+      .withColumn("pqcode", zip_with(col("subs"), col("cbs"), (xj, ent) =>
+        element_at(array_sort(transform(ent, e =>
+          struct(pqL2(xj, e("cb")).as("d"), e("code").as("code"))),
+          byDistAscCodeAsc), 1)("code")))
+
+  /** Per-query ADC lookup table: lut[j+1][code+1] =
+    * dot(query_subvector_j, codebook[j][code]) — m·ks dots computed
+    * ONCE per query (missing codes → null, never referenced: no vector
+    * encodes to a dropped cell). Scoring a candidate is then m lookups.
+    */
+  private def withPqLut(q: DataFrame, cb: DataFrame, m: Int, sub: Int,
+                        ks: Int): DataFrame =
+    pqGuard(q.join(broadcast(pqCbNested(cb)), lit(true)), m)
+      .withColumn("qsubs", transform(sequence(lit(0), lit(m - 1)), j =>
+        slice(col("qv"), j * sub + 1, lit(sub))))
+      .withColumn("lut", zip_with(col("qsubs"), col("cbs"), (qj, ent) =>
+        transform(sequence(lit(0), lit(ks - 1)), i =>
+          element_at(transform(filter(ent, e => e("code") === i),
+            e => VectorOps.dot(qj, e("cb"))), 1))))
+      .drop("cbs", "qsubs")
+
+  /** ADC score: the m LUT lookups summed in subspace order (in-order
+    * left fold — cross-engine exact given identical LUT doubles).
+    */
+  private def pqScore(code: Column, lut: Column): Column =
+    aggregate(zip_with(code, lut, (cd, lj) => element_at(lj, cd + 1)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** PQ brute-force top-k — the compressed-scan path one tier beyond
+    * [[sq8TopK]]: the codebook trains on the candidate corpus, the scan
+    * streams m-code rows (~32× smaller than float32 vectors), and
+    * ranking is ADC dot (score DESC, cand_id ASC). Output:
+    * (query_id, cand_id, pqdot). Approximation error is the PQ
+    * reconstruction error; when every candidate IS a codebook entry
+    * (corpus ≤ ks) the score equals the exact dot (spec-proven).
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+             m: Int = 8, ks: Int = 16, lloydIters: Int = 0,
+             dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val c = prepCandidates(candidates)
+    val cb = pqCodebook(c, m, sub, ks, lloydIters)
+    val codes = withPqCodes(c, cb, m, sub).select(col("cand_id"), col("pqcode"))
+    val q = queries.select(col("id").as("query_id"),
+      VectorOps.toDoubleArray(col("vec")).as("qv"))
+    val qlut = withPqLut(q, cb, m, sub, ks).select(col("query_id"), col("lut"))
+    val scored = codes.join(broadcast(qlut), lit(true))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("pqdot", pqScore(col("pqcode"), col("lut")))
+    Ranking.topPerGroup(scored, Seq(col("query_id")),
+        Seq(col("pqdot").desc, col("cand_id").asc), k)
+      .select(col("query_id"), col("cand_id"), col("pqdot"))
+      .orderBy(col("query_id"), col("pqdot").desc, col("cand_id"))
+  }
+
+  /** Build a persisted IVF-PQ index — the full FAISS-IVFPQ production
+    * shape, both scale levers at their strongest: probes prune the scan
+    * to nProbes/nCentroids of the corpus (IVF) AND the pruned buckets
+    * stream m-code rows (PQ's ~32× cut), so a probe moves
+    * ~nProbes/nCentroids ÷ 32 of the float-index bytes. THREE Versioned
+    * tables in lockstep (`centroids/`, `codebook/`, `assignment/`):
+    * IVF centroids stay full-precision (probe quality), the codebook is
+    * m·ks tiny rows, and the assignment stores (centroid_id, cand_id,
+    * pqcode). Bucket membership is assigned in full precision BEFORE
+    * quantization, identical to [[buildIvfIndex]]'s.
+    */
+  def buildIvfPqIndex(candidates: DataFrame, indexDir: String,
+                      nCentroids: Int = 16, m: Int = 8, ks: Int = 16,
+                      pqLloydIters: Int = 0, lloydIters: Int = 0,
+                      dim: Int = 64): Long = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val c = prepCandidates(candidates)
+    val (centroids, assigned) = centroidsAndAssignment(c, nCentroids, lloydIters)
+    val cb = pqCodebook(c, m, sub, ks, pqLloydIters)
+    val codes = withPqCodes(c, cb, m, sub).select(col("cand_id"), col("pqcode"))
+    val assignedQ = assigned.select(col("centroid_id"), col("cand_id"))
+      .join(codes, Seq("cand_id"))
+      .select(col("centroid_id"), col("cand_id"), col("pqcode"))
+    val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
+    val vb = graft.sources.Versioned.overwrite(cb, s"$indexDir/codebook")
+    val va = graft.sources.Versioned.overwrite(assignedQ, s"$indexDir/assignment")
+    require(vc == vb && vb == va,
+      s"index tables diverged: centroids v$vc / codebook v$vb / assignment v$va")
+    vc
+  }
+
+  /** Append a batch to a persisted IVF-PQ index without rebuilding:
+    * assign to the FROZEN centroids, encode on the FROZEN codebook —
+    * one map-side pass over the batch (FAISS `add` semantics; codebook
+    * drift vs the growing corpus is the caller's rebuild dial). All
+    * three tables re-commit so versions stay lockstep.
+    */
+  def appendToIvfPqIndex(batch: DataFrame, indexDir: String,
+                         m: Int = 8, dim: Int = 64): Long = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val spark = batch.sparkSession
+    val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids")
+    val cb = graft.sources.Versioned.read(spark, s"$indexDir/codebook")
+    val c = prepCandidates(batch)
+    val assignedNew = assignTo(c, centroids)
+      .select(col("centroid_id"), col("cand_id"))
+      .join(withPqCodes(c, cb, m, sub).select(col("cand_id"), col("pqcode")),
+        Seq("cand_id"))
+      .select(col("centroid_id"), col("cand_id"), col("pqcode"))
+    val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
+    val vb = graft.sources.Versioned.overwrite(cb, s"$indexDir/codebook")
+    val va = graft.sources.Versioned.append(assignedNew, s"$indexDir/assignment")
+    require(vc == vb && vb == va,
+      s"index tables diverged: centroids v$vc / codebook v$vb / assignment v$va")
+    vc
+  }
+
+  /** Probe a persisted IVF-PQ index: probe selection in full precision
+    * against the stored centroids, then an ADC scan of only the probed
+    * buckets' code rows. With nProbes = nCentroids and identical
+    * codebook params this degenerates to exactly [[pqTopK]]
+    * (spec-proven, and how the oracle checks it). Latest-version reads
+    * refuse an out-of-lockstep triple, same as [[queryIvfIndex]].
+    */
+  def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                      queries: DataFrame, k: Int, nProbes: Int = 4,
+                      asOf: Option[Long] = None, m: Int = 8, ks: Int = 16,
+                      dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    if (asOf.isEmpty) {
+      val vs = Seq("centroids", "codebook", "assignment")
+        .map(t => graft.sources.Versioned.latestVersion(spark, s"$indexDir/$t"))
+      require(vs.distinct.size == 1, s"index tables out of lockstep " +
+        s"(centroids v${vs(0)}, codebook v${vs(1)}, assignment v${vs(2)}) — " +
+        "a build/append crashed between commits; rebuild or pin asOf")
+    }
+    val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids", asOf)
+    val cb = graft.sources.Versioned.read(spark, s"$indexDir/codebook", asOf)
+    val assigned = graft.sources.Versioned.read(spark, s"$indexDir/assignment", asOf)
+
+    val q = queries
+      .select(col("id").as("query_id"), VectorOps.toDoubleArray(col("vec")).as("qv"))
+      .withColumn("q_norm_sq", VectorOps.normSq(col("qv")))
+    val probes = q
+      .join(broadcast(centArray(centroids)), lit(true))
+      .withColumn("__probe", explode(slice(
+        array_sort(scoredCents(col("qv"), col("q_norm_sq")), bySimDescIdAsc),
+        1, nProbes)))
+      .select(col("query_id"), col("__probe")("centroid_id").as("centroid_id"))
+    val qlut = withPqLut(q.select(col("query_id"), col("qv")), cb, m, sub, ks)
+      .select(col("query_id"), col("lut"))
+      .join(probes, Seq("query_id"))
+
+    val scored = assigned.join(broadcast(qlut), Seq("centroid_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("pqdot", pqScore(col("pqcode"), col("lut")))
+    Ranking.topPerGroup(scored, Seq(col("query_id")),
+        Seq(col("pqdot").desc, col("cand_id").asc), k)
+      .select(col("query_id"), col("cand_id"), col("pqdot"))
+      .orderBy(col("query_id"), col("pqdot").desc, col("cand_id"))
+  }
 
   /** SQ8-quantized brute-force top-k — the compressed-scan ANN path:
     * both sides quantize on the CANDIDATE corpus's global scale, and

@@ -17,12 +17,12 @@ import org.apache.spark.sql.SparkSession
 object CachedArtifact {
 
   /** Returns the artifact directory, building it first if absent or
-    * unhealthy. `subA`/`subB` are the two Versioned-table subpaths
-    * whose latest versions must agree for the artifact to count as
-    * healthy.
+    * unhealthy. `subA`/`subB` (+ any `more`) are the Versioned-table
+    * subpaths whose latest versions must all agree for the artifact to
+    * count as healthy (an IVF-PQ index carries three).
     */
   def resolve(spark: SparkSession, sourceFile: java.io.File, tag: String,
-              subA: String, subB: String)(build: String => Unit): String = {
+              subA: String, subB: String, more: String*)(build: String => Unit): String = {
     def fp(f: java.io.File): Long =
       if (f.isDirectory)
         f.listFiles.sortBy(_.getName)
@@ -31,9 +31,9 @@ object CachedArtifact {
       else f.lastModified ^ (f.length * 1315423911L)
     val key = java.lang.Long.toHexString(fp(sourceFile))
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_${tag}_$key").getPath
+    val subs = subA +: subB +: more
     val healthy =
-      try Versioned.latestVersion(spark, s"$dir/$subA") ==
-        Versioned.latestVersion(spark, s"$dir/$subB")
+      try subs.map(s => Versioned.latestVersion(spark, s"$dir/$s")).distinct.size == 1
       catch { case _: Exception => false }
     if (!healthy) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit

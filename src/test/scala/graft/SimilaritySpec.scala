@@ -339,4 +339,138 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(Similarity.queryIvfSq8Index(spark, idx, q, k = 5, nProbes = 8,
       asOf = Some(0L))) == before)
   }
+
+  test("PQ is EXACT when every candidate is a codebook seed (corpus ≤ ks)") {
+    // 16 corpus vectors, ks = 16 → every vector IS its own codebook
+    // entry (L2 distance 0), so ADC reconstructs each candidate
+    // perfectly and pqdot equals the exact full-precision dot.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .filter(col("id") < 16)
+    val vecs = e.collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val got = Similarity.pqTopK(e.filter(col("id") < 3), e, k = 15).collect()
+    assert(got.length == 3 * 15)
+    got.foreach { r =>
+      val exact = dot(vecs(r.getAs[Long]("query_id")), vecs(r.getAs[Long]("cand_id")))
+      assert(math.abs(r.getAs[Double]("pqdot") - exact) < 1e-9,
+        s"pqdot must equal the exact dot when the candidate is a codebook entry")
+    }
+  }
+
+  test("PQ ranking tracks the exact dot ranking on the real corpus") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val vecs = e.collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val truth = (0L until 10L).map { qid =>
+      val qv = vecs(qid)
+      qid -> vecs.view.filter(_._1 != qid).toSeq
+        .map { case (i, v) => (i, dot(qv, v)) }
+        .sortBy { case (i, d) => (-d, i) }.take(5).map(_._1).toSet
+    }.toMap
+    def recallAt(m: Int, ks: Int): Double = {
+      val got = Similarity.pqTopK(e.filter(col("id") < 10), e, k = 5,
+          m = m, ks = ks, lloydIters = 1)
+        .collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (k, v) => k -> v.map(_.getAs[Long]("cand_id")).toSet }
+      (0L until 10L).map(qid => (truth(qid) & got(qid)).size).sum / 50.0
+    }
+    // uniform-random embeddings are PQ's WORST case (no cluster
+    // structure for the codebook to exploit), so these are floor
+    // numbers, and the meaningful property is the dial: more
+    // codes/entries → monotonically better recall at lower compression.
+    // Measured here: (m=8,ks=64) ≈ 0.34 at 32× compression,
+    // (m=16,ks=64) ≈ 0.56 at 16× — both far above the 5/N ≈ 0.05
+    // random-candidate floor.
+    val coarse = recallAt(8, 64)
+    val fine = recallAt(16, 64)
+    assert(coarse >= 0.2, s"PQ m=8/ks=64 recall vs exact dot: $coarse")
+    assert(fine >= 0.45, s"PQ m=16/ks=64 recall vs exact dot: $fine")
+    assert(fine >= coarse, "doubling the subspace count must not lose recall")
+  }
+
+  test("PQ is deterministic across layouts") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def rows(c: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(e.filter(col("id") < 5), c, k = 5, lloydIters = 1)
+        .as[(Long, Long, Double)].collect().toSeq
+    assert(rows(e) == rows(e.repartition(7)),
+      "PQ output must not depend on the corpus partitioning")
+  }
+
+  test("IVF-PQ index: exhaustive probe ≡ pqTopK; pruned probe scores agree pairwise") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.buildIvfPqIndex(e, idx, nCentroids = 16): Unit
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "pqdot")
+        .as[(Long, Long, Double)].collect().toSeq
+
+    // probing every bucket = the full ADC scan over the same codebook —
+    // identical fold order, so exact double equality is meaningful
+    val exhaustive = rows(Similarity.queryIvfPqIndex(spark, idx, q, k = 5, nProbes = 16))
+    assert(exhaustive == rows(Similarity.pqTopK(q, e, 5)),
+      "exhaustive IVF-PQ probe must equal pqTopK exactly")
+
+    // pruned probes surface a subset; every surfaced score must be the
+    // same ADC value the full scan computes for that pair
+    val full = rows(Similarity.queryIvfPqIndex(spark, idx, q, k = 1000, nProbes = 16))
+      .map { case (qid, cid, d) => (qid, cid) -> d }.toMap
+    val pruned = rows(Similarity.queryIvfPqIndex(spark, idx, q, k = 5, nProbes = 4))
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (qid, cid, d) =>
+      assert(full((qid, cid)) == d, s"pruned ADC score for ($qid,$cid) diverged")
+    }
+  }
+
+  test("appendToIvfPqIndex: frozen-codebook encoding, time travel, float-append refusal") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // batch = the same vectors under shifted ids: encoded on the FROZEN
+    // codebook they must land on the same codes as their twins, so each
+    // appended vector's ADC score equals its twin's for every query
+    val batch = e.select((col("id") + 100000L).as("id"), col("vec"))
+    val q = e.filter(col("id") < 3)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_append").toString
+    Similarity.buildIvfPqIndex(e, idx, nCentroids = 8): Unit
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "pqdot")
+        .as[(Long, Long, Double)].collect().toSeq
+
+    val before = rows(Similarity.queryIvfPqIndex(spark, idx, q, k = 5, nProbes = 8))
+    assert(Similarity.appendToIvfPqIndex(batch, idx) == 1L)
+
+    val all = rows(Similarity.queryIvfPqIndex(spark, idx, q, k = 100000, nProbes = 8))
+      .map { case (qid, cid, d) => (qid, cid) -> d }.toMap
+    assert(all.keys.exists { case (_, cid) => cid >= 100000L },
+      "appended vectors must be probe-reachable")
+    all.keys.filter { case (_, cid) => cid < 100000L && cid >= 3L }
+      .foreach { case (qid, cid) =>
+        assert(all((qid, cid)) == all((qid, cid + 100000L)),
+          s"twin ($qid,$cid): appended copy must score identically on the frozen codebook")
+      }
+
+    // time travel: version 0 still answers with the pre-append corpus
+    assert(rows(Similarity.queryIvfPqIndex(spark, idx, q, k = 5, nProbes = 8,
+      asOf = Some(0L))) == before)
+
+    // the float-index append path refuses a PQ index loudly
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(batch, idx): Unit
+    }
+    assert(ex.getMessage.contains("appendToIvfPqIndex"))
+  }
 }
