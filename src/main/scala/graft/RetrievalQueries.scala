@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** Lexical retrieval + storage-layout queries (SURVEY.md §2 [EXT] rows,
+  * q146–q148): Okapi BM25 full-text search (inline and from the
+  * persisted inverted index) and Z-order multi-dimensional clustering.
+  */
+object RetrievalQueries {
+
+  /** Mixed-selectivity query: 'dup' is rare (high idf — the planted
+    * duplicate-marker token), 'spark'/'hash' are near-ubiquitous (idf
+    * close to the smoothing floor). BM25's job is exactly to let the
+    * rare term dominate while term frequency and doc length still
+    * separate the common-term ties.
+    */
+  private val bmTerms = Seq("dup", "spark", "hash")
+
+  // ---------------------------------------------------------------------
+  // [EXT] BM25 full-text search — one corpus pass: non-query tokens die
+  // inside the scan's codegen stage, the shuffle carries (doc_id, dl,
+  // tok, tf) for the 3 query terms only, ranking is
+  // TakeOrderedAndProject. Per-doc sums ride DECIMAL(27,10) so the
+  // double scores replay exactly in SQL.
+  def q146Bm25(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(Tables.documents(spark, dir),
+      col("doc_id"), col("text"), bmTerms, k = 20)
+
+  private val q146Sql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+      |tf AS (
+      |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+      |  WHERE tok IN ('dup', 'spark', 'hash')
+      |  GROUP BY 1, 2, 3),
+      |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |term AS (
+      |  SELECT tf.doc_id,
+      |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+      |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |          * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS t
+      |  FROM tf JOIN dfs USING (tok) CROSS JOIN stats)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
+      |FROM term GROUP BY doc_id
+      |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] BM25 from the PERSISTED INVERTED INDEX — build once (postings
+  // with denormalized doc length + 1-row stats, lockstep Versioned
+  // tables), then a query touches only its terms' postings rows: the
+  // token filter pushes into the parquet scan, df derives from the
+  // |T|-row filtered slice, and no corpus-sized table is joined at
+  // query time. Same scoring formula ⇒ same oracle SQL as q146.
+  def q147Bm25Index(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "bm25",
+      "postings", "stats")(
+      Retrieval.buildBm25Index(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), _): Unit)
+    Retrieval.queryBm25Index(spark, idx, bmTerms, k = 20)
+  }
+
+  // ---------------------------------------------------------------------
+  // [EXT] Z-order clustering key — `Maintenance.zKey`, THE sort key
+  // behind zorderWrite's multi-dimensional file clustering, hash-checked
+  // cross-engine: the fixed-point bucket grid (min-max normalization,
+  // 16 bits per column) and the full 32-term bit interleave replay in
+  // SQL. The layout machinery itself (range shuffle, per-file min-max
+  // tightness, measured pruning) is spec-tested in MaintenanceSpec —
+  // a file layout has no relational output to oracle; its key does.
+  def q148ZorderKey(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val stats = li.agg(
+      min(col("l_partkey")).cast("double").as("lo_p"),
+      max(col("l_partkey")).cast("double").as("hi_p"),
+      min(col("l_suppkey")).cast("double").as("lo_s"),
+      max(col("l_suppkey")).cast("double").as("hi_s"))
+    li.crossJoin(broadcast(stats))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.operators.Maintenance.zKey(Seq(
+          (col("l_partkey"), col("lo_p"), col("hi_p")),
+          (col("l_suppkey"), col("lo_s"), col("hi_s")))).as("z"))
+      .orderBy(col("z").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+  }
+
+  private val q148Sql = {
+    // bucketN: 16-bit fixed-point grid over the column's [lo, hi]
+    def bucket(c: String, lo: String, hi: String): String =
+      s"(CASE WHEN $hi = $lo THEN 0 ELSE least(65535, " +
+        s"CAST(floor((CAST($c AS DOUBLE) - $lo) / ($hi - $lo) * 65536) AS INTEGER)) END)"
+    // mortonN (n = 2): column k's bit i lands at 2i + (1 - k)
+    def morton(b0: String, b1: String): String =
+      (0 until 16).flatMap { i => Seq(
+        s"(((CAST($b0 AS BIGINT) >> $i) & 1) << ${2 * i + 1})",
+        s"(((CAST($b1 AS BIGINT) >> $i) & 1) << ${2 * i})")
+      }.mkString("(", " | ", ")")
+    s"""WITH stats AS (
+       |  SELECT CAST(min(l_partkey) AS DOUBLE) AS lo_p,
+       |    CAST(max(l_partkey) AS DOUBLE) AS hi_p,
+       |    CAST(min(l_suppkey) AS DOUBLE) AS lo_s,
+       |    CAST(max(l_suppkey) AS DOUBLE) AS hi_s
+       |  FROM lineitem)
+       |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  ${morton(bucket("l_partkey", "lo_p", "hi_p"),
+                   bucket("l_suppkey", "lo_s", "hi_s"))} AS z
+       |FROM lineitem CROSS JOIN stats
+       |ORDER BY z ASC, l_orderkey ASC, l_linenumber ASC LIMIT 100""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_bm25"       -> (q146Bm25 _),
+    "q147_bm25_index" -> (q147Bm25Index _),
+    "q148_zorder_key" -> (q148ZorderKey _))
+
+  val oracle: Map[String, String] = Map(
+    "q146_bm25"       -> q146Sql,
+    "q147_bm25_index" -> q146Sql,
+    "q148_zorder_key" -> q148Sql)
+}

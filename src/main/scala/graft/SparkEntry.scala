@@ -26,10 +26,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ ExtQueries.all ++ SimQueries.all ++ StatQueries.all ++ WideQueries.all ++ PipelineQueries.all ++ SubQueries.all ++ TpchQueries.all
+    Queries.all ++ ExtQueries.all ++ SimQueries.all ++ StatQueries.all ++ WideQueries.all ++ PipelineQueries.all ++ SubQueries.all ++ TpchQueries.all ++ RetrievalQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracle ++ ExtQueries.oracle ++ SimQueries.oracle ++ StatQueries.oracle ++ WideQueries.oracle ++ PipelineQueries.oracle ++ SubQueries.oracle ++ TpchQueries.oracle
+    Queries.oracle ++ ExtQueries.oracle ++ SimQueries.oracle ++ StatQueries.oracle ++ WideQueries.oracle ++ PipelineQueries.oracle ++ SubQueries.oracle ++ TpchQueries.oracle ++ RetrievalQueries.oracle
 }

@@ -75,13 +75,30 @@ object Maintenance {
     * OR-fold of N·bits shift/mask terms; stays inside whole-stage
     * codegen. Earlier columns take the higher interleave positions
     * (they prune hardest — order columns by filter frequency).
+    * Interleaves in LONG space: the top 2-column bit lands at position
+    * 31, which in int arithmetic is the sign bit — an int Z-value would
+    * sort the top half of the curve FIRST and split one curve tile
+    * across the wrap (the pre-round-8 form did exactly that).
     */
   private def mortonN(bs: Seq[Column], bits: Int): Column = {
     val n = bs.size
+    val lbs = bs.map(_.cast("long"))
     (0 until bits).flatMap { i =>
-      bs.zipWithIndex.map { case (b, k) =>
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), i * n + (n - 1 - k)) }
+      lbs.zipWithIndex.map { case (b, k) =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * n + (n - 1 - k)) }
     }.reduce(_.bitwiseOR(_))
+  }
+
+  /** The Z-value expression over declared per-column [lo, hi] ranges —
+    * exactly the key [[zorderWrite]] sorts by, exposed for callers that
+    * keep their own range stats (a lakehouse manifest) and for
+    * cross-engine verification (q148 replays the bucket arithmetic and
+    * the full bit-interleave in SQL).
+    */
+  def zKey(cols: Seq[(Column, Column, Column)]): Column = {
+    require(cols.size >= 2 && cols.size <= 4, "z-order takes 2-4 columns")
+    val bits = 32 / cols.size
+    mortonN(cols.map { case (c, lo, hi) => bucketN(c, lo, hi, bits) }, bits)
   }
 
   /** Z-ORDER CLUSTERED REWRITE — the multi-dimensional data-skipping
@@ -99,15 +116,12 @@ object Maintenance {
     */
   def zorderWrite(df: DataFrame, cols: Seq[Column], outDir: String,
                   numFiles: Int): Unit = {
-    require(cols.size >= 2 && cols.size <= 4, "z-order takes 2-4 columns")
-    val bits = 32 / cols.size
     val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
       min(c).cast("double").as(s"__lo$i"), max(c).cast("double").as(s"__hi$i")) }
     val stats = df.agg(aggs.head, aggs.tail: _*)
-    val buckets = cols.zipWithIndex.map { case (c, i) =>
-      bucketN(c, col(s"__lo$i"), col(s"__hi$i"), bits) }
     df.crossJoin(broadcast(stats))
-      .withColumn("__z", mortonN(buckets, bits))
+      .withColumn("__z", zKey(cols.zipWithIndex.map { case (c, i) =>
+        (c, col(s"__lo$i"), col(s"__hi$i")) }))
       .drop(cols.indices.flatMap(i => Seq(s"__lo$i", s"__hi$i")): _*)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

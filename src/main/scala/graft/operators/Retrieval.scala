@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.sources.Versioned
+
+/** Okapi BM25 full-text retrieval — the lexical half of a retrieval
+  * stack (the embedding half is [[Similarity]]). Classic search-engine
+  * ranking (Robertson & Spärck Jones's probabilistic relevance
+  * framework; the BM25 form from TREC-3, 1994): for query terms T and
+  * document d,
+  *
+  *   score(d) = Σ_{t∈T} idf(t) · tf(t,d)·(k1+1) /
+  *                       (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+  *
+  * with the standard smoothed idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+  * (always positive, unlike the raw log-odds form). k1 = 1.2, b = 0.75
+  * are the published defaults.
+  *
+  * Everything here is deterministic and SQL-replayable: tf/df/dl/N are
+  * exact integers off hash aggregations, the per-term score is one fixed
+  * double expression over them, and the per-document sum rides
+  * DECIMAL(27,10) so it is order-independent (the [[Corpus.lmScore]]
+  * discipline — a plain double sum would depend on partitioning).
+  *
+  * Scale shape (100 TB corpus, ad-hoc query): the inline form
+  * ([[bm25TopK]]) pays one corpus pass — tokens explode map-side and the
+  * non-query tokens are FILTERED INSIDE the same codegen stage, so the
+  * only shuffle carries (doc_id, dl, tok, tf) for the query terms alone;
+  * df is |T| rows; the final ranking is TakeOrderedAndProject. The
+  * query-many path is the persisted inverted index
+  * ([[buildBm25Index]] / [[queryBm25Index]]): build once, and each query
+  * touches only the postings rows of its terms (predicate pushdown on
+  * the token column; bucket the postings by token on a real cluster) —
+  * document length is DENORMALIZED INTO the postings row exactly so a
+  * probe never joins a corpus-sized doc-length table.
+  */
+object Retrieval {
+
+  /** Published Okapi defaults. */
+  val K1: Double = 1.2
+  val B: Double  = 0.75
+
+  /** (doc_id, dl, tok, tf) for the query terms only, plus the 1-row
+    * corpus stats (n_docs, sum_dl). The stats ride a broadcast cross
+    * join; the token filter runs inside the scan's codegen stage.
+    */
+  private def tfAndStats(docs: DataFrame, id: Column, text: Column,
+                         terms: Seq[String]): (DataFrame, DataFrame) = {
+    val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isInCollection(terms))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    (tf, stats)
+  }
+
+  /** BM25 score per (doc, term) → per doc, over a (doc_id, dl, tok, tf)
+    * relation joined with its |T|-row df table and 1-row stats. Shared
+    * by the inline and index paths so the two provably score with one
+    * formula.
+    */
+  private def scoreDocs(tf: DataFrame, stats: DataFrame,
+                        k1: Double, b: Double): DataFrame = {
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val term = idf * (tfd * lit(k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * dld / avgdl))
+    tf.join(dfTab, Seq("tok"))
+      .crossJoin(stats) // 1 row — broadcast nested loop by construction
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+           sum(term.cast("decimal(27,10)")).as("s"))
+      .select(col("doc_id"), col("n_terms"), col("s").cast("double").as("score"))
+  }
+
+  /** BM25 scores for every document matching ≥1 query term.
+    * Output: doc_id, n_terms (distinct query terms present), score.
+    */
+  def bm25Scores(docs: DataFrame, id: Column, text: Column, terms: Seq[String],
+                 k1: Double = K1, b: Double = B): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val (tf, stats) = tfAndStats(docs, id, text, terms)
+    // tf feeds BOTH the scoring join and the df derivation — stage it
+    // (it is query-term-sized: ≤ |T| rows per matching doc) so the
+    // second consumer does not replay the corpus explode lineage. The
+    // index path passes its tf through UNstaged: there the input is
+    // already a token-pruned postings scan, and re-reading that beats
+    // hiding the parquet pushdown behind a checkpoint.
+    scoreDocs(tf.localCheckpoint(eager = false), stats, k1, b)
+  }
+
+  /** Top-k BM25 search (score desc, doc_id asc — a total order). */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column, terms: Seq[String],
+               k: Int, k1: Double = K1, b: Double = B): DataFrame =
+    bm25Scores(docs, id, text, terms, k1, b)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+
+  // -------------------------------------------------------------------
+  // Persisted inverted index — build once, query many (the persisted-
+  // ANN-index / NB-model discipline applied to lexical search).
+
+  /** Build the inverted index: `postings` (tok, doc_id, tf, dl — doc
+    * length denormalized into the row) + 1-row `stats` (n_docs,
+    * sum_dl), two lockstep [[Versioned]] tables. One corpus pass.
+    */
+  def buildBm25Index(docs: DataFrame, id: Column, text: Column,
+                     indexDir: String): Long = {
+    val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val vp = Versioned.overwrite(postings, s"$indexDir/postings")
+    val vs = Versioned.overwrite(stats, s"$indexDir/stats")
+    require(vp == vs, s"BM25 index tables diverged: postings v$vp vs stats " +
+      s"v$vs (was $indexDir written by something other than buildBm25Index?)")
+    vp
+  }
+
+  /** Add a batch of NEW documents to an existing index (FAISS-add /
+    * daily-cadence semantics; doc_ids must be previously unseen — the
+    * same append-only invariant as `Corpus.appendSignalState`). Postings
+    * rows append; the 1-row stats table merges additively and commits at
+    * the EXPECTED version, so a concurrent append loses cleanly and
+    * retries instead of silently dropping counts.
+    */
+  def appendToBm25Index(batch: DataFrame, id: Column, text: Column,
+                        indexDir: String): Long = {
+    val spark = batch.sparkSession
+    val vStats = Versioned.latestVersion(spark, s"$indexDir/stats")
+    val vPost  = Versioned.latestVersion(spark, s"$indexDir/postings")
+    require(vPost == vStats, s"BM25 index tables out of lockstep (postings " +
+      s"v$vPost, stats v$vStats) — a build or append crashed between " +
+      "commits; rebuild into a fresh directory")
+    val base = batch.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+    val delta = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val merged = Versioned.read(spark, s"$indexDir/stats", Some(vStats))
+      .unionByName(delta)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val vp = Versioned.append(postings, s"$indexDir/postings")
+    val vs = Versioned.overwriteExpecting(merged, s"$indexDir/stats", vStats + 1)
+    require(vp == vs, s"BM25 append left tables out of lockstep (postings " +
+      s"v$vp, stats v$vs) — rebuild into a fresh directory")
+    vp
+  }
+
+  /** Query the persisted index: touches only the query terms' postings
+    * (token filter pushed into the parquet scan) + the 1-row stats;
+    * `asOf` time-travels to any historical index version. Scores are
+    * IDENTICAL to the inline [[bm25TopK]] over the same corpus — same
+    * formula over the same exact integers.
+    */
+  def queryBm25Index(spark: SparkSession, indexDir: String,
+                     terms: Seq[String], k: Int,
+                     k1: Double = K1, b: Double = B,
+                     asOf: Option[Long] = None): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    if (asOf.isEmpty) {
+      val vp = Versioned.latestVersion(spark, s"$indexDir/postings")
+      val vs = Versioned.latestVersion(spark, s"$indexDir/stats")
+      require(vp == vs, s"BM25 index tables out of lockstep (postings v$vp, " +
+        s"stats v$vs) — a build crashed between commits; rebuild into a " +
+        "fresh directory or pin an intact version with asOf")
+    }
+    val tf = Versioned.read(spark, s"$indexDir/postings", asOf)
+      .filter(col("tok").isInCollection(terms))
+      .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
+    val stats = Versioned.read(spark, s"$indexDir/stats", asOf)
+    scoreDocs(tf, stats, k1, b)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** BM25 semantics on hand-computed fixtures + the persisted inverted
+  * index's build/query/append/time-travel contract.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Reference BM25 scorer, straight off the formula — no Spark.
+  private def bm25Ref(corpus: Seq[(Long, String)], terms: Seq[String],
+                      k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = corpus.size.toLong
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val df = terms.map(t => t -> toks.values.count(_.contains(t)).toLong).toMap
+    corpus.flatMap { case (id, _) =>
+      val dl = toks(id).size.toDouble
+      val s = terms.flatMap { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        if (tf == 0 || df(t) == 0) None
+        else {
+          val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+          Some(BigDecimal(idf * (tf * (k1 + 1.0)) /
+            (tf + k1 * ((1.0 - b) + b * dl / avgdl)))
+            .setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        }
+      }
+      if (s.isEmpty) None else Some(id -> s.sum.toDouble)
+    }.toMap
+  }
+
+  private val corpus = Seq(
+    (1L, "spark shuffle join spark spark"),
+    (2L, "rare spark"),
+    (3L, "join join join shuffle shuffle shuffle padding padding padding padding"),
+    (4L, "nothing matches here at all"))
+
+  test("bm25Scores matches the hand formula term by term") {
+    val docs = corpus.toDF("doc_id", "text")
+    val terms = Seq("spark", "rare", "join")
+    val got = Retrieval.bm25Scores(docs, col("doc_id"), col("text"), terms)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("score"))).toMap
+    val want = bm25Ref(corpus, terms)
+    assert(got.keySet == want.keySet)         // doc 4 absent — no term hits
+    assert(!got.contains(4L))
+    for ((id, w) <- want)
+      assert(math.abs(got(id)._2 - w) < 1e-9, s"doc $id: ${got(id)._2} vs $w")
+    assert(got(1L)._1 == 2L && got(2L)._1 == 2L && got(3L)._1 == 1L)
+  }
+
+  test("a rare term outweighs piles of a ubiquitous one") {
+    // 'needle' in one doc of many; every doc is full of 'hay'.
+    val many = (1L to 20L).map(i =>
+      (i, if (i == 7L) "needle hay hay hay" else "hay hay hay hay"))
+    val top = Retrieval.bm25TopK(many.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), Seq("needle", "hay"), k = 1)
+      .collect()(0)
+    assert(top.getAs[Long]("doc_id") == 7L)
+  }
+
+  test("longer documents score below shorter ones at equal tf (the b dial)") {
+    val docs = Seq(
+      (1L, "term pad"),
+      (2L, "term pad pad pad pad pad pad pad pad pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val s = Retrieval.bm25Scores(docs, col("doc_id"), col("text"), Seq("term"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(s(1L) > s(2L))
+  }
+
+  test("index query ≡ inline scoring; append ≡ one-shot build; asOf pins") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    val first  = corpus.take(3).toDF("doc_id", "text")
+    val second = Seq((10L, "spark rare rare"), (11L, "join hay")).toDF("doc_id", "text")
+    val union  = first.unionByName(second)
+    val terms  = Seq("spark", "rare", "join")
+
+    val v1 = Retrieval.buildBm25Index(first, col("doc_id"), col("text"), dir)
+    val inline1 = Retrieval.bm25TopK(first, col("doc_id"), col("text"), terms, 10)
+      .collect().toSeq
+    val probe1 = Retrieval.queryBm25Index(spark, dir, terms, 10).collect().toSeq
+    assert(probe1 == inline1)
+
+    val v2 = Retrieval.appendToBm25Index(second, col("doc_id"), col("text"), dir)
+    assert(v2 > v1)
+    val inlineU = Retrieval.bm25TopK(union, col("doc_id"), col("text"), terms, 10)
+      .collect().toSeq
+    assert(Retrieval.queryBm25Index(spark, dir, terms, 10).collect().toSeq == inlineU)
+
+    // time travel: the pre-append version still scores the old corpus
+    assert(Retrieval.queryBm25Index(spark, dir, terms, 10, asOf = Some(v1))
+      .collect().toSeq == probe1)
+  }
+
+  test("empty term list refuses; no-hit terms return zero rows") {
+    val docs = corpus.toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(docs, col("doc_id"), col("text"), Nil, 5)
+    }
+    assert(Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("absent_token"), 5).count() == 0L)
+  }
+}
