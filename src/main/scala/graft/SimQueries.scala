@@ -828,7 +828,7 @@ object SimQueries {
   def q145AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     val idx = graft.sources.CachedArtifact.resolve(spark,
-      new java.io.File(dir, "embeddings.parquet"), "ivfpq_c16",
+      new java.io.File(dir, "embeddings.parquet"), "ivfpq2_c16",
       "centroids", "codebook", "assignment")(
       Similarity.buildIvfPqIndex(e, _, nCentroids = 16): Unit)
     Similarity.queryIvfPqIndex(spark, idx, e.filter(col("id") < 10), k = 5, nProbes = 4)
@@ -880,6 +880,110 @@ object SimQueries {
   }
 
   // ---------------------------------------------------------------------
+  // J7 FAISS parity, by_residual — RESIDUAL IVF-PQ: the codebook trains
+  // on (cand − assigned centroid) and codes store the residual, so the
+  // ks cells describe the WITHIN-bucket spread instead of re-describing
+  // bucket placement (markedly better reconstruction on clustered
+  // corpora at identical code bytes — SimilaritySpec measures the
+  // recall gap). Scoring is ADC plus one centroid base dot per
+  // (query, probe): score ≈ dot(q, c) + dot(q, residual-hat). The
+  // residual flag is persisted on the codebook rows and guarded
+  // in-plan, so probing with the wrong flag fails loudly instead of
+  // mis-scoring by a centroid dot. ORACLE-CHECKED end-to-end: centroid
+  // assignment, residual subtraction, codebook seeding, ADC and the
+  // base term all replay in SQL.
+  def q149AnnIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val idx = graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "embeddings.parquet"), "ivfpqr_c16",
+      "centroids", "codebook", "assignment")(
+      Similarity.buildIvfPqIndex(e, _, nCentroids = 16, residual = true): Unit)
+    Similarity.queryIvfPqIndex(spark, idx, e.filter(col("id") < 10), k = 5,
+      nProbes = 4, residual = true)
+  }
+
+  private val q149Sql = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i]))"
+    val md5key = (c: String) =>
+      s"CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 8)) AS BIGINT)"
+    val l2res =
+      """list_sum(list_transform(range(1, 9),
+        |          i -> (r.v[c.j*8+i] - c.cb[i]) * (r.v[c.j*8+i] - c.cb[i])))""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS centroid_id, v, nsq FROM base
+       |  ORDER BY ${md5key("vec_id")} ASC, vec_id ASC
+       |  LIMIT 16),
+       |assigned AS (
+       |  SELECT centroid_id, cand_id FROM (
+       |    SELECT c.centroid_id, b.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |rsd AS (
+       |  SELECT a.cand_id, a.centroid_id,
+       |    list_transform(range(1, 65), i -> b.v[i] - c.v[i]) AS v
+       |  FROM assigned a
+       |  JOIN base b ON b.vec_id = a.cand_id
+       |  JOIN cent c ON c.centroid_id = a.centroid_id),
+       |seeds AS (
+       |  SELECT cand_id, v,
+       |    row_number() OVER (ORDER BY ${md5key("cand_id")} ASC, cand_id ASC) - 1 AS code
+       |  FROM rsd
+       |  ORDER BY ${md5key("cand_id")} ASC, cand_id ASC
+       |  LIMIT 16),
+       |cb0 AS (
+       |  SELECT j, code, list_slice(v, j*8+1, j*8+8) AS cb
+       |  FROM seeds CROSS JOIN (SELECT unnest(range(0, 8)) AS j) sj),
+       |enc AS (
+       |  SELECT cand_id, j, code FROM (
+       |    SELECT r.cand_id, c.j, c.code,
+       |      row_number() OVER (PARTITION BY r.cand_id, c.j
+       |        ORDER BY $l2res ASC, c.code ASC) AS rn
+       |    FROM rsd r CROSS JOIN cb0 c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT b.vec_id AS query_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent c
+       |    WHERE b.vec_id < 10)
+       |  WHERE rn <= 4),
+       |cdot AS (
+       |  SELECT b.vec_id AS query_id, c.centroid_id, ${dot("b", "c")} AS cd
+       |  FROM base b CROSS JOIN cent c
+       |  WHERE b.vec_id < 10),
+       |lut AS (
+       |  SELECT b.vec_id AS query_id, c.j, c.code,
+       |    list_sum(list_transform(range(1, 9), i -> b.v[c.j*8+i] * c.cb[i])) AS d
+       |  FROM base b CROSS JOIN cb0 c
+       |  WHERE b.vec_id < 10),
+       |scored AS (
+       |  SELECT p.query_id, a.cand_id,
+       |    cd.cd + list_sum(list(l.d ORDER BY l.j)) AS pqdot
+       |  FROM assigned a
+       |  JOIN probes p ON a.centroid_id = p.centroid_id
+       |  JOIN cdot cd ON cd.query_id = p.query_id AND cd.centroid_id = a.centroid_id
+       |  JOIN enc e ON e.cand_id = a.cand_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.j = e.j AND l.code = e.code
+       |  WHERE a.cand_id <> p.query_id
+       |  GROUP BY 1, 2, cd.cd)
+       |SELECT query_id, cand_id, pqdot FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY pqdot DESC, cand_id ASC) AS rn FROM scored)
+       |WHERE rn <= 5
+       |ORDER BY query_id, pqdot DESC, cand_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk"      -> (q31CosineTopK _),
@@ -902,6 +1006,7 @@ object SimQueries {
     "q135_hard_negatives_indexed" -> (q135HardNegativesIndexed _),
     "q144_pq_topk"          -> (q144PqTopK _),
     "q145_ann_ivf_pq"       -> (q145AnnIvfPq _),
+    "q149_ann_ivf_pq_residual" -> (q149AnnIvfPqResidual _),
   )
 
   /** q33/q34/q37/q43 are xxhash64-sketch-based → rows-only check
@@ -930,5 +1035,6 @@ object SimQueries {
     "q135_hard_negatives_indexed" -> q133Sql,
     "q144_pq_topk"          -> q144Sql,
     "q145_ann_ivf_pq"       -> q145Sql,
+    "q149_ann_ivf_pq_residual" -> q149Sql,
   )
 }

@@ -605,6 +605,25 @@ object Similarity {
     .filter(assert_true(size(col("cbs")) === m,
       lit(s"PQ codebook subspace count != caller's m = $m")).isNull)
 
+  /** Guard: the caller's residual flag must match the flag the codebook
+    * was BUILT with (persisted on every codebook row). Scoring residual
+    * codes without the centroid base term — or raw codes with it —
+    * would be silently wrong by roughly one centroid dot, so a mismatch
+    * fails loudly in-plan (same discipline as [[pqGuard]]).
+    */
+  private def pqResGuard(cb: DataFrame, residual: Boolean): DataFrame = cb
+    .filter(assert_true(col("res") === lit(residual),
+      lit(s"PQ codebook residual flag != caller's residual = $residual")).isNull)
+
+  /** Residual vectors: cand − its assigned centroid, the relation a
+    * residual codebook trains on and encodes (FAISS-IVFPQ's
+    * `by_residual`). Centroids broadcast; the subtraction is map-side.
+    */
+  private def residualsOf(assigned: DataFrame, centroids: DataFrame): DataFrame =
+    assigned.join(broadcast(centroids), Seq("centroid_id"))
+      .select(col("centroid_id"), col("cand_id"),
+        zip_with(col("cv"), col("centv"), (x, c) => x - c).as("cv"))
+
   /** Encode: attach `subs` (the row's m subvectors) and `pqcode` (the m
     * nearest-entry codes, L2 ties → smaller code) — one map-side pass
     * against the broadcast codebook. The lambda chain binds everything
@@ -685,13 +704,22 @@ object Similarity {
   def buildIvfPqIndex(candidates: DataFrame, indexDir: String,
                       nCentroids: Int = 16, m: Int = 8, ks: Int = 16,
                       pqLloydIters: Int = 0, lloydIters: Int = 0,
-                      dim: Int = 64): Long = {
+                      dim: Int = 64, residual: Boolean = false): Long = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
     val c = prepCandidates(candidates)
     val (centroids, assigned) = centroidsAndAssignment(c, nCentroids, lloydIters)
-    val cb = pqCodebook(c, m, sub, ks, pqLloydIters)
-    val codes = withPqCodes(c, cb, m, sub).select(col("cand_id"), col("pqcode"))
+    // residual=true is FAISS-IVFPQ's by_residual: the codebook trains on
+    // (cand − assigned centroid) and codes store the residual, so the
+    // quantizer spends its ks cells on the WITHIN-bucket spread instead
+    // of re-describing bucket placement — markedly better reconstruction
+    // on clustered corpora at identical code bytes. Scoring adds the
+    // centroid base dot per probe (see queryIvfPqIndex). The flag is
+    // persisted on every codebook row and guarded at query/append time.
+    val encBase = if (residual) residualsOf(assigned, centroids) else c
+    val cb = pqCodebook(encBase, m, sub, ks, pqLloydIters)
+      .withColumn("res", lit(residual))
+    val codes = withPqCodes(encBase, cb, m, sub).select(col("cand_id"), col("pqcode"))
     val assignedQ = assigned.select(col("centroid_id"), col("cand_id"))
       .join(codes, Seq("cand_id"))
       .select(col("centroid_id"), col("cand_id"), col("pqcode"))
@@ -710,16 +738,20 @@ object Similarity {
     * three tables re-commit so versions stay lockstep.
     */
   def appendToIvfPqIndex(batch: DataFrame, indexDir: String,
-                         m: Int = 8, dim: Int = 64): Long = {
+                         m: Int = 8, dim: Int = 64,
+                         residual: Boolean = false): Long = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
     val spark = batch.sparkSession
     val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids")
-    val cb = graft.sources.Versioned.read(spark, s"$indexDir/codebook")
+    val cb = pqResGuard(
+      graft.sources.Versioned.read(spark, s"$indexDir/codebook"), residual)
     val c = prepCandidates(batch)
-    val assignedNew = assignTo(c, centroids)
+    val assignedB = assignTo(c, centroids)
+    val encBase = if (residual) residualsOf(assignedB, centroids) else c
+    val assignedNew = assignedB
       .select(col("centroid_id"), col("cand_id"))
-      .join(withPqCodes(c, cb, m, sub).select(col("cand_id"), col("pqcode")),
+      .join(withPqCodes(encBase, cb, m, sub).select(col("cand_id"), col("pqcode")),
         Seq("cand_id"))
       .select(col("centroid_id"), col("cand_id"), col("pqcode"))
     val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
@@ -740,7 +772,7 @@ object Similarity {
   def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                       queries: DataFrame, k: Int, nProbes: Int = 4,
                       asOf: Option[Long] = None, m: Int = 8, ks: Int = 16,
-                      dim: Int = 64): DataFrame = {
+                      dim: Int = 64, residual: Boolean = false): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
     if (asOf.isEmpty) {
@@ -751,25 +783,39 @@ object Similarity {
         "a build/append crashed between commits; rebuild or pin asOf")
     }
     val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids", asOf)
-    val cb = graft.sources.Versioned.read(spark, s"$indexDir/codebook", asOf)
+    val cb = pqResGuard(
+      graft.sources.Versioned.read(spark, s"$indexDir/codebook", asOf), residual)
     val assigned = graft.sources.Versioned.read(spark, s"$indexDir/assignment", asOf)
 
     val q = queries
       .select(col("id").as("query_id"), VectorOps.toDoubleArray(col("vec")).as("qv"))
       .withColumn("q_norm_sq", VectorOps.normSq(col("qv")))
-    val probes = q
+    val probesRaw = q
       .join(broadcast(centArray(centroids)), lit(true))
       .withColumn("__probe", explode(slice(
         array_sort(scoredCents(col("qv"), col("q_norm_sq")), bySimDescIdAsc),
         1, nProbes)))
-      .select(col("query_id"), col("__probe")("centroid_id").as("centroid_id"))
+      .select(col("query_id"), col("__probe")("centroid_id").as("centroid_id"),
+        col("qv"))
+    // residual ADC: score(q, x) ≈ dot(q, c) + dot(q, x − c hat) — the
+    // centroid base dot is ONE extra term per (query, probe), computed
+    // against the broadcast centroid table; raw mode scores from the
+    // LUT alone.
+    val probes =
+      if (!residual) probesRaw.select(col("query_id"), col("centroid_id"))
+        .withColumn("cdot", lit(0.0))
+      else probesRaw.join(broadcast(centroids), Seq("centroid_id"))
+        .select(col("query_id"), col("centroid_id"),
+          VectorOps.dot(col("qv"), col("centv")).as("cdot"))
     val qlut = withPqLut(q.select(col("query_id"), col("qv")), cb, m, sub, ks)
       .select(col("query_id"), col("lut"))
       .join(probes, Seq("query_id"))
 
     val scored = assigned.join(broadcast(qlut), Seq("centroid_id"))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("pqdot", pqScore(col("pqcode"), col("lut")))
+      .withColumn("pqdot",
+        if (residual) col("cdot") + pqScore(col("pqcode"), col("lut"))
+        else pqScore(col("pqcode"), col("lut")))
     Ranking.topPerGroup(scored, Seq(col("query_id")),
         Seq(col("pqdot").desc, col("cand_id").asc), k)
       .select(col("query_id"), col("cand_id"), col("pqdot"))

@@ -473,4 +473,133 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("appendToIvfPqIndex"))
   }
+
+  // -------------------------------------------------------------------
+  // Residual IVF-PQ (FAISS by_residual)
+
+  /** 24 well-separated cluster centers × 5 members each (center + small
+    * seeded noise) — MORE clusters than a ks=16 codebook has cells,
+    * the corpus shape residual encoding exists for: the coarse
+    * quantizer (centroids are cheap, full-precision) handles
+    * placement, PQ only has to describe the within-cluster spread.
+    */
+  private def clusteredCorpus(): Seq[(Long, Seq[Float])] = {
+    val rng = new scala.util.Random(42)
+    val centers = Seq.fill(24)(Array.fill(64)((rng.nextDouble() * 2 - 1) * 5.0))
+    for (c <- 0 until 24; i <- 0 until 5) yield {
+      val v = centers(c).map(x => (x + (rng.nextDouble() * 2 - 1) * 0.1).toFloat)
+      ((c * 5 + i).toLong, v.toSeq)
+    }
+  }
+
+  test("residual IVF-PQ reconstructs near-exactly when every residual is a seed") {
+    // 16 vectors, ks = 16 → every RESIDUAL is its own codebook entry,
+    // so score = dot(q,c) + dot(q, x−c) — the exact dot up to one
+    // float-associativity split (1e-9), unlike raw PQ's exact equality.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .filter(col("id") < 16)
+    val vecs = e.collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpqr_exact").toString
+    Similarity.buildIvfPqIndex(e, idx, nCentroids = 4, residual = true): Unit
+    val got = Similarity.queryIvfPqIndex(spark, idx, e.filter(col("id") < 3),
+      k = 15, nProbes = 4, residual = true).collect()
+    assert(got.length == 3 * 15)
+    got.foreach { r =>
+      val exact = dot(vecs(r.getAs[Long]("query_id")), vecs(r.getAs[Long]("cand_id")))
+      assert(math.abs(r.getAs[Double]("pqdot") - exact) < 1e-9,
+        "residual ADC must reconstruct the exact dot when residuals are seeds")
+    }
+  }
+
+  test("residual encoding reconstructs dots far better than raw PQ on clusters") {
+    // The by_residual claim is a RECONSTRUCTION claim: a 16-cell raw
+    // codebook CANNOT give 24 distant clusters an entry each — members
+    // of the uncovered clusters carry inter-cluster-scale code error —
+    // while 16 residual cells only describe the ±0.1 within-cluster
+    // spread (every residual is small, so every code error is).
+    // Measured as mean |pqdot − exact dot| over all exhaustively-probed
+    // pairs. (Within-cluster top-k RANKING is noise-driven here and no
+    // ks=16 codebook — raw or residual — can reconstruct isotropic
+    // noise; recall is the wrong metric for this fixture.)
+    val corpus = clusteredCorpus()
+    val e = corpus.toDF("id", "vec")
+    val vecs = corpus.map { case (i, v) => i -> v.map(_.toDouble).toArray }.toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    def meanErr(residual: Boolean): Double = {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"graft_ivfpqr_$residual").toString
+      Similarity.buildIvfPqIndex(e, idx, nCentroids = 24, ks = 16,
+        lloydIters = 1, pqLloydIters = 1, residual = residual): Unit
+      val got = Similarity.queryIvfPqIndex(spark, idx,
+          e.filter(col("id") < 5), k = 100000, nProbes = 24, residual = residual)
+        .collect()
+      assert(got.length == 5 * 119)
+      got.map { r =>
+        math.abs(r.getAs[Double]("pqdot") -
+          dot(vecs(r.getAs[Long]("query_id")), vecs(r.getAs[Long]("cand_id"))))
+      }.sum / got.length
+    }
+    val raw = meanErr(residual = false)
+    val res = meanErr(residual = true)
+    assert(res * 2 < raw,
+      s"residual reconstruction (mean |err| $res) must beat raw ($raw) decisively")
+  }
+
+  test("residual-flag mismatch fails loudly instead of mis-scoring") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .filter(col("id") < 32)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpqr_flag").toString
+    Similarity.buildIvfPqIndex(e, idx, nCentroids = 4, residual = true): Unit
+    def causes(e: Throwable) = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString("\n")
+    // probing without the flag would drop the centroid base term —
+    // silently wrong by ~one centroid dot per pair
+    val exQ = intercept[Exception] {
+      Similarity.queryIvfPqIndex(spark, idx, e.filter(col("id") < 2),
+        k = 3, nProbes = 4).collect()
+    }
+    assert(causes(exQ).contains("residual flag"))
+    // appending raw-encoded codes into a residual assignment would
+    // corrupt every future probe
+    val exA = intercept[Exception] {
+      Similarity.appendToIvfPqIndex(e.select((col("id") + 1000L).as("id"),
+        col("vec")), idx): Unit
+    }
+    assert(causes(exA).contains("residual flag"))
+  }
+
+  test("appendToIvfPqIndex(residual): twins score identically, time travel holds") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val batch = e.select((col("id") + 100000L).as("id"), col("vec"))
+    val q = e.filter(col("id") < 3)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpqr_append").toString
+    Similarity.buildIvfPqIndex(e, idx, nCentroids = 8, residual = true): Unit
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "pqdot")
+        .as[(Long, Long, Double)].collect().toSeq
+    val before = rows(Similarity.queryIvfPqIndex(spark, idx, q, k = 5,
+      nProbes = 8, residual = true))
+    assert(Similarity.appendToIvfPqIndex(batch, idx, residual = true) == 1L)
+    val all = rows(Similarity.queryIvfPqIndex(spark, idx, q, k = 100000,
+        nProbes = 8, residual = true))
+      .map { case (qid, cid, d) => (qid, cid) -> d }.toMap
+    assert(all.keys.exists { case (_, cid) => cid >= 100000L },
+      "appended vectors must be probe-reachable")
+    all.keys.filter { case (_, cid) => cid < 100000L && cid >= 3L }
+      .foreach { case (qid, cid) =>
+        assert(all((qid, cid)) == all((qid, cid + 100000L)),
+          s"twin ($qid,$cid): appended copy must score identically " +
+            "(same frozen centroid, same frozen residual codebook)")
+      }
+    assert(rows(Similarity.queryIvfPqIndex(spark, idx, q, k = 5, nProbes = 8,
+      residual = true, asOf = Some(0L))) == before)
+  }
 }
