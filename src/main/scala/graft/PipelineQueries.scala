@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Corpus, Graph, Ids, NearDup, Upsert}
+import graft.operators.{Bpe, Corpus, Graph, Ids, NearDup, Upsert}
 
 /** Training-data-pipeline queries (SURVEY.md §2 [EXT] north-star rows,
   * q69–q76 + q81): TF-IDF, chunking, corpus n-gram stats, PII-style
@@ -1178,6 +1178,87 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------------
 
+  // ---------------------------------------------------------------------
+  // [EXT] BPE tokenizer training — learn the first 6 merges from the
+  // corpus (q150), then count the corpus in the learned subword tokens
+  // (q151). The oracle replays the ENTIRE training loop: 6 chained CTE
+  // stages, each computing the weighted pair counts, picking the
+  // deterministic argmax (count desc, lhs asc, rhs asc), and applying
+  // the boundary-delimited replace — bit-identical merge tables and
+  // token counts across engines.
+  private val bpeK = 6
+
+  def q150BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    Bpe.train(Tables.documents(spark, dir), col("text"), k = bpeK)
+      .orderBy(col("step"))
+
+  def q151BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = Bpe.train(docs, col("text"), k = bpeK)
+    Bpe.tokenCounts(docs, col("doc_id"), col("text"), merges)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The k-step BPE merge chain as chained CTEs (words → s0 →
+    * p1/w1/s1 → … → sk) — shared by the q150 and q151 oracles.
+    * chr(1) = the symbol separator, chr(1)||chr(1) the between-symbol
+    * delimiter (see [[graft.operators.Bpe]] for why boundaries make
+    * plain replace correct).
+    */
+  private def bpeChainSql(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT lhs, rhs, CAST(sum(n) AS BIGINT) AS pair_n FROM (
+         |    SELECT n, syms[i] AS lhs, syms[i + 1] AS rhs FROM (
+         |      SELECT n, syms, generate_subscripts(syms, 1) AS i FROM (
+         |        SELECT n, string_split(trim(seg, chr(1)), chr(1) || chr(1)) AS syms
+         |        FROM s${i - 1}))
+         |    WHERE i < len(syms))
+         |  GROUP BY 1, 2),
+         |w$i AS (SELECT lhs, rhs, pair_n FROM p$i
+         |        ORDER BY pair_n DESC, lhs ASC, rhs ASC LIMIT 1),
+         |s$i AS (
+         |  SELECT word, n, replace(seg,
+         |      chr(1) || lhs || chr(1) || chr(1) || rhs || chr(1),
+         |      chr(1) || lhs || rhs || chr(1)) AS seg
+         |  FROM s${i - 1} CROSS JOIN w$i)""".stripMargin
+    }.mkString(",\n")
+    s"""words AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) > 0 GROUP BY 1),
+       |s0 AS (
+       |  SELECT word, n,
+       |    chr(1) || array_to_string(string_split(word, ''), chr(1) || chr(1)) || chr(1) AS seg
+       |  FROM words),
+       |$steps""".stripMargin
+  }
+
+  private val q150Sql = {
+    val union = (1 to bpeK)
+      .map(i => s"SELECT $i AS step, lhs, rhs, pair_n FROM w$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeChainSql(bpeK)}
+       |SELECT step, lhs, rhs, pair_n FROM (
+       |  $union)
+       |ORDER BY step""".stripMargin
+  }
+
+  private val q151Sql =
+    s"""WITH ${bpeChainSql(bpeK)},
+       |enc AS (
+       |  SELECT word,
+       |    CAST(len(string_split(trim(seg, chr(1)), chr(1) || chr(1))) AS BIGINT) AS n_sym
+       |  FROM s$bpeK),
+       |tok AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) > 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_tok
+       |FROM tok JOIN enc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_tfidf"             -> (q69Tfidf _),
     "q70_chunk"             -> (q70Chunk _),
@@ -1204,7 +1285,9 @@ object PipelineQueries {
     "q132_nb_model_score"   -> (q132NbModelScore _),
     "q134_dup_spans"        -> (q134DupSpans _),
     "q136_signal_sheet"     -> (q136SignalSheet _),
-    "q143_strip_dup_spans"  -> (q143StripDupSpans _))
+    "q143_strip_dup_spans"  -> (q143StripDupSpans _),
+    "q150_bpe_train"        -> (q150BpeTrain _),
+    "q151_bpe_encode"       -> (q151BpeEncode _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -1233,5 +1316,7 @@ object PipelineQueries {
     "q132_nb_model_score"   -> q131Sql,
     "q134_dup_spans"        -> q134Sql,
     "q136_signal_sheet"     -> q136Sql,
-    "q143_strip_dup_spans"  -> q143Sql)
+    "q143_strip_dup_spans"  -> q143Sql,
+    "q150_bpe_train"        -> q150Sql,
+    "q151_bpe_encode"       -> q151Sql)
 }

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** BPE tokenizer training on the corpus — byte-pair-encoding merge
+  * learning (Sennrich, Haddow & Birch 2016, "Neural Machine Translation
+  * of Rare Words with Subword Units"), the tokenizer-fitting step a
+  * training-data pipeline runs before it can count a corpus in model
+  * tokens instead of whitespace words. Iteratively: count all adjacent
+  * symbol pairs (weighted by word frequency), merge the most frequent
+  * pair everywhere, repeat k times; the learned merge list then encodes
+  * any text.
+  *
+  * Scale shape (the part that matters at 100 TB): training touches the
+  * corpus ONCE — the word-TYPE table (word, count) is the only thing
+  * the merge loop ever sees, and it is vocabulary-sized (Zipf: ~10M
+  * types for a web corpus, KB–GB not TB). Each of the k iterations is
+  * one hash aggregation + one broadcast-applied rewrite over that
+  * table; like [[Graph.connectedComponents]] every round is
+  * `localCheckpoint`ed so the plan does not double per iteration.
+  * Encoding reuses the same trick: word types encode once, documents
+  * join their words against the encoded-type table.
+  *
+  * Everything is deterministic and cross-engine replayable: pair counts
+  * are exact integers, the winning pair breaks ties (count desc, lhs
+  * asc, rhs asc), and the merge application is one non-overlapping
+  * left-to-right string replace — the same semantics in Spark's
+  * `replace` and DuckDB's, character for character.
+  *
+  * Segmentation encoding (the part that makes plain `replace` CORRECT):
+  * symbols are boundary-delimited — "␁sym1␁␁sym2␁␁…␁symN␁" ([[Sep]] =
+  * U+0001, never in corpus text). A merge (l, r) rewrites "␁l␁␁r␁" →
+  * "␁lr␁": the anchors force COMPLETE-symbol matches (the naive "l␁r"
+  * form would also fire mid-symbol — "xab␁c" contains "ab␁c" — and
+  * silently corrupt segmentations), and because a match consumes both
+  * of its boundary anchors, consecutive occurrences chain exactly like
+  * the reference implementation's left-to-right simultaneous merge:
+  * a·a·a·a + (a,a) → aa·aa, a·a·a → aa·a.
+  */
+object Bpe {
+
+  val Sep = "\u0001"
+  private val Sep2 = Sep + Sep
+
+  /** Word-type table (word, n) — the one corpus pass. */
+  def wordTypes(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(TextOps.tokens(text)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Initial segmentation: every character its own symbol, boundary-
+    * delimited. */
+  private def seg0(words: DataFrame): DataFrame =
+    words.withColumn("seg",
+      concat(lit(Sep), concat_ws(Sep2, split(col("word"), "")), lit(Sep)))
+
+  /** The symbol array back out of a delimited segmentation. */
+  private def symsOf(seg: Column): Column =
+    split(trim(seg, Sep), java.util.regex.Pattern.quote(Sep2))
+
+  /** Adjacent-pair counts over the current segmentation, weighted by
+    * word frequency (overlapping occurrences all count, the reference
+    * BPE semantics: 'aaa' contributes (a,a) twice).
+    */
+  private def pairCounts(segs: DataFrame): DataFrame = {
+    val syms = symsOf(col("seg"))
+    segs.select(col("n"),
+        explode(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+      .groupBy(col("p")("lhs").as("lhs"), col("p")("rhs").as("rhs"))
+      .agg(sum(col("n")).as("pair_n"))
+  }
+
+  /** One merge applied everywhere: "␁lhs␁␁rhs␁" → "␁lhsrhs␁" (non-
+    * overlapping, left-to-right — both engines' `replace`).
+    */
+  private def applyMerge(segs: DataFrame, win: DataFrame): DataFrame =
+    segs.crossJoin(broadcast(win.select(col("lhs"), col("rhs"))))
+      .withColumn("seg", call_function("replace", col("seg"),
+        concat(lit(Sep), col("lhs"), lit(Sep2), col("rhs"), lit(Sep)),
+        concat(lit(Sep), col("lhs"), col("rhs"), lit(Sep))))
+      .select(col("word"), col("n"), col("seg"))
+
+  /** Learn up to `k` merges from the corpus. Output: (step, lhs, rhs,
+    * pair_n), one row per learned merge in training order — fewer than
+    * k rows if the vocabulary exhausts (no adjacent pair left). Each
+    * round's winner and segmentation are staged (`localCheckpoint`) so
+    * the winner's two consumers share one computation and the plan
+    * stays iteration-bounded.
+    */
+  def train(docs: DataFrame, text: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    var segs = seg0(wordTypes(docs, text)).localCheckpoint(eager = false)
+    val steps = (1 to k).map { i =>
+      val win = pairCounts(segs)
+        .orderBy(col("pair_n").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .localCheckpoint(eager = false)
+      segs = applyMerge(segs, win).localCheckpoint(eager = false)
+      win.select(lit(i).as("step"), col("lhs"), col("rhs"), col("pair_n"))
+    }
+    steps.reduce(_.unionByName(_))
+  }
+
+  /** Encode word types with a learned merge list: (word, n, n_sym).
+    * The merges ride as ONE broadcast row (array sorted by step); the
+    * fold applies them in training order per word — no joins, no
+    * shuffles beyond the type table itself.
+    */
+  def encodeTypes(words: DataFrame, merges: DataFrame): DataFrame = {
+    val marr = merges
+      .agg(array_sort(collect_list(struct(col("step"), col("lhs"), col("rhs"))))
+        .as("ms"))
+    seg0(words).crossJoin(broadcast(marr))
+      .withColumn("seg", aggregate(col("ms"), col("seg"), (acc, m) =>
+        call_function("replace", acc,
+          concat(lit(Sep), m("lhs"), lit(Sep2), m("rhs"), lit(Sep)),
+          concat(lit(Sep), m("lhs"), m("rhs"), lit(Sep)))))
+      .select(col("word"), col("n"),
+        size(symsOf(col("seg"))).cast("long").as("n_sym"))
+  }
+
+  /** Per-document BPE token counts under a learned merge list — the
+    * "how many model tokens is this corpus" number a training run is
+    * provisioned by, exact instead of the whitespace/regex proxies
+    * ([[graft.functions.TextOps.bpeishTokenCount]]). Word types encode
+    * once; documents join their words against the encoded types
+    * (vocabulary-sized build side). Output: (doc_id, n_words, n_tok).
+    */
+  def tokenCounts(docs: DataFrame, id: Column, text: Column,
+                  merges: DataFrame): DataFrame = {
+    val types = encodeTypes(wordTypes(docs, text), merges)
+      .select(col("word"), col("n_sym"))
+    docs.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(types, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tok"))
+  }
+}

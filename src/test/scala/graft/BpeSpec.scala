@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** BPE training/encoding vs a plain-Scala reference implementation that
+  * operates on symbol LISTS (no string tricks) — the differential that
+  * catches any boundary bug in the delimited-replace encoding.
+  */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Reference BPE: symbol vectors, greedy left-to-right non-overlapping
+  // merge, argmax (count desc, lhs asc, rhs asc).
+  private def mergeOnce(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refTrain(words: Map[String, Long], k: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Vector[String]]) = {
+    var segs = words.keysIterator.map(w => w -> w.split("").toVector).toMap
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (step <- 1 to k) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, syms) <- segs; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + words(w)
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), n) = counts.toSeq
+          .sortBy { case ((l, r), n) => (-n, l, r) }.head
+        merges += ((step, l, r, n))
+        segs = segs.map { case (w, s) => w -> mergeOnce(s, l, r) }
+      }
+    }
+    (merges.toSeq, segs)
+  }
+
+  private def gotMerges(docs: org.apache.spark.sql.DataFrame, k: Int) =
+    Bpe.train(docs, col("text"), k).orderBy(col("step"))
+      .as[(Int, String, String, Long)].collect().toSeq
+
+  test("train reproduces the hand-computed merge sequence") {
+    // words: abc ×3, abd ×1 → (a,b):4 wins, then (ab,c):3, then (ab,d):1
+    val docs = Seq((1L, "abc abc abc abd")).toDF("doc_id", "text")
+    assert(gotMerges(docs, 3) == Seq(
+      (1, "a", "b", 4L), (2, "ab", "c", 3L), (3, "ab", "d", 1L)))
+  }
+
+  test("a merged pair chains like the reference: aaaa → aa·aa, aaa → aa·a") {
+    val docs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    // step 1: (a,a) appears 3+2 = 5 times (overlapping counts)
+    val m = gotMerges(docs, 2)
+    assert(m.head == ((1, "a", "a", 5L)))
+    // after the merge: aaaa = [aa, aa] (pair (aa,aa) ×1), aaa = [aa, a]
+    // (pair (aa,a) ×1) → tie broken lexicographically: (aa,a) < (aa,aa)
+    assert(m(1) == ((2, "aa", "a", 1L)))
+  }
+
+  test("boundary anchors: a symbol ENDING in the pair's lhs is never split") {
+    // Train on a corpus where the naive "l␁r" replace corrupts: after
+    // (a,b) and (x,ab), the word xabc is [xab, c]; when (ab,c) merges
+    // (learned from abc words) the substring "ab␁c" occurs inside
+    // "xab␁c" but must NOT fire — [xab, c] has no (ab, c) pair.
+    val docs = Seq((1L,
+      ("ab " * 10) + ("xab " * 6) + ("abc " * 4) + "xabc")).toDF("doc_id", "text")
+    val words = Map("ab" -> 10L, "xab" -> 6L, "abc" -> 4L, "xabc" -> 1L)
+    val (refM, refSegs) = refTrain(words, 4)
+    assert(gotMerges(docs, 4) == refM)
+    // and the encoded token counts agree with the reference segmentation
+    val counts = Bpe.tokenCounts(docs, col("doc_id"), col("text"),
+        Bpe.train(docs, col("text"), 4))
+      .as[(Long, Long, Long)].collect().head
+    val refTok = words.map { case (w, n) => refSegs(w).size * n }.sum
+    assert(counts == ((1L, 21L, refTok)))
+  }
+
+  test("train + encode ≡ the reference implementation on the real corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .as[(String, Long)].collect().toMap
+    val (refM, refSegs) = refTrain(words, 8)
+    val merges = Bpe.train(docs, col("text"), 8)
+    assert(gotMerges(docs, 8) == refM)
+    val got = Bpe.encodeTypes(Bpe.wordTypes(docs, col("text")), merges)
+      .select(col("word"), col("n_sym"))
+      .as[(String, Long)].collect().toMap
+    assert(got == refSegs.map { case (w, s) => w -> s.size.toLong })
+  }
+
+  test("vocabulary exhaustion: train returns fewer than k merges") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // step 1 merges (a,b); afterwards every word is one symbol — no
+    // pair left, steps 2..4 yield nothing
+    assert(gotMerges(docs, 4) == Seq((1, "a", "b", 2L)))
+  }
+
+  test("training is layout-independent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(gotMerges(docs, 5) == gotMerges(docs.repartition(7), 5))
+  }
+}
