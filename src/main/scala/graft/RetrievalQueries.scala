@@ -62,14 +62,37 @@ object RetrievalQueries {
   // token filter pushes into the parquet scan, df derives from the
   // |T|-row filtered slice, and no corpus-sized table is joined at
   // query time. Same scoring formula ⇒ same oracle SQL as q146.
-  def q147Bm25Index(spark: SparkSession, dir: String): DataFrame = {
-    val idx = graft.sources.CachedArtifact.resolve(spark,
-      new java.io.File(dir, "documents.parquet"), "bm25",
+  private def cachedBm25(spark: SparkSession, dir: String): String =
+    graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "bm25p",
       "postings", "stats")(
       Retrieval.buildBm25Index(
         Tables.documents(spark, dir), col("doc_id"), col("text"), _): Unit)
-    Retrieval.queryBm25Index(spark, idx, bmTerms, k = 20)
-  }
+
+  def q147Bm25Index(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.queryBm25Index(spark, cachedBm25(spark, dir), bmTerms, k = 20)
+
+  // ---------------------------------------------------------------------
+  // [EXT] exact-phrase search — the positional half of the inverted
+  // index: "hash join" as ADJACENT tokens, detected index-only via the
+  // classic positional intersection (positions(t1) ∩ positions(t2)−1),
+  // never re-reading text. The oracle replays the semantics directly
+  // off the documents table (adjacent-subscript scan), so the postings'
+  // position lists are verified against ground truth, not against
+  // themselves.
+  def q152PhraseIndex(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.phraseSearch(spark, cachedBm25(spark, dir),
+      Seq("hash", "join"), k = 20)
+
+  private val q152Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |hits AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM t)
+      |  WHERE i + 1 <= len(toks) AND toks[i] = 'hash' AND toks[i + 1] = 'join')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occur FROM hits
+      |GROUP BY doc_id ORDER BY n_occur DESC, doc_id ASC LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
   // [EXT] Z-order clustering key — `Maintenance.zKey`, THE sort key
@@ -120,13 +143,70 @@ object RetrievalQueries {
        |ORDER BY z ASC, l_orderkey ASC, l_linenumber ASC LIMIT 100""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // [EXT] multi-query BM25 — N queries against the index in ONE
+  // postings pass (the batch-serving shape behind the search stream):
+  // term sets broadcast onto the postings scan as an equality join,
+  // df/tf derive per query from the joined slice, bounded top-10 per
+  // query. Same formula as q147; the oracle recomputes both queries'
+  // rankings from the documents table.
+  def q153Bm25Many(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qdf = Seq((1L, Seq("dup", "spark")), (2L, Seq("hash", "join", "table")))
+      .toDF("query_id", "terms")
+    Retrieval.queryBm25IndexMany(spark, cachedBm25(spark, dir), qdf, k = 10)
+  }
+
+  private val q153Sql =
+    """WITH q AS (
+      |  SELECT * FROM (VALUES (CAST(1 AS BIGINT), ['dup', 'spark']),
+      |                        (CAST(2 AS BIGINT), ['hash', 'join', 'table']))
+      |    AS v(query_id, terms)),
+      |qt AS (SELECT DISTINCT query_id, unnest(terms) AS tok FROM q),
+      |d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+      |tf AS (
+      |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+      |  GROUP BY 1, 2, 3),
+      |hits AS (SELECT qt.query_id, tf.* FROM tf JOIN qt USING (tok)),
+      |dfs AS (
+      |  SELECT query_id, tok, CAST(count(*) AS BIGINT) AS df
+      |  FROM hits GROUP BY 1, 2),
+      |term AS (
+      |  SELECT h.query_id, h.doc_id,
+      |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+      |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |          * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS t
+      |  FROM hits h JOIN dfs USING (query_id, tok) CROSS JOIN stats),
+      |scored AS (
+      |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |    CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
+      |  FROM term GROUP BY 1, 2)
+      |SELECT query_id, doc_id, n_terms, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id ASC) AS rn FROM scored)
+      |WHERE rn <= 10
+      |ORDER BY query_id, score DESC, doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q146_bm25"       -> (q146Bm25 _),
-    "q147_bm25_index" -> (q147Bm25Index _),
-    "q148_zorder_key" -> (q148ZorderKey _))
+    "q146_bm25"         -> (q146Bm25 _),
+    "q147_bm25_index"   -> (q147Bm25Index _),
+    "q148_zorder_key"   -> (q148ZorderKey _),
+    "q152_phrase_index" -> (q152PhraseIndex _),
+    "q153_bm25_many"    -> (q153Bm25Many _))
 
   val oracle: Map[String, String] = Map(
-    "q146_bm25"       -> q146Sql,
-    "q147_bm25_index" -> q146Sql,
-    "q148_zorder_key" -> q148Sql)
+    "q146_bm25"         -> q146Sql,
+    "q147_bm25_index"   -> q146Sql,
+    "q148_zorder_key"   -> q148Sql,
+    "q152_phrase_index" -> q152Sql,
+    "q153_bm25_many"    -> q153Sql)
 }

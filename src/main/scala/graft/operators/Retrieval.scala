@@ -64,21 +64,26 @@ object Retrieval {
     * by the inline and index paths so the two provably score with one
     * formula.
     */
-  private def scoreDocs(tf: DataFrame, stats: DataFrame,
-                        k1: Double, b: Double): DataFrame = {
-    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+  /** The per-(doc, term) BM25 contribution over columns tf, dl, df,
+    * n_docs, sum_dl — ONE formula shared by every scoring path. */
+  private def bmTermExpr(k1: Double, b: Double): Column = {
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
     val tfd = col("tf").cast("double")
     val dld = col("dl").cast("double")
-    val term = idf * (tfd * lit(k1 + 1.0)) /
+    idf * (tfd * lit(k1 + 1.0)) /
       (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * dld / avgdl))
+  }
+
+  private def scoreDocs(tf: DataFrame, stats: DataFrame,
+                        k1: Double, b: Double): DataFrame = {
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     tf.join(dfTab, Seq("tok"))
       .crossJoin(stats) // 1 row — broadcast nested loop by construction
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
-           sum(term.cast("decimal(27,10)")).as("s"))
+           sum(bmTermExpr(k1, b).cast("decimal(27,10)")).as("s"))
       .select(col("doc_id"), col("n_terms"), col("s").cast("double").as("score"))
   }
 
@@ -109,19 +114,28 @@ object Retrieval {
   // Persisted inverted index — build once, query many (the persisted-
   // ANN-index / NB-model discipline applied to lexical search).
 
-  /** Build the inverted index: `postings` (tok, doc_id, tf, dl — doc
-    * length denormalized into the row) + 1-row `stats` (n_docs,
+  /** POSITIONAL postings off a (doc_id, dl, toks) base: one row per
+    * (tok, doc) with tf, the denormalized doc length, and the sorted
+    * 1-based position list — the Lucene posting shape that makes
+    * phrase queries index-only. Shared by build and append.
+    */
+  private def postingsOf(base: DataFrame): DataFrame = base
+    .select(col("doc_id"), col("dl"), posexplode(col("toks")))
+    .groupBy(col("col").as("tok"), col("doc_id"), col("dl"))
+    .agg(count(lit(1)).as("tf"),
+         sort_array(collect_list(col("pos") + 1)).as("positions"))
+    .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("positions"))
+
+  /** Build the inverted index: `postings` (tok, doc_id, tf, dl,
+    * positions — doc length denormalized into the row, 1-based sorted
+    * position list for phrase queries) + 1-row `stats` (n_docs,
     * sum_dl), two lockstep [[Versioned]] tables. One corpus pass.
     */
   def buildBm25Index(docs: DataFrame, id: Column, text: Column,
                      indexDir: String): Long = {
     val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
-    val postings = base
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .groupBy(col("tok"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+    val postings = postingsOf(base)
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val vp = Versioned.overwrite(postings, s"$indexDir/postings")
     val vs = Versioned.overwrite(stats, s"$indexDir/stats")
@@ -147,11 +161,7 @@ object Retrieval {
       "commits; rebuild into a fresh directory")
     val base = batch.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
-    val postings = base
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .groupBy(col("tok"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+    val postings = postingsOf(base)
     val delta = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val merged = Versioned.read(spark, s"$indexDir/stats", Some(vStats))
       .unionByName(delta)
@@ -187,6 +197,85 @@ object Retrieval {
     val stats = Versioned.read(spark, s"$indexDir/stats", asOf)
     scoreDocs(tf, stats, k1, b)
       .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** MANY queries against the persisted index in ONE postings pass —
+    * the batch-serving shape (and what [[graft.streaming.StreamJobs]]'s
+    * search stream runs per micro-batch): `queries` is (query_id,
+    * terms array); the term sets broadcast onto the postings scan as an
+    * equality join, df/tf derive per query from the joined slice, and
+    * ranking is a bounded top-k per query. Scoring is the SAME formula
+    * as [[queryBm25Index]] — a 1-query input returns identical rows.
+    * Output: (query_id, doc_id, n_terms, score).
+    */
+  def queryBm25IndexMany(spark: SparkSession, indexDir: String,
+                         queries: DataFrame, k: Int,
+                         k1: Double = K1, b: Double = B,
+                         asOf: Option[Long] = None): DataFrame = {
+    if (asOf.isEmpty) {
+      val vp = Versioned.latestVersion(spark, s"$indexDir/postings")
+      val vs = Versioned.latestVersion(spark, s"$indexDir/stats")
+      require(vp == vs, s"BM25 index tables out of lockstep (postings v$vp, " +
+        s"stats v$vs) — a build crashed between commits; rebuild into a " +
+        "fresh directory or pin an intact version with asOf")
+    }
+    val posts = Versioned.read(spark, s"$indexDir/postings", asOf)
+      .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
+    val stats = Versioned.read(spark, s"$indexDir/stats", asOf)
+    val qt = queries
+      .select(col("query_id"), explode(col("terms")).as("tok")).distinct()
+    // the pruned (query, posting) slice feeds BOTH df and scoring —
+    // stage it (bounded by Σ per-query postings, not the corpus)
+    val hits = posts.join(broadcast(qt), Seq("tok"))
+      .localCheckpoint(eager = false)
+    val dfTab = hits.groupBy(col("query_id"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val scored = hits.join(dfTab, Seq("query_id", "tok"))
+      .crossJoin(stats)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+           sum(bmTermExpr(k1, b).cast("decimal(27,10)")).as("s"))
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        col("s").cast("double").as("score"))
+    Ranking.topPerGroup(scored, Seq(col("query_id")),
+        Seq(col("score").desc, col("doc_id").asc), k)
+      .select(col("query_id"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  /** Exact-phrase search from the positional index: documents
+    * containing the phrase as ADJACENT tokens in order, with occurrence
+    * counts, ranked (n_occur desc, doc_id asc). Index-only — touches
+    * the phrase terms' postings rows alone (token filter pushed to the
+    * scan) and never re-reads text. Occurrence detection is the classic
+    * positional intersection: positions(t₁) ∩ (positions(t₂) − 1) ∩ …
+    * ∩ (positions(tₘ) − (m−1)) per document, m−1 equality joins on
+    * doc_id over the pruned slices.
+    */
+  def phraseSearch(spark: SparkSession, indexDir: String,
+                   phrase: Seq[String], k: Int,
+                   asOf: Option[Long] = None): DataFrame = {
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    if (asOf.isEmpty) {
+      val vp = Versioned.latestVersion(spark, s"$indexDir/postings")
+      val vs = Versioned.latestVersion(spark, s"$indexDir/stats")
+      require(vp == vs, s"BM25 index tables out of lockstep (postings v$vp, " +
+        s"stats v$vs) — a build crashed between commits; rebuild into a " +
+        "fresh directory or pin an intact version with asOf")
+    }
+    val posts = Versioned.read(spark, s"$indexDir/postings", asOf)
+    val slices = phrase.zipWithIndex.map { case (t, j) =>
+      posts.filter(col("tok") === lit(t))
+        .select(col("doc_id"),
+          transform(col("positions"), p => p - j).as(s"p$j"))
+    }
+    val joined = slices.reduce((a, b) => a.join(b, Seq("doc_id")))
+    val inter = (1 until phrase.length).foldLeft(col("p0"))((acc, j) =>
+      array_intersect(acc, col(s"p$j")))
+    joined.select(col("doc_id"), size(inter).cast("long").as("n_occur"))
+      .filter(col("n_occur") > 0)
+      .orderBy(col("n_occur").desc, col("doc_id").asc)
       .limit(k)
   }
 }

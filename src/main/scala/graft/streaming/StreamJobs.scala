@@ -305,6 +305,40 @@ object StreamJobs {
       .parquet(outDir)
   }
 
+  /** Online BM25 serving against the persisted inverted index
+    * ([[graft.operators.Retrieval.buildBm25Index]]): each micro-batch
+    * of (query_id, terms) rows pays one pass over its terms' postings
+    * slices ([[graft.operators.Retrieval.queryBm25IndexMany]] — never
+    * the corpus); the index version is pinned at stream start (with the
+    * lockstep check, so a dir wedged by a crashed build fails here with
+    * the rebuild hint, not per-batch) and a concurrent append/rebuild
+    * never shifts rankings mid-stream — a restart picks up the new
+    * latest. The [[classifyStream]] discipline applied to lexical
+    * search, including the idempotent (run_id, batch_id) sink.
+    */
+  def searchStream(queryStream: DataFrame, indexDir: String, outDir: String,
+                   checkpointDir: String, k: Int = 10): StreamingQuery = {
+    val spark = queryStream.sparkSession
+    val pinned = {
+      val vp = graft.sources.Versioned.latestVersion(spark, s"$indexDir/postings")
+      val vs = graft.sources.Versioned.latestVersion(spark, s"$indexDir/stats")
+      require(vp == vs, s"BM25 index tables out of lockstep (postings v$vp, " +
+        s"stats v$vs) — a build crashed between commits; rebuild into a " +
+        "fresh directory")
+      vp
+    }
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(
+          graft.operators.Retrieval.queryBm25IndexMany(spark, indexDir,
+            batch, k, asOf = Some(pinned)),
+          checkpointDir, batchId, outDir)
+      }
+      .start()
+  }
+
   /** Online classification against a persisted NB model
     * ([[graft.operators.Corpus.buildNbModel]]): each micro-batch of
     * documents pays one scoring pass against the FROZEN model tables —

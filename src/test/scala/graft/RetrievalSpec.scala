@@ -97,6 +97,37 @@ class RetrievalSpec extends SparkSpec {
       .collect().toSeq == probe1)
   }
 
+  test("phrase search: positional intersection ≡ a naive adjacent scan") {
+    val docs = Seq(
+      (1L, "spark hash join beats sort merge join"),
+      (2L, "hash join hash join hash join"),
+      (3L, "join hash"),                    // reversed — not the phrase
+      (4L, "hash x join"),                  // gap — not adjacent
+      (5L, "a a a a"))                      // overlapping self-phrase
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25phrase").toString
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), dir)
+
+    def naive(phrase: Seq[String]): Map[Long, Long] = docs
+      .as[(Long, String)].collect().toMap.view.mapValues(_.split(" ").toSeq)
+      .map { case (id, ts) =>
+        id -> ts.sliding(phrase.length).count(_ == phrase).toLong }
+      .filter(_._2 > 0).toMap
+
+    for (phrase <- Seq(Seq("hash", "join"), Seq("a", "a"),
+                       Seq("sort", "merge", "join"), Seq("hash"))) {
+      val got = Retrieval.phraseSearch(spark, dir, phrase, 10)
+        .as[(Long, Long)].collect().toMap
+      assert(got == naive(phrase), s"phrase $phrase")
+    }
+    // overlapping occurrences count, like the subscript scan: a a a a → 3
+    assert(Retrieval.phraseSearch(spark, dir, Seq("a", "a"), 10)
+      .as[(Long, Long)].collect().toMap == Map(5L -> 3L))
+    // absent phrase → empty
+    assert(Retrieval.phraseSearch(spark, dir, Seq("join", "spark"), 10)
+      .count() == 0L)
+  }
+
   test("empty term list refuses; no-hit terms return zero rows") {
     val docs = corpus.toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -559,6 +559,52 @@ class StreamingSpec extends SparkSpec {
       "a second stream's batch 0 must land beside the first stream's")
   }
 
+  test("streaming BM25 search: deliveries ≡ one batch pass; rankings ride the index version pinned at start") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Retrieval
+
+    val work = tmpDir()
+    val idx = s"$work/bm25"
+    val docsA = Seq((1L, "spark shuffle join"), (2L, "rare spark spark"),
+      (3L, "join join shuffle"), (4L, "nothing here")).toDF("doc_id", "text")
+    assert(Retrieval.buildBm25Index(docsA, col("doc_id"), col("text"), idx) == 0L)
+
+    val queries = Seq((10L, Seq("spark", "rare")), (11L, Seq("join")))
+    var n = 0
+    def deliver(rows: Seq[(Long, Seq[String])], out: String): Unit = {
+      n += 1
+      val mem = MemoryStream[(Long, Seq[String])]
+      mem.addData(rows.toIndexedSeq: _*)
+      StreamJobs.searchStream(mem.toDF().toDF("query_id", "terms"), idx,
+        out, s"$work/sckpt$n").awaitTermination()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "n_terms", "score")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+    // two deliveries accumulate to exactly the one-shot batch pass
+    deliver(queries.take(1), s"$work/sout1")
+    deliver(queries.drop(1), s"$work/sout1")
+    val batch = Retrieval.queryBm25IndexMany(spark, idx,
+      queries.toDF("query_id", "terms"), k = 10)
+    assert(rows(spark.read.parquet(s"$work/sout1")) == rows(batch),
+      "streamed rankings diverged from the batch pass")
+
+    // append new documents: a stream started AFTER the append reaches
+    // them; the pre-append version still answers the old corpus
+    val docsB = Seq((5L, "spark spark spark rare")).toDF("doc_id", "text")
+    assert(Retrieval.appendToBm25Index(docsB, col("doc_id"), col("text"), idx) == 1L)
+    deliver(queries.take(1), s"$work/sout2")
+    assert(rows(spark.read.parquet(s"$work/sout2")).exists(_._2 == 5L),
+      "post-append stream must reach the appended document")
+    assert(rows(Retrieval.queryBm25IndexMany(spark, idx,
+        queries.take(1).toDF("query_id", "terms"), k = 10, asOf = Some(0L))) ==
+      rows(batch).filter(_._1 == 10L),
+      "the pre-append version must still answer with the old corpus")
+  }
+
   test("streaming classification: deliveries ≡ one batch scoring pass; predictions ride the model version pinned at start") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
