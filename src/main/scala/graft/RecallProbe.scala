@@ -19,6 +19,7 @@ object RecallProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -50,6 +51,19 @@ object RecallProbe {
     for (probes <- Seq(4, 8, 16))
       println(f"ivf+sq8 nProbes=$probes%-2d recall@5 = ${
         recall(pairs(Similarity.queryIvfSq8Index(spark, idx, q, 5, nProbes = probes)))}%.3f")
+    // IVF-PQ, raw vs residual encoding at identical code bytes — on
+    // uniform embeddings the residual win is small (no cluster
+    // structure to move into the coarse quantizer); the clustered-case
+    // reconstruction gap is measured in SimilaritySpec
+    for (res <- Seq(false, true)) {
+      val pq = java.nio.file.Files.createTempDirectory(s"recall_ivfpq_$res").toString
+      Similarity.buildIvfPqIndex(e, pq, nCentroids = 16, ks = 64,
+        pqLloydIters = 1, residual = res): Unit
+      for (probes <- Seq(4, 8, 16))
+        println(f"ivf+pq residual=$res%-5s nProbes=$probes%-2d recall@5 = ${
+          recall(pairs(Similarity.queryIvfPqIndex(spark, pq, q, 5,
+            nProbes = probes, ks = 64, residual = res)))}%.3f")
+    }
     spark.stop()
   }
 }

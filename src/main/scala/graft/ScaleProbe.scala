@@ -53,6 +53,7 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -136,7 +137,18 @@ object ScaleProbe {
       // frequency cap keeps growth linear by dropping only heavy keys
       "image_neardup_cap" -> (d => graft.operators.Multimodal.imageNearDupStub(
         d.select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "doc_id", "payload", maxBandFreq = Some(50))))
+        "doc_id", "payload", maxBandFreq = Some(50))),
+
+      // BM25 inline: the corpus pass grows with the corpus while the
+      // query-term hits stay 1× (replicas prefix every token) — growth
+      // here measures the scan+explode, the part a persisted index
+      // removes (see the bm25_index_query block below)
+      "bm25_topk"        -> (d => graft.operators.Retrieval.bm25TopK(
+        d, col("doc_id"), col("text"), Seq("dup", "spark", "hash"), 20)),
+      // BPE training: ONE corpus pass builds the type table; the merge
+      // loop then touches vocabulary-sized data only, so growth tracks
+      // the token stream, never k × corpus
+      "bpe_train_6"      -> (d => graft.operators.Bpe.train(d, col("text"), 6)))
 
     val selected = if (opFilter.isEmpty) ops
                    else ops.filter(o => opFilter.exists(o._1.contains))
@@ -180,6 +192,35 @@ object ScaleProbe {
       }
       println(f"${"incremental_batch"}%-18s " + times.map(t => f"$t%8.2f").mkString(" ") +
         f"   (10x/1x ratio: ${times.last / times.head}%.1f)  [fixed 1x batch vs growing state]")
+    }
+    // BM25/phrase from the persisted index: the probe question is
+    // "what does a FIXED query set cost as the INDEX grows" — the
+    // query-relevant postings stay 1× (replicas share no tokens with
+    // replica 0), so near-flat growth is the evidence that the token
+    // pushdown really prunes the postings scan and a probe never pays
+    // for the rest of the corpus.
+    if (opFilter.isEmpty || opFilter.exists("bm25_index_query".contains)) {
+      val docs = Tables.documents(spark, sfDir)
+      val times = scales.map { s =>
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"scaleprobe_bm25_$s").toString
+        graft.operators.Retrieval.buildBm25Index(
+          replicate(docs, s), col("doc_id"), col("text"), idx): Unit
+        val run = () => {
+          Bench.force(graft.operators.Retrieval.queryBm25Index(
+            spark, idx, Seq("dup", "spark", "hash"), 20))
+          Bench.force(graft.operators.Retrieval.phraseSearch(
+            spark, idx, Seq("hash", "join"), 20))
+        }
+        run() // warm
+        val t0 = System.nanoTime()
+        run()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"bm25_index_query"}%-18s " + times.map(t => f"$t%8.2f").mkString(" ") +
+        f"   (10x/1x ratio: ${times.last / times.head}%.1f)  [fixed queries vs growing index]")
     }
     spark.stop()
   }

@@ -651,8 +651,12 @@ object Similarity {
         slice(col("qv"), j * sub + 1, lit(sub))))
       .withColumn("lut", zip_with(col("qsubs"), col("cbs"), (qj, ent) =>
         transform(sequence(lit(0), lit(ks - 1)), i =>
-          element_at(transform(filter(ent, e => e("code") === i),
-            e => VectorOps.dot(qj, e("cb"))), 1))))
+          // get() (0-based) is null on an empty cell in BOTH ANSI
+          // modes — element_at threw under ANSI when a Lloyd pass
+          // starved a cell (residual codebooks concentrate near zero,
+          // so dropped cells are the NORM there, not a corner case)
+          get(transform(filter(ent, e => e("code") === i),
+            e => VectorOps.dot(qj, e("cb"))), lit(0)))))
       .drop("cbs", "qsubs")
 
   /** ADC score: the m LUT lookups summed in subspace order (in-order

@@ -551,6 +551,24 @@ class SimilaritySpec extends SparkSpec {
       s"residual reconstruction (mean |err| $res) must beat raw ($raw) decisively")
   }
 
+  test("LUT construction tolerates Lloyd-starved codebook cells under ANSI") {
+    // Residual codebooks concentrate near zero, so a Lloyd pass
+    // routinely starves cells; the LUT is built for ALL ks codes and
+    // its empty-cell probe must be null-safe in BOTH ANSI modes
+    // (element_at threw under ANSI=true — the Spark 4 default).
+    val corpus = clusteredCorpus()
+    val e = corpus.toDF("id", "vec")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpqr_ansi").toString
+    Similarity.buildIvfPqIndex(e, idx, nCentroids = 8, ks = 64,
+      pqLloydIters = 1, residual = true): Unit
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val got = Similarity.queryIvfPqIndex(spark, idx, e.filter(col("id") < 2),
+        k = 5, nProbes = 8, ks = 64, residual = true).collect()
+      assert(got.length == 2 * 5)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
   test("residual-flag mismatch fails loudly instead of mis-scoring") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
