@@ -1259,6 +1259,53 @@ object PipelineQueries {
        |FROM tok JOIN enc USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // [EXT] PageRank — link-importance over the bidirectional
+  // customer↔supplier trade graph (suppliers offset into their own id
+  // space), 5 fixed iterations, top-30. The oracle replays all five
+  // iterations as chained CTEs; DECIMAL contribution sums make the
+  // double ranks bit-identical cross-engine.
+  def q154PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + lit(1000000L)).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val nodes = Tables.customer(spark, dir).select(col("c_custkey").as("id"))
+      .unionByName(Tables.supplier(spark, dir)
+        .select((col("s_suppkey") + lit(1000000L)).as("id")))
+    Graph.pageRank(nodes, edges, iters = 5)
+      .orderBy(col("pr").desc, col("id").asc).limit(30)
+  }
+
+  private val q154Sql = {
+    def iter(i: Int): String =
+      s"""r$i AS (
+         |  SELECT n.id,
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |      + CAST(0.85 AS DOUBLE)
+         |        * COALESCE(CAST(c.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(CAST(pr / outdeg AS DECIMAL(27,10))) AS s
+         |    FROM e JOIN r${i - 1} r ON e.src = r.id GROUP BY 1) c USING (id))""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+       |nodes AS (
+       |  SELECT c_custkey AS id FROM customer
+       |  UNION ALL SELECT s_suppkey + 1000000 AS id FROM supplier),
+       |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+       |e AS (SELECT src, dst, outdeg FROM edges JOIN outd USING (src)),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT id, pr FROM r5 ORDER BY pr DESC, id ASC LIMIT 30""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_tfidf"             -> (q69Tfidf _),
     "q70_chunk"             -> (q70Chunk _),
@@ -1287,7 +1334,8 @@ object PipelineQueries {
     "q136_signal_sheet"     -> (q136SignalSheet _),
     "q143_strip_dup_spans"  -> (q143StripDupSpans _),
     "q150_bpe_train"        -> (q150BpeTrain _),
-    "q151_bpe_encode"       -> (q151BpeEncode _))
+    "q151_bpe_encode"       -> (q151BpeEncode _),
+    "q154_pagerank"         -> (q154PageRank _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -1318,5 +1366,6 @@ object PipelineQueries {
     "q136_signal_sheet"     -> q136Sql,
     "q143_strip_dup_spans"  -> q143Sql,
     "q150_bpe_train"        -> q150Sql,
-    "q151_bpe_encode"       -> q151Sql)
+    "q151_bpe_encode"       -> q151Sql,
+    "q154_pagerank"         -> q154Sql)
 }

@@ -77,4 +77,50 @@ object Graph {
           s"WRONG clusters; raise maxIter above the component diameter")
     labels.withColumnRenamed("label", "component")
   }
+
+  /** PageRank (Brin & Page 1998), fixed-iteration form — the
+    * link-importance signal web-corpus curation stacks weight documents
+    * by (Common Crawl's host ranking; CCNet/RefinedWeb-style quality
+    * priors): r'(v) = (1 − d) + d · Σ_{u→v} r(u)/outdeg(u), starting
+    * from r = 1. The unnormalized original-paper form: ranks sum to
+    * |V| when every node has out-edges; dangling nodes leak their mass
+    * (callers that care add self-loops or a sink).
+    *
+    * Shape per iteration: ONE shuffle (the contribution aggregation) —
+    * the edge table is staged once with out-degrees attached, each
+    * round joins it to the current rank vector and re-aggregates by
+    * destination; rounds are `localCheckpoint`ed (the
+    * [[connectedComponents]] lineage discipline), and the whole loop
+    * runs exactly `iters` times with NO driver-side data values.
+    *
+    * Deterministic and cross-engine replayable: per-destination
+    * contribution sums ride DECIMAL(27,10) (order-independent), so
+    * after any number of iterations the double ranks are bit-identical
+    * in any engine — a chained-CTE SQL replay hash-matches (q154).
+    *
+    * Output: (id, pr).
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame,
+               iters: Int = 5, d: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val out = edges.toDF("src", "dst")
+      .groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = edges.toDF("src", "dst").join(out, Seq("src"))
+      .localCheckpoint(eager = false)
+    val ids = nodes.toDF("id").localCheckpoint(eager = false)
+    var ranks = ids.withColumn("pr", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, e("src") === ranks("id"))
+        .select(e("dst").as("id"), (col("pr") / col("outdeg")).as("c"))
+      ranks = ids
+        .join(contrib.groupBy(col("id"))
+            .agg(sum(col("c").cast("decimal(27,10)")).as("s")),
+          Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - d) +
+            lit(d) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
 }

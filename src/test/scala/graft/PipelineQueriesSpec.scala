@@ -143,6 +143,40 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(comp.forall(r => r.getAs[Long]("n_docs") >= 1L))
   }
 
+  test("q154 pageRank: hand-computed star, ring fixpoint, conservation, layout") {
+    import graft.operators.Graph
+    def ranks(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int) =
+      Graph.pageRank(nodes.toDF("id"), edges.toDF("src", "dst"), iters)
+        .as[(Long, Double)].collect().toMap
+
+    // star 2→1, 3→1: r1(1) = 0.15 + 0.85·2 = 1.85; sources drop to
+    // 0.15 (no in-edges); r2(1) = 0.15 + 0.85·(0.15 + 0.15)
+    val star1 = ranks(Seq(1L, 2L, 3L), Seq((2L, 1L), (3L, 1L)), 1)
+    assert(math.abs(star1(1L) - (0.15 + 0.85 * 2.0)) < 1e-9)
+    assert(math.abs(star1(2L) - (1.0 - 0.85)) < 1e-12)
+    val star2 = ranks(Seq(1L, 2L, 3L), Seq((2L, 1L), (3L, 1L)), 2)
+    assert(math.abs(star2(1L) - (0.15 + 0.85 * (0.15 + 0.15))) < 1e-9)
+
+    // directed ring: r/1 flows around unchanged — 1.0 is the exact
+    // fixpoint at every iteration count
+    val ring = ranks(Seq(1L, 2L, 3L, 4L),
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)), 7)
+    assert(ring.values.forall(_ == 1.0))
+
+    // no dangling nodes ⇒ total rank mass conserved at |V|
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L), (2L, 4L))
+    val conserved = ranks(Seq(1L, 2L, 3L, 4L), g, 6)
+    assert(math.abs(conserved.values.sum - 4.0) < 1e-6)
+    // a dangling node leaks its mass: strictly less than |V|
+    val leaky = ranks(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L)), 4)
+    assert(leaky.values.sum < 3.0)
+
+    // layout-independent (DECIMAL contribution sums)
+    val e2 = g.toDF("src", "dst").repartition(7)
+    assert(Graph.pageRank(Seq(1L, 2L, 3L, 4L).toDF("id"), e2, 6)
+      .as[(Long, Double)].collect().toMap == conserved)
+  }
+
   test("corpus operators handle degenerate documents") {
     import graft.operators.NearDup
     val docs = Seq((1L, ""), (2L, "solo"), (3L, "a b")).toDF("doc_id", "text")
