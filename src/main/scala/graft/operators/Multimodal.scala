@@ -284,6 +284,78 @@ object Multimodal {
       maxHamming = maxHamming, signature = imageDHashStub,
       maxBandFreq = maxBandFreq, nBands = 8)
 
+  /** 64-bit perceptual AUDIO fingerprint over the real JDK decode path
+    * — the audio analog of [[dHash64]]: decode to 16-bit PCM, mean-|s|
+    * energy envelope over 65 equal windows, bit i = env(i+1) > env(i).
+    * Difference bits are invariant under uniform gain (a re-mastered /
+    * volume-normalized copy scales every window identically, so every
+    * comparison survives) — the re-encoded-upload dedup case. Output
+    * (id, ahash, ok); undecodable, non-16-bit, or < 130-sample
+    * payloads quarantine as ok = false, the [[dHash64]] contract.
+    */
+  def audioHash64(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val h = try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              val fmt = in.getFormat
+              val bytes = in.readAllBytes()
+              val n = bytes.length / 2
+              if (fmt.getSampleSizeInBits != 16 || n < 130) None
+              else {
+                val w = n / 65
+                val env = new Array[Double](65)
+                var k = 0
+                while (k < 65) {
+                  var s = 0.0
+                  var i = k * w
+                  val end = i + w
+                  while (i < end) {
+                    s += math.abs(((bytes(2 * i + 1) << 8) |
+                      (bytes(2 * i) & 0xff)).toShort.toDouble)
+                    i += 1
+                  }
+                  env(k) = s / w
+                  k += 1
+                }
+                var bits = 0L
+                var b = 0
+                while (b < 64) {
+                  if (env(b + 1) > env(b)) bits |= 1L << b
+                  b += 1
+                }
+                Some(bits)
+              }
+            } finally in.close()
+          } catch { case _: Exception => None }
+          (id, h, h.isDefined)
+        }
+      }
+      .toDF(idCol, "ahash", "ok")
+  }
+
+  /** Perceptual AUDIO near-dup — [[audioHash64]] through the same
+    * 8×8-bit banding machinery as [[imageNearDup]] (pigeonhole covers
+    * hamming ≤ 7; candidates stay an equality join). Completes
+    * near-dup across all four payload families (text, embedding,
+    * image, audio); the oracle-checked stub tier is q142's — the
+    * banding pipeline is payload-agnostic and identical here.
+    */
+  def audioNearDup(df: DataFrame, idCol: String, payloadCol: String,
+                   maxHamming: Int = 6,
+                   maxBandFreq: Option[Int] = None): DataFrame =
+    NearDup.simhashNearDup(
+      audioHash64(df, idCol, payloadCol).filter(col("ok")),
+      col(idCol), col("ahash"),
+      maxHamming = maxHamming, signature = c => c,
+      maxBandFreq = maxBandFreq, nBands = 8)
+
   /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM —
     * ships with Java): sample rate, channels, frame count, duration,
     * and RMS amplitude over the 16-bit samples. Output (id, sample_rate,
