@@ -219,4 +219,55 @@ class PropertiesSpec extends SparkSpec {
       assert(a.forall { case (_, _, d) => math.abs(d) <= 127L * 127L * 16L })
     }
   }
+
+  private val bpeWordGen: Gen[String] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  private val randCorpusGen: Gen[Seq[String]] =
+    Gen.listOfN(12, Gen.choose(3, 25).flatMap(n =>
+      Gen.listOfN(n, bpeWordGen).map(_.mkString(" "))))
+
+  test("property: BM25 score rises with tf and falls with doc length") {
+    import graft.operators.Retrieval
+    forSamples(randCorpusGen, n = 6) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, s"needle $t") } // every doc matches
+        .toDF("doc_id", "text")
+      def score(extra: Seq[(Long, String)]) =
+        Retrieval.bm25Scores(
+            docs.unionByName(extra.toDF("doc_id", "text")),
+            col("doc_id"), col("text"), Seq("needle"))
+          .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+      // same dl, higher tf → strictly higher score (100/101 share length)
+      val tfPair = score(Seq(
+        (100L, "needle needle pad pad"), (101L, "needle pad pad pad")))
+      assert(tfPair(100L) > tfPair(101L), "tf monotonicity violated")
+      // same tf, longer doc → strictly lower score (the b dial)
+      val dlPair = score(Seq(
+        (100L, "needle pad"), (101L, "needle pad pad pad pad pad")))
+      assert(dlPair(100L) > dlPair(101L), "length normalization violated")
+    }
+  }
+
+  test("property: BPE token counts sit between word count and char count, monotone in k") {
+    import graft.operators.Bpe
+    forSamples(randCorpusGen, n = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val whitespace = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ").filter(_.nonEmpty) }.toMap
+      def counts(k: Int) =
+        Bpe.tokenCounts(docs, col("doc_id"), col("text"),
+            Bpe.train(docs, col("text"), k))
+          .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+      val c2 = counts(2); val c5 = counts(5)
+      whitespace.foreach { case (id, words) =>
+        val chars = words.map(_.length.toLong).sum
+        // a word is never fewer than 1 token, never more than its chars
+        assert(c5(id) >= words.length.toLong && c5(id) <= chars)
+        // more merges can only shrink (or keep) the token count
+        assert(c5(id) <= c2(id), "extra merges must never add tokens")
+      }
+    }
+  }
 }
