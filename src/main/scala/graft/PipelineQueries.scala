@@ -1244,6 +1244,29 @@ object PipelineQueries {
        |ORDER BY step""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // [EXT] BPE vocabulary artifact — the vocab file a trainer consumes:
+  // every subword the encoded corpus contains with its occurrence
+  // count and deterministic frequency-rank id. Top-40 by id; the
+  // oracle replays the training chain, explodes the final
+  // segmentations weighted by word frequency, and ranks identically.
+  def q155BpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Bpe.vocab(docs, col("text"), Bpe.train(docs, col("text"), k = bpeK))
+      .orderBy(col("tok_id")).limit(40)
+  }
+
+  private val q155Sql =
+    s"""WITH ${bpeChainSql(bpeK)},
+       |symn AS (
+       |  SELECT tok, CAST(sum(n) AS BIGINT) AS n_occ FROM (
+       |    SELECT n, unnest(string_split(trim(seg, chr(1)), chr(1) || chr(1))) AS tok
+       |    FROM s$bpeK)
+       |  GROUP BY 1)
+       |SELECT tok, n_occ,
+       |  CAST(row_number() OVER (ORDER BY n_occ DESC, tok ASC) - 1 AS INTEGER) AS tok_id
+       |FROM symn ORDER BY tok_id LIMIT 40""".stripMargin
+
   private val q151Sql =
     s"""WITH ${bpeChainSql(bpeK)},
        |enc AS (
@@ -1335,7 +1358,8 @@ object PipelineQueries {
     "q143_strip_dup_spans"  -> (q143StripDupSpans _),
     "q150_bpe_train"        -> (q150BpeTrain _),
     "q151_bpe_encode"       -> (q151BpeEncode _),
-    "q154_pagerank"         -> (q154PageRank _))
+    "q154_pagerank"         -> (q154PageRank _),
+    "q155_bpe_vocab"        -> (q155BpeVocab _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -1367,5 +1391,6 @@ object PipelineQueries {
     "q143_strip_dup_spans"  -> q143Sql,
     "q150_bpe_train"        -> q150Sql,
     "q151_bpe_encode"       -> q151Sql,
-    "q154_pagerank"         -> q154Sql)
+    "q154_pagerank"         -> q154Sql,
+    "q155_bpe_vocab"        -> q155Sql)
 }

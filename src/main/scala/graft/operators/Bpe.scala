@@ -111,7 +111,9 @@ object Bpe {
     * fold applies them in training order per word — no joins, no
     * shuffles beyond the type table itself.
     */
-  def encodeTypes(words: DataFrame, merges: DataFrame): DataFrame = {
+  /** (word, n, seg): the final segmentation per word type under the
+    * merge list — shared by [[encodeTypes]] and [[vocab]]. */
+  private def encodeSegs(words: DataFrame, merges: DataFrame): DataFrame = {
     val marr = merges
       .agg(array_sort(collect_list(struct(col("step"), col("lhs"), col("rhs"))))
         .as("ms"))
@@ -120,8 +122,31 @@ object Bpe {
         call_function("replace", acc,
           concat(lit(Sep), m("lhs"), lit(Sep2), m("rhs"), lit(Sep)),
           concat(lit(Sep), m("lhs"), m("rhs"), lit(Sep)))))
+      .select(col("word"), col("n"), col("seg"))
+  }
+
+  def encodeTypes(words: DataFrame, merges: DataFrame): DataFrame =
+    encodeSegs(words, merges)
       .select(col("word"), col("n"),
         size(symsOf(col("seg"))).cast("long").as("n_sym"))
+
+  /** The vocabulary artifact a trainer consumes: every subword symbol
+    * the encoded corpus contains, its total occurrence count, and its
+    * deterministic id (frequency rank: count desc, symbol asc — the
+    * usual vocab-file ordering). The ranking window runs over the
+    * vocabulary-sized symbol table (a collapsed dimension, like the
+    * packing offset table — never the corpus). Output: (tok, n_occ,
+    * tok_id with ids from 0).
+    */
+  def vocab(docs: DataFrame, text: Column, merges: DataFrame): DataFrame = {
+    val enc = encodeSegs(wordTypes(docs, text), merges)
+    val counts = enc
+      .select(col("n"), explode(symsOf(col("seg"))).as("tok"))
+      .groupBy(col("tok")).agg(sum(col("n")).as("n_occ"))
+    counts.withColumn("tok_id",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occ").desc, col("tok").asc)) - 1)
+      .select(col("tok"), col("n_occ"), col("tok_id"))
   }
 
   /** Per-document BPE token counts under a learned merge list — the

@@ -98,6 +98,24 @@ class BpeSpec extends SparkSpec {
     assert(got == refSegs.map { case (w, s) => w -> s.size.toLong })
   }
 
+  test("vocab: deterministic ids, occurrence counts conserve the token total") {
+    // abc ×3 + abd: after (a,b) and (ab,c), segs are [abc]×3, [ab, d]
+    val docs = Seq((1L, "abc abc abc abd")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, col("text"), 2)
+    val v = Bpe.vocab(docs, col("text"), merges)
+      .as[(String, Long, Int)].collect().toSeq.sortBy(_._3)
+    assert(v == Seq(("abc", 3L, 0), ("ab", 1L, 1), ("d", 1L, 2)))
+
+    // on the real corpus: Σ n_occ over the vocab = Σ n_tok over docs
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val m8 = Bpe.train(corpus, col("text"), 8)
+    val vocabTotal = Bpe.vocab(corpus, col("text"), m8)
+      .agg(sum(col("n_occ"))).as[Long].collect().head
+    val docTotal = Bpe.tokenCounts(corpus, col("doc_id"), col("text"), m8)
+      .agg(sum(col("n_tok"))).as[Long].collect().head
+    assert(vocabTotal == docTotal, "vocab counts must conserve the corpus token total")
+  }
+
   test("vocabulary exhaustion: train returns fewer than k merges") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // step 1 merges (a,b); afterwards every word is one symbol — no
