@@ -1267,6 +1267,49 @@ object PipelineQueries {
        |  CAST(row_number() OVER (ORDER BY n_occ DESC, tok ASC) - 1 AS INTEGER) AS tok_id
        |FROM symn ORDER BY tok_id LIMIT 40""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // [EXT] BPE-encoded id stream — the trainer INPUT: three documents as
+  // ordered (word_pos, sym_pos, tok, tok_id) rows under the learned
+  // merges and vocab ids. The oracle replays the chain, the vocab
+  // ranking, and both positioned explodes.
+  def q156BpeIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = Bpe.train(docs, col("text"), k = bpeK)
+    Bpe.encodeIds(docs.filter(col("doc_id") < 3), col("doc_id"), col("text"),
+        merges, Bpe.vocab(docs, col("text"), merges))
+      .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
+  }
+
+  private val q156Sql =
+    s"""WITH ${bpeChainSql(bpeK)},
+       |symn AS (
+       |  SELECT tok, CAST(sum(n) AS BIGINT) AS n_occ FROM (
+       |    SELECT n, unnest(string_split(trim(seg, chr(1)), chr(1) || chr(1))) AS tok
+       |    FROM s$bpeK)
+       |  GROUP BY 1),
+       |vocab AS (
+       |  SELECT tok,
+       |    CAST(row_number() OVER (ORDER BY n_occ DESC, tok ASC) - 1 AS INTEGER) AS tok_id
+       |  FROM symn),
+       |segs AS (
+       |  SELECT word, string_split(trim(seg, chr(1)), chr(1) || chr(1)) AS syms
+       |  FROM s$bpeK),
+       |tokpos AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS word_pos, words[i] AS word FROM (
+       |    SELECT doc_id, string_split(text, ' ') AS words,
+       |      generate_subscripts(string_split(text, ' '), 1) AS i
+       |    FROM documents WHERE doc_id < 3)
+       |  WHERE len(words[i]) > 0),
+       |sym AS (
+       |  SELECT doc_id, word_pos, CAST(j - 1 AS INTEGER) AS sym_pos,
+       |    syms[j] AS tok FROM (
+       |    SELECT t.doc_id, t.word_pos, s.syms,
+       |      generate_subscripts(s.syms, 1) AS j
+       |    FROM tokpos t JOIN segs s USING (word)))
+       |SELECT doc_id, word_pos, sym_pos, tok, tok_id
+       |FROM sym JOIN vocab USING (tok)
+       |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
+
   private val q151Sql =
     s"""WITH ${bpeChainSql(bpeK)},
        |enc AS (
@@ -1359,7 +1402,8 @@ object PipelineQueries {
     "q150_bpe_train"        -> (q150BpeTrain _),
     "q151_bpe_encode"       -> (q151BpeEncode _),
     "q154_pagerank"         -> (q154PageRank _),
-    "q155_bpe_vocab"        -> (q155BpeVocab _))
+    "q155_bpe_vocab"        -> (q155BpeVocab _),
+    "q156_bpe_ids"          -> (q156BpeIds _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -1392,5 +1436,6 @@ object PipelineQueries {
     "q150_bpe_train"        -> q150Sql,
     "q151_bpe_encode"       -> q151Sql,
     "q154_pagerank"         -> q154Sql,
-    "q155_bpe_vocab"        -> q155Sql)
+    "q155_bpe_vocab"        -> q155Sql,
+    "q156_bpe_ids"          -> q156Sql)
 }

@@ -149,6 +149,31 @@ object Bpe {
       .select(col("tok"), col("n_occ"), col("tok_id"))
   }
 
+  /** The trainer INPUT: documents as ordered subword-id streams. One
+    * row per (doc, word position, subword position) with the subword
+    * and its [[vocab]] id — the flattened form of the id arrays a
+    * training run consumes (q122's text sequences, in model-token
+    * space). Word types segment once ([[encodeSegs]]); documents
+    * explode to positioned words, join the type table, explode each
+    * word's subwords, and join the vocabulary — all equality joins
+    * against vocabulary-sized build sides.
+    */
+  def encodeIds(docs: DataFrame, id: Column, text: Column,
+                merges: DataFrame, vocabDf: DataFrame): DataFrame = {
+    val types = encodeSegs(wordTypes(docs, text), merges)
+      .select(col("word"), symsOf(col("seg")).as("syms"))
+    docs.select(id.as("doc_id"), posexplode(TextOps.tokens(text)))
+      .select(col("doc_id"), col("pos").as("word_pos"), col("col").as("word"))
+      .filter(length(col("word")) > 0)
+      .join(types, Seq("word"))
+      .select(col("doc_id"), col("word_pos"), posexplode(col("syms")))
+      .select(col("doc_id"), col("word_pos"),
+        col("pos").as("sym_pos"), col("col").as("tok"))
+      .join(vocabDf.select(col("tok"), col("tok_id")), Seq("tok"))
+      .select(col("doc_id"), col("word_pos"), col("sym_pos"),
+        col("tok"), col("tok_id"))
+  }
+
   /** Per-document BPE token counts under a learned merge list — the
     * "how many model tokens is this corpus" number a training run is
     * provisioned by, exact instead of the whitespace/regex proxies

@@ -116,6 +116,35 @@ class BpeSpec extends SparkSpec {
     assert(vocabTotal == docTotal, "vocab counts must conserve the corpus token total")
   }
 
+  test("encodeIds: subwords partition each word; the id stream covers every token") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.train(docs, col("text"), 6)
+    val vocab = Bpe.vocab(docs, col("text"), merges)
+    val sample = docs.filter(col("doc_id") < 5)
+    val ids = Bpe.encodeIds(sample, col("doc_id"), col("text"), merges, vocab)
+      .as[(Long, Int, Int, String, Int)].collect()
+
+    // subwords concatenate back to the original word at every position
+    val byWordPos = ids.groupBy(r => (r._1, r._2))
+    val texts = sample.select("doc_id", "text").as[(Long, String)].collect().toMap
+    byWordPos.foreach { case ((doc, wp), rows) =>
+      val word = texts(doc).split(" ")(wp)
+      val joined = rows.sortBy(_._3).map(_._4).mkString
+      assert(joined == word, s"doc $doc word $wp: '$joined' != '$word'")
+    }
+    // one id per BPE token: stream length per doc = tokenCounts' n_tok
+    val nTok = Bpe.tokenCounts(sample, col("doc_id"), col("text"), merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    ids.groupBy(_._1).foreach { case (doc, rows) =>
+      assert(rows.length.toLong == nTok(doc))
+    }
+    // ids are exactly the vocab's (no unknown-token gaps on the
+    // training corpus itself)
+    val vmap = vocab.as[(String, Long, Int)].collect()
+      .map(v => v._1 -> v._3).toMap
+    assert(ids.forall(r => vmap(r._4) == r._5))
+  }
+
   test("vocabulary exhaustion: train returns fewer than k merges") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // step 1 merges (a,b); afterwards every word is one symbol — no
