@@ -128,6 +128,31 @@ class RetrievalSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("queryBm25IndexMany: a 1-query batch ≡ queryBm25Index; phrase asOf pins") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25many").toString
+    val docs = corpus.toDF("doc_id", "text")
+    val v0 = Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), dir)
+    val terms = Seq("spark", "rare", "join")
+    val single = Retrieval.queryBm25Index(spark, dir, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val many = Retrieval.queryBm25IndexMany(spark, dir,
+        Seq((7L, terms)).toDF("query_id", "terms"), 10)
+      .select("doc_id", "n_terms", "score")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(many == single, "a 1-query batch must score identically")
+
+    // phrase results pin to the pre-append version under asOf
+    val before = Retrieval.phraseSearch(spark, dir, Seq("shuffle", "join"), 10)
+      .as[(Long, Long)].collect().toSeq
+    Retrieval.appendToBm25Index(
+      Seq((50L, "shuffle join shuffle join")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir): Unit
+    assert(Retrieval.phraseSearch(spark, dir, Seq("shuffle", "join"), 10)
+      .as[(Long, Long)].collect().toSeq.exists(_._1 == 50L))
+    assert(Retrieval.phraseSearch(spark, dir, Seq("shuffle", "join"), 10,
+      asOf = Some(v0)).as[(Long, Long)].collect().toSeq == before)
+  }
+
   test("empty term list refuses; no-hit terms return zero rows") {
     val docs = corpus.toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
