@@ -1337,6 +1337,9 @@ object PipelineQueries {
     val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
       .select(col("o_custkey").as("c"), (col("l_suppkey") + lit(1000000L)).as("s"))
       .distinct()
+      // consumed four times (two union arms x out-degree + join) -
+      // staged so the orders x lineitem distinct runs once
+      .localCheckpoint(eager = false)
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
     val nodes = Tables.customer(spark, dir).select(col("c_custkey").as("id"))

@@ -105,11 +105,19 @@ object Graph {
     require(iters >= 1, s"iters must be positive, got $iters")
     val out = edges.toDF("src", "dst")
       .groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // The edge table is LOOP-INVARIANT, so it gets the [[connectedComponents]]
+    // sym treatment — persist(), NOT localCheckpoint: a checkpoint would
+    // erase the hash partitioning on src, and every round's rank join
+    // would re-shuffle the FULL edge table (measured ~25% slower at
+    // sf0.1 with ~1M edges; at graph scale it is iters extra edge
+    // shuffles). Partitioned-and-persisted, each round shuffles only
+    // the node-sized rank vector to meet it.
     val e = edges.toDF("src", "dst").join(out, Seq("src"))
-      .localCheckpoint(eager = false)
+      .repartition(col("src"))
+      .persist()
     val ids = nodes.toDF("id").localCheckpoint(eager = false)
     var ranks = ids.withColumn("pr", lit(1.0))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(ranks, e("src") === ranks("id"))
         .select(e("dst").as("id"), (col("pr") / col("outdeg")).as("c"))
       ranks = ids
@@ -119,8 +127,12 @@ object Graph {
         .select(col("id"),
           (lit(1.0 - d) +
             lit(d) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"))
-        .localCheckpoint(eager = false)
+        // final round EAGER: materialize the result while the persisted
+        // edge table is still alive, so unpersisting below can never
+        // force a from-scratch recompute in the caller's first action
+        .localCheckpoint(eager = i == iters)
     }
+    e.unpersist()
     ranks
   }
 }

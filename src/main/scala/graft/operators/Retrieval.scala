@@ -59,13 +59,10 @@ object Retrieval {
     (tf, stats)
   }
 
-  /** BM25 score per (doc, term) → per doc, over a (doc_id, dl, tok, tf)
-    * relation joined with its |T|-row df table and 1-row stats. Shared
-    * by the inline and index paths so the two provably score with one
-    * formula.
-    */
   /** The per-(doc, term) BM25 contribution over columns tf, dl, df,
-    * n_docs, sum_dl — ONE formula shared by every scoring path. */
+    * n_docs, sum_dl — ONE formula shared by every scoring path (inline,
+    * single-query index, multi-query index), so the paths provably
+    * score identically. */
   private def bmTermExpr(k1: Double, b: Double): Column = {
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +
@@ -207,6 +204,11 @@ object Retrieval {
     * equality join, df/tf derive per query from the joined slice, and
     * ranking is a bounded top-k per query. Scoring is the SAME formula
     * as [[queryBm25Index]] — a 1-query input returns identical rows.
+    * Unlike the single-query path the term set is not a literal, so
+    * nothing pushes into the parquet scan — non-matching postings rows
+    * die map-side at the broadcast-hash probe in the scan's own stage,
+    * and pruning the scan BYTES is the bucketing-by-token layout's job
+    * (amortized across the batch, this is the right trade for serving).
     * Output: (query_id, doc_id, n_terms, score).
     */
   def queryBm25IndexMany(spark: SparkSession, indexDir: String,
