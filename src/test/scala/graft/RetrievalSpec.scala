@@ -153,6 +153,35 @@ class RetrievalSpec extends SparkSpec {
       asOf = Some(v0)).as[(Long, Long)].collect().toSeq == before)
   }
 
+  test("an out-of-lockstep index refuses every consumer; asOf still works") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25wedge").toString
+    val docs = corpus.toDF("doc_id", "text")
+    val v0 = Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), dir)
+    val good = Retrieval.queryBm25Index(spark, dir, Seq("spark"), 5)
+      .collect().toSeq
+    // simulate a crash between an append's two commits: postings
+    // advance, stats do not
+    graft.sources.Versioned.append(
+      Seq((999L, 1L, 1L, Seq(1))).toDF("doc_id", "tf", "dl", "positions")
+        .selectExpr("'ghost' AS tok", "doc_id", "tf", "dl", "positions"),
+      s"$dir/postings"): Unit
+    for (probe <- Seq(
+      () => Retrieval.queryBm25Index(spark, dir, Seq("spark"), 5),
+      () => Retrieval.queryBm25IndexMany(spark, dir,
+        Seq((1L, Seq("spark"))).toDF("query_id", "terms"), 5),
+      () => Retrieval.phraseSearch(spark, dir, Seq("spark"), 5))) {
+      val e = intercept[IllegalArgumentException] { probe() }
+      assert(e.getMessage.contains("out of lockstep"))
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.appendToBm25Index(
+        Seq((1000L, "x")).toDF("doc_id", "text"), col("doc_id"), col("text"), dir)
+    }
+    // the intact historical version stays queryable
+    assert(Retrieval.queryBm25Index(spark, dir, Seq("spark"), 5,
+      asOf = Some(v0)).collect().toSeq == good)
+  }
+
   test("empty term list refuses; no-hit terms return zero rows") {
     val docs = corpus.toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
