@@ -1335,7 +1335,7 @@ object PipelineQueries {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
-      .select(col("o_custkey").as("c"), (col("l_suppkey") + lit(1000000L)).as("s"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + lit(10000000L)).as("s"))
       .distinct()
       // consumed four times (two union arms x out-degree + join) -
       // staged so the orders x lineitem distinct runs once
@@ -1344,7 +1344,7 @@ object PipelineQueries {
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
     val nodes = Tables.customer(spark, dir).select(col("c_custkey").as("id"))
       .unionByName(Tables.supplier(spark, dir)
-        .select((col("s_suppkey") + lit(1000000L)).as("id")))
+        .select((col("s_suppkey") + lit(10000000L)).as("id")))
     Graph.pageRank(nodes, edges, iters = 5)
       .orderBy(col("pr").desc, col("id").asc).limit(30)
   }
@@ -1360,14 +1360,14 @@ object PipelineQueries {
          |    SELECT e.dst AS id, sum(CAST(pr / outdeg AS DECIMAL(27,10))) AS s
          |    FROM e JOIN r${i - 1} r ON e.src = r.id GROUP BY 1) c USING (id))""".stripMargin
     s"""WITH pairs AS (
-       |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 10000000 AS s
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
        |edges AS (
        |  SELECT c AS src, s AS dst FROM pairs
        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
        |nodes AS (
        |  SELECT c_custkey AS id FROM customer
-       |  UNION ALL SELECT s_suppkey + 1000000 AS id FROM supplier),
+       |  UNION ALL SELECT s_suppkey + 10000000 AS id FROM supplier),
        |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
        |e AS (SELECT src, dst, outdeg FROM edges JOIN outd USING (src)),
        |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM nodes),

@@ -44,10 +44,15 @@ object Bpe {
   val Sep = "\u0001"
   private val Sep2 = Sep + Sep
 
-  /** Word-type table (word, n) — the one corpus pass. */
+  /** Word-type table (word, n) — the one corpus pass. Words containing
+    * [[Sep]] itself (U+0001 — a control byte that does occur in scraped
+    * web corpora) are dropped here: letting one through would corrupt
+    * the boundary-delimited segmentation encoding, pair counts, and
+    * every learned merge downstream.
+    */
   def wordTypes(docs: DataFrame, text: Column): DataFrame =
     docs.select(explode(TextOps.tokens(text)).as("word"))
-      .filter(length(col("word")) > 0)
+      .filter(length(col("word")) > 0 && !col("word").contains(Sep))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
 
   /** Initial segmentation: every character its own symbol, boundary-

@@ -309,6 +309,11 @@ object Multimodal {
               val n = bytes.length / 2
               if (fmt.getSampleSizeInBits != 16 || n < 130) None
               else {
+                // The JDK also decodes big-endian 16-bit streams (AIFF/AU);
+                // assemble each sample per fmt.isBigEndian or the envelope
+                // is byte-swapped garbage hashed with ok = true.
+                val loIdx = if (fmt.isBigEndian) 1 else 0
+                val hiIdx = 1 - loIdx
                 val w = n / 65
                 val env = new Array[Double](65)
                 var k = 0
@@ -317,8 +322,8 @@ object Multimodal {
                   var i = k * w
                   val end = i + w
                   while (i < end) {
-                    s += math.abs(((bytes(2 * i + 1) << 8) |
-                      (bytes(2 * i) & 0xff)).toShort.toDouble)
+                    s += math.abs(((bytes(2 * i + hiIdx) << 8) |
+                      (bytes(2 * i + loIdx) & 0xff)).toShort.toDouble)
                     i += 1
                   }
                   env(k) = s / w
@@ -376,14 +381,16 @@ object Multimodal {
               val fmt = in.getFormat
               val nFrames = in.getFrameLength
               val dur = nFrames.toDouble / fmt.getFrameRate
-              // RMS over 16-bit little-endian PCM samples
+              // RMS over 16-bit PCM samples, byte order per fmt.isBigEndian
               val bytes = in.readAllBytes()
               var sumSq = 0.0
               var n = 0
               if (fmt.getSampleSizeInBits == 16) {
+                val loIdx = if (fmt.isBigEndian) 1 else 0
+                val hiIdx = 1 - loIdx
                 var i = 0
                 while (i + 1 < bytes.length) {
-                  val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+                  val s = ((bytes(i + hiIdx) << 8) | (bytes(i + loIdx) & 0xff)).toShort
                   sumSq += s.toDouble * s; n += 1; i += 2
                 }
               }

@@ -163,8 +163,12 @@ object Retrieval {
     val merged = Versioned.read(spark, s"$indexDir/stats", Some(vStats))
       .unionByName(delta)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    val vp = Versioned.append(postings, s"$indexDir/postings")
+    // CAS-guarded stats FIRST: of two racing appenders, the loser aborts
+    // here with NOTHING committed and can genuinely re-read + retry; only
+    // a crash between the two commits wedges the index (postings-first
+    // would advance postings before losing the stats race — unwedgeable).
     val vs = Versioned.overwriteExpecting(merged, s"$indexDir/stats", vStats + 1)
+    val vp = Versioned.append(postings, s"$indexDir/postings")
     require(vp == vs, s"BM25 append left tables out of lockstep (postings " +
       s"v$vp, stats v$vs) — rebuild into a fresh directory")
     vp

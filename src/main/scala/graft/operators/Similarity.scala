@@ -611,9 +611,19 @@ object Similarity {
     * would be silently wrong by roughly one centroid dot, so a mismatch
     * fails loudly in-plan (same discipline as [[pqGuard]]).
     */
-  private def pqResGuard(cb: DataFrame, residual: Boolean): DataFrame = cb
-    .filter(assert_true(col("res") === lit(residual),
-      lit(s"PQ codebook residual flag != caller's residual = $residual")).isNull)
+  private def pqResGuard(cb: DataFrame, residual: Boolean): DataFrame =
+    if (!cb.columns.contains("res")) {
+      // Index dir persisted before the residual flag existed: those
+      // codebooks were always raw-encoded, so residual=false reads them
+      // unchanged; residual=true gets a real message instead of an
+      // unresolved-column AnalysisException.
+      require(!residual, "this codebook predates residual encoding (no " +
+        "'res' column): it was built raw — query/append with " +
+        "residual=false, or rebuild the index to use by_residual")
+      cb
+    } else cb
+      .filter(assert_true(col("res") === lit(residual),
+        lit(s"PQ codebook residual flag != caller's residual = $residual")).isNull)
 
   /** Residual vectors: cand − its assigned centroid, the relation a
     * residual codebook trains on and encodes (FAISS-IVFPQ's

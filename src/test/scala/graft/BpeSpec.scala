@@ -145,6 +145,17 @@ class BpeSpec extends SparkSpec {
     assert(ids.forall(r => vmap(r._4) == r._5))
   }
 
+  test("a corpus word carrying U+0001 (the segmentation delimiter) is " +
+      "dropped instead of corrupting merges") {
+    val clean = Seq((1L, "abc abc abc abd")).toDF("doc_id", "text")
+    // doc 2 words each contain the raw delimiter byte; letting one
+    // through would hand the win to a phantom high-count pair
+    val dirty = Seq((1L, "abc abc abc abd"),
+      (2L, ("a\u0001b " * 5).trim)).toDF("doc_id", "text")
+    assert(gotMerges(dirty, 3) == gotMerges(clean, 3),
+      "control-byte words must not reach the pair counts")
+  }
+
   test("vocabulary exhaustion: train returns fewer than k merges") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // step 1 merges (a,b); afterwards every word is one symbol — no

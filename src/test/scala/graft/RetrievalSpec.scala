@@ -182,6 +182,35 @@ class RetrievalSpec extends SparkSpec {
       asOf = Some(v0)).collect().toSeq == good)
   }
 
+  test("append commits stats CAS first: a lost race aborts with NOTHING " +
+      "committed and a clean retry succeeds") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25cas").toString
+    val docs = corpus.toDF("doc_id", "text")
+    val v0 = Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), dir)
+    // the loser's first action is the stats overwriteExpecting — replay
+    // it with the stale snapshot a racing writer would hold (expected =
+    // v0, but a concurrent append already advanced stats to v0+1)
+    val winnerV = Retrieval.appendToBm25Index(
+      Seq((60L, "spark spark")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir)
+    assert(winnerV == v0 + 1)
+    val stale = graft.sources.Versioned.read(spark, s"$dir/stats", Some(v0))
+    intercept[IllegalArgumentException] {
+      graft.sources.Versioned.overwriteExpecting(stale, s"$dir/stats", v0 + 1)
+    }
+    // the lost CAS left BOTH tables exactly where the winner put them —
+    // lockstep, consumable, retryable (postings-first ordering would
+    // instead have advanced postings and permanently wedged the index)
+    assert(graft.sources.Versioned.latestVersion(spark, s"$dir/postings") == winnerV)
+    assert(graft.sources.Versioned.latestVersion(spark, s"$dir/stats") == winnerV)
+    val retryV = Retrieval.appendToBm25Index(
+      Seq((61L, "join join")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir)
+    assert(retryV == winnerV + 1)
+    assert(Retrieval.queryBm25Index(spark, dir, Seq("spark"), 10)
+      .collect().nonEmpty)
+  }
+
   test("empty term list refuses; no-hit terms return zero rows") {
     val docs = corpus.toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

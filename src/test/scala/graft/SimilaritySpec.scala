@@ -593,6 +593,35 @@ class SimilaritySpec extends SparkSpec {
     assert(causes(exA).contains("residual flag"))
   }
 
+  test("a pre-residual index dir (no 'res' column) still reads as raw; " +
+      "residual=true gets a rebuild message, not an unresolved column") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .filter(col("id") < 32)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_legacy").toString
+    Similarity.buildIvfPqIndex(e, idx, nCentroids = 4): Unit
+    val q = e.filter(col("id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSeq
+    val modern = rows(Similarity.queryIvfPqIndex(spark, idx, q, k = 3, nProbes = 4))
+    // rewrite the index as a legacy dir: same tables, codebook without
+    // the 'res' column (all three advance so versions stay lockstep)
+    import graft.sources.Versioned
+    Versioned.overwrite(Versioned.read(spark, s"$idx/centroids")
+      .localCheckpoint(), s"$idx/centroids"): Unit
+    Versioned.overwrite(Versioned.read(spark, s"$idx/codebook")
+      .drop("res").localCheckpoint(), s"$idx/codebook"): Unit
+    Versioned.overwrite(Versioned.read(spark, s"$idx/assignment")
+      .localCheckpoint(), s"$idx/assignment"): Unit
+    assert(rows(Similarity.queryIvfPqIndex(spark, idx, q, k = 3, nProbes = 4))
+      == modern, "legacy codebooks were always raw-encoded — same scores")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.queryIvfPqIndex(spark, idx, q, k = 3, nProbes = 4,
+        residual = true).collect()
+    }
+    assert(ex.getMessage.contains("predates residual"))
+  }
+
   test("appendToIvfPqIndex(residual): twins score identically, time travel holds") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
