@@ -359,17 +359,26 @@ object PipelineQueries {
   // composition in one recursive-CTE SQL statement.
   def q110CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextOps
-    import graft.operators.NearDup
-    // ONE flags pass, not a union of per-stage recounts: a 7-branch
-    // union re-evaluates every filter prefix per branch (the text
-    // scoring would run 7× over the corpus — measured 6.7 s vs ~4 s at
-    // sf0.1). Instead each doc carries cumulative survival flags
-    // f1..f6, the heavy text predicates evaluate once, and the funnel
-    // is one aggregation unpivoted by stack().
-    import graft.operators.Curation.{minQuality, minJaccard, trainPct}
     val docs = Tables.documents(spark, dir)
-    val base = docs.select(col("doc_id"), col("text"), col("n_chars"))
-      .withColumn("f1", TextOps.langId(col("text")) === "en")
+    funnelStages(docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("f1", TextOps.langId(col("text")) === "en"))
+  }
+
+  /** Stages 2–6 of the curation funnel over a `(doc_id, text, n_chars,
+    * f1)` base — the language gate (f1) is the caller's: q110 gates on
+    * the stopword heuristic, q159 on the persisted NB classifier. ONE
+    * flags pass, not a union of per-stage recounts: a 7-branch union
+    * re-evaluates every filter prefix per branch (the text scoring
+    * would run 7× over the corpus — measured 6.7 s vs ~4 s at sf0.1).
+    * Instead each doc carries cumulative survival flags f1..f6, the
+    * heavy text predicates evaluate once, and the funnel is one
+    * aggregation unpivoted by stack().
+    */
+  private def funnelStages(base0: DataFrame): DataFrame = {
+    import graft.functions.TextOps
+    import graft.operators.NearDup
+    import graft.operators.Curation.{minQuality, minJaccard, trainPct}
+    val base = base0
       .withColumn("f2", col("f1") &&
         TextOps.qualityScore(col("text"), col("n_chars")) >= minQuality)
     val keepRep = Corpus.repetitionStats(
@@ -423,15 +432,14 @@ object PipelineQueries {
       .orderBy(col("stage_idx"))
   }
 
-  /** CTE chain shared by q110 (funnel counts) and q117 (incremental
-    * survivors): stages s1–s6 of the curation composition.
+  /** CTE chain shared by q110 (funnel counts), q117 (incremental
+    * survivors), and q159 (classifier-gated funnel): stages s1–s6 of
+    * the curation composition, with the language gate (`s1`)
+    * caller-supplied — it must SELECT the surviving documents rows.
     */
-  private val curationCtes =
-    """WITH RECURSIVE
-      |s1 AS (SELECT * FROM documents
-      |  WHERE CAST(len(list_filter(string_split(text, ' '),
-      |      x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-      |    / len(string_split(text, ' ')) >= 0.05),
+  private def curationCtesWith(s1: String) =
+    s"""WITH RECURSIVE
+      |s1 AS ($s1),
       |s2 AS (SELECT * FROM s1 WHERE
       |  (least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0)
       |   + least(1.0, 10.0 * CAST(len(list_filter(string_split(text, ' '),
@@ -484,6 +492,12 @@ object PipelineQueries {
       |        (SELECT 1 FROM drop5 WHERE drop5.doc_id = s4.doc_id)),
       |s6 AS (SELECT * FROM s5
       |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90)""".stripMargin
+
+  private val curationCtes = curationCtesWith(
+    """SELECT * FROM documents
+      |  WHERE CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) >= 0.05""".stripMargin)
 
   private val q110Sql = curationCtes + "\n" +
     """SELECT 0 AS stage_idx, 'total' AS stage, count(*) AS n_docs FROM documents
@@ -1049,6 +1063,84 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------------
+  // [EXT] CLASSIFIER-GATED curation funnel — q110 with stage 1 scored
+  // by the persisted NB language model instead of the stopword
+  // heuristic (the CCNet/RedPajama shape: a trained classifier gate,
+  // not a rule). The model is the q132 artifact (trained once on the
+  // deterministic 90% split, version-pinned Versioned tables); scoring
+  // the full corpus is one map-side pass against the KB-sized broadcast
+  // grid. Stages 2–6 are the identical composition; the oracle replays
+  // the NB scoring AND the funnel chain in one statement, so the
+  // trained gate is hash-checked end to end.
+  def q159NbFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(Corpus.hashBucket(col("doc_id")) < 90)
+    val mdl = cachedModel(spark, dir, "nb_lang_512")(
+      Corpus.buildNbModel(train, col("lang"), col("text"), _, buckets = 512): Unit)
+    val pred = Corpus.scoreWithNbModel(spark, mdl, docs, col("doc_id"),
+        col("text"))
+      .select(col("doc_id"), col("predicted"))
+    funnelStages(docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .join(pred, Seq("doc_id"), "left")
+      .withColumn("f1", coalesce(col("predicted") === "en", lit(false)))
+      .drop("predicted"))
+  }
+
+  private val q159Sql = {
+    // the q131 NB chain, retargeted: train on the 90% split, score ALL
+    // documents, gate s1 on predicted = 'en'
+    val nb =
+      """nbtr AS (
+        |  SELECT * FROM documents
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90),
+        |trt AS (
+        |  SELECT lang AS label,
+        |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 512 AS b
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM nbtr)),
+        |seen AS (SELECT label, b, count(*) AS c FROM trt GROUP BY label, b),
+        |grid AS (
+        |  SELECT l.label, sb.b, coalesce(seen.c, 0) AS c
+        |  FROM (SELECT DISTINCT lang AS label FROM nbtr) l
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS b) sb
+        |  LEFT JOIN seen ON seen.label = l.label AND seen.b = sb.b),
+        |tot AS (SELECT label, sum(c) AS tot FROM grid GROUP BY label),
+        |model AS (
+        |  SELECT grid.label, grid.b,
+        |    ln(CAST(c + 1 AS DOUBLE) / CAST(tot + 512 AS DOUBLE)) AS ll
+        |  FROM grid JOIN tot USING (label)),
+        |pri AS (SELECT lang AS label, count(*) AS n_docs FROM nbtr GROUP BY lang),
+        |prior AS (
+        |  SELECT label, ln(CAST(n_docs AS DOUBLE)
+        |    / CAST((SELECT sum(n_docs) FROM pri) AS DOUBLE)) AS lp
+        |  FROM pri),
+        |att AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 512 AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |nbsc AS (
+        |  SELECT doc_id, model.label, sum(CAST(ll AS DECIMAL(27,10))) AS sll
+        |  FROM att JOIN model USING (b)
+        |  GROUP BY doc_id, model.label),
+        |nbpick AS (
+        |  SELECT doc_id, label AS predicted,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY lp + CAST(sll AS DOUBLE) DESC, label ASC) AS rn
+        |  FROM nbsc JOIN prior USING (label))""".stripMargin
+    curationCtesWith(
+      s"""SELECT d.* FROM documents d
+        |  JOIN nbpick p USING (doc_id)
+        |  WHERE p.rn = 1 AND p.predicted = 'en'""".stripMargin)
+      .replace("WITH RECURSIVE\ns1 AS", s"WITH RECURSIVE\n$nb,\ns1 AS") + "\n" +
+      """SELECT 0 AS stage_idx, 'total' AS stage, count(*) AS n_docs FROM documents
+        |UNION ALL SELECT 1, 'lang_en', count(*) FROM s1
+        |UNION ALL SELECT 2, 'quality', count(*) FROM s2
+        |UNION ALL SELECT 3, 'not_repetitive', count(*) FROM s3
+        |UNION ALL SELECT 4, 'exact_dedup', count(*) FROM s4
+        |UNION ALL SELECT 5, 'near_dedup', count(*) FROM s5
+        |UNION ALL SELECT 6, 'train_split', count(*) FROM s6
+        |ORDER BY stage_idx""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // [EXT] doc-signals sheet (flagship composition #3) — the Dolma-style
   // "attributes" artifact: every curation signal the engine computes,
   // joined into one per-doc table. Production stacks materialize
@@ -1349,16 +1441,39 @@ object PipelineQueries {
       .orderBy(col("pr").desc, col("id").asc).limit(30)
   }
 
-  private val q154Sql = {
+  /** The PageRank iteration chain as SQL CTEs, dangling-mass term
+    * included — replays [[Graph.pageRank]] exactly: per-destination
+    * contribution sums and the dangling-mass sum both ride
+    * DECIMAL(27,10) (order-independent), the D/|V| share divides in
+    * double. Expects CTEs `edges(src, dst)` and `nodes(id)` upstream.
+    */
+  private def pageRankSqlTail(iters: Int): String = {
     def iter(i: Int): String =
-      s"""r$i AS (
+      s"""dm$i AS (
+         |  SELECT CAST(COALESCE(sum(CAST(pr AS DECIMAL(27,10))),
+         |                       CAST(0 AS DECIMAL(27,10))) AS DOUBLE)
+         |         / (SELECT n_v FROM nv) AS dshare
+         |  FROM r${i - 1} WHERE id IN (SELECT id FROM dang)),
+         |r$i AS (
          |  SELECT n.id,
          |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
          |      + CAST(0.85 AS DOUBLE)
-         |        * COALESCE(CAST(c.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS pr
+         |        * (COALESCE(CAST(c.s AS DOUBLE), CAST(0.0 AS DOUBLE))
+         |           + (SELECT dshare FROM dm$i)) AS pr
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS id, sum(CAST(pr / outdeg AS DECIMAL(27,10))) AS s
          |    FROM e JOIN r${i - 1} r ON e.src = r.id GROUP BY 1) c USING (id))""".stripMargin
+    s"""outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+       |e AS (SELECT src, dst, outdeg FROM edges JOIN outd USING (src)),
+       |dang AS (SELECT id FROM nodes n
+       |         WHERE NOT EXISTS (SELECT 1 FROM outd o WHERE o.src = n.id)),
+       |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n_v FROM nodes),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+       |${(1 to iters).map(iter).mkString(",\n")}
+       |SELECT id, pr FROM r$iters ORDER BY pr DESC, id ASC LIMIT 30""".stripMargin
+  }
+
+  private val q154Sql =
     s"""WITH pairs AS (
        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 10000000 AS s
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
@@ -1368,12 +1483,36 @@ object PipelineQueries {
        |nodes AS (
        |  SELECT c_custkey AS id FROM customer
        |  UNION ALL SELECT s_suppkey + 10000000 AS id FROM supplier),
-       |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
-       |e AS (SELECT src, dst, outdeg FROM edges JOIN outd USING (src)),
-       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
-       |${(1 to 5).map(iter).mkString(",\n")}
-       |SELECT id, pr FROM r5 ORDER BY pr DESC, id ASC LIMIT 30""".stripMargin
+       |${pageRankSqlTail(5)}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] PageRank on a graph where dangling is the NORM, not the
+  // exception: the DIRECTED purchase graph customer → supplier — every
+  // supplier is a sink (no out-edges), the shape of real web/host link
+  // graphs where rank mass drains without the D/|V| redistribution.
+  // Same operator, same oracle chain; only the edge set differs.
+  def q157PageRankDangling(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(10000000L)).as("dst"))
+      .distinct()
+    val nodes = Tables.customer(spark, dir).select(col("c_custkey").as("id"))
+      .unionByName(Tables.supplier(spark, dir)
+        .select((col("s_suppkey") + lit(10000000L)).as("id")))
+    Graph.pageRank(nodes, edges, iters = 5)
+      .orderBy(col("pr").desc, col("id").asc).limit(30)
   }
+
+  private val q157Sql =
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 10000000 AS dst
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |nodes AS (
+       |  SELECT c_custkey AS id FROM customer
+       |  UNION ALL SELECT s_suppkey + 10000000 AS id FROM supplier),
+       |${pageRankSqlTail(5)}""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_tfidf"             -> (q69Tfidf _),
@@ -1405,6 +1544,8 @@ object PipelineQueries {
     "q150_bpe_train"        -> (q150BpeTrain _),
     "q151_bpe_encode"       -> (q151BpeEncode _),
     "q154_pagerank"         -> (q154PageRank _),
+    "q157_pagerank_dangling" -> (q157PageRankDangling _),
+    "q159_nb_funnel"        -> (q159NbFunnel _),
     "q155_bpe_vocab"        -> (q155BpeVocab _),
     "q156_bpe_ids"          -> (q156BpeIds _))
 
@@ -1439,6 +1580,8 @@ object PipelineQueries {
     "q150_bpe_train"        -> q150Sql,
     "q151_bpe_encode"       -> q151Sql,
     "q154_pagerank"         -> q154Sql,
+    "q157_pagerank_dangling" -> q157Sql,
+    "q159_nb_funnel"        -> q159Sql,
     "q155_bpe_vocab"        -> q155Sql,
     "q156_bpe_ids"          -> q156Sql)
 }

@@ -64,6 +64,16 @@ object RecallProbe {
           recall(pairs(Similarity.queryIvfPqIndex(spark, pq, q, 5,
             nProbes = probes, ks = 64, residual = res)))}%.3f")
     }
+    // two-stage: ADC shortlist (k·alpha) + exact re-rank of the
+    // shortlist only — recovers what PQ reconstruction error displaced
+    // past rank k but not past rank k·alpha, at equal probes
+    val pq2 = java.nio.file.Files.createTempDirectory("recall_ivfpq_rr").toString
+    Similarity.buildIvfPqIndex(e, pq2, nCentroids = 16, ks = 64,
+      pqLloydIters = 1): Unit
+    for (probes <- Seq(4, 8, 16); alpha <- Seq(4, 8))
+      println(f"ivf+pq+rerank alpha=$alpha%-2d nProbes=$probes%-2d recall@5 = ${
+        recall(pairs(Similarity.queryIvfPqIndexReranked(spark, pq2, q, e, 5,
+          alpha = alpha, nProbes = probes, ks = 64)))}%.3f")
     spark.stop()
   }
 }

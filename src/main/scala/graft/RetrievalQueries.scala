@@ -64,7 +64,7 @@ object RetrievalQueries {
   // query time. Same scoring formula ⇒ same oracle SQL as q146.
   private def cachedBm25(spark: SparkSession, dir: String): String =
     graft.sources.CachedArtifact.resolve(spark,
-      new java.io.File(dir, "documents.parquet"), "bm25p",
+      new java.io.File(dir, "documents.parquet"), "bm25q",
       "postings", "stats")(
       Retrieval.buildBm25Index(
         Tables.documents(spark, dir), col("doc_id"), col("text"), _): Unit)

@@ -82,7 +82,7 @@ object SimQueries {
   // SQL carries the hash check.
   def q135HardNegativesIndexed(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
-    val idx = cachedIndex(spark, dir, "ivf_c16_l2")(
+    val idx = cachedIndex(spark, dir, "ivf_c16_l2b")(
       Similarity.buildIvfIndex(e, _, nCentroids = 16, lloydIters = 2): Unit)
     Similarity.hardNegativesIndexed(spark, idx, e.filter(col("id") < 10), e,
         k = 5, nProbes = 16)
@@ -660,7 +660,7 @@ object SimQueries {
 
   def q116AnnIndex(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
-    val idx = cachedIndex(spark, dir, "ivf_c16_l2")(
+    val idx = cachedIndex(spark, dir, "ivf_c16_l2b")(
       Similarity.buildIvfIndex(e, _, nCentroids = 16, lloydIters = 2): Unit)
     Similarity.queryIvfIndex(spark, idx, e.filter(col("id") < 10), k = 5)
   }
@@ -677,7 +677,7 @@ object SimQueries {
   // ranking hash-matches with no decimal scaffolding.
   def q118AnnIvfSq8(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
-    val idx = cachedIndex(spark, dir, "ivfsq8_c16")(
+    val idx = cachedIndex(spark, dir, "ivfsq8_c16b")(
       Similarity.buildIvfSq8Index(e, _, nCentroids = 16): Unit)
     Similarity.queryIvfSq8Index(spark, idx, e.filter(col("id") < 10), k = 5)
   }
@@ -828,13 +828,17 @@ object SimQueries {
   def q145AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     val idx = graft.sources.CachedArtifact.resolve(spark,
-      new java.io.File(dir, "embeddings.parquet"), "ivfpq2_c16",
+      new java.io.File(dir, "embeddings.parquet"), "ivfpq2_c16b",
       "centroids", "codebook", "assignment")(
       Similarity.buildIvfPqIndex(e, _, nCentroids = 16): Unit)
     Similarity.queryIvfPqIndex(spark, idx, e.filter(col("id") < 10), k = 5, nProbes = 4)
   }
 
-  private val q145Sql = {
+  /** The q145 chain up through `scored` (IVF probe selection + PQ
+    * encoding + ADC ranking) — shared by the plain top-k oracle (q145)
+    * and the re-ranked two-stage oracle (q158).
+    */
+  private val ivfPqScoredSql = {
     val dot = (a: String, b: String) =>
       s"list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i]))"
     s"""WITH base AS (
@@ -871,13 +875,56 @@ object SimQueries {
        |  JOIN enc e ON e.cand_id = a.cand_id
        |  JOIN lut l ON l.query_id = p.query_id AND l.j = e.j AND l.code = e.code
        |  WHERE a.cand_id <> p.query_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val q145Sql =
+    s"""$ivfPqScoredSql
        |SELECT query_id, cand_id, pqdot FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY pqdot DESC, cand_id ASC) AS rn FROM scored)
        |WHERE rn <= 5
        |ORDER BY query_id, pqdot DESC, cand_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J7 serving composition — TWO-STAGE (shortlist + exact re-rank):
+  // the ADC scan shortlists k·alpha = 20 candidates per query at
+  // compressed-scan cost, then ONLY those rows re-score with the exact
+  // full-precision dot (the FAISS refine stage). Closes PQ's
+  // reconstruction-error recall gap at probe-bounded cost; the exact
+  // pass touches |Q|·k·alpha rows, never the corpus. ORACLE-CHECKED end
+  // to end: the compressed shortlist AND the exact re-rank both replay
+  // in SQL — final scores are exact dots, so the hash match is
+  // float-tight, not approximate.
+  def q158AnnIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val idx = graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "embeddings.parquet"), "ivfpq2_c16b",
+      "centroids", "codebook", "assignment")(
+      Similarity.buildIvfPqIndex(e, _, nCentroids = 16): Unit)
+    Similarity.queryIvfPqIndexReranked(spark, idx,
+      e.filter(col("id") < 10), e, k = 5, alpha = 4, nProbes = 4)
   }
+
+  private val q158Sql =
+    s"""$ivfPqScoredSql,
+       |shortlist AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY pqdot DESC, cand_id ASC) AS rn FROM scored)
+       |  WHERE rn <= 20),
+       |rer AS (
+       |  SELECT s.query_id, s.cand_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> qb.v[i] * cb2.v[i])) AS dot
+       |  FROM shortlist s
+       |  JOIN base qb ON qb.vec_id = s.query_id
+       |  JOIN base cb2 ON cb2.vec_id = s.cand_id)
+       |SELECT query_id, cand_id, dot FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dot DESC, cand_id ASC) AS rn FROM rer)
+       |WHERE rn <= 5
+       |ORDER BY query_id, dot DESC, cand_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // J7 FAISS parity, by_residual — RESIDUAL IVF-PQ: the codebook trains
@@ -895,7 +942,7 @@ object SimQueries {
   def q149AnnIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     val idx = graft.sources.CachedArtifact.resolve(spark,
-      new java.io.File(dir, "embeddings.parquet"), "ivfpqr_c16",
+      new java.io.File(dir, "embeddings.parquet"), "ivfpqr_c16b",
       "centroids", "codebook", "assignment")(
       Similarity.buildIvfPqIndex(e, _, nCentroids = 16, residual = true): Unit)
     Similarity.queryIvfPqIndex(spark, idx, e.filter(col("id") < 10), k = 5,
@@ -1007,6 +1054,7 @@ object SimQueries {
     "q144_pq_topk"          -> (q144PqTopK _),
     "q145_ann_ivf_pq"       -> (q145AnnIvfPq _),
     "q149_ann_ivf_pq_residual" -> (q149AnnIvfPqResidual _),
+    "q158_ann_ivf_pq_rerank" -> (q158AnnIvfPqRerank _),
   )
 
   /** q33/q34/q37/q43 are xxhash64-sketch-based → rows-only check
@@ -1036,5 +1084,6 @@ object SimQueries {
     "q144_pq_topk"          -> q144Sql,
     "q145_ann_ivf_pq"       -> q145Sql,
     "q149_ann_ivf_pq_residual" -> q149Sql,
+    "q158_ann_ivf_pq_rerank" -> q158Sql,
   )
 }

@@ -81,10 +81,17 @@ object Graph {
   /** PageRank (Brin & Page 1998), fixed-iteration form — the
     * link-importance signal web-corpus curation stacks weight documents
     * by (Common Crawl's host ranking; CCNet/RefinedWeb-style quality
-    * priors): r'(v) = (1 − d) + d · Σ_{u→v} r(u)/outdeg(u), starting
-    * from r = 1. The unnormalized original-paper form: ranks sum to
-    * |V| when every node has out-edges; dangling nodes leak their mass
-    * (callers that care add self-loops or a sink).
+    * priors): r'(v) = (1 − d) + d · (Σ_{u→v} r(u)/outdeg(u) + D/|V|),
+    * starting from r = 1, where D = Σ_{dangling u} r(u) is the mass of
+    * nodes with NO out-edges, redistributed uniformly each round (the
+    * standard dangling-node treatment). On a real web/host graph —
+    * this operator's stated use case — dangling pages are endemic, and
+    * without the D term ranks systematically deflate; with it the total
+    * Σr = |V| is conserved exactly: Σr' = |V|(1−d) + d·Σr. The D/|V|
+    * factor rides ONE 1-row broadcast per iteration (dangling sum ×
+    * node count, both DECIMAL-safe), so the per-round plan shape is
+    * unchanged. A graph where every node has out-edges gets D = 0 and
+    * bit-identical ranks to the plain damping form.
     *
     * Shape per iteration: ONE shuffle (the contribution aggregation) —
     * the edge table is staged once with out-degrees attached, each
@@ -116,23 +123,98 @@ object Graph {
       .repartition(col("src"))
       .persist()
     val ids = nodes.toDF("id").localCheckpoint(eager = false)
+    // loop-invariant: which nodes are dangling (no out-edge), and |V| —
+    // both staged once; the per-round dangling MASS is a 1-row broadcast
+    val dangling = ids.join(out.select(col("src").as("id")), Seq("id"),
+      "left_anti").localCheckpoint(eager = false)
+    val nV = ids.agg(count(lit(1)).cast("double").as("n_v"))
+      .localCheckpoint(eager = false)
     var ranks = ids.withColumn("pr", lit(1.0))
     for (i <- 1 to iters) {
+      val dm = ranks.join(dangling, Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("pr").cast("decimal(27,10)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(27,10)")).as("dmass"))
+        .crossJoin(broadcast(nV))
+        .select((col("dmass").cast("double") / col("n_v")).as("dshare"))
       val contrib = e.join(ranks, e("src") === ranks("id"))
         .select(e("dst").as("id"), (col("pr") / col("outdeg")).as("c"))
       ranks = ids
         .join(contrib.groupBy(col("id"))
             .agg(sum(col("c").cast("decimal(27,10)")).as("s")),
           Seq("id"), "left")
+        .crossJoin(broadcast(dm))
         .select(col("id"),
           (lit(1.0 - d) +
-            lit(d) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"))
+            lit(d) * (coalesce(col("s").cast("double"), lit(0.0)) +
+              col("dshare"))).as("pr"))
         // final round EAGER: materialize the result while the persisted
         // edge table is still alive, so unpersisting below can never
         // force a from-scratch recompute in the caller's first action
         .localCheckpoint(eager = i == iters)
     }
     e.unpersist()
+    ranks
+  }
+
+  /** PageRank run to CONVERGENCE instead of a fixed round count: stops
+    * when the largest per-node change |pr' − pr| falls below `tol`
+    * (L∞ — the classic power-iteration stop), with `maxIter` as the
+    * [[connectedComponents]]-style backstop that THROWS rather than
+    * return a half-converged ranking. The per-round max-delta is the
+    * round's one driver-side scalar, tallied in the SAME action that
+    * materializes the round's checkpoint — no second pass. Semantics
+    * per round are identical to [[pageRank]] (dangling mass folded
+    * back), so `pageRankUntil(tol = 0)` after n stable rounds equals
+    * `pageRank(iters = n)` bit for bit.
+    */
+  def pageRankUntil(nodes: DataFrame, edges: DataFrame, tol: Double = 1e-6,
+                    maxIter: Int = 50, d: Double = 0.85): DataFrame = {
+    require(tol >= 0, s"tol must be non-negative, got $tol")
+    val out = edges.toDF("src", "dst")
+      .groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = edges.toDF("src", "dst").join(out, Seq("src"))
+      .repartition(col("src"))
+      .persist()
+    val ids = nodes.toDF("id").localCheckpoint(eager = false)
+    val dangling = ids.join(out.select(col("src").as("id")), Seq("id"),
+      "left_anti").localCheckpoint(eager = false)
+    val nV = ids.agg(count(lit(1)).cast("double").as("n_v"))
+      .localCheckpoint(eager = false)
+    var ranks = ids.withColumn("pr", lit(1.0)).localCheckpoint(eager = false)
+    var iter = 0
+    var unsettled = Long.MaxValue
+    while (unsettled > 0 && iter < maxIter) {
+      val dm = ranks.join(dangling, Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("pr").cast("decimal(27,10)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(27,10)")).as("dmass"))
+        .crossJoin(broadcast(nV))
+        .select((col("dmass").cast("double") / col("n_v")).as("dshare"))
+      val updated = ranks.withColumnRenamed("pr", "pr_prev")
+        .join(e.join(ranks, e("src") === ranks("id"))
+            .select(e("dst").as("id"), (col("pr") / col("outdeg")).as("c"))
+            .groupBy(col("id"))
+            .agg(sum(col("c").cast("decimal(27,10)")).as("s")),
+          Seq("id"), "left")
+        .crossJoin(broadcast(dm))
+        .select(col("id"), col("pr_prev"),
+          (lit(1.0 - d) +
+            lit(d) * (coalesce(col("s").cast("double"), lit(0.0)) +
+              col("dshare"))).as("pr"))
+        .localCheckpoint(eager = false)
+      // the convergence tally IS the action that materializes the
+      // round's checkpoint (the connectedComponents discipline): one
+      // job per round, loop control is a count, never collected data
+      unsettled = updated.filter(abs(col("pr") - col("pr_prev")) > tol).count()
+      ranks = updated.select(col("id"), col("pr"))
+      iter += 1
+    }
+    e.unpersist()
+    if (unsettled > 0)
+      throw new IllegalStateException(
+        s"pageRankUntil: no convergence after $maxIter iterations " +
+          s"($unsettled nodes still moving more than tol = $tol) — a " +
+          "half-converged ranking would silently misweight documents; " +
+          "raise maxIter or tol")
     ranks
   }
 }

@@ -127,14 +127,23 @@ object Retrieval {
     * positions — doc length denormalized into the row, 1-based sorted
     * position list for phrase queries) + 1-row `stats` (n_docs,
     * sum_dl), two lockstep [[Versioned]] tables. One corpus pass.
+    *
+    * Postings commit BUCKETED BY TOKEN ([[Versioned.overwriteBucketed]])
+    * — the layout half of the index: a probe's literal term filter
+    * prunes whole buckets at the scan (it reads |terms| buckets' bytes,
+    * not the postings table), and the df-per-token aggregation inside
+    * [[queryBm25Index]] needs no Exchange because the scan already
+    * arrives hash-partitioned on `tok`. `nBuckets` sizes bucket files:
+    * at 100 TB pick corpus_postings_bytes / ~256 MB.
     */
   def buildBm25Index(docs: DataFrame, id: Column, text: Column,
-                     indexDir: String): Long = {
+                     indexDir: String, nBuckets: Int = 8): Long = {
     val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
     val postings = postingsOf(base)
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val vp = Versioned.overwrite(postings, s"$indexDir/postings")
+    val vp = Versioned.overwriteBucketed(postings, s"$indexDir/postings",
+      "tok", nBuckets)
     val vs = Versioned.overwrite(stats, s"$indexDir/stats")
     require(vp == vs, s"BM25 index tables diverged: postings v$vp vs stats " +
       s"v$vs (was $indexDir written by something other than buildBm25Index?)")
@@ -171,6 +180,23 @@ object Retrieval {
     val vp = Versioned.append(postings, s"$indexDir/postings")
     require(vp == vs, s"BM25 append left tables out of lockstep (postings " +
       s"v$vp, stats v$vs) — rebuild into a fresh directory")
+    vp
+  }
+
+  /** Compact the index after a run of appends (the daily-add cadence):
+    * re-establishes the postings' bucketed-by-token layout — appends
+    * demote reads to plain unbucketed files, costing probes their
+    * bucket pruning and shuffle-free token aggregation until this runs
+    * ([[graft.sources.Versioned.compact]] re-buckets per the table's
+    * last declared layout). BOTH tables compact so versions stay in
+    * lockstep; a crash between the two commits wedges the index exactly
+    * like a crashed append (consumers refuse; rebuild recovers).
+    */
+  def compactBm25Index(spark: SparkSession, indexDir: String): Long = {
+    val vs = Versioned.compact(spark, s"$indexDir/stats")
+    val vp = Versioned.compact(spark, s"$indexDir/postings")
+    require(vp == vs, s"BM25 compaction left tables out of lockstep " +
+      s"(postings v$vp, stats v$vs) — rebuild into a fresh directory")
     vp
   }
 

@@ -341,11 +341,18 @@ object Similarity {
     * Returns the committed version.
     */
   def buildIvfIndex(candidates: DataFrame, indexDir: String,
-                    nCentroids: Int = 16, lloydIters: Int = 0): Long = {
+                    nCentroids: Int = 16, lloydIters: Int = 0,
+                    nBuckets: Int = 8): Long = {
     val c = prepCandidates(candidates)
     val (centroids, assigned) = centroidsAndAssignment(c, nCentroids, lloydIters)
     val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
-    val va = graft.sources.Versioned.overwrite(assigned, s"$indexDir/assignment")
+    // assignment commits BUCKETED BY CENTROID: bucket membership is the
+    // probe unit, so co-locating it keeps every per-centroid operation
+    // (maintenance counts, bucket re-balancing, and the probe join once
+    // the query batch outgrows broadcast and falls back to a shuffle
+    // join) Exchange-free on the corpus-sized side
+    val va = graft.sources.Versioned.overwriteBucketed(assigned,
+      s"$indexDir/assignment", "centroid_id", nBuckets)
     require(vc == va, s"index tables diverged: centroids v$vc vs assignment v$va " +
       s"(was $indexDir written by something other than buildIvfIndex?)")
     vc
@@ -388,6 +395,27 @@ object Similarity {
     val va = graft.sources.Versioned.append(assignedNew, s"$indexDir/assignment")
     require(vc == va, s"index tables diverged: centroids v$vc vs assignment v$va")
     vc
+  }
+
+  /** Compact a persisted IVF / IVF-SQ8 / IVF-PQ index after appends:
+    * re-establishes the assignment table's bucketed-by-centroid layout
+    * (appended batches land as plain files, demoting reads until the
+    * rewrite) and keeps EVERY table of the index in version lockstep —
+    * compacting just one would make all consumers refuse. Same crash
+    * contract as build/append: a failure between table commits wedges
+    * the index and a rebuild recovers.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String): Long = {
+    val tables = Seq("centroids", "codebook", "assignment")
+      .filter(t => graft.sources.Versioned.exists(spark, s"$indexDir/$t"))
+    require(tables.contains("assignment"),
+      s"$indexDir is not a persisted IVF index (no assignment/ table)")
+    val vs = tables.map(t => graft.sources.Versioned.compact(spark, s"$indexDir/$t"))
+    require(vs.distinct.size == 1, s"index compaction left tables out of " +
+      s"lockstep (${tables.zip(vs).map { case (t, v) => s"$t v$v" }
+        .mkString(", ")}) — rebuild into a fresh directory")
+    vs.head
   }
 
   /** Probe a persisted IVF index: identical output to the [[ivfTopK]]
@@ -436,7 +464,8 @@ object Similarity {
     * membership is identical to [[buildIvfIndex]]'s.
     */
   def buildIvfSq8Index(candidates: DataFrame, indexDir: String,
-                       nCentroids: Int = 16, lloydIters: Int = 0): Long = {
+                       nCentroids: Int = 16, lloydIters: Int = 0,
+                       nBuckets: Int = 8): Long = {
     val c = prepCandidates(candidates)
     val (centroids, assigned) = centroidsAndAssignment(c, nCentroids, lloydIters)
     val scale = sq8Scale(c.select(col("cv").as("v")))
@@ -446,7 +475,8 @@ object Similarity {
       .select(col("centroid_id"), col("cand_id"), col("q").as("cq"))
     val vc = graft.sources.Versioned.overwrite(
       centroids.crossJoin(broadcast(scale)), s"$indexDir/centroids")
-    val va = graft.sources.Versioned.overwrite(assignedQ, s"$indexDir/assignment")
+    val va = graft.sources.Versioned.overwriteBucketed(assignedQ,
+      s"$indexDir/assignment", "centroid_id", nBuckets)
     require(vc == va, s"index tables diverged: centroids v$vc vs assignment v$va")
     vc
   }
@@ -718,7 +748,8 @@ object Similarity {
   def buildIvfPqIndex(candidates: DataFrame, indexDir: String,
                       nCentroids: Int = 16, m: Int = 8, ks: Int = 16,
                       pqLloydIters: Int = 0, lloydIters: Int = 0,
-                      dim: Int = 64, residual: Boolean = false): Long = {
+                      dim: Int = 64, residual: Boolean = false,
+                      nBuckets: Int = 8): Long = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
     val c = prepCandidates(candidates)
@@ -739,7 +770,8 @@ object Similarity {
       .select(col("centroid_id"), col("cand_id"), col("pqcode"))
     val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
     val vb = graft.sources.Versioned.overwrite(cb, s"$indexDir/codebook")
-    val va = graft.sources.Versioned.overwrite(assignedQ, s"$indexDir/assignment")
+    val va = graft.sources.Versioned.overwriteBucketed(assignedQ,
+      s"$indexDir/assignment", "centroid_id", nBuckets)
     require(vc == vb && vb == va,
       s"index tables diverged: centroids v$vc / codebook v$vb / assignment v$va")
     vc
@@ -834,6 +866,44 @@ object Similarity {
         Seq(col("pqdot").desc, col("cand_id").asc), k)
       .select(col("query_id"), col("cand_id"), col("pqdot"))
       .orderBy(col("query_id"), col("pqdot").desc, col("cand_id"))
+  }
+
+  /** TWO-STAGE retrieval over a persisted IVF-PQ index — the standard
+    * serving composition (FAISS's refine / re-rank stage): stage 1
+    * shortlists `k·alpha` candidates per query with the compressed ADC
+    * scan ([[queryIvfPqIndex]] — probe-pruned, code-width bytes); stage
+    * 2 re-scores ONLY the shortlist with the exact full-precision dot
+    * against `corpus` (the source-of-truth vectors the index was built
+    * from) and keeps the top k. This closes PQ's reconstruction-error
+    * recall gap at probe-bounded cost: the exact math touches
+    * |Q|·k·alpha rows, never the corpus — the shortlist broadcasts
+    * ONTO the corpus scan as an equality join, so the full-precision
+    * pass is one scan with a map-side probe, no shuffle of vectors.
+    * `alpha` is the recall dial (how far past k the compressed ranking
+    * must place a true neighbor to be recovered). Output: (query_id,
+    * cand_id, dot) — exact dots, so ties and order are engine-exact.
+    */
+  def queryIvfPqIndexReranked(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String, queries: DataFrame,
+                              corpus: DataFrame, k: Int, alpha: Int = 4,
+                              nProbes: Int = 4, asOf: Option[Long] = None,
+                              m: Int = 8, ks: Int = 16, dim: Int = 64,
+                              residual: Boolean = false): DataFrame = {
+    require(alpha >= 1, s"alpha must be >= 1, got $alpha")
+    val shortlist = queryIvfPqIndex(spark, indexDir, queries, k * alpha,
+        nProbes, asOf, m, ks, dim, residual)
+      .select(col("query_id"), col("cand_id"))
+    val c = corpus.select(col("id").as("cand_id"),
+      VectorOps.toDoubleArray(col("vec")).as("cv"))
+    val q = queries.select(col("id").as("query_id"),
+      VectorOps.toDoubleArray(col("vec")).as("qv"))
+    val scored = c.join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("dot", VectorOps.dot(col("qv"), col("cv")))
+    Ranking.topPerGroup(scored, Seq(col("query_id")),
+        Seq(col("dot").desc, col("cand_id").asc), k)
+      .select(col("query_id"), col("cand_id"), col("dot"))
+      .orderBy(col("query_id"), col("dot").desc, col("cand_id"))
   }
 
   /** SQ8-quantized brute-force top-k — the compressed-scan ANN path:

@@ -46,9 +46,15 @@ object Versioned {
   private val logDirName = "_graft_log"
   val checkpointInterval = 10
 
-  /** One committed action. `add` paths are table-relative. */
+  /** One committed action. `add` paths are table-relative. `layout` is
+    * the commit's physical layout spec ("" = plain parquet;
+    * "bucket:&lt;col&gt;:&lt;n&gt;" = Spark bucketed files, one per bucket) — in a
+    * RESOLVED snapshot it is the effective layout: a plain append on
+    * top of a bucketed overwrite clears it (mixed directories cannot
+    * read as one bucketed table; [[compact]] restores it).
+    */
   private case class Commit(version: Long, action: String, add: Seq[String],
-                            schemaJson: String)
+                            schemaJson: String, layout: String = "")
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -74,7 +80,7 @@ object Versioned {
     }
 
   private def render(c: Commit): String =
-    s"""{"version":${c.version},"action":"${c.action}","add":[${
+    s"""{"version":${c.version},"action":"${c.action}","layout":"${esc(c.layout)}","add":[${
       c.add.map(p => s""""${esc(p)}"""").mkString(",")}],"schema":"${esc(c.schemaJson)}"}"""
 
   private def parse(line: String): Commit = {
@@ -86,6 +92,11 @@ object Versioned {
     }
     val version = field("version").takeWhile(_.isDigit).toLong
     val action = field("action").drop(1).takeWhile(_ != '"')
+    // layout is optional: entries written before the field existed
+    // (or by older checkpoints) read as plain parquet
+    val layout =
+      if (!line.contains("\"layout\":")) ""
+      else field("layout").drop(1).takeWhile(_ != '"')
     val addRaw = field("add").drop(1).takeWhile(_ != ']')
     val add = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(addRaw)
       .map(m => unesc(m.group(1))).toSeq
@@ -104,7 +115,7 @@ object Versioned {
       }
       unesc(sb.toString)
     }
-    Commit(version, action, add, schema)
+    Commit(version, action, add, schema, layout)
   }
 
   private def unesc(s: String): String = {
@@ -170,34 +181,67 @@ object Versioned {
       .filter(_.endsWith(".checkpoint.json"))
       .map(_.stripSuffix(".checkpoint.json").toLong)
       .filter(_ <= target).sorted.lastOption
-    val start: (Seq[String], String) = ckpts match {
+    val start: ((Seq[String], String), String) = ckpts match {
       case Some(cv) =>
         val c = parse(readString(f, checkpointFile(table, cv)))
-        (c.add, c.schemaJson)
-      case None => (Seq.empty, "")
+        ((c.add, c.layout), c.schemaJson)
+      case None => ((Seq.empty, ""), "")
     }
     val replayFrom = ckpts.map(_ + 1).getOrElse(0L)
     vs.filter(v => v >= replayFrom && v <= target)
-      .foldLeft(Commit(target, "checkpoint", start._1, start._2)) { (state, v) =>
-        val c = parse(readString(f, logFile(table, v)))
-        c.action match {
-          case "append" => state.copy(add = state.add ++ c.add, schemaJson = c.schemaJson)
-          case "overwrite" => state.copy(add = c.add, schemaJson = c.schemaJson)
-          case a => sys.error(s"unknown log action: $a")
-        }
+      .foldLeft(Commit(target, "checkpoint", start._1._1, start._2, start._1._2)) {
+        (state, v) =>
+          val c = parse(readString(f, logFile(table, v)))
+          c.action match {
+            // an append on top of a layouted overwrite clears the
+            // EFFECTIVE layout: mixed staged dirs cannot read as one
+            // bucketed table (compact() restores it)
+            case "append" => state.copy(add = state.add ++ c.add,
+              schemaJson = c.schemaJson, layout = "")
+            case "overwrite" => state.copy(add = c.add,
+              schemaJson = c.schemaJson, layout = c.layout)
+            case a => sys.error(s"unknown log action: $a")
+          }
       }
   }
 
   // ------------------------------------------------------------- writes
 
+  private def bucketLayout(col: String, n: Int) = s"bucket:$col:$n"
+
+  private def parseBucketLayout(layout: String): Option[(String, Int)] =
+    layout.split(":", 3) match {
+      case Array("bucket", c, n) => Some((c, n.toInt))
+      case _ => None
+    }
+
   /** Stage `df` as parquet data files for version-to-be `v`, return
     * table-relative paths. The salt keeps retried commits (same target
-    * version, different writers) from colliding in `data/`.
+    * version, different writers) from colliding in `data/`. A bucketed
+    * layout stages through `bucketBy` (Spark's bucket-id file naming is
+    * what the read-side catalog entry keys on), preceded by ONE
+    * repartition on the bucket column so each task holds exactly one
+    * bucket — bucketBy alone splits EVERY task's output into nBuckets
+    * files, the small-files anti-pattern at scale.
     */
-  private def stage(df: DataFrame, table: String, v: Long): Seq[String] = {
+  private def stage(df: DataFrame, table: String, v: Long,
+                    layout: String = ""): Seq[String] = {
     val salt = java.util.UUID.randomUUID().toString.take(8)
     val rel = s"data/v$v-$salt"
-    df.write.parquet(s"$table/$rel")
+    parseBucketLayout(layout) match {
+      case Some((bcol, n)) =>
+        val tmp = s"graft_stage_$salt"
+        df.repartition(n, org.apache.spark.sql.functions.col(bcol))
+          .write.format("parquet")
+          .bucketBy(n, bcol).sortBy(bcol)
+          .option("path", s"$table/$rel")
+          .saveAsTable(tmp)
+        // the staging entry is EXTERNAL (explicit path): dropping it
+        // unregisters the name, the committed files stay
+        df.sparkSession.sql(s"DROP TABLE `$tmp`"): Unit
+      case None =>
+        df.write.parquet(s"$table/$rel")
+    }
     val f = fs(df.sparkSession, new Path(table))
     f.listStatus(new Path(s"$table/$rel"))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
@@ -210,16 +254,16 @@ object Versioned {
     * log entry retries). Returns the committed version.
     */
   def commit(df: DataFrame, table: String, action: String,
-             maxRetries: Int = 20): Long = {
+             maxRetries: Int = 20, layout: String = ""): Long = {
     require(action == "append" || action == "overwrite", s"bad action: $action")
     val spark = df.sparkSession
     val f = fs(spark, new Path(table))
     val schemaJson = df.schema.json
     var v = versions(f, table).lastOption.map(_ + 1).getOrElse(0L)
-    val files = stage(df, table, v)
+    val files = stage(df, table, v, layout)
     var attempts = 0
     while (!writeString(f, logFile(table, v),
-             render(Commit(v, action, files, schemaJson)), exclusive = true)) {
+             render(Commit(v, action, files, schemaJson, layout)), exclusive = true)) {
       attempts += 1
       require(attempts <= maxRetries, s"lost $maxRetries commit races on $table")
       v = versions(f, table).lastOption.map(_ + 1).getOrElse(0L)
@@ -235,6 +279,26 @@ object Versioned {
   def append(df: DataFrame, table: String): Long = commit(df, table, "append")
 
   def overwrite(df: DataFrame, table: String): Long = commit(df, table, "overwrite")
+
+  /** Overwrite with a Spark-BUCKETED physical layout: data files carry
+    * bucket ids (hash(bucketCol) mod nBuckets, Murmur3 — Spark's own
+    * bucketing hash), and [[read]] exposes the snapshot through a
+    * catalog entry so downstream joins/aggregations on `bucketCol` need
+    * NO Exchange and literal filters on it prune whole buckets at the
+    * scan ("SelectedBucketsCount" in the plan). This is the persisted-
+    * index layout: postings bucketed by token, ANN assignments by
+    * centroid — the probe-side shuffle is paid once at build time, and
+    * a probe reads only its terms'/centroids' buckets' BYTES. A later
+    * plain [[append]] demotes reads to unbucketed files until
+    * [[compact]] re-establishes the layout (Delta OPTIMIZE cadence).
+    */
+  def overwriteBucketed(df: DataFrame, table: String, bucketCol: String,
+                        nBuckets: Int): Long = {
+    require(df.columns.contains(bucketCol),
+      s"bucket column $bucketCol not in ${df.columns.mkString(",")}")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    commit(df, table, "overwrite", layout = bucketLayout(bucketCol, nBuckets))
+  }
 
   /** Compare-and-swap overwrite: commit ONLY if it lands exactly at
     * `expected` — no retry onto the next free version. This is the
@@ -303,11 +367,11 @@ object Versioned {
     * stagers leave unreferenced data files; [[vacuum]] reclaims them.
     */
   private def tryCommitAt(df: DataFrame, table: String, action: String,
-                          v: Long): Boolean = {
+                          v: Long, layout: String = ""): Boolean = {
     val f = fs(df.sparkSession, new Path(table))
-    val files = stage(df, table, v)
+    val files = stage(df, table, v, layout)
     val ok = writeString(f, logFile(table, v),
-      render(Commit(v, action, files, df.schema.json)), exclusive = true)
+      render(Commit(v, action, files, df.schema.json, layout)), exclusive = true)
     if (ok && v % checkpointInterval == 0 && v > 0) {
       val full = resolve(f, table, Some(v))
       writeString(f, checkpointFile(table, v),
@@ -336,18 +400,42 @@ object Versioned {
     var attempts = 0
     while (true) {
       val snap = resolve(f, table, None)
-      val totalBytes = snap.add
-        .map(p => f.getFileStatus(new Path(s"$table/$p")).getLen).sum
-      val nFiles = math.max(1L,
-        math.ceil(totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toLong).toInt
-      val compacted = read(spark, table, Some(snap.version)).coalesce(nFiles)
-      if (tryCommitAt(compacted, table, "overwrite", snap.version + 1))
+      // if the table's last overwrite declared a bucketed layout,
+      // compaction RE-ESTABLISHES it (the Delta OPTIMIZE contract for
+      // this format): appends demoted reads to plain files; the rewrite
+      // re-buckets the whole snapshot so probes get their no-Exchange /
+      // bucket-pruned scans back. Plain tables coalesce to ~target-MB
+      // files as before.
+      val layout = lastOverwriteLayout(f, table, snap.version)
+      val current = read(spark, table, Some(snap.version))
+      val compacted =
+        if (layout.nonEmpty) current // bucketed staging repartitions itself
+        else {
+          val totalBytes = snap.add
+            .map(p => f.getFileStatus(new Path(s"$table/$p")).getLen).sum
+          val nFiles = math.max(1L, math.ceil(
+            totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toLong).toInt
+          current.coalesce(nFiles)
+        }
+      if (tryCommitAt(compacted, table, "overwrite", snap.version + 1, layout))
         return snap.version + 1
       attempts += 1
       require(attempts <= maxRetries, s"lost $maxRetries compaction races on $table")
     }
     -1L // unreachable
   }
+
+  /** Layout of the last "overwrite" ≤ `upTo` — what a compaction must
+    * re-establish. Scans raw log entries backwards (log files are never
+    * deleted; checkpoints only consolidate), so this survives
+    * checkpointed histories.
+    */
+  private def lastOverwriteLayout(f: FileSystem, table: String,
+                                  upTo: Long): String =
+    versions(f, table).filter(_ <= upTo).reverse.iterator
+      .map(v => parse(readString(f, logFile(table, v))))
+      .collectFirst { case c if c.action == "overwrite" => c.layout }
+      .getOrElse("")
 
   // -------------------------------------------------------------- reads
 
@@ -361,7 +449,39 @@ object Versioned {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     if (snap.add.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(snap.add.map(p => s"$table/$p"): _*)
+    else {
+      val bucketed = parseBucketLayout(snap.layout).flatMap { case (bcol, n) =>
+        // a layouted snapshot's files all come from ONE staged dir (the
+        // resolve fold clears layout on append); the dirs check is belt
+        val dirs = snap.add.map(p => p.take(p.lastIndexOf('/'))).distinct
+        if (dirs.size == 1)
+          Some(bucketedTable(spark, f, s"$table/${dirs.head}", schema, bcol, n))
+        else None
+      }
+      bucketed.getOrElse(
+        spark.read.schema(schema).parquet(snap.add.map(p => s"$table/$p"): _*))
+    }
+  }
+
+  /** Read a committed bucketed data dir through a session catalog entry.
+    * Spark's bucket metadata lives in the CATALOG, not the files: a
+    * plain file read of the same parquet loses the hash(bucketCol)
+    * outputPartitioning and bucket pruning. The entry is EXTERNAL,
+    * content-addressed on the dir (stable per table version, so time
+    * travel gets its own entry), and recreated on demand in a fresh
+    * session — the files, not the catalog, are the durable state.
+    */
+  private def bucketedTable(spark: SparkSession, f: FileSystem, dir: String,
+                            schema: StructType, bucketCol: String,
+                            nBuckets: Int): DataFrame = {
+    val qualified = f.makeQualified(new Path(dir)).toString
+    val name = "graft_b_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(qualified.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+    if (!spark.catalog.tableExists(name))
+      spark.sql(s"CREATE TABLE IF NOT EXISTS `$name` (${schema.toDDL}) " +
+        s"USING PARQUET CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) " +
+        s"INTO $nBuckets BUCKETS LOCATION '${qualified.replace("'", "''")}'"): Unit
+    spark.table(name)
   }
 
   /** True if `table` has at least one committed version. */

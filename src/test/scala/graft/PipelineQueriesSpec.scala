@@ -143,38 +143,67 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(comp.forall(r => r.getAs[Long]("n_docs") >= 1L))
   }
 
-  test("q154 pageRank: hand-computed star, ring fixpoint, conservation, layout") {
+  test("q154 pageRank: hand-computed star (dangling hub), ring fixpoint, " +
+      "mass conserves WITH danglers, layout") {
     import graft.operators.Graph
     def ranks(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int) =
       Graph.pageRank(nodes.toDF("id"), edges.toDF("src", "dst"), iters)
         .as[(Long, Double)].collect().toMap
 
-    // star 2→1, 3→1: r1(1) = 0.15 + 0.85·2 = 1.85; sources drop to
-    // 0.15 (no in-edges); r2(1) = 0.15 + 0.85·(0.15 + 0.15)
+    // star 2→1, 3→1: hub 1 has no out-edges — DANGLING. Its mass
+    // redistributes uniformly: r1(1) = 0.15 + 0.85·(1 + 1 + 1/3);
+    // sources get only the dangling share: r1(2) = 0.15 + 0.85·(1/3)
     val star1 = ranks(Seq(1L, 2L, 3L), Seq((2L, 1L), (3L, 1L)), 1)
-    assert(math.abs(star1(1L) - (0.15 + 0.85 * 2.0)) < 1e-9)
-    assert(math.abs(star1(2L) - (1.0 - 0.85)) < 1e-12)
+    assert(math.abs(star1(1L) - (0.15 + 0.85 * (2.0 + 1.0 / 3))) < 1e-9)
+    assert(math.abs(star1(2L) - (0.15 + 0.85 / 3)) < 1e-9)
+    // round 2 by hand off round 1's values: dangling mass = r1(1)
     val star2 = ranks(Seq(1L, 2L, 3L), Seq((2L, 1L), (3L, 1L)), 2)
-    assert(math.abs(star2(1L) - (0.15 + 0.85 * (0.15 + 0.15))) < 1e-9)
+    assert(math.abs(star2(1L) -
+      (0.15 + 0.85 * (star1(2L) + star1(3L) + star1(1L) / 3))) < 1e-9)
 
     // directed ring: r/1 flows around unchanged — 1.0 is the exact
-    // fixpoint at every iteration count
+    // fixpoint at every iteration count (no danglers, D = 0)
     val ring = ranks(Seq(1L, 2L, 3L, 4L),
       Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)), 7)
     assert(ring.values.forall(_ == 1.0))
 
-    // no dangling nodes ⇒ total rank mass conserved at |V|
+    // total rank mass conserves at |V| — WITHOUT danglers...
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L), (2L, 4L))
     val conserved = ranks(Seq(1L, 2L, 3L, 4L), g, 6)
     assert(math.abs(conserved.values.sum - 4.0) < 1e-6)
-    // a dangling node leaks its mass: strictly less than |V|
-    val leaky = ranks(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L)), 4)
-    assert(leaky.values.sum < 3.0)
+    // ...AND with them (the round-8 leak, closed): a path graph's sink
+    // plus an isolated node both redistribute instead of draining
+    val withDanglers = ranks(Seq(1L, 2L, 3L, 9L), Seq((1L, 2L), (2L, 3L)), 4)
+    assert(math.abs(withDanglers.values.sum - 4.0) < 1e-6,
+      s"dangling mass must fold back, got sum ${withDanglers.values.sum}")
 
-    // layout-independent (DECIMAL contribution sums)
+    // layout-independent (DECIMAL contribution + dangling sums)
     val e2 = g.toDF("src", "dst").repartition(7)
     assert(Graph.pageRank(Seq(1L, 2L, 3L, 4L).toDF("id"), e2, 6)
       .as[(Long, Double)].collect().toMap == conserved)
+  }
+
+  test("pageRankUntil: converges to the fixed-iteration ranks, conserves " +
+      "mass, throws past maxIter") {
+    import graft.operators.Graph
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    // mixed graph with a dangling sink (5) and a cycle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 5L), (4L, 1L))
+      .toDF("src", "dst")
+    val settled = Graph.pageRankUntil(nodes, edges, tol = 1e-9, maxIter = 200)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(settled.values.sum - 5.0) < 1e-6)
+    // a long fixed run lands within tol of the converged ranks
+    val fixed = Graph.pageRank(nodes, edges, iters = 120)
+      .as[(Long, Double)].collect().toMap
+    settled.foreach { case (id, pr) =>
+      assert(math.abs(pr - fixed(id)) < 1e-7, s"node $id: $pr vs ${fixed(id)}")
+    }
+    // an impossible budget refuses rather than returning half-converged
+    val ex = intercept[IllegalStateException] {
+      Graph.pageRankUntil(nodes, edges, tol = 1e-12, maxIter = 2)
+    }
+    assert(ex.getMessage.contains("no convergence"))
   }
 
   test("corpus operators handle degenerate documents") {

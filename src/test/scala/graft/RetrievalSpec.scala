@@ -211,6 +211,43 @@ class RetrievalSpec extends SparkSpec {
       .collect().nonEmpty)
   }
 
+  test("postings commit bucketed by token: a probe prunes buckets at the " +
+      "scan; appends demote; compactBm25Index restores layout + scores") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25bkt").toString
+    val docs = corpus.toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), dir): Unit
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_terms", "score").as[(Long, Long, Double)]
+        .collect().toSeq
+    val probe0 = Retrieval.queryBm25Index(spark, dir, Seq("spark"), 5)
+    assert(plan(probe0).contains("SelectedBucketsCount"),
+      "a probe must read only its terms' buckets:\n" + plan(probe0))
+    val before = rows(probe0)
+
+    Retrieval.appendToBm25Index(
+      Seq((70L, "spark spark appended")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir): Unit
+    val demoted = Retrieval.queryBm25Index(spark, dir, Seq("spark"), 5)
+    assert(!plan(demoted).contains("SelectedBucketsCount"),
+      "mixed append dirs cannot read bucketed")
+    val demRows = rows(demoted)
+    assert(demRows != before, "the appended doc must be scored")
+
+    val v = Retrieval.compactBm25Index(spark, dir)
+    val restored = Retrieval.queryBm25Index(spark, dir, Seq("spark"), 5)
+    assert(plan(restored).contains("SelectedBucketsCount"),
+      "compaction must re-establish the token-bucketed layout")
+    assert(rows(restored) == demRows,
+      "compaction must not change a single score")
+    // pre-append version still time-travels to the original scores
+    assert(rows(Retrieval.queryBm25Index(spark, dir, Seq("spark"), 5,
+      asOf = Some(0L))) == before)
+    assert(Retrieval.queryBm25Index(spark, dir, Seq("spark"), 5,
+      asOf = Some(v)).collect().nonEmpty)
+  }
+
   test("empty term list refuses; no-hit terms return zero rows") {
     val docs = corpus.toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

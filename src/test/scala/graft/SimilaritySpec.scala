@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
-import graft.operators.Similarity
+import graft.operators.{Ranking, Similarity}
 
 /** Similarity search: exact brute-force top-k correctness on known
   * geometry, LSH candidate soundness (scores are exact cosines), vector
@@ -278,6 +278,40 @@ class SimilaritySpec extends SparkSpec {
 
     // time travel: version 0 still answers with the pre-append corpus
     assert(rows(Similarity.queryIvfIndex(spark, idx, q, k = 5, asOf = Some(0L))) == before)
+  }
+
+  test("assignment commits bucketed by centroid: per-centroid work is " +
+      "shuffle-free; compactIvfIndex restores layout + probes after appends") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .filter(col("id") < 64)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_bkt").toString
+    Similarity.buildIvfIndex(e, idx, nCentroids = 8): Unit
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    def bucketCounts() = graft.sources.Versioned
+      .read(spark, s"$idx/assignment")
+      .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+    assert(!plan(bucketCounts()).contains("Exchange"),
+      "bucketed assignment must aggregate by centroid with no shuffle:\n" +
+        plan(bucketCounts()))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSeq
+    val q = e.filter(col("id") < 2)
+
+    Similarity.appendToIvfIndex(
+      e.select((col("id") + 5000L).as("id"), col("vec")), idx): Unit
+    assert(plan(bucketCounts()).contains("Exchange"),
+      "appended batches land as plain files until compaction")
+    val demoted = rows(Similarity.queryIvfIndex(spark, idx, q, k = 5, nProbes = 8))
+
+    val v = Similarity.compactIvfIndex(spark, idx)
+    assert(graft.sources.Versioned.latestVersion(spark, s"$idx/centroids") == v)
+    assert(graft.sources.Versioned.latestVersion(spark, s"$idx/assignment") == v)
+    assert(!plan(bucketCounts()).contains("Exchange"),
+      "compaction must re-establish the centroid-bucketed layout")
+    assert(rows(Similarity.queryIvfIndex(spark, idx, q, k = 5, nProbes = 8))
+      == demoted, "compaction must not change a single probe row")
   }
 
   test("SQ8 IVF index: exhaustive probe ≡ full quantized scan; pruned probe scores agree") {
@@ -591,6 +625,54 @@ class SimilaritySpec extends SparkSpec {
         col("vec")), idx): Unit
     }
     assert(causes(exA).contains("residual flag"))
+  }
+
+  test("two-stage re-rank: exhaustive probes + corpus-covering alpha ≡ " +
+      "exact dot ranking; re-rank recall ≥ plain ADC at equal probes") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 6)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_rr").toString
+    Similarity.buildIvfPqIndex(e, idx, nCentroids = 16, ks = 64,
+      pqLloydIters = 1): Unit
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+
+    // when the shortlist covers the whole corpus (exhaustive probes,
+    // alpha ≥ |corpus|/k), stage 2 IS the exact dot ranking — the
+    // compressed stage can no longer lose a true neighbor
+    val n = e.count().toInt
+    val full = Similarity.queryIvfPqIndexReranked(spark, idx, q, e, k = 5,
+      alpha = n / 5 + 1, nProbes = 16, ks = 64)
+    val exactDot = {
+      val qv = q.select(col("id").as("query_id"),
+        VectorOps.toDoubleArray(col("vec")).as("qv"))
+      val cv = e.select(col("id").as("cand_id"),
+        VectorOps.toDoubleArray(col("vec")).as("cv"))
+      Ranking.topPerGroup(
+        cv.join(broadcast(qv), col("cand_id") =!= col("query_id"))
+          .withColumn("dot",
+            VectorOps.dot(col("qv"), col("cv"))),
+        Seq(col("query_id")), Seq(col("dot").desc, col("cand_id").asc), 5)
+        .select(col("query_id"), col("cand_id"), col("dot"))
+    }
+    assert(full.as[(Long, Long, Double)].collect().toSet ==
+      exactDot.as[(Long, Long, Double)].collect().toSet,
+      "corpus-covering shortlist must degenerate to the exact ranking")
+
+    // at equal probes, re-ranking a 4k shortlist recovers at least every
+    // true neighbor the plain ADC top-k already had (set-dominance is
+    // guaranteed only vs the truth: measure recall, not containment)
+    val truth = pairs(exactDot)
+    val plain = pairs(Similarity.queryIvfPqIndex(spark, idx, q, k = 5,
+      nProbes = 16, ks = 64))
+    val rr = pairs(Similarity.queryIvfPqIndexReranked(spark, idx, q, e,
+      k = 5, alpha = 8, nProbes = 16, ks = 64))
+    val recallPlain = (truth & plain).size.toDouble / truth.size
+    val recallRr = (truth & rr).size.toDouble / truth.size
+    assert(recallRr >= recallPlain,
+      s"re-rank recall $recallRr must not trail plain ADC $recallPlain")
+    assert(recallRr > 0.5, s"re-rank recall unexpectedly low: $recallRr")
   }
 
   test("a pre-residual index dir (no 'res' column) still reads as raw; " +

@@ -129,6 +129,55 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.read(spark, t).as[(Long, String)].collect().sortBy(_._1).toSeq == all)
   }
 
+  test("bucketed layout: no-Exchange aggregation + bucket pruning, append " +
+      "demotes, compact restores, catalog entry is disposable") {
+    import org.apache.spark.sql.functions._
+    val t = tmpTable()
+    val df = (1 to 400).map(i => (s"tok${i % 23}", i.toLong)).toDF("tok", "n")
+    assert(Versioned.overwriteBucketed(df, t, "tok", 8) == 0L)
+    def plan(d: org.apache.spark.sql.DataFrame) = d.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    def agg() = Versioned.read(spark, t).groupBy("tok")
+      .agg(sum(col("n")).as("s"))
+    val exact = agg().as[(String, Long)].collect().sortBy(_._1).toSeq
+
+    // the layout does its two jobs: hash(tok) arrives pre-partitioned
+    // (no Exchange under the aggregation) and a literal filter prunes
+    // whole buckets at the scan
+    assert(!plan(agg()).contains("Exchange"),
+      "bucketed snapshot must aggregate on tok with no shuffle")
+    val pruned = agg().filter(col("tok").isin("tok3", "tok7"))
+    assert(plan(pruned).contains("SelectedBucketsCount: 2 out of 8"), plan(pruned))
+
+    // a plain append DEMOTES reads to unbucketed files (correct, shuffled)
+    Versioned.append(Seq(("tok3", 1000L)).toDF("tok", "n"), t): Unit
+    val demotedRows = agg().as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(plan(agg()).contains("Exchange"))
+    assert(demotedRows.find(_._1 == "tok3").map(_._2) ==
+      exact.find(_._1 == "tok3").map(_._2 + 1000L))
+
+    // compact re-establishes the layout over the merged snapshot
+    assert(Versioned.compact(spark, t) == 2L)
+    assert(!plan(agg()).contains("Exchange"),
+      "compaction must restore the bucketed layout after appends")
+    assert(agg().as[(String, Long)].collect().sortBy(_._1).toSeq == demotedRows)
+
+    // time travel: v0 reads bucketed, v1 reads demoted — same rows
+    assert(!plan(Versioned.read(spark, t, Some(0L)).groupBy("tok")
+      .agg(sum(col("n")).as("s"))).contains("Exchange"))
+    assert(Versioned.read(spark, t, Some(0L)).count() == 400L)
+
+    // the catalog entry is a disposable cache: dropping it (what a fresh
+    // session looks like — catalogs are per-process, files are durable)
+    // just recreates it on the next read
+    val entries = spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_b_")).collect()
+    assert(entries.nonEmpty)
+    entries.foreach(e => spark.sql(s"DROP TABLE `${e.name}`"))
+    assert(!plan(agg()).contains("Exchange"))
+    assert(agg().as[(String, Long)].collect().sortBy(_._1).toSeq == demotedRows)
+  }
+
   test("merge: CDC upserts produce new versions with Upsert semantics") {
     val t = tmpTable()
     Versioned.merge(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "seq"), t,
