@@ -1291,13 +1291,27 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // [EXT] BYTE-LEVEL BPE (GPT-2 pre-tokenization) — the no-OOV
+  // fallback: the base alphabet is the 256 UTF-8 bytes (mapped to
+  // printable symbols via the public bytes_to_unicode table), so
+  // training and encoding never hit an unrepresentable character —
+  // emoji, control bytes, broken encodings all segment. The SAME merge
+  // loop and CTE replay run over byte symbols; only the words CTE
+  // changes (and its mapping literal is generated from the engine's
+  // own table).
+  def q161BpeBytes(spark: SparkSession, dir: String): DataFrame =
+    Bpe.trainByteLevel(Tables.documents(spark, dir), col("text"), k = bpeK)
+      .orderBy(col("step"))
+
   /** The k-step BPE merge chain as chained CTEs (words → s0 →
     * p1/w1/s1 → … → sk) — shared by the q150 and q151 oracles.
     * chr(1) = the symbol separator, chr(1)||chr(1) the between-symbol
     * delimiter (see [[graft.operators.Bpe]] for why boundaries make
     * plain replace correct).
     */
-  private def bpeChainSql(k: Int): String = {
+  private def bpeChainSql(k: Int,
+                          wordsCte: String = charWordsCte): String = {
     val steps = (1 to k).map { i =>
       s"""p$i AS (
          |  SELECT lhs, rhs, CAST(sum(n) AS BIGINT) AS pair_n FROM (
@@ -1315,10 +1329,7 @@ object PipelineQueries {
          |      chr(1) || lhs || rhs || chr(1)) AS seg
          |  FROM s${i - 1} CROSS JOIN w$i)""".stripMargin
     }.mkString(",\n")
-    s"""words AS (
-       |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  WHERE len(word) > 0 GROUP BY 1),
+    s"""$wordsCte,
        |s0 AS (
        |  SELECT word, n,
        |    chr(1) || array_to_string(string_split(word, ''), chr(1) || chr(1)) || chr(1) AS seg
@@ -1326,15 +1337,45 @@ object PipelineQueries {
        |$steps""".stripMargin
   }
 
-  private val q150Sql = {
+  /** Char-level word types — the default BPE base alphabet. */
+  private val charWordsCte =
+    """words AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE len(word) > 0 GROUP BY 1)""".stripMargin
+
+  /** BYTE-level word types: words re-expressed through the GPT-2
+    * byte→unicode table (the literal below is generated from the SAME
+    * Scala array the engine maps with — one source of truth), so the
+    * oracle replays byte-level pre-tokenization exactly.
+    */
+  private val byteWordsCte = {
+    val bmap = graft.operators.Bpe.ByteToUnicode.mkString("[", ", ", "]")
+    s"""bmap AS (SELECT $bmap AS m),
+       |words AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT array_to_string(list_transform(range(1, len(h) // 2 + 1),
+       |        i -> chr(m[CAST(('0x' || substr(h, 2*i - 1, 2)) AS BIGINT) + 1])),
+       |      '') AS word
+       |    FROM (SELECT hex(encode(raw)) AS h FROM (
+       |        SELECT unnest(string_split(text, ' ')) AS raw FROM documents)
+       |      WHERE len(raw) > 0) CROSS JOIN bmap)
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  private def mergeListSql(chain: String): String = {
     val union = (1 to bpeK)
       .map(i => s"SELECT $i AS step, lhs, rhs, pair_n FROM w$i")
       .mkString("\n  UNION ALL ")
-    s"""WITH ${bpeChainSql(bpeK)}
+    s"""WITH $chain
        |SELECT step, lhs, rhs, pair_n FROM (
        |  $union)
        |ORDER BY step""".stripMargin
   }
+
+  private val q150Sql = mergeListSql(bpeChainSql(bpeK))
+
+  private val q161Sql = mergeListSql(bpeChainSql(bpeK, byteWordsCte))
 
   // ---------------------------------------------------------------------
   // [EXT] BPE vocabulary artifact — the vocab file a trainer consumes:
@@ -1546,6 +1587,7 @@ object PipelineQueries {
     "q154_pagerank"         -> (q154PageRank _),
     "q157_pagerank_dangling" -> (q157PageRankDangling _),
     "q159_nb_funnel"        -> (q159NbFunnel _),
+    "q161_bpe_bytes"        -> (q161BpeBytes _),
     "q155_bpe_vocab"        -> (q155BpeVocab _),
     "q156_bpe_ids"          -> (q156BpeIds _))
 
@@ -1582,6 +1624,7 @@ object PipelineQueries {
     "q154_pagerank"         -> q154Sql,
     "q157_pagerank_dangling" -> q157Sql,
     "q159_nb_funnel"        -> q159Sql,
+    "q161_bpe_bytes"        -> q161Sql,
     "q155_bpe_vocab"        -> q155Sql,
     "q156_bpe_ids"          -> q156Sql)
 }

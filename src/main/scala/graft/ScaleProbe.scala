@@ -167,6 +167,33 @@ object ScaleProbe {
         f"   (10x/1x ratio: ${times.last / times.head}%.1f)")
     }
 
+    // Candidate-count audit on the adversarial power-law corpus: the
+    // WITHOUT-cap column is the quadratic evidence (the boilerplate
+    // cluster is n/3 of all docs, so its band keys contribute ~(n/3)²/2
+    // candidates — 10× data ≈ 100× candidates), computed analytically
+    // (Σ f·(f−1)/2 over band-key frequencies, no pairs materialized —
+    // actually RUNNING the uncapped join at 10× would be the explosion
+    // itself); the WITH-cap column is the bounded volume the capped
+    // join really processes, and must grow ~linearly.
+    if (opFilter.isEmpty || opFilter.exists("candidate_audit".contains)) {
+      println()
+      println(f"${"candidate audit"}%-18s " +
+        scales.map(s => f"${s}%16dx").mkString(" "))
+      val rows = scales.map { sc =>
+        val d = injectSkew(replicate(Tables.documents(spark, sfDir), sc))
+        def one(cap: Option[Int]) = NearDup.minhashCandidateAudit(
+          d, col("doc_id"), col("text"), maxBandFreq = cap)
+          .collect()(0).getLong(1)
+        (one(None), one(Some(50)))
+      }
+      println(f"${"minhash_nocap"}%-18s " +
+        rows.map(r => f"${r._1}%16d").mkString(" ") +
+        f"   (10x/1x: ${rows.last._1.toDouble / rows.head._1}%.1f)")
+      println(f"${"minhash_cap50"}%-18s " +
+        rows.map(r => f"${r._2}%16d").mkString(" ") +
+        f"   (10x/1x: ${rows.last._2.toDouble / rows.head._2}%.1f)")
+    }
+
     // Incremental curation: the probe question is different — not "how
     // does the operator scale with its input" but "how does a
     // FIXED-SIZE daily batch cost grow as the ACCUMULATED STATE grows".

@@ -394,6 +394,32 @@ object StatQueries {
       |WHERE rn <= 3
       |ORDER BY c_mktsegment, rank""".stripMargin
 
+
+  // ---------------------------------------------------------------------
+  // [EXT] U2/A5 — HEAVY HITTERS (Misra–Gries + exact recount): every
+  // token whose true count exceeds n/(k+1), via the two-pass pattern —
+  // a k-counter mergeable sketch surfaces the candidate set at bounded
+  // memory (the MG inclusion guarantee holds under any merge order),
+  // then ONLY those ≤ k candidates recount exactly over a broadcast
+  // equality join. The corpus-wide groupBy over all distinct tokens
+  // never happens, and the recount makes the answer DETERMINISTIC and
+  // fully SQL-replayable — unlike the raw sketch (q80/q111's rows-only
+  // carve-out does not apply here).
+  def q160HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.heavyHitters(
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("tok")),
+      col("tok"), k = 50)
+
+  private val q160Sql =
+    """WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t),
+      |c AS (SELECT item, CAST(count(*) AS BIGINT) AS n_occ FROM t GROUP BY 1)
+      |SELECT item, n_occ FROM c CROSS JOIN tt
+      |WHERE n_occ * 51 > n_total
+      |ORDER BY n_occ DESC, item ASC""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_stats_agg"       -> (q46StatsAgg _),
     "q47_cube"            -> (q47Cube _),
@@ -409,6 +435,7 @@ object StatQueries {
     "q57_full_outer"      -> (q57FullOuter _),
     "q94_percentile_dist" -> (q94PercentileDist _),
     "q112_topk_agg"       -> (q112TopkAgg _),
+    "q160_heavy_hitters"  -> (q160HeavyHitters _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -426,5 +453,6 @@ object StatQueries {
     "q57_full_outer"      -> q57Sql,
     "q94_percentile_dist" -> q94Sql,
     "q112_topk_agg"       -> q112Sql,
+    "q160_heavy_hitters"  -> q160Sql,
   )
 }

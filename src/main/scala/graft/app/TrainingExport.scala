@@ -33,7 +33,9 @@ object TrainingExport {
     * that produced it, not a second scan of what was just written.
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          shards: Int = 8): ExportStats = {
+          shards: Int = 8, format: String = "parquet"): ExportStats = {
+    require(format == "parquet" || format == "jsonl",
+      s"export format must be parquet or jsonl, got $format")
     val mixed = PipelineQueries.trainerExportMixed(spark, sfDir)
     val seqs = Corpus.packedSequenceTexts(mixed, col("mid"), col("text"),
         budget = 512)
@@ -44,13 +46,24 @@ object TrainingExport {
         .sortWithinPartitions(col("seq_id")),
       "export",
       Seq(count(lit(1)).as("sequences"), sum(col("n_tok")).as("tokens")))
-    instrumented.write.mode("overwrite").parquet(s"$outDir/sequences")
-    PipelineQueries.q127TrainerExport(spark, sfDir)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/manifest")
+    // jsonl is what most trainers mount directly (one JSON object per
+    // line, one file per contiguous seq_id range — the same layout
+    // contract as the parquet arm, different encoding); parquet stays
+    // the analytics-side default
+    if (format == "jsonl")
+      graft.sources.Sinks.json(instrumented, s"$outDir/sequences")
+    else
+      instrumented.write.mode("overwrite").parquet(s"$outDir/sequences")
+    val manifest = PipelineQueries.q127TrainerExport(spark, sfDir).coalesce(1)
+    if (format == "jsonl")
+      graft.sources.Sinks.json(manifest, s"$outDir/manifest")
+    else
+      manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
 
     val m = obs.get
-    val srcs = spark.read.parquet(s"$outDir/manifest").count()
+    val srcs =
+      if (format == "jsonl") spark.read.json(s"$outDir/manifest").count()
+      else spark.read.parquet(s"$outDir/manifest").count()
     ExportStats(m("sequences").asInstanceOf[Long],
       m("tokens").asInstanceOf[Long], srcs)
   }
@@ -58,6 +71,7 @@ object TrainingExport {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("/tmp/graft_training_export")
+    val format = args.lift(2).getOrElse("parquet")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -67,9 +81,9 @@ object TrainingExport {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val s = run(spark, sfDir, outDir)
+    val s = run(spark, sfDir, outDir, format = format)
     println(s"[export] sequences=${s.nSequences} tokens=${s.nTokens} " +
-      s"sources=${s.nSources} -> $outDir")
+      s"sources=${s.nSources} format=$format -> $outDir")
     spark.stop()
   }
 }

@@ -90,6 +90,58 @@ object Bpe {
         concat(lit(Sep), col("lhs"), col("rhs"), lit(Sep))))
       .select(col("word"), col("n"), col("seg"))
 
+  /** GPT-2's byte→unicode alphabet (Radford et al. 2019, the public
+    * `bytes_to_unicode` table): printable latin-1 bytes map to
+    * themselves, the rest to codepoints 256+, in byte order. Every
+    * UTF-8 byte gets a PRINTABLE single-character symbol, so byte-level
+    * word types are ordinary strings the whole merge machinery (and its
+    * SQL replay) operates on unchanged — and none of the 256 symbols is
+    * [[Sep]] (U+0001), so no corpus byte can collide with the
+    * segmentation delimiter.
+    */
+  private[graft] val ByteToUnicode: Array[Int] = {
+    val printable = (('!'.toInt to '~'.toInt) ++ (0xa1 to 0xac) ++
+      (0xae to 0xff)).toSet
+    val out = new Array[Int](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      if (printable(b)) out(b) = b
+      else { out(b) = 256 + n; n += 1 }
+    }
+    out
+  }
+
+  /** hex-encoded UTF-8 bytes → byte-symbol string. `hexCol` MUST be a
+    * bound column (never an inline expression): the per-byte lambda
+    * dereferences it once per byte, and an unbound hex(encode(...))
+    * would re-encode the word per element.
+    */
+  private def symbolsFromHex(hexCol: Column): Column = {
+    // the table carries pre-rendered SYMBOL STRINGS, not codepoint ints:
+    // Spark's char()/chr() is mod-256 ASCII (NOT a codepoint
+    // constructor), so chr(257) would silently wrap — the ≥256 symbols
+    // must be materialized on the driver
+    val table = array(ByteToUnicode.map(cp =>
+      lit(new String(Character.toChars(cp)))): _*)
+    concat_ws("", transform(
+      sequence(lit(1), (length(hexCol) / lit(2)).cast("int")), i =>
+      element_at(table,
+        conv(hexCol.substr(i * 2 - 1, lit(2)), 16, 10).cast("int") + 1)))
+  }
+
+  /** BYTE-LEVEL word-type table — the no-OOV guarantee: words re-express
+    * as their UTF-8 bytes through [[ByteToUnicode]], so ANY input
+    * (emoji, control bytes, broken encodings — scraped-web normality)
+    * is representable over a 256-symbol base alphabet; nothing is
+    * dropped, unlike [[wordTypes]]'s U+0001 guard. One corpus pass.
+    */
+  def wordTypesByteLevel(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(TextOps.tokens(text)).as("raw"))
+      .filter(length(col("raw")) > 0)
+      .withColumn("h", hex(encode(col("raw"), "UTF-8")))
+      .select(symbolsFromHex(col("h")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
   /** Learn up to `k` merges from the corpus. Output: (step, lhs, rhs,
     * pair_n), one row per learned merge in training order — fewer than
     * k rows if the vocabulary exhausts (no adjacent pair left). Each
@@ -97,9 +149,20 @@ object Bpe {
     * the winner's two consumers share one computation and the plan
     * stays iteration-bounded.
     */
-  def train(docs: DataFrame, text: Column, k: Int): DataFrame = {
+  def train(docs: DataFrame, text: Column, k: Int): DataFrame =
+    trainFromWords(wordTypes(docs, text), k)
+
+  /** [[train]] over the byte-level alphabet (GPT-2 pre-tokenization):
+    * same merge loop, but the base symbols are bytes, so training never
+    * hits an unrepresentable character.
+    */
+  def trainByteLevel(docs: DataFrame, text: Column, k: Int): DataFrame =
+    trainFromWords(wordTypesByteLevel(docs, text), k)
+
+  /** The merge loop over an explicit word-type table. */
+  def trainFromWords(words: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    var segs = seg0(wordTypes(docs, text)).localCheckpoint(eager = false)
+    var segs = seg0(words).localCheckpoint(eager = false)
     val steps = (1 to k).map { i =>
       val win = pairCounts(segs)
         .orderBy(col("pair_n").desc, col("lhs").asc, col("rhs").asc)

@@ -385,6 +385,37 @@ object NearDup {
     rows.join(broadcast(heavy), keys, "left_anti")
   }
 
+  /** Band-key candidate ACCOUNTING — the pair count the LSH band join
+    * WOULD produce, computed analytically as Σ f·(f−1)/2 over band-key
+    * frequencies: an O(corpus) aggregation that never materializes a
+    * pair, so it is safe to run on an adversarial corpus whose uncapped
+    * candidate count is quadratic (exactly the input you need to AUDIT
+    * before running the join). The optional cap drops heavy keys with
+    * the same predicate [[minhashNearDup]] applies, so capped counts
+    * here are the join's real candidate volume. Output: one row
+    * (n_band_keys, n_candidate_pairs).
+    */
+  def minhashCandidateAudit(docs: DataFrame, id: Column, text: Column,
+                            nPerms: Int = 32, rowsPerBand: Int = 2,
+                            shingler: Column => Column = shingleHashes3,
+                            maxBandFreq: Option[Int] = None): DataFrame = {
+    require(nPerms % rowsPerBand == 0)
+    val nBands = nPerms / rowsPerBand
+    val bandSlice = slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))
+    val freqs = docs
+      .select(id.as("doc_id"), shingler(text).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignatureFromHashes(col("sh"), nPerms))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("band_key", xxhash64(col("band"), concat_ws(",", bandSlice)))
+      .groupBy(col("band_key")).agg(count(lit(1)).as("f"))
+    val kept = maxBandFreq.fold(freqs)(cap => freqs.filter(col("f") <= cap))
+    kept.agg(count(lit(1)).as("n_band_keys"),
+      coalesce(sum((col("f") * (col("f") - 1) / 2).cast("long")), lit(0L))
+        .as("n_candidate_pairs"))
+  }
+
   def minhashNearDup(docs: DataFrame, id: Column, text: Column,
                      nPerms: Int = 32, rowsPerBand: Int = 2,
                      shingler: Column => Column = shingleHashes3,

@@ -191,4 +191,37 @@ object Stats {
       .agg(aggs.head, aggs.tail: _*)
       .select(col("g") +: outs: _*)
   }
+
+  /** HEAVY HITTERS, two-pass (Misra–Gries candidates + exact recount) —
+    * every item whose true count exceeds n/(k+1), with its EXACT count.
+    * Pass 1 sketches the stream at k bounded counters per partition
+    * ([[graft.functions.MisraGriesAggregator]] — map-side partials, a
+    * k-entry shuffle); the MG guarantee says the surviving candidate
+    * set CONTAINS every true heavy hitter, whatever the arrival/merge
+    * order. Pass 2 recounts ONLY the ≤ k candidates exactly (they ride
+    * a broadcast equality join onto a second scan — the corpus-wide
+    * groupBy over ALL distinct items never happens), and the threshold
+    * filter `count·(k+1) > n` runs on exact integers. The recount is
+    * what makes the output DETERMINISTIC (sketch contents are
+    * order-dependent; the recounted answer is not) — and therefore
+    * SQL-replayable, unlike the raw sketch.
+    *
+    * Output: (item, n_occ) for true heavy hitters, count desc, item asc.
+    */
+  def heavyHitters(df: DataFrame, item: Column, k: Int): DataFrame = {
+    require(k > 0, s"heavy hitters need k >= 1, got $k")
+    val items = df.select(item.cast("string").as("item"))
+    val mg = udaf(new graft.functions.MisraGriesAggregator(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val cands = items.agg(mg(col("item")).as("sk"))
+      .select(explode(col("sk")).as("c"))
+      .select(col("c._1").as("item"))
+    val total = items.agg(count(lit(1)).as("n_total"))
+    items.join(broadcast(cands), Seq("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n_occ"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_occ") * lit(k + 1L) > col("n_total"))
+      .select(col("item"), col("n_occ"))
+      .orderBy(col("n_occ").desc, col("item").asc)
+  }
 }

@@ -13,6 +13,16 @@ object Sources {
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** S2 — JSON scan with INFERRED schema, the explicit opt-in the
+    * reference defaults to (reference README.md:344-348): inference is
+    * an extra full pass over the data and guesses types, so it is the
+    * exploration affordance, never the production path — production
+    * jobs declare their schema ([[json]] above). Kept as a separate
+    * overload so the cost is visible at the call site.
+    */
+  def jsonInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("inferSchema", "true").json(path)
+
   /** S9 — Parquet scan (schema from footer). */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -167,4 +167,33 @@ class BpeSpec extends SparkSpec {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     assert(gotMerges(docs, 5) == gotMerges(docs.repartition(7), 5))
   }
+
+  test("byte-level BPE: non-ASCII and control bytes segment with no OOV; " +
+      "merges match the symbol-list reference over byte symbols") {
+    // café (é = 2 bytes), a snowman (3 bytes), and a word CARRYING the
+    // U+0001 delimiter — char-level wordTypes drops the last one;
+    // byte-level represents all three
+    val docs = Seq((1L,
+      "caf\u00e9 caf\u00e9 caf\u00e9 \u2603x \u2603x a\u0001b")).toDF("doc_id", "text")
+    def toSyms(w: String): String =
+      w.getBytes("UTF-8").map(b => Bpe.ByteToUnicode(b & 0xff).toChar).mkString
+    // every word survives into the byte-level type table, mapped
+    val types = Bpe.wordTypesByteLevel(docs, col("text"))
+      .as[(String, Long)].collect().toMap
+    assert(types == Map(toSyms("caf\u00e9") -> 3L, toSyms("\u2603x") -> 2L,
+      toSyms("a\u0001b") -> 1L), s"got $types")
+    // the merge sequence equals the plain-Scala reference run over the
+    // byte-symbol words (same refTrain as the char-level differential)
+    val words = Map(toSyms("caf\u00e9") -> 3L, toSyms("\u2603x") -> 2L,
+      toSyms("a\u0001b") -> 1L)
+    val (refM, refSegs) = refTrain(words, 5)
+    assert(Bpe.trainByteLevel(docs, col("text"), 5).orderBy(col("step"))
+      .as[(Int, String, String, Long)].collect().toSeq == refM)
+    // encoding the byte-level types with the learned merges reproduces
+    // the reference segmentation sizes — nothing is unrepresentable
+    val enc = Bpe.encodeTypes(Bpe.wordTypesByteLevel(docs, col("text")),
+        Bpe.trainByteLevel(docs, col("text"), 5))
+      .select(col("word"), col("n_sym")).as[(String, Long)].collect().toMap
+    assert(enc == refSegs.map { case (w, segs) => w -> segs.size.toLong })
+  }
 }

@@ -148,4 +148,25 @@ class CleanersSpec extends SparkSpec {
       graft.sources.Sources.json(spark, s"$work/user", Schemas.rawUser)))
     assert(users.count() == 200)
   }
+
+  test("jsonInferred: the exploration opt-in reads the emulator output " +
+      "with a usable inferred schema; declared-schema read stays the norm") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val work = java.nio.file.Files.createTempDirectory("graft-infer").toString
+    graft.sources.Emulator.write(work, n = 50, seed = 19L)
+    val inferred = graft.sources.Sources.jsonInferred(spark, s"$work/pin")
+    assert(inferred.count() == 50)
+    // inference finds the reference's columns (types are its guesses —
+    // numbers widen to long/double, which is exactly why production
+    // paths declare schemas instead)
+    val cols = inferred.columns.toSet
+    assert(Set("index", "unique_id", "title", "follower_count").subsetOf(cols),
+      s"inferred columns missing expected fields: $cols")
+    // the declared-schema read of the same files agrees on the row set
+    val declared = graft.sources.Sources.json(spark, s"$work/pin", Schemas.rawPin)
+    assert(declared.select("unique_id").as[String].collect().sorted.toSeq ==
+      inferred.select(col("unique_id").cast("string")).as[String]
+        .collect().sorted.toSeq)
+  }
 }

@@ -286,4 +286,35 @@ class NearDupSpec extends SparkSpec {
     // train 1 has 9 tokens → 7 shingles, all contained in test 10
     assert(r.head._3 == 7L, s"all 7 shingles shared: ${r.toSeq}")
   }
+
+  test("minhashCandidateAudit: uncapped counts grow quadratically on a " +
+      "power-law cluster; the cap bounds them; audit covers the real join") {
+    def corpus(n: Int) = (1 to n).map { i =>
+      (i.toLong, if (i % 2 == 0)
+        "all work and no play makes jack a dull boy every single day"
+      else s"unique text number $i carrying its own distinct words token$i")
+    }.toDF("doc_id", "text")
+    def audit(df: org.apache.spark.sql.DataFrame, cap: Option[Int]) =
+      NearDup.minhashCandidateAudit(df, col("doc_id"), col("text"),
+        maxBandFreq = cap).collect()(0).getLong(1)
+
+    // doubling the corpus doubles the boilerplate cluster → uncapped
+    // candidates ~quadruple (the (n/2)² term dominates)
+    val nocap1 = audit(corpus(200), None)
+    val nocap2 = audit(corpus(400), None)
+    assert(nocap2 > 3.5 * nocap1,
+      s"expected ~4x growth, got $nocap1 -> $nocap2")
+    // the cap drops the heavy keys: counts stay small and ~linear
+    val cap1 = audit(corpus(200), Some(20))
+    val cap2 = audit(corpus(400), Some(20))
+    assert(cap1 < nocap1 / 10, s"cap did not bound: $cap1 vs $nocap1")
+    assert(cap2 <= 3 * cap1 + 100, s"capped growth not linear: $cap1 -> $cap2")
+
+    // the audit is an upper bound on the capped join's REAL distinct
+    // pair count (per-band contributions count multi-band collisions)
+    val realPairs = NearDup.minhashNearDup(corpus(200), col("doc_id"),
+      col("text"), maxBandFreq = Some(20)).count()
+    assert(realPairs <= cap1,
+      s"audit $cap1 must bound the materialized pair count $realPairs")
+  }
 }

@@ -381,6 +381,37 @@ class PipelineQueriesSpec extends SparkSpec {
       s"manifest says $manifestTokens tokens, artifacts hold ${stats.nTokens}")
   }
 
+  test("TrainingExport jsonl arm: line-delimited shards reconcile with the " +
+      "parquet arm row-for-row; files are range shards; manifest rides along") {
+    val outP = java.nio.file.Files.createTempDirectory("graft-export-p").toString
+    val outJ = java.nio.file.Files.createTempDirectory("graft-export-j").toString
+    val sp = graft.app.TrainingExport.run(spark, dir, outP, shards = 4)
+    val sj = graft.app.TrainingExport.run(spark, dir, outJ, shards = 4,
+      format = "jsonl")
+    assert(sp == sj, s"arm stats diverged: parquet $sp vs jsonl $sj")
+    // re-read both arms: identical rows (the encoding is the ONLY diff)
+    val pq = spark.read.parquet(s"$outP/sequences")
+      .select("seq_id", "n_tok", "n_docs", "seq_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val jl = spark.read.json(s"$outJ/sequences")
+      .select(col("seq_id").cast("long"), col("n_tok").cast("long"),
+        col("n_docs").cast("long"), col("seq_text"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(jl == pq, "jsonl shards must re-read to exactly the parquet rows")
+    // layout contract: one .json part file per shard, each line one object
+    val parts = new java.io.File(s"$outJ/sequences").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+    assert(parts.length == 4, s"expected 4 jsonl shards, got ${parts.length}")
+    val firstLine = scala.io.Source.fromFile(parts.minBy(_.getName)).getLines()
+      .buffered.headOption
+    assert(firstLine.exists(l => l.startsWith("{") && l.endsWith("}")),
+      s"shard lines must be bare JSON objects, got: $firstLine")
+    // manifest totals carried into the jsonl arm too
+    val manifestTokens = spark.read.json(s"$outJ/manifest")
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(manifestTokens == sj.nTokens)
+  }
+
   test("q119 packSequences: exact spans on a crafted stream; conservation + layout independence on the corpus") {
     // token counts 3, 3, 2 over budget 4: the concatenated stream is
     // cut at token 4 — doc 20 straddles the cut

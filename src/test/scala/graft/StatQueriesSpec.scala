@@ -189,4 +189,42 @@ class StatQueriesSpec extends SparkSpec {
       assert(math.abs(v - want(k)) < 1e-9, s"$k: got $v want ${want(k)}")
     }
   }
+
+  test("heavyHitters: every item above n/(k+1) surfaces with its exact " +
+      "count; at-threshold excluded; layout-independent; candidates bounded") {
+    import graft.operators.Stats
+    // planted stream, n = 1000, k = 9 → threshold n/(k+1) = 100:
+    // hot (400) and warm (120) are true heavy hitters; edge sits AT the
+    // threshold (strict >, so excluded); 380 cold singletons are noise
+    val items = Seq.fill(400)("hot") ++ Seq.fill(120)("warm") ++
+      Seq.fill(100)("edge") ++ (1 to 380).map(i => s"cold$i")
+    val df = items.toDF("item")
+    val hh = Stats.heavyHitters(df, col("item"), 9)
+      .as[(String, Long)].collect().toSeq
+    assert(hh == Seq(("hot", 400L), ("warm", 120L)),
+      s"expected exactly the two true heavy hitters with exact counts, got $hh")
+    // the answer is layout-independent even though the SKETCH contents
+    // are order-dependent — the exact recount absorbs the difference
+    for (parts <- Seq(1, 7, 31)) {
+      val r = Stats.heavyHitters(df.repartition(parts), col("item"), 9)
+        .as[(String, Long)].collect().toSeq
+      assert(r == hh, s"layout $parts changed the answer: $r")
+    }
+
+    // aggregator-level MG invariants, no Spark: buffer never exceeds k,
+    // and the inclusion guarantee holds under an adversarial merge order
+    val agg = new graft.functions.MisraGriesAggregator(9)
+    val shuffled = new scala.util.Random(7).shuffle(items)
+    val partitions = shuffled.grouped(97).toSeq
+    val partials = partitions.map(_.foldLeft(agg.zero)(agg.reduce))
+    partials.foreach(b => assert(b.size <= 9, "partial buffer exceeded k"))
+    // merge right-to-left (worst case vs Spark's arbitrary fetch order)
+    val merged = partials.reverse.reduce((a, b) => agg.merge(b, a))
+    assert(merged.size <= 9)
+    assert(merged.contains("hot") && merged.contains("warm"),
+      s"MG must retain every item above n/(k+1), buffer: $merged")
+    // counter underestimates by at most n/(k+1)
+    assert(merged("hot") >= 400 - 100 && merged("hot") <= 400)
+    assert(merged("warm") >= 120 - 100 && merged("warm") <= 120)
+  }
 }
