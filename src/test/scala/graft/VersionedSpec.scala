@@ -178,6 +178,32 @@ class VersionedSpec extends SparkSpec {
     assert(agg().as[(String, Long)].collect().sortBy(_._1).toSeq == demotedRows)
   }
 
+  test("bucketed layout: a shuffle-fallback join pays its Exchange on the " +
+      "OTHER side only — the corpus-sized bucketed table never re-shuffles") {
+    import org.apache.spark.sql.functions._
+    val t = tmpTable()
+    // the IVF-assignment shape: corpus-sized rows keyed by centroid
+    val assignment = (1 to 2000)
+      .map(i => (i.toLong % 16, i.toLong)).toDF("centroid_id", "cand_id")
+    Versioned.overwriteBucketed(assignment, t, "centroid_id", 8): Unit
+    // a query batch too large to broadcast (forced by disabling the
+    // broadcast threshold): the join must fall back to a shuffle join
+    val probes = (1 to 500).map(i => (i.toLong % 16, i.toLong))
+      .toDF("centroid_id", "query_id")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Versioned.read(spark, t).join(probes, Seq("centroid_id"))
+      val plan = joined.queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"expected exactly ONE Exchange (the probe side), got $exchanges:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(joined.count() == 2000L * 500 / 16)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("merge: CDC upserts produce new versions with Upsert semantics") {
     val t = tmpTable()
     Versioned.merge(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "seq"), t,
