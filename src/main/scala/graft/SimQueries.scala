@@ -675,6 +675,23 @@ object SimQueries {
   // probe selection, the one global quantization scale, and the exact
   // integer code dots all replay in SQL — the whole compressed-index
   // ranking hash-matches with no decimal scaffolding.
+  // ---------------------------------------------------------------------
+  // J7 production shape, byte-pruned — PARTITIONED IVF index: the
+  // assignment lays each centroid in its own DIRECTORY
+  // (Versioned.overwritePartitioned), so the probe join dynamically
+  // prunes to the probed centroids' directories (Spark DPP — the query
+  // batch is storage-backed and filtered, exactly DPP's trigger
+  // shape): a probe reads ~nProbes/nCentroids of the assignment BYTES,
+  // the lever the bucketed layout cannot give a data-dependent join.
+  // Same parameters as q98/q116 → identical output, same oracle SQL.
+  def q162AnnIndexDpp(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val idx = cachedIndex(spark, dir, "ivf_c16_l2p")(
+      Similarity.buildIvfIndex(e, _, nCentroids = 16, lloydIters = 2,
+        assignmentLayout = "partition"): Unit)
+    Similarity.queryIvfIndex(spark, idx, e.filter(col("id") < 10), k = 5)
+  }
+
   def q118AnnIvfSq8(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     val idx = cachedIndex(spark, dir, "ivfsq8_c16b")(
@@ -1055,6 +1072,7 @@ object SimQueries {
     "q145_ann_ivf_pq"       -> (q145AnnIvfPq _),
     "q149_ann_ivf_pq_residual" -> (q149AnnIvfPqResidual _),
     "q158_ann_ivf_pq_rerank" -> (q158AnnIvfPqRerank _),
+    "q162_ann_index_dpp"    -> (q162AnnIndexDpp _),
   )
 
   /** q33/q34/q37/q43 are xxhash64-sketch-based → rows-only check
@@ -1085,5 +1103,7 @@ object SimQueries {
     "q145_ann_ivf_pq"       -> q145Sql,
     "q149_ann_ivf_pq_residual" -> q149Sql,
     "q158_ann_ivf_pq_rerank" -> q158Sql,
+    // the partitioned-layout probe replays q98's inline pipeline exactly
+    "q162_ann_index_dpp"    -> q98Sql,
   )
 }

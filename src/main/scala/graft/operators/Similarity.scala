@@ -340,19 +340,48 @@ object Similarity {
     * and time travel (`asOf`) reproduces any historical index exactly.
     * Returns the committed version.
     */
+  /** Commit an index assignment table in the chosen physical layout:
+    * "bucket" (default) co-locates by centroid — per-centroid work and
+    * shuffle-fallback probe joins run Exchange-free on the corpus-sized
+    * side; "partition" lays each centroid in its own directory — a
+    * probe join against a storage-backed query batch DYNAMICALLY
+    * prunes to the probed centroids' directories (Spark DPP), so a
+    * probe reads ~nProbes/nCentroids of the assignment BYTES, the
+    * byte-level lever bucketing cannot give a data-dependent join.
+    */
+  private def commitAssignment(assigned: DataFrame, table: String,
+                               layout: String, nBuckets: Int): Long =
+    layout match {
+      case "bucket" => graft.sources.Versioned.overwriteBucketed(
+        assigned, table, "centroid_id", nBuckets)
+      case "partition" => graft.sources.Versioned.overwritePartitioned(
+        assigned, table, "centroid_id")
+      case other => throw new IllegalArgumentException(
+        s"assignment layout must be bucket or partition, got $other")
+    }
+
+  /** Append to an assignment table honoring its DECLARED layout: a
+    * partitioned table's batches must land partitioned (plain appends
+    * are refused by [[graft.sources.Versioned]]); bucketed/plain tables
+    * append plain and compact later.
+    */
+  private def appendAssignment(rows: DataFrame, table: String): Long = {
+    val spark = rows.sparkSession
+    if (graft.sources.Versioned.declaredLayout(spark, table)
+        .startsWith("part:"))
+      graft.sources.Versioned.appendPartitioned(rows, table, "centroid_id")
+    else graft.sources.Versioned.append(rows, table)
+  }
+
   def buildIvfIndex(candidates: DataFrame, indexDir: String,
                     nCentroids: Int = 16, lloydIters: Int = 0,
-                    nBuckets: Int = 8): Long = {
+                    nBuckets: Int = 8,
+                    assignmentLayout: String = "bucket"): Long = {
     val c = prepCandidates(candidates)
     val (centroids, assigned) = centroidsAndAssignment(c, nCentroids, lloydIters)
     val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
-    // assignment commits BUCKETED BY CENTROID: bucket membership is the
-    // probe unit, so co-locating it keeps every per-centroid operation
-    // (maintenance counts, bucket re-balancing, and the probe join once
-    // the query batch outgrows broadcast and falls back to a shuffle
-    // join) Exchange-free on the corpus-sized side
-    val va = graft.sources.Versioned.overwriteBucketed(assigned,
-      s"$indexDir/assignment", "centroid_id", nBuckets)
+    val va = commitAssignment(assigned, s"$indexDir/assignment",
+      assignmentLayout, nBuckets)
     require(vc == va, s"index tables diverged: centroids v$vc vs assignment v$va " +
       s"(was $indexDir written by something other than buildIvfIndex?)")
     vc
@@ -392,7 +421,7 @@ object Similarity {
         .select(col("centroid_id"), col("cand_id"), col("q").as("cq"))
     }
     val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
-    val va = graft.sources.Versioned.append(assignedNew, s"$indexDir/assignment")
+    val va = appendAssignment(assignedNew, s"$indexDir/assignment")
     require(vc == va, s"index tables diverged: centroids v$vc vs assignment v$va")
     vc
   }
@@ -465,7 +494,8 @@ object Similarity {
     */
   def buildIvfSq8Index(candidates: DataFrame, indexDir: String,
                        nCentroids: Int = 16, lloydIters: Int = 0,
-                       nBuckets: Int = 8): Long = {
+                       nBuckets: Int = 8,
+                       assignmentLayout: String = "bucket"): Long = {
     val c = prepCandidates(candidates)
     val (centroids, assigned) = centroidsAndAssignment(c, nCentroids, lloydIters)
     val scale = sq8Scale(c.select(col("cv").as("v")))
@@ -475,8 +505,8 @@ object Similarity {
       .select(col("centroid_id"), col("cand_id"), col("q").as("cq"))
     val vc = graft.sources.Versioned.overwrite(
       centroids.crossJoin(broadcast(scale)), s"$indexDir/centroids")
-    val va = graft.sources.Versioned.overwriteBucketed(assignedQ,
-      s"$indexDir/assignment", "centroid_id", nBuckets)
+    val va = commitAssignment(assignedQ, s"$indexDir/assignment",
+      assignmentLayout, nBuckets)
     require(vc == va, s"index tables diverged: centroids v$vc vs assignment v$va")
     vc
   }
@@ -749,7 +779,8 @@ object Similarity {
                       nCentroids: Int = 16, m: Int = 8, ks: Int = 16,
                       pqLloydIters: Int = 0, lloydIters: Int = 0,
                       dim: Int = 64, residual: Boolean = false,
-                      nBuckets: Int = 8): Long = {
+                      nBuckets: Int = 8,
+                      assignmentLayout: String = "bucket"): Long = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
     val c = prepCandidates(candidates)
@@ -770,8 +801,8 @@ object Similarity {
       .select(col("centroid_id"), col("cand_id"), col("pqcode"))
     val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
     val vb = graft.sources.Versioned.overwrite(cb, s"$indexDir/codebook")
-    val va = graft.sources.Versioned.overwriteBucketed(assignedQ,
-      s"$indexDir/assignment", "centroid_id", nBuckets)
+    val va = commitAssignment(assignedQ, s"$indexDir/assignment",
+      assignmentLayout, nBuckets)
     require(vc == vb && vb == va,
       s"index tables diverged: centroids v$vc / codebook v$vb / assignment v$va")
     vc
@@ -802,7 +833,7 @@ object Similarity {
       .select(col("centroid_id"), col("cand_id"), col("pqcode"))
     val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
     val vb = graft.sources.Versioned.overwrite(cb, s"$indexDir/codebook")
-    val va = graft.sources.Versioned.append(assignedNew, s"$indexDir/assignment")
+    val va = appendAssignment(assignedNew, s"$indexDir/assignment")
     require(vc == vb && vb == va,
       s"index tables diverged: centroids v$vc / codebook v$vb / assignment v$va")
     vc

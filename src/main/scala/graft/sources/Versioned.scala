@@ -193,11 +193,18 @@ object Versioned {
         (state, v) =>
           val c = parse(readString(f, logFile(table, v)))
           c.action match {
-            // an append on top of a layouted overwrite clears the
+            // an append on top of a BUCKETED overwrite clears the
             // EFFECTIVE layout: mixed staged dirs cannot read as one
-            // bucketed table (compact() restores it)
+            // bucketed table (compact() restores it). A PARTITIONED
+            // snapshot instead KEEPS its layout across layout-matching
+            // appends — each dir reads partitioned and the union is the
+            // snapshot (required for correctness too: partitioned files
+            // do not carry the partition column, so they are only
+            // readable through their directory).
             case "append" => state.copy(add = state.add ++ c.add,
-              schemaJson = c.schemaJson, layout = "")
+              schemaJson = c.schemaJson,
+              layout = if (c.layout == state.layout &&
+                parsePartLayout(c.layout).isDefined) state.layout else "")
             case "overwrite" => state.copy(add = c.add,
               schemaJson = c.schemaJson, layout = c.layout)
             case a => sys.error(s"unknown log action: $a")
@@ -212,6 +219,14 @@ object Versioned {
   private def parseBucketLayout(layout: String): Option[(String, Int)] =
     layout.split(":", 3) match {
       case Array("bucket", c, n) => Some((c, n.toInt))
+      case _ => None
+    }
+
+  private def partLayout(col: String) = s"part:$col"
+
+  private def parsePartLayout(layout: String): Option[String] =
+    layout.split(":", 2) match {
+      case Array("part", c) => Some(c)
       case _ => None
     }
 
@@ -239,11 +254,22 @@ object Versioned {
         // the staging entry is EXTERNAL (explicit path): dropping it
         // unregisters the name, the committed files stay
         df.sparkSession.sql(s"DROP TABLE `$tmp`"): Unit
-      case None =>
-        df.write.parquet(s"$table/$rel")
+      case None => parsePartLayout(layout) match {
+        case Some(pcol) =>
+          // one file per partition value (the repartition), values in
+          // the DIRECTORY structure — the layout dynamic partition
+          // pruning keys on. The add entry is the DIR: partitioned
+          // files do not carry the partition column, so per-file reads
+          // would lose it; readers must go through the directory.
+          df.repartition(org.apache.spark.sql.functions.col(pcol))
+            .write.partitionBy(pcol).parquet(s"$table/$rel")
+        case None =>
+          df.write.parquet(s"$table/$rel")
+      }
     }
     val f = fs(df.sparkSession, new Path(table))
-    f.listStatus(new Path(s"$table/$rel"))
+    if (parsePartLayout(layout).isDefined) Seq(rel)
+    else f.listStatus(new Path(s"$table/$rel"))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(s => s"$rel/${s.getPath.getName}").sorted.toSeq
   }
@@ -258,6 +284,15 @@ object Versioned {
     require(action == "append" || action == "overwrite", s"bad action: $action")
     val spark = df.sparkSession
     val f = fs(spark, new Path(table))
+    if (action == "append" && versions(f, table).nonEmpty) {
+      // partitioned tables REFUSE layout-mismatched appends: a plain
+      // append's files would not carry the partition column and the
+      // snapshot would become unreadable (bucketed tables just demote)
+      val declared = lastOverwriteLayout(f, table, Long.MaxValue)
+      require(parsePartLayout(declared).isEmpty || layout == declared,
+        s"$table is partitioned ($declared): append with appendPartitioned " +
+          "so the batch lands in the same directory layout")
+    }
     val schemaJson = df.schema.json
     var v = versions(f, table).lastOption.map(_ + 1).getOrElse(0L)
     val files = stage(df, table, v, layout)
@@ -299,6 +334,33 @@ object Versioned {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     commit(df, table, "overwrite", layout = bucketLayout(bucketCol, nBuckets))
   }
+
+  /** Overwrite with a DIRECTORY-PARTITIONED physical layout: rows land
+    * under `partCol=value/` subdirectories (one file per value via one
+    * repartition), and [[read]] exposes the snapshot as a partitioned
+    * parquet relation — literal filters prune whole directories
+    * STATICALLY, and an equality join against a broadcast side prunes
+    * them DYNAMICALLY (Spark DPP: the probe values compute at runtime
+    * and only their directories' bytes are read). This is the
+    * byte-level lever bucketing cannot give a data-dependent probe
+    * join — the IVF-probe layout (partition by centroid): a query
+    * batch reads ~nProbes/nCentroids of the assignment BYTES. Use for
+    * bounded-cardinality keys (each value is a directory); appends
+    * must be [[appendPartitioned]] with the same column, and unlike
+    * bucketing the layout SURVIVES appends (each dir reads
+    * partitioned; compact() re-merges small per-append files).
+    */
+  def overwritePartitioned(df: DataFrame, table: String,
+                           partCol: String): Long = {
+    require(df.columns.contains(partCol),
+      s"partition column $partCol not in ${df.columns.mkString(",")}")
+    commit(df, table, "overwrite", layout = partLayout(partCol))
+  }
+
+  /** Append preserving a partitioned table's layout (see
+    * [[overwritePartitioned]]); refuses a column mismatch. */
+  def appendPartitioned(df: DataFrame, table: String, partCol: String): Long =
+    commit(df, table, "append", layout = partLayout(partCol))
 
   /** Compare-and-swap overwrite: commit ONLY if it lands exactly at
     * `expected` — no retry onto the next free version. This is the
@@ -449,9 +511,22 @@ object Versioned {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     if (snap.add.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else {
+    else if (parsePartLayout(snap.layout).isDefined) {
+      // every add entry of a partitioned snapshot is a staged DIR; each
+      // reads as its own partitioned relation (basePath = the dir, so
+      // the partCol=value segments resolve as the partition column) and
+      // the union is the snapshot. A single-dir snapshot (build or
+      // post-compact) gets full static + dynamic partition pruning.
+      snap.add.map { dir =>
+        spark.read.schema(schema)
+          .option("basePath", s"$table/$dir")
+          .parquet(s"$table/$dir")
+          .select(schema.fieldNames.map(n => org.apache.spark.sql.functions
+            .col(s"`$n`")): _*)
+      }.reduce(_ unionByName _)
+    } else {
       val bucketed = parseBucketLayout(snap.layout).flatMap { case (bcol, n) =>
-        // a layouted snapshot's files all come from ONE staged dir (the
+        // a bucketed snapshot's files all come from ONE staged dir (the
         // resolve fold clears layout on append); the dirs check is belt
         val dirs = snap.add.map(p => p.take(p.lastIndexOf('/'))).distinct
         if (dirs.size == 1)
@@ -482,6 +557,15 @@ object Versioned {
         s"USING PARQUET CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`) " +
         s"INTO $nBuckets BUCKETS LOCATION '${qualified.replace("'", "''")}'"): Unit
     spark.table(name)
+  }
+
+  /** The layout the table's last overwrite DECLARED (what compaction
+    * re-establishes and what appends must match on a partitioned
+    * table); "" for plain tables.
+    */
+  def declaredLayout(spark: SparkSession, table: String): String = {
+    val f = fs(spark, new Path(table))
+    lastOverwriteLayout(f, table, Long.MaxValue)
   }
 
   /** True if `table` has at least one committed version. */
@@ -518,14 +602,30 @@ object Versioned {
     if (!f.exists(dataDir)) return 0
     var removed = 0
     f.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
-      f.listStatus(d.getPath).filter(_.isFile).foreach { file =>
-        val rel = s"data/${d.getPath.getName}/${file.getPath.getName}"
-        if (file.getPath.getName.startsWith("part-") && !keep.contains(rel)) {
-          if (f.delete(file.getPath, false)) removed += 1
+      val dirRel = s"data/${d.getPath.getName}"
+      if (keep.contains(dirRel)) ()  // partitioned commit, referenced whole
+      else if (f.listStatus(d.getPath).exists(_.isDirectory)) {
+        // partitioned staged dir no version references: count its files,
+        // drop the tree (per-file deletion cannot apply — the add entry
+        // was the dir itself)
+        removed += countFiles(f, d.getPath)
+        f.delete(d.getPath, true): Unit
+      } else {
+        f.listStatus(d.getPath).filter(_.isFile).foreach { file =>
+          val rel = s"$dirRel/${file.getPath.getName}"
+          if (file.getPath.getName.startsWith("part-") && !keep.contains(rel)) {
+            if (f.delete(file.getPath, false)) removed += 1
+          }
         }
+        if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, true): Unit
       }
-      if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, true): Unit
     }
     removed
   }
+
+  private def countFiles(f: FileSystem, p: Path): Int =
+    f.listStatus(p).map { st =>
+      if (st.isDirectory) countFiles(f, st.getPath)
+      else if (st.getPath.getName.startsWith("part-")) 1 else 0
+    }.sum
 }

@@ -314,6 +314,57 @@ class SimilaritySpec extends SparkSpec {
       == demoted, "compaction must not change a single probe row")
   }
 
+  test("partitioned assignment layout: probes DPP-prune to probed " +
+      "directories, appends keep the layout, compaction + vacuum hold") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 6)
+    val bIdx = java.nio.file.Files.createTempDirectory("graft_ivf_b").toString
+    val pIdx = java.nio.file.Files.createTempDirectory("graft_ivf_p").toString
+    Similarity.buildIvfIndex(e, bIdx, nCentroids = 8): Unit
+    Similarity.buildIvfIndex(e, pIdx, nCentroids = 8,
+      assignmentLayout = "partition"): Unit
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSeq
+    // identical probes whatever the physical layout
+    val fromB = rows(Similarity.queryIvfIndex(spark, bIdx, q, 5, nProbes = 3))
+    val fromP = Similarity.queryIvfIndex(spark, pIdx, q, 5, nProbes = 3)
+    assert(rows(fromP) == fromB)
+    // ...and the partitioned probe's assignment scan carries a DPP
+    // expression — it reads only the probed centroids' directories
+    val plan = fromP.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("dynamicpruningexpression"),
+      "partitioned assignment must dynamic-partition-prune: " +
+        plan.linesIterator.filter(_.contains("PartitionFilters"))
+          .mkString("; "))
+
+    // appends route through appendPartitioned: layout survives, the
+    // appended vectors are probe-reachable, plain appends are refused
+    Similarity.appendToIvfIndex(
+      e.select((col("id") + 7000L).as("id"), col("vec")), pIdx): Unit
+    val afterAppend = Similarity.queryIvfIndex(spark, pIdx, q, 1000,
+      nProbes = 8)
+    assert(afterAppend.filter(col("cand_id") >= 7000L).count() > 0)
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.Versioned.append(
+        graft.sources.Versioned.read(spark, s"$pIdx/assignment").limit(1),
+        s"$pIdx/assignment")
+    }
+    assert(ex.getMessage.contains("appendPartitioned"))
+
+    // compaction re-merges per-append files, keeps the layout + probes;
+    // vacuum reclaims the superseded partitioned dirs
+    val before = rows(Similarity.queryIvfIndex(spark, pIdx, q, 5, nProbes = 8))
+    Similarity.compactIvfIndex(spark, pIdx): Unit
+    assert(rows(Similarity.queryIvfIndex(spark, pIdx, q, 5, nProbes = 8))
+      == before)
+    assert(graft.sources.Versioned.vacuum(spark, s"$pIdx/assignment",
+      retainVersions = 1) > 0)
+    assert(rows(Similarity.queryIvfIndex(spark, pIdx, q, 5, nProbes = 8))
+      == before)
+  }
+
   test("SQ8 IVF index: exhaustive probe ≡ full quantized scan; pruned probe scores agree") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
