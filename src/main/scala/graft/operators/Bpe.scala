@@ -193,6 +193,26 @@ object Bpe {
       .select(col("word"), col("n"), col("seg"))
   }
 
+  /** Documents exploded to positioned words, in the requested alphabet:
+    * char-level passes raw words through; byte-level maps each word to
+    * its byte-symbol form (bound hex column, per the [[symbolsFromHex]]
+    * contract) so the join key matches [[wordTypesByteLevel]]'s table.
+    */
+  private def docWordsPos(docs: DataFrame, id: Column, text: Column,
+                          byteLevel: Boolean): DataFrame = {
+    val raw = docs.select(id.as("doc_id"), posexplode(TextOps.tokens(text)))
+      .select(col("doc_id"), col("pos").as("word_pos"), col("col").as("raw"))
+      .filter(length(col("raw")) > 0)
+    if (!byteLevel) raw.withColumnRenamed("raw", "word")
+    else raw.withColumn("h", hex(encode(col("raw"), "UTF-8")))
+      .select(col("doc_id"), col("word_pos"),
+        symbolsFromHex(col("h")).as("word"))
+  }
+
+  private def typesOf(docs: DataFrame, text: Column,
+                      byteLevel: Boolean): DataFrame =
+    if (byteLevel) wordTypesByteLevel(docs, text) else wordTypes(docs, text)
+
   def encodeTypes(words: DataFrame, merges: DataFrame): DataFrame =
     encodeSegs(words, merges)
       .select(col("word"), col("n"),
@@ -206,8 +226,9 @@ object Bpe {
     * packing offset table — never the corpus). Output: (tok, n_occ,
     * tok_id with ids from 0).
     */
-  def vocab(docs: DataFrame, text: Column, merges: DataFrame): DataFrame = {
-    val enc = encodeSegs(wordTypes(docs, text), merges)
+  def vocab(docs: DataFrame, text: Column, merges: DataFrame,
+            byteLevel: Boolean = false): DataFrame = {
+    val enc = encodeSegs(typesOf(docs, text, byteLevel), merges)
     val counts = enc
       .select(col("n"), explode(symsOf(col("seg"))).as("tok"))
       .groupBy(col("tok")).agg(sum(col("n")).as("n_occ"))
@@ -227,12 +248,11 @@ object Bpe {
     * against vocabulary-sized build sides.
     */
   def encodeIds(docs: DataFrame, id: Column, text: Column,
-                merges: DataFrame, vocabDf: DataFrame): DataFrame = {
-    val types = encodeSegs(wordTypes(docs, text), merges)
+                merges: DataFrame, vocabDf: DataFrame,
+                byteLevel: Boolean = false): DataFrame = {
+    val types = encodeSegs(typesOf(docs, text, byteLevel), merges)
       .select(col("word"), symsOf(col("seg")).as("syms"))
-    docs.select(id.as("doc_id"), posexplode(TextOps.tokens(text)))
-      .select(col("doc_id"), col("pos").as("word_pos"), col("col").as("word"))
-      .filter(length(col("word")) > 0)
+    docWordsPos(docs, id, text, byteLevel)
       .join(types, Seq("word"))
       .select(col("doc_id"), col("word_pos"), posexplode(col("syms")))
       .select(col("doc_id"), col("word_pos"),
@@ -250,11 +270,11 @@ object Bpe {
     * (vocabulary-sized build side). Output: (doc_id, n_words, n_tok).
     */
   def tokenCounts(docs: DataFrame, id: Column, text: Column,
-                  merges: DataFrame): DataFrame = {
-    val types = encodeTypes(wordTypes(docs, text), merges)
+                  merges: DataFrame, byteLevel: Boolean = false): DataFrame = {
+    val types = encodeTypes(typesOf(docs, text, byteLevel), merges)
       .select(col("word"), col("n_sym"))
-    docs.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("word"))
-      .filter(length(col("word")) > 0)
+    docWordsPos(docs, id, text, byteLevel)
+      .drop("word_pos")
       .join(types, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tok"))

@@ -195,5 +195,27 @@ class BpeSpec extends SparkSpec {
         Bpe.trainByteLevel(docs, col("text"), 5))
       .select(col("word"), col("n_sym")).as[(String, Long)].collect().toMap
     assert(enc == refSegs.map { case (w, segs) => w -> segs.size.toLong })
+
+    // the whole trainer surface runs in byte mode: vocab counts conserve
+    // the corpus token total, and the id streams partition every word
+    val merges = Bpe.trainByteLevel(docs, col("text"), 5)
+    val vocabB = Bpe.vocab(docs, col("text"), merges, byteLevel = true)
+    val vocabTotal = vocabB.agg(sum(col("n_occ"))).as[Long].head()
+    val counts = Bpe.tokenCounts(docs, col("doc_id"), col("text"), merges,
+      byteLevel = true).as[(Long, Long, Long)].collect().head
+    assert(counts._2 == 6L, "all six words must join the byte-level types")
+    assert(vocabTotal == counts._3,
+      s"vocab occurrences $vocabTotal != doc token total ${counts._3}")
+    val ids = Bpe.encodeIds(docs, col("doc_id"), col("text"), merges,
+      vocabB, byteLevel = true)
+      .as[(Long, Int, Int, String, Int)].collect()
+    assert(ids.length.toLong == counts._3)
+    // subwords concatenate back to the byte-symbol word at each position
+    val wordsInDoc = "caf\u00e9 caf\u00e9 caf\u00e9 \u2603x \u2603x a\u0001b"
+      .split(" ").map(toSyms)
+    ids.groupBy(_._2).foreach { case (wp, rows) =>
+      assert(rows.sortBy(_._3).map(_._4).mkString == wordsInDoc(wp),
+        s"word $wp subwords do not reassemble")
+    }
   }
 }
