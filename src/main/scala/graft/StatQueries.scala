@@ -420,6 +420,31 @@ object StatQueries {
       |WHERE n_occ * 51 > n_total
       |ORDER BY n_occ DESC, item ASC""".stripMargin
 
+
+  // ---------------------------------------------------------------------
+  // [EXT] per-group heavy hitters — q160's two-pass composition grouped
+  // by source (the per-domain top-token report a mixture designer
+  // reads): pass 1 is ONE grouped MG aggregation whose buffers stay
+  // k-bounded on every partial, pass 2 recounts the exploded (group,
+  // candidate) pairs exactly and filters against per-group totals.
+  // Deterministic ⇒ fully hash-checked, like q160.
+  def q163HeavyHittersByGroup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.heavyHittersByGroup(
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok")),
+      col("source"), col("tok"), k = 50)
+
+  private val q163Sql =
+    """WITH t AS (
+      |  SELECT source AS g, unnest(string_split(text, ' ')) AS item
+      |  FROM documents),
+      |tg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g FROM t GROUP BY 1),
+      |c AS (SELECT g, item, CAST(count(*) AS BIGINT) AS n_occ
+      |      FROM t GROUP BY 1, 2)
+      |SELECT c.g, item, n_occ FROM c JOIN tg USING (g)
+      |WHERE n_occ * 51 > n_g
+      |ORDER BY g ASC, n_occ DESC, item ASC""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_stats_agg"       -> (q46StatsAgg _),
     "q47_cube"            -> (q47Cube _),
@@ -436,6 +461,7 @@ object StatQueries {
     "q94_percentile_dist" -> (q94PercentileDist _),
     "q112_topk_agg"       -> (q112TopkAgg _),
     "q160_heavy_hitters"  -> (q160HeavyHitters _),
+    "q163_heavy_hitters_grouped" -> (q163HeavyHittersByGroup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -454,5 +480,6 @@ object StatQueries {
     "q94_percentile_dist" -> q94Sql,
     "q112_topk_agg"       -> q112Sql,
     "q160_heavy_hitters"  -> q160Sql,
+    "q163_heavy_hitters_grouped" -> q163Sql,
   )
 }

@@ -224,4 +224,32 @@ object Stats {
       .select(col("item"), col("n_occ"))
       .orderBy(col("n_occ").desc, col("item").asc)
   }
+
+  /** [[heavyHitters]] PER GROUP — per-domain/per-source top tokens, the
+    * report a mixture designer reads: every (group, item) whose count
+    * exceeds that group's n_g/(k+1). Pass 1 is ONE grouped aggregation
+    * whose buffers stay k-bounded on every partial (the aggregator's
+    * map-side merge — the shuffle carries ≤ k entries per group per
+    * partition, never the items); pass 2 recounts the exploded
+    * candidates via a broadcast equality join on (group, item) and
+    * filters against per-group totals. Deterministic for the same
+    * reason as the global form. Output: (g, item, n_occ).
+    */
+  def heavyHittersByGroup(df: DataFrame, group: Column, item: Column,
+                          k: Int): DataFrame = {
+    require(k > 0, s"heavy hitters need k >= 1, got $k")
+    val base = df.select(group.as("g"), item.cast("string").as("item"))
+    val mg = udaf(new graft.functions.MisraGriesAggregator(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val cands = base.groupBy(col("g")).agg(mg(col("item")).as("sk"))
+      .select(col("g"), explode(col("sk")).as("c"))
+      .select(col("g"), col("c._1").as("item"))
+    val totals = base.groupBy(col("g")).agg(count(lit(1)).as("n_g"))
+    base.join(broadcast(cands), Seq("g", "item"))
+      .groupBy(col("g"), col("item")).agg(count(lit(1)).as("n_occ"))
+      .join(broadcast(totals), Seq("g"))
+      .filter(col("n_occ") * lit(k + 1L) > col("n_g"))
+      .select(col("g"), col("item"), col("n_occ"))
+      .orderBy(col("g").asc, col("n_occ").desc, col("item").asc)
+  }
 }

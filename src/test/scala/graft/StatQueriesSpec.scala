@@ -227,4 +227,22 @@ class StatQueriesSpec extends SparkSpec {
     assert(merged("hot") >= 400 - 100 && merged("hot") <= 400)
     assert(merged("warm") >= 120 - 100 && merged("warm") <= 120)
   }
+
+  test("heavyHittersByGroup: per-group thresholds are independent — an " +
+      "item heavy in one group never leaks into another") {
+    import graft.operators.Stats
+    // group A: 'hot' at 50%; group B: same token at 1% (cold there)
+    val a = Seq.fill(100)(("A", "hot")) ++ (1 to 100).map(i => ("A", s"ca$i"))
+    val b = Seq.fill(2)(("B", "hot")) ++ Seq.fill(80)(("B", "warm")) ++
+      (1 to 118).map(i => ("B", s"cb$i"))
+    val df = (a ++ b).toDF("g", "item")
+    val hh = Stats.heavyHittersByGroup(df, col("g"), col("item"), 9)
+      .as[(String, String, Long)].collect().toSeq
+    // thresholds: each group has n_g = 200 → cutoff 20
+    assert(hh == Seq(("A", "hot", 100L), ("B", "warm", 80L)),
+      s"got $hh")
+    // layout-independent
+    assert(Stats.heavyHittersByGroup(df.repartition(17), col("g"),
+      col("item"), 9).as[(String, String, Long)].collect().toSeq == hh)
+  }
 }
