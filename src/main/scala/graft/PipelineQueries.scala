@@ -1413,6 +1413,25 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
   }
 
+  // ---------------------------------------------------------------------
+  // [EXT] PERSISTED TOKENIZER — q156's id streams served from the
+  // versioned model artifact (Bpe.buildBpeModel: merges + vocab as two
+  // lockstep Versioned tables — the merges.txt/vocab.json pair every
+  // production tokenizer ships): train once, encode many, asOf
+  // time-travels to any historical tokenizer. Output ≡ q156's inline
+  // pipeline, so the same oracle SQL carries the check (the
+  // q132/q116 pattern).
+  def q164BpeModelIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mdl = graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "bpe_m6",
+      "merges", "vocab")(
+      Bpe.buildBpeModel(docs, col("text"), k = bpeK, _): Unit)
+    Bpe.encodeIdsWithModel(spark, mdl, docs.filter(col("doc_id") < 3),
+        col("doc_id"), col("text"))
+      .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
+  }
+
   private val q156Sql =
     s"""WITH ${bpeChainSql(bpeK)},
        |symn AS (
@@ -1589,7 +1608,8 @@ object PipelineQueries {
     "q159_nb_funnel"        -> (q159NbFunnel _),
     "q161_bpe_bytes"        -> (q161BpeBytes _),
     "q155_bpe_vocab"        -> (q155BpeVocab _),
-    "q156_bpe_ids"          -> (q156BpeIds _))
+    "q156_bpe_ids"          -> (q156BpeIds _),
+    "q164_bpe_model_ids"    -> (q164BpeModelIds _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -1626,5 +1646,7 @@ object PipelineQueries {
     "q159_nb_funnel"        -> q159Sql,
     "q161_bpe_bytes"        -> q161Sql,
     "q155_bpe_vocab"        -> q155Sql,
-    "q156_bpe_ids"          -> q156Sql)
+    "q156_bpe_ids"          -> q156Sql,
+    // the persisted-tokenizer probe replays q156's inline pipeline
+    "q164_bpe_model_ids"    -> q156Sql)
 }

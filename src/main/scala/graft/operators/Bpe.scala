@@ -279,4 +279,68 @@ object Bpe {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tok"))
   }
+
+  // ------------------------------------------------------------- model
+
+  /** PERSIST the tokenizer as a versioned artifact — the train-once /
+    * encode-many shape every production tokenizer has (a merges.txt +
+    * vocab.json pair, here as two lockstep [[graft.sources.Versioned]]
+    * tables under `modelDir`): corpus-wide training runs once; every
+    * downstream encode/count job reads the KB-sized broadcast tables;
+    * `asOf` reproduces any historical tokenizer exactly (retraining on
+    * a grown corpus bumps the version — old id streams stay
+    * reproducible, the [[graft.operators.Corpus.buildNbModel]]
+    * discipline). Returns the committed version.
+    */
+  def buildBpeModel(docs: DataFrame, text: Column, k: Int,
+                    modelDir: String, byteLevel: Boolean = false): Long = {
+    val merges =
+      if (byteLevel) trainByteLevel(docs, text, k) else train(docs, text, k)
+    // staged once: the vocab derives from the merges, and committing
+    // both from one computed list keeps them consistent by construction
+    val staged = merges.localCheckpoint()
+    val vm = graft.sources.Versioned.overwrite(staged, s"$modelDir/merges")
+    val vv = graft.sources.Versioned.overwrite(
+      vocab(docs, text, staged, byteLevel), s"$modelDir/vocab")
+    require(vm == vv, s"BPE model tables diverged: merges v$vm vs vocab " +
+      s"v$vv (was $modelDir written by something other than buildBpeModel?)")
+    vm
+  }
+
+  private def readModel(spark: org.apache.spark.sql.SparkSession,
+                        modelDir: String, asOf: Option[Long])
+      : (DataFrame, DataFrame) = {
+    if (asOf.isEmpty) {
+      val vm = graft.sources.Versioned.latestVersion(spark, s"$modelDir/merges")
+      val vv = graft.sources.Versioned.latestVersion(spark, s"$modelDir/vocab")
+      require(vm == vv, s"BPE model tables out of lockstep (merges v$vm, " +
+        s"vocab v$vv) — a build crashed between commits; rebuild into a " +
+        "fresh directory or pin an intact version with asOf")
+    }
+    (graft.sources.Versioned.read(spark, s"$modelDir/merges", asOf),
+      graft.sources.Versioned.read(spark, s"$modelDir/vocab", asOf))
+  }
+
+  /** [[encodeIds]] against a persisted model (optionally a pinned
+    * historical version): the encode job pays only its own corpus pass
+    * — no training rescan.
+    */
+  def encodeIdsWithModel(spark: org.apache.spark.sql.SparkSession,
+                         modelDir: String, docs: DataFrame, id: Column,
+                         text: Column, byteLevel: Boolean = false,
+                         asOf: Option[Long] = None): DataFrame = {
+    val (merges, vocabDf) = readModel(spark, modelDir, asOf)
+    encodeIds(docs, id, text, merges, vocabDf, byteLevel)
+  }
+
+  /** [[tokenCounts]] against a persisted model — the provisioning
+    * count a trainer reads without retraining the tokenizer.
+    */
+  def tokenCountsWithModel(spark: org.apache.spark.sql.SparkSession,
+                           modelDir: String, docs: DataFrame, id: Column,
+                           text: Column, byteLevel: Boolean = false,
+                           asOf: Option[Long] = None): DataFrame = {
+    val (merges, _) = readModel(spark, modelDir, asOf)
+    tokenCounts(docs, id, text, merges, byteLevel)
+  }
 }

@@ -218,4 +218,47 @@ class BpeSpec extends SparkSpec {
         s"word $wp subwords do not reassemble")
     }
   }
+
+  test("persisted BPE model: probe ≡ inline, retrain bumps the version " +
+      "and asOf pins the old tokenizer, wedged model refuses") {
+    val docs = Seq((1L, "abc abc abc abd abd ax")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString
+    val v0 = Bpe.buildBpeModel(docs, col("text"), k = 2, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "word_pos", "sym_pos", "tok", "tok_id")
+        .as[(Long, Int, Int, String, Int)].collect().sortBy(r => (r._2, r._3)).toSeq
+    val inline = {
+      val m = Bpe.train(docs, col("text"), 2)
+      rows(Bpe.encodeIds(docs, col("doc_id"), col("text"), m,
+        Bpe.vocab(docs, col("text"), m)))
+    }
+    assert(rows(Bpe.encodeIdsWithModel(spark, dir, docs, col("doc_id"),
+      col("text"))) == inline, "model probe must equal the inline pipeline")
+
+    // retrain on a grown corpus: new version, different merges; the old
+    // tokenizer stays reproducible under asOf (id streams pinned)
+    val grown = docs.unionByName(
+      Seq((2L, "zz zz zz zz zz zz zz zz")).toDF("doc_id", "text"))
+    val v1 = Bpe.buildBpeModel(grown, col("text"), k = 2, dir)
+    assert(v1 == v0 + 1)
+    assert(rows(Bpe.encodeIdsWithModel(spark, dir, docs, col("doc_id"),
+      col("text"), asOf = Some(v0))) == inline)
+    assert(rows(Bpe.encodeIdsWithModel(spark, dir, docs, col("doc_id"),
+      col("text"))) != inline, "the retrained tokenizer must differ")
+    // counts agree with the encode stream under the same model
+    val nTok = Bpe.tokenCountsWithModel(spark, dir, docs, col("doc_id"),
+      col("text"), asOf = Some(v0)).select("n_tok").as[Long].head()
+    assert(nTok == inline.size.toLong)
+
+    // a crash between the two commits wedges loudly; asOf still reads
+    graft.sources.Versioned.overwrite(
+      graft.sources.Versioned.read(spark, s"$dir/merges").localCheckpoint(),
+      s"$dir/merges"): Unit
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.encodeIdsWithModel(spark, dir, docs, col("doc_id"), col("text"))
+    }
+    assert(ex.getMessage.contains("out of lockstep"))
+    assert(rows(Bpe.encodeIdsWithModel(spark, dir, docs, col("doc_id"),
+      col("text"), asOf = Some(v0))) == inline)
+  }
 }
