@@ -33,16 +33,19 @@ object Scheduler {
   final case class Attempt(attempt: Int, ok: Boolean, error: String)
 
   /** The boundary (epoch ms, multiple of `intervalMs`) a run should
-    * cover now, if any: the latest fully-elapsed interval start not yet
-    * covered by `lastCovered`. `catchup = false` semantics — at most
-    * ONE boundary regardless of how many were missed.
+    * cover now, if any: the start of the latest fully-ELAPSED interval
+    * `[due, due + intervalMs)` not yet covered by `lastCovered` —
+    * Airflow's data-interval rule (a daily run triggered just after
+    * midnight covers YESTERDAY, the day that has actually elapsed).
+    * `catchup = false` semantics — at most ONE boundary regardless of
+    * how many were missed. Before the first interval has elapsed
+    * (`nowMs < intervalMs`) nothing is due.
     */
   def dueBoundary(nowMs: Long, lastCovered: Option[Long],
                   intervalMs: Long): Option[Long] = {
     require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
-    val latest = (nowMs / intervalMs) * intervalMs
-    if (lastCovered.forall(_ < latest) && latest <= nowMs) Some(latest)
-    else None
+    val due = (nowMs / intervalMs) * intervalMs - intervalMs
+    if (due >= 0 && lastCovered.forall(_ < due)) Some(due) else None
   }
 
   /** Run `job` with the DAG's retry discipline: up to `retries` extra

@@ -299,7 +299,13 @@ object Bpe {
     // staged once: the vocab derives from the merges, and committing
     // both from one computed list keeps them consistent by construction
     val staged = merges.localCheckpoint()
-    val vm = graft.sources.Versioned.overwrite(staged, s"$modelDir/merges")
+    // the alphabet flag is PERSISTED on the merges rows and guarded at
+    // read (the pqResGuard discipline): encoding byte-level merges over
+    // char-level segmentations (or vice versa) produces plausible-but-
+    // wrong output silently — ASCII merges still fire, unknown toks
+    // vanish in the vocab join — so a flag mismatch must fail loudly
+    val vm = graft.sources.Versioned.overwrite(
+      staged.withColumn("byte_level", lit(byteLevel)), s"$modelDir/merges")
     val vv = graft.sources.Versioned.overwrite(
       vocab(docs, text, staged, byteLevel), s"$modelDir/vocab")
     require(vm == vv, s"BPE model tables diverged: merges v$vm vs vocab " +
@@ -307,9 +313,27 @@ object Bpe {
     vm
   }
 
+  /** In-plan alphabet guard: reading a model whose persisted
+    * `byte_level` differs from the caller's flag fails loudly instead
+    * of mis-encoding. Models persisted before the flag existed read
+    * only as char-level (the then-default); byte-level callers get a
+    * rebuild message instead of unverifiable output.
+    */
+  private def byteLevelGuard(merges: DataFrame, byteLevel: Boolean): DataFrame =
+    if (!merges.columns.contains("byte_level")) {
+      require(!byteLevel, "this BPE model predates the persisted " +
+        "byte_level flag: it cannot be verified as byte-level — encode " +
+        "with byteLevel=false, or rebuild the model with buildBpeModel")
+      merges
+    } else merges
+      .filter(assert_true(col("byte_level") === lit(byteLevel),
+        lit(s"BPE model byte_level flag != caller's byteLevel = $byteLevel" +
+          " — re-read the model with the alphabet it was trained on")).isNull)
+      .drop("byte_level")
+
   private def readModel(spark: org.apache.spark.sql.SparkSession,
-                        modelDir: String, asOf: Option[Long])
-      : (DataFrame, DataFrame) = {
+                        modelDir: String, asOf: Option[Long],
+                        byteLevel: Boolean): (DataFrame, DataFrame) = {
     if (asOf.isEmpty) {
       val vm = graft.sources.Versioned.latestVersion(spark, s"$modelDir/merges")
       val vv = graft.sources.Versioned.latestVersion(spark, s"$modelDir/vocab")
@@ -317,7 +341,9 @@ object Bpe {
         s"vocab v$vv) — a build crashed between commits; rebuild into a " +
         "fresh directory or pin an intact version with asOf")
     }
-    (graft.sources.Versioned.read(spark, s"$modelDir/merges", asOf),
+    (byteLevelGuard(
+        graft.sources.Versioned.read(spark, s"$modelDir/merges", asOf),
+        byteLevel),
       graft.sources.Versioned.read(spark, s"$modelDir/vocab", asOf))
   }
 
@@ -329,7 +355,7 @@ object Bpe {
                          modelDir: String, docs: DataFrame, id: Column,
                          text: Column, byteLevel: Boolean = false,
                          asOf: Option[Long] = None): DataFrame = {
-    val (merges, vocabDf) = readModel(spark, modelDir, asOf)
+    val (merges, vocabDf) = readModel(spark, modelDir, asOf, byteLevel)
     encodeIds(docs, id, text, merges, vocabDf, byteLevel)
   }
 
@@ -340,7 +366,7 @@ object Bpe {
                            modelDir: String, docs: DataFrame, id: Column,
                            text: Column, byteLevel: Boolean = false,
                            asOf: Option[Long] = None): DataFrame = {
-    val (merges, _) = readModel(spark, modelDir, asOf)
+    val (merges, _) = readModel(spark, modelDir, asOf, byteLevel)
     tokenCounts(docs, id, text, merges, byteLevel)
   }
 }

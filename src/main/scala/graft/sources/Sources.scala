@@ -18,10 +18,12 @@ object Sources {
     * an extra full pass over the data and guesses types, so it is the
     * exploration affordance, never the production path — production
     * jobs declare their schema ([[json]] above). Kept as a separate
-    * overload so the cost is visible at the call site.
+    * overload so the cost is visible at the call site. (No option is
+    * needed: `spark.read.json` with no schema ALWAYS infers —
+    * `inferSchema` is a CSV-reader option, not a JSON one.)
     */
   def jsonInferred(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("inferSchema", "true").json(path)
+    spark.read.json(path)
 
   /** S9 — Parquet scan (schema from footer). */
   def parquet(spark: SparkSession, path: String): DataFrame =

@@ -284,15 +284,29 @@ object Versioned {
     require(action == "append" || action == "overwrite", s"bad action: $action")
     val spark = df.sparkSession
     val f = fs(spark, new Path(table))
-    if (action == "append" && versions(f, table).nonEmpty) {
-      // partitioned tables REFUSE layout-mismatched appends: a plain
-      // append's files would not carry the partition column and the
-      // snapshot would become unreadable (bucketed tables just demote)
-      val declared = lastOverwriteLayout(f, table, Long.MaxValue)
+    // Layout guard, BOTH directions: a partitioned table refuses
+    // layout-mismatched appends (a plain append's files would not carry
+    // the partition column and the snapshot would become unreadable;
+    // bucketed tables just demote), and a `part:` append refuses a
+    // table whose declared layout differs (landing a partitioned DIR on
+    // a plain/bucketed/empty table would mix per-file adds with a dir
+    // add and route partition-column resolution through the plain
+    // multi-root read path). Re-checked after every lost commit race —
+    // a concurrent overwrite may have changed the declared layout
+    // between the first check and the log write (TOCTOU).
+    def checkAppendLayout(): Unit = if (action == "append") {
+      val declared =
+        if (versions(f, table).isEmpty) ""
+        else lastOverwriteLayout(f, table, Long.MaxValue)
       require(parsePartLayout(declared).isEmpty || layout == declared,
         s"$table is partitioned ($declared): append with appendPartitioned " +
           "so the batch lands in the same directory layout")
+      require(parsePartLayout(layout).isEmpty || declared == layout,
+        s"appendPartitioned($layout) onto $table whose declared layout is " +
+          s"'$declared': partitioned appends are only valid on a table " +
+          "overwritePartitioned with the same column")
     }
+    checkAppendLayout()
     val schemaJson = df.schema.json
     var v = versions(f, table).lastOption.map(_ + 1).getOrElse(0L)
     val files = stage(df, table, v, layout)
@@ -302,6 +316,7 @@ object Versioned {
       attempts += 1
       require(attempts <= maxRetries, s"lost $maxRetries commit races on $table")
       v = versions(f, table).lastOption.map(_ + 1).getOrElse(0L)
+      checkAppendLayout()
     }
     if (v % checkpointInterval == 0 && v > 0) {
       val full = resolve(f, table, Some(v))

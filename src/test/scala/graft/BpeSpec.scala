@@ -261,4 +261,52 @@ class BpeSpec extends SparkSpec {
     assert(rows(Bpe.encodeIdsWithModel(spark, dir, docs, col("doc_id"),
       col("text"), asOf = Some(v0))) == inline)
   }
+
+  test("persisted byte_level flag guards the encode alphabet: mismatch " +
+      "fails loudly both directions; a pre-flag model reads char-level " +
+      "only") {
+    val docs = Seq((1L, "abc abc abd")).toDF("doc_id", "text")
+    def causes(e: Throwable) = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString("\n")
+
+    // char-level model probed as byte-level → loud failure, and the
+    // reverse — silent acceptance would apply merges to the wrong
+    // alphabet and drop unknown toks in the vocab join
+    val charDir = java.nio.file.Files.createTempDirectory("bpe_flag_c").toString
+    Bpe.buildBpeModel(docs, col("text"), k = 2, charDir): Unit
+    val exC = intercept[Exception] {
+      Bpe.encodeIdsWithModel(spark, charDir, docs, col("doc_id"),
+        col("text"), byteLevel = true).collect()
+    }
+    assert(causes(exC).contains("byte_level"))
+
+    val byteDir = java.nio.file.Files.createTempDirectory("bpe_flag_b").toString
+    Bpe.buildBpeModel(docs, col("text"), k = 2, byteDir, byteLevel = true): Unit
+    val exB = intercept[Exception] {
+      Bpe.tokenCountsWithModel(spark, byteDir, docs, col("doc_id"),
+        col("text"), byteLevel = false).collect()
+    }
+    assert(causes(exB).contains("byte_level"))
+    // matching flag reads fine
+    assert(Bpe.tokenCountsWithModel(spark, byteDir, docs, col("doc_id"),
+      col("text"), byteLevel = true).count() == 1)
+
+    // legacy model (persisted before the flag): char-level reads work,
+    // byte-level gets a rebuild message instead of unverifiable output
+    val legacy = java.nio.file.Files.createTempDirectory("bpe_flag_l").toString
+    Bpe.buildBpeModel(docs, col("text"), k = 2, legacy): Unit
+    val stripped = graft.sources.Versioned.read(spark, s"$legacy/merges")
+      .drop("byte_level").localCheckpoint()
+    graft.sources.Versioned.overwrite(stripped, s"$legacy/merges"): Unit
+    graft.sources.Versioned.overwrite(
+      graft.sources.Versioned.read(spark, s"$legacy/vocab").localCheckpoint(),
+      s"$legacy/vocab"): Unit
+    assert(Bpe.tokenCountsWithModel(spark, legacy, docs, col("doc_id"),
+      col("text")).count() == 1)
+    val exL = intercept[IllegalArgumentException] {
+      Bpe.tokenCountsWithModel(spark, legacy, docs, col("doc_id"),
+        col("text"), byteLevel = true)
+    }
+    assert(exL.getMessage.contains("predates"))
+  }
 }

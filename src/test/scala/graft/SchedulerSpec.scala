@@ -11,17 +11,22 @@ class SchedulerSpec extends SparkSpec {
 
   private val Day = 24L * 3600 * 1000
 
-  test("dueBoundary: fires once per interval, catchup=false collapses a gap") {
-    // nothing covered yet → the latest elapsed boundary fires
-    assert(Scheduler.dueBoundary(10 * Day + 5, None, Day) == Some(10 * Day))
+  test("dueBoundary: fires once per ELAPSED interval (Airflow data-" +
+      "interval rule), catchup=false collapses a gap") {
+    // nothing covered yet → the latest fully-ELAPSED interval fires:
+    // just after the day-10 boundary the run covers day 9 (the day
+    // that actually elapsed — a daily job at 00:05 processes yesterday)
+    assert(Scheduler.dueBoundary(10 * Day + 5, None, Day) == Some(9 * Day))
     // same interval again → nothing due
-    assert(Scheduler.dueBoundary(10 * Day + 9, Some(10 * Day), Day).isEmpty)
-    // next interval crossed → its boundary
-    assert(Scheduler.dueBoundary(11 * Day + 1, Some(10 * Day), Day)
-      == Some(11 * Day))
-    // a WEEK of missed intervals → exactly one run, the latest
-    assert(Scheduler.dueBoundary(17 * Day + 1, Some(10 * Day), Day)
-      == Some(17 * Day))
+    assert(Scheduler.dueBoundary(10 * Day + 9, Some(9 * Day), Day).isEmpty)
+    // next boundary crossed → day 10 has now elapsed
+    assert(Scheduler.dueBoundary(11 * Day + 1, Some(9 * Day), Day)
+      == Some(10 * Day))
+    // a WEEK of missed intervals → exactly one run, the latest elapsed
+    assert(Scheduler.dueBoundary(17 * Day + 1, Some(9 * Day), Day)
+      == Some(16 * Day))
+    // before the first interval has elapsed, nothing is due
+    assert(Scheduler.dueBoundary(Day - 1, None, Day).isEmpty)
   }
 
   test("runWithRetries: fails twice then succeeds — 3 attempts, 2 delays; " +
@@ -53,7 +58,8 @@ class SchedulerSpec extends SparkSpec {
     var runs = 0
     val job = () => { runs += 1; if (!healthy) sys.error("db down") }
 
-    // day 10: job down → 3 failed attempts recorded, interval NOT covered
+    // day 10: job down → 3 failed attempts recorded, interval NOT
+    // covered (the due boundary is day 9, the elapsed interval)
     val t1 = Scheduler.tick(spark, dir, job, nowMs = 10 * Day + 5,
       intervalMs = Day, retries = 2, retryDelayMs = 1L, sleep = _ => ())
     assert(t1.size == 3 && t1.forall(!_.ok) && runs == 3)
@@ -77,7 +83,7 @@ class SchedulerSpec extends SparkSpec {
       .as[(Long, Long, Int, Boolean)].collect()
       .sortBy(r => (r._1, r._3)).map(r => (r._2, r._3, r._4)).toSeq
     assert(hist == Seq(
-      (10 * Day, 1, false), (10 * Day, 2, false), (10 * Day, 3, false),
-      (10 * Day, 1, true), (11 * Day, 1, true)))
+      (9 * Day, 1, false), (9 * Day, 2, false), (9 * Day, 3, false),
+      (9 * Day, 1, true), (10 * Day, 1, true)))
   }
 }

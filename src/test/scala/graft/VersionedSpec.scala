@@ -204,6 +204,46 @@ class VersionedSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("partitioned-append guard is bidirectional: appendPartitioned " +
+      "refuses plain, bucketed, empty, and column-mismatched targets") {
+    // onto a PLAIN table: the partitioned DIR add would mix with
+    // per-file adds and read through the plain multi-root path
+    val plain = tmpTable()
+    Versioned.append(Seq((1L, "a")).toDF("id", "p"), plain): Unit
+    val exPlain = intercept[IllegalArgumentException] {
+      Versioned.appendPartitioned(Seq((2L, "b")).toDF("id", "p"), plain, "p")
+    }
+    assert(exPlain.getMessage.contains("declared layout"))
+
+    // onto a BUCKETED table
+    val bucketed = tmpTable()
+    Versioned.overwriteBucketed(Seq((1L, "a")).toDF("id", "p"), bucketed,
+      "id", 2): Unit
+    assert(intercept[IllegalArgumentException] {
+      Versioned.appendPartitioned(Seq((2L, "b")).toDF("id", "p"), bucketed, "p")
+    }.getMessage.contains("declared layout"))
+
+    // onto an EMPTY table (no declared layout to match)
+    val empty = tmpTable()
+    assert(intercept[IllegalArgumentException] {
+      Versioned.appendPartitioned(Seq((2L, "b")).toDF("id", "p"), empty, "p")
+    }.getMessage.contains("declared layout"))
+
+    // onto a partitioned table with a DIFFERENT column
+    val parted = tmpTable()
+    Versioned.overwritePartitioned(
+      Seq((1L, "a", "x")).toDF("id", "p", "q"), parted, "p"): Unit
+    assert(intercept[IllegalArgumentException] {
+      Versioned.appendPartitioned(
+        Seq((2L, "b", "y")).toDF("id", "p", "q"), parted, "q")
+    }.getMessage.contains("same directory layout"))
+    // the matching append still works and the layout survives
+    Versioned.appendPartitioned(
+      Seq((2L, "b", "y")).toDF("id", "p", "q"), parted, "p"): Unit
+    assert(Versioned.read(spark, parted).count() == 2)
+    assert(Versioned.declaredLayout(spark, parted) == "part:p")
+  }
+
   test("merge: CDC upserts produce new versions with Upsert semantics") {
     val t = tmpTable()
     Versioned.merge(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "seq"), t,
