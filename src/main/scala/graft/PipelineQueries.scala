@@ -1423,14 +1423,119 @@ object PipelineQueries {
   // q132/q116 pattern).
   def q164BpeModelIds(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val mdl = graft.sources.CachedArtifact.resolve(spark,
-      new java.io.File(dir, "documents.parquet"), "bpe_m6",
-      "merges", "vocab")(
-      Bpe.buildBpeModel(docs, col("text"), k = bpeK, _): Unit)
+    val mdl = cachedBpeModel(spark, dir)
     Bpe.encodeIdsWithModel(spark, mdl, docs.filter(col("doc_id") < 3),
         col("doc_id"), col("text"))
       .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
   }
+
+  // ---------------------------------------------------------------------
+  // [EXT] TOKENIZER-TRUE trainer export — q127's funnel with the
+  // packing budget counted in MODEL tokens instead of whitespace words:
+  // quality gates → exact dedup → source-weighted mixture, then each
+  // copy's length comes from the PERSISTED BPE tokenizer
+  // (Bpe.tokenCountsWithModel against the q164 model artifact) and the
+  // 512-token cuts land every 512 BPE ids — what a trainer's
+  // fixed-context loader actually consumes. The per-source manifest
+  // reports docs, copies, MODEL tokens, and sequences. The oracle
+  // replays the BPE training chain (the q151 token-count CTEs), the
+  // q127 funnel, and the packing cumsum in one statement.
+  /** The per-source manifest of a MODEL-token export against an
+    * explicit (optionally version-pinned) tokenizer — shared by q165
+    * and [[graft.app.TrainingExport.runModelTokens]], so the artifact's
+    * provisioning numbers and the oracle-checked query are the same
+    * computation.
+    */
+  def bpeTrainerManifest(spark: SparkSession, dir: String, modelDir: String,
+                         budget: Int, asOf: Option[Long] = None): DataFrame = {
+    val mixed = trainerExportMixed(spark, dir)
+    val counts = Bpe.tokenCountsWithModel(spark, modelDir, mixed,
+        col("mid"), col("text"), asOf = asOf)
+      .select(col("doc_id"), col("n_tok"))
+    val spans = Corpus.packSequencesCounted(counts, budget)
+    spans.join(mixed.select(col("mid").as("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(countDistinct(floor(col("doc_id") / 4)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_copies"),
+        sum(col("n_tok_in_seq")).as("n_tokens"),
+        countDistinct(col("seq_id")).as("n_seqs"))
+      .orderBy(col("source"))
+  }
+
+  /** The shared sf-dir-keyed BPE model artifact (built once per corpus
+    * fingerprint — q164 and q165 resolve the same tokenizer).
+    */
+  def cachedBpeModel(spark: SparkSession, dir: String): String = {
+    val docs = Tables.documents(spark, dir)
+    graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "bpe_m6",
+      "merges", "vocab")(
+      Bpe.buildBpeModel(docs, col("text"), k = bpeK, _): Unit)
+  }
+
+  def q165BpeTrainerExport(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainerManifest(spark, dir, cachedBpeModel(spark, dir), budget = 512)
+
+  private val q165Sql =
+    s"""WITH ${bpeChainSql(bpeK)},
+       |enc AS (
+       |  SELECT word,
+       |    CAST(len(string_split(trim(seg, chr(1)), chr(1) || chr(1))) AS BIGINT) AS n_sym
+       |  FROM s$bpeK),
+       |c1 AS (
+       |  SELECT * FROM documents
+       |  WHERE CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) >= 0.05),
+       |c2 AS (
+       |  SELECT * FROM c1 WHERE
+       |  (least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0)
+       |   + least(1.0, 10.0 * CAST(len(list_filter(string_split(text, ' '),
+       |       x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+       |     / CAST(len(string_split(text, ' ')) AS DOUBLE))
+       |   + least(1.0, CAST(n_chars AS DOUBLE) / 1000.0)) / 3.0 >= 0.4),
+       |k AS (SELECT min(doc_id) AS doc_id FROM c2 GROUP BY lower(trim(text))),
+       |d AS (SELECT c2.* FROM c2 JOIN k USING (doc_id)),
+       |w(source, mix_full, frac_bp) AS (VALUES
+       |  ('src0', 2, 5000), ('src1', 2, 0), ('src2', 1, 5000), ('src3', 1, 0),
+       |  ('src4', 1, 0), ('src5', 0, 7500), ('src6', 0, 5000), ('src7', 0, 2500)),
+       |m AS (
+       |  SELECT d.doc_id, d.source, d.text, mix_full
+       |    + (CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |        % 10000 < frac_bp THEN 1 ELSE 0 END) AS n
+       |  FROM d JOIN w USING (source)),
+       |e AS (
+       |  SELECT doc_id, source, text,
+       |    doc_id * 4 + unnest(generate_series(0, n - 1)) AS mid
+       |  FROM m WHERE n > 0),
+       |tw AS (
+       |  SELECT mid, doc_id, source, word FROM (
+       |    SELECT mid, doc_id, source, unnest(string_split(text, ' ')) AS word
+       |    FROM e)
+       |  WHERE len(word) > 0),
+       |cnt AS (
+       |  SELECT mid, doc_id, source, CAST(sum(n_sym) AS BIGINT) AS n_tok
+       |  FROM tw JOIN enc USING (word)
+       |  GROUP BY 1, 2, 3),
+       |c AS (
+       |  SELECT mid, doc_id, source, n_tok,
+       |    CAST(sum(n_tok) OVER (ORDER BY mid) AS BIGINT) - n_tok AS tok_start
+       |  FROM cnt),
+       |s AS (
+       |  SELECT mid, doc_id, source, n_tok, tok_start,
+       |    unnest(generate_series(tok_start // 512,
+       |                           (tok_start + n_tok - 1) // 512)) AS seq_id
+       |  FROM c),
+       |spans AS (
+       |  SELECT seq_id, mid, doc_id, source,
+       |    least((seq_id + 1) * 512, tok_start + n_tok)
+       |      - greatest(seq_id * 512, tok_start) AS n_tok_in_seq
+       |  FROM s)
+       |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT mid) AS BIGINT) AS n_copies,
+       |  CAST(sum(n_tok_in_seq) AS BIGINT) AS n_tokens,
+       |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs
+       |FROM spans GROUP BY source ORDER BY source""".stripMargin
 
   private val q156Sql =
     s"""WITH ${bpeChainSql(bpeK)},
@@ -1609,7 +1714,8 @@ object PipelineQueries {
     "q161_bpe_bytes"        -> (q161BpeBytes _),
     "q155_bpe_vocab"        -> (q155BpeVocab _),
     "q156_bpe_ids"          -> (q156BpeIds _),
-    "q164_bpe_model_ids"    -> (q164BpeModelIds _))
+    "q164_bpe_model_ids"    -> (q164BpeModelIds _),
+    "q165_bpe_trainer_export" -> (q165BpeTrainerExport _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -1648,5 +1754,6 @@ object PipelineQueries {
     "q155_bpe_vocab"        -> q155Sql,
     "q156_bpe_ids"          -> q156Sql,
     // the persisted-tokenizer probe replays q156's inline pipeline
-    "q164_bpe_model_ids"    -> q156Sql)
+    "q164_bpe_model_ids"    -> q156Sql,
+    "q165_bpe_trainer_export" -> q165Sql)
 }

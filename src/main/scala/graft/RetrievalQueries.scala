@@ -196,17 +196,156 @@ object RetrievalQueries {
       |WHERE rn <= 10
       |ORDER BY query_id, score DESC, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // [EXT] HYBRID retrieval fusion — reciprocal-rank fusion (Cormack,
+  // Clarke & Büttcher 2009) over the TWO persisted indexes: the BM25
+  // inverted index (q147) and the IVF ANN index (q116) answer the same
+  // two queries independently (top-20 each), then score(q,d) =
+  // Σ 1/(60 + rank) fuses the rankings — ranks, not scores, so the
+  // log-odds and cosine scales never have to be commensurate. The
+  // oracle replays BOTH rankers (the q153 BM25 CTEs + the q98 IVF
+  // probe CTEs) AND the fusion in one statement — every rank and the
+  // DECIMAL-exact fused sum hash-match end-to-end.
+  def q166HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq((0L, Seq("dup", "spark")), (1L, Seq("hash", "join", "table")))
+      .toDF("query_id", "terms")
+    val vecs = Tables.embeddings(spark, dir).filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+    Retrieval.hybridSearch(spark, cachedBm25(spark, dir),
+      SimQueries.cachedIvfIndex(spark, dir),
+      terms.join(vecs, Seq("query_id")), k = 10, kEach = 20)
+  }
+
+  private val q166Sql = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i]))"
+    def lloyd(prev: String, asg: String, mean: String, next: String) =
+      s"""$asg AS (
+         |  SELECT centroid_id, cv FROM (
+         |    SELECT c.centroid_id, b.v AS cv,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+         |                 c.centroid_id ASC) AS rn
+         |    FROM base b CROSS JOIN $prev c)
+         |  WHERE rn = 1),
+         |$mean AS (
+         |  SELECT centroid_id, i,
+         |    CAST(sum(CAST(cv[i] AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+         |  FROM $asg CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+         |  GROUP BY 1, 2),
+         |$next AS (
+         |  SELECT centroid_id, v, list_sum(list_transform(v, x -> x * x)) AS nsq
+         |  FROM (SELECT centroid_id, list(m ORDER BY i) AS v FROM $mean GROUP BY 1))"""
+        .stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id AS centroid_id, v, nsq FROM base
+       |  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+       |           vec_id ASC
+       |  LIMIT 16),
+       |${lloyd("cent0", "asg1", "m1", "cent1")},
+       |${lloyd("cent1", "asg2", "m2", "cent2")},
+       |assigned AS (
+       |  SELECT centroid_id, cand_id, cv, cnsq FROM (
+       |    SELECT c.centroid_id, b.vec_id AS cand_id, b.v AS cv, b.nsq AS cnsq,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent2 c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id, qv, qnsq FROM (
+       |    SELECT b.vec_id AS query_id, c.centroid_id, b.v AS qv, b.nsq AS qnsq,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent2 c
+       |    WHERE b.vec_id < 2)
+       |  WHERE rn <= 4),
+       |semscored AS (
+       |  SELECT p.query_id, a.cand_id,
+       |    list_sum(list_transform(range(1, 65), i -> p.qv[i] * a.cv[i]))
+       |      / (sqrt(p.qnsq) * sqrt(a.cnsq)) AS sim
+       |  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+       |  WHERE a.cand_id <> p.query_id),
+       |semr AS (
+       |  SELECT query_id, cand_id AS doc_id, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, cand_id ASC) AS rn FROM semscored)
+       |  WHERE rn <= 20),
+       |q AS (
+       |  SELECT * FROM (VALUES (CAST(0 AS BIGINT), ['dup', 'spark']),
+       |                        (CAST(1 AS BIGINT), ['hash', 'join', 'table']))
+       |    AS v(query_id, terms)),
+       |qt AS (SELECT DISTINCT query_id, unnest(terms) AS tok FROM q),
+       |d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+       |  GROUP BY 1, 2, 3),
+       |hits AS (SELECT qt.query_id, tf.* FROM tf JOIN qt USING (tok)),
+       |dfs AS (
+       |  SELECT query_id, tok, CAST(count(*) AS BIGINT) AS df
+       |  FROM hits GROUP BY 1, 2),
+       |term AS (
+       |  SELECT h.query_id, h.doc_id,
+       |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+       |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+       |          * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+       |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS t
+       |  FROM hits h JOIN dfs USING (query_id, tok) CROSS JOIN stats),
+       |lexscored AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
+       |  FROM term GROUP BY 1, 2),
+       |lexr AS (
+       |  SELECT query_id, doc_id, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rn FROM lexscored)
+       |  WHERE rn <= 20),
+       |contrib AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(CAST(1.0 AS DOUBLE) / (60 + rn) AS DECIMAL(27,10)) AS rw
+       |  FROM lexr
+       |  UNION ALL
+       |  SELECT query_id, doc_id,
+       |    CAST(CAST(1.0 AS DOUBLE) / (60 + rn) AS DECIMAL(27,10)) AS rw
+       |  FROM semr),
+       |fused AS (
+       |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_rankers,
+       |    CAST(sum(rw) AS DOUBLE) AS rrf
+       |  FROM contrib GROUP BY 1, 2)
+       |SELECT query_id, doc_id, n_rankers, rrf FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused)
+       |WHERE rn <= 10
+       |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_bm25"         -> (q146Bm25 _),
     "q147_bm25_index"   -> (q147Bm25Index _),
     "q148_zorder_key"   -> (q148ZorderKey _),
     "q152_phrase_index" -> (q152PhraseIndex _),
-    "q153_bm25_many"    -> (q153Bm25Many _))
+    "q153_bm25_many"    -> (q153Bm25Many _),
+    "q166_hybrid_rrf"   -> (q166HybridRrf _))
 
   val oracle: Map[String, String] = Map(
     "q146_bm25"         -> q146Sql,
     "q147_bm25_index"   -> q146Sql,
     "q148_zorder_key"   -> q148Sql,
     "q152_phrase_index" -> q152Sql,
-    "q153_bm25_many"    -> q153Sql)
+    "q153_bm25_many"    -> q153Sql,
+    "q166_hybrid_rrf"   -> q166Sql)
 }

@@ -249,6 +249,175 @@ object ScaleProbe {
       println(f"${"bm25_index_query"}%-18s " + times.map(t => f"$t%8.2f").mkString(" ") +
         f"   (10x/1x ratio: ${times.last / times.head}%.1f)  [fixed queries vs growing index]")
     }
+    // PageRank under power-law skew (round 10): a planted hub receives
+    // HALF of all edges — the web-graph shape where per-round
+    // groupBy(dst) concentrates on a few destinations. pageRank's
+    // contribution sum is a hash aggregation, so Spark plans a map-side
+    // PARTIAL sum before the exchange: the hub's shuffle rows are
+    // bounded by the upstream partition count, not its edge count —
+    // the two-phase form Skew.saltedCount hand-builds, already in the
+    // plan. The agg-shape rows time the same sum with and without the
+    // partial pass (the no-partial form repartitions raw contributions
+    // by dst, so the hub task reads half the stream).
+    if (opFilter.isEmpty || opFilter.exists("pagerank_hub".contains)) {
+      def hubGraph(s: Int) = {
+        val nNodes = 20000L * s
+        val nEdges = 200000L * s
+        val edges = spark.range(nEdges).select(
+          (col("id") % nNodes).as("src"),
+          when(col("id") % 2 === 0, lit(0L))
+            .otherwise(pmod(xxhash64(col("id")), lit(nNodes))).as("dst"))
+        (spark.range(nNodes).select(col("id")), edges)
+      }
+      val times = scales.map { s =>
+        val (nodes, edges) = hubGraph(s)
+        Bench.force(Graph.pageRank(nodes, edges, iters = 3)) // warm
+        val t0 = System.nanoTime()
+        Bench.force(Graph.pageRank(nodes, edges, iters = 3))
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"pagerank_hub"}%-18s " + times.map(t => f"$t%8.2f").mkString(" ") +
+        f"   (10x/1x ratio: ${times.last / times.head}%.1f)  [50%% of edges -> one dst]")
+      val aggTimes = scales.map { s =>
+        val (_, edges) = hubGraph(s)
+        val contrib = edges.select(col("dst").as("id"),
+          (lit(1.0) / (pmod(col("src"), lit(7)) + lit(1))).as("c"))
+          .localCheckpoint()
+        def time(df: DataFrame) = {
+          Bench.force(df); val t0 = System.nanoTime()
+          Bench.force(df); (System.nanoTime() - t0) / 1e9
+        }
+        val twoPhase = time(contrib.groupBy(col("id"))
+          .agg(sum(col("c").cast("decimal(27,10)")).as("s")))
+        val noPartial = time(contrib.repartition(col("id"))
+          .groupBy(col("id"))
+          .agg(sum(col("c").cast("decimal(27,10)")).as("s")))
+        spark.catalog.clearCache()
+        (twoPhase, noPartial)
+      }
+      println(f"${"hub_agg_2phase"}%-18s " +
+        aggTimes.map(t => f"${t._1}%8.2f").mkString(" ") +
+        f"   (10x/1x: ${aggTimes.last._1 / aggTimes.head._1}%.1f)")
+      println(f"${"hub_agg_nopartial"}%-18s " +
+        aggTimes.map(t => f"${t._2}%8.2f").mkString(" ") +
+        f"   (10x/1x: ${aggTimes.last._2 / aggTimes.head._2}%.1f)")
+    }
+
+    // Round-9 layout claims, growth-measured (round 10): fixed probe
+    // vs a GROWING index, bucketed/partitioned layout vs plain files —
+    // wall time AND actual bytes read off the scan (task input metrics).
+    // Near-flat bucketed probes with a widening bytes gap are the
+    // evidence that "a probe reads only its bytes" is literal.
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead): Unit
+    })
+    def measured(run: () => Unit): (Double, Long) = {
+      run() // warm
+      Thread.sleep(200) // listener events drain async
+      bytesRead.set(0L)
+      val t0 = System.nanoTime()
+      run()
+      val t = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      (t, bytesRead.get())
+    }
+    if (opFilter.isEmpty || opFilter.exists("bm25_layout".contains)) {
+      val docs = Tables.documents(spark, sfDir)
+      val rows = scales.map { s =>
+        val big = replicate(docs, s)
+        val bkt = java.nio.file.Files
+          .createTempDirectory(s"scaleprobe_bml_b$s").toString
+        graft.operators.Retrieval.buildBm25Index(
+          big, col("doc_id"), col("text"), bkt): Unit
+        // plain-file twin: identical postings/stats, no bucketed layout
+        val plain = java.nio.file.Files
+          .createTempDirectory(s"scaleprobe_bml_p$s").toString
+        graft.sources.Versioned.overwrite(
+          graft.sources.Versioned.read(spark, s"$bkt/postings"),
+          s"$plain/postings"): Unit
+        graft.sources.Versioned.overwrite(
+          graft.sources.Versioned.read(spark, s"$bkt/stats"),
+          s"$plain/stats"): Unit
+        def probe(dir: String) = measured(() =>
+          Bench.force(graft.operators.Retrieval.queryBm25Index(
+            spark, dir, Seq("dup", "spark", "hash"), 20)))
+        val b = probe(bkt); val p = probe(plain)
+        spark.catalog.clearCache()
+        (b, p)
+      }
+      println(f"${"bm25_probe_bucket"}%-18s " +
+        rows.map(r => f"${r._1._1}%5.2fs ${r._1._2 / 1024}%7dKB").mkString(" ") +
+        f"   (bytes 10x/1x: ${rows.last._1._2.toDouble / rows.head._1._2}%.1f)")
+      println(f"${"bm25_probe_plain"}%-18s " +
+        rows.map(r => f"${r._2._1}%5.2fs ${r._2._2 / 1024}%7dKB").mkString(" ") +
+        f"   (bytes 10x/1x: ${rows.last._2._2.toDouble / rows.head._2._2}%.1f)")
+    }
+    if (opFilter.isEmpty || opFilter.exists("ann_layout".contains)) {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      def grow(s: Int) = (0 until s).map(i =>
+        e.select((col("id") + lit(i * 1000000L)).as("id"), col("vec")))
+        .reduce(_ unionByName _)
+      val queries = e.filter(col("id") < 10).localCheckpoint()
+      val rows = scales.map { s =>
+        val big = grow(s)
+        val part = java.nio.file.Files
+          .createTempDirectory(s"scaleprobe_annl_d$s").toString
+        graft.operators.Similarity.buildIvfIndex(big, part,
+          nCentroids = 16, assignmentLayout = "partition"): Unit
+        val plain = java.nio.file.Files
+          .createTempDirectory(s"scaleprobe_annl_p$s").toString
+        graft.sources.Versioned.overwrite(
+          graft.sources.Versioned.read(spark, s"$part/centroids"),
+          s"$plain/centroids"): Unit
+        graft.sources.Versioned.overwrite(
+          graft.sources.Versioned.read(spark, s"$part/assignment"),
+          s"$plain/assignment"): Unit
+        def probe(dir: String) = measured(() =>
+          Bench.force(graft.operators.Similarity.queryIvfIndex(
+            spark, dir, queries, k = 5, nProbes = 4)))
+        val d = probe(part); val p = probe(plain)
+        spark.catalog.clearCache()
+        (d, p)
+      }
+      println(f"${"ann_probe_dpp"}%-18s " +
+        rows.map(r => f"${r._1._1}%5.2fs ${r._1._2 / 1024}%7dKB").mkString(" ") +
+        f"   (bytes 10x/1x: ${rows.last._1._2.toDouble / rows.head._1._2}%.1f)")
+      println(f"${"ann_probe_plain"}%-18s " +
+        rows.map(r => f"${r._2._1}%5.2fs ${r._2._2 / 1024}%7dKB").mkString(" ") +
+        f"   (bytes 10x/1x: ${rows.last._2._2.toDouble / rows.head._2._2}%.1f)")
+    }
+
+    // q42 inversion evidence (round 10): the distributed exact-
+    // percentile machinery vs the input size — 10× sf0.1 lineitem ≈
+    // sf1. Engine time should grow SUB-linearly off its fixed stage
+    // floor while any one-buffer/one-task form grows linearly at best;
+    // the DuckDB twin is timed by tools/percentile_probe.py and the
+    // pair is recorded in SURVEY §9.1.
+    if (opFilter.isEmpty || opFilter.exists("percentile_scale".contains)) {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val times = scales.map { s =>
+        val big = (0 until s).map(i => li.select(col("l_returnflag"),
+            (col("l_extendedprice") + lit(i)).as("l_extendedprice")))
+          .reduce(_ unionByName _)
+        val probe = () => Bench.force(graft.operators.Stats.exactPercentiles(
+          big, col("l_returnflag"), col("l_extendedprice"),
+          Seq(0.25, 0.5, 0.75, 0.99)))
+        probe()
+        val t0 = System.nanoTime()
+        probe()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"percentile_scale"}%-18s " + times.map(t => f"$t%8.2f").mkString(" ") +
+        f"   (10x/1x ratio: ${times.last / times.head}%.1f)  [10x sf0.1 ~= sf1]")
+    }
     spark.stop()
   }
 }

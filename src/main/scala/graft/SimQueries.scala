@@ -658,11 +658,18 @@ object SimQueries {
       new java.io.File(dir, "embeddings.parquet"), tag,
       "centroids", "assignment")(build)
 
+  /** The shared sf-dir-keyed q116 IVF artifact (16 centroids, 2 Lloyd
+    * passes) — also the semantic arm of the q166 hybrid fusion.
+    */
+  def cachedIvfIndex(spark: SparkSession, dir: String): String =
+    cachedIndex(spark, dir, "ivf_c16_l2b")(
+      Similarity.buildIvfIndex(embs(spark, dir), _,
+        nCentroids = 16, lloydIters = 2): Unit)
+
   def q116AnnIndex(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
-    val idx = cachedIndex(spark, dir, "ivf_c16_l2b")(
-      Similarity.buildIvfIndex(e, _, nCentroids = 16, lloydIters = 2): Unit)
-    Similarity.queryIvfIndex(spark, idx, e.filter(col("id") < 10), k = 5)
+    Similarity.queryIvfIndex(spark, cachedIvfIndex(spark, dir),
+      e.filter(col("id") < 10), k = 5)
   }
 
   // ---------------------------------------------------------------------

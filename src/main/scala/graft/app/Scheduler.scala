@@ -109,6 +109,87 @@ object Scheduler {
     }
   }
 
+  /** The coverage marker row's stage name: appended once per boundary
+    * AFTER every stage succeeded, so "is this interval covered?" is one
+    * filter regardless of how the stage list evolves across deploys.
+    */
+  val CoveredStage = "_covered"
+
+  /** One scheduler tick of a MULTI-STAGE job (a linear DAG, the Airflow
+    * task-chain shape): stages run in order, each with the full retry
+    * discipline; a stage that exhausts its retries FAILS THE RUN and
+    * the remaining stages are skipped (their absence from the history
+    * is the skip record — exactly Airflow's upstream_failed). One
+    * history row per (stage, attempt) goes to `historyDir/runs`
+    * (boundary_ms, stage, stage_idx, attempt, ok, error,
+    * recorded_at_ms), plus one [[CoveredStage]] marker row when the
+    * whole chain succeeded — the boundary counts as covered ONLY then.
+    *
+    * A re-tick of an UNCOVERED boundary resumes where it failed: stages
+    * that already have an ok row for this boundary are SKIPPED (exactly
+    * Airflow's clear-and-rerun — only failed and never-run tasks
+    * execute), so a stage that already applied the day's batch to
+    * append-only state (signal counts, index postings) is never applied
+    * twice. Returns the attempts per stage RUN THIS TICK in order
+    * (empty = nothing due).
+    */
+  def tickStages(spark: SparkSession, historyDir: String,
+                 stages: Seq[(String, () => Unit)], nowMs: Long,
+                 intervalMs: Long, retries: Int = 2,
+                 retryDelayMs: Long = 120000L,
+                 sleep: Long => Unit = Thread.sleep): Seq[(String, Seq[Attempt])] = {
+    import spark.implicits._
+    require(stages.nonEmpty, "tickStages needs at least one stage")
+    require(!stages.exists(_._1 == CoveredStage),
+      s"stage name $CoveredStage is reserved for the coverage marker")
+    val runsTable = s"$historyDir/runs"
+    val lastOk =
+      if (!graft.sources.Versioned.exists(spark, runsTable)) None
+      else {
+        val rows = graft.sources.Versioned.read(spark, runsTable)
+          .filter(org.apache.spark.sql.functions.col("ok") &&
+            org.apache.spark.sql.functions.col("stage") === CoveredStage)
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col("boundary_ms")))
+          .as[Option[Long]].collect()
+        rows.headOption.flatten
+      }
+    dueBoundary(nowMs, lastOk, intervalMs) match {
+      case None => Seq.empty
+      case Some(boundary) =>
+        // stages already ok for THIS boundary (a prior failed tick got
+        // partway through) — resume after them, never re-apply them
+        val doneStages: Set[String] =
+          if (!graft.sources.Versioned.exists(spark, runsTable)) Set.empty
+          else graft.sources.Versioned.read(spark, runsTable)
+            .filter(org.apache.spark.sql.functions.col("ok") &&
+              org.apache.spark.sql.functions.col("boundary_ms") === boundary)
+            .select("stage").distinct().as[String].collect().toSet
+        val out = Seq.newBuilder[(String, Seq[Attempt])]
+        var failed = false
+        stages.zipWithIndex.foreach { case ((name, job), idx) =>
+          if (!failed && !doneStages.contains(name)) {
+            val attempts = runWithRetries(job, retries, retryDelayMs, sleep)
+            out += name -> attempts
+            val rows = attempts.map(a =>
+              (boundary, name, idx, a.attempt, a.ok, a.error, nowMs))
+            graft.sources.Versioned.append(
+              rows.toDF("boundary_ms", "stage", "stage_idx", "attempt",
+                "ok", "error", "recorded_at_ms"),
+              runsTable): Unit
+            if (!attempts.last.ok) failed = true
+          }
+        }
+        if (!failed)
+          graft.sources.Versioned.append(
+            Seq((boundary, CoveredStage, stages.size, 0, true, "", nowMs))
+              .toDF("boundary_ms", "stage", "stage_idx", "attempt",
+                "ok", "error", "recorded_at_ms"),
+            runsTable): Unit
+        out.result()
+    }
+  }
+
   /** Real-clock entry point: one tick of the daily incremental-curation
     * batch. Run from cron/systemd per the deployment's cadence — the
     * runner is a TICK, not a daemon, so process supervision stays with

@@ -68,6 +68,55 @@ object TrainingExport {
       m("tokens").asInstanceOf[Long], srcs)
   }
 
+  /** TOKENIZER-TRUE export (SURVEY §8, round 10): the same funnel, but
+    * sequences are fixed-`budget` streams of MODEL-token ids encoded by
+    * the PERSISTED BPE tokenizer at `modelDir` (optionally pinned to a
+    * historical version with `modelAsOf` — an old export reproduces
+    * bit-for-bit after a retrain bumps the model). Real trainers budget
+    * context windows in model tokens, not whitespace words; this is the
+    * artifact a run actually mounts:
+    *
+    *  - `outDir/sequences`: (seq_id, n_tok, n_docs, ids array<int>),
+    *    range-partitioned by seq_id — every sequence except the last
+    *    holds EXACTLY `budget` ids;
+    *  - `outDir/manifest`: q165's per-source stats (docs, copies,
+    *    MODEL tokens, sequences), the same computation the oracle
+    *    hash-checks.
+    */
+  def runModelTokens(spark: SparkSession, sfDir: String, outDir: String,
+                     modelDir: String, shards: Int = 8, budget: Int = 512,
+                     modelAsOf: Option[Long] = None,
+                     format: String = "parquet"): ExportStats = {
+    require(format == "parquet" || format == "jsonl",
+      s"export format must be parquet or jsonl, got $format")
+    val mixed = PipelineQueries.trainerExportMixed(spark, sfDir)
+    val seqs = graft.operators.Bpe.packedIdSequencesWithModel(
+      spark, modelDir, mixed, col("mid"), col("text"), budget,
+      asOf = modelAsOf)
+    val (instrumented, obs) = graft.operators.Audit.observed(
+      seqs.repartitionByRange(shards, col("seq_id"))
+        .sortWithinPartitions(col("seq_id")),
+      "export",
+      Seq(count(lit(1)).as("sequences"), sum(col("n_tok")).as("tokens")))
+    if (format == "jsonl")
+      graft.sources.Sinks.json(instrumented, s"$outDir/sequences")
+    else
+      instrumented.write.mode("overwrite").parquet(s"$outDir/sequences")
+    val manifest = PipelineQueries.bpeTrainerManifest(
+      spark, sfDir, modelDir, budget, modelAsOf).coalesce(1)
+    if (format == "jsonl")
+      graft.sources.Sinks.json(manifest, s"$outDir/manifest")
+    else
+      manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+
+    val m = obs.get
+    val srcs =
+      if (format == "jsonl") spark.read.json(s"$outDir/manifest").count()
+      else spark.read.parquet(s"$outDir/manifest").count()
+    ExportStats(m("sequences").asInstanceOf[Long],
+      m("tokens").asInstanceOf[Long], srcs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("/tmp/graft_training_export")
@@ -81,7 +130,13 @@ object TrainingExport {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val s = run(spark, sfDir, outDir, format = format)
+    // 4th arg "model" = tokenizer-true export against the shared cached
+    // BPE model (word-token export otherwise)
+    val s =
+      if (args.lift(3).contains("model"))
+        runModelTokens(spark, sfDir, outDir,
+          PipelineQueries.cachedBpeModel(spark, sfDir), format = format)
+      else run(spark, sfDir, outDir, format = format)
     println(s"[export] sequences=${s.nSequences} tokens=${s.nTokens} " +
       s"sources=${s.nSources} format=$format -> $outDir")
     spark.stop()

@@ -369,4 +369,60 @@ object Bpe {
     val (merges, _) = readModel(spark, modelDir, asOf, byteLevel)
     tokenCounts(docs, id, text, merges, byteLevel)
   }
+
+  // --------------------------------------------------- trainer artifact
+
+  /** Fixed-budget trainer sequences of MODEL-token ids — the artifact a
+    * fixed-context data loader actually mounts. Takes [[encodeIds]]'
+    * flattened stream and replays the GPT-style concat-and-chunk cut
+    * ([[graft.operators.Corpus.packSequencesCounted]]) in BPE-id space:
+    * every document's ids are laid end to end in doc-id order and the
+    * stream is cut every `budget` ids, so every sequence except the
+    * final one holds EXACTLY `budget` model tokens.
+    *
+    * Scale shape: per-doc id arrays come from one hash aggregation
+    * (bounded by the doc's own token count — the [[Corpus
+    * .packedSequenceTexts]] slice discipline, never a corpus window);
+    * the array table is staged once (`localCheckpoint`) because the
+    * packing counts and the slice join both read it; cut placement is
+    * the slice-machinery global prefix sum; per-sequence assembly is
+    * one aggregation bounded by `budget` ids.
+    *
+    * Output: (seq_id 0-based, n_tok, n_docs, ids array<int>).
+    */
+  def packedIdSequences(ids: DataFrame, budget: Int): DataFrame = {
+    val arr = ids
+      .groupBy(col("doc_id"))
+      .agg(transform(
+          sort_array(collect_list(struct(
+            col("word_pos"), col("sym_pos"), col("tok_id")))),
+          c => c("tok_id")).as("ids"))
+      .withColumn("n_tok", size(col("ids")).cast("long"))
+      .localCheckpoint(eager = false)
+    val spans = Corpus.packSequencesCounted(
+      arr.select(col("doc_id"), col("n_tok")), budget)
+    spans.join(arr.select(col("doc_id"), col("ids")), Seq("doc_id"))
+      .select(col("seq_id"), col("doc_id"), col("n_tok_in_seq"),
+        slice(col("ids"), col("doc_tok_start").cast("int"),
+          col("n_tok_in_seq").cast("int")).as("piece"))
+      .groupBy(col("seq_id"))
+      .agg(sum(col("n_tok_in_seq")).as("n_tok"),
+        count(lit(1)).as("n_docs"),
+        flatten(transform(
+          sort_array(collect_list(struct(col("doc_id"), col("piece")))),
+          c => c("piece"))).as("ids"))
+  }
+
+  /** [[packedIdSequences]] against a persisted model — encode with the
+    * version-pinned tokenizer, then pack: the one artifact a training
+    * run mounts, reproducible for any historical tokenizer via `asOf`.
+    */
+  def packedIdSequencesWithModel(spark: org.apache.spark.sql.SparkSession,
+                                 modelDir: String, docs: DataFrame,
+                                 id: Column, text: Column, budget: Int,
+                                 byteLevel: Boolean = false,
+                                 asOf: Option[Long] = None): DataFrame =
+    packedIdSequences(
+      encodeIdsWithModel(spark, modelDir, docs, id, text, byteLevel, asOf),
+      budget)
 }

@@ -170,9 +170,23 @@ object Corpus {
     * n_tok_in_seq) — one row per (sequence, document) overlap.
     */
   def packSequences(docs: DataFrame, id: Column, text: Column,
-                    budget: Int): DataFrame = {
+                    budget: Int): DataFrame =
+    packSequencesCounted(
+      docs.select(id.as("doc_id"), TextOps.tokenCount(text).as("n_tok")),
+      budget)
+
+  /** [[packSequences]] over PRECOMPUTED per-document token counts —
+    * the seam that lets the packing budget count MODEL tokens instead
+    * of whitespace words: feed it
+    * [[graft.operators.Bpe.tokenCountsWithModel]]'s (doc_id, n_tok)
+    * and the cut points land every `budget` BPE ids, which is what a
+    * trainer's fixed-context loader actually consumes. Input: exactly
+    * (doc_id, n_tok); same output contract and slice-machinery scale
+    * shape as [[packSequences]].
+    */
+  def packSequencesCounted(counts: DataFrame, budget: Int): DataFrame = {
     require(budget > 0, "token budget must be positive")
-    val d = docs.select(id.as("doc_id"), TextOps.tokenCount(text).as("n_tok"))
+    val d = counts.select(col("doc_id"), col("n_tok"))
     val ranged = d.repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()

@@ -310,4 +310,79 @@ object Retrieval {
       .orderBy(col("n_occur").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  // ------------------------------------------------------------ fusion
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fuse N per-query rankings into one by score(q,d) =
+    * Σ_rankers 1/(c + rank_r(q,d)), summing over the rankers that
+    * returned d for q (c = 60, the published constant). RRF is the
+    * standard way to combine rankers whose scores are NOT commensurate
+    * — BM25 log-odds sums vs cosine similarities — because only ranks
+    * enter the formula.
+    *
+    * Determinism: within each input ranking, ranks are row_number over
+    * (score desc, doc_id asc); the fused sum rides DECIMAL(27,10)
+    * (order-independent — each term 1/(c+r) is one double division,
+    * identical cross-engine); fused ties break doc_id asc. So the
+    * fusion replays exactly in SQL whenever its input rankings do.
+    *
+    * Scale shape: every input is already a per-query top-k (k rows per
+    * query per ranker, NOT corpus-sized), so the windows, the union,
+    * and the (query_id, doc_id) aggregation all move O(|Q|·k·N) rows —
+    * fusion cost is independent of corpus size by construction.
+    *
+    * Input rankings: (query_id, doc_id, score). Output:
+    * (query_id, doc_id, n_rankers, rrf), top-k per query.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(c >= 0, s"rrf constant must be non-negative, got $c")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val contribs = rankings.map { r =>
+      r.select(col("query_id"), col("doc_id"), col("score"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("query_id"), col("doc_id"),
+          (lit(1.0) / (lit(c) + col("rn"))).cast("decimal(27,10)").as("rw"))
+    }.reduce(_.unionByName(_))
+    val fused = contribs.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_rankers"),
+        sum(col("rw")).cast("double").as("rrf"))
+    Ranking.topPerGroup(fused, Seq(col("query_id")),
+        Seq(col("rrf").desc, col("doc_id").asc), k)
+      .select(col("query_id"), col("doc_id"), col("n_rankers"), col("rrf"))
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+  }
+
+  /** HYBRID retrieval over the two persisted indexes — the lexical
+    * inverted index ([[queryBm25IndexMany]]) and the semantic IVF ANN
+    * index ([[Similarity.queryIvfIndex]]) answer the same query batch
+    * independently, then [[rrfFuse]] combines the two top-`kEach`
+    * rankings. Queries: (query_id, terms array<string>, vec
+    * array<float|double>). Each index pins its own version (`bm25AsOf`
+    * / `ivfAsOf`) — a fused result is reproducible against any
+    * historical (lexical, semantic) index pair even after appends or
+    * rebuilds on either side.
+    *
+    * Scale shape: each arm pays only its own probe cost (postings
+    * pruned by token / buckets pruned by centroid); fusion adds
+    * O(|Q|·kEach) — nothing corpus-sized beyond the two probes.
+    */
+  def hybridSearch(spark: SparkSession, bm25Dir: String, ivfDir: String,
+                   queries: DataFrame, k: Int, kEach: Int = 20,
+                   nProbes: Int = 4, c: Int = 60,
+                   bm25AsOf: Option[Long] = None,
+                   ivfAsOf: Option[Long] = None): DataFrame = {
+    val lex = queryBm25IndexMany(spark, bm25Dir,
+        queries.select(col("query_id"), col("terms")), kEach, asOf = bm25AsOf)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    val sem = Similarity.queryIvfIndex(spark, ivfDir,
+        queries.select(col("query_id").as("id"), col("vec")), kEach,
+        nProbes, asOf = ivfAsOf)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        col("sim").as("score"))
+    rrfFuse(Seq(lex, sem), k, c)
+  }
 }

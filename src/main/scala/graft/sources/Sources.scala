@@ -122,10 +122,26 @@ object Sinks {
 
   /** Parquet sink, optionally partitioned — the 100 TB layout is
     * date-partitioned parquet, which enables partition pruning.
+    *
+    * `bloomFilterCols` writes a parquet BLOOM FILTER per named column
+    * (the public `parquet.bloom.filter.enabled#col` writer option):
+    * point lookups on a high-cardinality key (doc_id, unique_id, tok)
+    * then prune ROW GROUPS whose min/max straddles the probe value but
+    * whose bloom filter proves it absent — the footer-stats lever for
+    * selective scans where sorting/Z-ordering hasn't clustered the key.
+    * Costs ~1 MB/row group per column at the default NDV; enable it for
+    * keys that are actually probed, not by reflex. `options` passes any
+    * further writer options (e.g. `parquet.block.size` to size row
+    * groups).
     */
-  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+              bloomFilterCols: Seq[String] = Nil,
+              options: Map[String, String] = Map.empty): Unit = {
+    val w0 = df.write.mode("overwrite").options(options)
+    val w1 = bloomFilterCols.foldLeft(w0)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    (if (partitionBy.nonEmpty) w1.partitionBy(partitionBy: _*) else w1)
+      .parquet(path)
   }
 
   /** CSV sink (header on; interchange format, not the analytics layout —

@@ -174,6 +174,100 @@ class MaintenanceSpec extends SparkSpec {
     assert(t <= nFiles * 7 / 8, s"ts slice touches $t of $nFiles")
   }
 
+  test("parquet bloom filter: written to the footer, and a point probe " +
+      "inside every row group's min-max reads a fraction of the bytes") {
+    val base = Files.createTempDirectory("graft-bloom").toString
+    // only EVEN keys exist, scrambled so EVERY row group's [min, max]
+    // spans ~the full key range — min/max stats can prune nothing for
+    // an in-range probe; only the bloom filter can prove an odd key
+    // absent. A wide incompressible payload makes the un-pruned scan
+    // pay real data bytes; 1 MB row groups → ~25 groups in one file.
+    val rows = spark.range(0, 200000)
+      .select((col("id") * 2).as("k"),
+        concat(md5(col("id").cast("string")),
+          md5((col("id") + 1).cast("string")),
+          md5((col("id") + 2).cast("string")),
+          md5((col("id") + 3).cast("string"))).as("payload"))
+      .repartition(1)
+      .sortWithinPartitions(pmod(xxhash64(col("k")), lit(1000000)))
+    // dictionary encoding OFF: at toy scale every row group's
+    // dictionary holds its full value set and parquet's DICTIONARY
+    // filtering already prunes the probe — at 100 TB a high-cardinality
+    // key overflows the dictionary page and that lever vanishes, which
+    // is exactly when the bloom filter earns its bytes. This pins the
+    // test to the scale-relevant encoding. The NDV hint sizes each
+    // group's filter for its ~8k keys (~10 KB) instead of the 1 MB
+    // default cap — unsized blooms would outweigh the data they guard.
+    val opts = Map("parquet.block.size" -> "1048576",
+      "parquet.enable.dictionary" -> "false")
+    // NB the NDV hint goes ONLY to the bloom write: parquet-mr treats a
+    // per-column NDV as an implicit enable for that column's filter
+    Sinks.parquet(rows, s"$base/bloom", bloomFilterCols = Seq("k"),
+      options = opts + ("parquet.bloom.filter.expected.ndv#k" -> "8000"))
+    Sinks.parquet(rows, s"$base/plain", options = opts)
+
+    // footer: the bloom table carries a filter for k, the plain one none
+    import scala.jdk.CollectionConverters._
+    def bloomOf(dir: String) = {
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath),
+          spark.sessionState.newHadoopConf()))
+      try {
+        val groups = rd.getRowGroups.asScala
+        assert(groups.size > 3, s"need several row groups, got ${groups.size}")
+        val cm = groups.head.getColumns.asScala
+          .find(_.getPath.toDotString == "k").get
+        rd.readBloomFilter(cm) != null
+      } finally rd.close()
+    }
+    assert(bloomOf(s"$base/bloom"), "bloom filter missing from the footer")
+    assert(!bloomOf(s"$base/plain"), "plain write must carry no bloom filter")
+
+    // scan bytes for a probe value that min/max cannot exclude
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // listener events post async — poll until the counter is stable
+      def drained(): Long = {
+        var prev = -1L
+        var cur = bytesRead.get()
+        while (prev != cur) { Thread.sleep(250); prev = cur; cur = bytesRead.get() }
+        cur
+      }
+      // the probe PROJECTS the payload, so any row group the footer
+      // cannot prune pays its data bytes (the vectorized reader
+      // materializes all projected columns before the filter runs).
+      // Vectored IO off for the measurement only: parquet-mr's
+      // readVectored path bypasses the Hadoop FS statistics that feed
+      // inputMetrics.bytesRead, so data-page bytes would go uncounted
+      // (footer/bloom reads use counted positioned reads either way).
+      def probeBytes(dir: String): Long = {
+        def run() = spark.read
+          .option("parquet.hadoop.vectored.io.enabled", "false")
+          .parquet(dir)
+          .filter(col("k") === 100001L).select(col("payload")).collect()
+        assert(run().isEmpty) // warm
+        drained(): Unit
+        bytesRead.set(0L)
+        assert(run().isEmpty)
+        drained()
+      }
+      val withBloom = probeBytes(s"$base/bloom")
+      val without = probeBytes(s"$base/plain")
+      assert(withBloom * 2 < without,
+        s"bloom probe read $withBloom bytes vs $without without — row " +
+          "groups were not pruned")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("malformed JSON records are quarantined, not dropped or fatal") {
     val base = Files.createTempDirectory("graft-corrupt").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/data.json"),

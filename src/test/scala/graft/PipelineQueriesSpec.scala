@@ -412,6 +412,83 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(manifestTokens == sj.nTokens)
   }
 
+  test("q165 packedIdSequences: budget-exact id shards; concatenation ≡ the " +
+      "doc-ordered id stream; totals ≡ tokenCountsWithModel") {
+    val docs = Tables.documents(spark, dir)
+    val mdl = java.nio.file.Files.createTempDirectory("graft-bpe-mdl").toString
+    graft.operators.Bpe.buildBpeModel(docs, col("text"), k = 6, mdl)
+    val ids = graft.operators.Bpe.encodeIdsWithModel(
+      spark, mdl, docs, col("doc_id"), col("text"))
+    val seqs = graft.operators.Bpe.packedIdSequences(ids, budget = 64)
+      .orderBy("seq_id")
+      .as[(Long, Long, Long, Seq[Int])].collect()
+    // every sequence except the final one holds EXACTLY the budget, and
+    // the ids array agrees with the count on every row
+    assert(seqs.nonEmpty)
+    assert(seqs.dropRight(1).forall(_._4.size == 64),
+      "a non-final sequence missed the id budget")
+    assert(seqs.forall(s => s._4.size == s._2.toInt),
+      "ids array disagrees with n_tok")
+    assert(seqs.map(_._1).toSeq == seqs.indices.map(_.toLong), "seq ids not dense")
+    // the shards concatenate back to exactly the doc-ordered id stream
+    val stream = ids.orderBy("doc_id", "word_pos", "sym_pos")
+      .select("tok_id").as[Int].collect().toSeq
+    assert(seqs.flatMap(_._4).toSeq == stream,
+      "sequence concatenation is not the doc-ordered id stream")
+    // and the total reconciles with the provisioning count
+    val total = graft.operators.Bpe.tokenCountsWithModel(
+      spark, mdl, docs, col("doc_id"), col("text"))
+      .agg(sum("n_tok")).as[Long].head()
+    assert(stream.size.toLong == total)
+  }
+
+  test("TrainingExport model-token arm: shard totals ≡ tokenCountsWithModel " +
+      "over the mixture; asOf reproduces the pre-retrain export bit-for-bit") {
+    val docs = Tables.documents(spark, dir)
+    val mdl = java.nio.file.Files.createTempDirectory("graft-bpe-mdl2").toString
+    val out0 = java.nio.file.Files.createTempDirectory("graft-export-m0").toString
+    // v0: a 2-merge tokenizer; export against it
+    val v0 = graft.operators.Bpe.buildBpeModel(docs, col("text"), k = 2, mdl)
+    val s0 = graft.app.TrainingExport.runModelTokens(spark, dir, out0, mdl,
+      shards = 4, budget = 64)
+    val seqs0 = spark.read.parquet(s"$out0/sequences")
+    assert(s0.nSequences == seqs0.count() && s0.nSequences > 0)
+    val perSeq = seqs0.orderBy("seq_id")
+      .select("seq_id", "n_tok").as[(Long, Long)].collect()
+    assert(perSeq.dropRight(1).forall(_._2 == 64L),
+      "a non-final model-token shard missed budget")
+    // shard totals ≡ the provisioning count over the SAME mixed stream
+    val mixed = PipelineQueries.trainerExportMixed(spark, dir)
+    val expectTokens = graft.operators.Bpe.tokenCountsWithModel(
+      spark, mdl, mixed, col("mid"), col("text"))
+      .agg(sum("n_tok")).as[Long].head()
+    assert(s0.nTokens == expectTokens,
+      s"export wrote ${s0.nTokens} model tokens, count says $expectTokens")
+    // manifest rides the same numbers
+    val manifestTokens = spark.read.parquet(s"$out0/manifest")
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(manifestTokens == s0.nTokens)
+    // retrain (k=6) bumps the model; the LATEST export differs (more
+    // merges strictly shrink the id stream)…
+    graft.operators.Bpe.buildBpeModel(docs, col("text"), k = 6, mdl)
+    val out1 = java.nio.file.Files.createTempDirectory("graft-export-m1").toString
+    val s1 = graft.app.TrainingExport.runModelTokens(spark, dir, out1, mdl,
+      shards = 4, budget = 64)
+    assert(s1.nTokens < s0.nTokens,
+      s"retrained 6-merge export should hold fewer ids: ${s1.nTokens} vs ${s0.nTokens}")
+    // …but the VERSION-PINNED export reproduces the original bit-for-bit
+    val outA = java.nio.file.Files.createTempDirectory("graft-export-ma").toString
+    val sA = graft.app.TrainingExport.runModelTokens(spark, dir, outA, mdl,
+      shards = 4, budget = 64, modelAsOf = Some(v0))
+    assert(sA == s0, s"asOf export stats diverged: $sA vs $s0")
+    val rows0 = seqs0.select("seq_id", "n_tok", "n_docs", "ids")
+      .as[(Long, Long, Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    val rowsA = spark.read.parquet(s"$outA/sequences")
+      .select("seq_id", "n_tok", "n_docs", "ids")
+      .as[(Long, Long, Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(rowsA == rows0, "asOf export must reproduce the old shards exactly")
+  }
+
   test("q119 packSequences: exact spans on a crafted stream; conservation + layout independence on the corpus") {
     // token counts 3, 3, 2 over budget 4: the concatenated stream is
     // cut at token 4 — doc 20 straddles the cut

@@ -256,4 +256,87 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
       Seq("absent_token"), 5).count() == 0L)
   }
+
+  test("rrfFuse matches the hand formula; rank-1 ties break doc_id asc") {
+    val a = Seq((1L, 10L, 0.9), (1L, 20L, 0.8), (1L, 30L, 0.7))
+      .toDF("query_id", "doc_id", "score")
+    val b = Seq((1L, 20L, 0.99), (1L, 40L, 0.5))
+      .toDF("query_id", "doc_id", "score")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .select("doc_id", "n_rankers", "rrf")
+      .as[(Long, Long, Double)].collect().toSeq
+    def r(i: Int) = BigDecimal(1.0 / (60 + i))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    // d20 appears in both (ranks 2, 1); d10 rank 1 in A alone; d40
+    // rank 2 in B; d30 rank 3 in A
+    val want = Seq(
+      (20L, 2L, (r(2) + r(1)).toDouble),
+      (10L, 1L, r(1).toDouble),
+      (40L, 1L, r(2).toDouble),
+      (30L, 1L, r(3).toDouble))
+    assert(got == want, s"$got vs $want")
+    // two rank-1-only docs tie exactly → smaller doc_id first
+    val c = Seq((1L, 9L, 1.0)).toDF("query_id", "doc_id", "score")
+    val d = Seq((1L, 5L, 1.0)).toDF("query_id", "doc_id", "score")
+    val tied = Retrieval.rrfFuse(Seq(c, d), k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(tied == Seq(5L, 9L))
+  }
+
+  test("hybrid RRF on a planted corpus: fused recall beats each single " +
+      "ranker; the pinned index pair reproduces after an append") {
+    // relevant = {1 (lexical-only match), 2 (semantic-only match)}:
+    // doc 1 holds the query term but an orthogonal vector; doc 2 has
+    // the near-query vector but none of the terms; distractors share
+    // neither strongly
+    val docs = (Seq(
+      (1L, "alpha beta"), (2L, "filler words only")) ++
+      (3L to 20L).map(i => (i, s"filler beta padding$i")))
+      .toDF("doc_id", "text")
+    val vecs = (Seq(
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)), (2L, Seq(0.99, 0.1, 0.0, 0.0))) ++
+      (3L to 20L).map(i => (i, Seq(0.3, 0.6, 0.4, 0.3))))
+      .toDF("id", "vec")
+    val bm = java.nio.file.Files.createTempDirectory("graft-hy-bm").toString
+    val iv = java.nio.file.Files.createTempDirectory("graft-hy-iv").toString
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), bm)
+    graft.operators.Similarity.buildIvfIndex(vecs, iv, nCentroids = 2)
+    val queries = Seq((100L, Seq("alpha"), Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("query_id", "terms", "vec")
+    val relevant = Set(1L, 2L)
+
+    def recall(ids: Seq[Long]) =
+      ids.take(2).count(relevant).toDouble / relevant.size
+    val lex = Retrieval.queryBm25IndexMany(spark, bm, queries, k = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    val sem = graft.operators.Similarity.queryIvfIndex(spark, iv,
+        queries.select(col("query_id").as("id"), col("vec")), k = 3,
+        nProbes = 2)
+      .select("cand_id").as[Long].collect().toSeq
+    val fusedRows = Retrieval.hybridSearch(spark, bm, iv, queries,
+        k = 2, kEach = 3, nProbes = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(recall(lex) == 0.5, s"lexical arm should catch only doc 1: $lex")
+    assert(recall(sem) == 0.5, s"semantic arm should catch only doc 2: $sem")
+    assert(recall(fusedRows) == 1.0,
+      s"fusion must surface BOTH relevant docs: $fusedRows")
+    assert(recall(fusedRows) >= recall(lex) && recall(fusedRows) >= recall(sem))
+
+    // version pinning: an append that reshapes the lexical ranking does
+    // not move a fusion pinned to the pre-append index pair
+    val before = Retrieval.hybridSearch(spark, bm, iv, queries,
+      k = 2, kEach = 3, nProbes = 2).collect().toSeq
+    Retrieval.appendToBm25Index(
+      Seq((50L, "alpha alpha alpha")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), bm)
+    val pinned = Retrieval.hybridSearch(spark, bm, iv, queries,
+      k = 2, kEach = 3, nProbes = 2,
+      bm25AsOf = Some(0L), ivfAsOf = Some(0L)).collect().toSeq
+    assert(pinned == before, "pinned index pair must reproduce the old fusion")
+    val latest = Retrieval.hybridSearch(spark, bm, iv, queries,
+        k = 2, kEach = 3, nProbes = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(latest.contains(50L) && latest != before.map(_.getLong(1)),
+      s"the appended heavy-alpha doc must reshape the latest fusion: $latest")
+  }
 }

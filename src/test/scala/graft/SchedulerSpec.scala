@@ -86,4 +86,138 @@ class SchedulerSpec extends SparkSpec {
       (9 * Day, 1, false), (9 * Day, 2, false), (9 * Day, 3, false),
       (9 * Day, 1, true), (10 * Day, 1, true)))
   }
+
+  test("tickStages: a mid-chain failure skips downstream stages and a " +
+      "re-tick RESUMES — succeeded stages never re-apply") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stages").toString
+    val calls = scala.collection.mutable.Map("a" -> 0, "b" -> 0, "c" -> 0)
+    var bHealthy = false
+    def stages = Seq(
+      "a" -> (() => { calls("a") += 1; () }),
+      "b" -> (() => { calls("b") += 1; if (!bHealthy) sys.error("b down") }),
+      "c" -> (() => { calls("c") += 1; () }))
+
+    // day 10: a ok, b exhausts retries, c SKIPPED, boundary uncovered
+    val t1 = Scheduler.tickStages(spark, dir, stages, nowMs = 10 * Day + 5,
+      intervalMs = Day, retries = 1, retryDelayMs = 1L, sleep = _ => ())
+    assert(t1.map(_._1) == Seq("a", "b"))
+    assert(t1.toMap.apply("a").map(_.ok) == Seq(true))
+    assert(t1.toMap.apply("b").map(_.ok) == Seq(false, false))
+    assert(calls == Map("a" -> 1, "b" -> 2, "c" -> 0))
+
+    // later the same day: RESUME — a is skipped (already ok for this
+    // boundary: its append-only work must not double), b re-runs and
+    // succeeds, c finally runs, the coverage marker lands
+    bHealthy = true
+    val t2 = Scheduler.tickStages(spark, dir, stages, nowMs = 10 * Day + 9,
+      intervalMs = Day, retries = 1, retryDelayMs = 1L, sleep = _ => ())
+    assert(t2.map(_._1) == Seq("b", "c"))
+    assert(calls == Map("a" -> 1, "b" -> 3, "c" -> 1))
+
+    // covered → a third tick the same day does nothing
+    assert(Scheduler.tickStages(spark, dir, stages, nowMs = 10 * Day + 99,
+      intervalMs = Day, retries = 1, retryDelayMs = 1L, sleep = _ => ()).isEmpty)
+    assert(calls == Map("a" -> 1, "b" -> 3, "c" -> 1))
+
+    // next day: the full chain runs once
+    assert(Scheduler.tickStages(spark, dir, stages, nowMs = 11 * Day + 1,
+      intervalMs = Day, retries = 1, retryDelayMs = 1L,
+      sleep = _ => ()).map(_._1) == Seq("a", "b", "c"))
+    assert(calls == Map("a" -> 2, "b" -> 4, "c" -> 2))
+
+    // the history carries every (stage, attempt) plus one coverage
+    // marker per completed boundary
+    val hist = graft.sources.Versioned.read(spark, s"$dir/runs")
+      .select("boundary_ms", "stage", "attempt", "ok")
+      .as[(Long, String, Int, Boolean)].collect().toSeq
+    assert(hist.count(r => r._2 == Scheduler.CoveredStage) == 2)
+    assert(hist.filter(r => r._1 == 9 * Day && r._2 == "b").map(_._4).sorted
+      == Seq(false, false, true))
+    // reserved stage name refused
+    intercept[IllegalArgumentException] {
+      Scheduler.tickStages(spark, dir,
+        Seq(Scheduler.CoveredStage -> (() => ())), 12 * Day, Day)
+    }
+  }
+
+  test("DailyMaintenance: N simulated days end-to-end — indexes stay " +
+      "lockstep, demoted layouts re-established, old versions vacuumed, " +
+      "every stage in the runs table") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft-daily").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def dayDocs(k: Int) =
+      docs.filter(col("doc_id") >= k * 100 && col("doc_id") < (k + 1) * 100)
+    def dayVecs(k: Int) =
+      vecs.filter(col("id") >= k * 100 && col("id") < (k + 1) * 100)
+
+    (0 until 3).foreach { k =>
+      val res = graft.app.DailyMaintenance.tick(spark, work,
+        dayDocs(k), dayVecs(k), nowMs = (10 + k) * Day + 5,
+        intervalMs = Day, retries = 0, retryDelayMs = 1L, sleep = _ => ())
+      assert(res.nonEmpty && res.forall(_._2.last.ok),
+        s"day $k had a failed stage: ${res.filter(!_._2.last.ok).map(_._1)}")
+    }
+
+    // every stage has an ok row for every boundary; 3 coverage markers
+    val hist = graft.sources.Versioned.read(spark, s"$work/runs")
+      .filter(col("ok")).select("boundary_ms", "stage")
+      .as[(Long, String)].collect().toSet
+    val stageNames = Seq("curate", "signal_state", "bm25_append",
+      "ivf_append", "bm25_compact", "ivf_compact", "vacuum",
+      Scheduler.CoveredStage)
+    for (k <- 0 until 3; s <- stageNames)
+      assert(hist.contains(((9 + k) * Day, s)), s"missing ok row: day $k, $s")
+
+    // all multi-table artifacts in version lockstep
+    import graft.sources.Versioned
+    assert(Versioned.latestVersion(spark, s"$work/bm25/postings") ==
+      Versioned.latestVersion(spark, s"$work/bm25/stats"))
+    assert(Versioned.latestVersion(spark, s"$work/ivf/centroids") ==
+      Versioned.latestVersion(spark, s"$work/ivf/assignment"))
+    assert(graft.operators.Corpus.signalStateVersion(spark, s"$work/signals") == 2,
+      "signal state: day-0 build + two appends")
+
+    // days 2 and 3 appended then compacted: the declared bucketed
+    // layout is re-established (probe prunes buckets at the scan)
+    assert(Versioned.history(spark, s"$work/bm25/postings").last._2
+      == "overwrite", "day-3 compact must be the last postings action")
+    val probe = graft.operators.Retrieval.queryBm25Index(spark,
+      s"$work/bm25", Seq("dup"), k = 5)
+    assert(probe.queryExecution.executedPlan.toString
+      .contains("SelectedBucketsCount"),
+      "compacted postings must read through the bucketed layout")
+
+    // maintained index ≡ a fresh one-shot build over the 3-day union
+    // (append ≡ build, surviving the whole compact/vacuum cadence)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-daily-f").toString
+    val union = docs.filter(col("doc_id") < 300)
+    graft.operators.Retrieval.buildBm25Index(union, col("doc_id"),
+      col("text"), fresh)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSeq
+    assert(rows(probe) == rows(graft.operators.Retrieval.queryBm25Index(
+      spark, fresh, Seq("dup"), k = 5)))
+    // ANN: an exhaustive probe of the maintained index ranks exactly as
+    // brute force over the 3-day vector union
+    val queries = vecs.filter(col("id") < 2)
+    val exhaustive = graft.operators.Similarity.queryIvfIndex(spark,
+      s"$work/ivf", queries, k = 5, nProbes = 16)
+      .select("query_id", "cand_id", "sim")
+    assert(rows(exhaustive) == rows(graft.operators.Similarity
+      .bruteForceTopK(queries, vecs.filter(col("id") < 300), k = 5)
+      .select("query_id", "cand_id", "sim")))
+
+    // vacuum (retain 2) ran on day 3 after compaction: the day-0
+    // postings files are referenced by no retained version and are gone
+    // from disk (old time travel stops working — the documented trade)
+    val v0dir = new java.io.File(s"$work/bm25/postings/data/0")
+    assert(!v0dir.exists || v0dir.listFiles()
+        .count(_.getName.startsWith("part-")) == 0,
+      "day-0 postings data files must be vacuumed")
+    // the latest version still reads fine after the vacuum
+    assert(Versioned.read(spark, s"$work/bm25/postings").count() > 0)
+  }
 }
