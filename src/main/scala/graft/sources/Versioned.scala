@@ -52,9 +52,18 @@ object Versioned {
     * RESOLVED snapshot it is the effective layout: a plain append on
     * top of a bucketed overwrite clears it (mixed directories cannot
     * read as one bucketed table; [[compact]] restores it).
+    *
+    * `rows`/`bytes` are the commit's data statistics — in a log entry
+    * the files THIS commit adds, in a resolved snapshot/checkpoint the
+    * cumulative live set — recorded at commit time for free (rows from
+    * an `Observation` riding the staging write, bytes from the staging
+    * listing), so readers and maintenance get cost hints and
+    * `history()` audits reconcile WITHOUT scanning data. −1 = unknown
+    * (entry predates the field); unknown is sticky through appends.
     */
   private case class Commit(version: Long, action: String, add: Seq[String],
-                            schemaJson: String, layout: String = "")
+                            schemaJson: String, layout: String = "",
+                            rows: Long = -1L, bytes: Long = -1L)
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -80,7 +89,7 @@ object Versioned {
     }
 
   private def render(c: Commit): String =
-    s"""{"version":${c.version},"action":"${c.action}","layout":"${esc(c.layout)}","add":[${
+    s"""{"version":${c.version},"action":"${c.action}","layout":"${esc(c.layout)}","rows":${c.rows},"bytes":${c.bytes},"add":[${
       c.add.map(p => s""""${esc(p)}"""").mkString(",")}],"schema":"${esc(c.schemaJson)}"}"""
 
   private def parse(line: String): Commit = {
@@ -97,6 +106,13 @@ object Versioned {
     val layout =
       if (!line.contains("\"layout\":")) ""
       else field("layout").drop(1).takeWhile(_ != '"')
+    // stats are optional: entries written before the fields existed
+    // read as unknown (−1), and unknown stays sticky through appends
+    def stat(name: String): Long =
+      if (!line.contains("\"" + name + "\":")) -1L
+      else field(name).takeWhile(c => c.isDigit || c == '-').toLong
+    val rows = stat("rows")
+    val bytes = stat("bytes")
     val addRaw = field("add").drop(1).takeWhile(_ != ']')
     val add = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(addRaw)
       .map(m => unesc(m.group(1))).toSeq
@@ -115,7 +131,7 @@ object Versioned {
       }
       unesc(sb.toString)
     }
-    Commit(version, action, add, schema, layout)
+    Commit(version, action, add, schema, layout, rows, bytes)
   }
 
   private def unesc(s: String): String = {
@@ -181,15 +197,17 @@ object Versioned {
       .filter(_.endsWith(".checkpoint.json"))
       .map(_.stripSuffix(".checkpoint.json").toLong)
       .filter(_ <= target).sorted.lastOption
-    val start: ((Seq[String], String), String) = ckpts match {
+    val start: Commit = ckpts match {
       case Some(cv) =>
-        val c = parse(readString(f, checkpointFile(table, cv)))
-        ((c.add, c.layout), c.schemaJson)
-      case None => ((Seq.empty, ""), "")
+        parse(readString(f, checkpointFile(table, cv))).copy(version = target)
+      case None => Commit(target, "checkpoint", Seq.empty, "", "", 0L, 0L)
     }
+    // unknown (−1) is sticky: a cumulative stat is only trustworthy
+    // when EVERY contributing commit recorded one
+    def acc(a: Long, b: Long): Long = if (a < 0 || b < 0) -1L else a + b
     val replayFrom = ckpts.map(_ + 1).getOrElse(0L)
     vs.filter(v => v >= replayFrom && v <= target)
-      .foldLeft(Commit(target, "checkpoint", start._1._1, start._2, start._1._2)) {
+      .foldLeft(start) {
         (state, v) =>
           val c = parse(readString(f, logFile(table, v)))
           c.action match {
@@ -204,9 +222,12 @@ object Versioned {
             case "append" => state.copy(add = state.add ++ c.add,
               schemaJson = c.schemaJson,
               layout = if (c.layout == state.layout &&
-                parsePartLayout(c.layout).isDefined) state.layout else "")
+                parsePartLayout(c.layout).isDefined) state.layout else "",
+              rows = acc(state.rows, c.rows),
+              bytes = acc(state.bytes, c.bytes))
             case "overwrite" => state.copy(add = c.add,
-              schemaJson = c.schemaJson, layout = c.layout)
+              schemaJson = c.schemaJson, layout = c.layout,
+              rows = c.rows, bytes = c.bytes)
             case a => sys.error(s"unknown log action: $a")
           }
       }
@@ -231,22 +252,31 @@ object Versioned {
     }
 
   /** Stage `df` as parquet data files for version-to-be `v`, return
-    * table-relative paths. The salt keeps retried commits (same target
-    * version, different writers) from colliding in `data/`. A bucketed
-    * layout stages through `bucketBy` (Spark's bucket-id file naming is
-    * what the read-side catalog entry keys on), preceded by ONE
-    * repartition on the bucket column so each task holds exactly one
-    * bucket — bucketBy alone splits EVERY task's output into nBuckets
-    * files, the small-files anti-pattern at scale.
+    * (table-relative paths, rows staged, bytes staged). The salt keeps
+    * retried commits (same target version, different writers) from
+    * colliding in `data/`. A bucketed layout stages through `bucketBy`
+    * (Spark's bucket-id file naming is what the read-side catalog
+    * entry keys on), preceded by ONE repartition on the bucket column
+    * so each task holds exactly one bucket — bucketBy alone splits
+    * EVERY task's output into nBuckets files, the small-files
+    * anti-pattern at scale.
+    *
+    * Stats cost nothing extra: the row count rides the staging write
+    * itself as an `Observation` (a CollectMetrics node — no second
+    * scan), and the byte total falls out of the directory listing the
+    * `add` entries already need.
     */
   private def stage(df: DataFrame, table: String, v: Long,
-                    layout: String = ""): Seq[String] = {
+                    layout: String = ""): (Seq[String], Long, Long) = {
     val salt = java.util.UUID.randomUUID().toString.take(8)
     val rel = s"data/v$v-$salt"
+    val obs = new org.apache.spark.sql.Observation(s"graft_stage_rows_$salt")
+    val d = df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"))
     parseBucketLayout(layout) match {
       case Some((bcol, n)) =>
         val tmp = s"graft_stage_$salt"
-        df.repartition(n, org.apache.spark.sql.functions.col(bcol))
+        d.repartition(n, org.apache.spark.sql.functions.col(bcol))
           .write.format("parquet")
           .bucketBy(n, bcol).sortBy(bcol)
           .option("path", s"$table/$rel")
@@ -261,18 +291,29 @@ object Versioned {
           // pruning keys on. The add entry is the DIR: partitioned
           // files do not carry the partition column, so per-file reads
           // would lose it; readers must go through the directory.
-          df.repartition(org.apache.spark.sql.functions.col(pcol))
+          d.repartition(org.apache.spark.sql.functions.col(pcol))
             .write.partitionBy(pcol).parquet(s"$table/$rel")
         case None =>
-          df.write.parquet(s"$table/$rel")
+          d.write.parquet(s"$table/$rel")
       }
     }
+    val rows = obs.get("rows").asInstanceOf[Long]
     val f = fs(df.sparkSession, new Path(table))
-    if (parsePartLayout(layout).isDefined) Seq(rel)
-    else f.listStatus(new Path(s"$table/$rel"))
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(s => s"$rel/${s.getPath.getName}").sorted.toSeq
+    if (parsePartLayout(layout).isDefined)
+      (Seq(rel), rows, dirBytes(f, new Path(s"$table/$rel")))
+    else {
+      val sts = f.listStatus(new Path(s"$table/$rel"))
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      (sts.map(s => s"$rel/${s.getPath.getName}").sorted.toSeq,
+        rows, sts.map(_.getLen).sum)
+    }
   }
+
+  private def dirBytes(f: FileSystem, p: Path): Long =
+    f.listStatus(p).map { st =>
+      if (st.isDirectory) dirBytes(f, st.getPath)
+      else if (st.getPath.getName.startsWith("part-")) st.getLen else 0L
+    }.sum
 
   /** Commit `df` to `table` with `action` ("append" | "overwrite").
     * Optimistic concurrency: on log-entry collision the data files are
@@ -309,10 +350,11 @@ object Versioned {
     checkAppendLayout()
     val schemaJson = df.schema.json
     var v = versions(f, table).lastOption.map(_ + 1).getOrElse(0L)
-    val files = stage(df, table, v, layout)
+    val (files, rows, bytes) = stage(df, table, v, layout)
     var attempts = 0
     while (!writeString(f, logFile(table, v),
-             render(Commit(v, action, files, schemaJson, layout)), exclusive = true)) {
+             render(Commit(v, action, files, schemaJson, layout, rows, bytes)),
+             exclusive = true)) {
       attempts += 1
       require(attempts <= maxRetries, s"lost $maxRetries commit races on $table")
       v = versions(f, table).lastOption.map(_ + 1).getOrElse(0L)
@@ -396,9 +438,10 @@ object Versioned {
       s"stale snapshot on $table: expected to commit v$expected but the " +
         s"table is at v${next - 1} — a concurrent writer advanced it; " +
         "re-read the latest state before retrying")
-    val files = stage(df, table, expected)
+    val (files, rows, bytes) = stage(df, table, expected)
     require(writeString(f, logFile(table, expected),
-        render(Commit(expected, "overwrite", files, df.schema.json)),
+        render(Commit(expected, "overwrite", files, df.schema.json,
+          rows = rows, bytes = bytes)),
         exclusive = true),
       s"lost the commit race on $table at v$expected (concurrent writer) — " +
         "re-read the latest state before retrying")
@@ -446,9 +489,10 @@ object Versioned {
   private def tryCommitAt(df: DataFrame, table: String, action: String,
                           v: Long, layout: String = ""): Boolean = {
     val f = fs(df.sparkSession, new Path(table))
-    val files = stage(df, table, v, layout)
+    val (files, rows, bytes) = stage(df, table, v, layout)
     val ok = writeString(f, logFile(table, v),
-      render(Commit(v, action, files, df.schema.json, layout)), exclusive = true)
+      render(Commit(v, action, files, df.schema.json, layout, rows, bytes)),
+      exclusive = true)
     if (ok && v % checkpointInterval == 0 && v > 0) {
       val full = resolve(f, table, Some(v))
       writeString(f, checkpointFile(table, v),
@@ -488,8 +532,13 @@ object Versioned {
       val compacted =
         if (layout.nonEmpty) current // bucketed staging repartitions itself
         else {
-          val totalBytes = snap.add
-            .map(p => f.getFileStatus(new Path(s"$table/$p")).getLen).sum
+          // the log's cumulative byte stat sizes the rewrite without a
+          // per-file getFileStatus round trip (one RPC per file on an
+          // object store); listing is only the pre-stats fallback
+          val totalBytes =
+            if (snap.bytes >= 0) snap.bytes
+            else snap.add
+              .map(p => f.getFileStatus(new Path(s"$table/$p")).getLen).sum
           val nFiles = math.max(1L, math.ceil(
             totalBytes.toDouble / (targetFileMB * 1024L * 1024L)).toLong).toInt
           current.coalesce(nFiles)
@@ -601,6 +650,32 @@ object Versioned {
       val c = parse(readString(f, logFile(table, v)))
       (v, c.action, c.add.length)
     }
+  }
+
+  /** Table history with each commit's own data stats:
+    * (version, action, fileCount, rows, bytes) ascending — rows/bytes
+    * are the files THAT commit added (−1 = entry predates stats), so
+    * an audit reconciles growth commit by commit without scanning data.
+    */
+  def historyStats(spark: SparkSession,
+                   table: String): Seq[(Long, String, Int, Long, Long)] = {
+    val f = fs(spark, new Path(table))
+    versions(f, table).map { v =>
+      val c = parse(readString(f, logFile(table, v)))
+      (v, c.action, c.add.length, c.rows, c.bytes)
+    }
+  }
+
+  /** Cumulative (rows, bytes) of the LIVE file set at `asOf` (default
+    * latest), resolved from the commit log alone — no file listing, no
+    * data scan; survives checkpoint replay because checkpoints persist
+    * the running totals. None when any contributing commit predates
+    * the stats fields.
+    */
+  def snapshotStats(spark: SparkSession, table: String,
+                    asOf: Option[Long] = None): Option[(Long, Long)] = {
+    val snap = resolve(fs(spark, new Path(table)), table, asOf)
+    if (snap.rows < 0 || snap.bytes < 0) None else Some((snap.rows, snap.bytes))
   }
 
   /** Drop data files no longer referenced by ANY version ≥

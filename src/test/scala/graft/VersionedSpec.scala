@@ -104,6 +104,76 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.vacuum(spark, t, retainVersions = 1) == 0)
   }
 
+  test("commit-log stats: per-commit and cumulative rows/bytes reconcile " +
+      "without a data scan, survive checkpoint replay, and degrade to " +
+      "unknown on pre-stats entries") {
+    val t = tmpTable()
+    Versioned.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    Versioned.append(Seq((3L, "c")).toDF("id", "s"), t)
+    Versioned.overwrite((1L to 5L).map(i => (i, s"v$i")).toDF("id", "s"), t)
+    // per-commit stats: each entry records its OWN adds
+    val hs = Versioned.historyStats(spark, t)
+    assert(hs.map(h => (h._1, h._2, h._4)) ==
+      Seq((0L, "append", 2L), (1L, "append", 1L), (2L, "overwrite", 5L)))
+    assert(hs.forall(_._5 > 0L), "every commit must record positive bytes")
+    // cumulative stats come from the log alone and match the files
+    assert(Versioned.snapshotStats(spark, t) == Some((5L,
+      liveBytes(t))), "latest snapshot stats must match the live files")
+    assert(Versioned.snapshotStats(spark, t, asOf = Some(1L)).map(_._1) ==
+      Some(3L), "append stats must accumulate")
+
+    // survives checkpoint replay: 13 more commits → checkpoint at v10;
+    // drop the consolidated entries and the totals still resolve
+    (0 until 11).foreach(i =>
+      Versioned.append(Seq((100L + i, "x")).toDF("id", "s"), t))
+    val f = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new Path(s"$t/_graft_log/${"%020d".format(10)}.checkpoint.json")))
+    (0 to 9).foreach(i =>
+      f.delete(new Path(s"$t/_graft_log/${"%020d".format(i)}.json"), false))
+    assert(Versioned.snapshotStats(spark, t) == Some((16L, liveBytes(t))),
+      "cumulative stats must ride the checkpoint, not the dropped entries")
+
+    // a pre-stats entry (no rows/bytes fields) makes the cumulative
+    // UNKNOWN rather than silently wrong — and the per-commit view
+    // shows exactly which entry is blind
+    val schemaEsc = Versioned.read(spark, t).schema.json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val legacy = new Path(s"$t/_graft_log/${"%020d".format(14)}.json")
+    val out = f.create(legacy, false)
+    out.write(("""{"version":14,"action":"append","add":[],""" +
+      s""""schema":"$schemaEsc"}""").getBytes("UTF-8"))
+    out.close()
+    assert(Versioned.snapshotStats(spark, t).isEmpty,
+      "unknown must be sticky, not treated as zero")
+    assert(Versioned.historyStats(spark, t).find(_._1 == 14L).get._4 == -1L)
+    // compact still works off the listing fallback, and the rewrite's
+    // own commit restores known stats
+    Versioned.compact(spark, t)
+    assert(Versioned.snapshotStats(spark, t) == Some((16L, liveBytes(t))))
+  }
+
+  test("commit-log stats cover partitioned and bucketed layouts") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpTable()
+    Versioned.overwritePartitioned(
+      Seq((1L, "p0"), (2L, "p1"), (3L, "p0")).toDF("id", "part"), t, "part")
+    Versioned.appendPartitioned(Seq((4L, "p2")).toDF("id", "part"), t, "part")
+    assert(Versioned.snapshotStats(spark, t).map(_._1) == Some(4L))
+    assert(Versioned.snapshotStats(spark, t).get._2 > 0L)
+    val b = tmpTable()
+    Versioned.overwriteBucketed(
+      spark.range(100).select(col("id")), b, "id", 4)
+    assert(Versioned.snapshotStats(spark, b) == Some((100L, liveBytes(b))))
+  }
+
+  /** Sum of the live snapshot's file lengths straight off the disk —
+    * the ground truth the log stats must reproduce. */
+  private def liveBytes(t: String): Long = {
+    val f = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Versioned.read(spark, t).inputFiles.map(p =>
+      f.getFileStatus(new Path(new java.net.URI(p))).getLen).sum
+  }
+
   test("compact merges many small append files into few; history intact") {
     val t = tmpTable()
     // the daily-append pattern: one small file set per batch
