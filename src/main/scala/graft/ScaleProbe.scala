@@ -315,6 +315,12 @@ object ScaleProbe {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead): Unit
     })
+    // vectored IO off for the byte measurements: parquet-mr's
+    // readVectored path bypasses the Hadoop FS statistics feeding
+    // inputMetrics.bytesRead, so data-page bytes would go uncounted
+    // and every probe would report ~footer-only reads
+    spark.sparkContext.hadoopConfiguration
+      .set("parquet.hadoop.vectored.io.enabled", "false")
     def measured(run: () => Unit): (Double, Long) = {
       run() // warm
       Thread.sleep(200) // listener events drain async
@@ -362,7 +368,14 @@ object ScaleProbe {
       def grow(s: Int) = (0 until s).map(i =>
         e.select((col("id") + lit(i * 1000000L)).as("id"), col("vec")))
         .reduce(_ unionByName _)
-      val queries = e.filter(col("id") < 10).localCheckpoint()
+      // 2 queries × 4 probes ≤ 8 of 16 centroids: the probed-centroid
+      // union must be a strict subset or there is nothing to prune
+      // (10 queries × 4 probes covered all 16 and read every byte).
+      // STORAGE-BACKED and filtered — DPP's trigger shape: a
+      // localCheckpointed batch has no selective predicate, so the
+      // optimizer skips pruning insertion entirely (measured: identical
+      // bytes to the plain layout)
+      val queries = e.filter(col("id") < 2)
       val rows = scales.map { s =>
         val big = grow(s)
         val part = java.nio.file.Files
