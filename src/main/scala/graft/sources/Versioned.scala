@@ -267,7 +267,9 @@ object Versioned {
     * `add` entries already need.
     */
   private def stage(df: DataFrame, table: String, v: Long,
-                    layout: String = ""): (Seq[String], Long, Long) = {
+                    layout: String = "",
+                    writeOptions: Map[String, String] = Map.empty)
+      : (Seq[String], Long, Long) = {
     val salt = java.util.UUID.randomUUID().toString.take(8)
     val rel = s"data/v$v-$salt"
     val obs = new org.apache.spark.sql.Observation(s"graft_stage_rows_$salt")
@@ -277,7 +279,7 @@ object Versioned {
       case Some((bcol, n)) =>
         val tmp = s"graft_stage_$salt"
         d.repartition(n, org.apache.spark.sql.functions.col(bcol))
-          .write.format("parquet")
+          .write.format("parquet").options(writeOptions)
           .bucketBy(n, bcol).sortBy(bcol)
           .option("path", s"$table/$rel")
           .saveAsTable(tmp)
@@ -292,9 +294,10 @@ object Versioned {
           // files do not carry the partition column, so per-file reads
           // would lose it; readers must go through the directory.
           d.repartition(org.apache.spark.sql.functions.col(pcol))
-            .write.partitionBy(pcol).parquet(s"$table/$rel")
+            .write.options(writeOptions).partitionBy(pcol)
+            .parquet(s"$table/$rel")
         case None =>
-          d.write.parquet(s"$table/$rel")
+          d.write.options(writeOptions).parquet(s"$table/$rel")
       }
     }
     val rows = obs.get("rows").asInstanceOf[Long]
@@ -321,7 +324,8 @@ object Versioned {
     * log entry retries). Returns the committed version.
     */
   def commit(df: DataFrame, table: String, action: String,
-             maxRetries: Int = 20, layout: String = ""): Long = {
+             maxRetries: Int = 20, layout: String = "",
+             writeOptions: Map[String, String] = Map.empty): Long = {
     require(action == "append" || action == "overwrite", s"bad action: $action")
     val spark = df.sparkSession
     val f = fs(spark, new Path(table))
@@ -350,7 +354,7 @@ object Versioned {
     checkAppendLayout()
     val schemaJson = df.schema.json
     var v = versions(f, table).lastOption.map(_ + 1).getOrElse(0L)
-    val (files, rows, bytes) = stage(df, table, v, layout)
+    val (files, rows, bytes) = stage(df, table, v, layout, writeOptions)
     var attempts = 0
     while (!writeString(f, logFile(table, v),
              render(Commit(v, action, files, schemaJson, layout, rows, bytes)),
@@ -368,9 +372,20 @@ object Versioned {
     v
   }
 
-  def append(df: DataFrame, table: String): Long = commit(df, table, "append")
+  /** `writeOptions` pass straight to the parquet writer of THIS
+    * commit's staged files — the footer-stat levers a 100 TB layout
+    * wants per table: `parquet.bloom.filter.enabled#col` (+ its
+    * `expected.ndv#col` sizing twin) for point-probed keys,
+    * `parquet.block.size` to size row groups. Per-commit by design
+    * (like the layout): a compaction rewrite chooses its own options.
+    */
+  def append(df: DataFrame, table: String,
+             writeOptions: Map[String, String] = Map.empty): Long =
+    commit(df, table, "append", writeOptions = writeOptions)
 
-  def overwrite(df: DataFrame, table: String): Long = commit(df, table, "overwrite")
+  def overwrite(df: DataFrame, table: String,
+                writeOptions: Map[String, String] = Map.empty): Long =
+    commit(df, table, "overwrite", writeOptions = writeOptions)
 
   /** Overwrite with a Spark-BUCKETED physical layout: data files carry
     * bucket ids (hash(bucketCol) mod nBuckets, Murmur3 — Spark's own

@@ -174,6 +174,36 @@ class VersionedSpec extends SparkSpec {
       f.getFileStatus(new Path(new java.net.URI(p))).getLen).sum
   }
 
+  test("writeOptions reach the staged parquet: a bloom-enabled commit " +
+      "carries the filter in its footer, the next plain commit does not") {
+    import scala.jdk.CollectionConverters._
+    val t = tmpTable()
+    val df = spark.range(1000).selectExpr("id AS k", "CAST(id AS STRING) AS s")
+    Versioned.overwrite(df, t, writeOptions = Map(
+      "parquet.bloom.filter.enabled#k" -> "true",
+      "parquet.bloom.filter.expected.ndv#k" -> "1000"))
+    Versioned.append(df.selectExpr("k + 1000 AS k", "s"), t)
+    def hasBloom(file: String): Boolean = {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(file), spark.sessionState.newHadoopConf()))
+      try {
+        val cm = rd.getRowGroups.asScala.head.getColumns.asScala
+          .find(_.getPath.toDotString == "k").get
+        rd.readBloomFilter(cm) != null
+      } finally rd.close()
+    }
+    val hist = Versioned.historyStats(spark, t)
+    assert(hist.map(_._4) == Seq(1000L, 1000L), "stats ride optioned commits")
+    // v0's files carry the filter; v1's (no options) do not — options
+    // are per-commit, like the layout
+    val v0files = Versioned.read(spark, t, asOf = Some(0L)).inputFiles
+    val v1only = Versioned.read(spark, t).inputFiles.toSet -- v0files.toSet
+    assert(v0files.nonEmpty && v1only.nonEmpty)
+    assert(v0files.forall(hasBloom), "bloom filter missing from optioned commit")
+    assert(!v1only.exists(hasBloom), "plain append must not inherit options")
+  }
+
   test("compact merges many small append files into few; history intact") {
     val t = tmpTable()
     // the daily-append pattern: one small file set per batch
