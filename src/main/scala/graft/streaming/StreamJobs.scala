@@ -339,6 +339,52 @@ object StreamJobs {
       .start()
   }
 
+  /** Online HYBRID retrieval — the streaming half of
+    * [[graft.operators.Retrieval.hybridSearch]]: each micro-batch of
+    * (query_id, terms, vec) rows answers on BOTH persisted indexes
+    * (postings slices for the lexical arm, probed buckets for the
+    * semantic arm — never anything corpus-sized) and fuses the two
+    * rankings with reciprocal-rank fusion. The version PAIR is pinned
+    * at stream start — each index through its own lockstep check, so
+    * an append or rebuild on EITHER side never reshapes fused rankings
+    * mid-stream; a restart picks up the new latest pair. The
+    * [[searchStream]] discipline applied to the fused ranker,
+    * including the idempotent (run_id, batch_id) sink.
+    */
+  def hybridSearchStream(queryStream: DataFrame, bm25Dir: String,
+                         ivfDir: String, outDir: String,
+                         checkpointDir: String, k: Int = 10,
+                         kEach: Int = 20, nProbes: Int = 4): StreamingQuery = {
+    val spark = queryStream.sparkSession
+    val pinnedLex = {
+      val vp = graft.sources.Versioned.latestVersion(spark, s"$bm25Dir/postings")
+      val vs = graft.sources.Versioned.latestVersion(spark, s"$bm25Dir/stats")
+      require(vp == vs, s"BM25 index tables out of lockstep (postings v$vp, " +
+        s"stats v$vs) — a build crashed between commits; rebuild into a " +
+        "fresh directory")
+      vp
+    }
+    val pinnedSem = {
+      val vc = graft.sources.Versioned.latestVersion(spark, s"$ivfDir/centroids")
+      val va = graft.sources.Versioned.latestVersion(spark, s"$ivfDir/assignment")
+      require(vc == va, s"IVF index tables out of lockstep (centroids v$vc, " +
+        s"assignment v$va) — a build/append crashed between commits; " +
+        "rebuild the index or pin an intact version with asOf")
+      vc
+    }
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(
+          graft.operators.Retrieval.hybridSearch(spark, bm25Dir, ivfDir,
+            batch, k, kEach, nProbes,
+            bm25AsOf = Some(pinnedLex), ivfAsOf = Some(pinnedSem)),
+          checkpointDir, batchId, outDir)
+      }
+      .start()
+  }
+
   /** Online classification against a persisted NB model
     * ([[graft.operators.Corpus.buildNbModel]]): each micro-batch of
     * documents pays one scoring pass against the FROZEN model tables —

@@ -605,6 +605,71 @@ class StreamingSpec extends SparkSpec {
       "the pre-append version must still answer with the old corpus")
   }
 
+  test("streaming hybrid search: deliveries ≡ the batch fusion; the " +
+      "version-pinned pair reproduces after appends on both indexes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Retrieval, Similarity}
+
+    val work = tmpDir()
+    val bm25 = s"$work/bm25"
+    val ivf = s"$work/ivf"
+    val docs = Seq((1L, "spark shuffle join"), (2L, "rare spark spark"),
+      (3L, "join join shuffle"), (4L, "nothing here")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.1)), (2L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.1, 0.0)), (4L, Seq(0.0, 0.0, 1.0, 0.9)))
+      .toDF("id", "vec")
+    assert(Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), bm25) == 0L)
+    assert(Similarity.buildIvfIndex(vecs, ivf, nCentroids = 2,
+      lloydIters = 1) == 0L)
+
+    val queries = Seq(
+      (10L, Seq("spark", "rare"), Seq(1.0, 0.05, 0.0, 0.0)),
+      (11L, Seq("join"), Seq(0.0, 0.1, 1.0, 0.8)))
+    var n = 0
+    def deliver(rows: Seq[(Long, Seq[String], Seq[Double])], out: String): Unit = {
+      n += 1
+      val mem = MemoryStream[(Long, Seq[String], Seq[Double])]
+      mem.addData(rows.toIndexedSeq: _*)
+      StreamJobs.hybridSearchStream(
+        mem.toDF().toDF("query_id", "terms", "vec"), bm25, ivf,
+        out, s"$work/hckpt$n", k = 10, kEach = 10, nProbes = 2)
+        .awaitTermination()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "n_rankers", "rrf")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+    // two deliveries accumulate to exactly the one-shot batch fusion
+    deliver(queries.take(1), s"$work/hout1")
+    deliver(queries.drop(1), s"$work/hout1")
+    val batch = Retrieval.hybridSearch(spark, bm25, ivf,
+      queries.toDF("query_id", "terms", "vec"), k = 10, kEach = 10, nProbes = 2)
+    val expect = rows(batch)
+    assert(expect.exists(_._3 == 2L),
+      "fixture must exercise a doc found by BOTH rankers")
+    assert(rows(spark.read.parquet(s"$work/hout1")) == expect,
+      "streamed fusion diverged from the batch pass")
+
+    // append a doc to BOTH indexes: a stream started after sees it;
+    // the pinned (0,0) pair still reproduces the original fusion
+    assert(Retrieval.appendToBm25Index(
+      Seq((5L, "spark spark rare join")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), bm25) == 1L)
+    assert(Similarity.appendToIvfIndex(
+      Seq((5L, Seq(0.95, 0.05, 0.0, 0.05))).toDF("id", "vec"), ivf) == 1L)
+    deliver(queries.take(1), s"$work/hout2")
+    assert(rows(spark.read.parquet(s"$work/hout2")).exists(_._2 == 5L),
+      "post-append stream must reach the appended doc through both arms")
+    assert(rows(Retrieval.hybridSearch(spark, bm25, ivf,
+        queries.take(1).toDF("query_id", "terms", "vec"), k = 10, kEach = 10,
+        nProbes = 2, bm25AsOf = Some(0L), ivfAsOf = Some(0L))) ==
+      expect.filter(_._1 == 10L),
+      "the pinned index pair must reproduce the pre-append fusion")
+  }
+
   test("streaming classification: deliveries ≡ one batch scoring pass; predictions ride the model version pinned at start") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
