@@ -1452,15 +1452,25 @@ object PipelineQueries {
     val counts = Bpe.tokenCountsWithModel(spark, modelDir, mixed,
         col("mid"), col("text"), asOf = asOf)
       .select(col("doc_id"), col("n_tok"))
-    val spans = Corpus.packSequencesCounted(counts, budget)
-    spans.join(mixed.select(col("mid").as("doc_id"), col("source")), Seq("doc_id"))
+    manifestFromSpans(Corpus.packSequencesCounted(counts, budget),
+      mixed.select(col("mid").as("doc_id"), col("source")))
+  }
+
+  /** The per-source manifest aggregation over a packing span table
+    * joined to its (doc_id, source) map — shared by [[bpeTrainerManifest]]
+    * (the oracle-checked query, which derives spans from
+    * `tokenCountsWithModel`) and [[graft.app.TrainingExport
+    * .runModelTokens]] (which reuses the SAME spans its sequence
+    * assembly consumes, so the export pays ONE encode pass, not two).
+    */
+  def manifestFromSpans(spans: DataFrame, sources: DataFrame): DataFrame =
+    spans.join(sources, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(countDistinct(floor(col("doc_id") / 4)).as("n_docs"),
         countDistinct(col("doc_id")).as("n_copies"),
         sum(col("n_tok_in_seq")).as("n_tokens"),
         countDistinct(col("seq_id")).as("n_seqs"))
       .orderBy(col("source"))
-  }
 
   /** The shared sf-dir-keyed BPE model artifact (built once per corpus
     * fingerprint — q164 and q165 resolve the same tokenizer).

@@ -89,10 +89,15 @@ object TrainingExport {
                      format: String = "parquet"): ExportStats = {
     require(format == "parquet" || format == "jsonl",
       s"export format must be parquet or jsonl, got $format")
+    // the funnel feeds both the encode and the manifest's source map —
+    // staged once; the encode (the dominant pass) runs ONCE, with the
+    // sequence assembly and the manifest sharing its span table
     val mixed = PipelineQueries.trainerExportMixed(spark, sfDir)
-    val seqs = graft.operators.Bpe.packedIdSequencesWithModel(
-      spark, modelDir, mixed, col("mid"), col("text"), budget,
-      asOf = modelAsOf)
+      .localCheckpoint(eager = false)
+    val ids = graft.operators.Bpe.encodeIdsWithModel(
+      spark, modelDir, mixed, col("mid"), col("text"), asOf = modelAsOf)
+    val (arr, spans) = graft.operators.Bpe.packedIdSpans(ids, budget)
+    val seqs = graft.operators.Bpe.assembleIdSequences(arr, spans)
     val (instrumented, obs) = graft.operators.Audit.observed(
       seqs.repartitionByRange(shards, col("seq_id"))
         .sortWithinPartitions(col("seq_id")),
@@ -102,8 +107,8 @@ object TrainingExport {
       graft.sources.Sinks.json(instrumented, s"$outDir/sequences")
     else
       instrumented.write.mode("overwrite").parquet(s"$outDir/sequences")
-    val manifest = PipelineQueries.bpeTrainerManifest(
-      spark, sfDir, modelDir, budget, modelAsOf).coalesce(1)
+    val manifest = PipelineQueries.manifestFromSpans(spans,
+      mixed.select(col("mid").as("doc_id"), col("source"))).coalesce(1)
     if (format == "jsonl")
       graft.sources.Sinks.json(manifest, s"$outDir/manifest")
     else

@@ -391,6 +391,17 @@ object Bpe {
     * Output: (seq_id 0-based, n_tok, n_docs, ids array<int>).
     */
   def packedIdSequences(ids: DataFrame, budget: Int): DataFrame = {
+    val (arr, spans) = packedIdSpans(ids, budget)
+    assembleIdSequences(arr, spans)
+  }
+
+  /** The two staged halves of [[packedIdSequences]] — (per-doc id
+    * arrays, cut spans) — exposed so a consumer that ALSO needs the
+    * span table (e.g. a per-source export manifest) shares one encode
+    * and one prefix sum instead of re-running the pipeline. Both are
+    * `localCheckpoint`ed: each feeds two downstream reads.
+    */
+  def packedIdSpans(ids: DataFrame, budget: Int): (DataFrame, DataFrame) = {
     val arr = ids
       .groupBy(col("doc_id"))
       .agg(transform(
@@ -401,6 +412,13 @@ object Bpe {
       .localCheckpoint(eager = false)
     val spans = Corpus.packSequencesCounted(
       arr.select(col("doc_id"), col("n_tok")), budget)
+      .localCheckpoint(eager = false)
+    (arr, spans)
+  }
+
+  /** Assemble (seq_id, n_tok, n_docs, ids) from [[packedIdSpans]]'
+    * halves. */
+  def assembleIdSequences(arr: DataFrame, spans: DataFrame): DataFrame =
     spans.join(arr.select(col("doc_id"), col("ids")), Seq("doc_id"))
       .select(col("seq_id"), col("doc_id"), col("n_tok_in_seq"),
         slice(col("ids"), col("doc_tok_start").cast("int"),
@@ -411,7 +429,6 @@ object Bpe {
         flatten(transform(
           sort_array(collect_list(struct(col("doc_id"), col("piece")))),
           c => c("piece"))).as("ids"))
-  }
 
   /** [[packedIdSequences]] against a persisted model — encode with the
     * version-pinned tokenizer, then pack: the one artifact a training
