@@ -431,6 +431,37 @@ object ScaleProbe {
       println(f"${"percentile_scale"}%-18s " + times.map(t => f"$t%8.2f").mkString(" ") +
         f"   (10x/1x ratio: ${times.last / times.head}%.1f)  [10x sf0.1 ~= sf1]")
     }
+
+    // Tokenizer-true export path (round 10, q165's engine half): encode
+    // with a FIXED persisted model + budget-pack the id stream over a
+    // growing corpus (ids offset, text duplicated — same subword space,
+    // so the vocab join stays total). Near-linear growth = the encode's
+    // broadcast-merge rewrite, the per-doc array agg, and the packing
+    // prefix sum all stay corpus-pass-shaped with no quadratic term.
+    if (opFilter.isEmpty || opFilter.exists("bpe_export".contains)) {
+      val docs = Tables.documents(spark, sfDir)
+      val mdl = java.nio.file.Files
+        .createTempDirectory("scaleprobe_bpe_mdl").toString
+      graft.operators.Bpe.buildBpeModel(docs, col("text"), k = 6, mdl): Unit
+      def growDup(s: Int) = (0 until s).map(i =>
+        docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          col("text")))
+        .reduce(_ unionByName _)
+      val times = scales.map { s =>
+        val big = growDup(s)
+        val probe = () => Bench.force(graft.operators.Bpe.packedIdSequences(
+          graft.operators.Bpe.encodeIdsWithModel(
+            spark, mdl, big, col("doc_id"), col("text")), 512))
+        probe()
+        val t0 = System.nanoTime()
+        probe()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
+      }
+      println(f"${"bpe_export"}%-18s " + times.map(t => f"$t%8.2f").mkString(" ") +
+        f"   (10x/1x ratio: ${times.last / times.head}%.1f)  [fixed model, encode+pack]")
+    }
     spark.stop()
   }
 }
