@@ -333,13 +333,66 @@ object RetrievalQueries {
        |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // [EXT] chunk-grain retrieval — the RAG serving unit: documents are
+  // chunked into 32-token windows at stride 16 (overlapping — the RAG
+  // convention) and BM25-ranked at CHUNK grain, so a hit is a
+  // context-window-sized span with (doc_id, chunk_start) attribution
+  // instead of a whole document whose relevant paragraph is buried in
+  // unrelated length. Grain change only: chunks ride the same scoring
+  // machinery as q146 (dl = chunk length, idf = chunk frequency). The
+  // oracle replays the q120 chunk CTE, the composite doc·2³²+start key,
+  // and the q146 BM25 CTEs over chunks in one statement.
+  def q167ChunkBm25(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.chunkBm25TopK(Tables.documents(spark, dir),
+      col("doc_id"), col("text"), bmTerms, k = 20, size = 32, stride = 16)
+
+  private val q167Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      |starts AS (
+      |  SELECT doc_id, parts,
+      |    unnest(range(1, len(parts) + 1, 16)) AS chunk_start
+      |  FROM t),
+      |ch AS (
+      |  SELECT doc_id * 4294967296 + chunk_start AS ck,
+      |    array_to_string(parts[chunk_start : chunk_start + 31], ' ') AS chunk_text
+      |  FROM starts),
+      |d AS (
+      |  SELECT ck, CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS dl,
+      |    string_split(chunk_text, ' ') AS toks
+      |  FROM ch),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+      |tf AS (
+      |  SELECT ck, dl, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT ck, dl, unnest(toks) AS tok FROM d)
+      |  WHERE tok IN ('dup', 'spark', 'hash')
+      |  GROUP BY 1, 2, 3),
+      |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |term AS (
+      |  SELECT tf.ck,
+      |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+      |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |          * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS t
+      |  FROM tf JOIN dfs USING (tok) CROSS JOIN stats)
+      |SELECT ck // 4294967296 AS doc_id, ck % 4294967296 AS chunk_start,
+      |  CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
+      |FROM term GROUP BY ck
+      |ORDER BY score DESC, doc_id ASC, chunk_start ASC LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_bm25"         -> (q146Bm25 _),
     "q147_bm25_index"   -> (q147Bm25Index _),
     "q148_zorder_key"   -> (q148ZorderKey _),
     "q152_phrase_index" -> (q152PhraseIndex _),
     "q153_bm25_many"    -> (q153Bm25Many _),
-    "q166_hybrid_rrf"   -> (q166HybridRrf _))
+    "q166_hybrid_rrf"   -> (q166HybridRrf _),
+    "q167_chunk_bm25"   -> (q167ChunkBm25 _))
 
   val oracle: Map[String, String] = Map(
     "q146_bm25"         -> q146Sql,
@@ -347,5 +400,6 @@ object RetrievalQueries {
     "q148_zorder_key"   -> q148Sql,
     "q152_phrase_index" -> q152Sql,
     "q153_bm25_many"    -> q153Sql,
-    "q166_hybrid_rrf"   -> q166Sql)
+    "q166_hybrid_rrf"   -> q166Sql,
+    "q167_chunk_bm25"   -> q167Sql)
 }

@@ -311,6 +311,44 @@ object Retrieval {
       .limit(k)
   }
 
+  // ------------------------------------------------- chunk-grain (RAG)
+
+  /** Chunk-grain BM25 — the RAG retrieval unit: documents are chunked
+    * into size/stride token windows ([[Corpus.chunk]] — map-side only)
+    * and ranked at CHUNK grain, so a hit is a context-window-sized
+    * span with doc attribution, not a whole document whose relevant
+    * paragraph is buried in unrelated length. This is a GRAIN change,
+    * not new machinery: chunks are short documents whose key encodes
+    * (doc_id, chunk_start); dl = chunk length, idf = chunk frequency —
+    * the convention RAG stacks score under. stride &lt; size gives
+    * overlapping windows (adjacent spans may co-rank; dedup downstream
+    * if the consumer needs disjoint context).
+    *
+    * The composite key is doc_id·2³² + chunk_start, decoded by bit
+    * ops (not double division — a key near 2⁶³ would lose precision);
+    * an in-plan guard refuses doc_id ≥ 2³¹ or a chunk_start ≥ 2³²
+    * loudly instead of silently mis-attributing spans.
+    *
+    * Output: (doc_id, chunk_start 1-based, n_terms, score), top-k by
+    * (score desc, doc_id asc, chunk_start asc).
+    */
+  def chunkBm25TopK(docs: DataFrame, id: Column, text: Column,
+                    terms: Seq[String], k: Int, size: Int, stride: Int,
+                    k1: Double = K1, b: Double = B): DataFrame = {
+    val M = 1L << 32
+    val chunks = Corpus.chunk(docs, id, text, size, stride)
+      .filter(assert_true(
+        col("doc_id") < lit(1L << 31) && col("chunk_start") < lit(M),
+        lit(s"chunk key overflow: need doc_id < 2^31 and chunk_start < " +
+          "2^32 for span-exact attribution")).isNull)
+      .select((col("doc_id") * lit(M) + col("chunk_start")).as("ck"),
+        col("chunk_text"))
+    bm25TopK(chunks, col("ck"), col("chunk_text"), terms, k, k1, b)
+      .select(shiftright(col("doc_id"), 32).as("doc_id"),
+        col("doc_id").bitwiseAND(lit(M - 1)).as("chunk_start"),
+        col("n_terms"), col("score"))
+  }
+
   // ------------------------------------------------------------ fusion
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):

@@ -339,4 +339,45 @@ class RetrievalSpec extends SparkSpec {
     assert(latest.contains(50L) && latest != before.map(_.getLong(1)),
       s"the appended heavy-alpha doc must reshape the latest fusion: $latest")
   }
+
+  test("chunk-grain BM25: the hit is the planted span with exact " +
+      "(doc_id, chunk_start) attribution, overlapping windows co-rank, " +
+      "and the chunk outranks its diluted host doc") {
+    // doc 1: a 4-token relevant span buried at positions 41-44 of an
+    // 84-token doc; doc 2 mildly relevant; doc 3 noise
+    val span = "dup dup spark hash"
+    val docs = Seq(
+      (1L, (Seq.fill(40)("filler") ++ span.split(" ") ++
+        Seq.fill(40)("filler")).mkString(" ")),
+      (2L, "spark other words beside it"),
+      (3L, "nothing relevant at all")).toDF("doc_id", "text")
+    val terms = Seq("dup", "spark", "hash")
+    val got = Retrieval.chunkBm25TopK(docs, col("doc_id"), col("text"),
+        terms, k = 6, size = 16, stride = 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+
+    // top hit: a window of doc 1 that actually covers the span
+    val (d, start, nTerms, chunkScore) = got.head
+    assert(d == 1L, s"top chunk must come from the host doc: $got")
+    assert(start <= 41 && start + 15 >= 44,
+      s"top chunk [$start, ${start + 15}] must cover the span at 41-44")
+    assert(nTerms == 3L)
+    val toks = docs.filter(col("doc_id") === 1L)
+      .select(split(col("text"), " ")).as[Seq[String]].head()
+    assert(toks.slice(start.toInt - 1, start.toInt + 15)
+      .count(terms.contains) == 4,
+      "chunk_start must index the ORIGINAL token stream (1-based)")
+    // stride 8 < size 16: the adjacent overlapping window co-ranks
+    assert(got.count(h => h._1 == 1L && h._2 <= 44 && h._2 + 15 >= 41) >= 2,
+      s"overlapping windows over the span must both surface: $got")
+    // the grain is the point: whole-doc ranking dilutes the span under
+    // 80 filler tokens; the chunk hit scores strictly higher than the
+    // host doc does at doc grain
+    val docGrain = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+        terms, k = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(chunkScore > docGrain(1L),
+      s"span chunk ($chunkScore) must outrank its diluted host " +
+        s"(${docGrain(1L)})")
+  }
 }
