@@ -385,6 +385,25 @@ object RetrievalQueries {
       |FROM term GROUP BY ck
       |ORDER BY score DESC, doc_id ASC, chunk_start ASC LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // [EXT] chunk-grain retrieval from the PERSISTED index — the
+  // grain-agnosticism claim made real: the chunk index IS the q147
+  // machinery over keyed windows (postings at chunk grain, bucketed by
+  // token, lockstep Versioned tables), and a probe touches only its
+  // terms' buckets, never the chunk corpus. Same output as q167 ⇒ same
+  // oracle SQL (the q147 ≡ q146 pattern).
+  private def cachedChunkBm25(spark: SparkSession, dir: String): String =
+    graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "bm25chunkq",
+      "postings", "stats")(
+      Retrieval.buildChunkBm25Index(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), _,
+        size = 32, stride = 16): Unit)
+
+  def q168ChunkIndex(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.queryChunkBm25Index(spark, cachedChunkBm25(spark, dir),
+      bmTerms, k = 20)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_bm25"         -> (q146Bm25 _),
     "q147_bm25_index"   -> (q147Bm25Index _),
@@ -392,7 +411,8 @@ object RetrievalQueries {
     "q152_phrase_index" -> (q152PhraseIndex _),
     "q153_bm25_many"    -> (q153Bm25Many _),
     "q166_hybrid_rrf"   -> (q166HybridRrf _),
-    "q167_chunk_bm25"   -> (q167ChunkBm25 _))
+    "q167_chunk_bm25"   -> (q167ChunkBm25 _),
+    "q168_chunk_index"  -> (q168ChunkIndex _))
 
   val oracle: Map[String, String] = Map(
     "q146_bm25"         -> q146Sql,
@@ -401,5 +421,7 @@ object RetrievalQueries {
     "q152_phrase_index" -> q152Sql,
     "q153_bm25_many"    -> q153Sql,
     "q166_hybrid_rrf"   -> q166Sql,
-    "q167_chunk_bm25"   -> q167Sql)
+    "q167_chunk_bm25"   -> q167Sql,
+    // the persisted chunk index replays q167's inline pipeline
+    "q168_chunk_index"  -> q167Sql)
 }

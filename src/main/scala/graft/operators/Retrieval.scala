@@ -332,21 +332,107 @@ object Retrieval {
     * Output: (doc_id, chunk_start 1-based, n_terms, score), top-k by
     * (score desc, doc_id asc, chunk_start asc).
     */
-  def chunkBm25TopK(docs: DataFrame, id: Column, text: Column,
-                    terms: Seq[String], k: Int, size: Int, stride: Int,
-                    k1: Double = K1, b: Double = B): DataFrame = {
-    val M = 1L << 32
-    val chunks = Corpus.chunk(docs, id, text, size, stride)
+  private val ChunkKeyBase = 1L << 32
+
+  /** Chunk windows keyed for retrieval: ck = doc_id·2³² + chunk_start,
+    * guarded in-plan against the overflow range. Shared by the inline
+    * ranker and the persisted-index builder.
+    */
+  private def chunkKeyed(docs: DataFrame, id: Column, text: Column,
+                         size: Int, stride: Int): DataFrame =
+    Corpus.chunk(docs, id, text, size, stride)
       .filter(assert_true(
-        col("doc_id") < lit(1L << 31) && col("chunk_start") < lit(M),
+        col("doc_id") < lit(1L << 31) && col("chunk_start") < lit(ChunkKeyBase),
         lit(s"chunk key overflow: need doc_id < 2^31 and chunk_start < " +
           "2^32 for span-exact attribution")).isNull)
-      .select((col("doc_id") * lit(M) + col("chunk_start")).as("ck"),
+      .select((col("doc_id") * lit(ChunkKeyBase) + col("chunk_start")).as("ck"),
         col("chunk_text"))
-    bm25TopK(chunks, col("ck"), col("chunk_text"), terms, k, k1, b)
-      .select(shiftright(col("doc_id"), 32).as("doc_id"),
-        col("doc_id").bitwiseAND(lit(M - 1)).as("chunk_start"),
-        col("n_terms"), col("score"))
+
+  /** Decode (doc_id, chunk_start) off a ranking whose doc_id column
+    * carries the composite ck — bit ops, not double division (a key
+    * near 2⁶³ would round).
+    */
+  private def decodeChunkKey(ranked: DataFrame): DataFrame =
+    ranked.select(shiftright(col("doc_id"), 32).as("doc_id"),
+      col("doc_id").bitwiseAND(lit(ChunkKeyBase - 1)).as("chunk_start"),
+      col("n_terms"), col("score"))
+
+  def chunkBm25TopK(docs: DataFrame, id: Column, text: Column,
+                    terms: Seq[String], k: Int, size: Int, stride: Int,
+                    k1: Double = K1, b: Double = B): DataFrame =
+    decodeChunkKey(bm25TopK(chunkKeyed(docs, id, text, size, stride),
+      col("ck"), col("chunk_text"), terms, k, k1, b))
+
+  /** The serve-many RAG path — the persisted-index machinery is
+    * grain-agnostic, so the chunk index IS [[buildBm25Index]] over the
+    * keyed windows: postings at chunk grain (dl = chunk length, df =
+    * chunk frequency), bucketed by token, FAISS-add appends and
+    * time travel included. A probe reads its terms' buckets' bytes,
+    * never the chunk corpus.
+    *
+    * The window GRID (size, stride) is persisted beside the index and
+    * appends derive it from there (the pqResGuard discipline — a
+    * caller-supplied grid that disagreed with the build's would
+    * interleave incompatible spans silently). The grid is immutable
+    * for an index's lifetime: changing it is a rebuild, not an append.
+    */
+  def buildChunkBm25Index(docs: DataFrame, id: Column, text: Column,
+                          indexDir: String, size: Int, stride: Int,
+                          nBuckets: Int = 8): Long = {
+    writeChunkGrid(docs.sparkSession, indexDir, size, stride)
+    buildBm25Index(chunkKeyed(docs, id, text, size, stride),
+      col("ck"), col("chunk_text"), indexDir, nBuckets)
+  }
+
+  private def chunkGridPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(indexDir, "chunk_grid")
+
+  private def writeChunkGrid(spark: SparkSession, indexDir: String,
+                             size: Int, stride: Int): Unit = {
+    require(size > 0 && stride > 0)
+    val p = chunkGridPath(indexDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write(s"$size $stride".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The build-time window grid of a chunk-grain index. Fails loudly
+    * on a plain BM25 index — appending DOCUMENT text to a chunk index
+    * (or chunks to a doc index) is the silent-corruption path this
+    * sidecar exists to close.
+    */
+  def chunkGrid(spark: SparkSession, indexDir: String): (Int, Int) = {
+    val p = chunkGridPath(indexDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.exists(p), s"$indexDir carries no chunk_grid sidecar — " +
+      "not a chunk-grain index (or a pre-grid build); rebuild with " +
+      "buildChunkBm25Index")
+    val in = f.open(p)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val Array(s, st) = raw.trim.split(" ")
+    (s.toInt, st.toInt)
+  }
+
+  /** Probe the chunk-grain index; output matches [[chunkBm25TopK]]:
+    * (doc_id, chunk_start, n_terms, score) by (score desc, doc asc,
+    * chunk asc) — the composite key's asc order IS (doc, chunk) asc.
+    */
+  def queryChunkBm25Index(spark: SparkSession, indexDir: String,
+                          terms: Seq[String], k: Int,
+                          asOf: Option[Long] = None): DataFrame =
+    decodeChunkKey(queryBm25Index(spark, indexDir, terms, k, asOf = asOf))
+
+  /** Append a document batch's chunks to the chunk-grain index —
+    * [[appendToBm25Index]] semantics (new keys only, stats merge under
+    * CAS). The window grid comes from the index's own sidecar, never
+    * from the caller: there is no way to append a mismatched grid.
+    */
+  def appendToChunkBm25Index(batch: DataFrame, id: Column, text: Column,
+                             indexDir: String): Long = {
+    val (size, stride) = chunkGrid(batch.sparkSession, indexDir)
+    appendToBm25Index(chunkKeyed(batch, id, text, size, stride),
+      col("ck"), col("chunk_text"), indexDir)
   }
 
   // ------------------------------------------------------------ fusion

@@ -380,4 +380,47 @@ class RetrievalSpec extends SparkSpec {
       s"span chunk ($chunkScore) must outrank its diluted host " +
         s"(${docGrain(1L)})")
   }
+
+  test("persisted chunk index: probe ≡ inline; appends derive the grid " +
+      "from the sidecar; a grid-less doc index refuses chunk appends") {
+    val docs = Seq(
+      (1L, (Seq.fill(40)("filler") ++ Seq("dup", "dup", "spark", "hash") ++
+        Seq.fill(40)("filler")).mkString(" ")),
+      (2L, "spark other words beside it"),
+      (3L, "nothing relevant at all")).toDF("doc_id", "text")
+    val terms = Seq("dup", "spark", "hash")
+    val idx = java.nio.file.Files.createTempDirectory("bm25chunk").toString
+    assert(Retrieval.buildChunkBm25Index(docs, col("doc_id"), col("text"),
+      idx, size = 16, stride = 8) == 0L)
+    assert(Retrieval.chunkGrid(spark, idx) == (16, 8))
+    def probe(asOf: Option[Long] = None) =
+      Retrieval.queryChunkBm25Index(spark, idx, terms, k = 6, asOf)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    val inline = Retrieval.chunkBm25TopK(docs, col("doc_id"), col("text"),
+        terms, k = 6, size = 16, stride = 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(probe() == inline, "index probe diverged from inline chunk ranking")
+
+    // append: the grid comes from the index, not the caller — the new
+    // doc's span chunk enters the latest ranking; asOf still pins v0
+    Retrieval.appendToChunkBm25Index(
+      Seq((7L, "dup dup spark hash")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), idx)
+    val after = probe()
+    assert(after.exists(_._1 == 7L),
+      s"appended doc's chunk must enter the latest ranking: $after")
+    assert(probe(asOf = Some(0L)) == inline,
+      "the pre-append version must reproduce the original ranking")
+
+    // a plain document-grain index has no grid sidecar: chunk appends
+    // refuse loudly instead of interleaving incompatible spans
+    val plain = java.nio.file.Files.createTempDirectory("bm25plain").toString
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), plain)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.appendToChunkBm25Index(
+        Seq((8L, "dup spark")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), plain)
+    }
+    assert(e.getMessage.contains("chunk_grid"))
+  }
 }
