@@ -17,12 +17,16 @@ import graft.sources.Versioned
   *                       (build day 0, [[Corpus.appendSignalState]] after)
   *  3. `bm25_append`   — the lexical inverted index (build day 0,
   *                       FAISS-add appends after)
-  *  4. `ivf_append`    — the ANN index (same cadence)
-  *  5. `bm25_compact`/`ivf_compact` — ONLY when appends have demoted
-  *                       the declared bucketed layout (latest log
-  *                       action = append): re-establish it in version
-  *                       lockstep (the Delta OPTIMIZE cadence)
-  *  6. `vacuum`        — drop data files referenced by no retained
+  *  4. `chunk_append`  — the chunk-grain (RAG) index, same cadence;
+  *                       appends derive the window grid from the
+  *                       index's own sidecar
+  *  5. `ivf_append`    — the ANN index (same cadence)
+  *  6. `bm25_compact`/`chunk_compact`/`ivf_compact` — ONLY when
+  *                       appends have demoted the declared bucketed
+  *                       layout (latest log action = append):
+  *                       re-establish it in version lockstep (the
+  *                       Delta OPTIMIZE cadence)
+  *  7. `vacuum`        — drop data files referenced by no retained
   *                       version on EVERY maintained table
   *
   * A stage failure stops the chain (remaining stages skip — Airflow's
@@ -49,6 +53,7 @@ object DailyMaintenance {
     s"$work/signals/nd", s"$work/signals/c1",
     s"$work/signals/c12", s"$work/signals/vsz",
     s"$work/bm25/postings", s"$work/bm25/stats",
+    s"$work/chunks/postings", s"$work/chunks/stats",
     s"$work/ivf/centroids", s"$work/ivf/assignment")
 
   /** True when appends have landed on `table` since its last declared
@@ -86,6 +91,15 @@ object DailyMaintenance {
         Retrieval.appendToBm25Index(batch, col("doc_id"), col("text"),
           s"$work/bm25"): Unit
     }),
+    "chunk_append" -> (() => {
+      if (!Versioned.exists(spark, s"$work/chunks/postings"))
+        Retrieval.buildChunkBm25Index(batch, col("doc_id"), col("text"),
+          s"$work/chunks", size = 32, stride = 16): Unit
+      else
+        // the window grid comes from the index's own sidecar
+        Retrieval.appendToChunkBm25Index(batch, col("doc_id"), col("text"),
+          s"$work/chunks"): Unit
+    }),
     "ivf_append" -> (() => {
       if (!Versioned.exists(spark, s"$work/ivf/centroids"))
         Similarity.buildIvfIndex(vecs, s"$work/ivf"): Unit
@@ -95,6 +109,10 @@ object DailyMaintenance {
     "bm25_compact" -> (() => {
       if (demoted(spark, s"$work/bm25/postings"))
         Retrieval.compactBm25Index(spark, s"$work/bm25"): Unit
+    }),
+    "chunk_compact" -> (() => {
+      if (demoted(spark, s"$work/chunks/postings"))
+        Retrieval.compactBm25Index(spark, s"$work/chunks"): Unit
     }),
     "ivf_compact" -> (() => {
       if (demoted(spark, s"$work/ivf/assignment"))

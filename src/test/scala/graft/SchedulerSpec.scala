@@ -166,8 +166,8 @@ class SchedulerSpec extends SparkSpec {
       .filter(col("ok")).select("boundary_ms", "stage")
       .as[(Long, String)].collect().toSet
     val stageNames = Seq("curate", "signal_state", "bm25_append",
-      "ivf_append", "bm25_compact", "ivf_compact", "vacuum",
-      Scheduler.CoveredStage)
+      "chunk_append", "ivf_append", "bm25_compact", "chunk_compact",
+      "ivf_compact", "vacuum", Scheduler.CoveredStage)
     for (k <- 0 until 3; s <- stageNames)
       assert(hist.contains(((9 + k) * Day, s)), s"missing ok row: day $k, $s")
 
@@ -175,6 +175,8 @@ class SchedulerSpec extends SparkSpec {
     import graft.sources.Versioned
     assert(Versioned.latestVersion(spark, s"$work/bm25/postings") ==
       Versioned.latestVersion(spark, s"$work/bm25/stats"))
+    assert(Versioned.latestVersion(spark, s"$work/chunks/postings") ==
+      Versioned.latestVersion(spark, s"$work/chunks/stats"))
     assert(Versioned.latestVersion(spark, s"$work/ivf/centroids") ==
       Versioned.latestVersion(spark, s"$work/ivf/assignment"))
     assert(graft.operators.Corpus.signalStateVersion(spark, s"$work/signals") == 2,
@@ -200,6 +202,15 @@ class SchedulerSpec extends SparkSpec {
       d.collect().map(_.toSeq).toSeq
     assert(rows(probe) == rows(graft.operators.Retrieval.queryBm25Index(
       spark, fresh, Seq("dup"), k = 5)))
+    // chunk index: the maintained index (grid from the sidecar on every
+    // append) ranks exactly as a fresh chunk build over the union
+    val freshC = java.nio.file.Files.createTempDirectory("graft-daily-c").toString
+    graft.operators.Retrieval.buildChunkBm25Index(union, col("doc_id"),
+      col("text"), freshC, size = 32, stride = 16)
+    assert(rows(graft.operators.Retrieval.queryChunkBm25Index(
+        spark, s"$work/chunks", Seq("dup"), k = 5)) ==
+      rows(graft.operators.Retrieval.queryChunkBm25Index(
+        spark, freshC, Seq("dup"), k = 5)))
     // ANN: an exhaustive probe of the maintained index ranks exactly as
     // brute force over the 3-day vector union
     val queries = vecs.filter(col("id") < 2)
