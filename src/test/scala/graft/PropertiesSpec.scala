@@ -270,4 +270,66 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- RRF fusion vs a plain-Scala reference ----------------------------
+
+  /** Reference RRF, straight off Cormack 2009 with the engine's decimal
+    * discipline: rank = position under (score desc, doc asc), each term
+    * 1/(c+rank) rounded to DECIMAL(27,10) HALF_UP before the sum.
+    */
+  private def rrfRef(rankings: Seq[Seq[(Long, Long, Double)]], k: Int,
+                     c: Int = 60): Seq[(Long, Long, Long, Double)] = {
+    val contribs = rankings.flatMap { r =>
+      r.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).zipWithIndex.map { case ((_, d, _), i) =>
+          (q, d, BigDecimal(1.0 / (c + i + 1))
+            .setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        }
+      }
+    }
+    contribs.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((q, d), cs) => (q, d, cs.size.toLong, cs.map(_._3).sum.toDouble) }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._4, t._2)).take(k)
+      }
+      .sortBy(t => (t._1, -t._4, t._2))
+  }
+
+  // per query: up to 6 distinct docs of 12, scores from a small grid so
+  // exact ties (the doc_id tie-break path) occur routinely
+  private val rankerGen: Gen[Seq[(Long, Long, Double)]] = {
+    val perQuery = for {
+      m <- Gen.choose(0, 6)
+      docs <- Gen.pick(m, 1 to 12)
+      scores <- Gen.listOfN(m, Gen.choose(1, 6))
+    } yield docs.toSeq.zip(scores).map { case (d, s) => (d.toLong, s / 2.0) }
+    for (a <- perQuery; b <- perQuery) yield
+      a.map(t => (0L, t._1, t._2)) ++ b.map(t => (1L, t._1, t._2))
+  }
+
+  test("property: rrfFuse ≡ the reference fusion on random overlapping " +
+      "rankings (1-3 rankers, ties included), and is input-order invariant") {
+    val inputGen = for {
+      n <- Gen.choose(1, 3)
+      rs <- Gen.listOfN(n, rankerGen)
+    } yield rs
+    forSamples(inputGen, n = 10) { rankings =>
+      if (rankings.exists(_.nonEmpty)) {
+        val dfs = rankings.map(r =>
+          r.toDF("query_id", "doc_id", "score"))
+        val got = graft.operators.Retrieval.rrfFuse(dfs, k = 5)
+          .as[(Long, Long, Long, Double)].collect().toSeq
+        assert(got == rrfRef(rankings, k = 5), s"fusion diverged on $rankings")
+        // membership: fusion never invents a (query, doc) pair
+        val inputPairs = rankings.flatten.map(t => (t._1, t._2)).toSet
+        assert(got.forall(g => inputPairs.contains((g._1, g._2))))
+        // row order within each ranking is irrelevant (ranks re-derive
+        // from scores, not from input order)
+        val shuffled = rankings.map(r => r.reverse)
+          .map(r => r.toDF("query_id", "doc_id", "score"))
+        assert(graft.operators.Retrieval.rrfFuse(shuffled, k = 5)
+          .as[(Long, Long, Long, Double)].collect().toSeq == got)
+      }
+    }
+  }
 }
