@@ -708,16 +708,20 @@ object PipelineQueries {
       .localCheckpoint(eager = false)
   }
 
+  /** The (copy → source, original doc) map of the mixed stream —
+    * decodes `mid = doc_id·4 + epoch` beside its definition in
+    * [[trainerExportMixed]], so the manifest aggregation stays free of
+    * the epoch-width constant.
+    */
+  private[graft] def mixedSources(mixed: DataFrame): DataFrame =
+    mixed.select(col("mid").as("doc_id"), col("source"),
+      floor(col("mid") / 4).as("orig_id"))
+
   def q127TrainerExport(spark: SparkSession, dir: String): DataFrame = {
     val mixed = trainerExportMixed(spark, dir)
-    val spans = Corpus.packSequences(mixed, col("mid"), col("text"), budget = 512)
-    spans.join(mixed.select(col("mid").as("doc_id"), col("source")), Seq("doc_id"))
-      .groupBy(col("source"))
-      .agg(countDistinct(floor(col("doc_id") / 4)).as("n_docs"),
-        countDistinct(col("doc_id")).as("n_copies"),
-        sum(col("n_tok_in_seq")).as("n_tokens"),
-        countDistinct(col("seq_id")).as("n_seqs"))
-      .orderBy(col("source"))
+    manifestFromSpans(
+      Corpus.packSequences(mixed, col("mid"), col("text"), budget = 512),
+      mixedSources(mixed))
   }
 
   private val q127Sql =
@@ -1453,20 +1457,22 @@ object PipelineQueries {
         col("mid"), col("text"), asOf = asOf)
       .select(col("doc_id"), col("n_tok"))
     manifestFromSpans(Corpus.packSequencesCounted(counts, budget),
-      mixed.select(col("mid").as("doc_id"), col("source")))
+      mixedSources(mixed))
   }
 
   /** The per-source manifest aggregation over a packing span table
-    * joined to its (doc_id, source) map — shared by [[bpeTrainerManifest]]
-    * (the oracle-checked query, which derives spans from
-    * `tokenCountsWithModel`) and [[graft.app.TrainingExport
+    * joined to its (doc_id, source, orig_id) map — the ONE manifest
+    * computation behind q127, q165, and [[graft.app.TrainingExport
     * .runModelTokens]] (which reuses the SAME spans its sequence
     * assembly consumes, so the export pays ONE encode pass, not two).
+    * `doc_id` is the span table's packing key (a copy id for mixed
+    * streams); `orig_id` the pre-fan-out document — the caller decodes
+    * its own copy encoding, this aggregation carries no constant.
     */
   def manifestFromSpans(spans: DataFrame, sources: DataFrame): DataFrame =
     spans.join(sources, Seq("doc_id"))
       .groupBy(col("source"))
-      .agg(countDistinct(floor(col("doc_id") / 4)).as("n_docs"),
+      .agg(countDistinct(col("orig_id")).as("n_docs"),
         countDistinct(col("doc_id")).as("n_copies"),
         sum(col("n_tok_in_seq")).as("n_tokens"),
         countDistinct(col("seq_id")).as("n_seqs"))

@@ -21,21 +21,29 @@ import graft.sources.Versioned
   *                       appends derive the window grid from the
   *                       index's own sidecar
   *  5. `ivf_append`    — the ANN index (same cadence)
-  *  6. `bm25_compact`/`chunk_compact`/`ivf_compact` — ONLY when
-  *                       appends have demoted the declared bucketed
-  *                       layout (latest log action = append):
-  *                       re-establish it in version lockstep (the
-  *                       Delta OPTIMIZE cadence)
+  *  6. `bm25_compact`/`chunk_compact`/`ivf_compact` — when
+  *                       `compactEvery` appended batches have
+  *                       accumulated since the last overwrite:
+  *                       re-establish the declared bucketed layout in
+  *                       version lockstep (the Delta OPTIMIZE cadence;
+  *                       between firings, reads run demoted to plain
+  *                       files — slower, correct, bounded debt)
   *  7. `vacuum`        — drop data files referenced by no retained
   *                       version on EVERY maintained table
   *
   * A stage failure stops the chain (remaining stages skip — Airflow's
   * upstream_failed) and leaves the boundary uncovered; the next tick
-  * RESUMES it — stages with an ok row for the boundary are skipped, so
-  * an append-only stage (signal counts, index postings) never applies
-  * the day's batch twice, and the failed stage itself re-runs against
-  * state its own crash may have half-committed (each artifact's own
-  * heal/lockstep contract covers that case).
+  * RESUMES it — even after later intervals elapse (started-but-
+  * uncovered boundaries take priority over new ones), and because the
+  * batch is addressed BY BOUNDARY (`batchFor`/`vecsFor`), the resumed
+  * stages process the failed day's data, not whichever day is current.
+  * Stages with an ok row for the boundary are skipped, so an
+  * append-only stage (signal counts, index postings) does not re-apply
+  * its batch — except in the narrow window where a crash landed
+  * between a stage's artifact commit and its history row
+  * ([[Scheduler.tickStagesFor]] documents it); the failed stage itself
+  * re-runs against state its own crash may have half-committed (each
+  * artifact's own heal/lockstep contract covers that case).
   *
   * Scale shape: each stage is batch-sized work against
   * vocabulary/index-bounded state — nothing rescans the accumulated
@@ -56,13 +64,19 @@ object DailyMaintenance {
     s"$work/chunks/postings", s"$work/chunks/stats",
     s"$work/ivf/centroids", s"$work/ivf/assignment")
 
-  /** True when appends have landed on `table` since its last declared
-    * layout (latest log action is an append) — the read path is
-    * demoted to plain files until a compaction re-establishes it.
+  /** Append commits sitting on top of `table`'s last overwrite — the
+    * compaction trigger. "Latest action is an append" is NOT a usable
+    * condition here: the daily append stage always leaves it true, so
+    * gating on it would full-rewrite every index every tick — a daily
+    * rebuild dressed up as an optimization. Instead compaction fires
+    * when the small-file/demotion debt reaches `compactEvery` appended
+    * batches (the OPTIMIZE-periodicity dial); between firings, reads
+    * run demoted to plain files — slower, correct, and bounded.
     */
-  private def demoted(spark: SparkSession, table: String): Boolean =
-    Versioned.exists(spark, table) &&
-      Versioned.history(spark, table).last._2 == "append"
+  private def appendDebt(spark: SparkSession, table: String): Int =
+    if (!Versioned.exists(spark, table)) 0
+    else Versioned.history(spark, table).reverse
+      .takeWhile(_._2 == "append").size
 
   /** The day's stage list over a batch of documents (doc_id, text,
     * n_chars, …) and their embedding rows (id, vec). Build-or-append
@@ -72,7 +86,8 @@ object DailyMaintenance {
     */
   def stages(spark: SparkSession, batch: DataFrame, vecs: DataFrame,
              work: String,
-             retainVersions: Int = 2): Seq[(String, () => Unit)] = Seq(
+             retainVersions: Int = 2,
+             compactEvery: Int = 7): Seq[(String, () => Unit)] = Seq(
     "curate" -> (() =>
       Curation.curateBatch(batch, s"$work/state"): Unit),
     "signal_state" -> (() => {
@@ -107,15 +122,16 @@ object DailyMaintenance {
         Similarity.appendToIvfIndex(vecs, s"$work/ivf"): Unit
     }),
     "bm25_compact" -> (() => {
-      if (demoted(spark, s"$work/bm25/postings"))
+      if (appendDebt(spark, s"$work/bm25/postings") >= compactEvery)
         Retrieval.compactBm25Index(spark, s"$work/bm25"): Unit
     }),
     "chunk_compact" -> (() => {
-      if (demoted(spark, s"$work/chunks/postings"))
-        Retrieval.compactBm25Index(spark, s"$work/chunks"): Unit
+      if (appendDebt(spark, s"$work/chunks/postings") >= compactEvery)
+        // the chunk compactor also re-stamps the grid sidecar
+        Retrieval.compactChunkBm25Index(spark, s"$work/chunks"): Unit
     }),
     "ivf_compact" -> (() => {
-      if (demoted(spark, s"$work/ivf/assignment"))
+      if (appendDebt(spark, s"$work/ivf/assignment") >= compactEvery)
         Similarity.compactIvfIndex(spark, s"$work/ivf"): Unit
     }),
     "vacuum" -> (() =>
@@ -123,15 +139,23 @@ object DailyMaintenance {
         .filter(Versioned.exists(spark, _))
         .foreach(t => Versioned.vacuum(spark, t, retainVersions): Unit)))
 
-  /** One daily tick of the composed job. Returns per-stage attempts
-    * (empty = nothing due).
+  /** One daily tick of the composed job. `batchFor`/`vecsFor` map a
+    * boundary (the data interval's start, epoch ms) to that day's
+    * document/vector batch — the boundary addressing that makes a
+    * resumed older boundary process ITS day's data. Returns per-stage
+    * attempts (empty = nothing due).
     */
-  def tick(spark: SparkSession, work: String, batch: DataFrame,
-           vecs: DataFrame, nowMs: Long,
+  def tick(spark: SparkSession, work: String,
+           batchFor: Long => DataFrame, vecsFor: Long => DataFrame,
+           nowMs: Long,
            intervalMs: Long = 24L * 3600 * 1000, retries: Int = 2,
            retryDelayMs: Long = 120000L,
-           sleep: Long => Unit = Thread.sleep): Seq[(String, Seq[Scheduler.Attempt])] =
-    Scheduler.tickStages(spark, work, stages(spark, batch, vecs, work),
+           sleep: Long => Unit = Thread.sleep,
+           compactEvery: Int = 7,
+           retainVersions: Int = 2): Seq[(String, Seq[Scheduler.Attempt])] =
+    Scheduler.tickStagesFor(spark, work,
+      b => stages(spark, batchFor(b), vecsFor(b), work,
+        retainVersions = retainVersions, compactEvery = compactEvery),
       nowMs, intervalMs, retries, retryDelayMs, sleep)
 
   /** Real-clock entry point, one tick over an sf-dir batch.
@@ -151,7 +175,9 @@ object DailyMaintenance {
     val docs = graft.Tables.documents(spark, sfDir)
     val vecs = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val res = tick(spark, workDir, docs, vecs,
+    // the sf-dir fixture has no per-day partitions: every boundary maps
+    // to the full table (a deployment maps b to its date partition)
+    val res = tick(spark, workDir, _ => docs, _ => vecs,
       nowMs = System.currentTimeMillis())
     if (res.isEmpty) println("[daily] nothing due")
     else res.foreach { case (s, a) =>

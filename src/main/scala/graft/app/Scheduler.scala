@@ -40,6 +40,13 @@ object Scheduler {
     * `catchup = false` semantics — at most ONE boundary regardless of
     * how many were missed. Before the first interval has elapsed
     * (`nowMs < intervalMs`) nothing is due.
+    *
+    * Migration note: this is the data-interval reading (boundary b
+    * covers [b, b+interval)); histories written under the pre-r10
+    * interval-START reading carry boundary values one interval ahead,
+    * so the first post-upgrade tick treats the last pre-upgrade
+    * interval as covered — re-run that interval's batch once by hand
+    * if its data matters.
     */
   def dueBoundary(nowMs: Long, lastCovered: Option[Long],
                   intervalMs: Long): Option[Long] = {
@@ -116,47 +123,69 @@ object Scheduler {
   val CoveredStage = "_covered"
 
   /** One scheduler tick of a MULTI-STAGE job (a linear DAG, the Airflow
-    * task-chain shape): stages run in order, each with the full retry
-    * discipline; a stage that exhausts its retries FAILS THE RUN and
-    * the remaining stages are skipped (their absence from the history
-    * is the skip record — exactly Airflow's upstream_failed). One
-    * history row per (stage, attempt) goes to `historyDir/runs`
-    * (boundary_ms, stage, stage_idx, attempt, ok, error,
-    * recorded_at_ms), plus one [[CoveredStage]] marker row when the
-    * whole chain succeeded — the boundary counts as covered ONLY then.
+    * task-chain shape) over BOUNDARY-ADDRESSED stages: `stagesFor`
+    * builds the stage list FOR the data interval being processed, so a
+    * resumed boundary runs against ITS batch — never whichever batch
+    * happens to be current at resume time. Stages run in order, each
+    * with the full retry discipline; a stage that exhausts its retries
+    * FAILS THE RUN and the remaining stages are skipped (their absence
+    * from the history is the skip record — exactly Airflow's
+    * upstream_failed). One history row per (stage, attempt) goes to
+    * `historyDir/runs` (boundary_ms, stage, stage_idx, attempt, ok,
+    * error, recorded_at_ms), plus one [[CoveredStage]] marker row when
+    * the whole chain succeeded — the boundary counts as covered ONLY
+    * then.
     *
-    * A re-tick of an UNCOVERED boundary resumes where it failed: stages
-    * that already have an ok row for this boundary are SKIPPED (exactly
-    * Airflow's clear-and-rerun — only failed and never-run tasks
-    * execute), so a stage that already applied the day's batch to
-    * append-only state (signal counts, index postings) is never applied
-    * twice. Returns the attempts per stage RUN THIS TICK in order
-    * (empty = nothing due).
+    * Boundary selection: a boundary that was STARTED (has any history
+    * row) but never covered is resumed FIRST, even after later
+    * intervals elapse — its early stages already hold its batch, so
+    * abandoning it would leave the composed artifacts permanently
+    * diverged (some with day N, some without) with no error anywhere.
+    * catchup=false's gap collapse applies only to boundaries never
+    * touched. One boundary per tick: after a resume, the next interval
+    * waits for the next tick.
+    *
+    * On resume, stages with an ok row for the boundary are SKIPPED
+    * (Airflow's clear-and-rerun — only failed and never-run tasks
+    * execute). The crash window, stated honestly: a stage's side
+    * effects commit BEFORE its history row appends, so a crash landing
+    * exactly between the two re-runs the stage on resume. Stages whose
+    * artifacts heal or refuse replays (lockstep CAS, read-repair)
+    * absorb that; a purely ADDITIVE stage (signal counts, index
+    * postings) double-applies in that window — a deployment that
+    * cannot tolerate it must make the stage idempotent per boundary.
+    * Returns the attempts per stage RUN THIS TICK in order (empty =
+    * nothing due).
     */
-  def tickStages(spark: SparkSession, historyDir: String,
-                 stages: Seq[(String, () => Unit)], nowMs: Long,
-                 intervalMs: Long, retries: Int = 2,
-                 retryDelayMs: Long = 120000L,
-                 sleep: Long => Unit = Thread.sleep): Seq[(String, Seq[Attempt])] = {
+  def tickStagesFor(spark: SparkSession, historyDir: String,
+                    stagesFor: Long => Seq[(String, () => Unit)],
+                    nowMs: Long, intervalMs: Long, retries: Int = 2,
+                    retryDelayMs: Long = 120000L,
+                    sleep: Long => Unit = Thread.sleep): Seq[(String, Seq[Attempt])] = {
     import spark.implicits._
-    require(stages.nonEmpty, "tickStages needs at least one stage")
-    require(!stages.exists(_._1 == CoveredStage),
-      s"stage name $CoveredStage is reserved for the coverage marker")
     val runsTable = s"$historyDir/runs"
-    val lastOk =
-      if (!graft.sources.Versioned.exists(spark, runsTable)) None
+    val (lastOk, resumable) =
+      if (!graft.sources.Versioned.exists(spark, runsTable)) (None, None)
       else {
         val rows = graft.sources.Versioned.read(spark, runsTable)
-          .filter(org.apache.spark.sql.functions.col("ok") &&
-            org.apache.spark.sql.functions.col("stage") === CoveredStage)
-          .agg(org.apache.spark.sql.functions.max(
-            org.apache.spark.sql.functions.col("boundary_ms")))
-          .as[Option[Long]].collect()
-        rows.headOption.flatten
+          .select("boundary_ms", "stage", "ok")
+          .as[(Long, String, Boolean)].collect()
+        val covered = rows.collect {
+          case (b, s, true) if s == CoveredStage => b }
+        val coveredMax = covered.maxOption
+        // started-but-uncovered boundaries (at most one in practice —
+        // one boundary per tick): the resume obligation
+        val touched = rows.map(_._1).distinct
+          .filter(b => coveredMax.forall(_ < b))
+        (coveredMax, touched.minOption)
       }
-    dueBoundary(nowMs, lastOk, intervalMs) match {
+    resumable.orElse(dueBoundary(nowMs, lastOk, intervalMs)) match {
       case None => Seq.empty
       case Some(boundary) =>
+        val stages = stagesFor(boundary)
+        require(stages.nonEmpty, "tickStages needs at least one stage")
+        require(!stages.exists(_._1 == CoveredStage),
+          s"stage name $CoveredStage is reserved for the coverage marker")
         // stages already ok for THIS boundary (a prior failed tick got
         // partway through) — resume after them, never re-apply them
         val doneStages: Set[String] =
@@ -189,6 +218,21 @@ object Scheduler {
         out.result()
     }
   }
+
+  /** [[tickStagesFor]] with a FIXED stage list — only for jobs whose
+    * stage work is boundary-independent (each closure is valid for any
+    * boundary it might run under, including a resumed older one). A
+    * job whose batch derives from the data interval must use
+    * [[tickStagesFor]] or a resumed boundary would process the wrong
+    * day's data.
+    */
+  def tickStages(spark: SparkSession, historyDir: String,
+                 stages: Seq[(String, () => Unit)], nowMs: Long,
+                 intervalMs: Long, retries: Int = 2,
+                 retryDelayMs: Long = 120000L,
+                 sleep: Long => Unit = Thread.sleep): Seq[(String, Seq[Attempt])] =
+    tickStagesFor(spark, historyDir, _ => stages, nowMs, intervalMs,
+      retries, retryDelayMs, sleep)
 
   /** Real-clock entry point: one tick of the daily incremental-curation
     * batch. Run from cron/systemd per the deployment's cadence — the

@@ -89,11 +89,11 @@ object TrainingExport {
                      format: String = "parquet"): ExportStats = {
     require(format == "parquet" || format == "jsonl",
       s"export format must be parquet or jsonl, got $format")
-    // the funnel feeds both the encode and the manifest's source map —
-    // staged once; the encode (the dominant pass) runs ONCE, with the
-    // sequence assembly and the manifest sharing its span table
+    // the funnel feeds both the encode and the manifest's source map
+    // (trainerExportMixed stages itself); the encode — the dominant
+    // pass — runs ONCE, with the sequence assembly and the manifest
+    // sharing its span table
     val mixed = PipelineQueries.trainerExportMixed(spark, sfDir)
-      .localCheckpoint(eager = false)
     val ids = graft.operators.Bpe.encodeIdsWithModel(
       spark, modelDir, mixed, col("mid"), col("text"), asOf = modelAsOf)
     val (arr, spans) = graft.operators.Bpe.packedIdSpans(ids, budget)
@@ -108,7 +108,7 @@ object TrainingExport {
     else
       instrumented.write.mode("overwrite").parquet(s"$outDir/sequences")
     val manifest = PipelineQueries.manifestFromSpans(spans,
-      mixed.select(col("mid").as("doc_id"), col("source"))).coalesce(1)
+      PipelineQueries.mixedSources(mixed)).coalesce(1)
     if (format == "jsonl")
       graft.sources.Sinks.json(manifest, s"$outDir/manifest")
     else

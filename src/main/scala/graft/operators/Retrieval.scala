@@ -379,27 +379,46 @@ object Retrieval {
   def buildChunkBm25Index(docs: DataFrame, id: Column, text: Column,
                           indexDir: String, size: Int, stride: Int,
                           nBuckets: Int = 8): Long = {
-    writeChunkGrid(docs.sparkSession, indexDir, size, stride)
-    buildBm25Index(chunkKeyed(docs, id, text, size, stride),
+    require(size > 0 && stride > 0)
+    val v = buildBm25Index(chunkKeyed(docs, id, text, size, stride),
       col("ck"), col("chunk_text"), indexDir, nBuckets)
+    // sidecar AFTER the build commits, stamped with the overwrite
+    // version it describes: a rebuild that dies between the two writes
+    // leaves a version mismatch chunkGrid() refuses loudly, instead of
+    // a stale grid silently mis-chunking the next append
+    writeChunkGrid(docs.sparkSession, indexDir, size, stride, v)
+    v
   }
 
   private def chunkGridPath(indexDir: String) =
     new org.apache.hadoop.fs.Path(indexDir, "chunk_grid")
 
   private def writeChunkGrid(spark: SparkSession, indexDir: String,
-                             size: Int, stride: Int): Unit = {
-    require(size > 0 && stride > 0)
+                             size: Int, stride: Int, version: Long): Unit = {
     val p = chunkGridPath(indexDir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = f.create(p, true)
-    try out.write(s"$size $stride".getBytes("UTF-8")) finally out.close()
+    try out.write(s"$size $stride $version".getBytes("UTF-8")) finally out.close()
   }
 
-  /** The build-time window grid of a chunk-grain index. Fails loudly
-    * on a plain BM25 index — appending DOCUMENT text to a chunk index
-    * (or chunks to a doc index) is the silent-corruption path this
-    * sidecar exists to close.
+  /** Last "overwrite" version of the postings table — the snapshot a
+    * grid stamp must match (appends keep it; builds and compactions
+    * move it).
+    */
+  private def lastPostingsOverwrite(spark: SparkSession,
+                                    indexDir: String): Long =
+    Versioned.history(spark, s"$indexDir/postings")
+      .collect { case (v, "overwrite", _) => v }.lastOption
+      .getOrElse(sys.error(s"$indexDir/postings has no overwrite commit"))
+
+  /** The build-time window grid of a chunk-grain index, trusted ONLY
+    * when its stamp matches the postings' current overwrite snapshot.
+    * Fails loudly on: a plain BM25 index (no sidecar — appending
+    * document text to a chunk index or vice versa is the
+    * silent-corruption path this closes), a sidecar truncated by a
+    * crashed write, or a stamp from a superseded build/compaction (a
+    * rebuild or compact died between its two writes) — each with the
+    * recovery spelled out instead of mis-chunked spans.
     */
   def chunkGrid(spark: SparkSession, indexDir: String): (Int, Int) = {
     val p = chunkGridPath(indexDir)
@@ -410,8 +429,36 @@ object Retrieval {
     val in = f.open(p)
     val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val Array(s, st) = raw.trim.split(" ")
-    (s.toInt, st.toInt)
+    raw.trim.split(" ") match {
+      case Array(s, st, v) if Seq(s, st, v).forall(_.forall(_.isDigit)) =>
+        require(v.toLong == lastPostingsOverwrite(spark, indexDir),
+          s"$indexDir chunk_grid stamp v$v does not match the postings' " +
+            "current overwrite snapshot — a rebuild or compaction died " +
+            "between its index commit and the grid stamp, so the " +
+            "recorded grid cannot be trusted to describe the current " +
+            "build; rebuild with buildChunkBm25Index")
+        (s.toInt, st.toInt)
+      case _ => sys.error(s"$indexDir chunk_grid sidecar is corrupt " +
+        s"('${raw.take(40)}') — a crashed write; rebuild with " +
+        "buildChunkBm25Index")
+    }
+  }
+
+  /** Compact the chunk index ([[compactBm25Index]] — re-establishes
+    * the bucketed layout in lockstep) and RE-STAMP the grid sidecar at
+    * the new overwrite version. Use this, not the raw compactor, on
+    * chunk indexes. The grid is validated BEFORE compacting; a death
+    * between the compaction commit and the re-stamp leaves every
+    * consumer refusing loudly (stale stamp) — recovery is a rebuild,
+    * the same fail-safe as a crashed grid-changing rebuild, because
+    * nothing on disk can prove the recorded grid describes the
+    * current snapshot.
+    */
+  def compactChunkBm25Index(spark: SparkSession, indexDir: String): Long = {
+    val (size, stride) = chunkGrid(spark, indexDir)
+    val v = compactBm25Index(spark, indexDir)
+    writeChunkGrid(spark, indexDir, size, stride, v)
+    v
   }
 
   /** Probe the chunk-grain index; output matches [[chunkBm25TopK]]:

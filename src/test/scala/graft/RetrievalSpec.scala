@@ -422,5 +422,17 @@ class RetrievalSpec extends SparkSpec {
         col("doc_id"), col("text"), plain)
     }
     assert(e.getMessage.contains("chunk_grid"))
+
+    // a rebuild that died between its index commit and the grid
+    // re-stamp (simulated: a raw overwrite lands on the chunk dir,
+    // stamp left behind) refuses appends — the recorded grid can no
+    // longer be trusted to describe the current build
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), idx)
+    val e2 = intercept[IllegalArgumentException] {
+      Retrieval.appendToChunkBm25Index(
+        Seq((9L, "dup spark")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), idx)
+    }
+    assert(e2.getMessage.contains("does not match"))
   }
 }

@@ -140,6 +140,52 @@ class SchedulerSpec extends SparkSpec {
     }
   }
 
+  test("tickStagesFor: a started-but-uncovered boundary is resumed FIRST " +
+      "after later intervals elapse, against ITS OWN batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val applied = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var bHealthy = false
+    def stagesFor(b: Long): Seq[(String, () => Unit)] = Seq(
+      "a" -> (() => { applied += (("a", b)); () }),
+      "b" -> (() => { if (!bHealthy) sys.error("down"); applied += (("b", b)); () }))
+
+    // day-9 boundary: a applies day 9's batch, b exhausts its retries
+    val t1 = Scheduler.tickStagesFor(spark, dir, stagesFor,
+      nowMs = 10 * Day + 5, intervalMs = Day, retries = 0,
+      retryDelayMs = 1L, sleep = _ => ())
+    assert(t1.map(_._1) == Seq("a", "b"))
+    assert(applied.toSeq == Seq(("a", 9 * Day)))
+
+    // a FULL day later (the day-10 interval has elapsed too): the tick
+    // must NOT abandon day 9 — catchup=false collapses only UNTOUCHED
+    // boundaries. It resumes day 9 with day-9's stage list: a (already
+    // ok for that boundary) is skipped, b runs with day-9's batch — the
+    // half-applied boundary converges instead of leaving the composed
+    // artifacts permanently split across days with no error anywhere
+    bHealthy = true
+    val t2 = Scheduler.tickStagesFor(spark, dir, stagesFor,
+      nowMs = 11 * Day + 5, intervalMs = Day, retries = 0,
+      retryDelayMs = 1L, sleep = _ => ())
+    assert(t2.map(_._1) == Seq("b"), s"expected a day-9 resume, got $t2")
+    assert(applied.toSeq == Seq(("a", 9 * Day), ("b", 9 * Day)),
+      "the resumed stage must process the FAILED day's batch")
+
+    // the next tick then processes day 10 in full (one boundary per
+    // tick — a resume defers the next interval, never skips it)
+    val t3 = Scheduler.tickStagesFor(spark, dir, stagesFor,
+      nowMs = 11 * Day + 9, intervalMs = Day, retries = 0,
+      retryDelayMs = 1L, sleep = _ => ())
+    assert(t3.map(_._1) == Seq("a", "b"))
+    assert(applied.toSeq.drop(2) == Seq(("a", 10 * Day), ("b", 10 * Day)))
+
+    // both boundaries carry coverage markers
+    val covered = graft.sources.Versioned.read(spark, s"$dir/runs")
+      .filter(org.apache.spark.sql.functions.col("ok") &&
+        org.apache.spark.sql.functions.col("stage") === Scheduler.CoveredStage)
+      .select("boundary_ms").as[Long].collect().toSet
+    assert(covered == Set(9 * Day, 10 * Day))
+  }
+
   test("DailyMaintenance: N simulated days end-to-end — indexes stay " +
       "lockstep, demoted layouts re-established, old versions vacuumed, " +
       "every stage in the runs table") {
@@ -153,10 +199,15 @@ class SchedulerSpec extends SparkSpec {
     def dayVecs(k: Int) =
       vecs.filter(col("id") >= k * 100 && col("id") < (k + 1) * 100)
 
+    // boundary-addressed batches: boundary b covers data interval
+    // [b, b+Day), day k's boundary is (9+k)*Day
+    def dayOf(b: Long): Int = (b / Day - 9).toInt
     (0 until 3).foreach { k =>
       val res = graft.app.DailyMaintenance.tick(spark, work,
-        dayDocs(k), dayVecs(k), nowMs = (10 + k) * Day + 5,
-        intervalMs = Day, retries = 0, retryDelayMs = 1L, sleep = _ => ())
+        b => dayDocs(dayOf(b)), b => dayVecs(dayOf(b)),
+        nowMs = (10 + k) * Day + 5,
+        intervalMs = Day, retries = 0, retryDelayMs = 1L, sleep = _ => (),
+        compactEvery = 2, retainVersions = 1)
       assert(res.nonEmpty && res.forall(_._2.last.ok),
         s"day $k had a failed stage: ${res.filter(!_._2.last.ok).map(_._1)}")
     }
@@ -182,10 +233,14 @@ class SchedulerSpec extends SparkSpec {
     assert(graft.operators.Corpus.signalStateVersion(spark, s"$work/signals") == 2,
       "signal state: day-0 build + two appends")
 
-    // days 2 and 3 appended then compacted: the declared bucketed
-    // layout is re-established (probe prunes buckets at the scan)
-    assert(Versioned.history(spark, s"$work/bm25/postings").last._2
-      == "overwrite", "day-3 compact must be the last postings action")
+    // compactEvery=2: day 1's single append leaves the debt below the
+    // threshold (no full-snapshot rewrite per tick — the OPTIMIZE
+    // cadence is periodic, not every day); day 2's second append
+    // reaches it and compaction re-establishes the declared bucketed
+    // layout (probe prunes buckets at the scan)
+    assert(Versioned.history(spark, s"$work/bm25/postings")
+      .map(_._2) == Seq("overwrite", "append", "append", "overwrite"),
+      "build, two appends, ONE compaction at the debt threshold")
     val probe = graft.operators.Retrieval.queryBm25Index(spark,
       s"$work/bm25", Seq("dup"), k = 5)
     assert(probe.queryExecution.executedPlan.toString
@@ -221,13 +276,17 @@ class SchedulerSpec extends SparkSpec {
       .bruteForceTopK(queries, vecs.filter(col("id") < 300), k = 5)
       .select("query_id", "cand_id", "sim")))
 
-    // vacuum (retain 2) ran on day 3 after compaction: the day-0
-    // postings files are referenced by no retained version and are gone
-    // from disk (old time travel stops working — the documented trade)
-    val v0dir = new java.io.File(s"$work/bm25/postings/data/0")
-    assert(!v0dir.exists || v0dir.listFiles()
-        .count(_.getName.startsWith("part-")) == 0,
-      "day-0 postings data files must be vacuumed")
+    // vacuum (retain 1) ran on day 2 after compaction: the pre-compact
+    // postings files (day-0 build + both appends) are referenced by no
+    // retained version and are gone from disk (old time travel stops
+    // working — the documented trade)
+    val dataDirs = new java.io.File(s"$work/bm25/postings/data").listFiles()
+    assert(dataDirs.exists(_.getName.startsWith("v3-")),
+      "the compacted snapshot's staged dir must survive")
+    assert(dataDirs.filter(d =>
+        Seq("v0-", "v1-", "v2-").exists(d.getName.startsWith))
+      .forall(_.listFiles().count(_.getName.startsWith("part-")) == 0),
+      "pre-compaction postings data files must be vacuumed")
     // the latest version still reads fine after the vacuum
     assert(Versioned.read(spark, s"$work/bm25/postings").count() > 0)
   }
