@@ -342,9 +342,11 @@ object Retrieval {
                          size: Int, stride: Int): DataFrame =
     Corpus.chunk(docs, id, text, size, stride)
       .filter(assert_true(
-        col("doc_id") < lit(1L << 31) && col("chunk_start") < lit(ChunkKeyBase),
-        lit(s"chunk key overflow: need doc_id < 2^31 and chunk_start < " +
-          "2^32 for span-exact attribution")).isNull)
+        col("doc_id") >= 0 && col("doc_id") < lit(1L << 31) &&
+          col("chunk_start") < lit(ChunkKeyBase),
+        lit(s"chunk key overflow: need 0 <= doc_id < 2^31 and chunk_start " +
+          "< 2^32 for span-exact attribution (negative ids would decode " +
+          "to the wrong span)")).isNull)
       .select((col("doc_id") * lit(ChunkKeyBase) + col("chunk_start")).as("ck"),
         col("chunk_text"))
 

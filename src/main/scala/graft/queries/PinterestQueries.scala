@@ -37,13 +37,20 @@ object PinterestQueries {
   /** Q3a — user with most followers per country (README.md:504-524).
     * The 3-way join uses key-list form, so no duplicate `ind` columns
     * appear (the reference needed a manual .drop, README.md:509).
+    *
+    * Grouping key is the cleaned USER table's `user_name`
+    * (README.md:517 `joined_df.groupBy('user_name', 'country')`), NOT
+    * the pin table's `poster_name`; the reference merely ALIASES the
+    * winning user_name as "poster_name" in its output (README.md:521),
+    * which this preserves. Ties → smallest user_name (§7.3).
     */
   def topFollowersByCountry(pin: DataFrame, geo: DataFrame, user: DataFrame): DataFrame = {
     val joined = pin.join(geo, Seq("ind"), "inner").join(user, Seq("ind"), "inner")
     val maxPerUser = joined
-      .groupBy(col("country"), col("poster_name"))
+      .groupBy(col("country"), col("user_name"))
       .agg(max(col("follower_count")).as("follower_count"))
-    Ranking.argmax(maxPerUser, Seq(col("country")), col("follower_count"), col("poster_name"))
+    Ranking.argmax(maxPerUser, Seq(col("country")), col("follower_count"), col("user_name"))
+      .withColumnRenamed("user_name", "poster_name")
       .orderBy(col("country").asc)
   }
 

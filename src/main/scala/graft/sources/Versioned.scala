@@ -108,9 +108,24 @@ object Versioned {
       else field("layout").drop(1).takeWhile(_ != '"')
     // stats are optional: entries written before the fields existed
     // read as unknown (−1), and unknown stays sticky through appends
-    def stat(name: String): Long =
-      if (!line.contains("\"" + name + "\":")) -1L
-      else field(name).takeWhile(c => c.isDigit || c == '-').toLong
+    // The match is anchored BEFORE the "add": field — render writes
+    // rows/bytes ahead of add/schema, so a lookalike `"rows":` substring
+    // inside escaped path/schema content (or a future field reorder)
+    // fails loudly here instead of parsing garbage.
+    val addOffset = line.indexOf("\"add\":")
+    def stat(name: String): Long = {
+      val key = "\"" + name + "\":"
+      val at = line.indexOf(key)
+      if (at < 0) -1L
+      else if (addOffset >= 0 && at > addOffset)
+        sys.error(s"corrupt log line ($name after add): $line")
+      else {
+        val digits = line.drop(at + key.length)
+          .takeWhile(c => c.isDigit || c == '-')
+        if (digits.isEmpty) sys.error(s"corrupt log line (non-numeric $name): $line")
+        digits.toLong
+      }
+    }
     val rows = stat("rows")
     val bytes = stat("bytes")
     val addRaw = field("add").drop(1).takeWhile(_ != ']')

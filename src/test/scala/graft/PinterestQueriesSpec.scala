@@ -60,14 +60,36 @@ class PinterestQueriesSpec extends SparkSpec {
       Seq((2018, "art"), (2019, "art")))
   }
 
-  test("Q3a: top follower-count poster per country") {
-    // us: Ada max(100, 250000)=250000 vs Bob 50 vs Cyd 75 → Ada 250000
-    // pe: Bob 2000000 vs Cyd 9 → Bob 2000000
+  test("Q3a: top follower USER (user_name, not pin poster_name) per country") {
+    // The fixture's pin poster_names (Ada/Bob/Cyd) DIVERGE from the
+    // cleaned user_names (AnnOne..FaySix), so this proves the USER
+    // column drives the answer (reference README.md:517).
+    // us: AnnOne 100, BenTwo 250000, DanFour 50, EveFive 75 → BenTwo
+    // pe: CatThree 2000000, FaySix 9 → CatThree
     val r = PinterestQueries.topFollowersByCountry(pin, geo, user)
       .orderBy("country").collect()
     assert(r.map(x => (x.getAs[String]("country"), x.getAs[String]("poster_name"),
       x.getAs[Int]("follower_count"))).toSeq ==
-      Seq(("Peru", "Bob", 2000000), ("United States", "Ada", 250000)))
+      Seq(("Peru", "CatThree", 2000000), ("United States", "BenTwo", 250000)))
+  }
+
+  test("Q3a: ties break to the smallest user_name") {
+    // Two US users (AnnOne, BenTwo) with the same max follower count
+    // (100) → AnnOne wins, independent of input order.
+    val tiedPin = Cleaners.pin(spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "u1", "t", "d", "Zed", "100", "x", "image", "i", 1L, "Local save in /data/art", "art"),
+        Row(2L, "u2", "t", "d", "Abe", "100", "x", "image", "i", 1L, "Local save in /data/art", "art")),
+      Schemas.rawPin))
+    val tiedGeo = Cleaners.geo(spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "United States", 1.0, 2.0, "2018-01-01 00:00:00"),
+        Row(2L, "United States", 1.0, 2.0, "2018-06-01 00:00:00")),
+      Schemas.rawGeo))
+    val r = PinterestQueries.topFollowersByCountry(tiedPin, tiedGeo, user).collect()
+    assert(r.map(x => (x.getAs[String]("country"), x.getAs[String]("poster_name"),
+      x.getAs[Int]("follower_count"))).toSeq ==
+      Seq(("United States", "AnnOne", 100)))
   }
 
   test("Q3b: overall top country by its best poster") {
