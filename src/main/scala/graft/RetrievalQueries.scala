@@ -404,6 +404,262 @@ object RetrievalQueries {
     Retrieval.queryChunkBm25Index(spark, cachedChunkBm25(spark, dir),
       bmTerms, k = 20)
 
+  // ---------------------------------------------------------------------
+  // [EXT] chunk-grain HYBRID retrieval — the full RAG serving unit: the
+  // chunk BM25 index (q168) and a chunk ANN index (IVF over
+  // deterministic feature-hash embeddings — Corpus.hashEmbed, the
+  // SQL-replayable stand-in for a neural encoder) answer the same two
+  // queries AT CK GRAIN, so a lexical hit and a semantic hit of the
+  // same SPAN fuse (q166 fused at doc grain; a RAG stack fuses the
+  // context unit it serves). RRF combines the rankings; the composite
+  // key decodes to attributed spans. The oracle replays chunking, the
+  // hashing-trick embedding, the IVF probe, chunk BM25, the fusion,
+  // and the key decode in ONE statement — every rank and the
+  // DECIMAL-exact fused sum hash-match end-to-end.
+  private def cachedChunkIvf(spark: SparkSession, dir: String): String =
+    graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "chunkivfq",
+      "centroids", "assignment")(
+      Retrieval.buildChunkIvfIndex(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), _,
+        size = 32, stride = 16): Unit)
+
+  /** The hybrid chunk query batch: terms + the SAME feature-hash
+    * embedding of the query text the index's chunks were encoded with.
+    * Query ids sit far above any doc id yet below 2³² so they can never
+    * collide with a composite chunk key.
+    */
+  private def chunkQueryBatch(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val qraw = Seq((900000001L, Seq("dup", "spark")),
+      (900000002L, Seq("hash", "join", "table"))).toDF("query_id", "terms")
+    qraw.join(
+      graft.operators.Corpus.hashEmbed(qraw, col("query_id"),
+        concat_ws(" ", col("terms"))).withColumnRenamed("id", "query_id"),
+      Seq("query_id"))
+  }
+
+  def q169ChunkHybrid(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.hybridSearchChunks(spark, cachedChunkBm25(spark, dir),
+      cachedChunkIvf(spark, dir), chunkQueryBatch(spark), k = 10, kEach = 20)
+
+  /** The shared q169 chain up through `sel` (the fused chunk top-10 at
+    * composite-key grain) — q169 decodes and returns it; q170 assembles
+    * it into a budgeted context.
+    */
+  private val chunkHybridCtes = {
+    val dot64 = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+    val md5long = (c: String) =>
+      s"CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)"
+    // hashing-trick embedding of (key, tok) pairs → dense 64-dim lists
+    def embed(src: String, key: String, out: String): String =
+      s"""${out}_h AS (
+         |  SELECT $key, ${md5long("tok")} AS h FROM $src),
+         |${out}_c AS (
+         |  SELECT $key, CAST(h % 64 AS INTEGER) AS d,
+         |    sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+         |  FROM ${out}_h GROUP BY 1, 2),
+         |${out}_d AS (
+         |  SELECT k.$key, r.i, coalesce(s.v, 0.0) AS v
+         |  FROM (SELECT DISTINCT $key FROM ${out}_h) k
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r
+         |  LEFT JOIN ${out}_c s ON s.$key = k.$key AND s.d = r.i),
+         |$out AS (
+         |  SELECT $key, v, list_sum(list_transform(v, x -> x * x)) AS nsq
+         |  FROM (SELECT $key, list(v ORDER BY i) AS v FROM ${out}_d
+         |        GROUP BY 1))""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+       |starts AS (
+       |  SELECT doc_id, parts,
+       |    unnest(range(1, len(parts) + 1, 16)) AS chunk_start
+       |  FROM t),
+       |ch AS (
+       |  SELECT doc_id * 4294967296 + chunk_start AS ck,
+       |    array_to_string(parts[chunk_start : chunk_start + 31], ' ') AS chunk_text
+       |  FROM starts),
+       |q AS (
+       |  SELECT * FROM (VALUES (CAST(900000001 AS BIGINT), ['dup', 'spark']),
+       |                        (CAST(900000002 AS BIGINT), ['hash', 'join', 'table']))
+       |    AS v(query_id, terms)),
+       |ctok AS (SELECT ck, unnest(string_split(chunk_text, ' ')) AS tok FROM ch),
+       |qtokall AS (SELECT query_id, unnest(terms) AS tok FROM q),
+       |${embed("ctok", "ck", "cbase")},
+       |${embed("qtokall", "query_id", "qbase")},
+       |cent AS (
+       |  SELECT ck AS centroid_id, v, nsq FROM cbase
+       |  ORDER BY ${md5long("CAST(ck AS VARCHAR)")} ASC, ck ASC
+       |  LIMIT 16),
+       |assigned AS (
+       |  SELECT centroid_id, cand_id, cv, cnsq FROM (
+       |    SELECT c.centroid_id, b.ck AS cand_id, b.v AS cv, b.nsq AS cnsq,
+       |      row_number() OVER (PARTITION BY b.ck
+       |        ORDER BY ${dot64("b.v", "c.v")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM cbase b CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id, qv, qnsq FROM (
+       |    SELECT b.query_id, c.centroid_id, b.v AS qv, b.nsq AS qnsq,
+       |      row_number() OVER (PARTITION BY b.query_id
+       |        ORDER BY ${dot64("b.v", "c.v")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM qbase b CROSS JOIN cent c)
+       |  WHERE rn <= 4),
+       |semscored AS (
+       |  SELECT p.query_id, a.cand_id,
+       |    ${dot64("p.qv", "a.cv")} / (sqrt(p.qnsq) * sqrt(a.cnsq)) AS sim
+       |  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+       |  WHERE a.cand_id <> p.query_id),
+       |semr AS (
+       |  SELECT query_id, cand_id AS ckid, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, cand_id ASC) AS rn FROM semscored)
+       |  WHERE rn <= 20),
+       |d AS (
+       |  SELECT ck, CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS dl,
+       |    string_split(chunk_text, ' ') AS toks
+       |  FROM ch),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |qt AS (SELECT DISTINCT query_id, tok FROM qtokall),
+       |tf AS (
+       |  SELECT ck, dl, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT ck, dl, unnest(toks) AS tok FROM d)
+       |  GROUP BY 1, 2, 3),
+       |hits AS (SELECT qt.query_id, tf.* FROM tf JOIN qt USING (tok)),
+       |dfs AS (
+       |  SELECT query_id, tok, CAST(count(*) AS BIGINT) AS df
+       |  FROM hits GROUP BY 1, 2),
+       |term AS (
+       |  SELECT h.query_id, h.ck,
+       |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+       |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+       |          * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+       |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS t
+       |  FROM hits h JOIN dfs USING (query_id, tok) CROSS JOIN stats),
+       |lexscored AS (
+       |  SELECT query_id, ck,
+       |    CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
+       |  FROM term GROUP BY 1, 2),
+       |lexr AS (
+       |  SELECT query_id, ck AS ckid, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, ck ASC) AS rn FROM lexscored)
+       |  WHERE rn <= 20),
+       |contrib AS (
+       |  SELECT query_id, ckid,
+       |    CAST(CAST(1.0 AS DOUBLE) / (60 + rn) AS DECIMAL(27,10)) AS rw
+       |  FROM lexr
+       |  UNION ALL
+       |  SELECT query_id, ckid,
+       |    CAST(CAST(1.0 AS DOUBLE) / (60 + rn) AS DECIMAL(27,10)) AS rw
+       |  FROM semr),
+       |fused AS (
+       |  SELECT query_id, ckid, CAST(count(*) AS BIGINT) AS n_rankers,
+       |    CAST(sum(rw) AS DOUBLE) AS rrf
+       |  FROM contrib GROUP BY 1, 2),
+       |sel AS (
+       |  SELECT query_id, ckid, n_rankers, rrf FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, ckid ASC) AS rn FROM fused)
+       |  WHERE rn <= 10)""".stripMargin
+  }
+
+  private val q169Sql =
+    s"""$chunkHybridCtes
+       |SELECT query_id, ckid // 4294967296 AS doc_id,
+       |  ckid % 4294967296 AS chunk_start, n_rankers, rrf
+       |FROM sel ORDER BY query_id, rrf DESC, doc_id, chunk_start""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] RAG context assembly — the step between retrieval and the
+  // prompt, over the q169 fused ranking: cap chunks per doc (2),
+  // interval-merge overlapping/adjacent co-ranked spans (stride 16 <
+  // size 32 makes neighbors co-rank — the consumer wants each passage
+  // once), clip ends to real doc length, and pack the ranking prefix
+  // into a 96-token budget. Windows + one broadcast length join —
+  // assembly cost is O(|Q|·k), independent of corpus size.
+  def q170ContextPack(spark: SparkSession, dir: String): DataFrame = {
+    val fused = q169ChunkHybrid(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("chunk_start"), col("rrf"))
+    Retrieval.assembleContext(fused, Tables.documents(spark, dir),
+      col("doc_id"), col("text"), size = 32, budget = 96, maxPerDoc = 2)
+  }
+
+  private val q170Sql =
+    s"""$chunkHybridCtes,
+       |dec AS (
+       |  SELECT query_id, ckid // 4294967296 AS doc_id,
+       |    ckid % 4294967296 AS chunk_start, rrf
+       |  FROM sel),
+       |cap AS (
+       |  SELECT query_id, doc_id, chunk_start, rrf FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+       |      ORDER BY rrf DESC, chunk_start ASC) AS cr FROM dec)
+       |  WHERE cr <= 2),
+       |mrk AS (
+       |  SELECT *, chunk_start + 31 AS e,
+       |    max(chunk_start + 31) OVER (PARTITION BY query_id, doc_id
+       |      ORDER BY chunk_start ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM cap),
+       |grp AS (
+       |  SELECT *, sum(CASE WHEN pmax IS NULL OR chunk_start > pmax + 1
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY query_id, doc_id
+       |      ORDER BY chunk_start ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM mrk),
+       |sp AS (
+       |  SELECT query_id, doc_id, g, min(chunk_start) AS span_start,
+       |    max(e) AS span_end0, CAST(count(*) AS BIGINT) AS n_chunks,
+       |    max(rrf) AS score
+       |  FROM grp GROUP BY 1, 2, 3),
+       |dlen AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |cl AS (
+       |  SELECT query_id, sp.doc_id, span_start,
+       |    least(span_end0, n_tok) AS span_end, n_chunks, score
+       |  FROM sp JOIN dlen ON dlen.doc_id = sp.doc_id),
+       |pk AS (
+       |  SELECT *, CAST(sum(span_end - span_start + 1) OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC, span_start ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_tok
+       |  FROM cl)
+       |SELECT query_id, doc_id, span_start, span_end, n_chunks, score, cum_tok
+       |FROM pk WHERE cum_tok <= 96
+       |ORDER BY query_id, score DESC, doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] multi-query BM25 over the PARTITION postings layout — the
+  // dynamic-term-set bytes lever (the q162 pattern applied to lexical
+  // serving): postings land in token-shard DIRECTORIES (tok_part =
+  // md5(tok) mod 16), the broadcast term join carries the shard key, so
+  // a storage-backed query batch dynamically prunes unprobed shards'
+  // bytes (DPP — PLAN_AUDIT shows the dynamicpruning subquery) where the
+  // bucketed layout had to scan all postings bytes for terms that
+  // arrive as data. Identical scores by construction → q153's oracle.
+  private def cachedBm25Part(spark: SparkSession, dir: String): String =
+    graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "bm25partq",
+      "postings", "stats")(
+      Retrieval.buildBm25Index(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), _,
+        layout = "partition"): Unit)
+
+  def q172Bm25ManyPart(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qdf = Seq((1L, Seq("dup", "spark")), (2L, Seq("hash", "join", "table")))
+      .toDF("query_id", "terms")
+    Retrieval.queryBm25IndexMany(spark, cachedBm25Part(spark, dir), qdf, k = 10)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_bm25"         -> (q146Bm25 _),
     "q147_bm25_index"   -> (q147Bm25Index _),
@@ -412,7 +668,10 @@ object RetrievalQueries {
     "q153_bm25_many"    -> (q153Bm25Many _),
     "q166_hybrid_rrf"   -> (q166HybridRrf _),
     "q167_chunk_bm25"   -> (q167ChunkBm25 _),
-    "q168_chunk_index"  -> (q168ChunkIndex _))
+    "q168_chunk_index"  -> (q168ChunkIndex _),
+    "q169_chunk_hybrid" -> (q169ChunkHybrid _),
+    "q170_context_pack" -> (q170ContextPack _),
+    "q172_bm25_many_part" -> (q172Bm25ManyPart _))
 
   val oracle: Map[String, String] = Map(
     "q146_bm25"         -> q146Sql,
@@ -423,5 +682,9 @@ object RetrievalQueries {
     "q166_hybrid_rrf"   -> q166Sql,
     "q167_chunk_bm25"   -> q167Sql,
     // the persisted chunk index replays q167's inline pipeline
-    "q168_chunk_index"  -> q167Sql)
+    "q168_chunk_index"  -> q167Sql,
+    "q169_chunk_hybrid" -> q169Sql,
+    "q170_context_pack" -> q170Sql,
+    // the partition layout scores identically to the bucketed index
+    "q172_bm25_many_part" -> q153Sql)
 }

@@ -91,6 +91,41 @@ object Corpus {
   def scrub(c: Column, pattern: String, replacement: String): Column =
     regexp_replace(c, pattern, replacement)
 
+  /** Feature-hashed bag-of-tokens embedding (the "hashing trick",
+    * Weinberger et al., ICML 2009) — the engine's deterministic,
+    * SQL-replayable stand-in for a neural text encoder: token t adds
+    * sign(t) ∈ {±1} to dimension h(t) mod `dim`, with h and the sign
+    * bit both off the engine's md5 hash family (cross-engine stable,
+    * unlike Spark's murmur hash()). Cosine over these vectors tracks
+    * token-multiset similarity, and because every component is a small
+    * integer, downstream dots and norms are EXACT in double — a whole
+    * ANN ranking over hashed embeddings hash-matches in SQL.
+    *
+    * Output: (id, vec array<double> of length `dim`). Scale shape: one
+    * explode + a two-level hash aggregation (map-side partials); the
+    * dense array assembles from the ≤dim observed cells per id, so the
+    * only corpus-wide move is the groupBy(id) shuffle any per-document
+    * reduction pays.
+    */
+  def hashEmbed(df: DataFrame, id: Column, text: Column,
+                dim: Int = 64): DataFrame = {
+    require(dim > 0, s"embedding dim must be positive, got $dim")
+    df.select(id.as("id"), explode(TextOps.tokens(text)).as("__tok"))
+      .select(col("id"),
+        conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long").as("h"))
+      // sign bit = (h div dim) mod 2 — h is nonneg (md5-derived < 2^32,
+      // double-exact), so the truncating cast matches SQL's // floor
+      .select(col("id"), (col("h") % dim).cast("int").as("d"),
+        when((col("h") / dim).cast("long") % 2 === 0, lit(1.0))
+          .otherwise(lit(-1.0)).as("s"))
+      .groupBy(col("id"), col("d")).agg(sum(col("s")).as("v"))
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("d"), col("v")))).as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("vec"))
+  }
+
   /** Deterministic hash bucket in [0, 100): md5 of the key's string form
     * — stable across engines, runs, and physical layout, which
     * rand(seed)-based sampling is not (row order dependence).

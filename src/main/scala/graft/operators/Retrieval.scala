@@ -123,39 +123,126 @@ object Retrieval {
          sort_array(collect_list(col("pos") + 1)).as("positions"))
     .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("positions"))
 
+  /** Deterministic token shard in [0, nParts): md5-derived, the
+    * engine's cross-run/cross-engine-stable hash family (the
+    * `Corpus.hashBucket` discipline — Spark's own hash() would differ
+    * per engine). The partition column of the "partition" postings
+    * layout; [[tokPartOf]] is its exact Scala twin for literal terms.
+    */
+  private def tokPartExpr(tok: Column, nParts: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % nParts
+
+  private[graft] def tokPartOf(term: String, nParts: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % nParts
+  }
+
   /** Build the inverted index: `postings` (tok, doc_id, tf, dl,
     * positions — doc length denormalized into the row, 1-based sorted
     * position list for phrase queries) + 1-row `stats` (n_docs,
     * sum_dl), two lockstep [[Versioned]] tables. One corpus pass.
     *
-    * Postings commit BUCKETED BY TOKEN ([[Versioned.overwriteBucketed]])
-    * — the layout half of the index: a probe's literal term filter
-    * prunes whole buckets at the scan (it reads |terms| buckets' bytes,
-    * not the postings table), and the df-per-token aggregation inside
-    * [[queryBm25Index]] needs no Exchange because the scan already
-    * arrives hash-partitioned on `tok`. `nBuckets` sizes bucket files:
-    * at 100 TB pick corpus_postings_bytes / ~256 MB.
+    * Two physical layouts, the Similarity-assignment dichotomy:
+    *
+    *  - `layout = "bucket"` (default): postings BUCKETED BY TOKEN
+    *    ([[Versioned.overwriteBucketed]]) — a probe's literal term
+    *    filter prunes whole buckets at the scan (it reads |terms|
+    *    buckets' bytes, not the postings table), and the df-per-token
+    *    aggregation inside [[queryBm25Index]] needs no Exchange because
+    *    the scan already arrives hash-partitioned on `tok`. `nBuckets`
+    *    sizes bucket files: at 100 TB pick postings_bytes / ~256 MB.
+    *  - `layout = "partition"`: postings land in `nPartDirs` token-shard
+    *    DIRECTORIES (partition column `tok_part` = md5(tok) mod
+    *    nPartDirs). This is the layout for DYNAMIC term sets
+    *    ([[queryBm25IndexMany]], where terms arrive as data, not
+    *    literals): the broadcast term join carries tok_part, so Spark
+    *    DPP prunes unprobed directories' BYTES at run time — the lever
+    *    bucketing cannot give a data-dependent join. Literal probes
+    *    prune the same directories statically. Keep nPartDirs modest
+    *    (each shard is a directory); token skew within a shard is fine
+    *    — pruning is per-shard, scoring is per-token.
     */
   def buildBm25Index(docs: DataFrame, id: Column, text: Column,
-                     indexDir: String, nBuckets: Int = 8): Long = {
+                     indexDir: String, nBuckets: Int = 8,
+                     layout: String = "bucket", nPartDirs: Int = 16): Long = {
     val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
     val postings = postingsOf(base)
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val vp = Versioned.overwriteBucketed(postings, s"$indexDir/postings",
-      "tok", nBuckets)
+    val vp = layout match {
+      case "bucket" => Versioned.overwriteBucketed(postings,
+        s"$indexDir/postings", "tok", nBuckets)
+      case "partition" => Versioned.overwritePartitioned(
+        postings.withColumn("tok_part", tokPartExpr(col("tok"), nPartDirs)),
+        s"$indexDir/postings", "tok_part")
+      case other => throw new IllegalArgumentException(
+        s"postings layout must be bucket or partition, got $other")
+    }
     val vs = Versioned.overwrite(stats, s"$indexDir/stats")
     require(vp == vs, s"BM25 index tables diverged: postings v$vp vs stats " +
       s"v$vs (was $indexDir written by something other than buildBm25Index?)")
+    // the shard count is persisted beside the index (the chunk_grid
+    // discipline): queries and appends derive tok_part from there, so
+    // there is no way to probe or append with a mismatched modulus
+    if (layout == "partition")
+      writePartDirs(docs.sparkSession, indexDir, nPartDirs, vp)
     vp
+  }
+
+  /** Sidecar recording the "partition" layout's shard modulus, stamped
+    * with the postings overwrite version it describes (the chunk_grid
+    * discipline: a crashed rebuild leaves a stale stamp that consumers
+    * detect instead of pruning by the wrong modulus).
+    */
+  private def partDirsPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(indexDir, "tok_parts")
+
+  private def writePartDirs(spark: SparkSession, indexDir: String,
+                            nParts: Int, version: Long): Unit = {
+    val p = partDirsPath(indexDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write(s"$nParts $version".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Shard modulus of a partition-layout index, or None when the index
+    * is bucketed/plain OR the sidecar cannot be trusted for the CURRENT
+    * snapshot (stale stamp after a crashed rebuild, corrupt file).
+    * Pruning is an optimization layered over the always-correct token
+    * filter, so an untrusted sidecar degrades to an unpruned scan for
+    * QUERIES; appends need the modulus to write and [[appendToBm25Index]]
+    * refuses separately when it is absent on a partitioned table.
+    */
+  private def partDirsOf(spark: SparkSession, indexDir: String): Option[Int] = {
+    val p = partDirsPath(indexDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      raw.trim.split(" ") match {
+        case Array(n, v) if Seq(n, v).forall(_.forall(_.isDigit)) &&
+            v.toLong == lastPostingsOverwrite(spark, indexDir) => Some(n.toInt)
+        case _ => None
+      }
+    }
   }
 
   /** Add a batch of NEW documents to an existing index (FAISS-add /
     * daily-cadence semantics; doc_ids must be previously unseen — the
     * same append-only invariant as `Corpus.appendSignalState`). Postings
-    * rows append; the 1-row stats table merges additively and commits at
-    * the EXPECTED version, so a concurrent append loses cleanly and
-    * retries instead of silently dropping counts.
+    * rows append FIRST, then the 1-row stats table merges additively
+    * and commits at the EXPECTED version (CAS). A crash — or a lost
+    * CAS race — between the two commits leaves the batch's postings as
+    * an ORPHAN SLICE ON DISK, from which [[repairBm25Index]] recomputes
+    * the stats delta exactly (document length is denormalized into
+    * every postings row). The reverse order was unwedgeable: the missed
+    * postings delta was the batch itself, gone with the crashed
+    * process. On a CAS failure do NOT re-append the same batch (its
+    * postings are already committed) — run [[repairBm25Index]], which
+    * folds the orphan slice's stats in and completes the append.
     */
   def appendToBm25Index(batch: DataFrame, id: Column, text: Column,
                         indexDir: String): Long = {
@@ -164,7 +251,7 @@ object Retrieval {
     val vPost  = Versioned.latestVersion(spark, s"$indexDir/postings")
     require(vPost == vStats, s"BM25 index tables out of lockstep (postings " +
       s"v$vPost, stats v$vStats) — a build or append crashed between " +
-      "commits; rebuild into a fresh directory")
+      "commits; run repairBm25Index, then retry")
     val base = batch.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
     val postings = postingsOf(base)
@@ -172,15 +259,92 @@ object Retrieval {
     val merged = Versioned.read(spark, s"$indexDir/stats", Some(vStats))
       .unionByName(delta)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    // CAS-guarded stats FIRST: of two racing appenders, the loser aborts
-    // here with NOTHING committed and can genuinely re-read + retry; only
-    // a crash between the two commits wedges the index (postings-first
-    // would advance postings before losing the stats race — unwedgeable).
-    val vs = Versioned.overwriteExpecting(merged, s"$indexDir/stats", vStats + 1)
-    val vp = Versioned.append(postings, s"$indexDir/postings")
+    val partitioned = Versioned.declaredLayout(spark, s"$indexDir/postings")
+      .startsWith("part:")
+    val vp =
+      if (!partitioned) Versioned.append(postings, s"$indexDir/postings")
+      else {
+        // a partitioned table's batches must land partitioned with the
+        // SAME modulus — from the sidecar, never the caller
+        val n = partDirsOf(spark, indexDir).getOrElse(sys.error(
+          s"$indexDir postings are partition-laid-out but the tok_parts " +
+            "sidecar is absent or stale (a rebuild crashed between its " +
+            "commit and the stamp) — rebuild with buildBm25Index"))
+        Versioned.appendPartitioned(
+          postings.withColumn("tok_part", tokPartExpr(col("tok"), n)),
+          s"$indexDir/postings", "tok_part")
+      }
+    val vs =
+      try Versioned.overwriteExpecting(merged, s"$indexDir/stats", vStats + 1)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalStateException(s"BM25 stats CAS failed after the " +
+          s"batch's postings committed (v$vp) on $indexDir — the postings " +
+          "are an orphan slice now; run repairBm25Index to fold their " +
+          "stats in. Do NOT re-append the same batch (its postings would " +
+          "land twice).", e)
+      }
     require(vp == vs, s"BM25 append left tables out of lockstep (postings " +
-      s"v$vp, stats v$vs) — rebuild into a fresh directory")
+      s"v$vp, stats v$vs) — run repairBm25Index")
     vp
+  }
+
+  /** Repair an index wedged between its two commits — the
+    * orphan-postings shape (postings version ahead of stats, or stats
+    * table missing after a crashed build). The missed stats delta is
+    * recomputed EXACTLY from the orphan postings slice: document
+    * length rides every postings row, and every document carries ≥1
+    * postings row (empty text tokenizes to [""], so no document is
+    * invisible to postings), so the slice's distinct (doc_id, dl) set
+    * IS the batch the crashed append was accounting for. Stats then
+    * commit at the expected version until the tables are back in
+    * lockstep — a gap of two crashed appends catches up with
+    * content-identical commits. A pre-crash consumer pinned via asOf
+    * is never affected.
+    *
+    * NOT covered: a chunk-grain index whose BUILD crashed before the
+    * grid sidecar landed — the window grid lived only in the crashed
+    * caller; rebuild with [[buildChunkBm25Index]] (the DailyMaintenance
+    * chunk stage self-heals exactly that way). A stats-AHEAD shape is
+    * refused: no code path here produces it, so it signals foreign
+    * writes. Returns the restored lockstep version; no-op when intact.
+    */
+  def repairBm25Index(spark: SparkSession, indexDir: String): Long = {
+    val postT = s"$indexDir/postings"
+    val statT = s"$indexDir/stats"
+    require(Versioned.exists(spark, postT),
+      s"$indexDir has no postings table — nothing to repair")
+    def statsOf(docs: DataFrame): DataFrame =
+      docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val vp = Versioned.latestVersion(spark, postT)
+    if (!Versioned.exists(spark, statT)) {
+      // a build died between its postings and stats commits
+      val full = statsOf(Versioned.read(spark, postT, Some(vp))
+        .select(col("doc_id"), col("dl")).distinct())
+      var v = Versioned.overwrite(full, statT)
+      while (v < vp)
+        v = Versioned.overwrite(Versioned.read(spark, statT, Some(v)), statT)
+      return v
+    }
+    val vs = Versioned.latestVersion(spark, statT)
+    if (vp == vs) return vp
+    require(vp > vs, s"$indexDir stats v$vs is AHEAD of postings v$vp — " +
+      "not the orphan-postings crash shape (no BM25 code path produces " +
+      "it); rebuild into a fresh directory")
+    // pre-crash lockstep means postings snapshot vs is exactly the
+    // corpus stats v(vs) describes; append-only + new-doc-only
+    // invariants make doc_id membership the delta
+    val newDocs = Versioned.read(spark, postT, Some(vp))
+      .select(col("doc_id"), col("dl")).distinct()
+      .join(Versioned.read(spark, postT, Some(vs))
+        .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    val merged = Versioned.read(spark, statT, Some(vs))
+      .unionByName(statsOf(newDocs))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    var v = Versioned.overwriteExpecting(merged, statT, vs + 1)
+    while (v < vp)
+      v = Versioned.overwriteExpecting(
+        Versioned.read(spark, statT, Some(v)), statT, v + 1)
+    v
   }
 
   /** Compact the index after a run of appends (the daily-add cadence):
@@ -189,16 +353,39 @@ object Retrieval {
     * bucket pruning and shuffle-free token aggregation until this runs
     * ([[graft.sources.Versioned.compact]] re-buckets per the table's
     * last declared layout). BOTH tables compact so versions stay in
-    * lockstep; a crash between the two commits wedges the index exactly
-    * like a crashed append (consumers refuse; rebuild recovers).
+    * lockstep, POSTINGS FIRST: a crash between the two commits leaves
+    * postings one version ahead with IDENTICAL content, which
+    * [[repairBm25Index]] heals with an empty-delta catch-up commit —
+    * the stats-first order would leave the unrepairable stats-ahead
+    * shape.
     */
   def compactBm25Index(spark: SparkSession, indexDir: String): Long = {
-    val vs = Versioned.compact(spark, s"$indexDir/stats")
+    // a partition-layout index re-stamps its shard sidecar at the new
+    // overwrite version (compaction is an overwrite); the modulus is
+    // read-validated BEFORE the rewrite moves the stamp
+    val nParts = partDirsOf(spark, indexDir)
     val vp = Versioned.compact(spark, s"$indexDir/postings")
+    val vs = Versioned.compact(spark, s"$indexDir/stats")
     require(vp == vs, s"BM25 compaction left tables out of lockstep " +
-      s"(postings v$vp, stats v$vs) — rebuild into a fresh directory")
+      s"(postings v$vp, stats v$vs) — run repairBm25Index")
+    nParts.foreach(n => writePartDirs(spark, indexDir, n, vp))
     vp
   }
+
+  /** The query-term shard prune: layered over the always-correct token
+    * filter when the index is partition-laid-out and the sidecar vouches
+    * for the CURRENT snapshot. Time-travel reads skip it (the sidecar
+    * describes only the live layout epoch) — correct, just unpruned.
+    */
+  private def shardPruned(spark: SparkSession, indexDir: String,
+                          posts: DataFrame, terms: Seq[String],
+                          asOf: Option[Long]): DataFrame =
+    if (asOf.nonEmpty || !posts.columns.contains("tok_part")) posts
+    else partDirsOf(spark, indexDir) match {
+      case Some(n) => posts.filter(col("tok_part")
+        .isInCollection(terms.map(tokPartOf(_, n)).distinct))
+      case None => posts
+    }
 
   /** Query the persisted index: touches only the query terms' postings
     * (token filter pushed into the parquet scan) + the 1-row stats;
@@ -215,10 +402,11 @@ object Retrieval {
       val vp = Versioned.latestVersion(spark, s"$indexDir/postings")
       val vs = Versioned.latestVersion(spark, s"$indexDir/stats")
       require(vp == vs, s"BM25 index tables out of lockstep (postings v$vp, " +
-        s"stats v$vs) — a build crashed between commits; rebuild into a " +
-        "fresh directory or pin an intact version with asOf")
+        s"stats v$vs) — an append or build crashed between commits; run " +
+        "repairBm25Index, or pin an intact version with asOf")
     }
-    val tf = Versioned.read(spark, s"$indexDir/postings", asOf)
+    val tf = shardPruned(spark, indexDir,
+        Versioned.read(spark, s"$indexDir/postings", asOf), terms, asOf)
       .filter(col("tok").isInCollection(terms))
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
     val stats = Versioned.read(spark, s"$indexDir/stats", asOf)
@@ -241,6 +429,37 @@ object Retrieval {
     * (amortized across the batch, this is the right trade for serving).
     * Output: (query_id, doc_id, n_terms, score).
     */
+  /** The multi-query postings probe: the (query, posting) equality join
+    * BEFORE scoring. On a partition-layout index the broadcast term
+    * join carries the shard column, so Spark DPP prunes unprobed
+    * token-shard DIRECTORIES' bytes at run time — the lever a dynamic
+    * term set cannot get from bucketing (a literal IN would need the
+    * terms at plan time). Package-visible so the plan audit can assert
+    * the dynamicpruning subquery on the fragment that actually runs it
+    * ([[queryBm25IndexMany]] stages this behind a checkpoint seam).
+    */
+  private[graft] def bm25ManyHits(spark: SparkSession, indexDir: String,
+                                  queries: DataFrame,
+                                  asOf: Option[Long]): DataFrame = {
+    val postsAll = Versioned.read(spark, s"$indexDir/postings", asOf)
+    val partN =
+      if (asOf.isEmpty && postsAll.columns.contains("tok_part"))
+        partDirsOf(spark, indexDir)
+      else None
+    val posts = postsAll.select(
+      (partN.map(_ => col("tok_part")).toSeq ++
+        Seq(col("doc_id"), col("dl"), col("tok"), col("tf"))): _*)
+    val qt0 = queries
+      .select(col("query_id"), explode(col("terms")).as("tok")).distinct()
+    val (qt, joinKeys) = partN match {
+      case Some(n) =>
+        (qt0.withColumn("tok_part", tokPartExpr(col("tok"), n)),
+          Seq("tok_part", "tok"))
+      case None => (qt0, Seq("tok"))
+    }
+    posts.join(broadcast(qt), joinKeys)
+  }
+
   def queryBm25IndexMany(spark: SparkSession, indexDir: String,
                          queries: DataFrame, k: Int,
                          k1: Double = K1, b: Double = B,
@@ -249,17 +468,15 @@ object Retrieval {
       val vp = Versioned.latestVersion(spark, s"$indexDir/postings")
       val vs = Versioned.latestVersion(spark, s"$indexDir/stats")
       require(vp == vs, s"BM25 index tables out of lockstep (postings v$vp, " +
-        s"stats v$vs) — a build crashed between commits; rebuild into a " +
-        "fresh directory or pin an intact version with asOf")
+        s"stats v$vs) — an append or build crashed between commits; run " +
+        "repairBm25Index, or pin an intact version with asOf")
     }
-    val posts = Versioned.read(spark, s"$indexDir/postings", asOf)
-      .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
     val stats = Versioned.read(spark, s"$indexDir/stats", asOf)
-    val qt = queries
-      .select(col("query_id"), explode(col("terms")).as("tok")).distinct()
     // the pruned (query, posting) slice feeds BOTH df and scoring —
-    // stage it (bounded by Σ per-query postings, not the corpus)
-    val hits = posts.join(broadcast(qt), Seq("tok"))
+    // stage it (bounded by Σ per-query postings, not the corpus); the
+    // join fragment runs as its own job, so its DPP fires there (and is
+    // plan-audited there — the downstream plan only sees the RDD seam)
+    val hits = bm25ManyHits(spark, indexDir, queries, asOf)
       .localCheckpoint(eager = false)
     val dfTab = hits.groupBy(col("query_id"), col("tok"))
       .agg(count(lit(1)).as("df"))
@@ -293,12 +510,18 @@ object Retrieval {
       val vp = Versioned.latestVersion(spark, s"$indexDir/postings")
       val vs = Versioned.latestVersion(spark, s"$indexDir/stats")
       require(vp == vs, s"BM25 index tables out of lockstep (postings v$vp, " +
-        s"stats v$vs) — a build crashed between commits; rebuild into a " +
-        "fresh directory or pin an intact version with asOf")
+        s"stats v$vs) — an append or build crashed between commits; run " +
+        "repairBm25Index, or pin an intact version with asOf")
     }
     val posts = Versioned.read(spark, s"$indexDir/postings", asOf)
+    val partN =
+      if (asOf.isEmpty && posts.columns.contains("tok_part"))
+        partDirsOf(spark, indexDir)
+      else None
     val slices = phrase.zipWithIndex.map { case (t, j) =>
-      posts.filter(col("tok") === lit(t))
+      partN.fold(posts)(n =>
+          posts.filter(col("tok_part") === lit(tokPartOf(t, n))))
+        .filter(col("tok") === lit(t))
         .select(col("doc_id"),
           transform(col("positions"), p => p - j).as(s"p$j"))
     }
@@ -403,15 +626,20 @@ object Retrieval {
     try out.write(s"$size $stride $version".getBytes("UTF-8")) finally out.close()
   }
 
-  /** Last "overwrite" version of the postings table — the snapshot a
-    * grid stamp must match (appends keep it; builds and compactions
-    * move it).
+  /** Last "overwrite" version of the index's stamp table — the
+    * snapshot a grid/sidecar stamp must match (appends keep it; builds
+    * and compactions move it). `postings` for the lexical index,
+    * `assignment` for the chunk ANN index.
     */
+  private def lastOverwriteOf(spark: SparkSession, indexDir: String,
+                              table: String): Long =
+    Versioned.history(spark, s"$indexDir/$table")
+      .collect { case (v, "overwrite", _) => v }.lastOption
+      .getOrElse(sys.error(s"$indexDir/$table has no overwrite commit"))
+
   private def lastPostingsOverwrite(spark: SparkSession,
                                     indexDir: String): Long =
-    Versioned.history(spark, s"$indexDir/postings")
-      .collect { case (v, "overwrite", _) => v }.lastOption
-      .getOrElse(sys.error(s"$indexDir/postings has no overwrite commit"))
+    lastOverwriteOf(spark, indexDir, "postings")
 
   /** The build-time window grid of a chunk-grain index, trusted ONLY
     * when its stamp matches the postings' current overwrite snapshot.
@@ -422,29 +650,40 @@ object Retrieval {
     * rebuild or compact died between its two writes) — each with the
     * recovery spelled out instead of mis-chunked spans.
     */
-  def chunkGrid(spark: SparkSession, indexDir: String): (Int, Int) = {
+  def chunkGrid(spark: SparkSession, indexDir: String,
+                stampTable: String = "postings"): (Int, Int) = {
     val p = chunkGridPath(indexDir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(f.exists(p), s"$indexDir carries no chunk_grid sidecar — " +
       "not a chunk-grain index (or a pre-grid build); rebuild with " +
-      "buildChunkBm25Index")
+      "buildChunkBm25Index / buildChunkIvfIndex")
     val in = f.open(p)
     val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     raw.trim.split(" ") match {
       case Array(s, st, v) if Seq(s, st, v).forall(_.forall(_.isDigit)) =>
-        require(v.toLong == lastPostingsOverwrite(spark, indexDir),
-          s"$indexDir chunk_grid stamp v$v does not match the postings' " +
-            "current overwrite snapshot — a rebuild or compaction died " +
-            "between its index commit and the grid stamp, so the " +
-            "recorded grid cannot be trusted to describe the current " +
-            "build; rebuild with buildChunkBm25Index")
+        require(v.toLong == lastOverwriteOf(spark, indexDir, stampTable),
+          s"$indexDir chunk_grid stamp v$v does not match the " +
+            s"$stampTable table's current overwrite snapshot — a rebuild " +
+            "or compaction died between its index commit and the grid " +
+            "stamp, so the recorded grid cannot be trusted to describe " +
+            "the current build; rebuild the index")
         (s.toInt, st.toInt)
       case _ => sys.error(s"$indexDir chunk_grid sidecar is corrupt " +
-        s"('${raw.take(40)}') — a crashed write; rebuild with " +
-        "buildChunkBm25Index")
+        s"('${raw.take(40)}') — a crashed write; rebuild the index")
     }
   }
+
+  /** True iff the chunk_grid sidecar is present, parseable, and its
+    * stamp matches the stamp table's current overwrite snapshot — the
+    * routing predicate a self-healing maintenance stage uses to decide
+    * build-vs-append (a crashed build leaves tables without a trusted
+    * grid; the heal is a rebuild, which the build path owns).
+    */
+  def chunkGridHealthy(spark: SparkSession, indexDir: String,
+                       stampTable: String = "postings"): Boolean =
+    try { chunkGrid(spark, indexDir, stampTable); true }
+    catch { case _: Exception => false }
 
   /** Compact the chunk index ([[compactBm25Index]] — re-establishes
     * the bucketed layout in lockstep) and RE-STAMP the grid sidecar at
@@ -557,5 +796,177 @@ object Retrieval {
       .select(col("query_id"), col("cand_id").as("doc_id"),
         col("sim").as("score"))
     rrfFuse(Seq(lex, sem), k, c)
+  }
+
+  /** [[hybridSearch]] with the semantic arm upgraded to the engine's
+    * declared ANN scale path — the COMPRESSED index plus exact re-rank
+    * ([[Similarity.queryIvfPqIndexReranked]]): the ADC scan shortlists
+    * kEach·alpha candidates per query at code-width bytes, the exact
+    * full-precision dot re-scores only the shortlist against `corpus`,
+    * and the re-ranked top-kEach fuses with the lexical ranking under
+    * RRF. At 100 TB this is the serving pair a deployment actually
+    * runs: postings pruned by token on one arm, ~nProbes/nCentroids ÷
+    * 32 of the vector bytes + |Q|·kEach·alpha exact dots on the other.
+    * `alpha` is the semantic arm's recall dial; both indexes pin their
+    * own version.
+    */
+  def hybridSearchPq(spark: SparkSession, bm25Dir: String, pqDir: String,
+                     queries: DataFrame, corpus: DataFrame, k: Int,
+                     kEach: Int = 20, alpha: Int = 4, nProbes: Int = 4,
+                     c: Int = 60, m: Int = 8, ks: Int = 16, dim: Int = 64,
+                     residual: Boolean = false,
+                     bm25AsOf: Option[Long] = None,
+                     pqAsOf: Option[Long] = None): DataFrame = {
+    val lex = queryBm25IndexMany(spark, bm25Dir,
+        queries.select(col("query_id"), col("terms")), kEach, asOf = bm25AsOf)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    val sem = Similarity.queryIvfPqIndexReranked(spark, pqDir,
+        queries.select(col("query_id").as("id"), col("vec")), corpus,
+        kEach, alpha, nProbes, pqAsOf, m, ks, dim, residual)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        col("dot").as("score"))
+    rrfFuse(Seq(lex, sem), k, c)
+  }
+
+  // --------------------------------------------- chunk-grain hybrid RAG
+
+  /** Build the chunk-grain ANN index — the semantic twin of
+    * [[buildChunkBm25Index]]: documents chunk into the same keyed
+    * windows, each chunk embeds via the deterministic feature-hash
+    * encoder ([[Corpus.hashEmbed]] — the SQL-replayable stand-in for a
+    * neural encoder; a deployment swaps in its model's vectors at this
+    * exact seam), and the vectors build a persisted IVF index keyed by
+    * ck. The window grid persists beside the index stamped against the
+    * ASSIGNMENT table's overwrite snapshot, so the fusion path can
+    * refuse to fuse two indexes chunked on different grids.
+    */
+  def buildChunkIvfIndex(docs: DataFrame, id: Column, text: Column,
+                         indexDir: String, size: Int, stride: Int,
+                         dim: Int = 64, nCentroids: Int = 16,
+                         lloydIters: Int = 0, nBuckets: Int = 8): Long = {
+    require(size > 0 && stride > 0)
+    val vecs = Corpus.hashEmbed(chunkKeyed(docs, id, text, size, stride),
+      col("ck"), col("chunk_text"), dim)
+    val v = Similarity.buildIvfIndex(vecs, indexDir, nCentroids,
+      lloydIters, nBuckets)
+    writeChunkGrid(docs.sparkSession, indexDir, size, stride, v)
+    v
+  }
+
+  /** HYBRID retrieval at CHUNK grain — the full RAG serving unit: the
+    * chunk BM25 index and the chunk ANN index answer the same query
+    * batch independently AT CK GRAIN (so a lexical hit and a semantic
+    * hit of the same span fuse, not just the same document), RRF fuses
+    * the two rankings, and the composite key decodes to attributed
+    * spans. The two indexes must have been chunked on the SAME window
+    * grid — fusing rankings over different grids would co-rank spans
+    * that never align, so a grid mismatch refuses up front.
+    *
+    * Queries: (query_id, terms array<string>, vec array<double> — the
+    * query text embedded by the same encoder as the index). Output:
+    * (query_id, doc_id, chunk_start, n_rankers, rrf), top-k per query
+    * by (rrf desc, doc asc, chunk asc). Feed [[assembleContext]] to
+    * turn the ranking into a budgeted context window.
+    */
+  def hybridSearchChunks(spark: SparkSession, chunkBm25Dir: String,
+                         chunkIvfDir: String, queries: DataFrame, k: Int,
+                         kEach: Int = 20, nProbes: Int = 4, c: Int = 60,
+                         bm25AsOf: Option[Long] = None,
+                         ivfAsOf: Option[Long] = None): DataFrame = {
+    val gridLex = chunkGrid(spark, chunkBm25Dir)
+    val gridSem = chunkGrid(spark, chunkIvfDir, stampTable = "assignment")
+    require(gridLex == gridSem, s"chunk index grids disagree: BM25 " +
+      s"$gridLex vs ANN $gridSem — spans from different grids never " +
+      "align; rebuild one index on the other's grid")
+    val lex = queryBm25IndexMany(spark, chunkBm25Dir,
+        queries.select(col("query_id"), col("terms")), kEach, asOf = bm25AsOf)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    val sem = Similarity.queryIvfIndex(spark, chunkIvfDir,
+        queries.select(col("query_id").as("id"), col("vec")), kEach,
+        nProbes, asOf = ivfAsOf)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        col("sim").as("score"))
+    rrfFuse(Seq(lex, sem), k, c)
+      .select(shiftright(col("doc_id"), 32).as("doc_id"),
+        col("doc_id").bitwiseAND(lit(ChunkKeyBase - 1)).as("chunk_start"),
+        col("query_id"), col("n_rankers"), col("rrf"))
+      .select(col("query_id"), col("doc_id"), col("chunk_start"),
+        col("n_rankers"), col("rrf"))
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"),
+        col("chunk_start"))
+  }
+
+  /** RAG context assembly over a fused chunk ranking — the step between
+    * retrieval and the prompt: per query,
+    *
+    *  1. CAP chunks per document at `maxPerDoc` (diversity — one
+    *     rambling document cannot monopolize the context),
+    *  2. MERGE overlapping/adjacent co-ranked spans into maximal spans
+    *     (stride < size makes neighbors co-rank; the consumer wants
+    *     each passage once, not k shifted copies),
+    *  3. CLIP span ends to the document's real token length (the last
+    *     window is shorter than `size`),
+    *  4. PACK the ranking prefix into `budget` tokens in (score desc,
+    *     doc, start) order — the TOP context that fits, not a
+    *     bin-packing of leftovers: the first span that would overflow
+    *     the budget cuts the context off.
+    *
+    * Everything is windows + one broadcast length join: the fused
+    * ranking is O(|Q|·k) rows, so assembly cost is independent of
+    * corpus size; the length join broadcasts the SPANS onto the corpus
+    * scan, never the reverse.
+    *
+    * Input: (query_id, doc_id, chunk_start, rrf) + the corpus for
+    * lengths; `size` must be the retrieval grid's window size. Output:
+    * (query_id, doc_id, span_start, span_end, n_chunks, score,
+    * cum_tok), ordered (query_id, score desc, doc, start).
+    */
+  def assembleContext(fused: DataFrame, docs: DataFrame, id: Column,
+                      text: Column, size: Int, budget: Int,
+                      maxPerDoc: Int = 4): DataFrame = {
+    require(size > 0 && budget > 0 && maxPerDoc > 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val capped = fused
+      .withColumn("__r", row_number().over(
+        W.partitionBy(col("query_id"), col("doc_id"))
+          .orderBy(col("rrf").desc, col("chunk_start").asc)))
+      .filter(col("__r") <= maxPerDoc)
+    // interval merge: a chunk opens a new span iff it starts past every
+    // prior chunk's end + 1 (adjacent spans concatenate seamlessly —
+    // merge them too); group id = running count of span-opens
+    val wOrd = W.partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("chunk_start").asc)
+    val spans = capped
+      .withColumn("__end", col("chunk_start") + lit(size.toLong - 1))
+      .withColumn("__pmax", max(col("__end")).over(
+        wOrd.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("chunk_start") > col("__pmax") + 1,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("__grp", sum(col("__new")).over(
+        wOrd.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy(col("query_id"), col("doc_id"), col("__grp"))
+      .agg(min(col("chunk_start")).as("span_start"),
+        max(col("__end")).as("__span_end0"),
+        count(lit(1)).as("n_chunks"),
+        max(col("rrf")).as("score"))
+    val lengths = docs.select(id.as("doc_id"),
+      org.apache.spark.sql.functions.size(TextOps.tokens(text))
+        .cast("long").as("__n_tok"))
+    val clipped = lengths.join(broadcast(spans), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("span_start"),
+        least(col("__span_end0"), col("__n_tok")).as("span_end"),
+        col("n_chunks"), col("score"))
+    val wPack = W.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc, col("span_start").asc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    clipped
+      .withColumn("cum_tok",
+        sum(col("span_end") - col("span_start") + 1).over(wPack))
+      .filter(col("cum_tok") <= budget)
+      .select(col("query_id"), col("doc_id"), col("span_start"),
+        col("span_end"), col("n_chunks"), col("score"), col("cum_tok"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"),
+        col("span_start"))
   }
 }

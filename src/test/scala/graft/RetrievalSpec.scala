@@ -182,33 +182,94 @@ class RetrievalSpec extends SparkSpec {
       asOf = Some(v0)).collect().toSeq == good)
   }
 
-  test("append commits stats CAS first: a lost race aborts with NOTHING " +
-      "committed and a clean retry succeeds") {
-    val dir = java.nio.file.Files.createTempDirectory("bm25cas").toString
+  test("repairBm25Index: a crash between an append's postings and stats " +
+      "commits repairs to exactly the uncrashed append's scores") {
+    val crashed = java.nio.file.Files.createTempDirectory("bm25cr").toString
+    val healthy = java.nio.file.Files.createTempDirectory("bm25ok").toString
     val docs = corpus.toDF("doc_id", "text")
-    val v0 = Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), dir)
-    // the loser's first action is the stats overwriteExpecting — replay
-    // it with the stale snapshot a racing writer would hold (expected =
-    // v0, but a concurrent append already advanced stats to v0+1)
-    val winnerV = Retrieval.appendToBm25Index(
-      Seq((60L, "spark spark")).toDF("doc_id", "text"),
-      col("doc_id"), col("text"), dir)
-    assert(winnerV == v0 + 1)
-    val stale = graft.sources.Versioned.read(spark, s"$dir/stats", Some(v0))
-    intercept[IllegalArgumentException] {
-      graft.sources.Versioned.overwriteExpecting(stale, s"$dir/stats", v0 + 1)
+    val batch = Seq((60L, "spark spark rare"), (61L, "join hay")).toDF("doc_id", "text")
+    val v0 = Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), crashed)
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), healthy): Unit
+    val vOk = Retrieval.appendToBm25Index(batch, col("doc_id"), col("text"), healthy)
+
+    // simulate the crash: the batch's postings land (identical rows to a
+    // real append — a scratch one-batch build produces exactly
+    // postingsOf(batch)), the stats CAS never runs
+    val scratch = java.nio.file.Files.createTempDirectory("bm25sc").toString
+    Retrieval.buildBm25Index(batch, col("doc_id"), col("text"), scratch): Unit
+    graft.sources.Versioned.append(
+      graft.sources.Versioned.read(spark, s"$scratch/postings"),
+      s"$crashed/postings"): Unit
+
+    // wedged: every consumer refuses and names the repair
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.queryBm25Index(spark, crashed, Seq("spark"), 10)
     }
-    // the lost CAS left BOTH tables exactly where the winner put them —
-    // lockstep, consumable, retryable (postings-first ordering would
-    // instead have advanced postings and permanently wedged the index)
-    assert(graft.sources.Versioned.latestVersion(spark, s"$dir/postings") == winnerV)
-    assert(graft.sources.Versioned.latestVersion(spark, s"$dir/stats") == winnerV)
-    val retryV = Retrieval.appendToBm25Index(
-      Seq((61L, "join join")).toDF("doc_id", "text"),
-      col("doc_id"), col("text"), dir)
-    assert(retryV == winnerV + 1)
+    assert(e.getMessage.contains("repairBm25Index"))
+    intercept[IllegalArgumentException] {
+      Retrieval.appendToBm25Index(
+        Seq((99L, "x")).toDF("doc_id", "text"), col("doc_id"), col("text"), crashed)
+    }
+
+    // repair recomputes the stats delta from the orphan postings slice
+    val vr = Retrieval.repairBm25Index(spark, crashed)
+    assert(vr == vOk)
+    def rows(dir: String) = Retrieval.queryBm25Index(spark, dir,
+      Seq("spark", "rare", "join", "hay"), 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows(crashed) == rows(healthy),
+      "repaired index must score exactly like the uncrashed append")
+    // idempotent: repairing an intact index is a no-op
+    assert(Retrieval.repairBm25Index(spark, crashed) == vr)
+    // the pre-crash version still time-travels
+    assert(Retrieval.queryBm25Index(spark, crashed, Seq("spark"), 10,
+      asOf = Some(v0)).collect().nonEmpty)
+  }
+
+  test("repairBm25Index: a build that died before its stats commit " +
+      "recomputes them in full; a stats-AHEAD shape is refused") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25bcr").toString
+    val docs = corpus.toDF("doc_id", "text")
+    // simulate a build crash: postings committed, stats never were
+    val scratch = java.nio.file.Files.createTempDirectory("bm25bsc").toString
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), scratch): Unit
+    graft.sources.Versioned.overwriteBucketed(
+      graft.sources.Versioned.read(spark, s"$scratch/postings"),
+      s"$dir/postings", "tok", 8): Unit
+    val vr = Retrieval.repairBm25Index(spark, dir)
+    assert(vr == 0L)
+    val want = Retrieval.queryBm25Index(spark, scratch, Seq("spark"), 10)
+      .as[(Long, Long, Double)].collect().toSeq
     assert(Retrieval.queryBm25Index(spark, dir, Seq("spark"), 10)
-      .collect().nonEmpty)
+      .as[(Long, Long, Double)].collect().toSeq == want)
+
+    // stats ahead of postings: not a shape our commits produce — refuse
+    graft.sources.Versioned.overwrite(
+      graft.sources.Versioned.read(spark, s"$dir/stats"), s"$dir/stats"): Unit
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.repairBm25Index(spark, dir)
+    }
+    assert(e.getMessage.contains("AHEAD"))
+  }
+
+  test("repairBm25Index: a crashed compaction (postings compacted, stats " +
+      "not) heals with an empty-delta catch-up commit") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25ccr").toString
+    val docs = corpus.toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), dir): Unit
+    Retrieval.appendToBm25Index(
+      Seq((80L, "spark appended")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir): Unit
+    val before = Retrieval.queryBm25Index(spark, dir, Seq("spark"), 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    // compactBm25Index compacts postings FIRST; simulate dying before
+    // the stats compaction
+    graft.sources.Versioned.compact(spark, s"$dir/postings"): Unit
+    val vr = Retrieval.repairBm25Index(spark, dir)
+    assert(vr == graft.sources.Versioned.latestVersion(spark, s"$dir/postings"))
+    assert(Retrieval.queryBm25Index(spark, dir, Seq("spark"), 10)
+      .as[(Long, Long, Double)].collect().toSeq == before,
+      "repair after a crashed compaction must not change a single score")
   }
 
   test("postings commit bucketed by token: a probe prunes buckets at the " +
@@ -246,6 +307,185 @@ class RetrievalSpec extends SparkSpec {
       asOf = Some(0L))) == before)
     assert(Retrieval.queryBm25Index(spark, dir, Seq("spark"), 5,
       asOf = Some(v)).collect().nonEmpty)
+  }
+
+  test("partition postings layout: every consumer scores ≡ bucketed; " +
+      "literal probes prune token-shard directories; the dynamic term " +
+      "join carries the shard key for DPP; append + compact keep the " +
+      "modulus") {
+    val bdir = java.nio.file.Files.createTempDirectory("bm25b").toString
+    val pdir = java.nio.file.Files.createTempDirectory("bm25p").toString
+    val docs = corpus.toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), bdir): Unit
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), pdir,
+      layout = "partition", nPartDirs = 4): Unit
+    val terms = Seq("spark", "rare", "join")
+    def single(dir: String) = Retrieval.queryBm25Index(spark, dir, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    def many(dir: String) = Retrieval.queryBm25IndexMany(spark, dir,
+        Seq((1L, terms)).toDF("query_id", "terms"), 10)
+      .select("doc_id", "n_terms", "score")
+      .as[(Long, Long, Double)].collect().toSeq
+    def phrase(dir: String) = Retrieval.phraseSearch(spark, dir,
+      Seq("shuffle", "join"), 10).as[(Long, Long)].collect().toSeq
+    assert(single(pdir) == single(bdir))
+    assert(many(pdir) == many(bdir))
+    assert(phrase(pdir) == phrase(bdir))
+
+    // static directory pruning: a literal probe's scan lists fewer
+    // files than the full postings table
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def listed(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.executedPlan.collectLeaves()
+          .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.length.toLong).sum }.get
+      val pruned = listed(Retrieval.queryBm25Index(spark, pdir, Seq("spark"), 10))
+      val full = listed(graft.sources.Versioned.read(spark, s"$pdir/postings"))
+      assert(pruned < full, s"shard prune must cut files: $pruned of $full")
+
+      // DPP: a storage-backed, filtered query batch joins on the shard
+      // column, so the partitioned scan carries a dynamicpruning subquery
+      val qdir = java.nio.file.Files.createTempDirectory("bm25dpp").toString
+      Seq((1L, terms, "keep"), (2L, Seq("unused"), "drop"))
+        .toDF("query_id", "terms", "tag")
+        .write.mode("overwrite").parquet(qdir)
+      val qdf = spark.read.parquet(qdir).filter(col("tag") === "keep")
+        .select("query_id", "terms")
+      // the probe join runs as its own job behind the checkpoint seam —
+      // assert DPP on the fragment that actually scans the postings
+      val plan = Retrieval.bm25ManyHits(spark, pdir, qdf, None)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("dynamicpruning"),
+        "dynamic term set must prune token-shard directories via DPP:\n" + plan)
+      // and the scored output over the storage-backed batch is right
+      assert(Retrieval.queryBm25IndexMany(spark, pdir, qdf, 10)
+        .select("doc_id", "n_terms", "score")
+        .as[(Long, Long, Double)].collect().toSeq == many(pdir))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // appends derive the modulus from the sidecar and land partitioned;
+    // compaction re-stamps at its new overwrite version
+    val batch = Seq((90L, "spark shuffle spark")).toDF("doc_id", "text")
+    Retrieval.appendToBm25Index(batch, col("doc_id"), col("text"), bdir): Unit
+    Retrieval.appendToBm25Index(batch, col("doc_id"), col("text"), pdir): Unit
+    assert(single(pdir) == single(bdir))
+    Retrieval.compactBm25Index(spark, pdir): Unit
+    assert(single(pdir) == single(bdir))
+    // still pruned after compaction (sidecar re-stamped)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def listed(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.executedPlan.collectLeaves()
+          .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.length.toLong).sum }.get
+      assert(listed(Retrieval.queryBm25Index(spark, pdir, Seq("spark"), 10)) <
+        listed(graft.sources.Versioned.read(spark, s"$pdir/postings")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("hashEmbed: deterministic, dense, ±1 token contributions; token " +
+      "multisets add") {
+    val docs = Seq((1L, "a b a"), (2L, "a b a"), (3L, "a"), (4L, "b"))
+      .toDF("doc_id", "text")
+    val vecs = graft.operators.Corpus.hashEmbed(docs, col("doc_id"),
+        col("text"), dim = 16)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(vecs.keySet == Set(1L, 2L, 3L, 4L))
+    assert(vecs.values.forall(_.size == 16))
+    assert(vecs(1L) == vecs(2L), "same text must embed identically")
+    // the embedding is linear in the token multiset: v("a b a") =
+    // 2·v("a") + v("b") componentwise
+    val want = vecs(3L).zip(vecs(4L)).map { case (a, b) => 2 * a + b }
+    assert(vecs(1L) == want)
+    // each single token contributes exactly one ±1 cell
+    assert(vecs(3L).map(math.abs).sum == 1.0)
+    assert(vecs(3L).forall(x => x == 0.0 || x == 1.0 || x == -1.0))
+  }
+
+  test("hybridSearchChunks: a span hit by BOTH arms fuses with " +
+      "n_rankers = 2 and exact attribution; mismatched grids refuse") {
+    // planted: doc 5 buries a distinctive passage mid-document; the
+    // other docs are filler. The query's terms AND its hashed embedding
+    // both point at the planted chunk.
+    val filler = (1L to 4L).map(i =>
+      (i, Seq.fill(40)("filler").mkString(" ")))
+    val planted = (5L,
+      (Seq.fill(16)("pad") ++ Seq("zebra", "quark", "xylem") ++
+        Seq.fill(29)("pad")).mkString(" "))
+    val docs = (filler :+ planted).toDF("doc_id", "text")
+    val bmDir = java.nio.file.Files.createTempDirectory("chb").toString
+    val ivDir = java.nio.file.Files.createTempDirectory("chi").toString
+    Retrieval.buildChunkBm25Index(docs, col("doc_id"), col("text"), bmDir,
+      size = 16, stride = 8): Unit
+    Retrieval.buildChunkIvfIndex(docs, col("doc_id"), col("text"), ivDir,
+      size = 16, stride = 8, dim = 16, nCentroids = 4): Unit
+
+    val qraw = Seq((900L, Seq("zebra", "quark", "xylem")))
+      .toDF("query_id", "terms")
+    val queries = qraw.join(
+      graft.operators.Corpus.hashEmbed(qraw, col("query_id"),
+        concat_ws(" ", col("terms")), dim = 16)
+        .withColumnRenamed("id", "query_id"),
+      Seq("query_id"))
+    val fused = Retrieval.hybridSearchChunks(spark, bmDir, ivDir,
+        queries, k = 5, kEach = 10, nProbes = 4)
+      .collect()
+    val top = fused.head
+    assert(top.getAs[Long]("doc_id") == 5L)
+    assert(top.getAs[Long]("n_rankers") == 2L,
+      "the planted span must be found by BOTH rankers")
+    // the winning span is one of the windows covering tokens 17-19
+    assert(Seq(9L, 17L).contains(top.getAs[Long]("chunk_start")))
+
+    // grids must agree or fusion refuses
+    val ivDir2 = java.nio.file.Files.createTempDirectory("chi2").toString
+    Retrieval.buildChunkIvfIndex(docs, col("doc_id"), col("text"), ivDir2,
+      size = 32, stride = 16, dim = 16, nCentroids = 4): Unit
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.hybridSearchChunks(spark, bmDir, ivDir2, queries, 5)
+    }
+    assert(e.getMessage.contains("grids disagree"))
+  }
+
+  test("assembleContext: overlap + adjacency merge to one span, the " +
+      "per-doc cap and token budget hold, ends clip to doc length") {
+    val docs = Seq(
+      (1L, Seq.fill(40)("w").mkString(" ")),   // 40 tokens
+      (2L, Seq.fill(20)("w").mkString(" ")),   // 20 tokens — clips
+      (3L, Seq.fill(64)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    // doc 1: chunks at 1, 9, 17 (size 16 → spans overlap/adjoin → ONE
+    // merged span [1, 32]); doc 2: chunk at 17 clips to 20; doc 3:
+    // three chunks but maxPerDoc = 2 keeps the two best
+    val fused = Seq(
+      (7L, 1L, 1L, 0.50), (7L, 1L, 9L, 0.40), (7L, 1L, 17L, 0.30),
+      (7L, 2L, 17L, 0.45),
+      (7L, 3L, 1L, 0.20), (7L, 3L, 33L, 0.25), (7L, 3L, 49L, 0.10))
+      .toDF("query_id", "doc_id", "chunk_start", "rrf")
+    val got = Retrieval.assembleContext(fused, docs, col("doc_id"),
+        col("text"), size = 16, budget = 60, maxPerDoc = 2)
+      .as[(Long, Long, Long, Long, Long, Double, Long)].collect().toSeq
+
+    // doc 1: cap keeps (1, 9) → overlap-merge to [1, 24], 2 chunks,
+    // score 0.5; doc 2: [17, 20] clipped; doc 3: cap keeps (33, 1) →
+    // disjoint spans [33,48] and [1,16]
+    val d1 = got.find(_._2 == 1L).get
+    assert((d1._3, d1._4, d1._5, d1._6) == (1L, 24L, 2L, 0.50))
+    val d2 = got.find(_._2 == 2L).get
+    assert((d2._3, d2._4) == (17L, 20L), "span end must clip to doc length")
+    assert(!got.exists(r => r._2 == 3L && r._3 == 49L),
+      "maxPerDoc must drop the weakest chunk")
+    // budget: pack order is score desc → d1 (24) + d2 (4) + d3[33,48]
+    // (16) = 44, then d3[1,16] would hit 60 exactly → kept; verify the
+    // running total never exceeds the budget and is monotone
+    assert(got.map(_._7).max <= 60L)
+    val byOrder = got.sortBy(r => (-r._6, r._2, r._3)).map(_._7)
+    assert(byOrder == byOrder.sorted, "cum_tok must be the running total")
+    assert(got.size == 4)
   }
 
   test("empty term list refuses; no-hit terms return zero rows") {
