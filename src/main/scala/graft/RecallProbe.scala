@@ -74,6 +74,42 @@ object RecallProbe {
       println(f"ivf+pq+rerank alpha=$alpha%-2d nProbes=$probes%-2d recall@5 = ${
         recall(pairs(Similarity.queryIvfPqIndexReranked(spark, pq2, q, e, 5,
           alpha = alpha, nProbes = probes, ks = 64)))}%.3f")
+
+    // HYBRID fusion recall: each arm family against ITS exhaustive-probe
+    // truth (float IVF ranks cosine, PQ+rerank ranks exact dot — mixing
+    // metrics would measure the metric gap, not the probe loss). The
+    // PQ+rerank arm reads ~1/32 of the float arm's scan bytes at equal
+    // probe counts — the row pair quantifies what that compression
+    // costs the FUSED ranking.
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, sfDir)
+    val qb = Seq((0L, Seq("dup", "spark")), (1L, Seq("hash", "join", "table")))
+      .toDF("query_id", "terms")
+      .join(e.filter(col("id") < 2).select(col("id").as("query_id"), col("vec")),
+        Seq("query_id"))
+    val bm = java.nio.file.Files.createTempDirectory("recall_bm25").toString
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), bm): Unit
+    val ivfF = java.nio.file.Files.createTempDirectory("recall_hyb_ivf").toString
+    Similarity.buildIvfIndex(e, ivfF, nCentroids = 16, lloydIters = 2): Unit
+    val pqH = java.nio.file.Files.createTempDirectory("recall_hyb_pq").toString
+    Similarity.buildIvfPqIndex(e, pqH, nCentroids = 16, ks = 64,
+      pqLloydIters = 1): Unit
+    def fpairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def frecall(truth: Set[(Long, Long)], got: Set[(Long, Long)]): Double =
+      (truth & got).size.toDouble / truth.size
+    val truthFloat = fpairs(Retrieval.hybridSearch(spark, bm, ivfF, qb,
+      k = 10, nProbes = 16))
+    val truthDot = fpairs(Retrieval.hybridSearchPq(spark, bm, pqH, qb, e,
+      k = 10, alpha = 200, nProbes = 16, ks = 64))
+    println(f"hybrid float-IVF arm   nProbes=4 fused recall@10 = ${
+      frecall(truthFloat, fpairs(Retrieval.hybridSearch(spark, bm, ivfF, qb,
+        k = 10, nProbes = 4)))}%.3f")
+    println(f"hybrid IVF-PQ+rerank   nProbes=4 fused recall@10 = ${
+      frecall(truthDot, fpairs(Retrieval.hybridSearchPq(spark, bm, pqH, qb, e,
+        k = 10, alpha = 4, nProbes = 4, ks = 64)))}%.3f  (~1/32 scan bytes)")
     spark.stop()
   }
 }

@@ -637,6 +637,103 @@ object RetrievalQueries {
        |ORDER BY query_id, score DESC, doc_id, span_start""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] hybrid fusion with the COMPRESSED semantic arm — q166's
+  // composition upgraded to the engine's declared ANN scale path: the
+  // semantic arm probes the persisted IVF-PQ index (ADC scan over
+  // m-code rows, ~1/32 the float bytes) and re-ranks its k·alpha
+  // shortlist with exact dots (q158's two-stage shape), then RRF fuses
+  // with the BM25 arm. This is the serving pair a 100 TB deployment
+  // actually runs. The oracle replays the ADC shortlist, the exact
+  // re-rank, BM25, and the fusion in ONE statement.
+  def q171HybridPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq((0L, Seq("dup", "spark")), (1L, Seq("hash", "join", "table")))
+      .toDF("query_id", "terms")
+    val vecs = Tables.embeddings(spark, dir).filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Retrieval.hybridSearchPq(spark, cachedBm25(spark, dir),
+      SimQueries.cachedIvfPqIndex(spark, dir),
+      terms.join(vecs, Seq("query_id")), corpus,
+      k = 10, kEach = 20, alpha = 4, nProbes = 4)
+  }
+
+  private val q171Sql =
+    s"""${SimQueries.ivfPqScoredSqlFor("b.vec_id < 2")},
+       |shortlist AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY pqdot DESC, cand_id ASC) AS rn FROM scored)
+       |  WHERE rn <= 80),
+       |rer AS (
+       |  SELECT s.query_id, s.cand_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> qb.v[i] * cb2.v[i])) AS dot
+       |  FROM shortlist s
+       |  JOIN base qb ON qb.vec_id = s.query_id
+       |  JOIN base cb2 ON cb2.vec_id = s.cand_id),
+       |semr AS (
+       |  SELECT query_id, cand_id AS doc_id, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot DESC, cand_id ASC) AS rn FROM rer)
+       |  WHERE rn <= 20),
+       |q AS (
+       |  SELECT * FROM (VALUES (CAST(0 AS BIGINT), ['dup', 'spark']),
+       |                        (CAST(1 AS BIGINT), ['hash', 'join', 'table']))
+       |    AS v(query_id, terms)),
+       |qt AS (SELECT DISTINCT query_id, unnest(terms) AS tok FROM q),
+       |d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+       |  GROUP BY 1, 2, 3),
+       |hits AS (SELECT qt.query_id, tf.* FROM tf JOIN qt USING (tok)),
+       |dfs AS (
+       |  SELECT query_id, tok, CAST(count(*) AS BIGINT) AS df
+       |  FROM hits GROUP BY 1, 2),
+       |term AS (
+       |  SELECT h.query_id, h.doc_id,
+       |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+       |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+       |          * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+       |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS t
+       |  FROM hits h JOIN dfs USING (query_id, tok) CROSS JOIN stats),
+       |lexscored AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
+       |  FROM term GROUP BY 1, 2),
+       |lexr AS (
+       |  SELECT query_id, doc_id, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rn FROM lexscored)
+       |  WHERE rn <= 20),
+       |contrib AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(CAST(1.0 AS DOUBLE) / (60 + rn) AS DECIMAL(27,10)) AS rw
+       |  FROM lexr
+       |  UNION ALL
+       |  SELECT query_id, doc_id,
+       |    CAST(CAST(1.0 AS DOUBLE) / (60 + rn) AS DECIMAL(27,10)) AS rw
+       |  FROM semr),
+       |fusedh AS (
+       |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_rankers,
+       |    CAST(sum(rw) AS DOUBLE) AS rrf
+       |  FROM contrib GROUP BY 1, 2)
+       |SELECT query_id, doc_id, n_rankers, rrf FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id ASC) AS rn FROM fusedh)
+       |WHERE rn <= 10
+       |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // [EXT] multi-query BM25 over the PARTITION postings layout — the
   // dynamic-term-set bytes lever (the q162 pattern applied to lexical
   // serving): postings land in token-shard DIRECTORIES (tok_part =
@@ -671,6 +768,7 @@ object RetrievalQueries {
     "q168_chunk_index"  -> (q168ChunkIndex _),
     "q169_chunk_hybrid" -> (q169ChunkHybrid _),
     "q170_context_pack" -> (q170ContextPack _),
+    "q171_hybrid_pq_rerank" -> (q171HybridPqRerank _),
     "q172_bm25_many_part" -> (q172Bm25ManyPart _))
 
   val oracle: Map[String, String] = Map(
@@ -685,6 +783,7 @@ object RetrievalQueries {
     "q168_chunk_index"  -> q167Sql,
     "q169_chunk_hybrid" -> q169Sql,
     "q170_context_pack" -> q170Sql,
+    "q171_hybrid_pq_rerank" -> q171Sql,
     // the partition layout scores identically to the bucketed index
     "q172_bm25_many_part" -> q153Sql)
 }

@@ -779,7 +779,8 @@ object SimQueries {
     * LUT read. `l2` is the in-order squared-L2 fold, `lutDot` the
     * in-order subspace dot; both match Spark's sequential left folds.
     */
-  private def pqCommonSql(withLloyd: Boolean): String = {
+  private def pqCommonSql(withLloyd: Boolean,
+                          qPred: String = "b.vec_id < 10"): String = {
     val l2 =
       """list_sum(list_transform(range(1, 9),
         |          i -> (b.v[c.j*8+i] - c.cb[i]) * (b.v[c.j*8+i] - c.cb[i])))""".stripMargin
@@ -821,7 +822,7 @@ object SimQueries {
        |  SELECT b.vec_id AS query_id, c.j, c.code,
        |    list_sum(list_transform(range(1, 9), i -> b.v[c.j*8+i] * c.cb[i])) AS d
        |  FROM base b CROSS JOIN $finalCb c
-       |  WHERE b.vec_id < 10)""".stripMargin
+       |  WHERE $qPred)""".stripMargin
   }
 
   private val q144Sql =
@@ -849,20 +850,27 @@ object SimQueries {
   // assignment) in lockstep; bucket membership assigned in full
   // precision before quantization. ORACLE-CHECKED end-to-end: IVF
   // probe selection, PQ encoding, and the ADC ranking all replay in SQL.
-  def q145AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = embs(spark, dir)
-    val idx = graft.sources.CachedArtifact.resolve(spark,
+  /** The shared sf-dir-keyed IVF-PQ artifact (16 centroids, default
+    * m=8/ks=16 codebook) — q145, q158, and the q171 hybrid's semantic
+    * arm all probe this one index.
+    */
+  private[graft] def cachedIvfPqIndex(spark: SparkSession, dir: String): String =
+    graft.sources.CachedArtifact.resolve(spark,
       new java.io.File(dir, "embeddings.parquet"), "ivfpq2_c16b",
       "centroids", "codebook", "assignment")(
-      Similarity.buildIvfPqIndex(e, _, nCentroids = 16): Unit)
-    Similarity.queryIvfPqIndex(spark, idx, e.filter(col("id") < 10), k = 5, nProbes = 4)
+      Similarity.buildIvfPqIndex(embs(spark, dir), _, nCentroids = 16): Unit)
+
+  def q145AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.queryIvfPqIndex(spark, cachedIvfPqIndex(spark, dir),
+      e.filter(col("id") < 10), k = 5, nProbes = 4)
   }
 
   /** The q145 chain up through `scored` (IVF probe selection + PQ
     * encoding + ADC ranking) — shared by the plain top-k oracle (q145)
     * and the re-ranked two-stage oracle (q158).
     */
-  private val ivfPqScoredSql = {
+  private[graft] def ivfPqScoredSqlFor(qPred: String): String = {
     val dot = (a: String, b: String) =>
       s"list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i]))"
     s"""WITH base AS (
@@ -889,9 +897,9 @@ object SimQueries {
        |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
        |                 c.centroid_id ASC) AS rn
        |    FROM base b CROSS JOIN cent c
-       |    WHERE b.vec_id < 10)
+       |    WHERE $qPred)
        |  WHERE rn <= 4),
-       |${pqCommonSql(withLloyd = false)},
+       |${pqCommonSql(withLloyd = false, qPred)},
        |scored AS (
        |  SELECT p.query_id, a.cand_id, list_sum(list(l.d ORDER BY l.j)) AS pqdot
        |  FROM assigned a
@@ -901,6 +909,8 @@ object SimQueries {
        |  WHERE a.cand_id <> p.query_id
        |  GROUP BY 1, 2)""".stripMargin
   }
+
+  private val ivfPqScoredSql = ivfPqScoredSqlFor("b.vec_id < 10")
 
   private val q145Sql =
     s"""$ivfPqScoredSql
@@ -922,11 +932,7 @@ object SimQueries {
   // float-tight, not approximate.
   def q158AnnIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
-    val idx = graft.sources.CachedArtifact.resolve(spark,
-      new java.io.File(dir, "embeddings.parquet"), "ivfpq2_c16b",
-      "centroids", "codebook", "assignment")(
-      Similarity.buildIvfPqIndex(e, _, nCentroids = 16): Unit)
-    Similarity.queryIvfPqIndexReranked(spark, idx,
+    Similarity.queryIvfPqIndexReranked(spark, cachedIvfPqIndex(spark, dir),
       e.filter(col("id") < 10), e, k = 5, alpha = 4, nProbes = 4)
   }
 

@@ -451,6 +451,38 @@ class RetrievalSpec extends SparkSpec {
     assert(e.getMessage.contains("grids disagree"))
   }
 
+  test("hybridSearchPq: compressed shortlist + exact re-rank feeds the " +
+      "fusion; a doc hit by both arms tops with n_rankers = 2") {
+    val docs = (1L to 16L).map(i =>
+      (i, if (i == 7L) "zebra quark xylem pad" else "pad pad pad pad"))
+      .toDF("doc_id", "text")
+    // deterministic embeddings off the same feature-hash encoder; the
+    // query vector IS the planted terms' embedding, so doc 7 maximizes
+    // the exact dot the re-rank stage restores
+    val vecs = graft.operators.Corpus.hashEmbed(docs, col("doc_id"), col("text"))
+    val bmDir = java.nio.file.Files.createTempDirectory("hpqb").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("hpqi").toString
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), bmDir): Unit
+    graft.operators.Similarity.buildIvfPqIndex(vecs, pqDir, nCentroids = 4): Unit
+
+    val qraw = Seq((900L, Seq("zebra", "quark", "xylem")))
+      .toDF("query_id", "terms")
+    val queries = qraw.join(
+      graft.operators.Corpus.hashEmbed(qraw, col("query_id"),
+        concat_ws(" ", col("terms"))).withColumnRenamed("id", "query_id"),
+      Seq("query_id"))
+    // nProbes = nCentroids and alpha past the corpus: the semantic arm
+    // degenerates to the exact dot ranking (the q158-proven identity)
+    val fused = Retrieval.hybridSearchPq(spark, bmDir, pqDir, queries,
+      vecs.select(col("id"), col("vec")), k = 5, kEach = 8, alpha = 4,
+      nProbes = 4).collect()
+    val top = fused.head
+    assert(top.getAs[Long]("doc_id") == 7L)
+    assert(top.getAs[Long]("n_rankers") == 2L,
+      "the planted doc must arrive through BOTH arms")
+    assert(fused.forall(_.getAs[Long]("n_rankers") <= 2L))
+  }
+
   test("assembleContext: overlap + adjacency merge to one span, the " +
       "per-doc cap and token budget hold, ends clip to doc length") {
     val docs = Seq(
