@@ -21,6 +21,10 @@ import graft.sources.Versioned
   *                       appends derive the window grid from the
   *                       index's own sidecar
   *  5. `ivf_append`    — the ANN index (same cadence)
+  *  5b. `bpe_retrain`/`nb_retrain` — model maintenance on the LONGER
+  *                       `retrainEvery` cadence: fresh lockstep model
+  *                       versions; pinned `modelAsOf` consumers
+  *                       reproduce bit-for-bit across a retrain
   *  6. `bm25_compact`/`chunk_compact`/`ivf_compact` — when
   *                       `compactEvery` appended batches have
   *                       accumulated since the last overwrite:
@@ -54,7 +58,10 @@ import graft.sources.Versioned
 object DailyMaintenance {
 
   /** Every Versioned table the daily job maintains, relative to the
-    * work dir — the vacuum stage's worklist.
+    * work dir — the vacuum stage's worklist. Includes the scheduler's
+    * own runs/claims tables (they accrue one tiny commit per
+    * (stage, attempt) / per tick forever otherwise) and the model
+    * artifacts the retrain stages version.
     */
   def maintainedTables(work: String): Seq[String] = Seq(
     s"$work/state/candidates", s"$work/state/pairs",
@@ -62,7 +69,10 @@ object DailyMaintenance {
     s"$work/signals/c12", s"$work/signals/vsz",
     s"$work/bm25/postings", s"$work/bm25/stats",
     s"$work/chunks/postings", s"$work/chunks/stats",
-    s"$work/ivf/centroids", s"$work/ivf/assignment")
+    s"$work/ivf/centroids", s"$work/ivf/assignment",
+    s"$work/bpe_model/merges", s"$work/bpe_model/vocab",
+    s"$work/nb_model/model", s"$work/nb_model/priors",
+    s"$work/runs", s"$work/claims")
 
   /** Append commits sitting on top of `table`'s last overwrite — the
     * compaction trigger. "Latest action is an append" is NOT a usable
@@ -87,7 +97,10 @@ object DailyMaintenance {
   def stages(spark: SparkSession, batch: DataFrame, vecs: DataFrame,
              work: String,
              retainVersions: Int = 2,
-             compactEvery: Int = 7): Seq[(String, () => Unit)] = Seq(
+             compactEvery: Int = 7,
+             boundary: Long = 0L,
+             intervalMs: Long = 24L * 3600 * 1000,
+             retrainEvery: Int = 7): Seq[(String, () => Unit)] = Seq(
     "curate" -> (() =>
       Curation.curateBatch(batch, s"$work/state"): Unit),
     "signal_state" -> (() => {
@@ -107,19 +120,54 @@ object DailyMaintenance {
           s"$work/bm25"): Unit
     }),
     "chunk_append" -> (() => {
-      if (!Versioned.exists(spark, s"$work/chunks/postings"))
+      val postingsT = s"$work/chunks/postings"
+      if (!Versioned.exists(spark, postingsT))
         Retrieval.buildChunkBm25Index(batch, col("doc_id"), col("text"),
           s"$work/chunks", size = 32, stride = 16): Unit
-      else
+      else if (Retrieval.chunkGridHealthy(spark, s"$work/chunks"))
         // the window grid comes from the index's own sidecar
         Retrieval.appendToChunkBm25Index(batch, col("doc_id"), col("text"),
           s"$work/chunks"): Unit
+      else if (Versioned.history(spark, postingsT).forall(_._1 == 0L))
+        // a FIRST build died between its index commit and the grid
+        // stamp: the table holds exactly this boundary's batch (resume
+        // re-runs the same boundary), so rebuilding from the batch is
+        // LOSSLESS — the self-heal the build path owns. Any later
+        // grid corruption falls through to the loud error below:
+        // rebuilding a multi-day index from one day's batch would
+        // silently discard every prior day.
+        Retrieval.buildChunkBm25Index(batch, col("doc_id"), col("text"),
+          s"$work/chunks", size = 32, stride = 16): Unit
+      else sys.error(s"$work/chunks grid sidecar is untrusted and the " +
+        "postings hold more than the first build — rebuild the chunk " +
+        "index manually from the full corpus (a one-batch rebuild here " +
+        "would silently drop prior days)")
     }),
     "ivf_append" -> (() => {
       if (!Versioned.exists(spark, s"$work/ivf/centroids"))
         Similarity.buildIvfIndex(vecs, s"$work/ivf"): Unit
       else
         Similarity.appendToIvfIndex(vecs, s"$work/ivf"): Unit
+    }),
+    // model maintenance — the LONGER cadence (every `retrainEvery`
+    // boundaries, day 0 included): retrain the BPE tokenizer and the NB
+    // gate the pipeline serves. Each retrain is a fresh lockstep
+    // OVERWRITE version; consumers that pinned `modelAsOf` reproduce
+    // bit-for-bit across it (SchedulerSpec proves an old pinned encode
+    // survives a retrain unchanged). Between firings the stage is a
+    // no-op. Day index = boundary / interval, so a resumed boundary
+    // makes the same decision it would have made on time.
+    "bpe_retrain" -> (() => {
+      val due = (boundary / intervalMs) % retrainEvery == 0
+      if (due || !Versioned.exists(spark, s"$work/bpe_model/merges"))
+        graft.operators.Bpe.buildBpeModel(batch, col("text"), k = 40,
+          s"$work/bpe_model"): Unit
+    }),
+    "nb_retrain" -> (() => {
+      val due = (boundary / intervalMs) % retrainEvery == 0
+      if (due || !Versioned.exists(spark, s"$work/nb_model/model"))
+        Corpus.buildNbModel(batch, col("lang"), col("text"),
+          s"$work/nb_model"): Unit
     }),
     "bm25_compact" -> (() => {
       if (appendDebt(spark, s"$work/bm25/postings") >= compactEvery)
@@ -134,10 +182,17 @@ object DailyMaintenance {
       if (appendDebt(spark, s"$work/ivf/assignment") >= compactEvery)
         Similarity.compactIvfIndex(spark, s"$work/ivf"): Unit
     }),
-    "vacuum" -> (() =>
+    "vacuum" -> (() => {
+      // the scheduler's own history accrues one tiny append per
+      // (stage, attempt): compact it on the index cadence so boundary
+      // selection reads stay bounded for a long-lived deployment
+      // (claims is a 1-row overwrite table — vacuum alone bounds it)
+      if (appendDebt(spark, s"$work/runs") >= compactEvery)
+        Versioned.compact(spark, s"$work/runs"): Unit
       maintainedTables(work)
         .filter(Versioned.exists(spark, _))
-        .foreach(t => Versioned.vacuum(spark, t, retainVersions): Unit)))
+        .foreach(t => Versioned.vacuum(spark, t, retainVersions): Unit)
+    }))
 
   /** One daily tick of the composed job. `batchFor`/`vecsFor` map a
     * boundary (the data interval's start, epoch ms) to that day's
@@ -152,10 +207,12 @@ object DailyMaintenance {
            retryDelayMs: Long = 120000L,
            sleep: Long => Unit = Thread.sleep,
            compactEvery: Int = 7,
-           retainVersions: Int = 2): Seq[(String, Seq[Scheduler.Attempt])] =
+           retainVersions: Int = 2,
+           retrainEvery: Int = 7): Seq[(String, Seq[Scheduler.Attempt])] =
     Scheduler.tickStagesFor(spark, work,
       b => stages(spark, batchFor(b), vecsFor(b), work,
-        retainVersions = retainVersions, compactEvery = compactEvery),
+        retainVersions = retainVersions, compactEvery = compactEvery,
+        boundary = b, intervalMs = intervalMs, retrainEvery = retrainEvery),
       nowMs, intervalMs, retries, retryDelayMs, sleep)
 
   /** Real-clock entry point, one tick over an sf-dir batch.

@@ -90,7 +90,8 @@ object Scheduler {
   def tick(spark: SparkSession, historyDir: String, job: () => Unit,
            nowMs: Long, intervalMs: Long, retries: Int = 2,
            retryDelayMs: Long = 120000L,
-           sleep: Long => Unit = Thread.sleep): Seq[Attempt] = {
+           sleep: Long => Unit = Thread.sleep,
+           claimTtlMs: Long = 0L): Seq[Attempt] = {
     import spark.implicits._
     val runsTable = s"$historyDir/runs"
     val lastOk =
@@ -106,13 +107,18 @@ object Scheduler {
     dueBoundary(nowMs, lastOk, intervalMs) match {
       case None => Seq.empty
       case Some(boundary) =>
-        val attempts = runWithRetries(job, retries, retryDelayMs, sleep)
-        val rows = attempts.map(a =>
-          (boundary, a.attempt, a.ok, a.error, nowMs))
-        graft.sources.Versioned.append(
-          rows.toDF("boundary_ms", "attempt", "ok", "error", "recorded_at_ms"),
-          runsTable): Unit
-        attempts
+        val ttl = if (claimTtlMs > 0) claimTtlMs else intervalMs
+        if (!acquireClaim(spark, historyDir, boundary, nowMs, ttl))
+          return Seq.empty
+        try {
+          val attempts = runWithRetries(job, retries, retryDelayMs, sleep)
+          val rows = attempts.map(a =>
+            (boundary, a.attempt, a.ok, a.error, nowMs))
+          graft.sources.Versioned.append(
+            rows.toDF("boundary_ms", "attempt", "ok", "error", "recorded_at_ms"),
+            runsTable): Unit
+          attempts
+        } finally releaseClaim(spark, historyDir, boundary, nowMs, nowMs)
     }
   }
 
@@ -121,6 +127,71 @@ object Scheduler {
     * filter regardless of how the stage list evolves across deploys.
     */
   val CoveredStage = "_covered"
+
+  // ------------------------------------------------ concurrent-tick claim
+  //
+  // Two processes ticking the same historyDir (cron double-fire,
+  // overlapping deploys) would both read the runs table, both pick the
+  // same boundary, and both run — additive stages (signal counts, index
+  // postings) double-apply. The guard is a per-boundary CLAIM on a
+  // 1-row Versioned `claims` table beside `runs`, taken with the
+  // overwriteExpecting CAS (the lockstep discipline the indexes use):
+  //
+  //  - of two SIMULTANEOUS tickers, both read claim version v and both
+  //    try to commit at v+1 — the log-entry race has exactly one
+  //    winner, the loser returns empty;
+  //  - a ticker arriving while a FRESH unreleased claim holds its
+  //    boundary loses without racing (the claimant is presumed live);
+  //  - a tick RELEASES its claim on the way out (best-effort), so a
+  //    failed boundary resumes at the very next tick;
+  //  - a claimant that CRASHED mid-run never releases — its claim goes
+  //    stale after `claimTtlMs` (default: one interval) and the next
+  //    ticker takes over via CAS, resuming the boundary.
+
+  private def claimsTable(historyDir: String) = s"$historyDir/claims"
+
+  private def acquireClaim(spark: SparkSession, historyDir: String,
+                           boundary: Long, nowMs: Long,
+                           ttlMs: Long): Boolean = {
+    import spark.implicits._
+    val t = claimsTable(historyDir)
+    val row = Seq((boundary, nowMs, false))
+      .toDF("boundary_ms", "claimed_at_ms", "released")
+    val vNext =
+      if (!graft.sources.Versioned.exists(spark, t)) 0L
+      else {
+        val v = graft.sources.Versioned.latestVersion(spark, t)
+        val cur = graft.sources.Versioned.read(spark, t, Some(v))
+          .select("boundary_ms", "claimed_at_ms", "released")
+          .as[(Long, Long, Boolean)].collect().headOption
+        val live = cur.exists { case (b, at, rel) =>
+          b == boundary && !rel && at > nowMs - ttlMs }
+        if (live) return false
+        v + 1
+      }
+    try { graft.sources.Versioned.overwriteExpecting(row, t, vNext): Unit; true }
+    catch { case _: IllegalArgumentException => false }
+  }
+
+  /** Best-effort: only our own live claim is flipped to released — a
+    * stale-takeover's claim belongs to the taker, and a lost release
+    * race merely leaves the TTL to expire.
+    */
+  private def releaseClaim(spark: SparkSession, historyDir: String,
+                           boundary: Long, claimedAt: Long,
+                           nowMs: Long): Unit = try {
+    import spark.implicits._
+    val t = claimsTable(historyDir)
+    val v = graft.sources.Versioned.latestVersion(spark, t)
+    val cur = graft.sources.Versioned.read(spark, t, Some(v))
+      .select("boundary_ms", "claimed_at_ms", "released")
+      .as[(Long, Long, Boolean)].collect().headOption
+    if (cur.contains((boundary, claimedAt, false)))
+      graft.sources.Versioned.overwriteExpecting(
+        Seq((boundary, claimedAt, true))
+          .toDF("boundary_ms", "claimed_at_ms", "released"),
+        t, v + 1): Unit
+  } catch { case _: Exception => () }
 
   /** One scheduler tick of a MULTI-STAGE job (a linear DAG, the Airflow
     * task-chain shape) over BOUNDARY-ADDRESSED stages: `stagesFor`
@@ -135,6 +206,12 @@ object Scheduler {
     * error, recorded_at_ms), plus one [[CoveredStage]] marker row when
     * the whole chain succeeded — the boundary counts as covered ONLY
     * then.
+    *
+    * Concurrency: the chosen boundary is CLAIMED before any stage runs
+    * (see the claim block above) — of two tickers racing the same
+    * historyDir, exactly one executes; the loser returns empty. The
+    * claim releases on the way out and goes stale after `claimTtlMs`
+    * (default: one interval) if the claimant crashed.
     *
     * Boundary selection: a boundary that was STARTED (has any history
     * row) but never covered is resumed FIRST, even after later
@@ -161,23 +238,29 @@ object Scheduler {
                     stagesFor: Long => Seq[(String, () => Unit)],
                     nowMs: Long, intervalMs: Long, retries: Int = 2,
                     retryDelayMs: Long = 120000L,
-                    sleep: Long => Unit = Thread.sleep): Seq[(String, Seq[Attempt])] = {
+                    sleep: Long => Unit = Thread.sleep,
+                    claimTtlMs: Long = 0L): Seq[(String, Seq[Attempt])] = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max, min}
     val runsTable = s"$historyDir/runs"
+    // boundary selection off two pushed-down aggregates (never a full
+    // history collect — the runs table grows for the deployment's life)
     val (lastOk, resumable) =
       if (!graft.sources.Versioned.exists(spark, runsTable)) (None, None)
       else {
-        val rows = graft.sources.Versioned.read(spark, runsTable)
+        val runs = graft.sources.Versioned.read(spark, runsTable)
           .select("boundary_ms", "stage", "ok")
-          .as[(Long, String, Boolean)].collect()
-        val covered = rows.collect {
-          case (b, s, true) if s == CoveredStage => b }
-        val coveredMax = covered.maxOption
-        // started-but-uncovered boundaries (at most one in practice —
-        // one boundary per tick): the resume obligation
-        val touched = rows.map(_._1).distinct
-          .filter(b => coveredMax.forall(_ < b))
-        (coveredMax, touched.minOption)
+        val coveredMax = runs
+          .filter(col("ok") && col("stage") === CoveredStage)
+          .agg(max(col("boundary_ms")))
+          .as[Option[Long]].collect().headOption.flatten
+        // earliest started-but-uncovered boundary (at most one in
+        // practice — one boundary per tick): the resume obligation
+        val touchedMin = coveredMax.fold(runs)(m =>
+            runs.filter(col("boundary_ms") > m))
+          .agg(min(col("boundary_ms")))
+          .as[Option[Long]].collect().headOption.flatten
+        (coveredMax, touchedMin)
       }
     resumable.orElse(dueBoundary(nowMs, lastOk, intervalMs)) match {
       case None => Seq.empty
@@ -186,36 +269,40 @@ object Scheduler {
         require(stages.nonEmpty, "tickStages needs at least one stage")
         require(!stages.exists(_._1 == CoveredStage),
           s"stage name $CoveredStage is reserved for the coverage marker")
-        // stages already ok for THIS boundary (a prior failed tick got
-        // partway through) — resume after them, never re-apply them
-        val doneStages: Set[String] =
-          if (!graft.sources.Versioned.exists(spark, runsTable)) Set.empty
-          else graft.sources.Versioned.read(spark, runsTable)
-            .filter(org.apache.spark.sql.functions.col("ok") &&
-              org.apache.spark.sql.functions.col("boundary_ms") === boundary)
-            .select("stage").distinct().as[String].collect().toSet
-        val out = Seq.newBuilder[(String, Seq[Attempt])]
-        var failed = false
-        stages.zipWithIndex.foreach { case ((name, job), idx) =>
-          if (!failed && !doneStages.contains(name)) {
-            val attempts = runWithRetries(job, retries, retryDelayMs, sleep)
-            out += name -> attempts
-            val rows = attempts.map(a =>
-              (boundary, name, idx, a.attempt, a.ok, a.error, nowMs))
-            graft.sources.Versioned.append(
-              rows.toDF("boundary_ms", "stage", "stage_idx", "attempt",
-                "ok", "error", "recorded_at_ms"),
-              runsTable): Unit
-            if (!attempts.last.ok) failed = true
+        val ttl = if (claimTtlMs > 0) claimTtlMs else intervalMs
+        if (!acquireClaim(spark, historyDir, boundary, nowMs, ttl))
+          return Seq.empty
+        try {
+          // stages already ok for THIS boundary (a prior failed tick got
+          // partway through) — resume after them, never re-apply them
+          val doneStages: Set[String] =
+            if (!graft.sources.Versioned.exists(spark, runsTable)) Set.empty
+            else graft.sources.Versioned.read(spark, runsTable)
+              .filter(col("ok") && col("boundary_ms") === boundary)
+              .select("stage").distinct().as[String].collect().toSet
+          val out = Seq.newBuilder[(String, Seq[Attempt])]
+          var failed = false
+          stages.zipWithIndex.foreach { case ((name, job), idx) =>
+            if (!failed && !doneStages.contains(name)) {
+              val attempts = runWithRetries(job, retries, retryDelayMs, sleep)
+              out += name -> attempts
+              val rows = attempts.map(a =>
+                (boundary, name, idx, a.attempt, a.ok, a.error, nowMs))
+              graft.sources.Versioned.append(
+                rows.toDF("boundary_ms", "stage", "stage_idx", "attempt",
+                  "ok", "error", "recorded_at_ms"),
+                runsTable): Unit
+              if (!attempts.last.ok) failed = true
+            }
           }
-        }
-        if (!failed)
-          graft.sources.Versioned.append(
-            Seq((boundary, CoveredStage, stages.size, 0, true, "", nowMs))
-              .toDF("boundary_ms", "stage", "stage_idx", "attempt",
-                "ok", "error", "recorded_at_ms"),
-            runsTable): Unit
-        out.result()
+          if (!failed)
+            graft.sources.Versioned.append(
+              Seq((boundary, CoveredStage, stages.size, 0, true, "", nowMs))
+                .toDF("boundary_ms", "stage", "stage_idx", "attempt",
+                  "ok", "error", "recorded_at_ms"),
+              runsTable): Unit
+          out.result()
+        } finally releaseClaim(spark, historyDir, boundary, nowMs, nowMs)
     }
   }
 
@@ -230,9 +317,10 @@ object Scheduler {
                  stages: Seq[(String, () => Unit)], nowMs: Long,
                  intervalMs: Long, retries: Int = 2,
                  retryDelayMs: Long = 120000L,
-                 sleep: Long => Unit = Thread.sleep): Seq[(String, Seq[Attempt])] =
+                 sleep: Long => Unit = Thread.sleep,
+                 claimTtlMs: Long = 0L): Seq[(String, Seq[Attempt])] =
     tickStagesFor(spark, historyDir, _ => stages, nowMs, intervalMs,
-      retries, retryDelayMs, sleep)
+      retries, retryDelayMs, sleep, claimTtlMs)
 
   /** Real-clock entry point: one tick of the daily incremental-curation
     * batch. Run from cron/systemd per the deployment's cadence — the

@@ -186,6 +186,155 @@ class SchedulerSpec extends SparkSpec {
     assert(covered == Set(9 * Day, 10 * Day))
   }
 
+  test("concurrent ticks: a mid-run double-fire loses the claim and runs " +
+      "nothing; a crashed claimant's stale claim is taken over") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-claim").toString
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    var inner: Seq[(String, Seq[Scheduler.Attempt])] = null
+    def stages: Seq[(String, () => Unit)] = Seq(
+      "a" -> (() => { calls += "a"
+        // a second process double-fires MID-RUN (cron overlap): it
+        // reads the same runs table, picks the same boundary, and must
+        // lose on the fresh claim — additive stages never double-apply
+        inner = Scheduler.tickStages(spark, dir, stages,
+          nowMs = 10 * Day + 6, intervalMs = Day, retries = 0,
+          retryDelayMs = 1L, sleep = _ => ())
+      }),
+      "b" -> (() => { calls += "b"; () }))
+    val t1 = Scheduler.tickStages(spark, dir, stages, nowMs = 10 * Day + 5,
+      intervalMs = Day, retries = 0, retryDelayMs = 1L, sleep = _ => ())
+    assert(t1.map(_._1) == Seq("a", "b"))
+    assert(inner != null && inner.isEmpty,
+      "the interleaved ticker must lose the claim and run nothing")
+    assert(calls.toSeq == Seq("a", "b"), "state ≡ a single tick")
+
+    // a FRESH unreleased claim from another (presumed live) ticker
+    // blocks the boundary without racing
+    import graft.sources.Versioned
+    val claims = s"$dir/claims"
+    val now2 = 11 * Day + 5 // due boundary: day 10
+    Versioned.overwriteExpecting(
+      Seq((10 * Day, now2 - 1000L, false))
+        .toDF("boundary_ms", "claimed_at_ms", "released"),
+      claims, Versioned.latestVersion(spark, claims) + 1): Unit
+    assert(Scheduler.tickStages(spark, dir, stages, nowMs = now2,
+      intervalMs = Day, retries = 0, retryDelayMs = 1L,
+      sleep = _ => ()).isEmpty)
+    assert(calls.toSeq == Seq("a", "b"))
+
+    // the claimant CRASHED (never released): past the TTL (one
+    // interval) the next ticker takes the claim over and the boundary
+    // finally runs
+    Versioned.overwriteExpecting(
+      Seq((10 * Day, now2 - Day - 1L, false))
+        .toDF("boundary_ms", "claimed_at_ms", "released"),
+      claims, Versioned.latestVersion(spark, claims) + 1): Unit
+    val t3 = Scheduler.tickStages(spark, dir, stages, nowMs = now2 + 10,
+      intervalMs = Day, retries = 0, retryDelayMs = 1L, sleep = _ => ())
+    assert(t3.map(_._1) == Seq("a", "b"))
+    assert(calls.toSeq == Seq("a", "b", "a", "b"))
+  }
+
+  test("DailyMaintenance retrain cadence: models re-version every " +
+      "retrainEvery boundaries; a pinned modelAsOf encode reproduces " +
+      "bit-for-bit across the retrain") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Versioned
+    val work = java.nio.file.Files.createTempDirectory("graft-retrain").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def dayDocs(k: Int) =
+      docs.filter(col("doc_id") >= k * 100 && col("doc_id") < (k + 1) * 100)
+    def dayVecs(k: Int) =
+      vecs.filter(col("id") >= k * 100 && col("id") < (k + 1) * 100)
+    def dayOf(b: Long): Int = (b / Day - 9).toInt
+
+    // boundaries 9/10/11 · Day; retrainEvery = 2 → day index 10 is the
+    // one retrain (9 and 11 are off-cadence; day 9 builds because the
+    // model is absent)
+    (0 until 3).foreach { k =>
+      val res = graft.app.DailyMaintenance.tick(spark, work,
+        b => dayDocs(dayOf(b)), b => dayVecs(dayOf(b)),
+        nowMs = (10 + k) * Day + 5,
+        intervalMs = Day, retries = 0, retryDelayMs = 1L, sleep = _ => (),
+        compactEvery = 4, retrainEvery = 2)
+      assert(res.nonEmpty && res.forall(_._2.last.ok),
+        s"day $k had a failed stage: ${res.filter(!_._2.last.ok).map(_._1)}")
+    }
+    assert(Versioned.latestVersion(spark, s"$work/bpe_model/merges") == 1,
+      "absent-build on day 9 + ONE cadence retrain on day 10")
+    assert(Versioned.latestVersion(spark, s"$work/bpe_model/vocab") == 1)
+    assert(Versioned.latestVersion(spark, s"$work/nb_model/model") == 1)
+
+    // the pinned v0 tokenizer still encodes EXACTLY as it did before
+    // the retrain: a scratch model trained on the same day-9 batch is
+    // bit-identical under asOf = 0
+    val scratch = java.nio.file.Files.createTempDirectory("graft-bpe0").toString
+    graft.operators.Bpe.buildBpeModel(dayDocs(0), col("text"), k = 40, scratch): Unit
+    def ids(dir: String, asOf: Option[Long]) =
+      graft.operators.Bpe.encodeIdsWithModel(spark, dir, dayDocs(0),
+          col("doc_id"), col("text"), asOf = asOf)
+        .select("doc_id", "word_pos", "sym_pos", "tok_id")
+        .as[(Long, Long, Int, Long)].collect().toSeq.sorted
+    assert(ids(s"$work/bpe_model", Some(0L)) == ids(scratch, None),
+      "a retrain must not disturb a pinned historical tokenizer")
+    // and the NB model's pinned v0 still scores (lockstep pair intact)
+    assert(graft.operators.Corpus.scoreWithNbModel(spark, s"$work/nb_model",
+      dayDocs(0), col("doc_id"), col("text"), asOf = Some(0L)).count() > 0)
+  }
+
+  test("chunk_append self-heals a crashed FIRST build (no grid stamp) by " +
+      "rebuilding from the boundary's batch; a multi-day untrusted grid " +
+      "fails loudly instead of silently dropping prior days") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Versioned
+    val work = java.nio.file.Files.createTempDirectory("graft-heal").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def dayDocs(k: Int) =
+      docs.filter(col("doc_id") >= k * 100 && col("doc_id") < (k + 1) * 100)
+    def dayOf(b: Long): Int = (b / Day - 9).toInt
+
+    // fake the crash shape: a first build's two index commits landed,
+    // the grid stamp never did (single overwrite version, no sidecar)
+    graft.operators.Retrieval.buildBm25Index(dayDocs(0), col("doc_id"),
+      col("text"), s"$work/chunks"): Unit
+    assert(!graft.operators.Retrieval.chunkGridHealthy(spark, s"$work/chunks"))
+
+    // the day-9 tick reroutes chunk_append to a rebuild (lossless: the
+    // table holds exactly this boundary's batch) and completes
+    val r0 = graft.app.DailyMaintenance.tick(spark, work,
+      b => dayDocs(dayOf(b)), b => dayVecs_(vecs, dayOf(b)),
+      nowMs = 10 * Day + 5, intervalMs = Day, retries = 0,
+      retryDelayMs = 1L, sleep = _ => ())
+    assert(r0.forall(_._2.last.ok), s"heal tick failed: $r0")
+    assert(graft.operators.Retrieval.chunkGridHealthy(spark, s"$work/chunks"))
+
+    // day 10 appends normally; then the grid goes untrusted on a
+    // MULTI-day index → the stage must refuse, not rebuild from one day
+    val r1 = graft.app.DailyMaintenance.tick(spark, work,
+      b => dayDocs(dayOf(b)), b => dayVecs_(vecs, dayOf(b)),
+      nowMs = 11 * Day + 5, intervalMs = Day, retries = 0,
+      retryDelayMs = 1L, sleep = _ => ())
+    assert(r1.forall(_._2.last.ok))
+    assert(new java.io.File(s"$work/chunks/chunk_grid").delete())
+    val r2 = graft.app.DailyMaintenance.tick(spark, work,
+      b => dayDocs(dayOf(b)), b => dayVecs_(vecs, dayOf(b)),
+      nowMs = 12 * Day + 5, intervalMs = Day, retries = 0,
+      retryDelayMs = 1L, sleep = _ => ())
+    val chunkAttempts = r2.toMap.apply("chunk_append")
+    assert(!chunkAttempts.last.ok &&
+      chunkAttempts.last.error.contains("manually"),
+      s"a multi-day untrusted grid must fail loudly, got: $chunkAttempts")
+  }
+
+  private def dayVecs_(vecs: org.apache.spark.sql.DataFrame, k: Int) = {
+    import org.apache.spark.sql.functions.col
+    vecs.filter(col("id") >= k * 100 && col("id") < (k + 1) * 100)
+  }
+
   test("DailyMaintenance: N simulated days end-to-end — indexes stay " +
       "lockstep, demoted layouts re-established, old versions vacuumed, " +
       "every stage in the runs table") {
