@@ -405,6 +405,50 @@ object ScaleProbe {
         f"   (bytes 10x/1x: ${rows.last._2._2.toDouble / rows.head._2._2}%.1f)")
     }
 
+    // Round-11 layout claim: DYNAMIC term sets (queryBm25IndexMany —
+    // terms arrive as data, nothing pushes into the scan) against a
+    // growing index. The bucketed layout must read ALL postings bytes
+    // (pruning needs literals); the partition layout's broadcast term
+    // join carries the shard key, so DPP prunes unprobed directories —
+    // a FIXED query batch's bytes must grow sub-linearly. The batch is
+    // storage-backed + filtered (DPP's trigger shape).
+    if (opFilter.isEmpty || opFilter.exists("bm25_many_layout".contains)) {
+      import spark.implicits._
+      val docs = Tables.documents(spark, sfDir)
+      val qdir = java.nio.file.Files
+        .createTempDirectory("scaleprobe_bmq").toString
+      Seq((1L, Seq("dup", "spark"), "keep"),
+          (2L, Seq("hash", "join", "table"), "keep"),
+          (3L, Seq("unused"), "drop"))
+        .toDF("query_id", "terms", "tag")
+        .write.mode("overwrite").parquet(qdir)
+      val qdf = spark.read.parquet(qdir).filter(col("tag") === "keep")
+        .select("query_id", "terms")
+      val rows = scales.map { s =>
+        val big = replicate(docs, s)
+        val part = java.nio.file.Files
+          .createTempDirectory(s"scaleprobe_bmm_d$s").toString
+        graft.operators.Retrieval.buildBm25Index(
+          big, col("doc_id"), col("text"), part, layout = "partition"): Unit
+        val bkt = java.nio.file.Files
+          .createTempDirectory(s"scaleprobe_bmm_b$s").toString
+        graft.operators.Retrieval.buildBm25Index(
+          big, col("doc_id"), col("text"), bkt): Unit
+        def probe(dir: String) = measured(() =>
+          Bench.force(graft.operators.Retrieval.queryBm25IndexMany(
+            spark, dir, qdf, 10)))
+        val d = probe(part); val b = probe(bkt)
+        spark.catalog.clearCache()
+        (d, b)
+      }
+      println(f"${"bm25_many_part"}%-18s " +
+        rows.map(r => f"${r._1._1}%5.2fs ${r._1._2 / 1024}%7dKB").mkString(" ") +
+        f"   (bytes 10x/1x: ${rows.last._1._2.toDouble / rows.head._1._2}%.1f)")
+      println(f"${"bm25_many_bucket"}%-18s " +
+        rows.map(r => f"${r._2._1}%5.2fs ${r._2._2 / 1024}%7dKB").mkString(" ") +
+        f"   (bytes 10x/1x: ${rows.last._2._2.toDouble / rows.head._2._2}%.1f)")
+    }
+
     // q42 inversion evidence (round 10): the distributed exact-
     // percentile machinery vs the input size — 10× sf0.1 lineitem ≈
     // sf1. Engine time should grow SUB-linearly off its fixed stage
