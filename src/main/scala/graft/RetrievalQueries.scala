@@ -637,6 +637,61 @@ object RetrievalQueries {
        |ORDER BY query_id, score DESC, doc_id, span_start""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] RAG context materialization — the packed spans fetched as the
+  // STRINGS a prompt mounts: q170's coordinates join back to the corpus
+  // (spans broadcast onto the scan) and each span slices its tokens
+  // map-side. Concatenating span_text per query in row order IS the
+  // context window. The oracle replays the full chain + the slice.
+  def q173ContextText(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.contextTexts(q170ContextPack(spark, dir),
+      Tables.documents(spark, dir), col("doc_id"), col("text"))
+
+  private val q173Sql =
+    s"""$chunkHybridCtes,
+       |dec AS (
+       |  SELECT query_id, ckid // 4294967296 AS doc_id,
+       |    ckid % 4294967296 AS chunk_start, rrf
+       |  FROM sel),
+       |cap AS (
+       |  SELECT query_id, doc_id, chunk_start, rrf FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+       |      ORDER BY rrf DESC, chunk_start ASC) AS cr FROM dec)
+       |  WHERE cr <= 2),
+       |mrk AS (
+       |  SELECT *, chunk_start + 31 AS e,
+       |    max(chunk_start + 31) OVER (PARTITION BY query_id, doc_id
+       |      ORDER BY chunk_start ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM cap),
+       |grp AS (
+       |  SELECT *, sum(CASE WHEN pmax IS NULL OR chunk_start > pmax + 1
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY query_id, doc_id
+       |      ORDER BY chunk_start ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM mrk),
+       |sp AS (
+       |  SELECT query_id, doc_id, g, min(chunk_start) AS span_start,
+       |    max(e) AS span_end0, max(rrf) AS score
+       |  FROM grp GROUP BY 1, 2, 3),
+       |dlen AS (
+       |  SELECT doc_id, CAST(len(parts) AS BIGINT) AS n_tok, parts FROM t),
+       |cl AS (
+       |  SELECT query_id, sp.doc_id, span_start,
+       |    least(span_end0, n_tok) AS span_end, score, parts
+       |  FROM sp JOIN dlen ON dlen.doc_id = sp.doc_id),
+       |pk AS (
+       |  SELECT *, CAST(sum(span_end - span_start + 1) OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC, span_start ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_tok
+       |  FROM cl)
+       |SELECT query_id, doc_id, span_start, span_end, score,
+       |  array_to_string(parts[span_start : span_end], ' ') AS span_text
+       |FROM pk WHERE cum_tok <= 96
+       |ORDER BY query_id, score DESC, doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------------
   // [EXT] hybrid fusion with the COMPRESSED semantic arm — q166's
   // composition upgraded to the engine's declared ANN scale path: the
   // semantic arm probes the persisted IVF-PQ index (ADC scan over
@@ -769,7 +824,8 @@ object RetrievalQueries {
     "q169_chunk_hybrid" -> (q169ChunkHybrid _),
     "q170_context_pack" -> (q170ContextPack _),
     "q171_hybrid_pq_rerank" -> (q171HybridPqRerank _),
-    "q172_bm25_many_part" -> (q172Bm25ManyPart _))
+    "q172_bm25_many_part" -> (q172Bm25ManyPart _),
+    "q173_context_text" -> (q173ContextText _))
 
   val oracle: Map[String, String] = Map(
     "q146_bm25"         -> q146Sql,
@@ -785,5 +841,6 @@ object RetrievalQueries {
     "q170_context_pack" -> q170Sql,
     "q171_hybrid_pq_rerank" -> q171Sql,
     // the partition layout scores identically to the bucketed index
-    "q172_bm25_many_part" -> q153Sql)
+    "q172_bm25_many_part" -> q153Sql,
+    "q173_context_text" -> q173Sql)
 }

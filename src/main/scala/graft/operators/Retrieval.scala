@@ -969,4 +969,26 @@ object Retrieval {
       .orderBy(col("query_id"), col("score").desc, col("doc_id"),
         col("span_start"))
   }
+
+  /** Materialize packed spans as the STRINGS a prompt mounts — the last
+    * step of the RAG pipeline ([[assembleContext]] emits coordinates;
+    * this fetches the text): one equality join with the spans broadcast
+    * ONTO the corpus scan (never the reverse — the span set is
+    * O(|Q|·k) rows), then a map-side token slice per span (the
+    * `Corpus.packedSequenceTexts` discipline at span grain). Output:
+    * (query_id, doc_id, span_start, span_end, score, span_text),
+    * ordered (query_id, score desc, doc, start) — concatenating
+    * span_text per query in row order IS the context window.
+    */
+  def contextTexts(packed: DataFrame, docs: DataFrame, id: Column,
+                   text: Column): DataFrame =
+    docs.select(id.as("doc_id"), TextOps.tokens(text).as("__toks"))
+      .join(broadcast(packed), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("span_start"),
+        col("span_end"), col("score"),
+        array_join(slice(col("__toks"), col("span_start").cast("int"),
+          (col("span_end") - col("span_start") + 1).cast("int")), " ")
+          .as("span_text"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"),
+        col("span_start"))
 }

@@ -404,6 +404,10 @@ object Similarity {
     require(!new java.io.File(indexDir, "codebook").exists(),
       s"$indexDir is an IVF-PQ index (has codebook/) — use appendToIvfPqIndex; " +
         "a float-schema append would corrupt the code-row assignment table")
+    require(graft.sources.Versioned.latestVersion(spark, s"$indexDir/centroids")
+        == graft.sources.Versioned.latestVersion(spark, s"$indexDir/assignment"),
+      s"$indexDir tables out of lockstep — a prior append crashed between " +
+        "commits; run repairIvfIndex, then retry this append")
     val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids")
     // an SQ8 index carries the quantization scale on its centroid rows;
     // its assignment stores codes, so the appended rows must be
@@ -424,6 +428,65 @@ object Similarity {
     val va = appendAssignment(assignedNew, s"$indexDir/assignment")
     require(vc == va, s"index tables diverged: centroids v$vc vs assignment v$va")
     vc
+  }
+
+  /** Repair an IVF / IVF-SQ8 / IVF-PQ index wedged by a crash between
+    * an APPEND's table commits (the [[graft.operators.Retrieval
+    * .repairBm25Index]] discipline applied to the ANN family). An
+    * append re-commits the frozen centroids (and codebook) with
+    * IDENTICAL content before appending the assignment, so the crash
+    * shape is "centroids/codebook ahead by one, content unchanged,
+    * assignment behind" — and because the batch's assignment rows died
+    * with the crashed process, the repair is a catch-up: empty-append
+    * the assignment back into lockstep, leaving the index exactly at
+    * its pre-append state. The caller then re-appends the batch whole
+    * (nothing of it committed — unlike BM25, where postings land first
+    * and repair COMPLETES the append instead).
+    *
+    * Safety gate: the repair verifies the advanced tables' content is
+    * IDENTICAL to their previous version (centroid/codebook tables are
+    * nCentroids/m·ks rows — the comparison is trivial). A crashed
+    * REBUILD leaves the same version shape but with CHANGED content,
+    * and an empty-append "repair" there would silently pair new
+    * centroids with the old corpus's assignment — that shape refuses
+    * loudly; rebuild recovers. A missing/behind centroids table (build
+    * crash) also refuses: the assignment IS the data, nothing to
+    * recompute from. Returns the restored lockstep version; no-op when
+    * intact.
+    */
+  def repairIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String): Long = {
+    import graft.sources.Versioned
+    require(Versioned.exists(spark, s"$indexDir/assignment"),
+      s"$indexDir has no assignment table — a build crashed before its " +
+        "data landed; rebuild the index")
+    val va = Versioned.latestVersion(spark, s"$indexDir/assignment")
+    val heads = Seq("centroids", "codebook")
+      .filter(t => Versioned.exists(spark, s"$indexDir/$t"))
+      .map(t => t -> Versioned.latestVersion(spark, s"$indexDir/$t"))
+    require(heads.nonEmpty, s"$indexDir has no centroids table — not a " +
+      "persisted IVF index")
+    if (heads.forall(_._2 == va)) return va // intact
+    require(heads.forall(h => h._2 == va + 1),
+      s"$indexDir tables are not in the crashed-append shape " +
+        s"(assignment v$va, ${heads.map(h => s"${h._1} v${h._2}")
+          .mkString(", ")}) — no append/build commit order produces " +
+        "this; rebuild into a fresh directory")
+    heads.foreach { case (t, v) =>
+      val now  = Versioned.read(spark, s"$indexDir/$t", Some(v))
+      val prev = Versioned.read(spark, s"$indexDir/$t", Some(v - 1))
+      require(now.exceptAll(prev).isEmpty && prev.exceptAll(now).isEmpty,
+        s"$indexDir/$t v$v CHANGED content vs v${v - 1} — a crashed " +
+          "REBUILD, not a crashed append: an empty-assignment catch-up " +
+          "would pair new centroids with the old assignment; rebuild " +
+          "into a fresh directory")
+    }
+    // catch-up: the assignment gains an empty commit per missing
+    // version, honoring the declared layout — the index lands exactly
+    // at its pre-append state and the caller re-appends the whole batch
+    val empty = Versioned.read(spark, s"$indexDir/assignment", Some(va))
+      .limit(0)
+    appendAssignment(empty, s"$indexDir/assignment")
   }
 
   /** Compact a persisted IVF / IVF-SQ8 / IVF-PQ index after appends:
@@ -467,7 +530,7 @@ object Similarity {
       val va = graft.sources.Versioned.latestVersion(spark, s"$indexDir/assignment")
       require(vc == va, s"index tables out of lockstep (centroids v$vc, " +
         s"assignment v$va) — a build/append crashed between commits; " +
-        "rebuild the index or pin an intact version with asOf")
+        "run repairIvfIndex, or pin an intact version with asOf")
     }
     (graft.sources.Versioned.read(spark, s"$indexDir/centroids", asOf),
      graft.sources.Versioned.read(spark, s"$indexDir/assignment", asOf))
@@ -820,6 +883,11 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
     val spark = batch.sparkSession
+    require(Seq("centroids", "codebook", "assignment")
+        .map(t => graft.sources.Versioned.latestVersion(spark, s"$indexDir/$t"))
+        .distinct.size == 1,
+      s"$indexDir tables out of lockstep — a prior append crashed between " +
+        "commits; run repairIvfIndex, then retry this append")
     val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids")
     val cb = pqResGuard(
       graft.sources.Versioned.read(spark, s"$indexDir/codebook"), residual)
@@ -857,7 +925,7 @@ object Similarity {
         .map(t => graft.sources.Versioned.latestVersion(spark, s"$indexDir/$t"))
       require(vs.distinct.size == 1, s"index tables out of lockstep " +
         s"(centroids v${vs(0)}, codebook v${vs(1)}, assignment v${vs(2)}) — " +
-        "a build/append crashed between commits; rebuild or pin asOf")
+        "a build/append crashed between commits; run repairIvfIndex or pin asOf")
     }
     val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids", asOf)
     val cb = pqResGuard(

@@ -520,6 +520,19 @@ class RetrievalSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("contextTexts materializes exactly the packed spans' tokens, in " +
+      "context-window order") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+    val packed = Seq(
+      (7L, 1L, 3L, 6L, 0.9), (7L, 2L, 1L, 3L, 0.5), (7L, 1L, 8L, 8L, 0.7))
+      .toDF("query_id", "doc_id", "span_start", "span_end", "score")
+    val got = Retrieval.contextTexts(packed, docs, col("doc_id"), col("text"))
+      .select("span_text").as[String].collect().toSeq
+    assert(got == Seq("c d e f", "h", "x y z"),
+      "slices exact, ordered score desc (the context-window order)")
+  }
+
   test("empty term list refuses; no-hit terms return zero rows") {
     val docs = corpus.toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -280,6 +280,63 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(Similarity.queryIvfIndex(spark, idx, q, k = 5, asOf = Some(0L))) == before)
   }
 
+  test("repairIvfIndex: a crashed append catches the assignment up and a " +
+      "re-append lands the batch once; a crashed rebuild refuses") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val initial = e.filter(col("id") % 5 =!= 0)
+    val batch = e.filter(col("id") % 5 === 0)
+    val q = e.filter(col("id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_rep").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "sim")
+        .as[(Long, Long, Double)].collect().toSeq
+
+    Similarity.buildIvfIndex(initial, idx, nCentroids = 8): Unit
+    val before = rows(Similarity.queryIvfIndex(spark, idx, q, k = 5))
+
+    // crash between an append's two commits: the identical centroids
+    // re-committed, the batch's assignment never landed
+    graft.sources.Versioned.overwrite(
+      graft.sources.Versioned.read(spark, s"$idx/centroids"),
+      s"$idx/centroids"): Unit
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.queryIvfIndex(spark, idx, q, k = 5)
+    }
+    assert(e1.getMessage.contains("repairIvfIndex"))
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(batch, idx)
+    }
+
+    // repair = empty catch-up: the index is exactly its pre-append self
+    val vr = Similarity.repairIvfIndex(spark, idx)
+    assert(vr == 1L)
+    assert(rows(Similarity.queryIvfIndex(spark, idx, q, k = 5)) == before)
+    assert(Similarity.repairIvfIndex(spark, idx) == vr) // no-op when intact
+
+    // the caller re-appends the WHOLE batch (nothing of it committed):
+    // exhaustive probe ≡ brute force over the union, batch in ONCE
+    Similarity.appendToIvfIndex(batch, idx): Unit
+    val exhaustive = rows(Similarity.queryIvfIndex(spark, idx, q, k = 5, nProbes = 8))
+    val brute = Similarity.bruteForceTopK(q, e, k = 5)
+      .select(col("query_id"), col("cand_id"), col("sim"))
+      .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
+    assert(exhaustive == rows(brute))
+
+    // a crashed REBUILD (centroid content CHANGED) must refuse — an
+    // empty catch-up would pair new centroids with the old assignment
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_ivf_rep2").toString
+    Similarity.buildIvfIndex(initial, idx2, nCentroids = 8): Unit
+    graft.sources.Versioned.overwrite(
+      graft.sources.Versioned.read(spark, s"$idx2/centroids")
+        .withColumn("cent_norm_sq", col("cent_norm_sq") + 1.0),
+      s"$idx2/centroids"): Unit
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.repairIvfIndex(spark, idx2)
+    }
+    assert(e2.getMessage.contains("CHANGED"))
+  }
+
   test("assignment commits bucketed by centroid: per-centroid work is " +
       "shuffle-free; compactIvfIndex restores layout + probes after appends") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
