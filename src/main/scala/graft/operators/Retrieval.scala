@@ -853,6 +853,36 @@ object Retrieval {
     v
   }
 
+  /** Append a document batch's chunks to the chunk-grain ANN index:
+    * grid from the index's own sidecar (no way to append a mismatched
+    * window), embeddings from the SAME feature-hash encoder (`dim`
+    * must match the build's), then FAISS-add semantics via
+    * [[Similarity.appendToIvfIndex]] (frozen centroids). Assignment
+    * APPENDS keep the grid stamp valid — only rebuilds and compactions
+    * move the overwrite snapshot, and [[compactChunkIvfIndex]]
+    * re-stamps.
+    */
+  def appendToChunkIvfIndex(batch: DataFrame, id: Column, text: Column,
+                            indexDir: String, dim: Int = 64): Long = {
+    val (size, stride) = chunkGrid(batch.sparkSession, indexDir,
+      stampTable = "assignment")
+    Similarity.appendToIvfIndex(
+      Corpus.hashEmbed(chunkKeyed(batch, id, text, size, stride),
+        col("ck"), col("chunk_text"), dim), indexDir)
+  }
+
+  /** Compact the chunk-grain ANN index and RE-STAMP its grid sidecar
+    * at the new overwrite version — the [[compactChunkBm25Index]]
+    * discipline; use this, not the raw [[Similarity.compactIvfIndex]],
+    * on chunk indexes.
+    */
+  def compactChunkIvfIndex(spark: SparkSession, indexDir: String): Long = {
+    val (size, stride) = chunkGrid(spark, indexDir, stampTable = "assignment")
+    val v = Similarity.compactIvfIndex(spark, indexDir)
+    writeChunkGrid(spark, indexDir, size, stride, v)
+    v
+  }
+
   /** HYBRID retrieval at CHUNK grain — the full RAG serving unit: the
     * chunk BM25 index and the chunk ANN index answer the same query
     * batch independently AT CK GRAIN (so a lexical hit and a semantic

@@ -385,6 +385,52 @@ object StreamJobs {
       .start()
   }
 
+  /** Online CHUNK-grain hybrid retrieval — [[hybridSearchStream]] at
+    * the RAG serving grain: each micro-batch of (query_id, terms, vec)
+    * fuses the chunk BM25 and chunk ANN indexes at composite-key grain
+    * and decodes to attributed spans
+    * ([[graft.operators.Retrieval.hybridSearchChunks]] — which also
+    * refuses a grid-mismatched index pair up front, before the stream
+    * starts). Both versions pin at stream start; idempotent
+    * (batch_id)-partitioned sink.
+    */
+  def hybridSearchChunksStream(queryStream: DataFrame, chunkBm25Dir: String,
+                               chunkIvfDir: String, outDir: String,
+                               checkpointDir: String, k: Int = 10,
+                               kEach: Int = 20,
+                               nProbes: Int = 4): StreamingQuery = {
+    val spark = queryStream.sparkSession
+    val pinnedLex = {
+      val vp = graft.sources.Versioned.latestVersion(spark, s"$chunkBm25Dir/postings")
+      val vs = graft.sources.Versioned.latestVersion(spark, s"$chunkBm25Dir/stats")
+      require(vp == vs, s"chunk BM25 index tables out of lockstep " +
+        s"(postings v$vp, stats v$vs) — run repairBm25Index")
+      vp
+    }
+    val pinnedSem = {
+      val vc = graft.sources.Versioned.latestVersion(spark, s"$chunkIvfDir/centroids")
+      val va = graft.sources.Versioned.latestVersion(spark, s"$chunkIvfDir/assignment")
+      require(vc == va, s"chunk IVF index tables out of lockstep " +
+        s"(centroids v$vc, assignment v$va) — run repairIvfIndex")
+      vc
+    }
+    // fail the grid check NOW, not inside the first micro-batch
+    graft.operators.Retrieval.chunkGrid(spark, chunkBm25Dir): Unit
+    graft.operators.Retrieval.chunkGrid(spark, chunkIvfDir,
+      stampTable = "assignment"): Unit
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(
+          graft.operators.Retrieval.hybridSearchChunks(spark, chunkBm25Dir,
+            chunkIvfDir, batch, k, kEach, nProbes,
+            bm25AsOf = Some(pinnedLex), ivfAsOf = Some(pinnedSem)),
+          checkpointDir, batchId, outDir)
+      }
+      .start()
+  }
+
   /** Online classification against a persisted NB model
     * ([[graft.operators.Corpus.buildNbModel]]): each micro-batch of
     * documents pays one scoring pass against the FROZEN model tables —

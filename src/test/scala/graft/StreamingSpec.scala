@@ -670,6 +670,86 @@ class StreamingSpec extends SparkSpec {
       "the pinned index pair must reproduce the pre-append fusion")
   }
 
+  test("streaming chunk-grain hybrid: deliveries ≡ the batch span fusion; " +
+      "appends on both chunk indexes reach a new span while the pinned " +
+      "pair reproduces") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Corpus, Retrieval}
+
+    val work = tmpDir()
+    val bmDir = s"$work/cbm25"
+    val ivDir = s"$work/civf"
+    val filler = (1L to 4L).map(i => (i, Seq.fill(40)("filler").mkString(" ")))
+    val planted = (5L,
+      (Seq.fill(16)("pad") ++ Seq("zebra", "quark", "xylem") ++
+        Seq.fill(29)("pad")).mkString(" "))
+    val docs = (filler :+ planted).toDF("doc_id", "text")
+    Retrieval.buildChunkBm25Index(docs, col("doc_id"), col("text"), bmDir,
+      size = 16, stride = 8): Unit
+    Retrieval.buildChunkIvfIndex(docs, col("doc_id"), col("text"), ivDir,
+      size = 16, stride = 8, dim = 16, nCentroids = 4): Unit
+
+    def withVecs(qs: Seq[(Long, Seq[String])]) = {
+      val raw = qs.toDF("query_id", "terms")
+      raw.join(Corpus.hashEmbed(raw, col("query_id"),
+          concat_ws(" ", col("terms")), dim = 16)
+        .withColumnRenamed("id", "query_id"), Seq("query_id"))
+    }
+    val queries = Seq((900L, Seq("zebra", "quark", "xylem")),
+      (901L, Seq("filler")))
+    // query vectors precomputed by the batch encoder and shipped AS
+    // DATA on the stream (embedding the query is the client's/feature
+    // service's job — a streaming aggregation would need a watermark)
+    val qvecs = withVecs(queries)
+      .select("query_id", "terms", "vec")
+      .as[(Long, Seq[String], Seq[Double])].collect().toSeq
+    var n = 0
+    def deliver(ids: Seq[Long], out: String): Unit = {
+      n += 1
+      val mem = MemoryStream[(Long, Seq[String], Seq[Double])]
+      mem.addData(qvecs.filter(q => ids.contains(q._1)).toIndexedSeq: _*)
+      StreamJobs.hybridSearchChunksStream(
+        mem.toDF().toDF("query_id", "terms", "vec"), bmDir, ivDir,
+        out, s"$work/cckpt$n", k = 5, kEach = 10, nProbes = 4)
+        .awaitTermination()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "chunk_start", "n_rankers", "rrf")
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2, r._3)).toSeq
+
+    deliver(Seq(900L), s"$work/cout1")
+    deliver(Seq(901L), s"$work/cout1")
+    val batch = Retrieval.hybridSearchChunks(spark, bmDir, ivDir,
+      withVecs(queries), k = 5, kEach = 10, nProbes = 4)
+    val expect = rows(batch)
+    assert(expect.exists(r => r._2 == 5L && r._4 == 2L),
+      "the planted span must arrive through BOTH arms")
+    assert(rows(spark.read.parquet(s"$work/cout1")) == expect,
+      "streamed span fusion diverged from the batch pass")
+
+    // append a new doc carrying the planted terms to BOTH chunk
+    // indexes (grids from the sidecars): a fresh stream reaches its
+    // span; the pinned (0,0) pair reproduces the original fusion
+    val batchDocs = Seq((6L, "zebra quark xylem tail tail"))
+      .toDF("doc_id", "text")
+    Retrieval.appendToChunkBm25Index(batchDocs, col("doc_id"), col("text"),
+      bmDir): Unit
+    Retrieval.appendToChunkIvfIndex(batchDocs, col("doc_id"), col("text"),
+      ivDir, dim = 16): Unit
+    deliver(Seq(900L), s"$work/cout2")
+    assert(rows(spark.read.parquet(s"$work/cout2"))
+      .exists(r => r._2 == 6L && r._3 == 1L),
+      "post-append stream must surface the appended doc's span")
+    assert(rows(Retrieval.hybridSearchChunks(spark, bmDir, ivDir,
+        withVecs(queries.take(1)), k = 5, kEach = 10, nProbes = 4,
+        bm25AsOf = Some(0L), ivfAsOf = Some(0L))) ==
+      expect.filter(_._1 == 900L),
+      "the pinned chunk-index pair must reproduce the pre-append fusion")
+  }
+
   test("streaming classification: deliveries ≡ one batch scoring pass; predictions ride the model version pinned at start") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
