@@ -467,12 +467,16 @@ object Similarity {
     require(heads.nonEmpty, s"$indexDir has no centroids table — not a " +
       "persisted IVF index")
     if (heads.forall(_._2 == va)) return va // intact
-    require(heads.forall(h => h._2 == va + 1),
+    // the append commit order is centroids → codebook → assignment, so
+    // a crash leaves a PREFIX of the heads advanced by exactly one
+    // (centroids alone, or centroids + codebook) and the rest behind
+    require(heads.forall(h => h._2 == va || h._2 == va + 1) &&
+        heads.head._2 == va + 1,
       s"$indexDir tables are not in the crashed-append shape " +
         s"(assignment v$va, ${heads.map(h => s"${h._1} v${h._2}")
           .mkString(", ")}) — no append/build commit order produces " +
         "this; rebuild into a fresh directory")
-    heads.foreach { case (t, v) =>
+    heads.filter(_._2 == va + 1).foreach { case (t, v) =>
       val now  = Versioned.read(spark, s"$indexDir/$t", Some(v))
       val prev = Versioned.read(spark, s"$indexDir/$t", Some(v - 1))
       require(now.exceptAll(prev).isEmpty && prev.exceptAll(now).isEmpty,
@@ -481,9 +485,16 @@ object Similarity {
           "would pair new centroids with the old assignment; rebuild " +
           "into a fresh directory")
     }
-    // catch-up: the assignment gains an empty commit per missing
-    // version, honoring the declared layout — the index lands exactly
-    // at its pre-append state and the caller re-appends the whole batch
+    // catch-up: lagging heads re-commit their unchanged content (a
+    // crash after the centroids alone left the codebook behind) and
+    // the assignment gains an empty commit, honoring the declared
+    // layout — the index lands exactly at its pre-append state and the
+    // caller re-appends the whole batch
+    heads.filter(_._2 == va).foreach { case (t, v) =>
+      Versioned.overwrite(
+        Versioned.read(spark, s"$indexDir/$t", Some(v)),
+        s"$indexDir/$t"): Unit
+    }
     val empty = Versioned.read(spark, s"$indexDir/assignment", Some(va))
       .limit(0)
     appendAssignment(empty, s"$indexDir/assignment")

@@ -335,6 +335,21 @@ class SimilaritySpec extends SparkSpec {
       Similarity.repairIvfIndex(spark, idx2)
     }
     assert(e2.getMessage.contains("CHANGED"))
+
+    // IVF-PQ triple, crash after the CENTROIDS alone (codebook and
+    // assignment both behind): repair re-commits the lagging codebook
+    // and catches the assignment up — probes answer exactly as before
+    val idx3 = java.nio.file.Files.createTempDirectory("graft_pq_rep").toString
+    Similarity.buildIvfPqIndex(initial, idx3, nCentroids = 8): Unit
+    def pqRows() = Similarity.queryIvfPqIndex(spark, idx3, q, k = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val pqBefore = pqRows()
+    graft.sources.Versioned.overwrite(
+      graft.sources.Versioned.read(spark, s"$idx3/centroids"),
+      s"$idx3/centroids"): Unit
+    intercept[IllegalArgumentException] { pqRows() }
+    assert(Similarity.repairIvfIndex(spark, idx3) == 1L)
+    assert(pqRows() == pqBefore)
   }
 
   test("assignment commits bucketed by centroid: per-centroid work is " +
