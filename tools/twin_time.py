@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Time the DuckDB oracle twins — the denominator of the engine-vs-
+DuckDB ratio (VERDICT's 2x gate). Reads oracle_sql.json from a
+graft.Verify output dir, runs each statement against the same parquet
+tables (min of 2 runs, matching Bench's warm discipline), prints one
+JSON line.
+
+Usage: tools/twin_time.py <sfDir> <verifyOutDir>
+"""
+import sys, json, time
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, vout = sys.argv[1], sys.argv[2]
+    oracle = json.load(open(f"{vout}/oracle_sql.json"))
+    con = duckdb.connect()
+    con.execute(f"SET threads TO 32")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf_dir}/{t}.parquet')")
+    times = {}
+    for name in sorted(oracle):
+        sql = oracle[name]
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 4)
+    print(json.dumps({"metric": "duckdb_twin_total",
+                      "value": round(sum(times.values()), 2),
+                      "unit": "sec", "queries": times,
+                      "sf": sf_dir.rstrip("/").split("/")[-1]}))
+
+
+if __name__ == "__main__":
+    main()
