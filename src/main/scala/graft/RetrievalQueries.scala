@@ -637,6 +637,65 @@ object RetrievalQueries {
        |ORDER BY query_id, score DESC, doc_id, span_start""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] pseudo-relevance-feedback expansion (RM3-style, Lavrenko &
+  // Croft 2001; uniform-weight requery) — rank 'dup' once, mine the
+  // top-5 docs' postings for the 3 highest-mass co-occurring terms
+  // (tf/dl weighted by feedback score, DECIMAL-exact cut), re-rank with
+  // the expanded set. Index-only end to end; the oracle replays the
+  // feedback ranking, the term mining, and the requery in ONE statement.
+  def q174Rm3Expand(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.rm3Expand(spark, cachedBm25(spark, dir), Seq("dup"),
+      k = 20, kFb = 5, nExp = 3)
+
+  private val q174Sql = {
+    val bmTerm = (tfRel: String) =>
+      s"""    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |      * (CAST($tfRel.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |      / (CAST($tfRel.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |          * (0.25 + 0.75 * CAST($tfRel.dl AS DOUBLE)
+         |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |alltf AS (
+       |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+       |  GROUP BY 1, 2, 3),
+       |tf0 AS (SELECT * FROM alltf WHERE tok IN ('dup')),
+       |dfs0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf0 GROUP BY 1),
+       |term0 AS (
+       |  SELECT tf0.doc_id,
+       |${bmTerm("tf0")} AS t
+       |  FROM tf0 JOIN dfs0 USING (tok) CROSS JOIN stats),
+       |fb AS (
+       |  SELECT doc_id, CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
+       |  FROM term0 GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id ASC LIMIT 5),
+       |wexp AS (
+       |  SELECT tok,
+       |    sum(CAST((CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) * score
+       |        AS DECIMAL(27,10))) AS w
+       |  FROM alltf JOIN fb USING (doc_id)
+       |  WHERE tok NOT IN ('dup')
+       |  GROUP BY tok ORDER BY w DESC, tok ASC LIMIT 3),
+       |qt AS (SELECT tok FROM wexp UNION SELECT 'dup' AS tok),
+       |tf1 AS (SELECT alltf.* FROM alltf JOIN qt USING (tok)),
+       |dfs1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY 1),
+       |term1 AS (
+       |  SELECT tf1.doc_id,
+       |${bmTerm("tf1")} AS t
+       |  FROM tf1 JOIN dfs1 USING (tok) CROSS JOIN stats)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
+       |FROM term1 GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // [EXT] RAG context materialization — the packed spans fetched as the
   // STRINGS a prompt mounts: q170's coordinates join back to the corpus
   // (spans broadcast onto the scan) and each span slices its tokens
@@ -825,7 +884,8 @@ object RetrievalQueries {
     "q170_context_pack" -> (q170ContextPack _),
     "q171_hybrid_pq_rerank" -> (q171HybridPqRerank _),
     "q172_bm25_many_part" -> (q172Bm25ManyPart _),
-    "q173_context_text" -> (q173ContextText _))
+    "q173_context_text" -> (q173ContextText _),
+    "q174_rm3_expand" -> (q174Rm3Expand _))
 
   val oracle: Map[String, String] = Map(
     "q146_bm25"         -> q146Sql,
@@ -842,5 +902,6 @@ object RetrievalQueries {
     "q171_hybrid_pq_rerank" -> q171Sql,
     // the partition layout scores identically to the bucketed index
     "q172_bm25_many_part" -> q153Sql,
-    "q173_context_text" -> q173Sql)
+    "q173_context_text" -> q173Sql,
+    "q174_rm3_expand" -> q174Sql)
 }

@@ -493,6 +493,51 @@ object Retrieval {
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (RM3-style — Lavrenko &
+    * Croft's relevance models, SIGIR 2001; the uniform-weight requery
+    * simplification): rank once, treat the top `kFb` documents as
+    * pseudo-relevant, mine their INDEX POSTINGS for the `nExp`
+    * highest-mass expansion terms (mass(w) = Σ_fb tf(w,d)/dl(d) ·
+    * score(d) — term likelihood weighted by document relevance, summed
+    * in DECIMAL so the cut replays exactly), and re-rank with the
+    * original ∪ expansion term set. The synonym-bridge effect: a
+    * document sharing NO original term surfaces when it shares the
+    * feedback set's vocabulary.
+    *
+    * Everything is index-only — the feedback pass, the term mining
+    * (feedback doc ids broadcast ONTO the postings scan), and the
+    * requery (the expanded set is DATA, so it rides the dynamic-term
+    * [[queryBm25IndexMany]] machinery — on a partition-layout index the
+    * requery DPP-prunes like any dynamic batch); no text is re-read
+    * and nothing is collected to the driver. Output:
+    * (doc_id, n_terms, score) top-k under the expanded query.
+    */
+  def rm3Expand(spark: SparkSession, indexDir: String, terms: Seq[String],
+                k: Int, kFb: Int = 5, nExp: Int = 5,
+                k1: Double = K1, b: Double = B,
+                asOf: Option[Long] = None): DataFrame = {
+    require(kFb > 0 && nExp >= 0, s"need kFb > 0, nExp >= 0")
+    val fb = queryBm25Index(spark, indexDir, terms, kFb, k1, b, asOf)
+      .select(col("doc_id"), col("score"))
+    val posts = Versioned.read(spark, s"$indexDir/postings", asOf)
+    val expansion = posts
+      .join(broadcast(fb), Seq("doc_id"))
+      .filter(!col("tok").isInCollection(terms))
+      .groupBy(col("tok"))
+      .agg(sum(((col("tf").cast("double") / col("dl").cast("double")) *
+        col("score")).cast("decimal(27,10)")).as("w"))
+      .orderBy(col("w").desc, col("tok").asc)
+      .limit(nExp)
+    import spark.implicits._
+    val expanded = expansion.select(col("tok"))
+      .unionByName(terms.toDF("tok"))
+      .agg(collect_set(col("tok")).as("terms"))
+      .select(lit(0L).as("query_id"), col("terms"))
+    queryBm25IndexMany(spark, indexDir, expanded, k, k1, b, asOf)
+      .select(col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
   /** Exact-phrase search from the positional index: documents
     * containing the phrase as ADJACENT tokens in order, with occurrence
     * counts, ranked (n_occur desc, doc_id asc). Index-only — touches

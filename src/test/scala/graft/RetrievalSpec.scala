@@ -520,6 +520,39 @@ class RetrievalSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("rm3Expand: the synonym bridge — a doc sharing NO original term " +
+      "surfaces through feedback expansion; a no-hit query degrades to " +
+      "empty, not garbage") {
+    val docs = Seq(
+      (1L, "zebra stripes savanna grass"),
+      (2L, "zebra stripes herd"),
+      (3L, "stripes stripes pattern"),      // no 'zebra' — the bridge target
+      (4L, "unrelated filler words here"),
+      (5L, "more filler and unrelated text"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rm3").toString
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), dir): Unit
+
+    val plain = Retrieval.queryBm25Index(spark, dir, Seq("zebra"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(1L, 2L), "only the literal matches before expansion")
+
+    val expanded = Retrieval.rm3Expand(spark, dir, Seq("zebra"), k = 10,
+      kFb = 2, nExp = 2)
+    val got = expanded.select("doc_id").as[Long].collect().toSet
+    assert(got.contains(3L),
+      "feedback expansion must bridge to the stripes-only doc")
+    assert(!got.contains(4L) && !got.contains(5L),
+      "expansion mines the FEEDBACK docs' vocabulary, not the corpus's")
+    // the original term still matters: zebra docs carry 2 matched terms
+    val byDoc = expanded.select("doc_id", "n_terms")
+      .as[(Long, Long)].collect().toMap
+    assert(byDoc(1L) >= 2L && byDoc(3L) >= 1L)
+
+    // no feedback hits → no expansion → empty result, no fabrication
+    assert(Retrieval.rm3Expand(spark, dir, Seq("absent_token"), 10).count() == 0L)
+  }
+
   test("contextTexts materializes exactly the packed spans' tokens, in " +
       "context-window order") {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "x y z"))
