@@ -70,6 +70,7 @@ object DailyMaintenance {
     s"$work/bm25/postings", s"$work/bm25/stats",
     s"$work/chunks/postings", s"$work/chunks/stats",
     s"$work/ivf/centroids", s"$work/ivf/assignment",
+    s"$work/chunk_ivf/centroids", s"$work/chunk_ivf/assignment",
     s"$work/bpe_model/merges", s"$work/bpe_model/vocab",
     s"$work/nb_model/model", s"$work/nb_model/priors",
     s"$work/runs", s"$work/claims")
@@ -149,6 +150,27 @@ object DailyMaintenance {
       else
         Similarity.appendToIvfIndex(vecs, s"$work/ivf"): Unit
     }),
+    // the chunk ANN index — the semantic half of the chunk-grain hybrid
+    // pair the RAG stack serves ([[graft.operators.Retrieval
+    // .hybridSearchChunks]] needs BOTH chunk indexes on the SAME grid);
+    // same grid-health routing and first-build self-heal as chunk_append
+    "chunk_ivf_append" -> (() => {
+      val dir = s"$work/chunk_ivf"
+      if (!Versioned.exists(spark, s"$dir/centroids"))
+        Retrieval.buildChunkIvfIndex(batch, col("doc_id"), col("text"),
+          dir, size = 32, stride = 16): Unit
+      else if (Retrieval.chunkGridHealthy(spark, dir,
+          stampTable = "assignment"))
+        Retrieval.appendToChunkIvfIndex(batch, col("doc_id"), col("text"),
+          dir): Unit
+      else if (Versioned.history(spark, s"$dir/assignment")
+          .forall(_._1 == 0L))
+        Retrieval.buildChunkIvfIndex(batch, col("doc_id"), col("text"),
+          dir, size = 32, stride = 16): Unit
+      else sys.error(s"$dir grid sidecar is untrusted and the assignment " +
+        "holds more than the first build — rebuild the chunk ANN index " +
+        "manually from the full corpus")
+    }),
     // model maintenance — the LONGER cadence (every `retrainEvery`
     // boundaries, day 0 included): retrain the BPE tokenizer and the NB
     // gate the pipeline serves. Each retrain is a fresh lockstep
@@ -181,6 +203,11 @@ object DailyMaintenance {
     "ivf_compact" -> (() => {
       if (appendDebt(spark, s"$work/ivf/assignment") >= compactEvery)
         Similarity.compactIvfIndex(spark, s"$work/ivf"): Unit
+    }),
+    "chunk_ivf_compact" -> (() => {
+      if (appendDebt(spark, s"$work/chunk_ivf/assignment") >= compactEvery)
+        // re-stamps the grid sidecar at the new overwrite version
+        Retrieval.compactChunkIvfIndex(spark, s"$work/chunk_ivf"): Unit
     }),
     "vacuum" -> (() => {
       // the scheduler's own history accrues one tiny append per

@@ -366,8 +366,9 @@ class SchedulerSpec extends SparkSpec {
       .filter(col("ok")).select("boundary_ms", "stage")
       .as[(Long, String)].collect().toSet
     val stageNames = Seq("curate", "signal_state", "bm25_append",
-      "chunk_append", "ivf_append", "bm25_compact", "chunk_compact",
-      "ivf_compact", "vacuum", Scheduler.CoveredStage)
+      "chunk_append", "ivf_append", "chunk_ivf_append", "bpe_retrain",
+      "nb_retrain", "bm25_compact", "chunk_compact", "ivf_compact",
+      "chunk_ivf_compact", "vacuum", Scheduler.CoveredStage)
     for (k <- 0 until 3; s <- stageNames)
       assert(hist.contains(((9 + k) * Day, s)), s"missing ok row: day $k, $s")
 
@@ -379,6 +380,33 @@ class SchedulerSpec extends SparkSpec {
       Versioned.latestVersion(spark, s"$work/chunks/stats"))
     assert(Versioned.latestVersion(spark, s"$work/ivf/centroids") ==
       Versioned.latestVersion(spark, s"$work/ivf/assignment"))
+    assert(Versioned.latestVersion(spark, s"$work/chunk_ivf/centroids") ==
+      Versioned.latestVersion(spark, s"$work/chunk_ivf/assignment"))
+    // the maintained chunk pair serves the hybrid: under exhaustive
+    // probes the ANN arm is exact regardless of where the day-0
+    // centroids froze, so the maintained pair's fused answers equal a
+    // FRESH pair built over the 3-day union on the same grid
+    locally {
+      val fresh = java.nio.file.Files.createTempDirectory("graft-daily-h").toString
+      val union = docs.filter(col("doc_id") < 300)
+      graft.operators.Retrieval.buildChunkBm25Index(union, col("doc_id"),
+        col("text"), s"$fresh/chunks", size = 32, stride = 16): Unit
+      graft.operators.Retrieval.buildChunkIvfIndex(union, col("doc_id"),
+        col("text"), s"$fresh/chunk_ivf", size = 32, stride = 16): Unit
+      val qraw = Seq((900000001L, Seq("dup", "spark")))
+        .toDF("query_id", "terms")
+      val queries = qraw.join(
+        graft.operators.Corpus.hashEmbed(qraw, col("query_id"),
+          concat_ws(" ", col("terms"))).withColumnRenamed("id", "query_id"),
+        Seq("query_id"))
+      def fused(chunks: String, civf: String) =
+        graft.operators.Retrieval.hybridSearchChunks(spark, chunks, civf,
+          queries, k = 10, kEach = 20, nProbes = 16)
+          .collect().map(_.toSeq).toSeq
+      assert(fused(s"$work/chunks", s"$work/chunk_ivf") ==
+        fused(s"$fresh/chunks", s"$fresh/chunk_ivf"),
+        "maintained chunk pair must serve the same fused spans as a fresh build")
+    }
     assert(graft.operators.Corpus.signalStateVersion(spark, s"$work/signals") == 2,
       "signal state: day-0 build + two appends")
 
