@@ -298,8 +298,12 @@ object Retrieval {
     * IS the batch the crashed append was accounting for. Stats then
     * commit at the expected version until the tables are back in
     * lockstep — a gap of two crashed appends catches up with
-    * content-identical commits. A pre-crash consumer pinned via asOf
-    * is never affected.
+    * content-identical commits (the full delta lands in the FIRST
+    * repair commit, so intermediate versions inside a multi-crash gap
+    * pair slightly-ahead stats with their postings snapshot — those
+    * versions never existed as consistent pairs anyway; pin at or
+    * before the gap, or at the repaired head). A pre-crash consumer
+    * pinned via asOf is never affected.
     *
     * NOT covered: a chunk-grain index whose BUILD crashed before the
     * grid sidecar landed — the window grid lived only in the crashed
