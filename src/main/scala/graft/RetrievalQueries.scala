@@ -637,6 +637,45 @@ object RetrievalQueries {
        |ORDER BY query_id, score DESC, doc_id, span_start""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] Dirichlet query-likelihood retrieval (Zhai & Lafferty 2001) —
+  // the second classic ranker over the SAME inverted index: candidates
+  // match ≥1 query term, each scored with the full smoothed likelihood
+  // over every term (unmatched terms contribute their smoothing mass).
+  // The oracle replays cf, the candidate grid, and the DECIMAL-exact
+  // log-likelihood sums.
+  def q175QlIndex(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.queryQlIndex(spark, cachedBm25(spark, dir), bmTerms, k = 20)
+
+  private val q175Sql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+      |tf AS (
+      |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+      |  WHERE tok IN ('dup', 'spark', 'hash')
+      |  GROUP BY 1, 2, 3),
+      |cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+      |cand AS (SELECT DISTINCT doc_id, dl FROM tf),
+      |sc AS (
+      |  SELECT c.doc_id,
+      |    CASE WHEN t.tf IS NULL THEN 0 ELSE 1 END AS matched,
+      |    ln((CAST(coalesce(t.tf, 0) AS DOUBLE)
+      |        + 2000.0 * (CAST(q.cf AS DOUBLE) / CAST(sum_dl AS DOUBLE)))
+      |       / (CAST(c.dl AS DOUBLE) + 2000.0)) AS s
+      |  FROM cand c CROSS JOIN cf q
+      |  LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.tok = q.tok
+      |  CROSS JOIN stats)
+      |SELECT doc_id, CAST(sum(matched) AS BIGINT) AS n_terms,
+      |  CAST(sum(CAST(s AS DECIMAL(27,10))) AS DOUBLE) AS score
+      |FROM sc GROUP BY doc_id
+      |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
   // [EXT] pseudo-relevance-feedback expansion (RM3-style, Lavrenko &
   // Croft 2001; uniform-weight requery) — rank 'dup' once, mine the
   // top-5 docs' postings for the 3 highest-mass co-occurring terms
@@ -885,7 +924,8 @@ object RetrievalQueries {
     "q171_hybrid_pq_rerank" -> (q171HybridPqRerank _),
     "q172_bm25_many_part" -> (q172Bm25ManyPart _),
     "q173_context_text" -> (q173ContextText _),
-    "q174_rm3_expand" -> (q174Rm3Expand _))
+    "q174_rm3_expand" -> (q174Rm3Expand _),
+    "q175_ql_index" -> (q175QlIndex _))
 
   val oracle: Map[String, String] = Map(
     "q146_bm25"         -> q146Sql,
@@ -903,5 +943,6 @@ object RetrievalQueries {
     // the partition layout scores identically to the bucketed index
     "q172_bm25_many_part" -> q153Sql,
     "q173_context_text" -> q173Sql,
-    "q174_rm3_expand" -> q174Sql)
+    "q174_rm3_expand" -> q174Sql,
+    "q175_ql_index" -> q175Sql)
 }

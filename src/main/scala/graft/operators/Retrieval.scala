@@ -497,6 +497,65 @@ object Retrieval {
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    * SIGIR 2001) — the second classic ranker beside BM25, over the SAME
+    * inverted index: score(q,d) = Σ_{w∈q} ln((tf(w,d) + μ·P(w|C)) /
+    * (dl + μ)), with the collection model P(w|C) = cf(w)/|C| and
+    * μ = 2000 the published default. Candidates are documents matching
+    * ≥1 query term (standard inverted-index behavior), each scored with
+    * the FULL smoothed likelihood over every query term — an unmatched
+    * term contributes its smoothing mass, so long documents do not get
+    * a free ride on partial matches. Query terms absent from the corpus
+    * drop (their collection probability is zero — the standard
+    * treatment). Per-doc sums ride DECIMAL(27,10), so the double scores
+    * replay exactly in SQL.
+    *
+    * Scale shape: identical to [[queryBm25Index]] — the probe touches
+    * only the query terms' postings (bucket/shard-pruned by layout);
+    * cf and the candidate set both derive from that pruned slice; the
+    * candidate × term grid is |cand|·|terms| rows with the |terms|-row
+    * cf table broadcast. Output: (doc_id, n_terms, score) top-k by
+    * (score desc, doc_id asc); n_terms counts MATCHED terms.
+    */
+  def queryQlIndex(spark: SparkSession, indexDir: String,
+                   terms: Seq[String], k: Int, mu: Double = 2000.0,
+                   asOf: Option[Long] = None): DataFrame = {
+    require(terms.nonEmpty, "QL needs at least one query term")
+    require(mu > 0, s"Dirichlet mu must be positive, got $mu")
+    if (asOf.isEmpty) {
+      val vp = Versioned.latestVersion(spark, s"$indexDir/postings")
+      val vs = Versioned.latestVersion(spark, s"$indexDir/stats")
+      require(vp == vs, s"BM25 index tables out of lockstep (postings v$vp, " +
+        s"stats v$vs) — an append or build crashed between commits; run " +
+        "repairBm25Index, or pin an intact version with asOf")
+    }
+    // the pruned slice feeds cf, the candidate set, AND the tf join —
+    // stage it (≤ |terms| rows per matching doc, the bm25Scores rule)
+    val pruned = shardPruned(spark, indexDir,
+        Versioned.read(spark, s"$indexDir/postings", asOf), terms, asOf)
+      .filter(col("tok").isInCollection(terms))
+      .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
+      .localCheckpoint(eager = false)
+    val stats = Versioned.read(spark, s"$indexDir/stats", asOf)
+    val cf = pruned.groupBy(col("tok")).agg(sum(col("tf")).as("cf"))
+    val cand = pruned.select(col("doc_id"), col("dl")).distinct()
+    cand.crossJoin(broadcast(cf))
+      .join(pruned.select(col("doc_id"), col("tok"), col("tf")),
+        Seq("doc_id", "tok"), "left")
+      .crossJoin(stats)
+      .withColumn("__s", log(
+        (coalesce(col("tf"), lit(0L)).cast("double") +
+          lit(mu) * (col("cf").cast("double") / col("sum_dl").cast("double"))) /
+        (col("dl").cast("double") + lit(mu))))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("tf").isNotNull, 1L).otherwise(0L)).as("n_terms"),
+        sum(col("__s").cast("decimal(27,10)")).as("__sc"))
+      .select(col("doc_id"), col("n_terms"),
+        col("__sc").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Pseudo-relevance-feedback query expansion (RM3-style — Lavrenko &
     * Croft's relevance models, SIGIR 2001; the uniform-weight requery
     * simplification): rank once, treat the top `kFb` documents as

@@ -520,6 +520,52 @@ class RetrievalSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("queryQlIndex matches the hand Dirichlet formula; unmatched query " +
+      "terms charge their smoothing mass; a third ranker fuses") {
+    val docs = corpus.toDF("doc_id", "text") // reuses the BM25 fixture
+    val dir = java.nio.file.Files.createTempDirectory("qlidx").toString
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), dir): Unit
+    val terms = Seq("spark", "rare")
+    val mu = 100.0
+
+    // plain-Scala reference, straight off Zhai & Lafferty
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val bigC = toks.values.map(_.size).sum.toDouble
+    val cf = terms.map(w => w -> toks.values.map(_.count(_ == w)).sum.toDouble).toMap
+    def ref(id: Long): Double = terms.map { w =>
+      val tf = toks(id).count(_ == w).toDouble
+      BigDecimal(math.log((tf + mu * cf(w) / bigC) / (toks(id).size + mu)))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+
+    val got = Retrieval.queryQlIndex(spark, dir, terms, 10, mu = mu)
+      .as[(Long, Long, Double)].collect().toSeq
+    // candidates = docs matching ≥1 term: 1, 2 (doc 3 has neither,
+    // doc 4 has neither)
+    assert(got.map(_._1).toSet == Set(1L, 2L))
+    for ((id, nt, s) <- got) {
+      assert(math.abs(s - ref(id)) < 1e-9, s"doc $id: $s vs ${ref(id)}")
+      assert(nt == terms.count(w => toks(id).contains(w)))
+    }
+    // doc 2 ("rare spark") matches both and is short → it must outrank
+    // doc 1 (matches spark only; rare charges smoothing mass)
+    assert(got.head._1 == 2L)
+
+    // three rankers fuse: BM25, QL, and the phrase ranking all surface
+    // doc 1 — the fused row carries n_rankers = 3
+    def arm(df: org.apache.spark.sql.DataFrame, score: String) =
+      df.select(lit(0L).as("query_id"), col("doc_id"),
+        col(score).cast("double").as("score"))
+    val fused = Retrieval.rrfFuse(Seq(
+      arm(Retrieval.queryBm25Index(spark, dir, Seq("spark"), 10), "score"),
+      arm(Retrieval.queryQlIndex(spark, dir, Seq("spark"), 10), "score"),
+      arm(Retrieval.phraseSearch(spark, dir, Seq("spark", "shuffle"), 10),
+        "n_occur")), k = 5)
+    val byDoc = fused.select("doc_id", "n_rankers")
+      .as[(Long, Long)].collect().toMap
+    assert(byDoc(1L) == 3L, "doc 1 must arrive through all three rankers")
+  }
+
   test("rm3Expand: the synonym bridge — a doc sharing NO original term " +
       "surfaces through feedback expansion; a no-hit query degrades to " +
       "empty, not garbage") {
