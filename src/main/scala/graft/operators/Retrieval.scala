@@ -1091,7 +1091,15 @@ object Retrieval {
     val lengths = docs.select(id.as("doc_id"),
       org.apache.spark.sql.functions.size(TextOps.tokens(text))
         .cast("long").as("__n_tok"))
+    // a span starting past its document's end means the fused ranking
+    // and the corpus DISAGREE (stale index, wrong corpus): refuse
+    // loudly — clipping it would yield a negative-length span whose
+    // negative token count silently corrupts the budget accounting
     val clipped = lengths.join(broadcast(spans), Seq("doc_id"))
+      .filter(assert_true(col("span_start") <= col("__n_tok"),
+        lit("context span starts past its document's end — the fused " +
+          "ranking and the corpus disagree (stale chunk index or wrong " +
+          "corpus); rebuild the index against this corpus")).isNull)
       .select(col("query_id"), col("doc_id"), col("span_start"),
         least(col("__span_end0"), col("__n_tok")).as("span_end"),
         col("n_chunks"), col("score"))

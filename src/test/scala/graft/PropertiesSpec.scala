@@ -332,4 +332,84 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: hashEmbed is linear in the token multiset and every " +
+      "token contributes exactly one ±1 cell") {
+    val tokGen = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    forSamples(Gen.zip(Gen.listOfN(6, tokGen), Gen.listOfN(6, tokGen)),
+        n = 6) { case (a, b) =>
+      val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")),
+        (3L, (a ++ b).mkString(" ")))
+        .toDF("doc_id", "text")
+      val v = graft.operators.Corpus.hashEmbed(docs, col("doc_id"),
+          col("text"), dim = 8)
+        .as[(Long, Seq[Double])].collect().toMap
+      // linearity: v(a ⊎ b) = v(a) + v(b) componentwise, exactly
+      assert(v(3L) == v(1L).zip(v(2L)).map { case (x, y) => x + y })
+      // mass conservation: Σ|cells| ≤ token count, ≡ mod 2 alignment
+      // (opposite-sign collisions cancel in pairs)
+      val mass = v(1L).map(math.abs).sum
+      assert(mass <= a.size && (a.size - mass) % 2 == 0)
+    }
+  }
+
+  test("property: assembleContext spans are disjoint per (query, doc), " +
+      "in-bounds, budget-bounded, and cover every surviving chunk") {
+    val lens = Map(1L -> 30L, 2L -> 45L, 3L -> 60L)
+    val chunkGen = Gen.zip(Gen.choose(1L, 3L),            // doc_id
+      Gen.choose(0, 6).map(i => 1L + 8 * i),              // chunk_start grid
+      Gen.choose(1, 1000).map(_ / 1000.0))                // rrf
+    forSamples(Gen.listOfN(10, chunkGen), n = 8) { raw =>
+      val fused = raw.distinctBy(c => (c._1, c._2))
+        // a real retrieval never emits a chunk past its doc's end —
+        // assembleContext refuses those loudly (asserted below)
+        .filter(c => c._2 <= lens(c._1))
+        .map { case (d, s, r) => (7L, d, s, r) }
+      if (fused.nonEmpty) {
+        val docs = Seq((1L, 30), (2L, 45), (3L, 60))
+          .map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+          .toDF("doc_id", "text")
+        val got = graft.operators.Retrieval.assembleContext(
+            fused.toDF("query_id", "doc_id", "chunk_start", "rrf"),
+            docs, col("doc_id"), col("text"),
+            size = 16, budget = 64, maxPerDoc = 3)
+          .as[(Long, Long, Long, Long, Long, Double, Long)].collect().toSeq
+        // budget and bounds
+        assert(got.forall(_._7 <= 64L), s"budget exceeded: $got")
+        got.foreach { r =>
+          assert(r._3 >= 1L && r._4 <= lens(r._2) && r._3 <= r._4,
+            s"span out of bounds: $r")
+        }
+        // disjoint per (query, doc): sorted spans never overlap or touch
+        got.groupBy(_._2).values.foreach { spans =>
+          spans.sortBy(_._3).sliding(2).foreach {
+            case Seq(x, y) => assert(y._3 > x._4 + 1,
+              s"spans must be disjoint and non-adjacent after merge: $x $y")
+            case _ =>
+          }
+        }
+        // every emitted span covers at least one input chunk's start
+        val starts = fused.map(c => (c._2, c._3)).toSet
+        got.foreach { r =>
+          assert(starts.exists { case (d, s) =>
+            d == r._2 && s >= r._3 && s <= r._4 },
+            s"span covers no input chunk: $r")
+        }
+      }
+    }
+    // a chunk starting past its document's end = ranking/corpus
+    // disagreement — refused loudly, never a negative-length span
+    // (found by this property's first run: the clip used to emit a
+    // span of negative token count that corrupted the budget cumsum)
+    val docs = Seq((1L, Seq.fill(10)("w").mkString(" "))).toDF("doc_id", "text")
+    val bad = Seq((7L, 1L, 49L, 0.9))
+      .toDF("query_id", "doc_id", "chunk_start", "rrf")
+    val e = intercept[Exception] {
+      graft.operators.Retrieval.assembleContext(bad, docs, col("doc_id"),
+        col("text"), size = 16, budget = 64).collect()
+    }
+    assert(e.getMessage.contains("past its document's end") ||
+      Option(e.getCause).exists(_.getMessage.contains("past its document's end")))
+  }
 }
