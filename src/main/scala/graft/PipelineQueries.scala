@@ -1492,6 +1492,26 @@ object PipelineQueries {
   def q165BpeTrainerExport(spark: SparkSession, dir: String): DataFrame =
     bpeTrainerManifest(spark, dir, cachedBpeModel(spark, dir), budget = 512)
 
+  // ---------------------------------------------------------------------
+  // [EXT] BPE round-trip — decode(encode(corpus)) ≡ the raw corpus:
+  // every document encodes to its model-id stream against the persisted
+  // tokenizer and decodes back through the vocabulary, and the output
+  // must hash-match the documents table ITSELF (the strongest possible
+  // oracle: one line of SQL, zero replayed machinery). Proves the
+  // segmentation partitions every word's characters, the vocabulary
+  // covers every symbol, and the (word_pos, sym_pos) stream carries
+  // enough order to reconstruct text exactly — the detokenization
+  // contract a trainer's sample-inspection path relies on.
+  def q176BpeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val mdl = cachedBpeModel(spark, dir)
+    val ids = Bpe.encodeIdsWithModel(spark, mdl,
+      Tables.documents(spark, dir), col("doc_id"), col("text"))
+    Bpe.decodeIdsWithModel(spark, mdl, ids).orderBy(col("doc_id"))
+  }
+
+  private val q176Sql =
+    "SELECT doc_id, text FROM documents ORDER BY doc_id"
+
   private val q165Sql =
     s"""WITH ${bpeChainSql(bpeK)},
        |enc AS (
@@ -1731,7 +1751,8 @@ object PipelineQueries {
     "q155_bpe_vocab"        -> (q155BpeVocab _),
     "q156_bpe_ids"          -> (q156BpeIds _),
     "q164_bpe_model_ids"    -> (q164BpeModelIds _),
-    "q165_bpe_trainer_export" -> (q165BpeTrainerExport _))
+    "q165_bpe_trainer_export" -> (q165BpeTrainerExport _),
+    "q176_bpe_roundtrip" -> (q176BpeRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -1771,5 +1792,6 @@ object PipelineQueries {
     "q156_bpe_ids"          -> q156Sql,
     // the persisted-tokenizer probe replays q156's inline pipeline
     "q164_bpe_model_ids"    -> q156Sql,
-    "q165_bpe_trainer_export" -> q165Sql)
+    "q165_bpe_trainer_export" -> q165Sql,
+    "q176_bpe_roundtrip" -> q176Sql)
 }

@@ -359,6 +359,44 @@ object Bpe {
     encodeIds(docs, id, text, merges, vocabDf, byteLevel)
   }
 
+  /** Inverse of [[encodeIds]] — DETOKENIZATION, the decode a trainer
+    * uses to inspect samples or export text from an id stream: ids join
+    * the vocabulary back to symbols (an equality join against the
+    * vocabulary-sized table), symbols concatenate per word in sym_pos
+    * order (BPE segmentation PARTITIONS the word's characters, so the
+    * concat reconstructs the word exactly), words join with single
+    * spaces in word_pos order. decode(encode(x)) ≡ x for char-level
+    * models (q176 proves it corpus-wide against the raw documents
+    * table — the oracle is `SELECT doc_id, text FROM documents`).
+    * Byte-level decode would additionally need the bytes_to_unicode
+    * inverse — refused until wired, rather than emitting mojibake.
+    *
+    * Input: the [[encodeIds]] stream (doc_id, word_pos, sym_pos,
+    * tok_id). Output: (doc_id, text).
+    */
+  def decodeIds(ids: DataFrame, vocabDf: DataFrame): DataFrame =
+    ids.select(col("doc_id"), col("word_pos"), col("sym_pos"), col("tok_id"))
+      .join(vocabDf.select(col("tok_id"), col("tok")), Seq("tok_id"))
+      .groupBy(col("doc_id"), col("word_pos"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("sym_pos"), col("tok")))),
+        x => x("tok")), "").as("__word"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("word_pos"), col("__word")))),
+        x => x("__word")), " ").as("text"))
+
+  /** [[decodeIds]] against a persisted model's vocabulary. */
+  def decodeIdsWithModel(spark: org.apache.spark.sql.SparkSession,
+                         modelDir: String, ids: DataFrame,
+                         byteLevel: Boolean = false,
+                         asOf: Option[Long] = None): DataFrame = {
+    require(!byteLevel, "byte-level decode needs the bytes_to_unicode " +
+      "inverse mapping — not wired; decode char-level models only")
+    val (_, vocabDf) = readModel(spark, modelDir, asOf, byteLevel)
+    decodeIds(ids, vocabDf)
+  }
+
   /** [[tokenCounts]] against a persisted model — the provisioning
     * count a trainer reads without retraining the tokenizer.
     */

@@ -309,4 +309,34 @@ class BpeSpec extends SparkSpec {
     }
     assert(exL.getMessage.contains("predates"))
   }
+
+  test("decodeIds inverts encodeIds exactly — repeated words, repeated " +
+      "symbols, single chars; byte-level decode refuses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "lower lowest low low"),
+      (2L, "a bb a bb ccc"),
+      (3L, "x"),
+      (4L, "newer newest new lower"))
+      .toDF("doc_id", "text")
+    val mdl = java.nio.file.Files.createTempDirectory("bpe_rt").toString
+    Bpe.buildBpeModel(docs, col("text"), k = 5, mdl): Unit
+    val ids = Bpe.encodeIdsWithModel(spark, mdl, docs, col("doc_id"),
+      col("text"))
+    val got = Bpe.decodeIdsWithModel(spark, mdl, ids)
+      .as[(Long, String)].collect().toMap
+    val want = docs.as[(Long, String)].collect().toMap
+    assert(got == want, "decode(encode(x)) must equal x")
+    // the round-trip survives a retrain when the encode is pinned
+    Bpe.buildBpeModel(docs.limit(2), col("text"), k = 2, mdl): Unit
+    val pinnedIds = Bpe.encodeIdsWithModel(spark, mdl, docs, col("doc_id"),
+      col("text"), asOf = Some(0L))
+    assert(Bpe.decodeIdsWithModel(spark, mdl, pinnedIds, asOf = Some(0L))
+      .as[(Long, String)].collect().toMap == want)
+    // byte-level decode is refused (no bytes_to_unicode inverse wired)
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.decodeIdsWithModel(spark, mdl, ids, byteLevel = true)
+    }
+    assert(ex.getMessage.contains("byte-level decode"))
+  }
 }
