@@ -577,6 +577,45 @@ object SimQueries {
       .orderBy(col("test_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // [EXT] decontamination REPORT — the per-test-doc eval-overlap summary
+  // an eval gate thresholds on (q100 names the leaking train docs; this
+  // reports "x% of the doc's 3-grams were seen in train" for EVERY test
+  // doc, zero-overlap ones included). Train side collapses to its
+  // distinct shingle set; the test side semi-joins it — no pair space.
+  def q177ContaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bucket = Corpus.hashBucket(col("doc_id"))
+    NearDup.contaminationReport(
+      docs.filter(bucket < 90), docs.filter(bucket >= 90),
+      col("doc_id"), col("text"))
+  }
+
+  private val q177Sql =
+    """WITH b AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bkt
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, bkt,
+      |    unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      |  FROM b WHERE len(t) >= 3),
+      |tr AS (SELECT DISTINCT g FROM sh WHERE bkt < 90),
+      |te AS (SELECT doc_id AS test_id, g FROM sh WHERE bkt >= 90),
+      |tot AS (
+      |  SELECT test_id, CAST(count(*) AS BIGINT) AS n_shingles
+      |  FROM te GROUP BY 1),
+      |shr AS (
+      |  SELECT test_id, CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM te WHERE g IN (SELECT g FROM tr) GROUP BY 1)
+      |SELECT t.test_id, t.n_shingles,
+      |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+      |  CAST(coalesce(s.n_shared, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+      |    AS overlap_pct
+      |FROM tot t LEFT JOIN shr s USING (test_id)
+      |ORDER BY test_id""".stripMargin
+
   private val q100Sql =
     """WITH b AS (
       |  SELECT doc_id, string_split(text, ' ') AS t,
@@ -1076,6 +1115,7 @@ object SimQueries {
     "q36_embedding_neardup" -> (q36EmbeddingNearDup _),
     "q99_semantic_clusters" -> (q99SemanticClusters _),
     "q100_decontamination"  -> (q100Decontamination _),
+    "q177_contamination_report" -> (q177ContaminationReport _),
     "q109_ann_sq8"          -> (q109AnnSq8 _),
     "q116_ann_index"        -> (q116AnnIndex _),
     "q118_ann_ivf_sq8"      -> (q118AnnIvfSq8 _),
@@ -1105,6 +1145,7 @@ object SimQueries {
     "q36_embedding_neardup" -> q36Sql,
     "q99_semantic_clusters" -> q99Sql,
     "q100_decontamination"  -> q100Sql,
+    "q177_contamination_report" -> q177Sql,
     "q109_ann_sq8"          -> q109Sql,
     // the persisted-index probe replays q98's inline pipeline exactly
     "q116_ann_index"        -> q98Sql,

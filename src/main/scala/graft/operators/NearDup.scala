@@ -318,6 +318,40 @@ object NearDup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Decontamination REPORT — the per-test-document eval-overlap number
+    * papers actually cite ("x% of the doc's 3-grams were seen in
+    * train"): for each test document, its distinct-shingle count, how
+    * many of those shingles occur in ANY training document, and the
+    * overlap fraction. Complements [[contaminationPairs]] (which names
+    * the leaking train docs): this is the summary an eval gate
+    * thresholds on.
+    *
+    * Scale shape: the train side collapses to its DISTINCT shingle-hash
+    * set (8-byte keys, one hash agg — never text) and the test side
+    * left-semi-joins it; no doc×doc pair space exists. Test docs with
+    * zero overlap still report (n_shared = 0, pct = 0.0); docs under 3
+    * tokens carry no shingles and are absent — they cannot leak an
+    * n-gram. Output: (test_id, n_shingles, n_shared, overlap_pct).
+    */
+  def contaminationReport(train: DataFrame, test: DataFrame,
+                          id: Column, text: Column): DataFrame = {
+    // distinct per doc already (shingleHashes3 array_distincts); staged
+    // once for its two consumers (totals + the semi-join)
+    val te = test.select(id.as("test_id"),
+        explode(shingleHashes3(text)).as("s"))
+      .localCheckpoint(eager = false)
+    val trSet = train.select(explode(shingleHashes3(text)).as("s")).distinct()
+    val shared = te.join(trSet, Seq("s"), "left_semi")
+      .groupBy(col("test_id")).agg(count(lit(1)).as("n_shared"))
+    te.groupBy(col("test_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(shared, Seq("test_id"), "left")
+      .select(col("test_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("overlap_pct"))
+      .orderBy(col("test_id"))
+  }
+
   /** MinHash signature: `nPerms` universal-hash permutations
     * h_i(x) = (a_i·x + b_i) mod P over xxhash64 shingle hashes, each
     * taking the min across the doc's shingle set. Deterministic: a_i,

@@ -287,6 +287,27 @@ class NearDupSpec extends SparkSpec {
     assert(r.head._3 == 7L, s"all 7 shingles shared: ${r.toSeq}")
   }
 
+  test("contaminationReport: exact per-test-doc overlap fractions, " +
+      "zero-overlap docs included, sub-3-token docs absent") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated training material body here")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "intro words the quick brown fox jumps over the lazy dog outro"),
+      (11L, "nothing in common with anything at all truly"),
+      (12L, "two tokens")).toDF("doc_id", "text")
+    val r = NearDup.contaminationReport(train, test, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 10: 12 tokens → 10 shingles, 7 of them are train-1 shingles
+    // (its full 9-token text is embedded); doc 11: 8 tokens → 6
+    // shingles, zero shared; doc 12: 2 tokens → no shingles, absent
+    assert(r.map(_._1) == Seq(10L, 11L))
+    val byId = r.map(x => x._1 -> x).toMap
+    assert(byId(10L) == ((10L, 10L, 7L, 0.7)))
+    assert(byId(11L) == ((11L, 6L, 0L, 0.0)),
+      "clean docs must still report a zero-overlap row")
+  }
+
   test("minhashCandidateAudit: uncapped counts grow quadratically on a " +
       "power-law cluster; the cap bounds them; audit covers the real join") {
     def corpus(n: Int) = (1 to n).map { i =>
