@@ -572,8 +572,14 @@ object Retrieval {
     * requery (the expanded set is DATA, so it rides the dynamic-term
     * [[queryBm25IndexMany]] machinery — on a partition-layout index the
     * requery DPP-prunes like any dynamic batch); no text is re-read
-    * and nothing is collected to the driver. Output:
-    * (doc_id, n_terms, score) top-k under the expanded query.
+    * and nothing is collected to the driver. Stated honestly for
+    * 100 TB: the MINING pass reads the postings bytes once — a
+    * token-ordered layout scatters the kFb feedback docs' rows across
+    * every bucket, so doc-id pruning has nothing to prune; a
+    * deployment that expands every query keeps a doc-keyed FORWARD
+    * index beside the inverted one and mines that instead (the seam is
+    * this one join). Output: (doc_id, n_terms, score) top-k under the
+    * expanded query.
     */
   def rm3Expand(spark: SparkSession, indexDir: String, terms: Seq[String],
                 k: Int, kFb: Int = 5, nExp: Int = 5,
