@@ -582,12 +582,22 @@ object RetrievalQueries {
   // size 32 makes neighbors co-rank — the consumer wants each passage
   // once), clip ends to real doc length, and pack the ranking prefix
   // into a 96-token budget. Windows + one broadcast length join —
-  // assembly cost is O(|Q|·k), independent of corpus size.
+  // assembly cost is O(|Q|·k), independent of corpus size. The clip
+  // lengths come from the doc-keyed FORWARD index (spans broadcast onto
+  // the DPP-partitioned scan, column-pruned to (doc_id, dl)) — the
+  // corpus-scan form re-tokenized every document per serving batch.
+  // Same rows ⇒ same oracle SQL as before the index existed.
+  private def cachedForward(spark: SparkSession, dir: String): String =
+    graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "fwdq", "fwd", "fwd")(
+      Retrieval.buildForwardIndex(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), _): Unit)
+
   def q170ContextPack(spark: SparkSession, dir: String): DataFrame = {
     val fused = q169ChunkHybrid(spark, dir)
       .select(col("query_id"), col("doc_id"), col("chunk_start"), col("rrf"))
-    Retrieval.assembleContext(fused, Tables.documents(spark, dir),
-      col("doc_id"), col("text"), size = 32, budget = 96, maxPerDoc = 2)
+    Retrieval.assembleContextIndexed(spark, fused, cachedForward(spark, dir),
+      size = 32, budget = 96, maxPerDoc = 2)
   }
 
   private val q170Sql =
@@ -682,9 +692,13 @@ object RetrievalQueries {
   // (tf/dl weighted by feedback score, DECIMAL-exact cut), re-rank with
   // the expanded set. Index-only end to end; the oracle replays the
   // feedback ranking, the term mining, and the requery in ONE statement.
+  // The mining pass rides the doc-keyed forward index (feedback ids
+  // DPP-prune to their doc-shard dirs) instead of reading the postings
+  // table corpus-wide — identical masses, so q174's oracle is unchanged.
   def q174Rm3Expand(spark: SparkSession, dir: String): DataFrame =
     Retrieval.rm3Expand(spark, cachedBm25(spark, dir), Seq("dup"),
-      k = 20, kFb = 5, nExp = 3)
+      k = 20, kFb = 5, nExp = 3,
+      forwardDir = Some(cachedForward(spark, dir)))
 
   private val q174Sql = {
     val bmTerm = (tfRel: String) =>
@@ -736,13 +750,15 @@ object RetrievalQueries {
 
   // ---------------------------------------------------------------------
   // [EXT] RAG context materialization — the packed spans fetched as the
-  // STRINGS a prompt mounts: q170's coordinates join back to the corpus
-  // (spans broadcast onto the scan) and each span slices its tokens
-  // map-side. Concatenating span_text per query in row order IS the
-  // context window. The oracle replays the full chain + the slice.
+  // STRINGS a prompt mounts: q170's coordinates slice their tokens off
+  // the doc-keyed FORWARD index (spans broadcast onto the
+  // DPP-partitioned scan — a serving batch reads the token bytes of the
+  // documents it mounts, not the corpus). Concatenating span_text per
+  // query in row order IS the context window. The oracle replays the
+  // full chain + the slice.
   def q173ContextText(spark: SparkSession, dir: String): DataFrame =
-    Retrieval.contextTexts(q170ContextPack(spark, dir),
-      Tables.documents(spark, dir), col("doc_id"), col("text"))
+    Retrieval.contextTextsIndexed(spark, q170ContextPack(spark, dir),
+      cachedForward(spark, dir))
 
   private val q173Sql =
     s"""$chunkHybridCtes,

@@ -108,17 +108,23 @@ object Scheduler {
       case None => Seq.empty
       case Some(boundary) =>
         val ttl = if (claimTtlMs > 0) claimTtlMs else intervalMs
-        if (!acquireClaim(spark, historyDir, boundary, nowMs, ttl))
-          return Seq.empty
-        try {
-          val attempts = runWithRetries(job, retries, retryDelayMs, sleep)
-          val rows = attempts.map(a =>
-            (boundary, a.attempt, a.ok, a.error, nowMs))
-          graft.sources.Versioned.append(
-            rows.toDF("boundary_ms", "attempt", "ok", "error", "recorded_at_ms"),
-            runsTable): Unit
-          attempts
-        } finally releaseClaim(spark, historyDir, boundary, nowMs, nowMs)
+        acquireClaim(spark, historyDir, boundary, nowMs, ttl) match {
+          case None => Seq.empty
+          case Some(owner) => try {
+            val attempts = runWithRetries(job, retries, retryDelayMs, sleep)
+            // fencing: a taker past the TTL owns the boundary now — a
+            // history row from us would corrupt its coverage view
+            if (ownsClaim(spark, historyDir, owner)) {
+              val rows = attempts.map(a =>
+                (boundary, a.attempt, a.ok, a.error, nowMs))
+              graft.sources.Versioned.append(
+                rows.toDF("boundary_ms", "attempt", "ok", "error",
+                  "recorded_at_ms"),
+                runsTable): Unit
+            }
+            attempts
+          } finally releaseClaim(spark, historyDir, boundary, nowMs, owner)
+        }
     }
   }
 
@@ -133,45 +139,84 @@ object Scheduler {
   // Two processes ticking the same historyDir (cron double-fire,
   // overlapping deploys) would both read the runs table, both pick the
   // same boundary, and both run — additive stages (signal counts, index
-  // postings) double-apply. The guard is a per-boundary CLAIM on a
+  // postings) double-apply. The guard is a SINGLE-FLIGHT CLAIM on a
   // 1-row Versioned `claims` table beside `runs`, taken with the
-  // overwriteExpecting CAS (the lockstep discipline the indexes use):
+  // overwriteExpecting CAS (the lockstep discipline the indexes use).
+  // Single-flight is the declared scope, not an accident: the runner is
+  // one tick per historyDir at a time — one boundary per tick, resumes
+  // ordered — so ANY fresh unreleased claim blocks, regardless of which
+  // boundary it names (two tickers running DIFFERENT boundaries of the
+  // same historyDir would interleave their stage chains over shared
+  // composed artifacts, which no stage list here is written for). A
+  // backfill deployment that wants cross-boundary parallelism needs
+  // per-boundary artifact isolation first; it would key the claim row
+  // by boundary at that point, not before.
   //
   //  - of two SIMULTANEOUS tickers, both read claim version v and both
   //    try to commit at v+1 — the log-entry race has exactly one
   //    winner, the loser returns empty;
-  //  - a ticker arriving while a FRESH unreleased claim holds its
-  //    boundary loses without racing (the claimant is presumed live);
+  //  - a ticker arriving while ANY fresh unreleased claim exists loses
+  //    without racing (the claimant is presumed live);
   //  - a tick RELEASES its claim on the way out (best-effort), so a
   //    failed boundary resumes at the very next tick;
   //  - a claimant that CRASHED mid-run never releases — its claim goes
   //    stale after `claimTtlMs` (default: one interval) and the next
-  //    ticker takes over via CAS, resuming the boundary.
+  //    ticker takes over via CAS, resuming the boundary;
+  //  - the claim row carries an OWNER token, and the claimant
+  //    RE-VERIFIES ownership before each stage and before recording its
+  //    result (fencing): a slow-but-alive claimant whose claim was
+  //    taken over past the TTL stops at the next stage boundary instead
+  //    of re-running the rest of the chain in parallel with the taker —
+  //    bounding the double-apply window to the one stage in flight at
+  //    takeover (the same one-stage window a crash already has).
 
   private def claimsTable(historyDir: String) = s"$historyDir/claims"
 
+  /** Returns the owner token on success, None when another claimant
+    * holds a fresh claim or wins the CAS race.
+    */
   private def acquireClaim(spark: SparkSession, historyDir: String,
                            boundary: Long, nowMs: Long,
-                           ttlMs: Long): Boolean = {
+                           ttlMs: Long): Option[String] = {
     import spark.implicits._
     val t = claimsTable(historyDir)
-    val row = Seq((boundary, nowMs, false))
-      .toDF("boundary_ms", "claimed_at_ms", "released")
+    val owner = java.util.UUID.randomUUID.toString
+    val row = Seq((boundary, nowMs, owner, false))
+      .toDF("boundary_ms", "claimed_at_ms", "owner", "released")
     val vNext =
       if (!graft.sources.Versioned.exists(spark, t)) 0L
       else {
         val v = graft.sources.Versioned.latestVersion(spark, t)
+        // single-flight: ANY fresh unreleased claim blocks — with
+        // claimTtlMs > intervalMs a live claimant on an older boundary
+        // must still exclude a second ticker (schema-tolerant read: the
+        // liveness fields predate the owner column)
         val cur = graft.sources.Versioned.read(spark, t, Some(v))
-          .select("boundary_ms", "claimed_at_ms", "released")
-          .as[(Long, Long, Boolean)].collect().headOption
-        val live = cur.exists { case (b, at, rel) =>
-          b == boundary && !rel && at > nowMs - ttlMs }
-        if (live) return false
+          .select("claimed_at_ms", "released")
+          .as[(Long, Boolean)].collect().headOption
+        val live = cur.exists { case (at, rel) => !rel && at > nowMs - ttlMs }
+        if (live) return None
         v + 1
       }
-    try { graft.sources.Versioned.overwriteExpecting(row, t, vNext): Unit; true }
-    catch { case _: IllegalArgumentException => false }
+    try {
+      graft.sources.Versioned.overwriteExpecting(row, t, vNext): Unit
+      Some(owner)
+    } catch { case _: IllegalArgumentException => None }
   }
+
+  /** True iff the latest claim row is OURS and unreleased — the fencing
+    * check a claimant runs before each stage and before recording its
+    * result. A read failure counts as lost (fail-safe: stop running,
+    * never double-apply).
+    */
+  private def ownsClaim(spark: SparkSession, historyDir: String,
+                        owner: String): Boolean = try {
+    import spark.implicits._
+    val t = claimsTable(historyDir)
+    graft.sources.Versioned.read(spark, t)
+      .select("owner", "released").as[(String, Boolean)]
+      .collect().headOption.contains((owner, false))
+  } catch { case _: Exception => false }
 
   /** Best-effort: only our own live claim is flipped to released — a
     * stale-takeover's claim belongs to the taker, and a lost release
@@ -179,17 +224,17 @@ object Scheduler {
     */
   private def releaseClaim(spark: SparkSession, historyDir: String,
                            boundary: Long, claimedAt: Long,
-                           nowMs: Long): Unit = try {
+                           owner: String): Unit = try {
     import spark.implicits._
     val t = claimsTable(historyDir)
     val v = graft.sources.Versioned.latestVersion(spark, t)
     val cur = graft.sources.Versioned.read(spark, t, Some(v))
-      .select("boundary_ms", "claimed_at_ms", "released")
-      .as[(Long, Long, Boolean)].collect().headOption
-    if (cur.contains((boundary, claimedAt, false)))
+      .select("owner", "released")
+      .as[(String, Boolean)].collect().headOption
+    if (cur.contains((owner, false)))
       graft.sources.Versioned.overwriteExpecting(
-        Seq((boundary, claimedAt, true))
-          .toDF("boundary_ms", "claimed_at_ms", "released"),
+        Seq((boundary, claimedAt, owner, true))
+          .toDF("boundary_ms", "claimed_at_ms", "owner", "released"),
         t, v + 1): Unit
   } catch { case _: Exception => () }
 
@@ -270,39 +315,51 @@ object Scheduler {
         require(!stages.exists(_._1 == CoveredStage),
           s"stage name $CoveredStage is reserved for the coverage marker")
         val ttl = if (claimTtlMs > 0) claimTtlMs else intervalMs
-        if (!acquireClaim(spark, historyDir, boundary, nowMs, ttl))
-          return Seq.empty
-        try {
-          // stages already ok for THIS boundary (a prior failed tick got
-          // partway through) — resume after them, never re-apply them
-          val doneStages: Set[String] =
-            if (!graft.sources.Versioned.exists(spark, runsTable)) Set.empty
-            else graft.sources.Versioned.read(spark, runsTable)
-              .filter(col("ok") && col("boundary_ms") === boundary)
-              .select("stage").distinct().as[String].collect().toSet
-          val out = Seq.newBuilder[(String, Seq[Attempt])]
-          var failed = false
-          stages.zipWithIndex.foreach { case ((name, job), idx) =>
-            if (!failed && !doneStages.contains(name)) {
-              val attempts = runWithRetries(job, retries, retryDelayMs, sleep)
-              out += name -> attempts
-              val rows = attempts.map(a =>
-                (boundary, name, idx, a.attempt, a.ok, a.error, nowMs))
-              graft.sources.Versioned.append(
-                rows.toDF("boundary_ms", "stage", "stage_idx", "attempt",
-                  "ok", "error", "recorded_at_ms"),
-                runsTable): Unit
-              if (!attempts.last.ok) failed = true
+        acquireClaim(spark, historyDir, boundary, nowMs, ttl) match {
+          case None => Seq.empty
+          case Some(owner) => try {
+            // stages already ok for THIS boundary (a prior failed tick
+            // got partway through) — resume after them, never re-apply
+            val doneStages: Set[String] =
+              if (!graft.sources.Versioned.exists(spark, runsTable)) Set.empty
+              else graft.sources.Versioned.read(spark, runsTable)
+                .filter(col("ok") && col("boundary_ms") === boundary)
+                .select("stage").distinct().as[String].collect().toSet
+            val out = Seq.newBuilder[(String, Seq[Attempt])]
+            var failed = false
+            // fenced: re-verified before each stage and before recording
+            // its result — a slow claimant whose claim was taken over
+            // stops at the next stage boundary instead of racing the
+            // taker down the rest of the chain
+            var fenced = false
+            stages.zipWithIndex.foreach { case ((name, job), idx) =>
+              if (!failed && !fenced && !doneStages.contains(name)) {
+                if (!ownsClaim(spark, historyDir, owner)) fenced = true
+                else {
+                  val attempts = runWithRetries(job, retries, retryDelayMs, sleep)
+                  out += name -> attempts
+                  if (!ownsClaim(spark, historyDir, owner)) fenced = true
+                  else {
+                    val rows = attempts.map(a =>
+                      (boundary, name, idx, a.attempt, a.ok, a.error, nowMs))
+                    graft.sources.Versioned.append(
+                      rows.toDF("boundary_ms", "stage", "stage_idx", "attempt",
+                        "ok", "error", "recorded_at_ms"),
+                      runsTable): Unit
+                    if (!attempts.last.ok) failed = true
+                  }
+                }
+              }
             }
-          }
-          if (!failed)
-            graft.sources.Versioned.append(
-              Seq((boundary, CoveredStage, stages.size, 0, true, "", nowMs))
-                .toDF("boundary_ms", "stage", "stage_idx", "attempt",
-                  "ok", "error", "recorded_at_ms"),
-              runsTable): Unit
-          out.result()
-        } finally releaseClaim(spark, historyDir, boundary, nowMs, nowMs)
+            if (!failed && !fenced && ownsClaim(spark, historyDir, owner))
+              graft.sources.Versioned.append(
+                Seq((boundary, CoveredStage, stages.size, 0, true, "", nowMs))
+                  .toDF("boundary_ms", "stage", "stage_idx", "attempt",
+                    "ok", "error", "recorded_at_ms"),
+                runsTable): Unit
+            out.result()
+          } finally releaseClaim(spark, historyDir, boundary, nowMs, owner)
+        }
     }
   }
 

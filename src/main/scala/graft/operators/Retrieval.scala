@@ -190,32 +190,36 @@ object Retrieval {
     vp
   }
 
-  /** Sidecar recording the "partition" layout's shard modulus, stamped
-    * with the postings overwrite version it describes (the chunk_grid
-    * discipline: a crashed rebuild leaves a stale stamp that consumers
-    * detect instead of pruning by the wrong modulus).
+  /** Sidecar recording a partitioned layout's shard modulus, stamped
+    * with the overwrite version of the table it describes (the
+    * chunk_grid discipline: a crashed rebuild leaves a stale stamp that
+    * consumers detect instead of pruning by the wrong modulus). Two
+    * instances: `tok_parts` (token shards of a "partition"-layout
+    * postings table) and `doc_parts` (doc shards of the forward index).
     */
-  private def partDirsPath(indexDir: String) =
-    new org.apache.hadoop.fs.Path(indexDir, "tok_parts")
+  private def shardSidecarPath(indexDir: String, name: String) =
+    new org.apache.hadoop.fs.Path(indexDir, name)
 
-  private def writePartDirs(spark: SparkSession, indexDir: String,
-                            nParts: Int, version: Long): Unit = {
-    val p = partDirsPath(indexDir)
+  private def writeShardSidecar(spark: SparkSession, indexDir: String,
+                                name: String, nParts: Int,
+                                version: Long): Unit = {
+    val p = shardSidecarPath(indexDir, name)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = f.create(p, true)
     try out.write(s"$nParts $version".getBytes("UTF-8")) finally out.close()
   }
 
-  /** Shard modulus of a partition-layout index, or None when the index
-    * is bucketed/plain OR the sidecar cannot be trusted for the CURRENT
-    * snapshot (stale stamp after a crashed rebuild, corrupt file).
-    * Pruning is an optimization layered over the always-correct token
-    * filter, so an untrusted sidecar degrades to an unpruned scan for
-    * QUERIES; appends need the modulus to write and [[appendToBm25Index]]
-    * refuses separately when it is absent on a partitioned table.
+  /** Shard modulus recorded by a sidecar, or None when the sidecar is
+    * absent OR cannot be trusted for the CURRENT snapshot (stale stamp
+    * after a crashed rebuild, corrupt file). Pruning is an optimization
+    * layered over an always-correct fallback, so an untrusted sidecar
+    * degrades queries to unpruned scans; appends need the modulus to
+    * write and refuse separately when it is absent on a partitioned
+    * table.
     */
-  private def partDirsOf(spark: SparkSession, indexDir: String): Option[Int] = {
-    val p = partDirsPath(indexDir)
+  private def shardSidecarOf(spark: SparkSession, indexDir: String,
+                             name: String, stampTable: String): Option[Int] = {
+    val p = shardSidecarPath(indexDir, name)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) None
     else {
@@ -224,11 +228,19 @@ object Retrieval {
         finally in.close()
       raw.trim.split(" ") match {
         case Array(n, v) if Seq(n, v).forall(_.forall(_.isDigit)) &&
-            v.toLong == lastPostingsOverwrite(spark, indexDir) => Some(n.toInt)
+            v.toLong == lastOverwriteOf(spark, indexDir, stampTable) =>
+          Some(n.toInt)
         case _ => None
       }
     }
   }
+
+  private def writePartDirs(spark: SparkSession, indexDir: String,
+                            nParts: Int, version: Long): Unit =
+    writeShardSidecar(spark, indexDir, "tok_parts", nParts, version)
+
+  private def partDirsOf(spark: SparkSession, indexDir: String): Option[Int] =
+    shardSidecarOf(spark, indexDir, "tok_parts", "postings")
 
   /** Add a batch of NEW documents to an existing index (FAISS-add /
     * daily-cadence semantics; doc_ids must be previously unseen — the
@@ -327,6 +339,7 @@ object Retrieval {
       var v = Versioned.overwrite(full, statT)
       while (v < vp)
         v = Versioned.overwrite(Versioned.read(spark, statT, Some(v)), statT)
+      restampTokParts(spark, indexDir)
       return v
     }
     val vs = Versioned.latestVersion(spark, statT)
@@ -348,7 +361,54 @@ object Retrieval {
     while (v < vp)
       v = Versioned.overwriteExpecting(
         Versioned.read(spark, statT, Some(v)), statT, v + 1)
+    restampTokParts(spark, indexDir)
     v
+  }
+
+  /** Re-stamp the tok_parts sidecar after a repair restored lockstep on
+    * a partition-layout index. A crashed compaction moved the postings'
+    * overwrite version past the sidecar's stamp while leaving the
+    * modulus unchanged, so without this step queries permanently lose
+    * shard pruning and appends permanently refuse even though the
+    * modulus is fully recoverable. The stamp is only restored after the
+    * candidate modulus is VERIFIED against the data (every row must
+    * satisfy tok_part = md5(tok) mod n — a crashed REBUILD with a
+    * different modulus leaves rows that fail this, and blessing the old
+    * stamp there would prune probes to the wrong shards, a wrong-answer
+    * bug rather than a performance one). Candidates: the stale
+    * sidecar's recorded modulus, then max(tok_part)+1 off the data (the
+    * sidecar-missing crash shape). No candidate verifying ⇒ the sidecar
+    * stays stale: queries degrade to unpruned (correct), appends keep
+    * refusing with the rebuild message.
+    */
+  private def restampTokParts(spark: SparkSession, indexDir: String): Unit = {
+    val postT = s"$indexDir/postings"
+    if (!Versioned.declaredLayout(spark, postT).startsWith("part:")) return
+    // already trusted (e.g. the crash was an APPEND, which never moves
+    // the overwrite snapshot the stamp tracks) — re-stamping with a
+    // fresher version would WRONGLY invalidate it
+    if (partDirsOf(spark, indexDir).nonEmpty) return
+    val stampV = lastPostingsOverwrite(spark, indexDir)
+    val posts = Versioned.read(spark, postT).select(col("tok"), col("tok_part"))
+    val p = shardSidecarPath(indexDir, "tok_parts")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recorded: Option[Int] =
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        raw.trim.split(" ") match {
+          case Array(n, v) if Seq(n, v).forall(_.forall(_.isDigit)) =>
+            Some(n.toInt)
+          case _ => None
+        }
+      }
+    val fromData = posts.agg(max(col("tok_part"))).head.getLong(0).toInt + 1
+    (recorded.toSeq :+ fromData).distinct
+      .find(n => posts
+        .filter(col("tok_part") =!= tokPartExpr(col("tok"), n)).isEmpty)
+      .foreach(n => writeShardSidecar(spark, indexDir, "tok_parts", n, stampV))
   }
 
   /** Compact the index after a run of appends (the daily-add cadence):
@@ -572,25 +632,44 @@ object Retrieval {
     * requery (the expanded set is DATA, so it rides the dynamic-term
     * [[queryBm25IndexMany]] machinery — on a partition-layout index the
     * requery DPP-prunes like any dynamic batch); no text is re-read
-    * and nothing is collected to the driver. Stated honestly for
-    * 100 TB: the MINING pass reads the postings bytes once — a
+    * and nothing is collected to the driver. The MINING pass has two
+    * forms: without `forwardDir` it reads the postings bytes once — a
     * token-ordered layout scatters the kFb feedback docs' rows across
-    * every bucket, so doc-id pruning has nothing to prune; a
-    * deployment that expands every query keeps a doc-keyed FORWARD
-    * index beside the inverted one and mines that instead (the seam is
-    * this one join). Output: (doc_id, n_terms, score) top-k under the
-    * expanded query.
+    * every bucket, so doc-id pruning has nothing to prune, and a
+    * deployment that expands every query pays a corpus-sized read per
+    * batch. With `forwardDir` (a [[buildForwardIndex]] artifact over
+    * the SAME corpus) the feedback docs' tf/dl mine from the doc-keyed
+    * forward rows instead: the kFb ids broadcast onto the forward scan
+    * and DPP prunes to their doc-shard directories — mining bytes
+    * become O(kFb docs), independent of corpus size. Both forms
+    * compute identical masses (forward tf is a recount of the same
+    * token stream the postings aggregated), so the expansion — and the
+    * final ranking — is the same. Output: (doc_id, n_terms, score)
+    * top-k under the expanded query.
     */
   def rm3Expand(spark: SparkSession, indexDir: String, terms: Seq[String],
                 k: Int, kFb: Int = 5, nExp: Int = 5,
                 k1: Double = K1, b: Double = B,
-                asOf: Option[Long] = None): DataFrame = {
+                asOf: Option[Long] = None,
+                forwardDir: Option[String] = None): DataFrame = {
     require(kFb > 0 && nExp >= 0, s"need kFb > 0, nExp >= 0")
     val fb = queryBm25Index(spark, indexDir, terms, kFb, k1, b, asOf)
       .select(col("doc_id"), col("score"))
-    val posts = Versioned.read(spark, s"$indexDir/postings", asOf)
-    val expansion = posts
-      .join(broadcast(fb), Seq("doc_id"))
+      .localCheckpoint(eager = false) // feeds the doc-set probe AND the
+                                      // score join — one probe, not two
+    val mined = forwardDir match {
+      case Some(fd) =>
+        forwardFor(spark, fd, fb, Seq("dl", "toks"), asOf)
+          .join(broadcast(fb), Seq("doc_id"))
+          .select(col("doc_id"), col("dl"), col("score"),
+            explode(col("toks")).as("tok"))
+          .groupBy(col("doc_id"), col("dl"), col("score"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+      case None =>
+        Versioned.read(spark, s"$indexDir/postings", asOf)
+          .join(broadcast(fb), Seq("doc_id"))
+    }
+    val expansion = mined
       .filter(!col("tok").isInCollection(terms))
       .groupBy(col("tok"))
       .agg(sum(((col("tf").cast("double") / col("dl").cast("double")) *
@@ -1067,7 +1146,43 @@ object Retrieval {
     */
   def assembleContext(fused: DataFrame, docs: DataFrame, id: Column,
                       text: Column, size: Int, budget: Int,
-                      maxPerDoc: Int = 4): DataFrame = {
+                      maxPerDoc: Int = 4): DataFrame =
+    assembleWith(fused,
+      docs.select(id.as("doc_id"),
+        org.apache.spark.sql.functions.size(TextOps.tokens(text))
+          .cast("long").as("__n_tok")),
+      size, budget, maxPerDoc)
+
+  /** [[assembleContext]] clipping from the doc-keyed FORWARD index
+    * instead of tokenizing the corpus — the serve-path form: the
+    * corpus-scan variant recomputes every document's token length per
+    * serving batch just to clip O(|Q|·k) spans, which at 100 TB makes
+    * every RAG query batch pay a full-corpus read+tokenize. Here the
+    * fused ranking's doc set broadcast-joins ONTO the forward scan, so
+    * (a) parquet column pruning reads only the (doc_id, dl) bytes —
+    * never the token arrays — and (b) on a trusted doc_parts sidecar
+    * the join carries the shard key and Spark DPP prunes unprobed
+    * doc-shard DIRECTORIES: the clip reads ~|docs(fused)|/nPartDirs of
+    * the length bytes, independent of corpus size. Output is
+    * row-identical to [[assembleContext]] over the corpus the index
+    * was built from.
+    */
+  def assembleContextIndexed(spark: SparkSession, fused: DataFrame,
+                             forwardDir: String, size: Int, budget: Int,
+                             maxPerDoc: Int = 4,
+                             asOf: Option[Long] = None): DataFrame = {
+    // the fused ranking feeds both the doc-set probe and the span
+    // windows — stage it so the second consumer does not replay the
+    // whole hybrid search lineage
+    val f = fused.localCheckpoint(eager = false)
+    assembleWith(f,
+      forwardFor(spark, forwardDir, f, Seq("dl"), asOf)
+        .select(col("doc_id"), col("dl").as("__n_tok")),
+      size, budget, maxPerDoc)
+  }
+
+  private def assembleWith(fused: DataFrame, lengths: DataFrame, size: Int,
+                           budget: Int, maxPerDoc: Int): DataFrame = {
     require(size > 0 && budget > 0 && maxPerDoc > 0)
     val W = org.apache.spark.sql.expressions.Window
     val capped = fused
@@ -1094,9 +1209,6 @@ object Retrieval {
         max(col("__end")).as("__span_end0"),
         count(lit(1)).as("n_chunks"),
         max(col("rrf")).as("score"))
-    val lengths = docs.select(id.as("doc_id"),
-      org.apache.spark.sql.functions.size(TextOps.tokens(text))
-        .cast("long").as("__n_tok"))
     // a span starting past its document's end means the fused ranking
     // and the corpus DISAGREE (stale index, wrong corpus): refuse
     // loudly — clipping it would yield a negative-length span whose
@@ -1134,8 +1246,27 @@ object Retrieval {
     */
   def contextTexts(packed: DataFrame, docs: DataFrame, id: Column,
                    text: Column): DataFrame =
-    docs.select(id.as("doc_id"), TextOps.tokens(text).as("__toks"))
-      .join(broadcast(packed), Seq("doc_id"))
+    contextWith(packed,
+      docs.select(id.as("doc_id"), TextOps.tokens(text).as("__toks")))
+
+  /** [[contextTexts]] sliced from the doc-keyed FORWARD index instead
+    * of re-tokenizing the corpus — the serve-path form: the packed
+    * spans' doc set broadcast-joins ONTO the forward scan, DPP-pruning
+    * to the spans' doc-shard directories (trusted sidecar), so a
+    * serving batch reads the token bytes of the documents it mounts,
+    * not the corpus. Row-identical to [[contextTexts]] over the corpus
+    * the index was built from.
+    */
+  def contextTextsIndexed(spark: SparkSession, packed: DataFrame,
+                          forwardDir: String,
+                          asOf: Option[Long] = None): DataFrame = {
+    val p = packed.localCheckpoint(eager = false)
+    contextWith(p, forwardFor(spark, forwardDir, p, Seq("toks"), asOf)
+      .select(col("doc_id"), col("toks").as("__toks")))
+  }
+
+  private def contextWith(packed: DataFrame, toks: DataFrame): DataFrame =
+    toks.join(broadcast(packed), Seq("doc_id"))
       .select(col("query_id"), col("doc_id"), col("span_start"),
         col("span_end"), col("score"),
         array_join(slice(col("__toks"), col("span_start").cast("int"),
@@ -1143,4 +1274,103 @@ object Retrieval {
           .as("span_text"))
       .orderBy(col("query_id"), col("score").desc, col("doc_id"),
         col("span_start"))
+
+  // ------------------------------------------- doc-keyed forward index
+
+  /** Build the doc-keyed FORWARD index — the inverse layout of the
+    * inverted index, and the serve-path complement the RAG stack reads
+    * BY DOCUMENT: one row per document (doc_id, dl, toks), landed in
+    * doc-shard DIRECTORIES (doc_part = doc_id mod nPartDirs) so a
+    * bounded doc set — packed context spans, RM3 feedback docs —
+    * broadcast-joins onto the scan and Spark DPP prunes every unprobed
+    * shard's bytes. A token-ordered (inverted) layout scatters one
+    * document's data across every bucket, so doc-keyed reads there are
+    * corpus-sized no matter how small the doc set; this layout is the
+    * q162 lesson applied to the serving side. The shard modulus
+    * persists in a version-stamped `doc_parts` sidecar (the tok_parts
+    * discipline); parquet column pruning means a length-only consumer
+    * ([[assembleContextIndexed]]) never reads the token arrays.
+    */
+  def buildForwardIndex(docs: DataFrame, id: Column, text: Column,
+                        indexDir: String, nPartDirs: Int = 16): Long = {
+    require(nPartDirs > 0, s"need nPartDirs > 0, got $nPartDirs")
+    val rows = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("toks")).cast("long").as("dl"),
+        col("toks"),
+        pmod(col("doc_id"), lit(nPartDirs.toLong)).as("doc_part"))
+    val v = Versioned.overwritePartitioned(rows, s"$indexDir/fwd", "doc_part")
+    writeShardSidecar(docs.sparkSession, indexDir, "doc_parts", nPartDirs, v)
+    v
+  }
+
+  /** Append a batch of NEW documents to the forward index (the daily
+    * cadence; doc_ids must be previously unseen — the append-only
+    * invariant every index here shares). The shard modulus comes from
+    * the index's own sidecar, never the caller; appends keep the
+    * partitioned layout and the stamp stays valid (appends never move
+    * the overwrite snapshot it tracks).
+    */
+  def appendToForwardIndex(batch: DataFrame, id: Column, text: Column,
+                           indexDir: String): Long = {
+    val spark = batch.sparkSession
+    val n = docPartsOf(spark, indexDir).getOrElse(sys.error(
+      s"$indexDir forward index's doc_parts sidecar is absent or stale " +
+        "(a rebuild crashed between its commit and the stamp) — rebuild " +
+        "with buildForwardIndex"))
+    val rows = batch.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("toks")).cast("long").as("dl"),
+        col("toks"),
+        pmod(col("doc_id"), lit(n.toLong)).as("doc_part"))
+    Versioned.appendPartitioned(rows, s"$indexDir/fwd", "doc_part")
+  }
+
+  /** Compact the forward index's per-append files and RE-STAMP the
+    * doc_parts sidecar at the new overwrite version (compaction is an
+    * overwrite; the modulus is unchanged). The modulus is read-validated
+    * BEFORE the rewrite moves the stamp.
+    */
+  def compactForwardIndex(spark: SparkSession, indexDir: String): Long = {
+    val n = docPartsOf(spark, indexDir)
+    val v = Versioned.compact(spark, s"$indexDir/fwd")
+    n.foreach(m => writeShardSidecar(spark, indexDir, "doc_parts", m, v))
+    v
+  }
+
+  private def docPartsOf(spark: SparkSession, indexDir: String): Option[Int] =
+    shardSidecarOf(spark, indexDir, "doc_parts", "fwd")
+
+  /** Forward rows for a bounded doc set: the set's distinct doc ids
+    * broadcast ONTO the partitioned forward scan. On a trusted sidecar
+    * the join carries doc_part, so Spark DPP prunes unprobed doc-shard
+    * directories at run time; an untrusted sidecar (or a time-travel
+    * read — the sidecar describes only the live layout epoch) degrades
+    * to the unpruned-but-correct doc_id join. `need` names the forward
+    * columns to read — parquet prunes the rest, so a length-only
+    * consumer never pays the token-array bytes.
+    */
+  private def forwardFor(spark: SparkSession, indexDir: String,
+                         docSet: DataFrame, need: Seq[String],
+                         asOf: Option[Long]): DataFrame = {
+    val fwd = Versioned.read(spark, s"$indexDir/fwd", asOf)
+    val ids = docSet.select(col("doc_id")).distinct()
+    (if (asOf.nonEmpty) None else docPartsOf(spark, indexDir)) match {
+      case Some(n) =>
+        // the shard-range guard is an invariant (pmod lands in [0, n))
+        // doing double duty: it is the selective predicate Spark's
+        // PartitionPruning rule requires on the probe side before it
+        // will insert the DPP subquery — without it a checkpointed/
+        // in-memory span set joins unpruned (correct, corpus-sized)
+        val probe = ids
+          .withColumn("doc_part", pmod(col("doc_id"), lit(n.toLong)))
+          .filter(col("doc_part").between(0, n - 1))
+        fwd.select(("doc_part" +: "doc_id" +: need).map(col): _*)
+          .join(broadcast(probe), Seq("doc_part", "doc_id"))
+          .drop("doc_part")
+      case None =>
+        fwd.select(("doc_id" +: need).map(col): _*)
+          .join(broadcast(ids), Seq("doc_id"))
+    }
+  }
 }

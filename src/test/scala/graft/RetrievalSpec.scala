@@ -612,6 +612,176 @@ class RetrievalSpec extends SparkSpec {
       "slices exact, ordered score desc (the context-window order)")
   }
 
+  test("forward index: indexed assembly/slicing/mining ≡ the corpus-scan " +
+      "forms; the span join DPP-prunes doc-shard dirs; appends reach new " +
+      "docs; a stale sidecar degrades to unpruned-but-correct") {
+    val docs = Seq(
+      (1L, Seq.fill(40)("w").mkString(" ")),
+      (2L, Seq.fill(20)("w").mkString(" ")),
+      (3L, Seq.fill(64)("w").mkString(" ")),
+      (4L, "zebra stripes savanna grass"),
+      (5L, "zebra stripes herd"),
+      (6L, "stripes stripes pattern"),
+      (7L, "unrelated filler words here")).toDF("doc_id", "text")
+    val fdir = java.nio.file.Files.createTempDirectory("fwdidx").toString
+    Retrieval.buildForwardIndex(docs, col("doc_id"), col("text"), fdir,
+      nPartDirs = 4): Unit
+
+    val fused = Seq(
+      (7L, 1L, 1L, 0.50), (7L, 1L, 9L, 0.40), (7L, 1L, 17L, 0.30),
+      (7L, 2L, 17L, 0.45),
+      (7L, 3L, 1L, 0.20), (7L, 3L, 33L, 0.25), (7L, 3L, 49L, 0.10))
+      .toDF("query_id", "doc_id", "chunk_start", "rrf")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+
+    // assembly: clip lengths off the index, not the corpus
+    val wantPack = Retrieval.assembleContext(fused, docs, col("doc_id"),
+      col("text"), size = 16, budget = 60, maxPerDoc = 2)
+    val gotPack = Retrieval.assembleContextIndexed(spark, fused, fdir,
+      size = 16, budget = 60, maxPerDoc = 2)
+    assert(rows(gotPack) == rows(wantPack))
+    // DPP: the length probe carries the shard key + range guard, so the
+    // partitioned forward scan gets a dynamicpruning subquery even for
+    // an in-session (checkpointed) span set
+    val plan = gotPack.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("dynamicpruning"),
+      "the span length join must DPP-prune doc-shard dirs:\n" + plan)
+
+    // slicing: span text off the index
+    val packed = wantPack.select("query_id", "doc_id", "span_start",
+      "span_end", "score")
+    val wantText = Retrieval.contextTexts(packed, docs, col("doc_id"),
+      col("text"))
+    val gotText = Retrieval.contextTextsIndexed(spark, packed, fdir)
+    assert(rows(gotText) == rows(wantText))
+    assert(gotText.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .contains("dynamicpruning"))
+
+    // RM3 mining: forward-index masses ≡ postings masses, so rankings
+    // are identical
+    val bdir = java.nio.file.Files.createTempDirectory("fwdbm").toString
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), bdir): Unit
+    val wantRm3 = rows(Retrieval.rm3Expand(spark, bdir, Seq("zebra"),
+      k = 10, kFb = 2, nExp = 2))
+    assert(rows(Retrieval.rm3Expand(spark, bdir, Seq("zebra"), k = 10,
+      kFb = 2, nExp = 2, forwardDir = Some(fdir))) == wantRm3)
+
+    // appends derive the modulus from the sidecar and reach new docs
+    val batch = Seq((8L, "zebra zebra stripes fresh")).toDF("doc_id", "text")
+    Retrieval.appendToForwardIndex(batch, col("doc_id"), col("text"), fdir): Unit
+    Retrieval.appendToBm25Index(batch, col("doc_id"), col("text"), bdir): Unit
+    val union = docs.unionByName(batch)
+    assert(rows(Retrieval.rm3Expand(spark, bdir, Seq("zebra"), k = 10,
+        kFb = 2, nExp = 2, forwardDir = Some(fdir))) ==
+      rows(Retrieval.rm3Expand(spark, bdir, Seq("zebra"), k = 10,
+        kFb = 2, nExp = 2)))
+    val packed8 = Seq((9L, 8L, 2L, 3L, 0.9))
+      .toDF("query_id", "doc_id", "span_start", "span_end", "score")
+    assert(rows(Retrieval.contextTextsIndexed(spark, packed8, fdir)) ==
+      rows(Retrieval.contextTexts(packed8, union, col("doc_id"), col("text"))))
+
+    // compaction re-stamps; results unchanged and DPP still present
+    Retrieval.compactForwardIndex(spark, fdir): Unit
+    val afterCompact = Retrieval.contextTextsIndexed(spark, packed8, fdir)
+    assert(rows(afterCompact) ==
+      rows(Retrieval.contextTexts(packed8, union, col("doc_id"), col("text"))))
+    assert(afterCompact.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .contains("dynamicpruning"))
+
+    // a stale sidecar (crashed-rebuild shape) degrades queries to the
+    // unpruned doc_id join — correct rows, no dynamicpruning — and
+    // makes appends refuse with the rebuild message
+    val sc = new java.io.File(fdir, "doc_parts")
+    val stale = new String(java.nio.file.Files.readAllBytes(sc.toPath), "UTF-8")
+      .split(" ") match { case Array(n, v) => s"$n ${v.toLong + 7}" }
+    java.nio.file.Files.write(sc.toPath, stale.getBytes("UTF-8")): Unit
+    // the raw edit invalidates Hadoop LocalFS's checksum shadow — drop it
+    new java.io.File(fdir, ".doc_parts.crc").delete(): Unit
+    val degraded = Retrieval.contextTextsIndexed(spark, packed8, fdir)
+    assert(rows(degraded) ==
+      rows(Retrieval.contextTexts(packed8, union, col("doc_id"), col("text"))))
+    assert(!degraded.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .contains("dynamicpruning"))
+    val e = intercept[RuntimeException] {
+      Retrieval.appendToForwardIndex(
+        Seq((99L, "x")).toDF("doc_id", "text"), col("doc_id"), col("text"), fdir)
+    }
+    assert(e.getMessage.contains("buildForwardIndex"))
+  }
+
+  test("repairBm25Index re-stamps a partition layout's tok_parts sidecar " +
+      "after a crashed compaction — pruning and appends come back") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25rs").toString
+    val docs = corpus.toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), dir,
+      layout = "partition", nPartDirs = 4): Unit
+    Retrieval.appendToBm25Index(
+      Seq((80L, "spark appended")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir): Unit
+    val before = Retrieval.queryBm25Index(spark, dir, Seq("spark"), 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    // crashed compaction: postings compacted (overwrite version moves,
+    // sidecar stamp goes stale), stats never compacted
+    graft.sources.Versioned.compact(spark, s"$dir/postings"): Unit
+    Retrieval.repairBm25Index(spark, dir): Unit
+    assert(Retrieval.queryBm25Index(spark, dir, Seq("spark"), 10)
+      .as[(Long, Long, Double)].collect().toSeq == before)
+    // the sidecar was re-stamped with the (data-verified) modulus:
+    // appends no longer refuse, and literal probes prune shards again
+    Retrieval.appendToBm25Index(
+      Seq((81L, "spark again")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir): Unit
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def listed(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.executedPlan.collectLeaves()
+          .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.length.toLong).sum }.get
+      assert(listed(Retrieval.queryBm25Index(spark, dir, Seq("spark"), 10)) <
+        listed(graft.sources.Versioned.read(spark, s"$dir/postings")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // a crashed REBUILD with a DIFFERENT modulus must NOT get the old
+    // stamp blessed: data-validation fails every candidate and the
+    // sidecar stays stale (degraded, correct)
+    val dir2 = java.nio.file.Files.createTempDirectory("bm25rs2").toString
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), dir2,
+      layout = "partition", nPartDirs = 4): Unit
+    // rebuild with modulus 3 dies between its postings commit and stamp:
+    // postings land at modulus 3, sidecar still says 4 at the old version
+    val scratch = java.nio.file.Files.createTempDirectory("bm25rs3").toString
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), scratch,
+      layout = "partition", nPartDirs = 3): Unit
+    val side = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir2, "tok_parts").toPath), "UTF-8")
+    graft.sources.Versioned.overwritePartitioned(
+      graft.sources.Versioned.read(spark, s"$scratch/postings"),
+      s"$dir2/postings", "tok_part"): Unit
+    java.nio.file.Files.write(new java.io.File(dir2, "tok_parts").toPath,
+      side.getBytes("UTF-8")): Unit // the stale pre-rebuild stamp
+    Retrieval.repairBm25Index(spark, dir2): Unit
+    // wait — modulus 3 postings DO verify under n=3 (the max+1 probe), so
+    // repair may legitimately re-stamp 3; what must NEVER happen is a
+    // stamp whose modulus disagrees with the data
+    val restamped = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir2, "tok_parts").toPath), "UTF-8").trim.split(" ")
+    val n2 = restamped(0).toInt
+    assert(graft.sources.Versioned.read(spark, s"$dir2/postings")
+      .filter(org.apache.spark.sql.functions.conv(
+        substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % n2
+        =!= col("tok_part")).isEmpty,
+      s"re-stamped modulus $n2 must agree with every row's tok_part")
+    assert(Retrieval.queryBm25Index(spark, dir2, Seq("spark"), 10)
+      .as[(Long, Long, Double)].collect().toSeq ==
+      Retrieval.queryBm25Index(spark, scratch, Seq("spark"), 10)
+        .as[(Long, Long, Double)].collect().toSeq)
+  }
+
   test("empty term list refuses; no-hit terms return zero rows") {
     val docs = corpus.toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -235,6 +235,62 @@ class SchedulerSpec extends SparkSpec {
     assert(calls.toSeq == Seq("a", "b", "a", "b"))
   }
 
+  test("claims are single-flight and fenced: a fresh claim on a DIFFERENT " +
+      "boundary blocks; a mid-run takeover stops the slow claimant at the " +
+      "next stage boundary without recording the in-flight stage") {
+    import graft.sources.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft-fence").toString
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    val claims = s"$dir/claims"
+
+    // 1. single-flight: with claimTtlMs > intervalMs, a live claimant on
+    // an OLDER boundary must still exclude a second ticker — the stage
+    // chains of two boundaries share composed artifacts
+    Versioned.overwrite(
+      Seq((5 * Day, 10 * Day, "other-owner", false))
+        .toDF("boundary_ms", "claimed_at_ms", "owner", "released"),
+      claims): Unit
+    val stagesPlain: Seq[(String, () => Unit)] = Seq(
+      "a" -> (() => { calls += "a"; () }),
+      "b" -> (() => { calls += "b"; () }))
+    assert(Scheduler.tickStages(spark, dir, stagesPlain,
+      nowMs = 10 * Day + 5, intervalMs = Day, retries = 0,
+      retryDelayMs = 1L, sleep = _ => (), claimTtlMs = 3 * Day).isEmpty,
+      "a fresh foreign claim must block regardless of its boundary")
+    assert(calls.isEmpty)
+
+    // 2. fencing: the claim is taken over WHILE stage a runs (the
+    // slow-claimant-past-TTL shape) — the slow ticker must not record
+    // stage a, must not run stage b, and must not write the coverage
+    // marker; the boundary stays fully re-runnable
+    Versioned.overwriteExpecting(
+      Seq((5 * Day, 10 * Day, "other-owner", true))
+        .toDF("boundary_ms", "claimed_at_ms", "owner", "released"),
+      claims, Versioned.latestVersion(spark, claims) + 1): Unit
+    val fencedStages: Seq[(String, () => Unit)] = Seq(
+      "a" -> (() => { calls += "a"
+        Versioned.overwriteExpecting(
+          Seq((10 * Day, 11 * Day, "taker", false))
+            .toDF("boundary_ms", "claimed_at_ms", "owner", "released"),
+          claims, Versioned.latestVersion(spark, claims) + 1): Unit
+      }),
+      "b" -> (() => { calls += "b"; () }))
+    val t = Scheduler.tickStages(spark, dir, fencedStages,
+      nowMs = 10 * Day + 5, intervalMs = Day, retries = 0,
+      retryDelayMs = 1L, sleep = _ => ())
+    assert(t.map(_._1) == Seq("a"), "the in-flight stage's attempts are " +
+      "returned to the caller, but nothing after it runs")
+    assert(calls.toSeq == Seq("a"), "stage b must not run after the fence")
+    assert(!Versioned.exists(spark, s"$dir/runs") ||
+      Versioned.read(spark, s"$dir/runs").count() == 0L,
+      "a fenced claimant records nothing — the taker owns the history")
+    // the taker's claim survives the loser's best-effort release
+    val cur = Versioned.read(spark, claims)
+      .select("owner", "released").as[(String, Boolean)].collect().head
+    assert(cur == ("taker", false),
+      "the fenced loser must not release the taker's claim")
+  }
+
   test("DailyMaintenance retrain cadence: models re-version every " +
       "retrainEvery boundaries; a pinned modelAsOf encode reproduces " +
       "bit-for-bit across the retrain") {
