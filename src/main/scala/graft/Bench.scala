@@ -23,21 +23,34 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: pay JVM/codegen/scheduler startup outside the timed loop.
     force(SparkEntry.entry(spark))
-    // Steady-state timing: one untimed warm execution per query (pays
-    // codegen compilation, broadcast builds, and stray GC from the
-    // previous query), then TWO timed runs, reporting the min. Single-
-    // shot numbers swung ±10× run-to-run on identical plans, which
-    // buries real regressions, and even warm single runs produced
-    // phantom 2–8× "regressions" under driver-side contention two
-    // rounds straight (r6: q37/q38; r7: q97/q98/q99) — min-of-2 makes
-    // the committed artifact self-defending: a contended outlier can't
-    // survive both runs. Both raws land under "raw" for inspection.
-    // A failing query must not masquerade as a fast one: record -1.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Phase 1 — GLOBAL warm pass, untimed: run every query once BEFORE
+    // any timing starts. This is where every CachedArtifact (BPE model,
+    // BM25/chunk/IVF index dirs) resolves and builds, where codegen
+    // compiles, and where broadcast builds first happen — so no timed
+    // rep can ever absorb a one-off artifact build (the r11 driver boot
+    // showed 14–22× phantom outliers on q164/q165 exactly because a
+    // cold shared artifact landed inside a timed rep). The warm seconds
+    // are emitted as their own "warm" map: on a cold boot the artifact
+    // build cost is visible THERE, never in "queries".
+    val warm = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
       val ok = try { force(fn(spark, sfDir)); true } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
-      val ts = if (!ok) Seq(-1.0) else Seq.fill(2) {
+      spark.catalog.clearCache()
+      name -> (ok, (System.nanoTime() - t0) / 1e9)
+    }.toMap
+    // Phase 2 — steady-state timing: TWO timed runs per query, reporting
+    // the min. Single-shot numbers swung ±10× run-to-run on identical
+    // plans, which buries real regressions, and even warm single runs
+    // produced phantom 2–8× "regressions" under driver-side contention
+    // two rounds straight (r6: q37/q38; r7: q97/q98/q99) — min-of-2
+    // makes the committed artifact self-defending: a contended outlier
+    // can't survive both runs. Both raws land under "raw" for
+    // inspection. A failing query must not masquerade as a fast one:
+    // record -1.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val ts = if (!warm(name)._1) Seq(-1.0) else Seq.fill(2) {
         val t0 = System.nanoTime()
         force(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
@@ -52,8 +65,10 @@ object Bench {
       .mkString("{", ",", "}")
     val raw = results.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    val warmJson = warm.toSeq.sortBy(_._1)
+      .map { case (k, (_, t)) => s"\"" + k + "\":" + t }.mkString("{", ",", "}")
     val total = results.map(_._2.min).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"warm":$warmJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full line as a repo artifact: driver-side capture
     // keeps only a 2000-char tail of stdout, which truncates the

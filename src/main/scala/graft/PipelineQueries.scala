@@ -1512,6 +1512,33 @@ object PipelineQueries {
   private val q176Sql =
     "SELECT doc_id, text FROM documents ORDER BY doc_id"
 
+  // ---------------------------------------------------------------------
+  // [EXT] BYTE-LEVEL BPE round-trip — the q176 oracle extended to the
+  // no-OOV production-default alphabet: encode maps every UTF-8 byte to
+  // a printable symbol (GPT-2 bytes_to_unicode), decode inverts the
+  // mapping (symbol → byte → UTF-8), so decode(encode(corpus)) must
+  // hash-match the raw documents table through TWO alphabet transforms.
+  // The persisted model is byte-level (flag stamped on every merges
+  // row); the one-line identity oracle makes this the strongest-oracle
+  // pair in the surface.
+  private def cachedBpeByteModel(spark: SparkSession, dir: String): String = {
+    val docs = Tables.documents(spark, dir)
+    graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "bpe_byte1",
+      "merges", "vocab")(
+      Bpe.buildBpeModel(docs, col("text"), k = bpeK, _,
+        byteLevel = true): Unit)
+  }
+
+  def q178BpeByteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val mdl = cachedBpeByteModel(spark, dir)
+    val ids = Bpe.encodeIdsWithModel(spark, mdl,
+      Tables.documents(spark, dir), col("doc_id"), col("text"),
+      byteLevel = true)
+    Bpe.decodeIdsWithModel(spark, mdl, ids, byteLevel = true)
+      .orderBy(col("doc_id"))
+  }
+
   private val q165Sql =
     s"""WITH ${bpeChainSql(bpeK)},
        |enc AS (
@@ -1752,7 +1779,8 @@ object PipelineQueries {
     "q156_bpe_ids"          -> (q156BpeIds _),
     "q164_bpe_model_ids"    -> (q164BpeModelIds _),
     "q165_bpe_trainer_export" -> (q165BpeTrainerExport _),
-    "q176_bpe_roundtrip" -> (q176BpeRoundtrip _))
+    "q176_bpe_roundtrip" -> (q176BpeRoundtrip _),
+    "q178_bpe_byte_roundtrip" -> (q178BpeByteRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     "q69_tfidf"             -> q69Sql,
@@ -1793,5 +1821,6 @@ object PipelineQueries {
     // the persisted-tokenizer probe replays q156's inline pipeline
     "q164_bpe_model_ids"    -> q156Sql,
     "q165_bpe_trainer_export" -> q165Sql,
-    "q176_bpe_roundtrip" -> q176Sql)
+    "q176_bpe_roundtrip" -> q176Sql,
+    "q178_bpe_byte_roundtrip" -> q176Sql)
 }

@@ -443,32 +443,76 @@ object RetrievalQueries {
     Retrieval.hybridSearchChunks(spark, cachedChunkBm25(spark, dir),
       cachedChunkIvf(spark, dir), chunkQueryBatch(spark), k = 10, kEach = 20)
 
+  // ---------------------------------------------------------------------
+  // [EXT] chunk-grain hybrid over the COMPRESSED semantic arm — q169's
+  // composition with the chunk ANN index upgraded to IVF-PQ + exact
+  // re-rank (judge task: at 100 TB the chunk-grain vector table is the
+  // largest vector artifact in the system — every document explodes
+  // into size/stride windows — so PQ's ~32× byte cut pays most exactly
+  // here). The probe streams m-code rows from the probed buckets, the
+  // |Q|·kEach·alpha shortlist re-scores with exact dots against the
+  // full-precision chunk vectors (derived from the documents table on
+  // the index's own grid — no second float artifact), and RRF fuses
+  // with the chunk BM25 arm at span grain. The oracle replays chunking,
+  // embedding, IVF assignment, the md5-seeded codebook, ADC, the exact
+  // re-rank, chunk BM25, and the fusion in ONE statement.
+  private def cachedChunkPq(spark: SparkSession, dir: String): String =
+    graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "chunkpqq",
+      "centroids", "codebook", "assignment")(
+      Retrieval.buildChunkIvfPqIndex(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), _,
+        size = 32, stride = 16): Unit)
+
+  def q179ChunkHybridPq(spark: SparkSession, dir: String): DataFrame = {
+    val pqDir = cachedChunkPq(spark, dir)
+    Retrieval.hybridSearchChunksPq(spark, cachedChunkBm25(spark, dir),
+      pqDir, chunkQueryBatch(spark),
+      Retrieval.chunkVectors(spark, Tables.documents(spark, dir),
+        col("doc_id"), col("text"), pqDir),
+      k = 10, kEach = 20, alpha = 4, nProbes = 4)
+  }
+
+  private lazy val q179Sql =
+    s"""$chunkHybridPqCtes
+       |SELECT query_id, ckid // 4294967296 AS doc_id,
+       |  ckid % 4294967296 AS chunk_start, n_rankers, rrf
+       |FROM sel ORDER BY query_id, rrf DESC, doc_id, chunk_start""".stripMargin
+
   /** The shared q169 chain up through `sel` (the fused chunk top-10 at
     * composite-key grain) — q169 decodes and returns it; q170 assembles
     * it into a budgeted context.
     */
-  private val chunkHybridCtes = {
-    val dot64 = (a: String, b: String) =>
-      s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
-    val md5long = (c: String) =>
-      s"CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)"
-    // hashing-trick embedding of (key, tok) pairs → dense 64-dim lists
-    def embed(src: String, key: String, out: String): String =
-      s"""${out}_h AS (
-         |  SELECT $key, ${md5long("tok")} AS h FROM $src),
-         |${out}_c AS (
-         |  SELECT $key, CAST(h % 64 AS INTEGER) AS d,
-         |    sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
-         |  FROM ${out}_h GROUP BY 1, 2),
-         |${out}_d AS (
-         |  SELECT k.$key, r.i, coalesce(s.v, 0.0) AS v
-         |  FROM (SELECT DISTINCT $key FROM ${out}_h) k
-         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r
-         |  LEFT JOIN ${out}_c s ON s.$key = k.$key AND s.d = r.i),
-         |$out AS (
-         |  SELECT $key, v, list_sum(list_transform(v, x -> x * x)) AS nsq
-         |  FROM (SELECT $key, list(v ORDER BY i) AS v FROM ${out}_d
-         |        GROUP BY 1))""".stripMargin
+  private val dot64 = (a: String, b: String) =>
+    s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+  private val md5long = (c: String) =>
+    s"CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)"
+
+  // hashing-trick embedding of (key, tok) pairs → dense 64-dim lists
+  private def embedSql(src: String, key: String, out: String): String =
+    s"""${out}_h AS (
+       |  SELECT $key, ${md5long("tok")} AS h FROM $src),
+       |${out}_c AS (
+       |  SELECT $key, CAST(h % 64 AS INTEGER) AS d,
+       |    sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+       |  FROM ${out}_h GROUP BY 1, 2),
+       |${out}_d AS (
+       |  SELECT k.$key, r.i, coalesce(s.v, 0.0) AS v
+       |  FROM (SELECT DISTINCT $key FROM ${out}_h) k
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r
+       |  LEFT JOIN ${out}_c s ON s.$key = k.$key AND s.d = r.i),
+       |$out AS (
+       |  SELECT $key, v, list_sum(list_transform(v, x -> x * x)) AS nsq
+       |  FROM (SELECT $key, list(v ORDER BY i) AS v FROM ${out}_d
+       |        GROUP BY 1))""".stripMargin
+
+  /** Shared chunk-hybrid SQL prefix: chunking, the two-query batch,
+    * hashing-trick embeddings of chunks (cbase) and queries (qbase),
+    * the 16 IVF centroids, chunk→centroid assignment, and the per-query
+    * probe set — everything both semantic arms (float IVF and IVF-PQ)
+    * build on.
+    */
+  private val chunkPrefixCtes =
     s"""WITH t AS (
        |  SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
        |starts AS (
@@ -485,8 +529,8 @@ object RetrievalQueries {
        |    AS v(query_id, terms)),
        |ctok AS (SELECT ck, unnest(string_split(chunk_text, ' ')) AS tok FROM ch),
        |qtokall AS (SELECT query_id, unnest(terms) AS tok FROM q),
-       |${embed("ctok", "ck", "cbase")},
-       |${embed("qtokall", "query_id", "qbase")},
+       |${embedSql("ctok", "ck", "cbase")},
+       |${embedSql("qtokall", "query_id", "qbase")},
        |cent AS (
        |  SELECT ck AS centroid_id, v, nsq FROM cbase
        |  ORDER BY ${md5long("CAST(ck AS VARCHAR)")} ASC, ck ASC
@@ -506,8 +550,12 @@ object RetrievalQueries {
        |        ORDER BY ${dot64("b.v", "c.v")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
        |                 c.centroid_id ASC) AS rn
        |    FROM qbase b CROSS JOIN cent c)
-       |  WHERE rn <= 4),
-       |semscored AS (
+       |  WHERE rn <= 4)""".stripMargin
+
+  /** The float-IVF semantic arm: cosine scan of the probed buckets,
+    * top-20 per query as `semr`. */
+  private val chunkFloatArmCtes =
+    s"""semscored AS (
        |  SELECT p.query_id, a.cand_id,
        |    ${dot64("p.qv", "a.cv")} / (sqrt(p.qnsq) * sqrt(a.cnsq)) AS sim
        |  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
@@ -516,8 +564,69 @@ object RetrievalQueries {
        |  SELECT query_id, cand_id AS ckid, rn FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |      ORDER BY sim DESC, cand_id ASC) AS rn FROM semscored)
-       |  WHERE rn <= 20),
-       |d AS (
+       |  WHERE rn <= 20)""".stripMargin
+
+  /** The IVF-PQ + exact-rerank semantic arm (m = 8 subspaces of 8 dims,
+    * ks = 16 codes, shortlist = kEach·alpha = 80): md5-sampled codebook
+    * seeds (code = sample-order rank), per-subspace argmin-L2 encoding,
+    * per-query LUT, ADC scoring over the probed buckets, exact-dot
+    * re-rank of the shortlist against the full-precision chunk vectors
+    * — top-20 per query as `semr`, same interface as the float arm.
+    */
+  private val chunkPqArmCtes = {
+    val l2 = """list_sum(list_transform(range(1, 9),
+        |          i -> (b.v[c.j*8+i] - c.cb[i]) * (b.v[c.j*8+i] - c.cb[i])))""".stripMargin
+    s"""pqseeds AS (
+       |  SELECT v, row_number() OVER (ORDER BY
+       |      ${md5long("CAST(ck AS VARCHAR)")} ASC, ck ASC) - 1 AS code
+       |  FROM cbase
+       |  ORDER BY ${md5long("CAST(ck AS VARCHAR)")} ASC, ck ASC
+       |  LIMIT 16),
+       |cb0 AS (
+       |  SELECT j, code, list_slice(v, j*8+1, j*8+8) AS cb
+       |  FROM pqseeds CROSS JOIN (SELECT unnest(range(0, 8)) AS j) sj),
+       |enc AS (
+       |  SELECT cand_id, j, code FROM (
+       |    SELECT b.ck AS cand_id, c.j, c.code,
+       |      row_number() OVER (PARTITION BY b.ck, c.j
+       |        ORDER BY $l2 ASC, c.code ASC) AS rn
+       |    FROM cbase b CROSS JOIN cb0 c)
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT b.query_id, c.j, c.code,
+       |    list_sum(list_transform(range(1, 9), i -> b.v[c.j*8+i] * c.cb[i])) AS d
+       |  FROM qbase b CROSS JOIN cb0 c),
+       |pqscored AS (
+       |  SELECT p.query_id, a.cand_id, list_sum(list(l.d ORDER BY l.j)) AS pqdot
+       |  FROM assigned a
+       |  JOIN probes p ON a.centroid_id = p.centroid_id
+       |  JOIN enc e ON e.cand_id = a.cand_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.j = e.j AND l.code = e.code
+       |  WHERE a.cand_id <> p.query_id
+       |  GROUP BY 1, 2),
+       |shortlist AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY pqdot DESC, cand_id ASC) AS rn FROM pqscored)
+       |  WHERE rn <= 80),
+       |rer AS (
+       |  SELECT s.query_id, s.cand_id, ${dot64("qb.v", "cb2.v")} AS dot
+       |  FROM shortlist s
+       |  JOIN qbase qb ON qb.query_id = s.query_id
+       |  JOIN cbase cb2 ON cb2.ck = s.cand_id),
+       |semr AS (
+       |  SELECT query_id, cand_id AS ckid, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot DESC, cand_id ASC) AS rn FROM rer)
+       |  WHERE rn <= 20)""".stripMargin
+  }
+
+  /** The lexical arm (chunk BM25, top-20 as `lexr`) + the RRF fusion
+    * tail ending at `sel` (fused top-10 per query at composite-key
+    * grain) — reads whichever `semr` the chosen semantic arm defined.
+    */
+  private val chunkLexFusionCtes =
+    s"""d AS (
        |  SELECT ck, CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS dl,
        |    string_split(chunk_text, ' ') AS toks
        |  FROM ch),
@@ -567,7 +676,16 @@ object RetrievalQueries {
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |      ORDER BY rrf DESC, ckid ASC) AS rn FROM fused)
        |  WHERE rn <= 10)""".stripMargin
-  }
+
+  private val chunkHybridCtes =
+    s"""$chunkPrefixCtes,
+       |$chunkFloatArmCtes,
+       |$chunkLexFusionCtes""".stripMargin
+
+  private val chunkHybridPqCtes =
+    s"""$chunkPrefixCtes,
+       |$chunkPqArmCtes,
+       |$chunkLexFusionCtes""".stripMargin
 
   private val q169Sql =
     s"""$chunkHybridCtes
@@ -941,7 +1059,8 @@ object RetrievalQueries {
     "q172_bm25_many_part" -> (q172Bm25ManyPart _),
     "q173_context_text" -> (q173ContextText _),
     "q174_rm3_expand" -> (q174Rm3Expand _),
-    "q175_ql_index" -> (q175QlIndex _))
+    "q175_ql_index" -> (q175QlIndex _),
+    "q179_chunk_hybrid_pq" -> (q179ChunkHybridPq _))
 
   val oracle: Map[String, String] = Map(
     "q146_bm25"         -> q146Sql,
@@ -960,5 +1079,6 @@ object RetrievalQueries {
     "q172_bm25_many_part" -> q153Sql,
     "q173_context_text" -> q173Sql,
     "q174_rm3_expand" -> q174Sql,
-    "q175_ql_index" -> q175Sql)
+    "q175_ql_index" -> q175Sql,
+    "q179_chunk_hybrid_pq" -> q179Sql)
 }

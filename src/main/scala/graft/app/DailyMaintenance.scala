@@ -71,6 +71,8 @@ object DailyMaintenance {
     s"$work/chunks/postings", s"$work/chunks/stats",
     s"$work/ivf/centroids", s"$work/ivf/assignment",
     s"$work/chunk_ivf/centroids", s"$work/chunk_ivf/assignment",
+    s"$work/chunk_pq/centroids", s"$work/chunk_pq/codebook",
+    s"$work/chunk_pq/assignment",
     s"$work/bpe_model/merges", s"$work/bpe_model/vocab",
     s"$work/nb_model/model", s"$work/nb_model/priors",
     s"$work/runs", s"$work/claims")
@@ -88,6 +90,16 @@ object DailyMaintenance {
     if (!Versioned.exists(spark, table)) 0
     else Versioned.history(spark, table).reverse
       .takeWhile(_._2 == "append").size
+
+  /** True when a BM25-family index pair is wedged between its two
+    * commits — stats missing after a crashed build, or versions out of
+    * lockstep after a crashed append/compaction. The shapes
+    * [[graft.operators.Retrieval.repairBm25Index]] heals.
+    */
+  private def bm25PairBroken(spark: SparkSession, indexDir: String): Boolean =
+    !Versioned.exists(spark, s"$indexDir/stats") ||
+      Versioned.latestVersion(spark, s"$indexDir/postings") !=
+        Versioned.latestVersion(spark, s"$indexDir/stats")
 
   /** The day's stage list over a batch of documents (doc_id, text,
     * n_chars, …) and their embedding rows (id, vec). Build-or-append
@@ -116,6 +128,13 @@ object DailyMaintenance {
       if (!Versioned.exists(spark, s"$work/bm25/postings"))
         Retrieval.buildBm25Index(batch, col("doc_id"), col("text"),
           s"$work/bm25"): Unit
+      // a build or append crashed between its postings and stats commits
+      // (stats missing, or lockstep broken): the orphan postings slice
+      // IS this boundary's batch (the stage only re-runs uncovered
+      // boundaries, in order), so repair COMPLETES the crashed operation
+      // — appending again after it would land the batch's postings twice
+      else if (bm25PairBroken(spark, s"$work/bm25"))
+        Retrieval.repairBm25Index(spark, s"$work/bm25"): Unit
       else
         Retrieval.appendToBm25Index(batch, col("doc_id"), col("text"),
           s"$work/bm25"): Unit
@@ -125,24 +144,39 @@ object DailyMaintenance {
       if (!Versioned.exists(spark, postingsT))
         Retrieval.buildChunkBm25Index(batch, col("doc_id"), col("text"),
           s"$work/chunks", size = 32, stride = 16): Unit
-      else if (Retrieval.chunkGridHealthy(spark, s"$work/chunks"))
-        // the window grid comes from the index's own sidecar
-        Retrieval.appendToChunkBm25Index(batch, col("doc_id"), col("text"),
-          s"$work/chunks"): Unit
-      else if (Versioned.history(spark, postingsT).forall(_._1 == 0L))
-        // a FIRST build died between its index commit and the grid
-        // stamp: the table holds exactly this boundary's batch (resume
-        // re-runs the same boundary), so rebuilding from the batch is
-        // LOSSLESS — the self-heal the build path owns. Any later
-        // grid corruption falls through to the loud error below:
-        // rebuilding a multi-day index from one day's batch would
-        // silently discard every prior day.
-        Retrieval.buildChunkBm25Index(batch, col("doc_id"), col("text"),
-          s"$work/chunks", size = 32, stride = 16): Unit
-      else sys.error(s"$work/chunks grid sidecar is untrusted and the " +
-        "postings hold more than the first build — rebuild the chunk " +
-        "index manually from the full corpus (a one-batch rebuild here " +
-        "would silently drop prior days)")
+      else {
+        // heal a pair broken between its postings and stats commits
+        // BEFORE routing: repair restores stats lockstep from the orphan
+        // postings. Without it, (a) a crashed APPEND would make the
+        // healthy-grid append below refuse forever, and (b) the
+        // first-build rebuild would overwrite postings to v1 while
+        // CREATING stats at v0, fail its own lockstep require, and wedge
+        // the boundary behind the manual-rebuild error on the next tick.
+        val broken = bm25PairBroken(spark, s"$work/chunks")
+        if (broken) Retrieval.repairBm25Index(spark, s"$work/chunks"): Unit
+        if (Retrieval.chunkGridHealthy(spark, s"$work/chunks")) {
+          // the window grid comes from the index's own sidecar; a healed
+          // crashed APPEND already holds this boundary's batch — only an
+          // intact pair takes the append
+          if (!broken)
+            Retrieval.appendToChunkBm25Index(batch, col("doc_id"),
+              col("text"), s"$work/chunks"): Unit
+        }
+        else if (Versioned.history(spark, postingsT).forall(_._1 == 0L))
+          // a FIRST build died between its index commit and the grid
+          // stamp: the table holds exactly this boundary's batch (resume
+          // re-runs the same boundary), so rebuilding from the batch is
+          // LOSSLESS — the self-heal the build path owns. Any later
+          // grid corruption falls through to the loud error below:
+          // rebuilding a multi-day index from one day's batch would
+          // silently discard every prior day.
+          Retrieval.buildChunkBm25Index(batch, col("doc_id"), col("text"),
+            s"$work/chunks", size = 32, stride = 16): Unit
+        else sys.error(s"$work/chunks grid sidecar is untrusted and the " +
+          "postings hold more than the first build — rebuild the chunk " +
+          "index manually from the full corpus (a one-batch rebuild here " +
+          "would silently drop prior days)")
+      }
     }),
     "ivf_append" -> (() => {
       if (!Versioned.exists(spark, s"$work/ivf/centroids"))
@@ -169,6 +203,27 @@ object DailyMaintenance {
           dir, size = 32, stride = 16): Unit
       else sys.error(s"$dir grid sidecar is untrusted and the assignment " +
         "holds more than the first build — rebuild the chunk ANN index " +
+        "manually from the full corpus")
+    }),
+    // the COMPRESSED chunk ANN index (IVF-PQ + rerank — the semantic arm
+    // hybridSearchChunksPq serves at 100 TB, where the chunk-grain
+    // vector table is the largest vector artifact in the system): same
+    // grid-health routing and first-build self-heal as chunk_ivf_append
+    "chunk_pq_append" -> (() => {
+      val dir = s"$work/chunk_pq"
+      if (!Versioned.exists(spark, s"$dir/centroids"))
+        Retrieval.buildChunkIvfPqIndex(batch, col("doc_id"), col("text"),
+          dir, size = 32, stride = 16): Unit
+      else if (Retrieval.chunkGridHealthy(spark, dir,
+          stampTable = "assignment"))
+        Retrieval.appendToChunkIvfPqIndex(batch, col("doc_id"), col("text"),
+          dir): Unit
+      else if (Versioned.history(spark, s"$dir/assignment")
+          .forall(_._1 == 0L))
+        Retrieval.buildChunkIvfPqIndex(batch, col("doc_id"), col("text"),
+          dir, size = 32, stride = 16): Unit
+      else sys.error(s"$dir grid sidecar is untrusted and the assignment " +
+        "holds more than the first build — rebuild the chunk PQ index " +
         "manually from the full corpus")
     }),
     // model maintenance — the LONGER cadence (every `retrainEvery`
@@ -208,6 +263,11 @@ object DailyMaintenance {
       if (appendDebt(spark, s"$work/chunk_ivf/assignment") >= compactEvery)
         // re-stamps the grid sidecar at the new overwrite version
         Retrieval.compactChunkIvfIndex(spark, s"$work/chunk_ivf"): Unit
+    }),
+    "chunk_pq_compact" -> (() => {
+      if (appendDebt(spark, s"$work/chunk_pq/assignment") >= compactEvery)
+        // compacts all three lockstep tables + re-stamps the grid
+        Retrieval.compactChunkIvfIndex(spark, s"$work/chunk_pq"): Unit
     }),
     "vacuum" -> (() => {
       // the scheduler's own history accrues one tiny append per

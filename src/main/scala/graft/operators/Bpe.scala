@@ -359,42 +359,81 @@ object Bpe {
     encodeIds(docs, id, text, merges, vocabDf, byteLevel)
   }
 
+  /** byte-symbol string → original text — the [[ByteToUnicode]]
+    * INVERSE (GPT-2 `bytes_to_unicode` reversed): every symbol
+    * character maps back to the byte it stands for (the 256-entry map
+    * literal is the same driver-materialized table the encode side
+    * uses, read the other way — one source of truth), the byte string
+    * re-assembles via hex → unhex, and the binary decodes as UTF-8.
+    * Exact inverse by construction: encode mapped each UTF-8 byte to a
+    * distinct printable symbol, so the round trip is byte-identical —
+    * emoji, multi-byte codepoints, and control bytes included.
+    * `symCol` MUST be a bound column (the [[symbolsFromHex]] rule: the
+    * per-character lambda dereferences it once per element).
+    */
+  private def textFromSymbols(symCol: Column): Column = {
+    val inv = map_from_arrays(
+      array(ByteToUnicode.map(cp =>
+        lit(new String(Character.toChars(cp)))): _*),
+      array((0 until 256).map(b => lit(f"$b%02X")): _*))
+    decode(unhex(concat_ws("", transform(
+      sequence(lit(1), length(symCol)), i =>
+        element_at(inv, symCol.substr(i, lit(1)))))), "UTF-8")
+  }
+
   /** Inverse of [[encodeIds]] — DETOKENIZATION, the decode a trainer
     * uses to inspect samples or export text from an id stream: ids join
     * the vocabulary back to symbols (an equality join against the
     * vocabulary-sized table), symbols concatenate per word in sym_pos
     * order (BPE segmentation PARTITIONS the word's characters, so the
     * concat reconstructs the word exactly), words join with single
-    * spaces in word_pos order. decode(encode(x)) ≡ x for char-level
-    * models (q176 proves it corpus-wide against the raw documents
-    * table — the oracle is `SELECT doc_id, text FROM documents`).
-    * Byte-level decode would additionally need the bytes_to_unicode
-    * inverse — refused until wired, rather than emitting mojibake.
+    * spaces in word_pos order. For a BYTE-LEVEL model the reconstructed
+    * word is a byte-symbol string, so it additionally runs through the
+    * [[textFromSymbols]] inverse before the doc-level join.
+    * decode(encode(x)) ≡ x for both alphabets (q176/q178 prove it
+    * corpus-wide against the raw documents table — the oracle is
+    * `SELECT doc_id, text FROM documents`).
     *
     * Input: the [[encodeIds]] stream (doc_id, word_pos, sym_pos,
     * tok_id). Output: (doc_id, text).
     */
-  def decodeIds(ids: DataFrame, vocabDf: DataFrame): DataFrame =
-    ids.select(col("doc_id"), col("word_pos"), col("sym_pos"), col("tok_id"))
+  def decodeIds(ids: DataFrame, vocabDf: DataFrame,
+                byteLevel: Boolean = false): DataFrame = {
+    val words = ids
+      .select(col("doc_id"), col("word_pos"), col("sym_pos"), col("tok_id"))
       .join(vocabDf.select(col("tok_id"), col("tok")), Seq("tok_id"))
       .groupBy(col("doc_id"), col("word_pos"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("sym_pos"), col("tok")))),
-        x => x("tok")), "").as("__word"))
+        x => x("tok")), "").as("__sym"))
+    val decoded =
+      if (!byteLevel) words.withColumnRenamed("__sym", "__word")
+      else words.select(col("doc_id"), col("word_pos"),
+        textFromSymbols(col("__sym")).as("__word"))
+    decoded
       .groupBy(col("doc_id"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("word_pos"), col("__word")))),
         x => x("__word")), " ").as("text"))
+  }
 
-  /** [[decodeIds]] against a persisted model's vocabulary. */
+  /** [[decodeIds]] against a persisted model's vocabulary; `byteLevel`
+    * is validated against the model's persisted flag (the
+    * [[byteLevelGuard]] discipline — decoding a byte-level model
+    * char-level would emit the symbol alphabet as if it were text).
+    */
   def decodeIdsWithModel(spark: org.apache.spark.sql.SparkSession,
                          modelDir: String, ids: DataFrame,
                          byteLevel: Boolean = false,
                          asOf: Option[Long] = None): DataFrame = {
-    require(!byteLevel, "byte-level decode needs the bytes_to_unicode " +
-      "inverse mapping — not wired; decode char-level models only")
-    val (_, vocabDf) = readModel(spark, modelDir, asOf, byteLevel)
-    decodeIds(ids, vocabDf)
+    val (merges, vocabDf) = readModel(spark, modelDir, asOf, byteLevel)
+    // the flag guard rides the MERGES plan, which decode never
+    // evaluates — re-attach it to the vocabulary via a 1-row broadcast
+    // so a byteLevel/model mismatch still fails loudly instead of
+    // emitting the symbol alphabet as if it were text
+    val guard = merges.agg(count(lit(1)).as("__g"))
+    decodeIds(ids, vocabDf.crossJoin(broadcast(guard)).drop("__g"),
+      byteLevel)
   }
 
   /** [[tokenCounts]] against a persisted model — the provisioning

@@ -1067,13 +1067,59 @@ object Retrieval {
   /** Compact the chunk-grain ANN index and RE-STAMP its grid sidecar
     * at the new overwrite version — the [[compactChunkBm25Index]]
     * discipline; use this, not the raw [[Similarity.compactIvfIndex]],
-    * on chunk indexes.
+    * on chunk indexes. Handles both the plain-float and the IVF-PQ
+    * chunk index (the compactor compacts whichever of
+    * centroids/codebook/assignment exist, in lockstep).
     */
   def compactChunkIvfIndex(spark: SparkSession, indexDir: String): Long = {
     val (size, stride) = chunkGrid(spark, indexDir, stampTable = "assignment")
     val v = Similarity.compactIvfIndex(spark, indexDir)
     writeChunkGrid(spark, indexDir, size, stride, v)
     v
+  }
+
+  /** Build the COMPRESSED chunk-grain ANN index — [[buildChunkIvfIndex]]
+    * with the assignment storing m-byte PQ codes instead of float
+    * vectors ([[Similarity.buildIvfPqIndex]]). At 100 TB the chunk-grain
+    * vector table is the LARGEST vector artifact in the system (every
+    * document explodes into size/stride windows), which is exactly
+    * where PQ's ~32× byte cut pays most: a probe moves
+    * ~nProbes/nCentroids ÷ 32 of the float-index bytes, and the exact
+    * re-rank ([[Similarity.queryIvfPqIndexReranked]], wired into
+    * [[hybridSearchChunksPq]]) closes the reconstruction-error recall
+    * gap at |Q|·kEach·alpha exact dots. Same grid-sidecar discipline as
+    * the float index — stamped against the assignment's overwrite
+    * snapshot, so fusion refuses mismatched grids.
+    */
+  def buildChunkIvfPqIndex(docs: DataFrame, id: Column, text: Column,
+                           indexDir: String, size: Int, stride: Int,
+                           dim: Int = 64, nCentroids: Int = 16,
+                           m: Int = 8, ks: Int = 16,
+                           pqLloydIters: Int = 0, lloydIters: Int = 0,
+                           residual: Boolean = false,
+                           nBuckets: Int = 8): Long = {
+    require(size > 0 && stride > 0)
+    val vecs = Corpus.hashEmbed(chunkKeyed(docs, id, text, size, stride),
+      col("ck"), col("chunk_text"), dim)
+    val v = Similarity.buildIvfPqIndex(vecs, indexDir, nCentroids, m, ks,
+      pqLloydIters, lloydIters, dim, residual, nBuckets)
+    writeChunkGrid(docs.sparkSession, indexDir, size, stride, v)
+    v
+  }
+
+  /** Append a document batch's chunks to the compressed chunk ANN
+    * index: grid from the sidecar, embeddings from the same
+    * feature-hash encoder, then FAISS-add on the frozen centroids +
+    * codebook ([[Similarity.appendToIvfPqIndex]]).
+    */
+  def appendToChunkIvfPqIndex(batch: DataFrame, id: Column, text: Column,
+                              indexDir: String, dim: Int = 64, m: Int = 8,
+                              residual: Boolean = false): Long = {
+    val (size, stride) = chunkGrid(batch.sparkSession, indexDir,
+      stampTable = "assignment")
+    Similarity.appendToIvfPqIndex(
+      Corpus.hashEmbed(chunkKeyed(batch, id, text, size, stride),
+        col("ck"), col("chunk_text"), dim), indexDir, m, dim, residual)
   }
 
   /** HYBRID retrieval at CHUNK grain — the full RAG serving unit: the
@@ -1114,6 +1160,62 @@ object Retrieval {
         col("doc_id").bitwiseAND(lit(ChunkKeyBase - 1)).as("chunk_start"),
         col("query_id"), col("n_rankers"), col("rrf"))
       .select(col("query_id"), col("doc_id"), col("chunk_start"),
+        col("n_rankers"), col("rrf"))
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"),
+        col("chunk_start"))
+  }
+
+  /** Full-precision chunk vectors on a chunk index's own grid — the
+    * exact re-rank corpus for [[hybridSearchChunksPq]] (id = ck
+    * composite key, vec). Derived from the documents table so a PQ-only
+    * deployment needs no second float vector artifact; the grid comes
+    * from the index sidecar, never the caller.
+    */
+  def chunkVectors(spark: SparkSession, docs: DataFrame, id: Column,
+                   text: Column, indexDir: String,
+                   dim: Int = 64): DataFrame = {
+    val (size, stride) = chunkGrid(spark, indexDir, stampTable = "assignment")
+    Corpus.hashEmbed(chunkKeyed(docs, id, text, size, stride),
+      col("ck"), col("chunk_text"), dim)
+  }
+
+  /** [[hybridSearchChunks]] with the semantic arm upgraded to the
+    * COMPRESSED chunk index plus exact re-rank — the 100 TB serving
+    * form: the chunk-grain vector table is the largest vector artifact
+    * in the system, so its probe reads m-code rows (~1/32 the float
+    * bytes) and only the |Q|·kEach·alpha shortlist pays exact dots
+    * against `corpus` (the full-precision chunk vectors, shortlist
+    * broadcast ONTO the scan — [[chunkVectors]] supplies them from the
+    * documents table). Both indexes must share the window grid; both
+    * pin their own version; `alpha` is the semantic arm's recall dial.
+    * Output matches [[hybridSearchChunks]]: (query_id, doc_id,
+    * chunk_start, n_rankers, rrf).
+    */
+  def hybridSearchChunksPq(spark: SparkSession, chunkBm25Dir: String,
+                           chunkPqDir: String, queries: DataFrame,
+                           corpus: DataFrame, k: Int, kEach: Int = 20,
+                           alpha: Int = 4, nProbes: Int = 4, c: Int = 60,
+                           m: Int = 8, ks: Int = 16, dim: Int = 64,
+                           residual: Boolean = false,
+                           bm25AsOf: Option[Long] = None,
+                           pqAsOf: Option[Long] = None): DataFrame = {
+    val gridLex = chunkGrid(spark, chunkBm25Dir)
+    val gridSem = chunkGrid(spark, chunkPqDir, stampTable = "assignment")
+    require(gridLex == gridSem, s"chunk index grids disagree: BM25 " +
+      s"$gridLex vs PQ $gridSem — spans from different grids never " +
+      "align; rebuild one index on the other's grid")
+    val lex = queryBm25IndexMany(spark, chunkBm25Dir,
+        queries.select(col("query_id"), col("terms")), kEach, asOf = bm25AsOf)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    val sem = Similarity.queryIvfPqIndexReranked(spark, chunkPqDir,
+        queries.select(col("query_id").as("id"), col("vec")), corpus,
+        kEach, alpha, nProbes, pqAsOf, m, ks, dim, residual)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        col("dot").as("score"))
+    rrfFuse(Seq(lex, sem), k, c)
+      .select(col("query_id"),
+        shiftright(col("doc_id"), 32).as("doc_id"),
+        col("doc_id").bitwiseAND(lit(ChunkKeyBase - 1)).as("chunk_start"),
         col("n_rankers"), col("rrf"))
       .orderBy(col("query_id"), col("rrf").desc, col("doc_id"),
         col("chunk_start"))

@@ -415,6 +415,32 @@ object Similarity {
     // silently replace the table schema and corrupt every probe)
     val isSq8 = centroids.columns.contains("s")
     val c = prepCandidates(batch)
+    // dim guard (in-plan, the pqGuard discipline): an append whose
+    // vectors' length differs from the build's would land wrong-length
+    // vectors in the assignment table and silently corrupt every
+    // subsequent cosine probe. The reference length is DERIVED from the
+    // index itself (the stored centroid vectors), never the caller, and
+    // the guard rides the CENTROIDS re-commit — the append's FIRST
+    // write job — so a tripped guard fails before anything commits: a
+    // refused append is a no-op, not a repairable wedge. (Cost: the
+    // batch is scanned once inside the centroids job — maintenance-
+    // cadence work, not a probe-path tax.)
+    val sz = (co: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.size(co)
+    val badDims = c
+      .crossJoin(broadcast(centroids
+        .agg(org.apache.spark.sql.functions.max(sz(col("centv")))
+          .as("__dim"))))
+      .filter(sz(col("cv")) =!= col("__dim"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__bad"))
+    val guardedCentroids = centroids.crossJoin(broadcast(badDims))
+      .filter(org.apache.spark.sql.functions.assert_true(
+        col("__bad") === 0L,
+        lit(s"IVF append dim mismatch on $indexDir: the batch carries " +
+          "vectors whose length differs from the index's stored centroid " +
+          "dim — re-embed the batch with the build's encoder/dim; " +
+          "nothing was committed")).isNull)
+      .drop("__bad")
     val assignedNew = {
       val a = assignTo(c,
         centroids.select(col("centroid_id"), col("centv"), col("cent_norm_sq")))
@@ -424,7 +450,8 @@ object Similarity {
           centroids.select(col("s")).limit(1)), Seq("cand_id"))
         .select(col("centroid_id"), col("cand_id"), col("q").as("cq"))
     }
-    val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
+    val vc = graft.sources.Versioned.overwrite(guardedCentroids,
+      s"$indexDir/centroids")
     val va = appendAssignment(assignedNew, s"$indexDir/assignment")
     require(vc == va, s"index tables diverged: centroids v$vc vs assignment v$va")
     vc

@@ -311,7 +311,7 @@ class BpeSpec extends SparkSpec {
   }
 
   test("decodeIds inverts encodeIds exactly — repeated words, repeated " +
-      "symbols, single chars; byte-level decode refuses") {
+      "symbols, single chars; a byteLevel flag mismatch fails loudly") {
     import spark.implicits._
     val docs = Seq(
       (1L, "lower lowest low low"),
@@ -333,10 +333,52 @@ class BpeSpec extends SparkSpec {
       col("text"), asOf = Some(0L))
     assert(Bpe.decodeIdsWithModel(spark, mdl, pinnedIds, asOf = Some(0L))
       .as[(Long, String)].collect().toMap == want)
-    // byte-level decode is refused (no bytes_to_unicode inverse wired)
-    val ex = intercept[IllegalArgumentException] {
-      Bpe.decodeIdsWithModel(spark, mdl, ids, byteLevel = true)
+    // decoding a char-level model with byteLevel = true must fail via
+    // the persisted-flag guard (silent acceptance would run the byte
+    // inverse over char symbols and emit garbage)
+    def causes(e: Throwable): String = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString("\n")
+    val ex = intercept[Exception] {
+      Bpe.decodeIdsWithModel(spark, mdl, ids, byteLevel = true).collect()
     }
-    assert(ex.getMessage.contains("byte-level decode"))
+    assert(causes(ex).contains("byte_level"))
+  }
+
+  test("byte-level decode inverts byte-level encode exactly — non-ASCII, " +
+      "emoji, control bytes, inputs the char-level table must drop") {
+    import spark.implicits._
+    // U+0001 in a word is unrepresentable char-level (it IS the
+    // segmentation delimiter — wordTypes drops it); byte-level must
+    // round-trip it byte-identically, along with multi-byte codepoints
+    // (é = 2 bytes, 日 = 3, 🦓 = 4 incl. surrogates) and mixes
+    val ctrl = "a\u0001b"
+    val docs = Seq(
+      (1L, "café résumé café"),
+      (2L, "日本語 データ 日本語"),
+      (3L, "zebra 🦓 emoji 🦓🦓 mix"),
+      (4L, ctrl + " plain " + ctrl),
+      (5L, "ascii only words here"))
+      .toDF("doc_id", "text")
+    val mdl = java.nio.file.Files.createTempDirectory("bpe_brt").toString
+    Bpe.buildBpeModel(docs, col("text"), k = 6, mdl, byteLevel = true): Unit
+    val ids = Bpe.encodeIdsWithModel(spark, mdl, docs, col("doc_id"),
+      col("text"), byteLevel = true)
+    val got = Bpe.decodeIdsWithModel(spark, mdl, ids, byteLevel = true)
+      .as[(Long, String)].collect().toMap
+    val want = docs.as[(Long, String)].collect().toMap
+    assert(got == want, "byte-level decode(encode(x)) must equal x " +
+      "byte-for-byte on every alphabet")
+    // and the char-level model genuinely DISAGREES on this corpus: the
+    // control-byte word never makes it into its type table, so the two
+    // alphabets are not interchangeable here
+    val charMdl = java.nio.file.Files.createTempDirectory("bpe_crt").toString
+    Bpe.buildBpeModel(docs, col("text"), k = 6, charMdl): Unit
+    val charIds = Bpe.encodeIdsWithModel(spark, charMdl, docs,
+      col("doc_id"), col("text"))
+    val charGot = Bpe.decodeIdsWithModel(spark, charMdl, charIds)
+      .as[(Long, String)].collect().toMap
+    assert(charGot(4L) != want(4L),
+      "char-level must lose the control-byte word (else this test is vacuous)")
+    assert(charGot(1L) == want(1L), "plain non-ASCII still round-trips char-level")
   }
 }

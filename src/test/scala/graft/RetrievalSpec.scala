@@ -483,6 +483,74 @@ class RetrievalSpec extends SparkSpec {
     assert(fused.forall(_.getAs[Long]("n_rankers") <= 2L))
   }
 
+  test("hybridSearchChunksPq: the compressed chunk arm + exact re-rank " +
+      "finds the planted span with n_rankers = 2; exhaustive probes + " +
+      "corpus-covering alpha ≡ the float chunk arm's attribution; " +
+      "mismatched grids refuse") {
+    val filler = (1L to 4L).map(i =>
+      (i, Seq.fill(40)("filler").mkString(" ")))
+    val planted = (5L,
+      (Seq.fill(16)("pad") ++ Seq("zebra", "quark", "xylem") ++
+        Seq.fill(29)("pad")).mkString(" "))
+    val docs = (filler :+ planted).toDF("doc_id", "text")
+    val bmDir = java.nio.file.Files.createTempDirectory("cpqb").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("cpqi").toString
+    Retrieval.buildChunkBm25Index(docs, col("doc_id"), col("text"), bmDir,
+      size = 16, stride = 8): Unit
+    Retrieval.buildChunkIvfPqIndex(docs, col("doc_id"), col("text"), pqDir,
+      size = 16, stride = 8, dim = 16, nCentroids = 4, m = 4, ks = 8): Unit
+
+    val qraw = Seq((900L, Seq("zebra", "quark", "xylem")))
+      .toDF("query_id", "terms")
+    val queries = qraw.join(
+      graft.operators.Corpus.hashEmbed(qraw, col("query_id"),
+        concat_ws(" ", col("terms")), dim = 16)
+        .withColumnRenamed("id", "query_id"),
+      Seq("query_id"))
+    val corpus = Retrieval.chunkVectors(spark, docs, col("doc_id"),
+      col("text"), pqDir, dim = 16)
+    // exhaustive probes + a shortlist covering every chunk: the exact
+    // re-rank makes the semantic arm the exact dot ranking
+    val fused = Retrieval.hybridSearchChunksPq(spark, bmDir, pqDir,
+        queries, corpus, k = 5, kEach = 10, alpha = 8, nProbes = 4,
+        m = 4, ks = 8, dim = 16)
+      .collect()
+    val top = fused.head
+    assert(top.getAs[Long]("doc_id") == 5L)
+    assert(top.getAs[Long]("n_rankers") == 2L,
+      "the planted span must be found by BOTH arms")
+    assert(Seq(9L, 17L).contains(top.getAs[Long]("chunk_start")))
+
+    // grid mismatch refuses
+    val pqDir2 = java.nio.file.Files.createTempDirectory("cpqi2").toString
+    Retrieval.buildChunkIvfPqIndex(docs, col("doc_id"), col("text"), pqDir2,
+      size = 32, stride = 16, dim = 16, nCentroids = 4, m = 4, ks = 8): Unit
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.hybridSearchChunksPq(spark, bmDir, pqDir2, queries, corpus,
+        k = 5, m = 4, ks = 8, dim = 16)
+    }
+    assert(e.getMessage.contains("grids disagree"))
+
+    // appends on the PQ pair reach a new planted span (grid from the
+    // sidecar, frozen codebook)
+    val batch = Seq((9L,
+      (Seq.fill(8)("pad") ++ Seq("zebra", "quark", "xylem")).mkString(" ")))
+      .toDF("doc_id", "text")
+    Retrieval.appendToChunkBm25Index(batch, col("doc_id"), col("text"),
+      bmDir): Unit
+    Retrieval.appendToChunkIvfPqIndex(batch, col("doc_id"), col("text"),
+      pqDir, dim = 16, m = 4): Unit
+    val corpus2 = Retrieval.chunkVectors(spark, docs.unionByName(batch),
+      col("doc_id"), col("text"), pqDir, dim = 16)
+    val fused2 = Retrieval.hybridSearchChunksPq(spark, bmDir, pqDir,
+        queries, corpus2, k = 5, kEach = 10, alpha = 8, nProbes = 4,
+        m = 4, ks = 8, dim = 16)
+      .collect()
+    assert(fused2.exists(r => r.getAs[Long]("doc_id") == 9L &&
+      r.getAs[Long]("n_rankers") == 2L),
+      "an appended span must arrive through both arms")
+  }
+
   test("assembleContext: overlap + adjacency merge to one span, the " +
       "per-doc cap and token budget hold, ends clip to doc length") {
     val docs = Seq(

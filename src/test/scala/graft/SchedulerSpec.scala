@@ -391,6 +391,83 @@ class SchedulerSpec extends SparkSpec {
     vecs.filter(col("id") >= k * 100 && col("id") < (k + 1) * 100)
   }
 
+  test("chunk_append/bm25_append heal a build that died BEFORE its stats " +
+      "commit (repair, then rebuild) and an append that died after its " +
+      "postings commit (repair completes it, no double-apply)") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Versioned
+    import graft.operators.Retrieval
+    val work = java.nio.file.Files.createTempDirectory("graft-heal2").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def dayDocs(k: Int) =
+      docs.filter(col("doc_id") >= k * 100 && col("doc_id") < (k + 1) * 100)
+    def dayOf(b: Long): Int = (b / Day - 9).toInt
+
+    // crash shape A (the round-11 ADVICE wedge): a first chunk build
+    // died between its postings and stats commits — postings exist,
+    // stats table ABSENT, no grid stamp. The old heal matched on
+    // "history all v0", rebuilt, and wedged: the rebuild overwrote
+    // postings to v1 but CREATED stats at v0 and failed its lockstep
+    // require; the next tick saw postings v1 and hit the manual error.
+    val scratchA = java.nio.file.Files.createTempDirectory("graft-sa").toString
+    Retrieval.buildChunkBm25Index(dayDocs(0), col("doc_id"), col("text"),
+      scratchA, size = 32, stride = 16): Unit
+    Versioned.overwriteBucketed(
+      Versioned.read(spark, s"$scratchA/postings"),
+      s"$work/chunks/postings", "tok", 8): Unit
+    // same shape on the DOC index (no grid involved there)
+    graft.operators.Retrieval.buildBm25Index(dayDocs(0), col("doc_id"),
+      col("text"), scratchA + "_doc"): Unit
+    Versioned.overwriteBucketed(
+      Versioned.read(spark, scratchA + "_doc/postings"),
+      s"$work/bm25/postings", "tok", 8): Unit
+
+    val r0 = graft.app.DailyMaintenance.tick(spark, work,
+      b => dayDocs(dayOf(b)), b => dayVecs_(vecs, dayOf(b)),
+      nowMs = 10 * Day + 5, intervalMs = Day, retries = 0,
+      retryDelayMs = 1L, sleep = _ => ())
+    assert(r0.forall(_._2.last.ok), s"heal tick failed: $r0")
+    assert(Retrieval.chunkGridHealthy(spark, s"$work/chunks"))
+    // and the next tick must NOT wedge (the old bug fired here)
+    val r1 = graft.app.DailyMaintenance.tick(spark, work,
+      b => dayDocs(dayOf(b)), b => dayVecs_(vecs, dayOf(b)),
+      nowMs = 11 * Day + 5, intervalMs = Day, retries = 0,
+      retryDelayMs = 1L, sleep = _ => ())
+    assert(r1.forall(_._2.last.ok), s"post-heal tick failed: $r1")
+
+    // the healed indexes answer exactly like an uncrashed day9+day10
+    // sequence
+    val clean = java.nio.file.Files.createTempDirectory("graft-cl").toString
+    Retrieval.buildChunkBm25Index(dayDocs(0), col("doc_id"), col("text"),
+      s"$clean/chunks", size = 32, stride = 16): Unit
+    Retrieval.appendToChunkBm25Index(dayDocs(1), col("doc_id"), col("text"),
+      s"$clean/chunks"): Unit
+    def probe(dir: String) = Retrieval.queryChunkBm25Index(spark, dir,
+      Seq("dup", "spark", "hash"), 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(probe(s"$work/chunks") == probe(s"$clean/chunks"))
+
+    // crash shape B: day-11's chunk append died after its postings
+    // commit (the orphan slice is on disk, stats behind). The stage must
+    // repair — COMPLETING the append — and must NOT re-append the batch.
+    val scratchB = java.nio.file.Files.createTempDirectory("graft-sb").toString
+    Retrieval.buildChunkBm25Index(dayDocs(2), col("doc_id"), col("text"),
+      scratchB, size = 32, stride = 16): Unit
+    Versioned.append(Versioned.read(spark, s"$scratchB/postings"),
+      s"$work/chunks/postings"): Unit
+    val r2 = graft.app.DailyMaintenance.tick(spark, work,
+      b => dayDocs(dayOf(b)), b => dayVecs_(vecs, dayOf(b)),
+      nowMs = 12 * Day + 5, intervalMs = Day, retries = 0,
+      retryDelayMs = 1L, sleep = _ => ())
+    assert(r2.forall(_._2.last.ok), s"orphan-append tick failed: $r2")
+    Retrieval.appendToChunkBm25Index(dayDocs(2), col("doc_id"), col("text"),
+      s"$clean/chunks"): Unit
+    assert(probe(s"$work/chunks") == probe(s"$clean/chunks"),
+      "repair must complete the crashed append exactly once")
+  }
+
   test("DailyMaintenance: N simulated days end-to-end — indexes stay " +
       "lockstep, demoted layouts re-established, old versions vacuumed, " +
       "every stage in the runs table") {
@@ -422,9 +499,10 @@ class SchedulerSpec extends SparkSpec {
       .filter(col("ok")).select("boundary_ms", "stage")
       .as[(Long, String)].collect().toSet
     val stageNames = Seq("curate", "signal_state", "bm25_append",
-      "chunk_append", "ivf_append", "chunk_ivf_append", "bpe_retrain",
-      "nb_retrain", "bm25_compact", "chunk_compact", "ivf_compact",
-      "chunk_ivf_compact", "vacuum", Scheduler.CoveredStage)
+      "chunk_append", "ivf_append", "chunk_ivf_append", "chunk_pq_append",
+      "bpe_retrain", "nb_retrain", "bm25_compact", "chunk_compact",
+      "ivf_compact", "chunk_ivf_compact", "chunk_pq_compact", "vacuum",
+      Scheduler.CoveredStage)
     for (k <- 0 until 3; s <- stageNames)
       assert(hist.contains(((9 + k) * Day, s)), s"missing ok row: day $k, $s")
 
@@ -438,6 +516,9 @@ class SchedulerSpec extends SparkSpec {
       Versioned.latestVersion(spark, s"$work/ivf/assignment"))
     assert(Versioned.latestVersion(spark, s"$work/chunk_ivf/centroids") ==
       Versioned.latestVersion(spark, s"$work/chunk_ivf/assignment"))
+    assert(Seq("centroids", "codebook", "assignment")
+      .map(t => Versioned.latestVersion(spark, s"$work/chunk_pq/$t"))
+      .distinct.size == 1, "chunk PQ triple must stay in lockstep")
     // the maintained chunk pair serves the hybrid: under exhaustive
     // probes the ANN arm is exact regardless of where the day-0
     // centroids froze, so the maintained pair's fused answers equal a
@@ -499,6 +580,33 @@ class SchedulerSpec extends SparkSpec {
         spark, s"$work/chunks", Seq("dup"), k = 5)) ==
       rows(graft.operators.Retrieval.queryChunkBm25Index(
         spark, freshC, Seq("dup"), k = 5)))
+    // the COMPRESSED chunk pair: the maintained PQ index encodes day-1/2
+    // appends on the FROZEN day-0 codebook while a fresh union build
+    // trains on the whole union — under exhaustive probes and a
+    // corpus-covering shortlist the exact re-rank erases both
+    // differences, so the fused answers must be identical
+    locally {
+      val freshPq = java.nio.file.Files
+        .createTempDirectory("graft-daily-pq").toString
+      graft.operators.Retrieval.buildChunkIvfPqIndex(union, col("doc_id"),
+        col("text"), freshPq, size = 32, stride = 16): Unit
+      val qraw = Seq((900000001L, Seq("dup", "spark")))
+        .toDF("query_id", "terms")
+      val pqQueries = qraw.join(
+        graft.operators.Corpus.hashEmbed(qraw, col("query_id"),
+          concat_ws(" ", col("terms"))).withColumnRenamed("id", "query_id"),
+        Seq("query_id"))
+      def fusedPq(chunks: String, pq: String) =
+        graft.operators.Retrieval.hybridSearchChunksPq(spark, chunks, pq,
+          pqQueries,
+          graft.operators.Retrieval.chunkVectors(spark, union,
+            col("doc_id"), col("text"), pq),
+          k = 10, kEach = 20, alpha = 200, nProbes = 16)
+          .collect().map(_.toSeq).toSeq
+      assert(fusedPq(s"$work/chunks", s"$work/chunk_pq") ==
+        fusedPq(freshC, freshPq),
+        "maintained PQ pair must serve the same fused spans as a fresh build")
+    }
     // ANN: an exhaustive probe of the maintained index ranks exactly as
     // brute force over the 3-day vector union
     val queries = vecs.filter(col("id") < 2)

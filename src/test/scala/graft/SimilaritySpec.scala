@@ -278,6 +278,21 @@ class SimilaritySpec extends SparkSpec {
 
     // time travel: version 0 still answers with the pre-append corpus
     assert(rows(Similarity.queryIvfIndex(spark, idx, q, k = 5, asOf = Some(0L))) == before)
+
+    // dim guard: an append whose vectors are the wrong length must fail
+    // loudly (in-plan, vs the stored centroid length) instead of landing
+    // wrong-length vectors that corrupt every later cosine probe — and
+    // the failed append must leave the index intact (lockstep, same
+    // answers)
+    val wrongDim = Seq((90001L, Seq(1.0f, 0.0f, 0.5f)))
+      .toDF("id", "vec")
+    val err = intercept[Exception] {
+      Similarity.appendToIvfIndex(wrongDim, idx)
+    }
+    assert(err.getMessage != null && err.getMessage.contains("dim mismatch"),
+      s"wrong-dim append must name the guard, got: ${err.getMessage}")
+    assert(rows(Similarity.queryIvfIndex(spark, idx, q, k = 5, nProbes = 8))
+      == exhaustive, "a refused append must not change the index")
   }
 
   test("repairIvfIndex: a crashed append catches the assignment up and a " +
