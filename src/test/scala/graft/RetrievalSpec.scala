@@ -634,6 +634,119 @@ class RetrievalSpec extends SparkSpec {
     assert(byDoc(1L) == 3L, "doc 1 must arrive through all three rankers")
   }
 
+  test("queryQlIndexMany: a 1-query batch ≡ queryQlIndex; the chunk-grain " +
+      "QL decode attributes spans; 3-arm fusion is invariant under arm " +
+      "order and reaches n_rankers = 3") {
+    val docs = corpus.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("qlmany").toString
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), dir): Unit
+    val terms = Seq("spark", "rare")
+    val single = Retrieval.queryQlIndex(spark, dir, terms, 10, mu = 100.0)
+      .as[(Long, Long, Double)].collect().toSeq
+    val many = Retrieval.queryQlIndexMany(spark, dir,
+        Seq((7L, terms)).toDF("query_id", "terms"), 10, mu = 100.0)
+      .select("doc_id", "n_terms", "score")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(many == single, "the multi-query path must score identically")
+
+    // chunk grain: the composite key decodes to (doc_id, chunk_start)
+    val cdir = java.nio.file.Files.createTempDirectory("qlchunk").toString
+    val longDocs = Seq(
+      (1L, (Seq.fill(16)("pad") ++ Seq("zebra", "quark") ++
+        Seq.fill(14)("pad")).mkString(" ")),
+      (2L, Seq.fill(32)("filler").mkString(" ")))
+      .toDF("doc_id", "text")
+    Retrieval.buildChunkBm25Index(longDocs, col("doc_id"), col("text"),
+      cdir, size = 16, stride = 8): Unit
+    val chunkQl = Retrieval.queryChunkQlIndex(spark, cdir,
+      Seq("zebra", "quark"), 5).as[(Long, Long, Long, Double)].collect()
+    assert(chunkQl.nonEmpty && chunkQl.head._1 == 1L &&
+      Seq(9L, 17L).contains(chunkQl.head._2),
+      s"QL at chunk grain must attribute the planted span: ${chunkQl.toSeq}")
+
+    // fusion rank is invariant under arm order (rrf only sums ranks)
+    def arm(df: org.apache.spark.sql.DataFrame, score: String) =
+      df.select(lit(0L).as("query_id"), col("doc_id"),
+        col(score).cast("double").as("score"))
+    val a = arm(Retrieval.queryBm25Index(spark, dir, Seq("spark"), 10), "score")
+    val b = arm(Retrieval.queryQlIndex(spark, dir, Seq("spark"), 10), "score")
+    val c = arm(Retrieval.phraseSearch(spark, dir, Seq("spark", "shuffle"), 10),
+      "n_occur")
+    def rows(arms: Seq[org.apache.spark.sql.DataFrame]) =
+      Retrieval.rrfFuse(arms, 5).collect().map(_.toSeq).toSeq
+    assert(rows(Seq(a, b, c)) == rows(Seq(c, a, b)))
+    assert(rows(Seq(a, b, c)) == rows(Seq(b, c, a)))
+
+    // hybridSearchChunks with the QL arm on: a span hit by all three
+    // rankers carries n_rankers = 3
+    val qraw = Seq((900L, Seq("zebra", "quark"))).toDF("query_id", "terms")
+    val ivDir = java.nio.file.Files.createTempDirectory("qlciv").toString
+    Retrieval.buildChunkIvfIndex(longDocs, col("doc_id"), col("text"),
+      ivDir, size = 16, stride = 8, dim = 16, nCentroids = 2): Unit
+    val queries = qraw.join(
+      graft.operators.Corpus.hashEmbed(qraw, col("query_id"),
+        concat_ws(" ", col("terms")), dim = 16)
+        .withColumnRenamed("id", "query_id"),
+      Seq("query_id"))
+    val fused3 = Retrieval.hybridSearchChunks(spark, cdir, ivDir, queries,
+      k = 5, kEach = 10, nProbes = 2, qlArm = true).collect()
+    assert(fused3.exists(r => r.getAs[Long]("doc_id") == 1L &&
+      r.getAs[Long]("n_rankers") == 3L),
+      s"the planted span must arrive through all three arms: ${fused3.toSeq}")
+  }
+
+  test("assembleContextModelTokens: the pack never exceeds the id budget " +
+      "under the pinned tokenizer; a pinned modelAsOf reproduces across " +
+      "a retrain; whitespace and model-token packs genuinely diverge") {
+    val docs = Seq(
+      // doc 1's words are LONG (many ids under a small-merge tokenizer),
+      // doc 2's are single chars (1 id each) — whitespace budgets treat
+      // them alike, model-token budgets must not
+      (1L, Seq.fill(24)("abcdefgh").mkString(" ")),
+      (2L, Seq.fill(24)("a").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fdir = java.nio.file.Files.createTempDirectory("mtfwd").toString
+    val mdl = java.nio.file.Files.createTempDirectory("mtmdl").toString
+    Retrieval.buildForwardIndex(docs, col("doc_id"), col("text"), fdir,
+      nPartDirs = 2): Unit
+    graft.operators.Bpe.buildBpeModel(docs, col("text"), k = 2, mdl): Unit
+    // both docs' first chunk ranks; score order puts the long-word doc
+    // first
+    val fused = Seq((7L, 1L, 1L, 0.9), (7L, 2L, 1L, 0.8))
+      .toDF("query_id", "doc_id", "chunk_start", "rrf")
+    def packed(budget: Int) = Retrieval.assembleContextModelTokens(spark,
+        fused, fdir, mdl, size = 8, budget = budget, maxPerDoc = 2)
+      .as[(Long, Long, Long, Long, Long, Double, Long, Long)]
+      .collect().toSeq
+    // "abcdefgh" under 2 merges (ab, abc… depends) → >1 id per word;
+    // an 8-word span of doc 1 costs 8·n_sym ids, doc 2's costs 8.
+    val all = packed(10000)
+    assert(all.size == 2)
+    val longSpan = all.find(_._2 == 1L).get
+    val shortSpan = all.find(_._2 == 2L).get
+    assert(longSpan._7 > shortSpan._7,
+      "model-token counts must see through equal whitespace lengths")
+    assert(all.map(_._8).max <= 10000 &&
+      all.map(_._8) == all.map(_._8).sorted)
+    // a budget between the two spans' costs keeps ONLY the first span —
+    // the whitespace pack (same budget in words) would have kept both
+    val cut = packed(longSpan._7.toInt)
+    assert(cut.map(_._2) == Seq(1L),
+      "the first overflowing span must cut the context")
+    assert(cut.forall(_._8 <= longSpan._7))
+
+    // retrain on different data; the pinned v0 model reproduces the
+    // original pack bit-for-bit
+    val before = packed(10000)
+    graft.operators.Bpe.buildBpeModel(docs.limit(1), col("text"), k = 1,
+      mdl): Unit
+    val pinned = Retrieval.assembleContextModelTokens(spark, fused, fdir,
+        mdl, size = 8, budget = 10000, maxPerDoc = 2, modelAsOf = Some(0L))
+      .as[(Long, Long, Long, Long, Long, Double, Long, Long)]
+      .collect().toSeq
+    assert(pinned == before, "modelAsOf must pin the id accounting")
+  }
+
   test("rm3Expand: the synonym bridge — a doc sharing NO original term " +
       "surfaces through feedback expansion; a no-hit query degrades to " +
       "empty, not garbage") {
