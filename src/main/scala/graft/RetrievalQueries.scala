@@ -1017,6 +1017,79 @@ object RetrievalQueries {
   }
 
   // ---------------------------------------------------------------------
+  // [EXT] RM3 expansion at CHUNK grain — q174's pseudo-relevance
+  // feedback at the grain the RAG stack serves: feedback "documents"
+  // are spans, term mass mines the chunk postings, and the requery's
+  // synonym bridge surfaces a SPAN sharing no original term. The
+  // composite key decodes to (doc_id, chunk_start). The oracle replays
+  // the whole chain over the chunked corpus in ONE statement.
+  def q182Rm3Chunks(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.rm3ExpandChunks(spark, cachedChunkBm25(spark, dir),
+      Seq("dup"), k = 20, kFb = 5, nExp = 3)
+
+  private val q182Sql = {
+    val bmTerm = (tfRel: String) =>
+      s"""    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |      * (CAST($tfRel.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |      / (CAST($tfRel.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |          * (0.25 + 0.75 * CAST($tfRel.dl AS DOUBLE)
+         |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+       |starts AS (
+       |  SELECT doc_id, parts,
+       |    unnest(range(1, len(parts) + 1, 16)) AS chunk_start
+       |  FROM t),
+       |ch AS (
+       |  SELECT doc_id * 4294967296 + chunk_start AS ck,
+       |    array_to_string(parts[chunk_start : chunk_start + 31], ' ') AS chunk_text
+       |  FROM starts),
+       |d AS (
+       |  SELECT ck, CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS dl,
+       |    string_split(chunk_text, ' ') AS toks
+       |  FROM ch),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |alltf AS (
+       |  SELECT ck, dl, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT ck, dl, unnest(toks) AS tok FROM d)
+       |  GROUP BY 1, 2, 3),
+       |tf0 AS (SELECT * FROM alltf WHERE tok IN ('dup')),
+       |dfs0 AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf0 GROUP BY 1),
+       |term0 AS (
+       |  SELECT tf0.ck,
+       |${bmTerm("tf0")} AS t
+       |  FROM tf0 JOIN dfs0 USING (tok) CROSS JOIN stats),
+       |fb AS (
+       |  SELECT ck, CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
+       |  FROM term0 GROUP BY ck
+       |  ORDER BY score DESC, ck ASC LIMIT 5),
+       |wexp AS (
+       |  SELECT tok,
+       |    sum(CAST((CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) * score
+       |        AS DECIMAL(27,10))) AS w
+       |  FROM alltf JOIN fb USING (ck)
+       |  WHERE tok NOT IN ('dup')
+       |  GROUP BY tok ORDER BY w DESC, tok ASC LIMIT 3),
+       |qt AS (SELECT tok FROM wexp UNION SELECT 'dup' AS tok),
+       |tf1 AS (SELECT alltf.* FROM alltf JOIN qt USING (tok)),
+       |dfs1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY 1),
+       |term1 AS (
+       |  SELECT tf1.ck,
+       |${bmTerm("tf1")} AS t
+       |  FROM tf1 JOIN dfs1 USING (tok) CROSS JOIN stats),
+       |res AS (
+       |  SELECT ck, CAST(count(*) AS BIGINT) AS n_terms,
+       |    CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
+       |  FROM term1 GROUP BY ck
+       |  ORDER BY score DESC, ck ASC LIMIT 20)
+       |SELECT ck // 4294967296 AS doc_id, ck % 4294967296 AS chunk_start,
+       |  n_terms, score
+       |FROM res ORDER BY score DESC, doc_id ASC, chunk_start ASC""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // [EXT] RAG context materialization — the packed spans fetched as the
   // STRINGS a prompt mounts: q170's coordinates slice their tokens off
   // the doc-keyed FORWARD index (spans broadcast onto the
@@ -1212,7 +1285,8 @@ object RetrievalQueries {
     "q175_ql_index" -> (q175QlIndex _),
     "q179_chunk_hybrid_pq" -> (q179ChunkHybridPq _),
     "q180_chunk_hybrid_3arm" -> (q180ChunkHybrid3 _),
-    "q181_context_model_pack" -> (q181ContextModelPack _))
+    "q181_context_model_pack" -> (q181ContextModelPack _),
+    "q182_rm3_chunks" -> (q182Rm3Chunks _))
 
   val oracle: Map[String, String] = Map(
     "q146_bm25"         -> q146Sql,
@@ -1234,5 +1308,6 @@ object RetrievalQueries {
     "q175_ql_index" -> q175Sql,
     "q179_chunk_hybrid_pq" -> q179Sql,
     "q180_chunk_hybrid_3arm" -> q180Sql,
-    "q181_context_model_pack" -> q181Sql)
+    "q181_context_model_pack" -> q181Sql,
+    "q182_rm3_chunks" -> q182Sql)
 }

@@ -73,6 +73,7 @@ object DailyMaintenance {
     s"$work/chunk_ivf/centroids", s"$work/chunk_ivf/assignment",
     s"$work/chunk_pq/centroids", s"$work/chunk_pq/codebook",
     s"$work/chunk_pq/assignment",
+    s"$work/fwd/fwd",
     s"$work/bpe_model/merges", s"$work/bpe_model/vocab",
     s"$work/nb_model/model", s"$work/nb_model/priors",
     s"$work/runs", s"$work/claims")
@@ -205,6 +206,18 @@ object DailyMaintenance {
         "holds more than the first build — rebuild the chunk ANN index " +
         "manually from the full corpus")
     }),
+    // the doc-keyed FORWARD index — the serve-path artifact the RAG
+    // stack reads BY DOCUMENT (context clip lengths, span-text slices,
+    // RM3 feedback mining): build day 0, appends derive the shard
+    // modulus from the index's own sidecar
+    "fwd_append" -> (() => {
+      if (!Versioned.exists(spark, s"$work/fwd/fwd"))
+        Retrieval.buildForwardIndex(batch, col("doc_id"), col("text"),
+          s"$work/fwd"): Unit
+      else
+        Retrieval.appendToForwardIndex(batch, col("doc_id"), col("text"),
+          s"$work/fwd"): Unit
+    }),
     // the COMPRESSED chunk ANN index (IVF-PQ + rerank — the semantic arm
     // hybridSearchChunksPq serves at 100 TB, where the chunk-grain
     // vector table is the largest vector artifact in the system): same
@@ -268,6 +281,11 @@ object DailyMaintenance {
       if (appendDebt(spark, s"$work/chunk_pq/assignment") >= compactEvery)
         // compacts all three lockstep tables + re-stamps the grid
         Retrieval.compactChunkIvfIndex(spark, s"$work/chunk_pq"): Unit
+    }),
+    "fwd_compact" -> (() => {
+      if (appendDebt(spark, s"$work/fwd/fwd") >= compactEvery)
+        // re-merges per-append files and re-stamps the doc_parts sidecar
+        Retrieval.compactForwardIndex(spark, s"$work/fwd"): Unit
     }),
     "vacuum" -> (() => {
       // the scheduler's own history accrues one tiny append per

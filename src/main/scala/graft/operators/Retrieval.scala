@@ -744,6 +744,23 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id").asc)
   }
 
+  /** RM3 expansion over the CHUNK-grain index — the machinery is
+    * index-shape agnostic (feedback "documents" are chunks; mining runs
+    * over the chunk postings, which is the index-only form — the
+    * doc-grain forward index does not apply at ck grain), and the
+    * composite key decodes to attributed spans: pseudo-relevance
+    * feedback at the grain the RAG stack serves, where the synonym
+    * bridge surfaces a SPAN sharing no original term. Output matches
+    * [[queryChunkBm25Index]]: (doc_id, chunk_start, n_terms, score).
+    */
+  def rm3ExpandChunks(spark: SparkSession, indexDir: String,
+                      terms: Seq[String], k: Int, kFb: Int = 5,
+                      nExp: Int = 5, k1: Double = K1, b: Double = B,
+                      asOf: Option[Long] = None): DataFrame =
+    decodeChunkKey(
+      rm3Expand(spark, indexDir, terms, k, kFb, nExp, k1, b, asOf))
+      .orderBy(col("score").desc, col("doc_id").asc, col("chunk_start").asc)
+
   /** Exact-phrase search from the positional index: documents
     * containing the phrase as ADJACENT tokens in order, with occurrence
     * counts, ranked (n_occur desc, doc_id asc). Index-only — touches

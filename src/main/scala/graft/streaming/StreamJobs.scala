@@ -431,6 +431,59 @@ object StreamJobs {
       .start()
   }
 
+  /** The COMPRESSED chunk-hybrid's online half —
+    * [[hybridSearchChunksStream]] with the semantic arm on the
+    * persisted IVF-PQ chunk index plus exact re-rank
+    * ([[graft.operators.Retrieval.hybridSearchChunksPq]]): each
+    * micro-batch of (query_id, terms, vec) fuses at span grain against
+    * the version pair pinned at stream start (the PQ TRIPLE pins as
+    * one), with the exact re-rank served from `corpus` (the
+    * full-precision chunk vectors — [[graft.operators.Retrieval
+    * .chunkVectors]] derives them on the index's own grid). Grid
+    * mismatch refuses BEFORE the stream starts; idempotent
+    * (run_id, batch_id) sink.
+    */
+  def hybridSearchChunksPqStream(queryStream: DataFrame,
+                                 chunkBm25Dir: String, chunkPqDir: String,
+                                 corpus: DataFrame, outDir: String,
+                                 checkpointDir: String, k: Int = 10,
+                                 kEach: Int = 20, alpha: Int = 4,
+                                 nProbes: Int = 4, m: Int = 8,
+                                 ks: Int = 16, dim: Int = 64,
+                                 residual: Boolean = false): StreamingQuery = {
+    val spark = queryStream.sparkSession
+    val pinnedLex = {
+      val vp = graft.sources.Versioned.latestVersion(spark, s"$chunkBm25Dir/postings")
+      val vs = graft.sources.Versioned.latestVersion(spark, s"$chunkBm25Dir/stats")
+      require(vp == vs, s"chunk BM25 index tables out of lockstep " +
+        s"(postings v$vp, stats v$vs) — run repairBm25Index")
+      vp
+    }
+    val pinnedSem = {
+      val vs = Seq("centroids", "codebook", "assignment")
+        .map(t => graft.sources.Versioned.latestVersion(spark, s"$chunkPqDir/$t"))
+      require(vs.distinct.size == 1, s"chunk PQ index triple out of " +
+        s"lockstep ($vs) — run repairIvfIndex")
+      vs.head
+    }
+    // fail the grid check NOW, not inside the first micro-batch
+    graft.operators.Retrieval.chunkGrid(spark, chunkBm25Dir): Unit
+    graft.operators.Retrieval.chunkGrid(spark, chunkPqDir,
+      stampTable = "assignment"): Unit
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(
+          graft.operators.Retrieval.hybridSearchChunksPq(spark,
+            chunkBm25Dir, chunkPqDir, batch, corpus, k, kEach, alpha,
+            nProbes, m = m, ks = ks, dim = dim, residual = residual,
+            bm25AsOf = Some(pinnedLex), pqAsOf = Some(pinnedSem)),
+          checkpointDir, batchId, outDir)
+      }
+      .start()
+  }
+
   /** Online classification against a persisted NB model
     * ([[graft.operators.Corpus.buildNbModel]]): each micro-batch of
     * documents pays one scoring pass against the FROZEN model tables —

@@ -412,4 +412,42 @@ class PropertiesSpec extends SparkSpec {
     assert(e.getMessage.contains("past its document's end") ||
       Option(e.getCause).exists(_.getMessage.contains("past its document's end")))
   }
+
+  test("property: the forward-index serve paths are row-identical to the " +
+      "corpus-scan forms over random corpora and span sets") {
+    // distinct words per position so a slicing off-by-one can never
+    // alias to the right answer
+    val docGen = Gen.zip(Gen.choose(5, 40), Gen.choose(0, 999))
+    forSamples(Gen.listOfN(6, docGen), n = 6) { raw =>
+      val docs = raw.zipWithIndex.map { case ((len, salt), i) =>
+        (i.toLong + 1, (1 to len).map(p => s"w${salt}_$p").mkString(" "))
+      }
+      val lens = docs.map { case (id, t) => id -> t.split(" ").length.toLong }.toMap
+      val docsDf = docs.toDF("doc_id", "text")
+      val fdir = java.nio.file.Files.createTempDirectory("prop_fwd").toString
+      graft.operators.Retrieval.buildForwardIndex(docsDf, col("doc_id"),
+        col("text"), fdir, nPartDirs = 3): Unit
+      // random valid spans over the corpus
+      val spans = docs.flatMap { case (id, _) =>
+        val L = lens(id)
+        Seq((7L, id, 1L, math.min(4L, L), 0.9),
+          (7L, id, math.max(1L, L - 2), L, 0.5))
+      }.distinct
+      val packed = spans.toDF("query_id", "doc_id", "span_start",
+        "span_end", "score")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSeq
+      assert(rows(graft.operators.Retrieval.contextTextsIndexed(
+          spark, packed, fdir)) ==
+        rows(graft.operators.Retrieval.contextTexts(packed, docsDf,
+          col("doc_id"), col("text"))))
+      val fused = docs.map { case (id, _) =>
+        (7L, id, 1L, 1.0 / (id + 1)) }
+        .toDF("query_id", "doc_id", "chunk_start", "rrf")
+      assert(rows(graft.operators.Retrieval.assembleContextIndexed(
+          spark, fused, fdir, size = 8, budget = 64, maxPerDoc = 2)) ==
+        rows(graft.operators.Retrieval.assembleContext(fused, docsDf,
+          col("doc_id"), col("text"), size = 8, budget = 64, maxPerDoc = 2)))
+    }
+  }
 }

@@ -780,6 +780,39 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.rm3Expand(spark, dir, Seq("absent_token"), 10).count() == 0L)
   }
 
+  test("rm3ExpandChunks: the synonym bridge at SPAN grain — a chunk " +
+      "sharing no original term surfaces with exact attribution") {
+    // doc 1 front-loads the query term; doc 1's TAIL chunk and doc 3
+    // carry only the feedback vocabulary ('stripes') — expansion must
+    // surface the stripes-only spans, attributed to their chunk starts
+    val docs = Seq(
+      // chunk 1 mixes the query term with 'stripes' (the feedback
+      // vocabulary), chunk 9 is stripes-only — the bridge target with
+      // in-document attribution; the tail is varied filler so no single
+      // co-occurring filler token can out-mass 'stripes' in the mining
+      (1L, (Seq.fill(4)("zebra") ++ Seq.fill(4)("stripes") ++
+        Seq.fill(8)("stripes") ++
+        Seq("p1", "p2", "p3", "p4", "p5", "p6", "p7", "p8")).mkString(" ")),
+      (2L, "zebra herd flock mane gallop hoof mare foal"),
+      (3L, Seq.fill(16)("stripes").mkString(" ")),
+      (4L, Seq.fill(16)("unrelated").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rm3ch").toString
+    Retrieval.buildChunkBm25Index(docs, col("doc_id"), col("text"), dir,
+      size = 8, stride = 8): Unit
+    val plain = Retrieval.queryChunkBm25Index(spark, dir, Seq("zebra"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(1L, 2L), "only literal matches before expansion")
+    val got = Retrieval.rm3ExpandChunks(spark, dir, Seq("zebra"), k = 10,
+      kFb = 2, nExp = 1).as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.exists(r => r._1 == 3L),
+      s"expansion must bridge to the stripes-only doc's spans: $got")
+    assert(got.exists(r => r._1 == 1L && r._2 == 9L),
+      s"doc 1's stripes-only TAIL chunk must surface via expansion: $got")
+    assert(!got.exists(_._1 == 4L),
+      "expansion mines feedback vocabulary, not the corpus's")
+  }
+
   test("contextTexts materializes exactly the packed spans' tokens, in " +
       "context-window order") {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "x y z"))

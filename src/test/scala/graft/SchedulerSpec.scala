@@ -500,8 +500,9 @@ class SchedulerSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     val stageNames = Seq("curate", "signal_state", "bm25_append",
       "chunk_append", "ivf_append", "chunk_ivf_append", "chunk_pq_append",
-      "bpe_retrain", "nb_retrain", "bm25_compact", "chunk_compact",
-      "ivf_compact", "chunk_ivf_compact", "chunk_pq_compact", "vacuum",
+      "fwd_append", "bpe_retrain", "nb_retrain", "bm25_compact",
+      "chunk_compact", "ivf_compact", "chunk_ivf_compact",
+      "chunk_pq_compact", "fwd_compact", "vacuum",
       Scheduler.CoveredStage)
     for (k <- 0 until 3; s <- stageNames)
       assert(hist.contains(((9 + k) * Day, s)), s"missing ok row: day $k, $s")
@@ -606,6 +607,22 @@ class SchedulerSpec extends SparkSpec {
       assert(fusedPq(s"$work/chunks", s"$work/chunk_pq") ==
         fusedPq(freshC, freshPq),
         "maintained PQ pair must serve the same fused spans as a fresh build")
+    }
+    // the maintained FORWARD index serves span text exactly like a fresh
+    // build over the 3-day union (appends kept the shard layout; the
+    // compaction at the debt threshold re-stamped the sidecar)
+    locally {
+      val freshF = java.nio.file.Files
+        .createTempDirectory("graft-daily-fwd").toString
+      graft.operators.Retrieval.buildForwardIndex(union, col("doc_id"),
+        col("text"), freshF): Unit
+      val spans = Seq((9L, 5L, 1L, 4L, 0.9), (9L, 205L, 2L, 6L, 0.8))
+        .toDF("query_id", "doc_id", "span_start", "span_end", "score")
+      def txt(dir: String) = graft.operators.Retrieval
+        .contextTextsIndexed(spark, spans, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(txt(s"$work/fwd") == txt(freshF),
+        "maintained forward index must slice exactly like a fresh build")
     }
     // ANN: an exhaustive probe of the maintained index ranks exactly as
     // brute force over the 3-day vector union

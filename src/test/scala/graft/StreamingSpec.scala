@@ -750,6 +750,91 @@ class StreamingSpec extends SparkSpec {
       "the pinned chunk-index pair must reproduce the pre-append fusion")
   }
 
+  test("streaming COMPRESSED chunk hybrid: deliveries ≡ the batch PQ+rerank " +
+      "span fusion; an append on the PQ triple reaches a new span while " +
+      "the pinned pair reproduces") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Corpus, Retrieval}
+
+    val work = tmpDir()
+    val bmDir = s"$work/pqbm25"
+    val pqDir = s"$work/pqidx"
+    val filler = (1L to 4L).map(i => (i, Seq.fill(40)("filler").mkString(" ")))
+    val planted = (5L,
+      (Seq.fill(16)("pad") ++ Seq("zebra", "quark", "xylem") ++
+        Seq.fill(29)("pad")).mkString(" "))
+    val docs = (filler :+ planted).toDF("doc_id", "text")
+    Retrieval.buildChunkBm25Index(docs, col("doc_id"), col("text"), bmDir,
+      size = 16, stride = 8): Unit
+    Retrieval.buildChunkIvfPqIndex(docs, col("doc_id"), col("text"), pqDir,
+      size = 16, stride = 8, dim = 16, nCentroids = 4, m = 4, ks = 8): Unit
+
+    def withVecs(qs: Seq[(Long, Seq[String])]) = {
+      val raw = qs.toDF("query_id", "terms")
+      raw.join(Corpus.hashEmbed(raw, col("query_id"),
+          concat_ws(" ", col("terms")), dim = 16)
+        .withColumnRenamed("id", "query_id"), Seq("query_id"))
+    }
+    val queries = Seq((900L, Seq("zebra", "quark", "xylem")),
+      (901L, Seq("filler")))
+    val qvecs = withVecs(queries)
+      .select("query_id", "terms", "vec")
+      .as[(Long, Seq[String], Seq[Double])].collect().toSeq
+    def corpusVecs(d: org.apache.spark.sql.DataFrame) =
+      Retrieval.chunkVectors(spark, d, col("doc_id"), col("text"), pqDir,
+        dim = 16)
+    var n = 0
+    def deliver(ids: Seq[Long], out: String,
+                corpus: org.apache.spark.sql.DataFrame): Unit = {
+      n += 1
+      val mem = MemoryStream[(Long, Seq[String], Seq[Double])]
+      mem.addData(qvecs.filter(q => ids.contains(q._1)).toIndexedSeq: _*)
+      StreamJobs.hybridSearchChunksPqStream(
+        mem.toDF().toDF("query_id", "terms", "vec"), bmDir, pqDir,
+        corpus, out, s"$work/pqckpt$n", k = 5, kEach = 10, alpha = 8,
+        nProbes = 4, m = 4, ks = 8, dim = 16)
+        .awaitTermination()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "chunk_start", "n_rankers", "rrf")
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2, r._3)).toSeq
+
+    deliver(Seq(900L), s"$work/pqout1", corpusVecs(docs))
+    deliver(Seq(901L), s"$work/pqout1", corpusVecs(docs))
+    val batch = Retrieval.hybridSearchChunksPq(spark, bmDir, pqDir,
+      withVecs(queries), corpusVecs(docs), k = 5, kEach = 10, alpha = 8,
+      nProbes = 4, m = 4, ks = 8, dim = 16)
+    val expect = rows(batch)
+    assert(expect.exists(r => r._2 == 5L && r._4 == 2L),
+      "the planted span must arrive through BOTH arms")
+    assert(rows(spark.read.parquet(s"$work/pqout1")) == expect,
+      "streamed PQ span fusion diverged from the batch pass")
+
+    // append to BOTH (the PQ triple encodes on the frozen codebook): a
+    // fresh stream reaches the new span; the pinned (0,0) pair
+    // reproduces
+    val batchDocs = Seq((6L, "zebra quark xylem tail tail"))
+      .toDF("doc_id", "text")
+    Retrieval.appendToChunkBm25Index(batchDocs, col("doc_id"), col("text"),
+      bmDir): Unit
+    Retrieval.appendToChunkIvfPqIndex(batchDocs, col("doc_id"), col("text"),
+      pqDir, dim = 16, m = 4): Unit
+    val union = docs.unionByName(batchDocs)
+    deliver(Seq(900L), s"$work/pqout2", corpusVecs(union))
+    assert(rows(spark.read.parquet(s"$work/pqout2"))
+      .exists(r => r._2 == 6L && r._3 == 1L),
+      "post-append stream must surface the appended doc's span")
+    assert(rows(Retrieval.hybridSearchChunksPq(spark, bmDir, pqDir,
+        withVecs(queries.take(1)), corpusVecs(docs), k = 5, kEach = 10,
+        alpha = 8, nProbes = 4, m = 4, ks = 8, dim = 16,
+        bm25AsOf = Some(0L), pqAsOf = Some(0L))) ==
+      expect.filter(_._1 == 900L),
+      "the pinned index pair must reproduce the pre-append fusion")
+  }
+
   test("streaming classification: deliveries ≡ one batch scoring pass; predictions ride the model version pinned at start") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
