@@ -102,6 +102,47 @@ object DailyMaintenance {
       Versioned.latestVersion(spark, s"$indexDir/postings") !=
         Versioned.latestVersion(spark, s"$indexDir/stats")
 
+  /** True when an IVF-family index's lockstep tables have diverged —
+    * the shapes [[graft.operators.Similarity.repairIvfIndex]] heals
+    * (a crashed append, or a compaction that died between its
+    * per-table commits).
+    */
+  private def ivfTablesBroken(spark: SparkSession, indexDir: String): Boolean =
+    Seq("vectors", "centroids", "codebook", "assignment")
+      .filter(t => Versioned.exists(spark, s"$indexDir/$t"))
+      .map(t => Versioned.latestVersion(spark, s"$indexDir/$t"))
+      .distinct.size > 1
+
+  /** True iff `batch`'s documents are already present in the index's
+    * postings head — the disambiguator between the two broken-pair
+    * shapes [[graft.operators.Retrieval.repairBm25Index]] heals: a
+    * crashed APPEND's orphan postings ARE this boundary's batch (the
+    * repair completed it — appending again would land it twice), while
+    * a crashed COMPACTION from a prior boundary repairs with an EMPTY
+    * delta and this boundary's batch still needs its append. Presence
+    * is all-or-nothing (a batch's postings land in ONE commit), so a
+    * PARTIAL presence is a foreign write and refuses loudly rather
+    * than guessing. Chunk-grain postings key by the composite ck —
+    * doc membership decodes from its high 32 bits. An empty batch
+    * counts as landed (nothing to append).
+    */
+  private def batchLanded(spark: SparkSession, batch: DataFrame,
+                          indexDir: String,
+                          chunkGrain: Boolean): Boolean = {
+    val ids = batch.select(col("doc_id")).distinct()
+    val posted = Versioned.read(spark, s"$indexDir/postings")
+    val postedIds =
+      (if (chunkGrain) posted.select(shiftright(col("doc_id"), 32).as("doc_id"))
+       else posted.select(col("doc_id"))).distinct()
+    val present = ids.join(postedIds, Seq("doc_id"), "left_semi").count()
+    val total = ids.count()
+    require(present == 0L || present == total,
+      s"$indexDir postings hold PART of this boundary's batch ($present " +
+        s"of $total docs) — no append/compaction crash shape produces a " +
+        "partial batch; investigate foreign writes before appending")
+    total == 0L || present == total
+  }
+
   /** The day's stage list over a batch of documents (doc_id, text,
     * n_chars, …) and their embedding rows (id, vec). Build-or-append
     * decisions, demotion checks, and the vacuum worklist all evaluate
@@ -130,12 +171,19 @@ object DailyMaintenance {
         Retrieval.buildBm25Index(batch, col("doc_id"), col("text"),
           s"$work/bm25"): Unit
       // a build or append crashed between its postings and stats commits
-      // (stats missing, or lockstep broken): the orphan postings slice
-      // IS this boundary's batch (the stage only re-runs uncovered
-      // boundaries, in order), so repair COMPLETES the crashed operation
-      // — appending again after it would land the batch's postings twice
-      else if (bm25PairBroken(spark, s"$work/bm25"))
+      // (stats missing, or lockstep broken): repair restores lockstep —
+      // but the broken pair is NOT always this boundary's crashed
+      // append (a compaction that died between its two commits at a
+      // PRIOR boundary leaves the same shape with an empty repair
+      // delta), so verify the batch actually landed before skipping
+      // the append: completed-append ⇒ landed ⇒ skip (appending again
+      // would land it twice); healed-compaction ⇒ absent ⇒ append
+      else if (bm25PairBroken(spark, s"$work/bm25")) {
         Retrieval.repairBm25Index(spark, s"$work/bm25"): Unit
+        if (!batchLanded(spark, batch, s"$work/bm25", chunkGrain = false))
+          Retrieval.appendToBm25Index(batch, col("doc_id"), col("text"),
+            s"$work/bm25"): Unit
+      }
       else
         Retrieval.appendToBm25Index(batch, col("doc_id"), col("text"),
           s"$work/bm25"): Unit
@@ -154,12 +202,20 @@ object DailyMaintenance {
         // CREATING stats at v0, fail its own lockstep require, and wedge
         // the boundary behind the manual-rebuild error on the next tick.
         val broken = bm25PairBroken(spark, s"$work/chunks")
-        if (broken) Retrieval.repairBm25Index(spark, s"$work/chunks"): Unit
+        if (broken) {
+          Retrieval.repairBm25Index(spark, s"$work/chunks"): Unit
+          // a healed compaction crash also left the grid stamp behind
+          // the moved overwrite snapshot — recoverable when the rewrite
+          // was provably pure (no-op otherwise)
+          Retrieval.restampChunkGrid(spark, s"$work/chunks")
+        }
         if (Retrieval.chunkGridHealthy(spark, s"$work/chunks")) {
           // the window grid comes from the index's own sidecar; a healed
-          // crashed APPEND already holds this boundary's batch — only an
-          // intact pair takes the append
-          if (!broken)
+          // crashed APPEND already holds this boundary's batch (skip),
+          // while a healed prior-boundary COMPACTION crash repaired
+          // with an empty delta and this batch still needs its append
+          if (!broken || !batchLanded(spark, batch, s"$work/chunks",
+              chunkGrain = true))
             Retrieval.appendToChunkBm25Index(batch, col("doc_id"),
               col("text"), s"$work/chunks"): Unit
         }
@@ -214,9 +270,15 @@ object DailyMaintenance {
       if (!Versioned.exists(spark, s"$work/fwd/fwd"))
         Retrieval.buildForwardIndex(batch, col("doc_id"), col("text"),
           s"$work/fwd"): Unit
-      else
+      else {
+        // a compaction that died between its overwrite and the sidecar
+        // re-stamp leaves doc_parts stale and the append refusing with a
+        // rebuild message — the modulus is data-verifiable, so heal it
+        // here instead of wedging the daily cadence (no-op when trusted)
+        Retrieval.repairForwardIndex(spark, s"$work/fwd")
         Retrieval.appendToForwardIndex(batch, col("doc_id"), col("text"),
           s"$work/fwd"): Unit
+      }
     }),
     // the COMPRESSED chunk ANN index (IVF-PQ + rerank — the semantic arm
     // hybridSearchChunksPq serves at 100 TB, where the chunk-grain
@@ -259,30 +321,61 @@ object DailyMaintenance {
         Corpus.buildNbModel(batch, col("lang"), col("text"),
           s"$work/nb_model"): Unit
     }),
+    // Each compact stage HEALS its own crash shape first: a compaction
+    // that died between its per-table commits leaves the lockstep
+    // broken with appendDebt 0 (the first table's overwrite landed), so
+    // a resumed stage would otherwise no-op, cover the boundary with a
+    // wedged index, and leave the NEXT boundary's append stage to
+    // misread the shape as its own crashed append (the r12 silent-loss
+    // finding). Repair-then-debt-check makes the compaction crash heal
+    // AT ITS OWN BOUNDARY.
     "bm25_compact" -> (() => {
+      if (bm25PairBroken(spark, s"$work/bm25"))
+        Retrieval.repairBm25Index(spark, s"$work/bm25"): Unit
       if (appendDebt(spark, s"$work/bm25/postings") >= compactEvery)
         Retrieval.compactBm25Index(spark, s"$work/bm25"): Unit
     }),
     "chunk_compact" -> (() => {
+      if (bm25PairBroken(spark, s"$work/chunks"))
+        Retrieval.repairBm25Index(spark, s"$work/chunks"): Unit
+      // covers BOTH stale-grid shapes: pair healed above (crash between
+      // the two table compacts) and a crash after both compacts but
+      // before the grid re-stamp (no-op when the grid is trusted)
+      Retrieval.restampChunkGrid(spark, s"$work/chunks")
       if (appendDebt(spark, s"$work/chunks/postings") >= compactEvery)
         // the chunk compactor also re-stamps the grid sidecar
         Retrieval.compactChunkBm25Index(spark, s"$work/chunks"): Unit
     }),
     "ivf_compact" -> (() => {
+      if (ivfTablesBroken(spark, s"$work/ivf"))
+        Similarity.repairIvfIndex(spark, s"$work/ivf"): Unit
       if (appendDebt(spark, s"$work/ivf/assignment") >= compactEvery)
         Similarity.compactIvfIndex(spark, s"$work/ivf"): Unit
     }),
     "chunk_ivf_compact" -> (() => {
+      if (ivfTablesBroken(spark, s"$work/chunk_ivf"))
+        Similarity.repairIvfIndex(spark, s"$work/chunk_ivf"): Unit
+      Retrieval.restampChunkGrid(spark, s"$work/chunk_ivf",
+        stampTable = "assignment")
       if (appendDebt(spark, s"$work/chunk_ivf/assignment") >= compactEvery)
         // re-stamps the grid sidecar at the new overwrite version
         Retrieval.compactChunkIvfIndex(spark, s"$work/chunk_ivf"): Unit
     }),
     "chunk_pq_compact" -> (() => {
+      if (ivfTablesBroken(spark, s"$work/chunk_pq"))
+        Similarity.repairIvfIndex(spark, s"$work/chunk_pq"): Unit
+      Retrieval.restampChunkGrid(spark, s"$work/chunk_pq",
+        stampTable = "assignment")
       if (appendDebt(spark, s"$work/chunk_pq/assignment") >= compactEvery)
-        // compacts all three lockstep tables + re-stamps the grid
+        // compacts all lockstep tables + re-stamps the grid
         Retrieval.compactChunkIvfIndex(spark, s"$work/chunk_pq"): Unit
     }),
     "fwd_compact" -> (() => {
+      // heal a stale doc_parts stamp (a compaction that died between
+      // its overwrite and the re-stamp) before the debt check — the
+      // compactor read-validates the modulus BEFORE rewriting, so an
+      // unhealed stale stamp would compact without ever re-stamping
+      Retrieval.repairForwardIndex(spark, s"$work/fwd")
       if (appendDebt(spark, s"$work/fwd/fwd") >= compactEvery)
         // re-merges per-append files and re-stamps the doc_parts sidecar
         Retrieval.compactForwardIndex(spark, s"$work/fwd"): Unit

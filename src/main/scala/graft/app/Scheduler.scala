@@ -172,6 +172,33 @@ object Scheduler {
 
   private def claimsTable(historyDir: String) = s"$historyDir/claims"
 
+  /** True iff `boundary` is already covered in the runs table — the
+    * release-failure disambiguator [[acquireClaim]] consults: a fresh
+    * unreleased claim whose boundary is COVERED means the claimant
+    * finished its work and only its best-effort release write failed;
+    * honoring such a claim until the TTL would stall every tick on the
+    * historyDir for up to claimTtlMs over a run that has nothing left
+    * to protect. Schema-tolerant across both runners ([[tick]] writes
+    * no stage column and covers with any ok row; [[tickStagesFor]]
+    * covers via the [[CoveredStage]] marker). A read failure counts as
+    * NOT covered — fail-safe: the claim keeps blocking as before.
+    */
+  private def boundaryCovered(spark: SparkSession, historyDir: String,
+                              boundary: Long): Boolean = try {
+    import org.apache.spark.sql.functions.col
+    val t = s"$historyDir/runs"
+    if (!graft.sources.Versioned.exists(spark, t)) false
+    else {
+      val runs = graft.sources.Versioned.read(spark, t)
+      val base = runs.filter(col("ok") && col("boundary_ms") === boundary)
+      val hits =
+        if (runs.columns.contains("stage"))
+          base.filter(col("stage") === CoveredStage)
+        else base
+      !hits.isEmpty
+    }
+  } catch { case _: Exception => false }
+
   /** Returns the owner token on success, None when another claimant
     * holds a fresh claim or wins the CAS race.
     */
@@ -192,10 +219,15 @@ object Scheduler {
         // must still exclude a second ticker (schema-tolerant read: the
         // liveness fields predate the owner column)
         val cur = graft.sources.Versioned.read(spark, t, Some(v))
-          .select("claimed_at_ms", "released")
-          .as[(Long, Boolean)].collect().headOption
-        val live = cur.exists { case (at, rel) => !rel && at > nowMs - ttlMs }
-        if (live) return None
+          .select("boundary_ms", "claimed_at_ms", "released")
+          .as[(Long, Long, Boolean)].collect().headOption
+        val live = cur.exists { case (_, at, rel) => !rel && at > nowMs - ttlMs }
+        // a live claim whose boundary is already covered is a FINISHED
+        // run whose release write failed — releasable now instead of
+        // stalling the historyDir until the TTL (availability only: the
+        // finished claimant holds no further work to double-apply)
+        if (live && !cur.exists(c => boundaryCovered(spark, historyDir, c._1)))
+          return None
         v + 1
       }
     try {

@@ -239,6 +239,28 @@ object Retrieval {
                             nParts: Int, version: Long): Unit =
     writeShardSidecar(spark, indexDir, "tok_parts", nParts, version)
 
+  /** The modulus a sidecar RECORDS, ignoring its stamp — a repair's
+    * first candidate (the stamp is stale exactly when a repair is
+    * needed; the recorded modulus is still the best guess and is
+    * data-verified before being blessed).
+    */
+  private def sidecarRecordedModulus(spark: SparkSession, indexDir: String,
+                                     name: String): Option[Int] = {
+    val p = shardSidecarPath(indexDir, name)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      raw.trim.split(" ") match {
+        case Array(n, v) if Seq(n, v).forall(_.forall(_.isDigit)) =>
+          Some(n.toInt)
+        case _ => None
+      }
+    }
+  }
+
   private def partDirsOf(spark: SparkSession, indexDir: String): Option[Int] =
     shardSidecarOf(spark, indexDir, "tok_parts", "postings")
 
@@ -390,22 +412,15 @@ object Retrieval {
     if (partDirsOf(spark, indexDir).nonEmpty) return
     val stampV = lastPostingsOverwrite(spark, indexDir)
     val posts = Versioned.read(spark, postT).select(col("tok"), col("tok_part"))
-    val p = shardSidecarPath(indexDir, "tok_parts")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val recorded: Option[Int] =
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        raw.trim.split(" ") match {
-          case Array(n, v) if Seq(n, v).forall(_.forall(_.isDigit)) =>
-            Some(n.toInt)
-          case _ => None
-        }
-      }
-    val fromData = posts.agg(max(col("tok_part"))).head.getLong(0).toInt + 1
-    (recorded.toSeq :+ fromData).distinct
+    val recorded = sidecarRecordedModulus(spark, indexDir, "tok_parts")
+    // an index over an EMPTY corpus has no rows to derive the modulus
+    // from (max is NULL) — only the recorded candidate applies; getLong
+    // on the null would turn the repair into a crash instead of the
+    // documented stale-sidecar degradation
+    val maxRow = posts.agg(max(col("tok_part"))).head
+    val fromData: Seq[Int] =
+      if (maxRow.isNullAt(0)) Seq.empty else Seq(maxRow.getLong(0).toInt + 1)
+    (recorded.toSeq ++ fromData).distinct
       .find(n => posts
         .filter(col("tok_part") =!= tokPartExpr(col("tok"), n)).isEmpty)
       .foreach(n => writeShardSidecar(spark, indexDir, "tok_parts", n, stampV))
@@ -952,6 +967,48 @@ object Retrieval {
                        stampTable: String = "postings"): Boolean =
     try { chunkGrid(spark, indexDir, stampTable); true }
     catch { case _: Exception => false }
+
+  /** Re-stamp the chunk_grid sidecar after a crashed COMPACTION moved
+    * the stamp table's overwrite snapshot past the stamp — the
+    * [[restampTokParts]] discipline applied to the grid: without it the
+    * index is permanently refused even though the recorded grid is
+    * fully recoverable, and a maintenance-grain operator that obeyed
+    * the rebuild message would rebuild from one day's batch, silently
+    * dropping prior days. The stamp is restored ONLY when the current
+    * overwrite snapshot's content is IDENTICAL to the version before it
+    * — true for a compaction (a pure rewrite), false for a
+    * grid-CHANGING rebuild (different window ⇒ different ck keys ⇒
+    * different rows), which stays refused with the manual-rebuild
+    * message. No-op when the grid is already trusted, the sidecar is
+    * absent/corrupt, or nothing on disk can prove the rewrite was pure.
+    * Content comparison is a maintenance-cadence cost, paid only on the
+    * crash-recovery path.
+    */
+  def restampChunkGrid(spark: SparkSession, indexDir: String,
+                       stampTable: String = "postings"): Unit = {
+    if (chunkGridHealthy(spark, indexDir, stampTable)) return
+    val p = chunkGridPath(indexDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return
+    val in = f.open(p)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    raw.trim.split(" ") match {
+      case Array(s, st, v) if Seq(s, st, v).forall(_.forall(_.isDigit)) =>
+        val t = s"$indexDir/$stampTable"
+        val vNew =
+          try lastOverwriteOf(spark, indexDir, stampTable)
+          catch { case _: Exception => return }
+        // vNew == 0 is a first build with nothing before it to verify
+        // against; vNew <= recorded stamp is a foreign shape
+        if (vNew <= v.toLong || vNew == 0L) return
+        val now  = Versioned.read(spark, t, Some(vNew))
+        val prev = Versioned.read(spark, t, Some(vNew - 1))
+        if (now.exceptAll(prev).isEmpty && prev.exceptAll(now).isEmpty)
+          writeChunkGrid(spark, indexDir, s.toInt, st.toInt, vNew)
+      case _ => ()
+    }
+  }
 
   /** Compact the chunk index ([[compactBm25Index]] — re-establishes
     * the bucketed layout in lockstep) and RE-STAMP the grid sidecar at
@@ -1601,6 +1658,39 @@ object Retrieval {
 
   private def docPartsOf(spark: SparkSession, indexDir: String): Option[Int] =
     shardSidecarOf(spark, indexDir, "doc_parts", "fwd")
+
+  /** Re-stamp the doc_parts sidecar after a crash left it stale — the
+    * [[restampTokParts]] twin for the FORWARD index: a compaction that
+    * died between its overwrite commit and the sidecar re-stamp leaves
+    * every [[appendToForwardIndex]] refusing with a rebuild message
+    * even though the modulus is fully recoverable (and a
+    * maintenance-grain operator that OBEYED that message would rebuild
+    * from one day's batch, silently dropping prior days). The stamp is
+    * restored only after the candidate modulus is VERIFIED against the
+    * data (every row must satisfy doc_part = pmod(doc_id, n) — a
+    * crashed rebuild with a DIFFERENT modulus leaves rows that fail
+    * this, and blessing the old stamp there would prune probes to the
+    * wrong shards). Candidates: the stale sidecar's recorded modulus,
+    * then max(doc_part)+1 off the data. No candidate verifying ⇒ the
+    * sidecar stays stale: queries degrade to unpruned (correct),
+    * appends keep refusing. No-op when already trusted.
+    */
+  def repairForwardIndex(spark: SparkSession, indexDir: String): Unit = {
+    val t = s"$indexDir/fwd"
+    if (!Versioned.exists(spark, t)) return
+    if (!Versioned.declaredLayout(spark, t).startsWith("part:")) return
+    if (docPartsOf(spark, indexDir).nonEmpty) return
+    val stampV = lastOverwriteOf(spark, indexDir, "fwd")
+    val rows = Versioned.read(spark, t).select(col("doc_id"), col("doc_part"))
+    val recorded = sidecarRecordedModulus(spark, indexDir, "doc_parts")
+    val maxRow = rows.agg(max(col("doc_part"))).head
+    val fromData: Seq[Int] =
+      if (maxRow.isNullAt(0)) Seq.empty else Seq(maxRow.getLong(0).toInt + 1)
+    (recorded.toSeq ++ fromData).distinct
+      .find(n => rows
+        .filter(col("doc_part") =!= pmod(col("doc_id"), lit(n.toLong))).isEmpty)
+      .foreach(n => writeShardSidecar(spark, indexDir, "doc_parts", n, stampV))
+  }
 
   /** Forward rows for a bounded doc set: the set's distinct doc ids
     * broadcast ONTO the partitioned forward scan. On a trusted sidecar

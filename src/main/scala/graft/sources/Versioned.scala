@@ -315,7 +315,12 @@ object Versioned {
           d.write.options(writeOptions).parquet(s"$table/$rel")
       }
     }
-    val rows = obs.get("rows").asInstanceOf[Long]
+    // an EMPTY input (compacting/overwriting an empty table) can plan to
+    // zero tasks, so the observation never fires — the row count is 0,
+    // not an error
+    val rows =
+      try obs.get("rows").asInstanceOf[Long]
+      catch { case _: NoSuchElementException => 0L }
     val f = fs(df.sparkSession, new Path(table))
     if (parsePartLayout(layout).isDefined)
       (Seq(rel), rows, dirBytes(f, new Path(s"$table/$rel")))

@@ -1183,4 +1183,89 @@ class RetrievalSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("does not match"))
   }
+
+  test("repairForwardIndex re-stamps a stale doc_parts sidecar after a " +
+      "crashed compaction — appends and DPP come back") {
+    val fdir = java.nio.file.Files.createTempDirectory("fwdrep").toString
+    val docs = corpus.toDF("doc_id", "text")
+    Retrieval.buildForwardIndex(docs, col("doc_id"), col("text"), fdir,
+      nPartDirs = 4): Unit
+    // crashed compaction: the fwd table's overwrite lands, the sidecar
+    // re-stamp never runs — every append refuses with a rebuild message
+    // even though the modulus is fully recoverable
+    graft.sources.Versioned.compact(spark, s"$fdir/fwd"): Unit
+    val batch = Seq((60L, "appended doc text")).toDF("doc_id", "text")
+    intercept[RuntimeException] {
+      Retrieval.appendToForwardIndex(batch, col("doc_id"), col("text"), fdir)
+    }
+    Retrieval.repairForwardIndex(spark, fdir)
+    Retrieval.appendToForwardIndex(batch, col("doc_id"), col("text"), fdir): Unit
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSeq
+    val packed = Seq((1L, 1L, 1L, 3L, 0.9), (1L, 60L, 1L, 2L, 0.8))
+      .toDF("query_id", "doc_id", "span_start", "span_end", "score")
+    val got = Retrieval.contextTextsIndexed(spark, packed, fdir)
+    assert(rows(got) == rows(Retrieval.contextTexts(packed,
+      docs.unionByName(batch), col("doc_id"), col("text"))))
+    assert(got.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .contains("dynamicpruning"),
+      "the repaired sidecar must restore shard pruning")
+    // idempotent when already trusted
+    Retrieval.repairForwardIndex(spark, fdir)
+    assert(rows(Retrieval.contextTextsIndexed(spark, packed, fdir)) == rows(got))
+  }
+
+  test("restampChunkGrid recovers a grid stamp orphaned by a crashed " +
+      "compaction (pure rewrite) and never blesses a grid-changing rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("cgrs").toString
+    val docs = corpus.toDF("doc_id", "text")
+    Retrieval.buildChunkBm25Index(docs, col("doc_id"), col("text"), dir,
+      size = 3, stride = 2): Unit
+    Retrieval.appendToChunkBm25Index(
+      Seq((80L, "spark appended here")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir): Unit
+    def probe() = Retrieval.queryChunkBm25Index(spark, dir, Seq("spark"), 10)
+      .collect().map(_.toSeq).toSeq
+    val before = probe()
+    // crash inside compactChunkBm25Index after BOTH table compacts but
+    // before the grid re-stamp
+    graft.sources.Versioned.compact(spark, s"$dir/postings"): Unit
+    graft.sources.Versioned.compact(spark, s"$dir/stats"): Unit
+    assert(!Retrieval.chunkGridHealthy(spark, dir))
+    Retrieval.restampChunkGrid(spark, dir)
+    assert(Retrieval.chunkGridHealthy(spark, dir),
+      "a pure-rewrite overwrite must get its grid stamp back")
+    assert(probe() == before)
+    // a rebuild on a DIFFERENT grid that died before its stamp: content
+    // differs from the version before it, so the stamp stays stale and
+    // consumers keep refusing (a blessed stale grid would mis-chunk
+    // every append)
+    val scratch = java.nio.file.Files.createTempDirectory("cgrs2").toString
+    Retrieval.buildChunkBm25Index(docs, col("doc_id"), col("text"), scratch,
+      size = 4, stride = 4): Unit
+    graft.sources.Versioned.overwriteBucketed(
+      graft.sources.Versioned.read(spark, s"$scratch/postings"),
+      s"$dir/postings", "tok", 8): Unit
+    graft.sources.Versioned.overwrite(
+      graft.sources.Versioned.read(spark, s"$scratch/stats"),
+      s"$dir/stats"): Unit
+    Retrieval.restampChunkGrid(spark, dir)
+    assert(!Retrieval.chunkGridHealthy(spark, dir),
+      "a content-changing rebuild must never get the old grid blessed")
+  }
+
+  test("repairBm25Index survives a partition-layout index over an EMPTY " +
+      "corpus: the restamp derives no modulus from data and must not crash") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25emp").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Retrieval.buildBm25Index(empty, col("doc_id"), col("text"), dir,
+      layout = "partition", nPartDirs = 4): Unit
+    // crashed compaction shape on the empty index: postings one
+    // overwrite ahead with identical (empty) content, stats behind,
+    // sidecar stamp stale
+    graft.sources.Versioned.compact(spark, s"$dir/postings"): Unit
+    Retrieval.repairBm25Index(spark, dir): Unit // must not throw
+    assert(graft.sources.Versioned.latestVersion(spark, s"$dir/postings") ==
+      graft.sources.Versioned.latestVersion(spark, s"$dir/stats"))
+  }
 }

@@ -648,4 +648,107 @@ class SchedulerSpec extends SparkSpec {
     // the latest version still reads fine after the vacuum
     assert(Versioned.read(spark, s"$work/bm25/postings").count() > 0)
   }
+
+  test("a fresh unreleased claim on a COVERED boundary is releasable at " +
+      "acquire: a failed release never stalls the historyDir until TTL") {
+    val dir = java.nio.file.Files.createTempDirectory("claimcov").toString
+    var runs = 0
+    val a1 = Scheduler.tick(spark, dir, () => { runs += 1 },
+      nowMs = 10 * Day + 5, intervalMs = Day, retries = 0, sleep = _ => ())
+    assert(a1.nonEmpty && runs == 1)
+    // simulate a crash between the history append and releaseClaim: a
+    // FRESH unreleased claim sits on the already-covered boundary
+    import graft.sources.Versioned
+    val v = Versioned.latestVersion(spark, s"$dir/claims")
+    Versioned.overwriteExpecting(
+      Seq((9 * Day, 11 * Day + 1, "ghost-owner", false))
+        .toDF("boundary_ms", "claimed_at_ms", "owner", "released"),
+      s"$dir/claims", v + 1): Unit
+    // the ghost claim is fresh (claimed_at ~ now) but its boundary is
+    // covered — the next tick takes over instead of waiting out the TTL
+    val a2 = Scheduler.tick(spark, dir, () => { runs += 1 },
+      nowMs = 11 * Day + 5, intervalMs = Day, retries = 0, sleep = _ => ())
+    assert(a2.nonEmpty && runs == 2,
+      "a covered boundary's ghost claim must not block the next interval")
+    // whereas a fresh claim on an UNCOVERED boundary still blocks
+    val v2 = Versioned.latestVersion(spark, s"$dir/claims")
+    Versioned.overwriteExpecting(
+      Seq((11 * Day, 12 * Day + 1, "ghost-owner-2", false))
+        .toDF("boundary_ms", "claimed_at_ms", "owner", "released"),
+      s"$dir/claims", v2 + 1): Unit
+    val a3 = Scheduler.tick(spark, dir, () => { runs += 1 },
+      nowMs = 12 * Day + 5, intervalMs = Day, retries = 0, sleep = _ => ())
+    assert(a3.isEmpty && runs == 2,
+      "an uncovered boundary's fresh claim must keep blocking")
+  }
+
+  test("a compaction crash between index commits can never eat the NEXT " +
+      "boundary's batch: compact stages heal at their own boundary and " +
+      "append stages verify the batch landed after a repair") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Versioned
+    val work = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def dayDocs(k: Int) =
+      docs.filter(col("doc_id") >= k * 100 && col("doc_id") < (k + 1) * 100)
+    def dayVecs(k: Int) =
+      vecs.filter(col("id") >= k * 100 && col("id") < (k + 1) * 100)
+    def dayOf(b: Long): Int = (b / Day - 9).toInt
+    def tickDay(k: Int): Unit = {
+      val res = graft.app.DailyMaintenance.tick(spark, work,
+        b => dayDocs(dayOf(b)), b => dayVecs(dayOf(b)),
+        nowMs = (10 + k) * Day + 5, intervalMs = Day, retries = 0,
+        retryDelayMs = 1L, sleep = _ => (), compactEvery = 1)
+      assert(res.nonEmpty && res.forall(_._2.last.ok),
+        s"day $k failed: ${res.filter(!_._2.last.ok).map(x =>
+          x._1 -> x._2.last.error)}")
+    }
+    tickDay(0) // build
+    tickDay(1) // append + compaction (compactEvery = 1)
+    // simulate compactBm25Index dying between its postings and stats
+    // commits on BOTH the doc-grain and the chunk-grain index: postings
+    // one overwrite ahead (identical content), stats behind, chunk grid
+    // stamp orphaned — the r12 silent-loss shape
+    Versioned.compact(spark, s"$work/bm25/postings"): Unit
+    Versioned.compact(spark, s"$work/chunks/postings"): Unit
+    // day 2's append stages must repair the pair AND still land day 2's
+    // batch (the broken pair was NOT day 2's crashed append)
+    tickDay(2)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSeq
+    val union = docs.filter(col("doc_id") < 300)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-cc-f").toString
+    graft.operators.Retrieval.buildBm25Index(union, col("doc_id"),
+      col("text"), fresh): Unit
+    assert(rows(graft.operators.Retrieval.queryBm25Index(spark,
+        s"$work/bm25", Seq("dup", "spark"), k = 10)) ==
+      rows(graft.operators.Retrieval.queryBm25Index(spark, fresh,
+        Seq("dup", "spark"), k = 10)),
+      "day 2's docs must be present — the healed pair must score like a " +
+        "fresh 3-day build")
+    val freshC = java.nio.file.Files.createTempDirectory("graft-cc-c").toString
+    graft.operators.Retrieval.buildChunkBm25Index(union, col("doc_id"),
+      col("text"), freshC, size = 32, stride = 16): Unit
+    assert(rows(graft.operators.Retrieval.queryChunkBm25Index(spark,
+        s"$work/chunks", Seq("dup", "spark"), k = 10)) ==
+      rows(graft.operators.Retrieval.queryChunkBm25Index(spark, freshC,
+        Seq("dup", "spark"), k = 10)),
+      "the chunk index must heal its grid stamp and land day 2's chunks")
+    // and the compact stage heals the same shape AT ITS OWN BOUNDARY: a
+    // resumed bm25_compact repairs the pair even when appendDebt is 0
+    Versioned.compact(spark, s"$work/bm25/postings"): Unit
+    val stages = graft.app.DailyMaintenance.stages(spark, dayDocs(2),
+      dayVecs(2), work, compactEvery = 99).toMap
+    stages("bm25_compact")()
+    assert(Versioned.latestVersion(spark, s"$work/bm25/postings") ==
+      Versioned.latestVersion(spark, s"$work/bm25/stats"),
+      "bm25_compact must restore lockstep at its own boundary")
+    Versioned.compact(spark, s"$work/chunks/postings"): Unit
+    stages("chunk_compact")()
+    assert(Versioned.latestVersion(spark, s"$work/chunks/postings") ==
+      Versioned.latestVersion(spark, s"$work/chunks/stats"))
+    assert(graft.operators.Retrieval.chunkGridHealthy(spark, s"$work/chunks"),
+      "chunk_compact must restore the grid stamp at its own boundary")
+  }
 }
