@@ -72,7 +72,7 @@ object RecallProbe {
       pqLloydIters = 1): Unit
     for (probes <- Seq(4, 8, 16); alpha <- Seq(4, 8))
       println(f"ivf+pq+rerank alpha=$alpha%-2d nProbes=$probes%-2d recall@5 = ${
-        recall(pairs(Similarity.queryIvfPqIndexReranked(spark, pq2, q, e, 5,
+        recall(pairs(Similarity.queryIvfPqIndexReranked(spark, pq2, q, 5,
           alpha = alpha, nProbes = probes, ks = 64)))}%.3f")
 
     // HYBRID fusion recall: each arm family against ITS exhaustive-probe
@@ -102,13 +102,13 @@ object RecallProbe {
       (truth & got).size.toDouble / truth.size
     val truthFloat = fpairs(Retrieval.hybridSearch(spark, bm, ivfF, qb,
       k = 10, nProbes = 16))
-    val truthDot = fpairs(Retrieval.hybridSearchPq(spark, bm, pqH, qb, e,
+    val truthDot = fpairs(Retrieval.hybridSearchPq(spark, bm, pqH, qb,
       k = 10, alpha = 200, nProbes = 16, ks = 64))
     println(f"hybrid float-IVF arm   nProbes=4 fused recall@10 = ${
       frecall(truthFloat, fpairs(Retrieval.hybridSearch(spark, bm, ivfF, qb,
         k = 10, nProbes = 4)))}%.3f")
     println(f"hybrid IVF-PQ+rerank   nProbes=4 fused recall@10 = ${
-      frecall(truthDot, fpairs(Retrieval.hybridSearchPq(spark, bm, pqH, qb, e,
+      frecall(truthDot, fpairs(Retrieval.hybridSearchPq(spark, bm, pqH, qb,
         k = 10, alpha = 4, nProbes = 4, ks = 64)))}%.3f  (~1/32 scan bytes)")
 
     // CHUNK-grain hybrid (round 12): the same float-vs-compressed row
@@ -132,8 +132,6 @@ object RecallProbe {
       graft.operators.Corpus.hashEmbed(cq, col("query_id"),
         concat_ws(" ", col("terms"))).withColumnRenamed("id", "query_id"),
       Seq("query_id"))
-    val cvecs = Retrieval.chunkVectors(spark, docs, col("doc_id"),
-      col("text"), cpq)
     def spairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
       df.select("query_id", "doc_id", "chunk_start").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -143,13 +141,13 @@ object RecallProbe {
     val ctruthFloat = spairs(Retrieval.hybridSearchChunks(spark, cbm, civ,
       cqb, k = 10, nProbes = 16))
     val ctruthDot = spairs(Retrieval.hybridSearchChunksPq(spark, cbm, cpq,
-      cqb, cvecs, k = 10, alpha = 200, nProbes = 16, ks = 64))
+      cqb, k = 10, alpha = 200, nProbes = 16, ks = 64))
     println(f"chunk-hybrid float-IVF nProbes=4 fused recall@10 = ${
       srecall(ctruthFloat, spairs(Retrieval.hybridSearchChunks(spark, cbm,
         civ, cqb, k = 10, nProbes = 4)))}%.3f")
     println(f"chunk-hybrid PQ+rerank nProbes=4 fused recall@10 = ${
       srecall(ctruthDot, spairs(Retrieval.hybridSearchChunksPq(spark, cbm,
-        cpq, cqb, cvecs, k = 10, alpha = 4, nProbes = 4,
+        cpq, cqb, k = 10, alpha = 4, nProbes = 4,
         ks = 64)))}%.3f  (~1/32 chunk-vector scan bytes)")
     spark.stop()
   }

@@ -458,20 +458,16 @@ object RetrievalQueries {
   // re-rank, chunk BM25, and the fusion in ONE statement.
   private def cachedChunkPq(spark: SparkSession, dir: String): String =
     graft.sources.CachedArtifact.resolve(spark,
-      new java.io.File(dir, "documents.parquet"), "chunkpqq",
-      "centroids", "codebook", "assignment")(
+      new java.io.File(dir, "documents.parquet"), "chunkpq2",
+      "centroids", "codebook", "assignment", "vectors")(
       Retrieval.buildChunkIvfPqIndex(
         Tables.documents(spark, dir), col("doc_id"), col("text"), _,
         size = 32, stride = 16): Unit)
 
-  def q179ChunkHybridPq(spark: SparkSession, dir: String): DataFrame = {
-    val pqDir = cachedChunkPq(spark, dir)
+  def q179ChunkHybridPq(spark: SparkSession, dir: String): DataFrame =
     Retrieval.hybridSearchChunksPq(spark, cachedChunkBm25(spark, dir),
-      pqDir, chunkQueryBatch(spark),
-      Retrieval.chunkVectors(spark, Tables.documents(spark, dir),
-        col("doc_id"), col("text"), pqDir),
+      cachedChunkPq(spark, dir), chunkQueryBatch(spark),
       k = 10, kEach = 20, alpha = 4, nProbes = 4)
-  }
 
   private lazy val q179Sql =
     s"""$chunkHybridPqCtes
@@ -1161,11 +1157,9 @@ object RetrievalQueries {
       .toDF("query_id", "terms")
     val vecs = Tables.embeddings(spark, dir).filter(col("vec_id") < 2)
       .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
-    val corpus = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
     Retrieval.hybridSearchPq(spark, cachedBm25(spark, dir),
       SimQueries.cachedIvfPqIndex(spark, dir),
-      terms.join(vecs, Seq("query_id")), corpus,
+      terms.join(vecs, Seq("query_id")),
       k = 10, kEach = 20, alpha = 4, nProbes = 4)
   }
 

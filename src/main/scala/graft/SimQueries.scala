@@ -895,8 +895,8 @@ object SimQueries {
     */
   private[graft] def cachedIvfPqIndex(spark: SparkSession, dir: String): String =
     graft.sources.CachedArtifact.resolve(spark,
-      new java.io.File(dir, "embeddings.parquet"), "ivfpq2_c16b",
-      "centroids", "codebook", "assignment")(
+      new java.io.File(dir, "embeddings.parquet"), "ivfpq3_c16b",
+      "centroids", "codebook", "assignment", "vectors")(
       Similarity.buildIvfPqIndex(embs(spark, dir), _, nCentroids = 16): Unit)
 
   def q145AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
@@ -972,7 +972,7 @@ object SimQueries {
   def q158AnnIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Similarity.queryIvfPqIndexReranked(spark, cachedIvfPqIndex(spark, dir),
-      e.filter(col("id") < 10), e, k = 5, alpha = 4, nProbes = 4)
+      e.filter(col("id") < 10), k = 5, alpha = 4, nProbes = 4)
   }
 
   private val q158Sql =
@@ -1011,8 +1011,8 @@ object SimQueries {
   def q149AnnIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     val idx = graft.sources.CachedArtifact.resolve(spark,
-      new java.io.File(dir, "embeddings.parquet"), "ivfpqr_c16b",
-      "centroids", "codebook", "assignment")(
+      new java.io.File(dir, "embeddings.parquet"), "ivfpqr2_c16b",
+      "centroids", "codebook", "assignment", "vectors")(
       Similarity.buildIvfPqIndex(e, _, nCentroids = 16, residual = true): Unit)
     Similarity.queryIvfPqIndex(spark, idx, e.filter(col("id") < 10), k = 5,
       nProbes = 4, residual = true)

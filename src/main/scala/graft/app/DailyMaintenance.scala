@@ -72,7 +72,7 @@ object DailyMaintenance {
     s"$work/ivf/centroids", s"$work/ivf/assignment",
     s"$work/chunk_ivf/centroids", s"$work/chunk_ivf/assignment",
     s"$work/chunk_pq/centroids", s"$work/chunk_pq/codebook",
-    s"$work/chunk_pq/assignment",
+    s"$work/chunk_pq/assignment", s"$work/chunk_pq/vectors",
     s"$work/fwd/fwd",
     s"$work/bpe_model/merges", s"$work/bpe_model/vocab",
     s"$work/nb_model/model", s"$work/nb_model/priors",
@@ -138,6 +138,29 @@ object DailyMaintenance {
     val total = ids.count()
     require(present == 0L || present == total,
       s"$indexDir postings hold PART of this boundary's batch ($present " +
+        s"of $total docs) — no append/compaction crash shape produces a " +
+        "partial batch; investigate foreign writes before appending")
+    total == 0L || present == total
+  }
+
+  /** [[batchLanded]] against an IVF-PQ index's full-precision vectors
+    * table (the FIRST-committed table of its append, so membership
+    * there means the repair completed the whole operation). Chunk-grain
+    * vectors key by the composite ck — doc membership decodes from its
+    * high 32 bits.
+    */
+  private def vectorsBatchLanded(spark: SparkSession, batch: DataFrame,
+                                 indexDir: String,
+                                 chunkGrain: Boolean): Boolean = {
+    val ids = batch.select(col("doc_id")).distinct()
+    val stored = Versioned.read(spark, s"$indexDir/vectors")
+    val storedIds =
+      (if (chunkGrain) stored.select(shiftright(col("cand_id"), 32).as("doc_id"))
+       else stored.select(col("cand_id").as("doc_id"))).distinct()
+    val present = ids.join(storedIds, Seq("doc_id"), "left_semi").count()
+    val total = ids.count()
+    require(present == 0L || present == total,
+      s"$indexDir vectors hold PART of this boundary's batch ($present " +
         s"of $total docs) — no append/compaction crash shape produces a " +
         "partial batch; investigate foreign writes before appending")
     total == 0L || present == total
@@ -238,8 +261,14 @@ object DailyMaintenance {
     "ivf_append" -> (() => {
       if (!Versioned.exists(spark, s"$work/ivf/centroids"))
         Similarity.buildIvfIndex(vecs, s"$work/ivf"): Unit
-      else
+      else {
+        // a float-IVF repair restores the PRE-append state (the batch's
+        // assignment rows died with the crash — nothing of it landed),
+        // so after a repair the batch always still needs its append
+        if (ivfTablesBroken(spark, s"$work/ivf"))
+          Similarity.repairIvfIndex(spark, s"$work/ivf"): Unit
         Similarity.appendToIvfIndex(vecs, s"$work/ivf"): Unit
+      }
     }),
     // the chunk ANN index — the semantic half of the chunk-grain hybrid
     // pair the RAG stack serves ([[graft.operators.Retrieval
@@ -250,17 +279,25 @@ object DailyMaintenance {
       if (!Versioned.exists(spark, s"$dir/centroids"))
         Retrieval.buildChunkIvfIndex(batch, col("doc_id"), col("text"),
           dir, size = 32, stride = 16): Unit
-      else if (Retrieval.chunkGridHealthy(spark, dir,
-          stampTable = "assignment"))
-        Retrieval.appendToChunkIvfIndex(batch, col("doc_id"), col("text"),
-          dir): Unit
-      else if (Versioned.history(spark, s"$dir/assignment")
-          .forall(_._1 == 0L))
-        Retrieval.buildChunkIvfIndex(batch, col("doc_id"), col("text"),
-          dir, size = 32, stride = 16): Unit
-      else sys.error(s"$dir grid sidecar is untrusted and the assignment " +
-        "holds more than the first build — rebuild the chunk ANN index " +
-        "manually from the full corpus")
+      else {
+        // float repair = catch-up to the pre-append state (see
+        // ivf_append): after it the batch always still needs its append
+        if (ivfTablesBroken(spark, dir)) {
+          Similarity.repairIvfIndex(spark, dir): Unit
+          Retrieval.restampChunkGrid(spark, dir, stampTable = "assignment")
+        }
+        if (Retrieval.chunkGridHealthy(spark, dir,
+            stampTable = "assignment"))
+          Retrieval.appendToChunkIvfIndex(batch, col("doc_id"), col("text"),
+            dir): Unit
+        else if (Versioned.history(spark, s"$dir/assignment")
+            .forall(_._1 == 0L))
+          Retrieval.buildChunkIvfIndex(batch, col("doc_id"), col("text"),
+            dir, size = 32, stride = 16): Unit
+        else sys.error(s"$dir grid sidecar is untrusted and the assignment " +
+          "holds more than the first build — rebuild the chunk ANN index " +
+          "manually from the full corpus")
+      }
     }),
     // the doc-keyed FORWARD index — the serve-path artifact the RAG
     // stack reads BY DOCUMENT (context clip lengths, span-text slices,
@@ -289,17 +326,33 @@ object DailyMaintenance {
       if (!Versioned.exists(spark, s"$dir/centroids"))
         Retrieval.buildChunkIvfPqIndex(batch, col("doc_id"), col("text"),
           dir, size = 32, stride = 16): Unit
-      else if (Retrieval.chunkGridHealthy(spark, dir,
-          stampTable = "assignment"))
-        Retrieval.appendToChunkIvfPqIndex(batch, col("doc_id"), col("text"),
-          dir): Unit
-      else if (Versioned.history(spark, s"$dir/assignment")
-          .forall(_._1 == 0L))
-        Retrieval.buildChunkIvfPqIndex(batch, col("doc_id"), col("text"),
-          dir, size = 32, stride = 16): Unit
-      else sys.error(s"$dir grid sidecar is untrusted and the assignment " +
-        "holds more than the first build — rebuild the chunk PQ index " +
-        "manually from the full corpus")
+      else {
+        // the PQ repair COMPLETES a crashed append from the orphan
+        // full-precision vectors slice (vectors commit first) — so a
+        // healed append already holds this boundary's batch, while a
+        // healed compaction crash repaired with an empty delta and the
+        // batch still needs its append: the vectors-membership check
+        // disambiguates, exactly like batchLanded on the lexical side
+        val broken = ivfTablesBroken(spark, dir)
+        if (broken) {
+          Similarity.repairIvfIndex(spark, dir): Unit
+          Retrieval.restampChunkGrid(spark, dir, stampTable = "assignment")
+        }
+        if (Retrieval.chunkGridHealthy(spark, dir,
+            stampTable = "assignment")) {
+          if (!broken || !vectorsBatchLanded(spark, batch, dir,
+              chunkGrain = true))
+            Retrieval.appendToChunkIvfPqIndex(batch, col("doc_id"),
+              col("text"), dir): Unit
+        }
+        else if (Versioned.history(spark, s"$dir/assignment")
+            .forall(_._1 == 0L))
+          Retrieval.buildChunkIvfPqIndex(batch, col("doc_id"), col("text"),
+            dir, size = 32, stride = 16): Unit
+        else sys.error(s"$dir grid sidecar is untrusted and the assignment " +
+          "holds more than the first build — rebuild the chunk PQ index " +
+          "manually from the full corpus")
+      }
     }),
     // model maintenance — the LONGER cadence (every `retrainEvery`
     // boundaries, day 0 included): retrain the BPE tokenizer and the NB

@@ -200,7 +200,8 @@ object Retrieval {
   private def shardSidecarPath(indexDir: String, name: String) =
     new org.apache.hadoop.fs.Path(indexDir, name)
 
-  private def writeShardSidecar(spark: SparkSession, indexDir: String,
+  private[operators] def writeShardSidecar(spark: SparkSession,
+                                indexDir: String,
                                 name: String, nParts: Int,
                                 version: Long): Unit = {
     val p = shardSidecarPath(indexDir, name)
@@ -217,7 +218,7 @@ object Retrieval {
     * write and refuse separately when it is absent on a partitioned
     * table.
     */
-  private def shardSidecarOf(spark: SparkSession, indexDir: String,
+  private[operators] def shardSidecarOf(spark: SparkSession, indexDir: String,
                              name: String, stampTable: String): Option[Int] = {
     val p = shardSidecarPath(indexDir, name)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -914,7 +915,7 @@ object Retrieval {
     * and compactions move it). `postings` for the lexical index,
     * `assignment` for the chunk ANN index.
     */
-  private def lastOverwriteOf(spark: SparkSession, indexDir: String,
+  private[operators] def lastOverwriteOf(spark: SparkSession, indexDir: String,
                               table: String): Long =
     Versioned.history(spark, s"$indexDir/$table")
       .collect { case (v, "overwrite", _) => v }.lastOption
@@ -1127,16 +1128,18 @@ object Retrieval {
     * declared ANN scale path — the COMPRESSED index plus exact re-rank
     * ([[Similarity.queryIvfPqIndexReranked]]): the ADC scan shortlists
     * kEach·alpha candidates per query at code-width bytes, the exact
-    * full-precision dot re-scores only the shortlist against `corpus`,
-    * and the re-ranked top-kEach fuses with the lexical ranking under
-    * RRF. At 100 TB this is the serving pair a deployment actually
-    * runs: postings pruned by token on one arm, ~nProbes/nCentroids ÷
-    * 32 of the vector bytes + |Q|·kEach·alpha exact dots on the other.
-    * `alpha` is the semantic arm's recall dial; both indexes pin their
-    * own version.
+    * full-precision dot re-scores only the shortlist (DPP-fetched from
+    * the index's own vectors table — never a corpus scan, never a
+    * caller-supplied corpus that could drift stale), and the re-ranked
+    * top-kEach fuses with the lexical ranking under RRF. At 100 TB
+    * this is the serving pair a deployment actually runs: postings
+    * pruned by token on one arm, ~nProbes/nCentroids ÷ 32 of the
+    * vector bytes + |Q|·kEach·alpha exact dots on shard-pruned
+    * directories on the other. `alpha` is the semantic arm's recall
+    * dial; both indexes pin their own version.
     */
   def hybridSearchPq(spark: SparkSession, bm25Dir: String, pqDir: String,
-                     queries: DataFrame, corpus: DataFrame, k: Int,
+                     queries: DataFrame, k: Int,
                      kEach: Int = 20, alpha: Int = 4, nProbes: Int = 4,
                      c: Int = 60, m: Int = 8, ks: Int = 16, dim: Int = 64,
                      residual: Boolean = false,
@@ -1146,7 +1149,7 @@ object Retrieval {
         queries.select(col("query_id"), col("terms")), kEach, asOf = bm25AsOf)
       .select(col("query_id"), col("doc_id"), col("score"))
     val sem = Similarity.queryIvfPqIndexReranked(spark, pqDir,
-        queries.select(col("query_id").as("id"), col("vec")), corpus,
+        queries.select(col("query_id").as("id"), col("vec")),
         kEach, alpha, nProbes, pqAsOf, m, ks, dim, residual)
       .select(col("query_id"), col("cand_id").as("doc_id"),
         col("dot").as("score"))
@@ -1309,35 +1312,25 @@ object Retrieval {
         col("chunk_start"))
   }
 
-  /** Full-precision chunk vectors on a chunk index's own grid — the
-    * exact re-rank corpus for [[hybridSearchChunksPq]] (id = ck
-    * composite key, vec). Derived from the documents table so a PQ-only
-    * deployment needs no second float vector artifact; the grid comes
-    * from the index sidecar, never the caller.
-    */
-  def chunkVectors(spark: SparkSession, docs: DataFrame, id: Column,
-                   text: Column, indexDir: String,
-                   dim: Int = 64): DataFrame = {
-    val (size, stride) = chunkGrid(spark, indexDir, stampTable = "assignment")
-    Corpus.hashEmbed(chunkKeyed(docs, id, text, size, stride),
-      col("ck"), col("chunk_text"), dim)
-  }
-
   /** [[hybridSearchChunks]] with the semantic arm upgraded to the
     * COMPRESSED chunk index plus exact re-rank — the 100 TB serving
     * form: the chunk-grain vector table is the largest vector artifact
     * in the system, so its probe reads m-code rows (~1/32 the float
-    * bytes) and only the |Q|·kEach·alpha shortlist pays exact dots
-    * against `corpus` (the full-precision chunk vectors, shortlist
-    * broadcast ONTO the scan — [[chunkVectors]] supplies them from the
-    * documents table). Both indexes must share the window grid; both
-    * pin their own version; `alpha` is the semantic arm's recall dial.
+    * bytes) and only the |Q|·kEach·alpha shortlist pays exact dots,
+    * DPP-fetched from the ck-sharded full-precision vectors the index
+    * persisted AT BUILD TIME ([[buildChunkIvfPqIndex]] already computes
+    * every chunk vector to encode it — committing them costs one write,
+    * where the previous form re-chunked and re-embedded the WHOLE
+    * documents table in-plan per serving batch, a full corpus pass that
+    * a real neural encoder makes impossible, with a silent-staleness
+    * hazard besides). Both indexes must share the window grid; both pin
+    * their own version; `alpha` is the semantic arm's recall dial.
     * Output matches [[hybridSearchChunks]]: (query_id, doc_id,
     * chunk_start, n_rankers, rrf).
     */
   def hybridSearchChunksPq(spark: SparkSession, chunkBm25Dir: String,
                            chunkPqDir: String, queries: DataFrame,
-                           corpus: DataFrame, k: Int, kEach: Int = 20,
+                           k: Int, kEach: Int = 20,
                            alpha: Int = 4, nProbes: Int = 4, c: Int = 60,
                            m: Int = 8, ks: Int = 16, dim: Int = 64,
                            residual: Boolean = false,
@@ -1352,7 +1345,7 @@ object Retrieval {
         queries.select(col("query_id"), col("terms")), kEach, asOf = bm25AsOf)
       .select(col("query_id"), col("doc_id"), col("score"))
     val sem = Similarity.queryIvfPqIndexReranked(spark, chunkPqDir,
-        queries.select(col("query_id").as("id"), col("vec")), corpus,
+        queries.select(col("query_id").as("id"), col("vec")),
         kEach, alpha, nProbes, pqAsOf, m, ks, dim, residual)
       .select(col("query_id"), col("cand_id").as("doc_id"),
         col("dot").as("score"))
@@ -1675,21 +1668,34 @@ object Retrieval {
     * sidecar stays stale: queries degrade to unpruned (correct),
     * appends keep refusing. No-op when already trusted.
     */
-  def repairForwardIndex(spark: SparkSession, indexDir: String): Unit = {
-    val t = s"$indexDir/fwd"
+  def repairForwardIndex(spark: SparkSession, indexDir: String): Unit =
+    restampModSidecar(spark, indexDir, "doc_parts", "fwd",
+      "doc_id", "doc_part")
+
+  /** The generic pmod-shard restamp behind [[repairForwardIndex]] and
+    * the ANN vectors table's vec_parts repair: verify a candidate
+    * modulus against every row's recorded shard, then re-stamp the
+    * sidecar at the table's current overwrite snapshot. Shared by every
+    * partitioned layout whose shard key is `pmod(id, n)` (tok_parts
+    * hashes the token first and keeps its own verifier).
+    */
+  private[operators] def restampModSidecar(spark: SparkSession,
+      indexDir: String, name: String, table: String,
+      idCol: String, partCol: String): Unit = {
+    val t = s"$indexDir/$table"
     if (!Versioned.exists(spark, t)) return
     if (!Versioned.declaredLayout(spark, t).startsWith("part:")) return
-    if (docPartsOf(spark, indexDir).nonEmpty) return
-    val stampV = lastOverwriteOf(spark, indexDir, "fwd")
-    val rows = Versioned.read(spark, t).select(col("doc_id"), col("doc_part"))
-    val recorded = sidecarRecordedModulus(spark, indexDir, "doc_parts")
-    val maxRow = rows.agg(max(col("doc_part"))).head
+    if (shardSidecarOf(spark, indexDir, name, table).nonEmpty) return
+    val stampV = lastOverwriteOf(spark, indexDir, table)
+    val rows = Versioned.read(spark, t).select(col(idCol), col(partCol))
+    val recorded = sidecarRecordedModulus(spark, indexDir, name)
+    val maxRow = rows.agg(max(col(partCol))).head
     val fromData: Seq[Int] =
       if (maxRow.isNullAt(0)) Seq.empty else Seq(maxRow.getLong(0).toInt + 1)
     (recorded.toSeq ++ fromData).distinct
       .find(n => rows
-        .filter(col("doc_part") =!= pmod(col("doc_id"), lit(n.toLong))).isEmpty)
-      .foreach(n => writeShardSidecar(spark, indexDir, "doc_parts", n, stampV))
+        .filter(col(partCol) =!= pmod(col(idCol), lit(n.toLong))).isEmpty)
+      .foreach(n => writeShardSidecar(spark, indexDir, name, n, stampV))
   }
 
   /** Forward rows for a bounded doc set: the set's distinct doc ids
@@ -1717,7 +1723,7 @@ object Retrieval {
     * serialize/deserialize of O(|Q|·k) rows — serve-batch-sized, never
     * corpus-sized.
     */
-  private def constraintFreeStage(df: DataFrame): DataFrame =
+  private[graft] def constraintFreeStage(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd.localCheckpoint(), df.schema)
 
   private[graft] def forwardFor(spark: SparkSession, indexDir: String,

@@ -487,6 +487,8 @@ object Similarity {
     require(Versioned.exists(spark, s"$indexDir/assignment"),
       s"$indexDir has no assignment table — a build crashed before its " +
         "data landed; rebuild the index")
+    if (Versioned.exists(spark, s"$indexDir/vectors"))
+      return repairPqVectorsIndex(spark, indexDir)
     val va = Versioned.latestVersion(spark, s"$indexDir/assignment")
     val heads = Seq("centroids", "codebook")
       .filter(t => Versioned.exists(spark, s"$indexDir/$t"))
@@ -527,6 +529,123 @@ object Similarity {
     appendAssignment(empty, s"$indexDir/assignment")
   }
 
+  /** [[repairIvfIndex]] for the IVF-PQ-with-vectors format (four
+    * lockstep tables, full-precision vectors committed FIRST). Because
+    * the raw data lands before anything derived, a crashed APPEND is
+    * COMPLETED from the orphan vectors slice — the
+    * [[graft.operators.Retrieval.repairBm25Index]] postings-first
+    * discipline, where the three-table format could only catch up to
+    * the pre-append state (codes are lossy; the batch died with the
+    * crash). Encode parameters (m, sub, residual) derive from the
+    * persisted codebook itself, so the repair needs no caller-supplied
+    * knobs. A crashed COMPACTION (vectors overwritten with identical
+    * (cand_id, cv) content — vec_part is re-derivable layout metadata)
+    * heals with content-identical catch-up commits; a crashed REBUILD
+    * (changed content) refuses loudly. Also re-stamps a stale
+    * vec_parts sidecar once lockstep holds.
+    */
+  private def repairPqVectorsIndex(spark: org.apache.spark.sql.SparkSession,
+                                   indexDir: String): Long = {
+    import graft.sources.Versioned
+    require(Versioned.exists(spark, s"$indexDir/centroids") &&
+        Versioned.exists(spark, s"$indexDir/codebook"),
+      s"$indexDir has a vectors table but no centroids/codebook — a " +
+        "build crashed before its index tables landed; rebuild with " +
+        "buildIvfPqIndex")
+    val va = Versioned.latestVersion(spark, s"$indexDir/assignment")
+    val vv = Versioned.latestVersion(spark, s"$indexDir/vectors")
+    val heads = Seq("centroids", "codebook")
+      .map(t => t -> Versioned.latestVersion(spark, s"$indexDir/$t"))
+    if (vv == va && heads.forall(_._2 == va)) {
+      // intact lockstep — but a crashed compaction may still have died
+      // between the vectors overwrite and the sidecar re-stamp
+      restampVecParts(spark, indexDir)
+      return va
+    }
+    // commit order (append and compaction alike): vectors → centroids →
+    // codebook → assignment, so the only crash shape is vectors ahead
+    // by exactly one, a PREFIX of the heads advanced, assignment behind
+    require(vv == va + 1 &&
+        heads.forall(h => h._2 == va || h._2 == va + 1) &&
+        heads.head._2 >= heads.last._2,
+      s"$indexDir tables are not in a crashed-commit shape (vectors " +
+        s"v$vv, ${heads.map(h => s"${h._1} v${h._2}").mkString(", ")}, " +
+        s"assignment v$va) — no commit order here produces this; " +
+        "rebuild into a fresh directory")
+    // advanced heads must be content-identical to their prior version
+    // (a crashed REBUILD advances them with CHANGED content — an
+    // automated repair would pair new centroids with the old
+    // assignment; refuse)
+    heads.filter(_._2 == va + 1).foreach { case (t, v) =>
+      val now  = Versioned.read(spark, s"$indexDir/$t", Some(v))
+      val prev = Versioned.read(spark, s"$indexDir/$t", Some(v - 1))
+      require(now.exceptAll(prev).isEmpty && prev.exceptAll(now).isEmpty,
+        s"$indexDir/$t v$v CHANGED content vs v${v - 1} — a crashed " +
+          "REBUILD, not a crashed append/compaction; rebuild into a " +
+          "fresh directory")
+    }
+    val headAction = Versioned.history(spark, s"$indexDir/vectors").last._2
+    if (headAction == "overwrite") {
+      // a COMPACTION died mid-way: verify the vectors overwrite was a
+      // pure rewrite, then catch the lagging tables up
+      val now  = Versioned.read(spark, s"$indexDir/vectors", Some(vv))
+        .select(col("cand_id"), col("cv"))
+      val prev = Versioned.read(spark, s"$indexDir/vectors", Some(vv - 1))
+        .select(col("cand_id"), col("cv"))
+      require(now.exceptAll(prev).isEmpty && prev.exceptAll(now).isEmpty,
+        s"$indexDir/vectors v$vv CHANGED content vs v${vv - 1} — a " +
+          "crashed REBUILD, not a crashed compaction; rebuild into a " +
+          "fresh directory")
+      heads.filter(_._2 == va).foreach { case (t, v) =>
+        Versioned.overwrite(
+          Versioned.read(spark, s"$indexDir/$t", Some(v)),
+          s"$indexDir/$t"): Unit
+      }
+      val empty = Versioned.read(spark, s"$indexDir/assignment", Some(va))
+        .limit(0)
+      val out = appendAssignment(empty, s"$indexDir/assignment")
+      restampVecParts(spark, indexDir)
+      return out
+    }
+    // a crashed APPEND: the orphan full-precision slice IS the batch —
+    // COMPLETE the append by re-encoding it on the frozen centroids +
+    // codebook (new-id-only append invariant makes cand_id membership
+    // the delta)
+    val orphan = Versioned.read(spark, s"$indexDir/vectors", Some(vv))
+      .select(col("cand_id"), col("cv"))
+      .join(Versioned.read(spark, s"$indexDir/vectors", Some(va))
+        .select(col("cand_id")), Seq("cand_id"), "left_anti")
+    val cb = Versioned.read(spark, s"$indexDir/codebook")
+    val spec = cb.agg(
+      (org.apache.spark.sql.functions.max(col("j")) + 1).cast("int"),
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.size(col("cb"))).cast("int")).head
+    val m = spec.getInt(0)
+    val sub = spec.getInt(1)
+    val residual = cb.columns.contains("res") &&
+      cb.select(col("res")).head.getBoolean(0)
+    val centroids = Versioned.read(spark, s"$indexDir/centroids")
+    val c = orphan.withColumn("c_norm_sq", VectorOps.normSq(col("cv")))
+    val assignedB = assignTo(c, centroids
+      .select(col("centroid_id"), col("centv"), col("cent_norm_sq")))
+    val encBase = if (residual) residualsOf(assignedB, centroids) else c
+    val delta = assignedB.select(col("centroid_id"), col("cand_id"))
+      .join(withPqCodes(encBase, cb, m, sub)
+        .select(col("cand_id"), col("pqcode")), Seq("cand_id"))
+      .select(col("centroid_id"), col("cand_id"), col("pqcode"))
+    heads.filter(_._2 == va).foreach { case (t, v) =>
+      Versioned.overwrite(
+        Versioned.read(spark, s"$indexDir/$t", Some(v)),
+        s"$indexDir/$t"): Unit
+    }
+    appendAssignment(delta, s"$indexDir/assignment")
+  }
+
+  private def restampVecParts(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String): Unit =
+    Retrieval.restampModSidecar(spark, indexDir, "vec_parts", "vectors",
+      "cand_id", "vec_part")
+
   /** Compact a persisted IVF / IVF-SQ8 / IVF-PQ index after appends:
     * re-establishes the assignment table's bucketed-by-centroid layout
     * (appended batches land as plain files, demoting reads until the
@@ -541,10 +660,31 @@ object Similarity {
       .filter(t => graft.sources.Versioned.exists(spark, s"$indexDir/$t"))
     require(tables.contains("assignment"),
       s"$indexDir is not a persisted IVF index (no assignment/ table)")
-    val vs = tables.map(t => graft.sources.Versioned.compact(spark, s"$indexDir/$t"))
+    // the vectors table compacts FIRST (mirroring the append order, so
+    // a mid-way crash leaves the repairable vectors-ahead shape) and
+    // RE-DERIVES its shard modulus from the grown corpus: a compaction
+    // rewrites the snapshot anyway, so the re-shard is free — probed
+    // shard bytes stay flat as appends accumulate instead of growing
+    // with the corpus
+    val vVec =
+      if (!graft.sources.Versioned.exists(spark, s"$indexDir/vectors"))
+        Seq.empty[Long]
+      else {
+        val cur = graft.sources.Versioned.read(spark, s"$indexDir/vectors")
+          .select(col("cand_id"), col("cv"))
+        val n = autoVecShards(cur.count())
+        val v = graft.sources.Versioned.overwritePartitioned(
+          cur.withColumn("vec_part", pmod(col("cand_id"), lit(n.toLong))),
+          s"$indexDir/vectors", "vec_part")
+        Retrieval.writeShardSidecar(spark, indexDir, "vec_parts", n, v)
+        Seq(v)
+      }
+    val names = (if (vVec.nonEmpty) Seq("vectors") else Nil) ++ tables
+    val vs = vVec ++
+      tables.map(t => graft.sources.Versioned.compact(spark, s"$indexDir/$t"))
     require(vs.distinct.size == 1, s"index compaction left tables out of " +
-      s"lockstep (${tables.zip(vs).map { case (t, v) => s"$t v$v" }
-        .mkString(", ")}) — rebuild into a fresh directory")
+      s"lockstep (${names.zip(vs).map { case (t, v) => s"$t v$v" }
+        .mkString(", ")}) — run repairIvfIndex")
     vs.head
   }
 
@@ -875,13 +1015,31 @@ object Similarity {
     * m·ks tiny rows, and the assignment stores (centroid_id, cand_id,
     * pqcode). Bucket membership is assigned in full precision BEFORE
     * quantization, identical to [[buildIvfIndex]]'s.
+    *
+    * A FOURTH lockstep table, `vectors/`, persists the full-precision
+    * vectors the build already computed to encode the codes —
+    * cand_id-sharded directories (`vec_part = pmod(cand_id,
+    * nVecParts)`, the forward-index discipline, modulus in a stamped
+    * `vec_parts` sidecar) so the exact re-rank
+    * ([[queryIvfPqIndexReranked]]) DPP-fetches its |Q|·k·alpha
+    * shortlist instead of scanning (or worse, recomputing) the
+    * full-precision corpus per serving batch — at 100 TB the re-rank
+    * fetch was the last corpus-sized read on the serving path, and with
+    * a real neural encoder an in-plan re-embed is not merely slow but
+    * impossible. The table also removes the caller-supplied-corpus
+    * staleness hazard: the index serves re-ranks from its OWN snapshot,
+    * in version lockstep by construction. `nVecParts = 0` auto-sizes
+    * the modulus from the corpus row count (target: a few thousand
+    * rows — a couple of row-groups — per shard directory, so probed
+    * bytes stay flat as the corpus grows).
     */
   def buildIvfPqIndex(candidates: DataFrame, indexDir: String,
                       nCentroids: Int = 16, m: Int = 8, ks: Int = 16,
                       pqLloydIters: Int = 0, lloydIters: Int = 0,
                       dim: Int = 64, residual: Boolean = false,
                       nBuckets: Int = 8,
-                      assignmentLayout: String = "bucket"): Long = {
+                      assignmentLayout: String = "bucket",
+                      nVecParts: Int = 0): Long = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
     val c = prepCandidates(candidates)
@@ -900,20 +1058,48 @@ object Similarity {
     val assignedQ = assigned.select(col("centroid_id"), col("cand_id"))
       .join(codes, Seq("cand_id"))
       .select(col("centroid_id"), col("cand_id"), col("pqcode"))
+    // the full-precision table lands FIRST (the postings-first
+    // discipline: a crash after it leaves the raw data on disk, from
+    // which repairIvfIndex COMPLETES the operation)
+    val nVec = if (nVecParts > 0) nVecParts else autoVecShards(c.count())
+    val vv = graft.sources.Versioned.overwritePartitioned(
+      c.select(col("cand_id"), col("cv"),
+        pmod(col("cand_id"), lit(nVec.toLong)).as("vec_part")),
+      s"$indexDir/vectors", "vec_part")
     val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
     val vb = graft.sources.Versioned.overwrite(cb, s"$indexDir/codebook")
     val va = commitAssignment(assignedQ, s"$indexDir/assignment",
       assignmentLayout, nBuckets)
-    require(vc == vb && vb == va,
-      s"index tables diverged: centroids v$vc / codebook v$vb / assignment v$va")
+    require(vv == vc && vc == vb && vb == va,
+      s"index tables diverged: vectors v$vv / centroids v$vc / " +
+        s"codebook v$vb / assignment v$va")
+    Retrieval.writeShardSidecar(candidates.sparkSession, indexDir,
+      "vec_parts", nVec, vv)
     vc
   }
+
+  /** Auto-sized vec_part modulus: ~4k vectors (a couple of parquet
+    * row-groups at 64 float64 dims) per shard directory, clamped so a
+    * tiny corpus still gets enough shards for DPP to matter and a huge
+    * one does not explode the directory count. Sized at BUILD time from
+    * the actual corpus; [[compactIvfIndex]] re-derives it when appends
+    * have outgrown the layout.
+    */
+  private def autoVecShards(count: Long): Int =
+    math.max(8L, math.min(4096L, (count + 4095L) / 4096L)).toInt
 
   /** Append a batch to a persisted IVF-PQ index without rebuilding:
     * assign to the FROZEN centroids, encode on the FROZEN codebook —
     * one map-side pass over the batch (FAISS `add` semantics; codebook
     * drift vs the growing corpus is the caller's rebuild dial). All
-    * three tables re-commit so versions stay lockstep.
+    * four tables commit so versions stay lockstep, FULL-PRECISION
+    * VECTORS FIRST (the postings-first discipline): a crash after the
+    * vectors append leaves the raw batch on disk, from which
+    * [[repairIvfIndex]] COMPLETES the append (re-encoding the orphan
+    * slice on the frozen centroids + codebook) — the reverse order was
+    * unwedgeable, the codes being lossy. The dim guard rides the
+    * vectors append (the FIRST write), so a wrong-dimension batch
+    * refuses before anything commits.
     */
   def appendToIvfPqIndex(batch: DataFrame, indexDir: String,
                          m: Int = 8, dim: Int = 64,
@@ -921,15 +1107,42 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
     val spark = batch.sparkSession
-    require(Seq("centroids", "codebook", "assignment")
+    require(Seq("vectors", "centroids", "codebook", "assignment")
+        .filter(t => graft.sources.Versioned.exists(spark, s"$indexDir/$t"))
         .map(t => graft.sources.Versioned.latestVersion(spark, s"$indexDir/$t"))
         .distinct.size == 1,
       s"$indexDir tables out of lockstep — a prior append crashed between " +
         "commits; run repairIvfIndex, then retry this append")
+    val nVec = vecPartsOf(spark, indexDir).getOrElse(sys.error(
+      s"$indexDir vectors table's vec_parts sidecar is absent or stale " +
+        "— run repairIvfIndex (a pre-vectors index must rebuild with " +
+        "buildIvfPqIndex: the exact re-rank serves from the index's own " +
+        "full-precision table)"))
     val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids")
     val cb = pqResGuard(
       graft.sources.Versioned.read(spark, s"$indexDir/codebook"), residual)
     val c = prepCandidates(batch)
+    // dim guard in-plan, riding the FIRST write job: a batch whose
+    // vectors' length differs from the index's would corrupt both the
+    // codes and every exact re-rank dot — refused before any commit
+    val sz = (co: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.size(co)
+    val badDims = c
+      .crossJoin(broadcast(centroids
+        .agg(org.apache.spark.sql.functions.max(sz(col("centv"))).as("__dim"))))
+      .filter(sz(col("cv")) =!= col("__dim"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__bad"))
+    val guardedVecs = c
+      .select(col("cand_id"), col("cv"),
+        pmod(col("cand_id"), lit(nVec.toLong)).as("vec_part"))
+      .crossJoin(broadcast(badDims))
+      .filter(org.apache.spark.sql.functions.assert_true(
+        col("__bad") === 0L,
+        lit(s"IVF-PQ append dim mismatch on $indexDir: the batch carries " +
+          "vectors whose length differs from the index's stored centroid " +
+          "dim — re-embed the batch with the build's encoder/dim; " +
+          "nothing was committed")).isNull)
+      .drop("__bad")
     val assignedB = assignTo(c, centroids)
     val encBase = if (residual) residualsOf(assignedB, centroids) else c
     val assignedNew = assignedB
@@ -937,13 +1150,20 @@ object Similarity {
       .join(withPqCodes(encBase, cb, m, sub).select(col("cand_id"), col("pqcode")),
         Seq("cand_id"))
       .select(col("centroid_id"), col("cand_id"), col("pqcode"))
+    val vv = graft.sources.Versioned.appendPartitioned(guardedVecs,
+      s"$indexDir/vectors", "vec_part")
     val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
     val vb = graft.sources.Versioned.overwrite(cb, s"$indexDir/codebook")
     val va = appendAssignment(assignedNew, s"$indexDir/assignment")
-    require(vc == vb && vb == va,
-      s"index tables diverged: centroids v$vc / codebook v$vb / assignment v$va")
+    require(vv == vc && vc == vb && vb == va,
+      s"index tables diverged: vectors v$vv / centroids v$vc / " +
+        s"codebook v$vb / assignment v$va")
     vc
   }
+
+  private def vecPartsOf(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String): Option[Int] =
+    Retrieval.shardSidecarOf(spark, indexDir, "vec_parts", "vectors")
 
   /** Probe a persisted IVF-PQ index: probe selection in full precision
     * against the stored centroids, then an ADC scan of only the probed
@@ -959,10 +1179,12 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
     if (asOf.isEmpty) {
-      val vs = Seq("centroids", "codebook", "assignment")
-        .map(t => graft.sources.Versioned.latestVersion(spark, s"$indexDir/$t"))
+      val ts = Seq("vectors", "centroids", "codebook", "assignment")
+        .filter(t => graft.sources.Versioned.exists(spark, s"$indexDir/$t"))
+      val vs = ts.map(t =>
+        graft.sources.Versioned.latestVersion(spark, s"$indexDir/$t"))
       require(vs.distinct.size == 1, s"index tables out of lockstep " +
-        s"(centroids v${vs(0)}, codebook v${vs(1)}, assignment v${vs(2)}) — " +
+        s"(${ts.zip(vs).map { case (t, v) => s"$t v$v" }.mkString(", ")}) — " +
         "a build/append crashed between commits; run repairIvfIndex or pin asOf")
     }
     val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids", asOf)
@@ -1010,37 +1232,74 @@ object Similarity {
     * shortlists `k·alpha` candidates per query with the compressed ADC
     * scan ([[queryIvfPqIndex]] — probe-pruned, code-width bytes); stage
     * 2 re-scores ONLY the shortlist with the exact full-precision dot
-    * against `corpus` (the source-of-truth vectors the index was built
-    * from) and keeps the top k. This closes PQ's reconstruction-error
-    * recall gap at probe-bounded cost: the exact math touches
-    * |Q|·k·alpha rows, never the corpus — the shortlist broadcasts
-    * ONTO the corpus scan as an equality join, so the full-precision
-    * pass is one scan with a map-side probe, no shuffle of vectors.
-    * `alpha` is the recall dial (how far past k the compressed ranking
-    * must place a true neighbor to be recovered). Output: (query_id,
-    * cand_id, dot) — exact dots, so ties and order are engine-exact.
+    * and keeps the top k. This closes PQ's reconstruction-error recall
+    * gap at probe-bounded cost: the exact math touches |Q|·k·alpha
+    * rows, never the corpus — the full-precision vectors come from the
+    * index's OWN `vectors/` table ([[buildIvfPqIndex]] persists them
+    * cand_id-sharded at build time), so the fetch is a broadcast
+    * equality join the shortlist DPP-prunes to its shard directories:
+    * re-rank BYTES are bounded by the probed doc set, independent of
+    * corpus size, and the vectors are the indexed snapshot by
+    * construction (no caller-supplied corpus to drift stale). The
+    * shortlist stages through a constraint-free seam so the shard-range
+    * guard survives composition (SPARK-39748). `alpha` is the recall
+    * dial (how far past k the compressed ranking must place a true
+    * neighbor to be recovered). Output: (query_id, cand_id, dot) —
+    * exact dots, so ties and order are engine-exact.
     */
   def queryIvfPqIndexReranked(spark: org.apache.spark.sql.SparkSession,
                               indexDir: String, queries: DataFrame,
-                              corpus: DataFrame, k: Int, alpha: Int = 4,
+                              k: Int, alpha: Int = 4,
                               nProbes: Int = 4, asOf: Option[Long] = None,
                               m: Int = 8, ks: Int = 16, dim: Int = 64,
                               residual: Boolean = false): DataFrame = {
     require(alpha >= 1, s"alpha must be >= 1, got $alpha")
-    val shortlist = queryIvfPqIndex(spark, indexDir, queries, k * alpha,
-        nProbes, asOf, m, ks, dim, residual)
-      .select(col("query_id"), col("cand_id"))
-    val c = corpus.select(col("id").as("cand_id"),
-      VectorOps.toDoubleArray(col("vec")).as("cv"))
+    require(graft.sources.Versioned.exists(spark, s"$indexDir/vectors"),
+      s"$indexDir has no vectors table — the exact re-rank serves the " +
+        "shortlist from the index's own full-precision snapshot; rebuild " +
+        "this (pre-vectors) index with buildIvfPqIndex")
+    val shortlist = Retrieval.constraintFreeStage(
+      queryIvfPqIndex(spark, indexDir, queries, k * alpha,
+          nProbes, asOf, m, ks, dim, residual)
+        .select(col("query_id"), col("cand_id")))
     val q = queries.select(col("id").as("query_id"),
       VectorOps.toDoubleArray(col("vec")).as("qv"))
-    val scored = c.join(broadcast(shortlist), Seq("cand_id"))
+    val scored = vectorsFor(spark, indexDir, shortlist, asOf)
+      .join(broadcast(shortlist), Seq("cand_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("dot", VectorOps.dot(col("qv"), col("cv")))
     Ranking.topPerGroup(scored, Seq(col("query_id")),
         Seq(col("dot").desc, col("cand_id").asc), k)
       .select(col("query_id"), col("cand_id"), col("dot"))
       .orderBy(col("query_id"), col("dot").desc, col("cand_id"))
+  }
+
+  /** Full-precision rows for a bounded candidate set — the
+    * [[Retrieval.forwardFor]] discipline on the vectors table: the
+    * set's distinct cand_ids broadcast ONTO the partitioned scan, and
+    * on a trusted vec_parts sidecar the join carries the shard key
+    * (with the in-range guard PartitionPruning needs as its selective
+    * predicate) so Spark DPP prunes unprobed shard DIRECTORIES at run
+    * time. An untrusted sidecar or a time-travel read degrades to the
+    * unpruned-but-correct cand_id join.
+    */
+  private def vectorsFor(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, candSet: DataFrame,
+                         asOf: Option[Long]): DataFrame = {
+    val vt = graft.sources.Versioned.read(spark, s"$indexDir/vectors", asOf)
+    val ids = candSet.select(col("cand_id")).distinct()
+    (if (asOf.nonEmpty) None else vecPartsOf(spark, indexDir)) match {
+      case Some(n) =>
+        val probe = ids
+          .withColumn("vec_part", pmod(col("cand_id"), lit(n.toLong)))
+          .filter(col("vec_part").between(0, n - 1))
+        vt.select(col("vec_part"), col("cand_id"), col("cv"))
+          .join(broadcast(probe), Seq("vec_part", "cand_id"))
+          .drop("vec_part")
+      case None =>
+        vt.select(col("cand_id"), col("cv"))
+          .join(broadcast(ids), Seq("cand_id"))
+    }
   }
 
   /** SQ8-quantized brute-force top-k — the compressed-scan ANN path:

@@ -436,16 +436,15 @@ object StreamJobs {
     * persisted IVF-PQ chunk index plus exact re-rank
     * ([[graft.operators.Retrieval.hybridSearchChunksPq]]): each
     * micro-batch of (query_id, terms, vec) fuses at span grain against
-    * the version pair pinned at stream start (the PQ TRIPLE pins as
-    * one), with the exact re-rank served from `corpus` (the
-    * full-precision chunk vectors — [[graft.operators.Retrieval
-    * .chunkVectors]] derives them on the index's own grid). Grid
-    * mismatch refuses BEFORE the stream starts; idempotent
+    * the version pair pinned at stream start (the PQ index's FOUR
+    * lockstep tables — codes, centroids, codebook, and the
+    * full-precision vectors the exact re-rank DPP-fetches — pin as
+    * one). Grid mismatch refuses BEFORE the stream starts; idempotent
     * (run_id, batch_id) sink.
     */
   def hybridSearchChunksPqStream(queryStream: DataFrame,
                                  chunkBm25Dir: String, chunkPqDir: String,
-                                 corpus: DataFrame, outDir: String,
+                                 outDir: String,
                                  checkpointDir: String, k: Int = 10,
                                  kEach: Int = 20, alpha: Int = 4,
                                  nProbes: Int = 4, m: Int = 8,
@@ -460,9 +459,10 @@ object StreamJobs {
       vp
     }
     val pinnedSem = {
-      val vs = Seq("centroids", "codebook", "assignment")
+      val vs = Seq("vectors", "centroids", "codebook", "assignment")
+        .filter(t => graft.sources.Versioned.exists(spark, s"$chunkPqDir/$t"))
         .map(t => graft.sources.Versioned.latestVersion(spark, s"$chunkPqDir/$t"))
-      require(vs.distinct.size == 1, s"chunk PQ index triple out of " +
+      require(vs.distinct.size == 1, s"chunk PQ index tables out of " +
         s"lockstep ($vs) — run repairIvfIndex")
       vs.head
     }
@@ -476,7 +476,7 @@ object StreamJobs {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeBatchIdempotent(
           graft.operators.Retrieval.hybridSearchChunksPq(spark,
-            chunkBm25Dir, chunkPqDir, batch, corpus, k, kEach, alpha,
+            chunkBm25Dir, chunkPqDir, batch, k, kEach, alpha,
             nProbes, m = m, ks = ks, dim = dim, residual = residual,
             bm25AsOf = Some(pinnedLex), pqAsOf = Some(pinnedSem)),
           checkpointDir, batchId, outDir)

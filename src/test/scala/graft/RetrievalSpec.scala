@@ -474,7 +474,7 @@ class RetrievalSpec extends SparkSpec {
     // nProbes = nCentroids and alpha past the corpus: the semantic arm
     // degenerates to the exact dot ranking (the q158-proven identity)
     val fused = Retrieval.hybridSearchPq(spark, bmDir, pqDir, queries,
-      vecs.select(col("id"), col("vec")), k = 5, kEach = 8, alpha = 4,
+      k = 5, kEach = 8, alpha = 4,
       nProbes = 4).collect()
     val top = fused.head
     assert(top.getAs[Long]("doc_id") == 7L)
@@ -507,12 +507,11 @@ class RetrievalSpec extends SparkSpec {
         concat_ws(" ", col("terms")), dim = 16)
         .withColumnRenamed("id", "query_id"),
       Seq("query_id"))
-    val corpus = Retrieval.chunkVectors(spark, docs, col("doc_id"),
-      col("text"), pqDir, dim = 16)
     // exhaustive probes + a shortlist covering every chunk: the exact
-    // re-rank makes the semantic arm the exact dot ranking
+    // re-rank makes the semantic arm the exact dot ranking (served from
+    // the index's own persisted full-precision vectors)
     val fused = Retrieval.hybridSearchChunksPq(spark, bmDir, pqDir,
-        queries, corpus, k = 5, kEach = 10, alpha = 8, nProbes = 4,
+        queries, k = 5, kEach = 10, alpha = 8, nProbes = 4,
         m = 4, ks = 8, dim = 16)
       .collect()
     val top = fused.head
@@ -526,7 +525,7 @@ class RetrievalSpec extends SparkSpec {
     Retrieval.buildChunkIvfPqIndex(docs, col("doc_id"), col("text"), pqDir2,
       size = 32, stride = 16, dim = 16, nCentroids = 4, m = 4, ks = 8): Unit
     val e = intercept[IllegalArgumentException] {
-      Retrieval.hybridSearchChunksPq(spark, bmDir, pqDir2, queries, corpus,
+      Retrieval.hybridSearchChunksPq(spark, bmDir, pqDir2, queries,
         k = 5, m = 4, ks = 8, dim = 16)
     }
     assert(e.getMessage.contains("grids disagree"))
@@ -540,10 +539,8 @@ class RetrievalSpec extends SparkSpec {
       bmDir): Unit
     Retrieval.appendToChunkIvfPqIndex(batch, col("doc_id"), col("text"),
       pqDir, dim = 16, m = 4): Unit
-    val corpus2 = Retrieval.chunkVectors(spark, docs.unionByName(batch),
-      col("doc_id"), col("text"), pqDir, dim = 16)
     val fused2 = Retrieval.hybridSearchChunksPq(spark, bmDir, pqDir,
-        queries, corpus2, k = 5, kEach = 10, alpha = 8, nProbes = 4,
+        queries, k = 5, kEach = 10, alpha = 8, nProbes = 4,
         m = 4, ks = 8, dim = 16)
       .collect()
     assert(fused2.exists(r => r.getAs[Long]("doc_id") == 9L &&

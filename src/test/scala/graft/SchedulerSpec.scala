@@ -600,8 +600,6 @@ class SchedulerSpec extends SparkSpec {
       def fusedPq(chunks: String, pq: String) =
         graft.operators.Retrieval.hybridSearchChunksPq(spark, chunks, pq,
           pqQueries,
-          graft.operators.Retrieval.chunkVectors(spark, union,
-            col("doc_id"), col("text"), pq),
           k = 10, kEach = 20, alpha = 200, nProbes = 16)
           .collect().map(_.toSeq).toSeq
       assert(fusedPq(s"$work/chunks", s"$work/chunk_pq") ==

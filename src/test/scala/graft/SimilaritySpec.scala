@@ -351,20 +351,54 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("CHANGED"))
 
-    // IVF-PQ triple, crash after the CENTROIDS alone (codebook and
-    // assignment both behind): repair re-commits the lagging codebook
-    // and catches the assignment up — probes answer exactly as before
+    // IVF-PQ (four lockstep tables, full-precision vectors committed
+    // FIRST): a crash right after the vectors append leaves the raw
+    // batch on disk — repair COMPLETES the append by re-encoding the
+    // orphan slice on the frozen centroids + codebook, landing the
+    // index exactly where an uncrashed appendToIvfPqIndex would have
     val idx3 = java.nio.file.Files.createTempDirectory("graft_pq_rep").toString
+    val idx4 = java.nio.file.Files.createTempDirectory("graft_pq_ok").toString
     Similarity.buildIvfPqIndex(initial, idx3, nCentroids = 8): Unit
-    def pqRows() = Similarity.queryIvfPqIndex(spark, idx3, q, k = 5)
+    Similarity.buildIvfPqIndex(initial, idx4, nCentroids = 8): Unit
+    Similarity.appendToIvfPqIndex(batch, idx4): Unit // the uncrashed twin
+    def pqRows(dir: String) = Similarity
+      .queryIvfPqIndex(spark, dir, q, k = 5, nProbes = 8)
       .as[(Long, Long, Double)].collect().toSeq
-    val pqBefore = pqRows()
-    graft.sources.Versioned.overwrite(
-      graft.sources.Versioned.read(spark, s"$idx3/centroids"),
-      s"$idx3/centroids"): Unit
-    intercept[IllegalArgumentException] { pqRows() }
+    // simulate the crash: the batch's vectors land (same rows a real
+    // append stages), nothing else commits
+    val nShards = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(idx3, "vec_parts").toPath), "UTF-8")
+      .trim.split(" ")(0).toInt
+    graft.sources.Versioned.appendPartitioned(
+      batch.select(col("id").as("cand_id"),
+          VectorOps.toDoubleArray(col("vec")).as("cv"))
+        .withColumn("vec_part", pmod(col("cand_id"), lit(nShards.toLong))),
+      s"$idx3/vectors", "vec_part"): Unit
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.queryIvfPqIndex(spark, idx3, q, k = 5)
+    }
+    assert(e3.getMessage.contains("repairIvfIndex"))
     assert(Similarity.repairIvfIndex(spark, idx3) == 1L)
-    assert(pqRows() == pqBefore)
+    assert(pqRows(idx3) == pqRows(idx4),
+      "repair must COMPLETE the crashed PQ append — codes identical to " +
+        "the uncrashed twin's")
+    assert(Seq("vectors", "centroids", "codebook", "assignment").map(t =>
+      graft.sources.Versioned.latestVersion(spark, s"$idx3/$t"))
+      .distinct.size == 1)
+    // the re-rank path works off the completed index too
+    assert(Similarity.queryIvfPqIndexReranked(spark, idx3, q, k = 5)
+        .as[(Long, Long, Double)].collect().toSeq ==
+      Similarity.queryIvfPqIndexReranked(spark, idx4, q, k = 5)
+        .as[(Long, Long, Double)].collect().toSeq)
+
+    // a crashed PQ COMPACTION (vectors overwritten with identical
+    // content, the rest behind) heals with an empty delta
+    graft.sources.Versioned.overwritePartitioned(
+      graft.sources.Versioned.read(spark, s"$idx4/vectors"),
+      s"$idx4/vectors", "vec_part"): Unit
+    val pq4Before = pqRows(idx3)
+    assert(Similarity.repairIvfIndex(spark, idx4) == 2L)
+    assert(pqRows(idx4) == pq4Before)
   }
 
   test("assignment commits bucketed by centroid: per-centroid work is " +
@@ -780,7 +814,7 @@ class SimilaritySpec extends SparkSpec {
     // alpha ≥ |corpus|/k), stage 2 IS the exact dot ranking — the
     // compressed stage can no longer lose a true neighbor
     val n = e.count().toInt
-    val full = Similarity.queryIvfPqIndexReranked(spark, idx, q, e, k = 5,
+    val full = Similarity.queryIvfPqIndexReranked(spark, idx, q, k = 5,
       alpha = n / 5 + 1, nProbes = 16, ks = 64)
     val exactDot = {
       val qv = q.select(col("id").as("query_id"),
@@ -804,13 +838,64 @@ class SimilaritySpec extends SparkSpec {
     val truth = pairs(exactDot)
     val plain = pairs(Similarity.queryIvfPqIndex(spark, idx, q, k = 5,
       nProbes = 16, ks = 64))
-    val rr = pairs(Similarity.queryIvfPqIndexReranked(spark, idx, q, e,
+    val rr = pairs(Similarity.queryIvfPqIndexReranked(spark, idx, q,
       k = 5, alpha = 8, nProbes = 16, ks = 64))
     val recallPlain = (truth & plain).size.toDouble / truth.size
     val recallRr = (truth & rr).size.toDouble / truth.size
     assert(recallRr >= recallPlain,
       s"re-rank recall $recallRr must not trail plain ADC $recallPlain")
     assert(recallRr > 0.5, s"re-rank recall unexpectedly low: $recallRr")
+  }
+
+  test("IVF-PQ vectors table: the exact re-rank DPP-fetches its shortlist " +
+      "from the index's own shard directories — never a corpus scan; a " +
+      "stale vec_parts sidecar degrades to the unpruned join, same rows") {
+    import graft.sources.Versioned
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_vecdpp").toString
+    Similarity.buildIvfPqIndex(e, idx, nCentroids = 16, nVecParts = 8): Unit
+    def versions() = Seq("vectors", "centroids", "codebook", "assignment")
+      .map(t => Versioned.latestVersion(spark, s"$idx/$t"))
+    assert(versions() == Seq(0L, 0L, 0L, 0L),
+      "the build must land all FOUR tables in lockstep")
+    val q = e.filter(col("id") < 4)
+    def fmt(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    val rr = Similarity.queryIvfPqIndexReranked(spark, idx, q, k = 5)
+    assert(fmt(rr).contains("dynamicpruningexpression"),
+      "the re-rank vector fetch must DPP-prune shard directories")
+    val rows0 = rr.as[(Long, Long, Double)].collect().toSeq
+
+    // stale sidecar (crashed-rebuild stamp): pruning degrades to the
+    // correct unpruned cand_id join — identical rows, no dpp
+    val sc = new java.io.File(idx, "vec_parts")
+    val stale = new String(java.nio.file.Files.readAllBytes(sc.toPath),
+      "UTF-8").split(" ") match { case Array(n, v) => s"$n ${v.toLong + 7}" }
+    java.nio.file.Files.write(sc.toPath, stale.getBytes("UTF-8")): Unit
+    new java.io.File(idx, ".vec_parts.crc").delete(): Unit
+    val rr2 = Similarity.queryIvfPqIndexReranked(spark, idx, q, k = 5)
+    assert(rr2.as[(Long, Long, Double)].collect().toSeq == rows0)
+    assert(!fmt(rr2).contains("dynamicpruning"))
+    // repair data-verifies the recorded modulus and restores the stamp
+    Similarity.repairIvfIndex(spark, idx): Unit
+    val rr3 = Similarity.queryIvfPqIndexReranked(spark, idx, q, k = 5)
+    assert(rr3.as[(Long, Long, Double)].collect().toSeq == rows0)
+    assert(fmt(rr3).contains("dynamicpruningexpression"),
+      "a repaired sidecar must restore shard pruning")
+
+    // append keeps all four tables in lockstep; compaction re-derives
+    // the shard modulus from the grown corpus and re-stamps; time
+    // travel still pins the pre-append snapshot
+    Similarity.appendToIvfPqIndex(
+      e.select((col("id") + 50000L).as("id"), col("vec")), idx): Unit
+    assert(versions() == Seq(1L, 1L, 1L, 1L))
+    Similarity.compactIvfIndex(spark, idx): Unit
+    assert(versions() == Seq(2L, 2L, 2L, 2L))
+    assert(Similarity.queryIvfPqIndexReranked(spark, idx, q, k = 5,
+        asOf = Some(0L)).as[(Long, Long, Double)].collect().toSeq == rows0,
+      "asOf must pin the pre-append snapshot across the re-shard")
   }
 
   test("a pre-residual index dir (no 'res' column) still reads as raw; " +
@@ -827,6 +912,8 @@ class SimilaritySpec extends SparkSpec {
     // rewrite the index as a legacy dir: same tables, codebook without
     // the 'res' column (all three advance so versions stay lockstep)
     import graft.sources.Versioned
+    Versioned.overwritePartitioned(Versioned.read(spark, s"$idx/vectors")
+      .localCheckpoint(), s"$idx/vectors", "vec_part"): Unit
     Versioned.overwrite(Versioned.read(spark, s"$idx/centroids")
       .localCheckpoint(), s"$idx/centroids"): Unit
     Versioned.overwrite(Versioned.read(spark, s"$idx/codebook")

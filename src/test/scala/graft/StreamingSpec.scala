@@ -782,18 +782,14 @@ class StreamingSpec extends SparkSpec {
     val qvecs = withVecs(queries)
       .select("query_id", "terms", "vec")
       .as[(Long, Seq[String], Seq[Double])].collect().toSeq
-    def corpusVecs(d: org.apache.spark.sql.DataFrame) =
-      Retrieval.chunkVectors(spark, d, col("doc_id"), col("text"), pqDir,
-        dim = 16)
     var n = 0
-    def deliver(ids: Seq[Long], out: String,
-                corpus: org.apache.spark.sql.DataFrame): Unit = {
+    def deliver(ids: Seq[Long], out: String): Unit = {
       n += 1
       val mem = MemoryStream[(Long, Seq[String], Seq[Double])]
       mem.addData(qvecs.filter(q => ids.contains(q._1)).toIndexedSeq: _*)
       StreamJobs.hybridSearchChunksPqStream(
         mem.toDF().toDF("query_id", "terms", "vec"), bmDir, pqDir,
-        corpus, out, s"$work/pqckpt$n", k = 5, kEach = 10, alpha = 8,
+        out, s"$work/pqckpt$n", k = 5, kEach = 10, alpha = 8,
         nProbes = 4, m = 4, ks = 8, dim = 16)
         .awaitTermination()
     }
@@ -802,10 +798,10 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Long, Long, Long, Double)].collect()
         .sortBy(r => (r._1, r._2, r._3)).toSeq
 
-    deliver(Seq(900L), s"$work/pqout1", corpusVecs(docs))
-    deliver(Seq(901L), s"$work/pqout1", corpusVecs(docs))
+    deliver(Seq(900L), s"$work/pqout1")
+    deliver(Seq(901L), s"$work/pqout1")
     val batch = Retrieval.hybridSearchChunksPq(spark, bmDir, pqDir,
-      withVecs(queries), corpusVecs(docs), k = 5, kEach = 10, alpha = 8,
+      withVecs(queries), k = 5, kEach = 10, alpha = 8,
       nProbes = 4, m = 4, ks = 8, dim = 16)
     val expect = rows(batch)
     assert(expect.exists(r => r._2 == 5L && r._4 == 2L),
@@ -822,13 +818,12 @@ class StreamingSpec extends SparkSpec {
       bmDir): Unit
     Retrieval.appendToChunkIvfPqIndex(batchDocs, col("doc_id"), col("text"),
       pqDir, dim = 16, m = 4): Unit
-    val union = docs.unionByName(batchDocs)
-    deliver(Seq(900L), s"$work/pqout2", corpusVecs(union))
+    deliver(Seq(900L), s"$work/pqout2")
     assert(rows(spark.read.parquet(s"$work/pqout2"))
       .exists(r => r._2 == 6L && r._3 == 1L),
       "post-append stream must surface the appended doc's span")
     assert(rows(Retrieval.hybridSearchChunksPq(spark, bmDir, pqDir,
-        withVecs(queries.take(1)), corpusVecs(docs), k = 5, kEach = 10,
+        withVecs(queries.take(1)), k = 5, kEach = 10,
         alpha = 8, nProbes = 4, m = 4, ks = 8, dim = 16,
         bm25AsOf = Some(0L), pqAsOf = Some(0L))) ==
       expect.filter(_._1 == 900L),
