@@ -1603,17 +1603,32 @@ object Retrieval {
     * ([[assembleContextIndexed]]) never reads the token arrays.
     */
   def buildForwardIndex(docs: DataFrame, id: Column, text: Column,
-                        indexDir: String, nPartDirs: Int = 16): Long = {
-    require(nPartDirs > 0, s"need nPartDirs > 0, got $nPartDirs")
+                        indexDir: String, nPartDirs: Int = 0): Long = {
+    require(nPartDirs >= 0, s"need nPartDirs >= 0 (0 = auto), got $nPartDirs")
+    val n = if (nPartDirs > 0) nPartDirs else autoDocShards(docs.count())
     val rows = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
       .select(col("doc_id"),
         org.apache.spark.sql.functions.size(col("toks")).cast("long").as("dl"),
         col("toks"),
-        pmod(col("doc_id"), lit(nPartDirs.toLong)).as("doc_part"))
+        pmod(col("doc_id"), lit(n.toLong)).as("doc_part"))
     val v = Versioned.overwritePartitioned(rows, s"$indexDir/fwd", "doc_part")
-    writeShardSidecar(docs.sparkSession, indexDir, "doc_parts", nPartDirs, v)
+    writeShardSidecar(docs.sparkSession, indexDir, "doc_parts", n, v)
     v
   }
+
+  /** Auto-sized doc_part modulus: ~64 documents of token arrays per
+    * shard directory (a few hundred KB — shard bytes, not shard count,
+    * is what a probe pays), capped at 4096 directories so a huge corpus
+    * does not explode file listings (past the cap, shards fatten with
+    * the corpus and the probe still reads ≤ |docSet|/4096 of it). A
+    * FIXED modulus makes probed bytes grow linearly with the corpus (a
+    * probed shard is read whole, and shards fatten as the corpus grows
+    * — the r12 rag_serve residual slope); sizing it from the corpus
+    * count at build, and re-deriving at [[compactForwardIndex]], keeps
+    * shard bytes — and therefore a fixed serving batch's read — flat.
+    */
+  private def autoDocShards(count: Long): Int =
+    math.max(4L, math.min(4096L, (count + 63L) / 64L)).toInt
 
   /** Append a batch of NEW documents to the forward index (the daily
     * cadence; doc_ids must be previously unseen — the append-only
@@ -1638,16 +1653,27 @@ object Retrieval {
   }
 
   /** Compact the forward index's per-append files and RE-STAMP the
-    * doc_parts sidecar at the new overwrite version (compaction is an
-    * overwrite; the modulus is unchanged). The modulus is read-validated
-    * BEFORE the rewrite moves the stamp.
+    * doc_parts sidecar. On a trusted sidecar the compaction RE-DERIVES
+    * the shard modulus from the grown corpus (a compaction rewrites the
+    * snapshot anyway, so the re-shard is free — [[autoDocShards]] keeps
+    * probed shard bytes flat as appends accumulate). An untrusted
+    * sidecar falls back to a plain layout-preserving compact with the
+    * stamp left stale ([[repairForwardIndex]] recovers it). The modulus
+    * is read-validated BEFORE any rewrite moves the stamp.
     */
-  def compactForwardIndex(spark: SparkSession, indexDir: String): Long = {
-    val n = docPartsOf(spark, indexDir)
-    val v = Versioned.compact(spark, s"$indexDir/fwd")
-    n.foreach(m => writeShardSidecar(spark, indexDir, "doc_parts", m, v))
-    v
-  }
+  def compactForwardIndex(spark: SparkSession, indexDir: String): Long =
+    docPartsOf(spark, indexDir) match {
+      case Some(_) =>
+        val cur = Versioned.read(spark, s"$indexDir/fwd").drop("doc_part")
+        val n = autoDocShards(cur.count())
+        val v = Versioned.overwritePartitioned(
+          cur.withColumn("doc_part", pmod(col("doc_id"), lit(n.toLong))),
+          s"$indexDir/fwd", "doc_part")
+        writeShardSidecar(spark, indexDir, "doc_parts", n, v)
+        v
+      case None =>
+        Versioned.compact(spark, s"$indexDir/fwd")
+    }
 
   private def docPartsOf(spark: SparkSession, indexDir: String): Option[Int] =
     shardSidecarOf(spark, indexDir, "doc_parts", "fwd")

@@ -1078,15 +1078,18 @@ object Similarity {
     vc
   }
 
-  /** Auto-sized vec_part modulus: ~4k vectors (a couple of parquet
-    * row-groups at 64 float64 dims) per shard directory, clamped so a
-    * tiny corpus still gets enough shards for DPP to matter and a huge
-    * one does not explode the directory count. Sized at BUILD time from
-    * the actual corpus; [[compactIvfIndex]] re-derives it when appends
-    * have outgrown the layout.
+  /** Auto-sized vec_part modulus: ~128 vectors (~64 KB of float64 at
+    * dim 64) per shard directory, capped at 4096 directories (past the
+    * cap shards fatten with the corpus and a probe still reads ≤
+    * |shortlist|/4096 of it). The shard count must OUTNUMBER a serving
+    * batch's |Q|·k·alpha shortlist for the probe to prune — with
+    * count-proportional shards the probed bytes are bounded by
+    * |shortlist| × shardBytes, flat in the corpus. Sized at BUILD time
+    * from the actual corpus; [[compactIvfIndex]] re-derives it when
+    * appends have outgrown the layout.
     */
   private def autoVecShards(count: Long): Int =
-    math.max(8L, math.min(4096L, (count + 4095L) / 4096L)).toInt
+    math.max(4L, math.min(4096L, (count + 127L) / 128L)).toInt
 
   /** Append a batch to a persisted IVF-PQ index without rebuilding:
     * assign to the FROZEN centroids, encode on the FROZEN codebook —
