@@ -484,6 +484,51 @@ object StreamJobs {
       .start()
   }
 
+  /** The MODEL-TOKEN context packer's online half — the serving stack's
+    * last streaming gap: the batch form
+    * ([[graft.operators.Retrieval.assembleContextModelTokens]]) packs a
+    * fused chunk ranking into a BPE-id budget, and a stream of fused
+    * rankings (query_id, doc_id, chunk_start, rrf) must pack each
+    * micro-batch IDENTICALLY — a whitespace-budget stream would
+    * mis-provision the model window per the q165/q181 lesson. The
+    * forward-index version AND the tokenizer version pin at stream
+    * start (the [[hybridSearchChunksPqStream]] discipline): a daily
+    * append or a mid-stream BPE retrain never changes what an in-flight
+    * stream mounts or counts with — deliveries reproduce bit-for-bit
+    * against the batch pack under the same pins, across a retrain
+    * (a restart picks up the new latest). Idempotent (run_id, batch_id)
+    * sink. Output schema = the batch packer's: (query_id, doc_id,
+    * span_start, span_end, n_chunks, score, n_model_tok, cum_tok).
+    */
+  def assembleContextModelTokensStream(fusedStream: DataFrame,
+                                       forwardDir: String, modelDir: String,
+                                       outDir: String, checkpointDir: String,
+                                       size: Int, budget: Int,
+                                       maxPerDoc: Int = 4,
+                                       byteLevel: Boolean = false): StreamingQuery = {
+    val spark = fusedStream.sparkSession
+    val pinnedFwd = graft.sources.Versioned
+      .latestVersion(spark, s"$forwardDir/fwd")
+    val pinnedModel = {
+      val vm = graft.sources.Versioned.latestVersion(spark, s"$modelDir/merges")
+      val vv = graft.sources.Versioned.latestVersion(spark, s"$modelDir/vocab")
+      require(vm == vv, s"BPE model tables out of lockstep (merges v$vm, " +
+        s"vocab v$vv) — a retrain crashed between commits; rebuild the model")
+      vm
+    }
+    fusedStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(
+          graft.operators.Retrieval.assembleContextModelTokens(spark, batch,
+            forwardDir, modelDir, size, budget, maxPerDoc, byteLevel,
+            modelAsOf = Some(pinnedModel), asOf = Some(pinnedFwd)),
+          checkpointDir, batchId, outDir)
+      }
+      .start()
+  }
+
   /** Online classification against a persisted NB model
     * ([[graft.operators.Corpus.buildNbModel]]): each micro-batch of
     * documents pays one scoring pass against the FROZEN model tables —

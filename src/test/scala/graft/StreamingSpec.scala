@@ -879,4 +879,70 @@ class StreamingSpec extends SparkSpec {
       d1.toDF("doc_id", "text"), col("doc_id"), col("text"), asOf = Some(0L))
     assert(rows(pinned).map(_._2) == Seq("X", "Y"))
   }
+
+  test("assembleContextModelTokensStream: deliveries ≡ the batch pack " +
+      "bit-for-bit under the pinned (forward, tokenizer) versions — a " +
+      "BPE retrain never rewrites an in-flight stream's packs") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Retrieval
+
+    val work = tmpDir()
+    // every word is the type "abcabc": with k = 40 the char-level model
+    // merges it to ONE id (8 ids per 8-word span); with k = 1 only the
+    // first pair merges (4 ids per word — 32 per span), so a 40-id
+    // budget packs BOTH spans under v0 and only one under v1: the
+    // retrain is observable in the pack, which is what makes the
+    // pinning assertions non-vacuous
+    val docs = Seq((1L, Seq.fill(8)("abcabc").mkString(" ")),
+        (2L, Seq.fill(8)("abcabc").mkString(" ")))
+      .toDF("doc_id", "text")
+    Retrieval.buildForwardIndex(docs, col("doc_id"), col("text"),
+      s"$work/fwd"): Unit
+    graft.operators.Bpe.buildBpeModel(docs, col("text"), k = 40,
+      s"$work/bpe"): Unit
+
+    val fused = Seq((1L, 1L, 1L, 0.9), (1L, 2L, 1L, 0.8))
+    def pack(modelV: Long) = Retrieval.assembleContextModelTokens(spark,
+      fused.toDF("query_id", "doc_id", "chunk_start", "rrf"),
+      s"$work/fwd", s"$work/bpe", size = 8, budget = 40, maxPerDoc = 4,
+      modelAsOf = Some(modelV), asOf = Some(0L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "span_start", "span_end",
+          "n_chunks", "score", "n_model_tok", "cum_tok")
+        .as[(Long, Long, Long, Long, Long, Double, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+    val batchV0 = rows(pack(0L))
+    assert(batchV0.size == 2)
+
+    var n = 0
+    def deliver(out: String): Unit = {
+      n += 1
+      val mem = MemoryStream[(Long, Long, Long, Double)]
+      mem.addData(fused.toIndexedSeq: _*)
+      StreamJobs.assembleContextModelTokensStream(
+        mem.toDF().toDF("query_id", "doc_id", "chunk_start", "rrf"),
+        s"$work/fwd", s"$work/bpe", out, s"$work/mtck$n",
+        size = 8, budget = 40, maxPerDoc = 4).awaitTermination()
+    }
+    deliver(s"$work/mtout1")
+    assert(rows(spark.read.parquet(s"$work/mtout1")) == batchV0,
+      "streamed model-token pack diverged from the batch pass")
+
+    // retrain with a coarser model — the same ranking now overflows the
+    // id budget after one span
+    graft.operators.Bpe.buildBpeModel(docs, col("text"), k = 1,
+      s"$work/bpe"): Unit
+    val batchV1 = rows(pack(1L))
+    assert(batchV1.size == 1 && batchV1 != batchV0,
+      s"the retrain must change the pack (fixture bug otherwise): $batchV1")
+    // a stream started AFTER the retrain pins — and packs with — v1
+    deliver(s"$work/mtout2")
+    assert(rows(spark.read.parquet(s"$work/mtout2")) == batchV1,
+      "post-retrain stream must count with the retrained tokenizer")
+    // and the pre-retrain delivery still reproduces bit-for-bit under
+    // its pinned version — the retrain never rewrote an in-flight pack
+    assert(rows(spark.read.parquet(s"$work/mtout1")) == batchV0)
+  }
 }
