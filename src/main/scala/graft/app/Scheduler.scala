@@ -349,49 +349,193 @@ object Scheduler {
         val ttl = if (claimTtlMs > 0) claimTtlMs else intervalMs
         acquireClaim(spark, historyDir, boundary, nowMs, ttl) match {
           case None => Seq.empty
-          case Some(owner) => try {
-            // stages already ok for THIS boundary (a prior failed tick
-            // got partway through) — resume after them, never re-apply
-            val doneStages: Set[String] =
-              if (!graft.sources.Versioned.exists(spark, runsTable)) Set.empty
-              else graft.sources.Versioned.read(spark, runsTable)
-                .filter(col("ok") && col("boundary_ms") === boundary)
-                .select("stage").distinct().as[String].collect().toSet
-            val out = Seq.newBuilder[(String, Seq[Attempt])]
-            var failed = false
-            // fenced: re-verified before each stage and before recording
-            // its result — a slow claimant whose claim was taken over
-            // stops at the next stage boundary instead of racing the
-            // taker down the rest of the chain
-            var fenced = false
-            stages.zipWithIndex.foreach { case ((name, job), idx) =>
-              if (!failed && !fenced && !doneStages.contains(name)) {
-                if (!ownsClaim(spark, historyDir, owner)) fenced = true
-                else {
-                  val attempts = runWithRetries(job, retries, retryDelayMs, sleep)
-                  out += name -> attempts
-                  if (!ownsClaim(spark, historyDir, owner)) fenced = true
-                  else {
-                    val rows = attempts.map(a =>
-                      (boundary, name, idx, a.attempt, a.ok, a.error, nowMs))
-                    graft.sources.Versioned.append(
-                      rows.toDF("boundary_ms", "stage", "stage_idx", "attempt",
-                        "ok", "error", "recorded_at_ms"),
-                      runsTable): Unit
-                    if (!attempts.last.ok) failed = true
-                  }
-                }
-              }
-            }
-            if (!failed && !fenced && ownsClaim(spark, historyDir, owner))
-              graft.sources.Versioned.append(
-                Seq((boundary, CoveredStage, stages.size, 0, true, "", nowMs))
-                  .toDF("boundary_ms", "stage", "stage_idx", "attempt",
-                    "ok", "error", "recorded_at_ms"),
-                runsTable): Unit
-            out.result()
-          } finally releaseClaim(spark, historyDir, boundary, nowMs, owner)
+          case Some(owner) =>
+            try runClaimedChain(spark, historyDir, boundary, stages, nowMs,
+              retries, retryDelayMs, sleep,
+              () => ownsClaim(spark, historyDir, owner))
+            finally releaseClaim(spark, historyDir, boundary, nowMs, owner)
         }
+    }
+  }
+
+  /** The fenced stage-chain body shared by [[tickStagesFor]] and
+    * [[backfillStages]]: skip already-ok stages, run the rest in order
+    * with the retry discipline, re-verify claim ownership (`owns`)
+    * before each stage and before recording its result, and append the
+    * [[CoveredStage]] marker when the whole chain succeeded.
+    */
+  private def runClaimedChain(spark: SparkSession, historyDir: String,
+                              boundary: Long,
+                              stages: Seq[(String, () => Unit)],
+                              nowMs: Long, retries: Int, retryDelayMs: Long,
+                              sleep: Long => Unit,
+                              owns: () => Boolean): Seq[(String, Seq[Attempt])] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val runsTable = s"$historyDir/runs"
+    // stages already ok for THIS boundary (a prior failed run got
+    // partway through) — resume after them, never re-apply
+    val doneStages: Set[String] =
+      if (!graft.sources.Versioned.exists(spark, runsTable)) Set.empty
+      else graft.sources.Versioned.read(spark, runsTable)
+        .filter(col("ok") && col("boundary_ms") === boundary)
+        .select("stage").distinct().as[String].collect().toSet
+    val out = Seq.newBuilder[(String, Seq[Attempt])]
+    var failed = false
+    // fenced: a slow claimant whose claim was taken over stops at the
+    // next stage boundary instead of racing the taker down the chain
+    var fenced = false
+    stages.zipWithIndex.foreach { case ((name, job), idx) =>
+      if (!failed && !fenced && !doneStages.contains(name)) {
+        if (!owns()) fenced = true
+        else {
+          val attempts = runWithRetries(job, retries, retryDelayMs, sleep)
+          out += name -> attempts
+          if (!owns()) fenced = true
+          else {
+            val rows = attempts.map(a =>
+              (boundary, name, idx, a.attempt, a.ok, a.error, nowMs))
+            graft.sources.Versioned.append(
+              rows.toDF("boundary_ms", "stage", "stage_idx", "attempt",
+                "ok", "error", "recorded_at_ms"),
+              runsTable): Unit
+            if (!attempts.last.ok) failed = true
+          }
+        }
+      }
+    }
+    if (!failed && !fenced && owns())
+      graft.sources.Versioned.append(
+        Seq((boundary, CoveredStage, stages.size, 0, true, "", nowMs))
+          .toDF("boundary_ms", "stage", "stage_idx", "attempt",
+            "ok", "error", "recorded_at_ms"),
+        runsTable): Unit
+    out.result()
+  }
+
+  // --------------------------------------------- per-boundary backfill
+  //
+  // The single-flight claim deliberately serializes the whole
+  // historyDir — correct for the tick cadence (one boundary per tick,
+  // resumes ordered, composed artifacts shared across boundaries), but
+  // it makes a deliberate PARALLEL BACKFILL over disjoint boundaries
+  // fully sequential. The opt-in below keys the claim row BY BOUNDARY
+  // (same CAS/TTL/fencing discipline; contending commits retry against
+  // the re-read row set), so two backfillers on different boundaries
+  // both run while two on the same boundary still resolve to exactly
+  // one winner. THE CALLER OWNS cross-boundary isolation: only use it
+  // with stage lists whose artifacts tolerate concurrent
+  // disjoint-boundary writers (per-boundary output dirs, commutative
+  // appends). The composed DailyMaintenance chain is NOT such a list
+  // (its index appends assume ordered boundaries), which is why
+  // single-flight stays the tick default. Do not mix tick and backfill
+  // runners on one historyDir: the single-flight acquire reads the
+  // claims table as one row.
+
+  private def acquireClaimFor(spark: SparkSession, historyDir: String,
+                              boundary: Long, nowMs: Long, ttlMs: Long,
+                              casRetries: Int = 5): Option[String] = {
+    import spark.implicits._
+    val t = claimsTable(historyDir)
+    val owner = java.util.UUID.randomUUID.toString
+    var attempt = 0
+    while (attempt <= casRetries) {
+      attempt += 1
+      val (vNext, keep) =
+        if (!graft.sources.Versioned.exists(spark, t))
+          (0L, Seq.empty[(Long, Long, String, Boolean)])
+        else {
+          val v = graft.sources.Versioned.latestVersion(spark, t)
+          val rows = graft.sources.Versioned.read(spark, t, Some(v))
+            .select("boundary_ms", "claimed_at_ms", "owner", "released")
+            .as[(Long, Long, String, Boolean)].collect().toSeq
+          val mineLive = rows.exists(r =>
+            r._1 == boundary && !r._4 && r._2 > nowMs - ttlMs)
+          if (mineLive && !boundaryCovered(spark, historyDir, boundary))
+            return None
+          // carry every OTHER boundary's live claim forward; released
+          // and stale rows drop (the table stays backfill-width)
+          (v + 1, rows.filter(r =>
+            r._1 != boundary && !r._4 && r._2 > nowMs - ttlMs))
+        }
+      try {
+        graft.sources.Versioned.overwriteExpecting(
+          (keep :+ ((boundary, nowMs, owner, false)))
+            .toDF("boundary_ms", "claimed_at_ms", "owner", "released"),
+          t, vNext): Unit
+        return Some(owner)
+      } catch {
+        // CAS lost to a concurrent backfiller (usually on a DIFFERENT
+        // boundary) — re-read the row set and retry
+        case _: IllegalArgumentException => ()
+      }
+    }
+    None
+  }
+
+  private def ownsClaimFor(spark: SparkSession, historyDir: String,
+                           boundary: Long, owner: String): Boolean = try {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.sources.Versioned.read(spark, claimsTable(historyDir))
+      .filter(col("boundary_ms") === boundary)
+      .select("owner", "released").as[(String, Boolean)]
+      .collect().headOption.contains((owner, false))
+  } catch { case _: Exception => false }
+
+  private def releaseClaimFor(spark: SparkSession, historyDir: String,
+                              boundary: Long, owner: String,
+                              casRetries: Int = 5): Unit = try {
+    import spark.implicits._
+    val t = claimsTable(historyDir)
+    var attempt = 0
+    var done = false
+    while (!done && attempt <= casRetries) {
+      attempt += 1
+      val v = graft.sources.Versioned.latestVersion(spark, t)
+      val rows = graft.sources.Versioned.read(spark, t, Some(v))
+        .select("boundary_ms", "claimed_at_ms", "owner", "released")
+        .as[(Long, Long, String, Boolean)].collect().toSeq
+      if (!rows.exists(r => r._1 == boundary && r._3 == owner && !r._4))
+        done = true // taken over or already released — nothing ours to flip
+      else try {
+        graft.sources.Versioned.overwriteExpecting(
+          rows.map(r => if (r._1 == boundary && r._3 == owner)
+              (r._1, r._2, r._3, true) else r)
+            .toDF("boundary_ms", "claimed_at_ms", "owner", "released"),
+          t, v + 1): Unit
+        done = true
+      } catch { case _: IllegalArgumentException => () }
+    }
+  } catch { case _: Exception => () }
+
+  /** Run ONE explicit boundary's stage chain under a PER-BOUNDARY claim
+    * — the opt-in parallel-backfill entry point (see the block comment
+    * above for scope and the isolation contract). Covered boundaries
+    * return empty; covered stages skip; history rows, fencing, and the
+    * [[CoveredStage]] marker behave exactly as in [[tickStagesFor]].
+    */
+  def backfillStages(spark: SparkSession, historyDir: String,
+                     boundary: Long,
+                     stagesFor: Long => Seq[(String, () => Unit)],
+                     nowMs: Long, retries: Int = 2,
+                     retryDelayMs: Long = 120000L,
+                     sleep: Long => Unit = Thread.sleep,
+                     claimTtlMs: Long = 24L * 3600 * 1000)
+      : Seq[(String, Seq[Attempt])] = {
+    require(claimTtlMs > 0, s"claimTtlMs must be positive, got $claimTtlMs")
+    if (boundaryCovered(spark, historyDir, boundary)) return Seq.empty
+    val stages = stagesFor(boundary)
+    require(stages.nonEmpty, "backfillStages needs at least one stage")
+    require(!stages.exists(_._1 == CoveredStage),
+      s"stage name $CoveredStage is reserved for the coverage marker")
+    acquireClaimFor(spark, historyDir, boundary, nowMs, claimTtlMs) match {
+      case None => Seq.empty
+      case Some(owner) =>
+        try runClaimedChain(spark, historyDir, boundary, stages, nowMs,
+          retries, retryDelayMs, sleep,
+          () => ownsClaimFor(spark, historyDir, boundary, owner))
+        finally releaseClaimFor(spark, historyDir, boundary, owner)
     }
   }
 

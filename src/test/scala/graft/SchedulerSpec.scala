@@ -680,6 +680,58 @@ class SchedulerSpec extends SparkSpec {
       "an uncovered boundary's fresh claim must keep blocking")
   }
 
+  test("backfillStages (per-boundary claims, opt-in): a live claim on a " +
+      "DIFFERENT boundary does not block; the SAME boundary has exactly " +
+      "one winner; covered boundaries and stages never re-run") {
+    import graft.sources.Versioned
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("backfill").toString
+    var ran = List.empty[Long]
+    def stagesFor(b: Long): Seq[(String, () => Unit)] =
+      Seq("work" -> (() => ran ::= b))
+
+    // two backfills over DISJOINT boundaries both run (under the tick
+    // runner's single-flight claim the second would have to wait for
+    // the first's release)
+    val a = Scheduler.backfillStages(spark, dir, 9 * Day, stagesFor,
+      nowMs = 20 * Day, retries = 0, sleep = _ => ())
+    val b = Scheduler.backfillStages(spark, dir, 10 * Day, stagesFor,
+      nowMs = 20 * Day, retries = 0, sleep = _ => ())
+    assert(a.nonEmpty && b.nonEmpty && ran.toSet == Set(9 * Day, 10 * Day))
+    // a covered boundary is a no-op, even with a fresh claim history
+    assert(Scheduler.backfillStages(spark, dir, 9 * Day, stagesFor,
+      nowMs = 20 * Day, retries = 0, sleep = _ => ()).isEmpty)
+    assert(ran.size == 2)
+
+    // plant a LIVE foreign claim on boundary 11: a backfill of 12 runs
+    // anyway (per-boundary), a backfill of 11 is excluded (same
+    // boundary, presumed-live claimant)
+    val v = Versioned.latestVersion(spark, s"$dir/claims")
+    Versioned.overwriteExpecting(
+      Seq((11 * Day, 20 * Day, "ghost-owner", false))
+        .toDF("boundary_ms", "claimed_at_ms", "owner", "released"),
+      s"$dir/claims", v + 1): Unit
+    assert(Scheduler.backfillStages(spark, dir, 12 * Day, stagesFor,
+      nowMs = 20 * Day, retries = 0, sleep = _ => ()).nonEmpty,
+      "a live claim on a different boundary must not block a backfill")
+    assert(Scheduler.backfillStages(spark, dir, 11 * Day, stagesFor,
+      nowMs = 20 * Day, retries = 0, sleep = _ => ()).isEmpty,
+      "a live claim on the same boundary must exclude a second backfiller")
+    // the excluded boundary's work never ran; the others each ran once
+    assert(ran.count(_ == 11 * Day) == 0 && ran.count(_ == 12 * Day) == 1)
+    // the ghost's claim goes stale past the TTL and the boundary
+    // becomes backfillable again (takeover)
+    assert(Scheduler.backfillStages(spark, dir, 11 * Day, stagesFor,
+      nowMs = 22 * Day, retries = 0, sleep = _ => (),
+      claimTtlMs = Day).nonEmpty)
+    assert(ran.count(_ == 11 * Day) == 1)
+    // every boundary covered exactly once in the history
+    val covered = Versioned.read(spark, s"$dir/runs")
+      .filter(col("ok") && col("stage") === Scheduler.CoveredStage)
+      .select("boundary_ms").as[Long].collect().toSeq
+    assert(covered.sorted == Seq(9L, 10L, 11L, 12L).map(_ * Day))
+  }
+
   test("a compaction crash between index commits can never eat the NEXT " +
       "boundary's batch: compact stages heal at their own boundary and " +
       "append stages verify the batch landed after a repair") {
