@@ -1261,6 +1261,88 @@ object RetrievalQueries {
     Retrieval.queryBm25IndexMany(spark, cachedBm25Part(spark, dir), qdf, k = 10)
   }
 
+  // ---------------------------------------------------------------------
+  // [EXT] df-CAPPED BM25 — a stop list at index build, the
+  // maxShingleFreq analogue at the lexical layer (judge task r13): a
+  // Zipf-skewed corpus's stop tokens carry corpus-sized postings lists,
+  // so one stop-bearing query makes the "pruned" probe slice scale with
+  // the corpus (ScaleProbe bm25_zipf measures the slope) while their
+  // score contribution is ~zero idf anyway. heavyTokens derives the
+  // df > 0.5·N set, the build drops those postings — stats stay TRUE
+  // corpus stats, so every SURVIVING term scores exactly as on the
+  // uncapped index — and the frozen set rides a stamped sidecar that
+  // appends filter with. The oracle replays the derivation AND the
+  // capped scoring: a fully-stopped query returns nothing, a mixed
+  // query ranks by its surviving terms alone — the documented recall
+  // trade, hash-checked.
+  private def cachedBm25Stopped(spark: SparkSession, dir: String): String =
+    graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "bm25stopq",
+      "postings", "stats")(d => {
+      val docs = Tables.documents(spark, dir)
+      // the stop set is vocabulary-bounded and tiny (df > half the
+      // corpus); collecting it is build-cadence wiring, not a query path
+      val stops = Retrieval.heavyTokens(docs, col("doc_id"), col("text"),
+        maxDfRatio = 0.5).select("tok").collect().map(_.getString(0)).toSeq
+      Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), d,
+        layout = "partition", stopTokens = stops): Unit
+    })
+
+  def q183Bm25Stopped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qdf = Seq((1L, Seq("batch", "dup")), (2L, Seq("small", "spark")))
+      .toDF("query_id", "terms")
+    Retrieval.queryBm25IndexMany(spark, cachedBm25Stopped(spark, dir),
+      qdf, k = 10)
+  }
+
+  private val q183Sql =
+    """WITH q AS (
+      |  SELECT * FROM (VALUES (CAST(1 AS BIGINT), ['batch', 'dup']),
+      |                        (CAST(2 AS BIGINT), ['small', 'spark']))
+      |    AS v(query_id, terms)),
+      |qt AS (SELECT DISTINCT query_id, unnest(terms) AS tok FROM q),
+      |d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+      |stops AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |    FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1) s
+      |  CROSS JOIN stats
+      |  WHERE CAST(df AS DOUBLE) > 0.5 * CAST(n_docs AS DOUBLE)),
+      |tf AS (
+      |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+      |  GROUP BY 1, 2, 3),
+      |hits AS (
+      |  SELECT qt.query_id, tf.* FROM tf JOIN qt USING (tok)
+      |  WHERE tok NOT IN (SELECT tok FROM stops)),
+      |dfs AS (
+      |  SELECT query_id, tok, CAST(count(*) AS BIGINT) AS df
+      |  FROM hits GROUP BY 1, 2),
+      |term AS (
+      |  SELECT h.query_id, h.doc_id,
+      |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+      |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |          * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS t
+      |  FROM hits h JOIN dfs USING (query_id, tok) CROSS JOIN stats),
+      |scored AS (
+      |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |    CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
+      |  FROM term GROUP BY 1, 2)
+      |SELECT query_id, doc_id, n_terms, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id ASC) AS rn FROM scored)
+      |WHERE rn <= 10
+      |ORDER BY query_id, score DESC, doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_bm25"         -> (q146Bm25 _),
     "q147_bm25_index"   -> (q147Bm25Index _),
@@ -1280,7 +1362,8 @@ object RetrievalQueries {
     "q179_chunk_hybrid_pq" -> (q179ChunkHybridPq _),
     "q180_chunk_hybrid_3arm" -> (q180ChunkHybrid3 _),
     "q181_context_model_pack" -> (q181ContextModelPack _),
-    "q182_rm3_chunks" -> (q182Rm3Chunks _))
+    "q182_rm3_chunks" -> (q182Rm3Chunks _),
+    "q183_bm25_stopped" -> (q183Bm25Stopped _))
 
   val oracle: Map[String, String] = Map(
     "q146_bm25"         -> q146Sql,
@@ -1303,5 +1386,6 @@ object RetrievalQueries {
     "q179_chunk_hybrid_pq" -> q179Sql,
     "q180_chunk_hybrid_3arm" -> q180Sql,
     "q181_context_model_pack" -> q181Sql,
-    "q182_rm3_chunks" -> q182Sql)
+    "q182_rm3_chunks" -> q182Sql,
+    "q183_bm25_stopped" -> q183Sql)
 }

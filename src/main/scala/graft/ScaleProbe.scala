@@ -449,6 +449,73 @@ object ScaleProbe {
         f"   (bytes 10x/1x: ${rows.last._2._2.toDouble / rows.head._2._2}%.1f)")
     }
 
+    // Round-13 adversarial-corpus claim: the uniform synthetic corpus
+    // has no true stop tokens, so bm25_many_part above measures the
+    // happy case — a REAL corpus is Zipf-skewed, and a stop token's
+    // postings list is corpus-sized, so ONE stop-bearing query makes
+    // the "pruned" slice scale with the corpus on BOTH rankers. Fixture:
+    // boilerplate stop tokens (df = N) plus a 997-type rare-marker
+    // vocabulary (so shards are not degenerate); queries mix one stop
+    // token with one rare marker. The capped build (heavyTokens df >
+    // 0.5·N — the q183 semantics) drops the stop shards from the read
+    // set; the surviving rare terms' postings still grow with their df
+    // (information-theoretic floor), so the evidence is the capped/
+    // uncapped BYTES RATIO per scale, not a flat slope.
+    if (opFilter.isEmpty || opFilter.exists("bm25_zipf".contains)) {
+      import spark.implicits._
+      val docs0 = Tables.documents(spark, sfDir)
+      // the boilerplate attaches AFTER replication (replicate() rewrites
+      // tokens per replica — a pre-attached stop token would fall below
+      // the df threshold at 3×), so zz* stay df = N at every scale
+      def zipf(docs: DataFrame) = docs.withColumn("text", concat(col("text"),
+        lit(" zz0 zz1 zz2 zz0 zz1 zz2 "),
+        concat(lit("rare"), pmod(col("doc_id"), lit(997L)))))
+      val qdir = java.nio.file.Files
+        .createTempDirectory("scaleprobe_zipfq").toString
+      Seq((1L, Seq("zz0", "rare13"), "keep"),
+          (2L, Seq("zz1", "rare257"), "keep"),
+          (3L, Seq("unused"), "drop"))
+        .toDF("query_id", "terms", "tag")
+        .write.mode("overwrite").parquet(qdir)
+      val qdf = spark.read.parquet(qdir).filter(col("tag") === "keep")
+        .select("query_id", "terms")
+      val rows = scales.map { s =>
+        val big = zipf(replicate(docs0, s))
+        val un = java.nio.file.Files
+          .createTempDirectory(s"scaleprobe_zipf_u$s").toString
+        graft.operators.Retrieval.buildBm25Index(big, col("doc_id"),
+          col("text"), un, layout = "partition", nPartDirs = 64): Unit
+        val stops = graft.operators.Retrieval.heavyTokens(big,
+            col("doc_id"), col("text"), maxDfRatio = 0.5)
+          .select("tok").collect().map(_.getString(0)).toSeq
+        val cap = java.nio.file.Files
+          .createTempDirectory(s"scaleprobe_zipf_c$s").toString
+        graft.operators.Retrieval.buildBm25Index(big, col("doc_id"),
+          col("text"), cap, layout = "partition", nPartDirs = 64,
+          stopTokens = stops): Unit
+        val bmU = measured(() => Bench.force(
+          graft.operators.Retrieval.queryBm25IndexMany(spark, un, qdf, 10)))
+        val qlU = measured(() => Bench.force(
+          graft.operators.Retrieval.queryQlIndexMany(spark, un, qdf, 10)))
+        val bmC = measured(() => Bench.force(
+          graft.operators.Retrieval.queryBm25IndexMany(spark, cap, qdf, 10)))
+        spark.catalog.clearCache()
+        (bmU, qlU, bmC)
+      }
+      def zrow(name: String,
+               pick: ((Double, Long), (Double, Long), (Double, Long)) => (Double, Long)): Unit = {
+        val vs = rows.map(r => pick(r._1, r._2, r._3))
+        println(f"$name%-18s " +
+          vs.map(v => f"${v._1}%5.2fs ${v._2 / 1024}%7dKB").mkString(" ") +
+          f"   (bytes 10x/1x: ${vs.last._2.toDouble / vs.head._2}%.1f)")
+      }
+      zrow("bm25_zipf_uncap", (a, _, _) => a)
+      zrow("ql_zipf_uncap", (_, b, _) => b)
+      zrow("bm25_zipf_capped", (_, _, c) => c)
+      println(f"${"zipf_capped/uncap"}%-18s " + rows.map(r =>
+        f"${r._3._2.toDouble / r._1._2}%14.2f ").mkString(" "))
+    }
+
     // Round-12 serve-path claim (the round-11 VERDICT's one weak item,
     // closed): a FIXED RAG serving batch against a GROWING corpus —
     // the forward-index forms (assembleContextIndexed: clip lengths

@@ -163,12 +163,51 @@ object Retrieval {
     *    (each shard is a directory); token skew within a shard is fine
     *    — pruning is per-shard, scoring is per-token.
     */
+  /** Tokens whose document frequency exceeds `maxDfRatio` of the corpus
+    * — the stop-list derivation for a df-capped index build (the
+    * `maxShingleFreq` analogue at the lexical layer): a real corpus is
+    * Zipf-skewed, and a stop token's postings list is corpus-sized, so
+    * one stop-bearing query makes the "pruned" probe slice scale with
+    * the corpus instead of the query. Capping trades their ~zero-idf
+    * score contribution (df ≈ N ⇒ BM25 idf ≈ 0) for probe bytes bounded
+    * by the DISCRIMINATIVE terms' postings. Output: (tok, df),
+    * vocabulary-bounded and usually a handful of rows — collect it into
+    * [[buildBm25Index]]'s `stopTokens`.
+    */
+  def heavyTokens(docs: DataFrame, id: Column, text: Column,
+                  maxDfRatio: Double): DataFrame = {
+    require(maxDfRatio > 0 && maxDfRatio < 1,
+      s"maxDfRatio must be in (0, 1), got $maxDfRatio")
+    val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+    val n = base.agg(count(lit(1)).as("n_docs"))
+    base.select(col("doc_id"), explode(col("toks")).as("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df").cast("double") > lit(maxDfRatio) * col("n_docs"))
+      .select(col("tok"), col("df"))
+      .orderBy(col("df").desc, col("tok"))
+  }
+
+  /** `stopTokens` (usually [[heavyTokens]]' output) drops those tokens'
+    * postings AT BUILD: stats stay TRUE corpus stats (dl counts every
+    * token), so un-stopped terms score exactly as on the uncapped index
+    * and stopped query terms simply contribute nothing (BM25: no hits;
+    * QL: collection-frequency 0, the OOV treatment) — the documented
+    * recall trade. The stop set FREEZES at build (persisted in a
+    * stamped `stop_toks` sidecar): appends filter their batches with
+    * it, so the index stays internally consistent until the rebuild
+    * cadence refreshes the set.
+    */
   def buildBm25Index(docs: DataFrame, id: Column, text: Column,
                      indexDir: String, nBuckets: Int = 8,
-                     layout: String = "bucket", nPartDirs: Int = 16): Long = {
+                     layout: String = "bucket", nPartDirs: Int = 16,
+                     stopTokens: Seq[String] = Nil): Long = {
     val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
-    val postings = postingsOf(base)
+    val postings0 = postingsOf(base)
+    val postings =
+      if (stopTokens.isEmpty) postings0
+      else postings0.filter(!col("tok").isInCollection(stopTokens))
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val vp = layout match {
       case "bucket" => Versioned.overwriteBucketed(postings,
@@ -187,8 +226,78 @@ object Retrieval {
     // there is no way to probe or append with a mismatched modulus
     if (layout == "partition")
       writePartDirs(docs.sparkSession, indexDir, nPartDirs, vp)
+    if (stopTokens.nonEmpty)
+      writeStopSidecar(docs.sparkSession, indexDir, stopTokens, vp)
     vp
   }
+
+  // ---------------------------------------------------- stop-list sidecar
+
+  private def stopSidecarPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(indexDir, "stop_toks")
+
+  private def writeStopSidecar(spark: SparkSession, indexDir: String,
+                               toks: Seq[String], version: Long): Unit = {
+    val p = stopSidecarPath(indexDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write((version.toString +: toks.distinct.sorted)
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The recorded stop list regardless of stamp freshness — the
+    * compact/repair re-stamp input. None when absent or corrupt.
+    */
+  private def stopSidecarRaw(spark: SparkSession,
+                             indexDir: String): Option[(Long, Seq[String])] = {
+    val p = stopSidecarPath(indexDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      raw.split("\n").toSeq match {
+        case v +: toks if v.forall(_.isDigit) && toks.nonEmpty =>
+          Some((v.toLong, toks))
+        case _ => None
+      }
+    }
+  }
+
+  /** The stop list IF the index is capped: None = uncapped (no sidecar).
+    * A present-but-stale stamp throws — appending unfiltered batches to
+    * a capped index would rank stop-bearing documents inconsistently
+    * (some days' postings carry the token, others' do not), which is
+    * silent corruption, not degradation; [[repairBm25Index]] restores
+    * the stamp after verifying the recorded list against the data.
+    */
+  private def stopTokensOf(spark: SparkSession,
+                           indexDir: String): Option[Seq[String]] =
+    stopSidecarRaw(spark, indexDir).map { case (v, toks) =>
+      require(v == lastPostingsOverwrite(spark, indexDir),
+        s"$indexDir stop_toks sidecar is STALE (a compaction or rebuild " +
+          "died between its postings commit and the re-stamp) — run " +
+          "repairBm25Index to restore it, or rebuild the index")
+      toks
+    }
+
+  /** Re-stamp the stop_toks sidecar after a repair restored lockstep —
+    * the [[restampTokParts]] discipline: the recorded list is blessed
+    * only after data verification (no recorded token may appear in the
+    * postings — a rebuild that DROPPED the cap leaves them present, and
+    * blessing the old list there would filter appends against a
+    * non-capped index). No-op when absent or already trusted.
+    */
+  private def restampStopToks(spark: SparkSession, indexDir: String): Unit =
+    stopSidecarRaw(spark, indexDir).foreach { case (v, toks) =>
+      val head = lastPostingsOverwrite(spark, indexDir)
+      if (v != head &&
+          Versioned.read(spark, s"$indexDir/postings")
+            .filter(col("tok").isInCollection(toks)).isEmpty)
+        writeStopSidecar(spark, indexDir, toks, head)
+    }
 
   /** Sidecar recording a partitioned layout's shard modulus, stamped
     * with the overwrite version of the table it describes (the
@@ -289,7 +398,13 @@ object Retrieval {
       "commits; run repairBm25Index, then retry")
     val base = batch.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
-    val postings = postingsOf(base)
+    // a capped index filters every batch with its FROZEN stop set (from
+    // the sidecar, never the caller) — stats stay true corpus stats
+    val postings = stopTokensOf(spark, indexDir) match {
+      case Some(stops) =>
+        postingsOf(base).filter(!col("tok").isInCollection(stops))
+      case None => postingsOf(base)
+    }
     val delta = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val merged = Versioned.read(spark, s"$indexDir/stats", Some(vStats))
       .unionByName(delta)
@@ -330,7 +445,11 @@ object Retrieval {
     * length rides every postings row, and every document carries ≥1
     * postings row (empty text tokenizes to [""], so no document is
     * invisible to postings), so the slice's distinct (doc_id, dl) set
-    * IS the batch the crashed append was accounting for. Stats then
+    * IS the batch the crashed append was accounting for. Caveat on a
+    * stop-CAPPED index: a crashed-append document consisting ENTIRELY
+    * of stopped tokens has no postings rows, so its length drops from
+    * the repaired stats (an avgdl epsilon — the documented cap trade;
+    * a rebuild restores exact stats). Stats then
     * commit at the expected version until the tables are back in
     * lockstep — a gap of two crashed appends catches up with
     * content-identical commits (the full delta lands in the FIRST
@@ -363,10 +482,18 @@ object Retrieval {
       while (v < vp)
         v = Versioned.overwrite(Versioned.read(spark, statT, Some(v)), statT)
       restampTokParts(spark, indexDir)
+      restampStopToks(spark, indexDir)
       return v
     }
     val vs = Versioned.latestVersion(spark, statT)
-    if (vp == vs) return vp
+    if (vp == vs) {
+      // lockstep intact, but a compaction may still have died between
+      // its table commits and a sidecar re-stamp — both restamps no-op
+      // when already trusted
+      restampTokParts(spark, indexDir)
+      restampStopToks(spark, indexDir)
+      return vp
+    }
     require(vp > vs, s"$indexDir stats v$vs is AHEAD of postings v$vp — " +
       "not the orphan-postings crash shape (no BM25 code path produces " +
       "it); rebuild into a fresh directory")
@@ -385,6 +512,7 @@ object Retrieval {
       v = Versioned.overwriteExpecting(
         Versioned.read(spark, statT, Some(v)), statT, v + 1)
     restampTokParts(spark, indexDir)
+    restampStopToks(spark, indexDir)
     v
   }
 
@@ -440,15 +568,20 @@ object Retrieval {
     * shape.
     */
   def compactBm25Index(spark: SparkSession, indexDir: String): Long = {
-    // a partition-layout index re-stamps its shard sidecar at the new
-    // overwrite version (compaction is an overwrite); the modulus is
-    // read-validated BEFORE the rewrite moves the stamp
+    // a partition-layout index re-stamps its shard sidecar — and a
+    // capped index its stop-list sidecar — at the new overwrite version
+    // (compaction is an overwrite); both are read-validated BEFORE the
+    // rewrite moves the stamp (a stale one is never blessed here)
     val nParts = partDirsOf(spark, indexDir)
+    val head0 = lastPostingsOverwrite(spark, indexDir)
+    val stops = stopSidecarRaw(spark, indexDir)
+      .collect { case (v, toks) if v == head0 => toks }
     val vp = Versioned.compact(spark, s"$indexDir/postings")
     val vs = Versioned.compact(spark, s"$indexDir/stats")
     require(vp == vs, s"BM25 compaction left tables out of lockstep " +
       s"(postings v$vp, stats v$vs) — run repairBm25Index")
     nParts.foreach(n => writePartDirs(spark, indexDir, n, vp))
+    stops.foreach(toks => writeStopSidecar(spark, indexDir, toks, vp))
     vp
   }
 

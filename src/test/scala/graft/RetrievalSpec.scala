@@ -1251,6 +1251,70 @@ class RetrievalSpec extends SparkSpec {
       "a content-changing rebuild must never get the old grid blessed")
   }
 
+  test("df-capped index (stop list at build): surviving terms score " +
+      "exactly as uncapped, stopped terms vanish (BM25 and QL), appends " +
+      "filter with the FROZEN set, compaction/repair keep the sidecar") {
+    import graft.sources.Versioned
+    val docs = Seq((1L, "the spark rare1 the"), (2L, "the join x y"),
+      (3L, "the the z"), (4L, "the rare1 w")).toDF("doc_id", "text")
+    // df: 'the' 4/4 > 0.5; everything else ≤ 0.5
+    assert(Retrieval.heavyTokens(docs, col("doc_id"), col("text"), 0.5)
+      .collect().map(_.getString(0)).toSeq == Seq("the"))
+    val capped = java.nio.file.Files.createTempDirectory("bm25cap").toString
+    val plain  = java.nio.file.Files.createTempDirectory("bm25unc").toString
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), capped,
+      layout = "partition", nPartDirs = 4, stopTokens = Seq("the")): Unit
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), plain,
+      layout = "partition", nPartDirs = 4): Unit
+    def rows(dir: String, terms: Seq[String]) =
+      Retrieval.queryBm25Index(spark, dir, terms, 10)
+        .as[(Long, Long, Double)].collect().toSeq
+    // stats stay TRUE corpus stats ⇒ surviving terms score identically
+    assert(rows(capped, Seq("rare1")) == rows(plain, Seq("rare1")))
+    // a stopped term contributes nothing; a mixed query ranks by its
+    // surviving terms alone
+    assert(rows(capped, Seq("the")).isEmpty)
+    assert(rows(capped, Seq("the", "rare1")) == rows(capped, Seq("rare1")))
+    // QL treats the stopped term as OOV (cf = 0 drops it) — no log(0)
+    assert(Retrieval.queryQlIndex(spark, capped, Seq("the", "rare1"), 10)
+      .count() > 0)
+    // appends filter with the frozen set: the capped index never grows
+    // a 'the' posting, and surviving-term scores track the uncapped twin
+    val batch = Seq((9L, "the the rare1 v")).toDF("doc_id", "text")
+    Retrieval.appendToBm25Index(batch, col("doc_id"), col("text"), capped): Unit
+    Retrieval.appendToBm25Index(batch, col("doc_id"), col("text"), plain): Unit
+    assert(Versioned.read(spark, s"$capped/postings")
+      .filter(col("tok") === "the").isEmpty)
+    assert(rows(capped, Seq("rare1")) == rows(plain, Seq("rare1")))
+    // compaction re-stamps the stop sidecar: the next append still filters
+    val before = rows(capped, Seq("rare1"))
+    Retrieval.compactBm25Index(spark, capped): Unit
+    assert(rows(capped, Seq("rare1")) == before)
+    Retrieval.appendToBm25Index(
+      Seq((10L, "the rare1")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), capped): Unit
+    assert(Versioned.read(spark, s"$capped/postings")
+      .filter(col("tok") === "the").isEmpty)
+    // a compaction that died after BOTH table commits but before the
+    // re-stamps: lockstep intact, stop stamp stale — appends refuse
+    // loudly (filtering against a maybe-wrong set would corrupt
+    // ranking silently) and repair restores the data-verified stamp
+    Versioned.compact(spark, s"$capped/postings"): Unit
+    Versioned.compact(spark, s"$capped/stats"): Unit
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.appendToBm25Index(
+        Seq((11L, "the rare1")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), capped)
+    }
+    assert(e.getMessage.contains("stop_toks"))
+    Retrieval.repairBm25Index(spark, capped): Unit
+    Retrieval.appendToBm25Index(
+      Seq((11L, "the rare1")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), capped): Unit
+    assert(Versioned.read(spark, s"$capped/postings")
+      .filter(col("tok") === "the").isEmpty)
+  }
+
   test("repairBm25Index survives a partition-layout index over an EMPTY " +
       "corpus: the restamp derives no modulus from data and must not crash") {
     val dir = java.nio.file.Files.createTempDirectory("bm25emp").toString
