@@ -349,6 +349,25 @@ object Retrieval {
                             nParts: Int, version: Long): Unit =
     writeShardSidecar(spark, indexDir, "tok_parts", nParts, version)
 
+  /** [[shardSidecarOf]] for a possibly-PINNED read: a trusted sidecar
+    * describes the LIVE LAYOUT EPOCH — every version from the last
+    * overwrite (the build/compaction that laid the directories out) to
+    * the head, because appends derive their shard column from the
+    * sidecar itself. An asOf INSIDE that epoch therefore prunes exactly
+    * like a latest read; only a pin BEFORE the epoch (a pre-compaction
+    * snapshot, whose layout may differ) degrades to the unpruned scan.
+    * This is what keeps PINNED STREAMS index-pruned: the serving
+    * streams pin their index version at stream start and pass it per
+    * micro-batch — without the epoch rule every micro-batch re-read
+    * the whole table.
+    */
+  private[operators] def shardSidecarFor(spark: SparkSession,
+      indexDir: String, name: String, stampTable: String,
+      asOf: Option[Long]): Option[Int] =
+    shardSidecarOf(spark, indexDir, name, stampTable)
+      .filter(_ => asOf.forall(_ >=
+        lastOverwriteOf(spark, indexDir, stampTable)))
+
   /** The modulus a sidecar RECORDS, ignoring its stamp — a repair's
     * first candidate (the stamp is stale exactly when a repair is
     * needed; the recorded modulus is still the best guess and is
@@ -587,14 +606,15 @@ object Retrieval {
 
   /** The query-term shard prune: layered over the always-correct token
     * filter when the index is partition-laid-out and the sidecar vouches
-    * for the CURRENT snapshot. Time-travel reads skip it (the sidecar
-    * describes only the live layout epoch) — correct, just unpruned.
+    * for the read's snapshot — the latest, or any pin INSIDE the live
+    * layout epoch ([[shardSidecarFor]]); an older pin degrades to the
+    * unpruned-but-correct scan.
     */
   private def shardPruned(spark: SparkSession, indexDir: String,
                           posts: DataFrame, terms: Seq[String],
                           asOf: Option[Long]): DataFrame =
-    if (asOf.nonEmpty || !posts.columns.contains("tok_part")) posts
-    else partDirsOf(spark, indexDir) match {
+    if (!posts.columns.contains("tok_part")) posts
+    else shardSidecarFor(spark, indexDir, "tok_parts", "postings", asOf) match {
       case Some(n) => posts.filter(col("tok_part")
         .isInCollection(terms.map(tokPartOf(_, n)).distinct))
       case None => posts
@@ -656,8 +676,8 @@ object Retrieval {
                                   asOf: Option[Long]): DataFrame = {
     val postsAll = Versioned.read(spark, s"$indexDir/postings", asOf)
     val partN =
-      if (asOf.isEmpty && postsAll.columns.contains("tok_part"))
-        partDirsOf(spark, indexDir)
+      if (postsAll.columns.contains("tok_part"))
+        shardSidecarFor(spark, indexDir, "tok_parts", "postings", asOf)
       else None
     val posts = postsAll.select(
       (partN.map(_ => col("tok_part")).toSeq ++
@@ -1020,10 +1040,16 @@ object Retrieval {
     */
   def buildChunkBm25Index(docs: DataFrame, id: Column, text: Column,
                           indexDir: String, size: Int, stride: Int,
-                          nBuckets: Int = 8): Long = {
+                          nBuckets: Int = 8,
+                          stopTokens: Seq[String] = Nil): Long = {
     require(size > 0 && stride > 0)
+    // the df cap applies at chunk grain too — at 100 TB the chunk index
+    // is the LARGER postings artifact, and a stop token's chunk-grain
+    // list is size/stride× the doc-grain one; appends inherit the
+    // frozen set through the shared stop_toks sidecar
     val v = buildBm25Index(chunkKeyed(docs, id, text, size, stride),
-      col("ck"), col("chunk_text"), indexDir, nBuckets)
+      col("ck"), col("chunk_text"), indexDir, nBuckets,
+      stopTokens = stopTokens)
     // sidecar AFTER the build commits, stamped with the overwrite
     // version it describes: a rebuild that dies between the two writes
     // leaves a version mismatch chunkGrid() refuses loudly, instead of
@@ -1860,11 +1886,12 @@ object Retrieval {
   /** Forward rows for a bounded doc set: the set's distinct doc ids
     * broadcast ONTO the partitioned forward scan. On a trusted sidecar
     * the join carries doc_part, so Spark DPP prunes unprobed doc-shard
-    * directories at run time; an untrusted sidecar (or a time-travel
-    * read — the sidecar describes only the live layout epoch) degrades
-    * to the unpruned-but-correct doc_id join. `need` names the forward
-    * columns to read — parquet prunes the rest, so a length-only
-    * consumer never pays the token-array bytes.
+    * directories at run time — for the latest read AND for any asOf
+    * pinned inside the live layout epoch ([[shardSidecarFor]] — what
+    * keeps a pinned serving stream pruned); an untrusted sidecar or a
+    * pre-epoch pin degrades to the unpruned-but-correct doc_id join.
+    * `need` names the forward columns to read — parquet prunes the
+    * rest, so a length-only consumer never pays the token-array bytes.
     */
   /** Stage a SMALL serve-side set (fused rankings, packed spans,
     * feedback docs — all O(|Q|·k) rows) behind a CONSTRAINT-FREE RDD
@@ -1890,7 +1917,7 @@ object Retrieval {
                          asOf: Option[Long]): DataFrame = {
     val fwd = Versioned.read(spark, s"$indexDir/fwd", asOf)
     val ids = docSet.select(col("doc_id")).distinct()
-    (if (asOf.nonEmpty) None else docPartsOf(spark, indexDir)) match {
+    shardSidecarFor(spark, indexDir, "doc_parts", "fwd", asOf) match {
       case Some(n) =>
         // the shard-range guard is an invariant (pmod lands in [0, n))
         // doing double duty: it is the selective predicate Spark's

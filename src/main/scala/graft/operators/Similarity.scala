@@ -1291,7 +1291,8 @@ object Similarity {
                          asOf: Option[Long]): DataFrame = {
     val vt = graft.sources.Versioned.read(spark, s"$indexDir/vectors", asOf)
     val ids = candSet.select(col("cand_id")).distinct()
-    (if (asOf.nonEmpty) None else vecPartsOf(spark, indexDir)) match {
+    Retrieval.shardSidecarFor(spark, indexDir, "vec_parts", "vectors",
+        asOf) match {
       case Some(n) =>
         val probe = ids
           .withColumn("vec_part", pmod(col("cand_id"), lit(n.toLong)))

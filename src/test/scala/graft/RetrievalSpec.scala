@@ -1251,6 +1251,45 @@ class RetrievalSpec extends SparkSpec {
       "a content-changing rebuild must never get the old grid blessed")
   }
 
+  test("pinned reads inside the live layout epoch still shard-prune — " +
+      "the pinned-stream serve path; pre-epoch pins degrade unpruned") {
+    val fdir = java.nio.file.Files.createTempDirectory("fwdepoch").toString
+    val docs = corpus.toDF("doc_id", "text")
+    Retrieval.buildForwardIndex(docs, col("doc_id"), col("text"), fdir,
+      nPartDirs = 4): Unit
+    Retrieval.appendToForwardIndex(
+      Seq((60L, "appended doc text")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), fdir): Unit // v1; epoch = [0, head]
+    val packed = Seq((1L, 1L, 1L, 3L, 0.9))
+      .toDF("query_id", "doc_id", "span_start", "span_end", "score")
+    def fmt(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val want = rows(Retrieval.contextTexts(packed, docs,
+      col("doc_id"), col("text")))
+    // a pin INSIDE the epoch (v0 ≥ last overwrite 0): pruned AND correct
+    // — this is what a serving stream pinned at start reads per batch
+    val pinned0 = Retrieval.contextTextsIndexed(spark, packed, fdir,
+      asOf = Some(0L))
+    assert(fmt(pinned0).contains("dynamicpruningexpression"),
+      "an epoch-live pin must keep shard pruning")
+    assert(rows(pinned0) == want)
+    // compaction starts a NEW epoch: the old pin now PRE-dates it and
+    // degrades to the unpruned-but-correct join
+    Retrieval.compactForwardIndex(spark, fdir): Unit // v2 overwrite
+    val pre = Retrieval.contextTextsIndexed(spark, packed, fdir,
+      asOf = Some(1L))
+    assert(!fmt(pre).contains("dynamicpruning"),
+      "a pre-epoch pin must not trust the live sidecar")
+    assert(rows(pre) == want)
+    // pins at/after the new epoch prune again
+    val post = Retrieval.contextTextsIndexed(spark, packed, fdir,
+      asOf = Some(2L))
+    assert(fmt(post).contains("dynamicpruningexpression"))
+    assert(rows(post) == want)
+  }
+
   test("df-capped index (stop list at build): surviving terms score " +
       "exactly as uncapped, stopped terms vanish (BM25 and QL), appends " +
       "filter with the FROZEN set, compaction/repair keep the sidecar") {

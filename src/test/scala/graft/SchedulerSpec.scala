@@ -517,9 +517,10 @@ class SchedulerSpec extends SparkSpec {
       Versioned.latestVersion(spark, s"$work/ivf/assignment"))
     assert(Versioned.latestVersion(spark, s"$work/chunk_ivf/centroids") ==
       Versioned.latestVersion(spark, s"$work/chunk_ivf/assignment"))
-    assert(Seq("centroids", "codebook", "assignment")
+    assert(Seq("vectors", "centroids", "codebook", "assignment")
       .map(t => Versioned.latestVersion(spark, s"$work/chunk_pq/$t"))
-      .distinct.size == 1, "chunk PQ triple must stay in lockstep")
+      .distinct.size == 1,
+      "all FOUR chunk PQ tables must stay in lockstep")
     // the maintained chunk pair serves the hybrid: under exhaustive
     // probes the ANN arm is exact regardless of where the day-0
     // centroids froze, so the maintained pair's fused answers equal a
