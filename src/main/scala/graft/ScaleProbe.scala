@@ -597,6 +597,13 @@ object ScaleProbe {
           .createTempDirectory(s"scaleprobe_rr_$s").toString
         graft.operators.Retrieval.buildChunkIvfPqIndex(replicate(docs, s),
           col("doc_id"), col("text"), idx, size = 32, stride = 16): Unit
+        // the ADC shortlist stage is SHARED by both re-rank forms and is
+        // inherently ∝ corpus·nProbes/nCentroids (code-width rows) — at
+        // larger SFs it dominates the totals, so it is measured as its
+        // own floor and the FETCH deltas are derived below it
+        val floor = measured(() => Bench.force(
+          graft.operators.Similarity.queryIvfPqIndex(
+            spark, idx, queries, k = 10, nProbes = 4)))
         val dpp = measured(() => Bench.force(
           graft.operators.Similarity.queryIvfPqIndexReranked(
             spark, idx, queries, k = 5, alpha = 2, nProbes = 4)))
@@ -619,14 +626,24 @@ object ScaleProbe {
             Seq(col("query_id")), Seq(col("dot").desc, col("cand_id").asc), 5)
         })
         spark.catalog.clearCache()
-        (dpp, scan)
+        (floor, dpp, scan)
       }
-      println(f"${"ann_rerank_dpp"}%-18s " +
+      println(f"${"ann_adc_floor"}%-18s " +
         rows.map(r => f"${r._1._1}%5.2fs ${r._1._2 / 1024}%7dKB").mkString(" ") +
         f"   (bytes 10x/1x: ${rows.last._1._2.toDouble / rows.head._1._2}%.1f)")
-      println(f"${"ann_rerank_scan"}%-18s " +
+      println(f"${"ann_rerank_dpp"}%-18s " +
         rows.map(r => f"${r._2._1}%5.2fs ${r._2._2 / 1024}%7dKB").mkString(" ") +
         f"   (bytes 10x/1x: ${rows.last._2._2.toDouble / rows.head._2._2}%.1f)")
+      println(f"${"ann_rerank_scan"}%-18s " +
+        rows.map(r => f"${r._3._1}%5.2fs ${r._3._2 / 1024}%7dKB").mkString(" ") +
+        f"   (bytes 10x/1x: ${rows.last._3._2.toDouble / rows.head._3._2}%.1f)")
+      // the fetch alone (total − shared ADC floor): the r13 claim is
+      // about THESE bytes — the dpp fetch is bounded by the shortlist's
+      // shard directories while the scan fetch streams the float table
+      println(f"${"rerank_fetch_dpp"}%-18s " + rows.map(r =>
+        f"${math.max(0L, r._2._2 - r._1._2) / 1024}%13dKB ").mkString(" "))
+      println(f"${"rerank_fetch_scan"}%-18s " + rows.map(r =>
+        f"${math.max(0L, r._3._2 - r._1._2) / 1024}%13dKB ").mkString(" "))
     }
 
     // q42 inversion evidence (round 10): the distributed exact-
