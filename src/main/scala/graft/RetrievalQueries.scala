@@ -1284,8 +1284,12 @@ object RetrievalQueries {
       // corpus); collecting it is build-cadence wiring, not a query path
       val stops = Retrieval.heavyTokens(docs, col("doc_id"), col("text"),
         maxDfRatio = 0.5).select("tok").collect().map(_.getString(0)).toSeq
+      // the recorded ratio opts the index into stop-list RE-DERIVATION
+      // at compaction (post-build boilerplate gets capped on the daily
+      // cadence instead of never)
       Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), d,
-        layout = "partition", stopTokens = stops): Unit
+        layout = "partition", stopTokens = stops,
+        stopMaxDfRatio = Some(0.5)): Unit
     })
 
   def q183Bm25Stopped(spark: SparkSession, dir: String): DataFrame = {

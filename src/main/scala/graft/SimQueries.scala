@@ -738,6 +738,97 @@ object SimQueries {
     Similarity.queryIvfIndex(spark, idx, e.filter(col("id") < 10), k = 5)
   }
 
+  // ---------------------------------------------------------------------
+  // J7 production shape, metadata-FILTERED — the filtered-vector-search
+  // composition every RAG deployment hits (language/date/license gates
+  // on candidates): the gate column is BAKED INTO the assignment rows
+  // at build (buildIvfIndex metaCols), so the predicate rides the
+  // probed-bucket scan itself — gated candidates die at the scan
+  // without paying a join or a distance evaluation, and the filter
+  // applies BEFORE ranking so the top-k never starves on gated
+  // neighbors (the hardNegativesIndexed lesson). Partition layout:
+  // probes DPP-prune to the probed centroids' directories AND the
+  // label gate pushes into the pruned parquet scan. ORACLE-CHECKED
+  // end-to-end: same md5-seeded, 2-Lloyd-pass pipeline as q98/q116,
+  // with the label equality in the scored stage.
+  def q184AnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val idx = cachedIndex(spark, dir, "ivf_c16_l2meta")(
+      Similarity.buildIvfIndex(embs(spark, dir), _, nCentroids = 16,
+        lloydIters = 2, assignmentLayout = "partition",
+        metaCols = Seq("label")): Unit)
+    Similarity.queryIvfIndexFiltered(spark, idx, e.filter(col("id") < 10),
+      k = 5, predicate = col("label") === 1)
+  }
+
+  private val q184Sql = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i]))"
+    def lloyd(prev: String, asg: String, mean: String, next: String) =
+      s"""$asg AS (
+         |  SELECT centroid_id, cv FROM (
+         |    SELECT c.centroid_id, b.v AS cv,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+         |                 c.centroid_id ASC) AS rn
+         |    FROM base b CROSS JOIN $prev c)
+         |  WHERE rn = 1),
+         |$mean AS (
+         |  SELECT centroid_id, i,
+         |    CAST(sum(CAST(cv[i] AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+         |  FROM $asg CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+         |  GROUP BY 1, 2),
+         |$next AS (
+         |  SELECT centroid_id, v, list_sum(list_transform(v, x -> x * x)) AS nsq
+         |  FROM (SELECT centroid_id, list(m ORDER BY i) AS v FROM $mean GROUP BY 1))"""
+        .stripMargin
+    // identical pipeline to q98/q116 (md5 seed sample, 2 Lloyd passes,
+    // full-corpus assignment, 4 probes) with the label gate applied to
+    // the probed candidate stream BEFORE ranking — centroids and
+    // assignment still derive from the FULL corpus (the index is shared
+    // across gates; only the probe filters)
+    s"""WITH base AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id AS centroid_id, v, nsq FROM base
+       |  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+       |           vec_id ASC
+       |  LIMIT 16),
+       |${lloyd("cent0", "asg1", "m1", "cent1")},
+       |${lloyd("cent1", "asg2", "m2", "cent2")},
+       |assigned AS (
+       |  SELECT centroid_id, cand_id, lab, cv, cnsq FROM (
+       |    SELECT c.centroid_id, b.vec_id AS cand_id, b.label AS lab,
+       |      b.v AS cv, b.nsq AS cnsq,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent2 c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id, qv, qnsq FROM (
+       |    SELECT b.vec_id AS query_id, c.centroid_id, b.v AS qv, b.nsq AS qnsq,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent2 c
+       |    WHERE b.vec_id < 10)
+       |  WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.cand_id,
+       |    list_sum(list_transform(range(1, 65), i -> p.qv[i] * a.cv[i]))
+       |      / (sqrt(p.qnsq) * sqrt(a.cnsq)) AS sim
+       |  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+       |  WHERE a.cand_id <> p.query_id AND a.lab = 1)
+       |SELECT query_id, cand_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5
+       |ORDER BY query_id, sim DESC, cand_id""".stripMargin
+  }
+
   def q118AnnIvfSq8(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     val idx = cachedIndex(spark, dir, "ivfsq8_c16b")(
@@ -1126,6 +1217,7 @@ object SimQueries {
     "q149_ann_ivf_pq_residual" -> (q149AnnIvfPqResidual _),
     "q158_ann_ivf_pq_rerank" -> (q158AnnIvfPqRerank _),
     "q162_ann_index_dpp"    -> (q162AnnIndexDpp _),
+    "q184_ann_filtered"     -> (q184AnnFiltered _),
   )
 
   /** q33/q34/q37/q43 are xxhash64-sketch-based → rows-only check
@@ -1159,5 +1251,6 @@ object SimQueries {
     "q158_ann_ivf_pq_rerank" -> q158Sql,
     // the partitioned-layout probe replays q98's inline pipeline exactly
     "q162_ann_index_dpp"    -> q98Sql,
+    "q184_ann_filtered"     -> q184Sql,
   )
 }

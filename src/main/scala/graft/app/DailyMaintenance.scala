@@ -178,7 +178,28 @@ object DailyMaintenance {
              compactEvery: Int = 7,
              boundary: Long = 0L,
              intervalMs: Long = 24L * 3600 * 1000,
-             retrainEvery: Int = 7): Seq[(String, () => Unit)] = Seq(
+             retrainEvery: Int = 7,
+             stopMaxDfRatio: Option[Double] = None): Seq[(String, () => Unit)] = {
+    // df-cap stop set for a ratio-opted pipeline: the FIRST build
+    // derives it from its day's batch and records the ratio in the
+    // stop_toks sidecar; appends inherit the frozen set through that
+    // sidecar, and every compaction re-derives the set over the grown
+    // corpus (compactBm25Index reads the recorded ratio) — so
+    // boilerplate that emerges after day 1 gets capped on the compact
+    // cadence. The collect is the documented bounded stop-token-list
+    // exception (≤ 1/ratio tokens).
+    def stopsOf(docs: DataFrame): Seq[String] = stopMaxDfRatio match {
+      case Some(r) => Retrieval.heavyTokens(docs, col("doc_id"), col("text"), r)
+        .select("tok").collect().map(_.getString(0)).toSeq
+      case None => Nil
+    }
+    def chunkStopsOf(docs: DataFrame): Seq[String] = stopMaxDfRatio match {
+      case Some(r) => Retrieval.heavyChunkTokens(docs, col("doc_id"),
+          col("text"), size = 32, stride = 16, maxDfRatio = r)
+        .select("tok").collect().map(_.getString(0)).toSeq
+      case None => Nil
+    }
+    Seq(
     "curate" -> (() =>
       Curation.curateBatch(batch, s"$work/state"): Unit),
     "signal_state" -> (() => {
@@ -192,7 +213,8 @@ object DailyMaintenance {
     "bm25_append" -> (() => {
       if (!Versioned.exists(spark, s"$work/bm25/postings"))
         Retrieval.buildBm25Index(batch, col("doc_id"), col("text"),
-          s"$work/bm25"): Unit
+          s"$work/bm25", stopTokens = stopsOf(batch),
+          stopMaxDfRatio = stopMaxDfRatio): Unit
       // a build or append crashed between its postings and stats commits
       // (stats missing, or lockstep broken): repair restores lockstep —
       // but the broken pair is NOT always this boundary's crashed
@@ -214,8 +236,13 @@ object DailyMaintenance {
     "chunk_append" -> (() => {
       val postingsT = s"$work/chunks/postings"
       if (!Versioned.exists(spark, postingsT))
+        // the chunk index is the LARGER postings artifact — the df cap
+        // matters most exactly here; the chunk-grain stop set derives
+        // from the day's CHUNKS (chunk df, not doc df)
         Retrieval.buildChunkBm25Index(batch, col("doc_id"), col("text"),
-          s"$work/chunks", size = 32, stride = 16): Unit
+          s"$work/chunks", size = 32, stride = 16,
+          stopTokens = chunkStopsOf(batch),
+          stopMaxDfRatio = stopMaxDfRatio): Unit
       else {
         // heal a pair broken between its postings and stats commits
         // BEFORE routing: repair restores stats lockstep from the orphan
@@ -251,7 +278,9 @@ object DailyMaintenance {
           // rebuilding a multi-day index from one day's batch would
           // silently discard every prior day.
           Retrieval.buildChunkBm25Index(batch, col("doc_id"), col("text"),
-            s"$work/chunks", size = 32, stride = 16): Unit
+            s"$work/chunks", size = 32, stride = 16,
+            stopTokens = chunkStopsOf(batch),
+            stopMaxDfRatio = stopMaxDfRatio): Unit
         else sys.error(s"$work/chunks grid sidecar is untrusted and the " +
           "postings hold more than the first build — rebuild the chunk " +
           "index manually from the full corpus (a one-batch rebuild here " +
@@ -444,6 +473,7 @@ object DailyMaintenance {
         .filter(Versioned.exists(spark, _))
         .foreach(t => Versioned.vacuum(spark, t, retainVersions): Unit)
     }))
+  }
 
   /** One daily tick of the composed job. `batchFor`/`vecsFor` map a
     * boundary (the data interval's start, epoch ms) to that day's
@@ -459,11 +489,13 @@ object DailyMaintenance {
            sleep: Long => Unit = Thread.sleep,
            compactEvery: Int = 7,
            retainVersions: Int = 2,
-           retrainEvery: Int = 7): Seq[(String, Seq[Scheduler.Attempt])] =
+           retrainEvery: Int = 7,
+           stopMaxDfRatio: Option[Double] = None): Seq[(String, Seq[Scheduler.Attempt])] =
     Scheduler.tickStagesFor(spark, work,
       b => stages(spark, batchFor(b), vecsFor(b), work,
         retainVersions = retainVersions, compactEvery = compactEvery,
-        boundary = b, intervalMs = intervalMs, retrainEvery = retrainEvery),
+        boundary = b, intervalMs = intervalMs, retrainEvery = retrainEvery,
+        stopMaxDfRatio = stopMaxDfRatio),
       nowMs, intervalMs, retries, retryDelayMs, sleep)
 
   /** Real-clock entry point, one tick over an sf-dir batch.

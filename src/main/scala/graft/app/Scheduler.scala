@@ -436,6 +436,7 @@ object Scheduler {
                               boundary: Long, nowMs: Long, ttlMs: Long,
                               casRetries: Int = 5): Option[String] = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
     val t = claimsTable(historyDir)
     val owner = java.util.UUID.randomUUID.toString
     var attempt = 0
@@ -443,25 +444,38 @@ object Scheduler {
       attempt += 1
       val (vNext, keep) =
         if (!graft.sources.Versioned.exists(spark, t))
-          (0L, Seq.empty[(Long, Long, String, Boolean)])
+          (0L, Seq.empty[(Long, Long, String, Boolean, Long)])
         else {
           val v = graft.sources.Versioned.latestVersion(spark, t)
-          val rows = graft.sources.Versioned.read(spark, t, Some(v))
-            .select("boundary_ms", "claimed_at_ms", "owner", "released")
-            .as[(Long, Long, String, Boolean)].collect().toSeq
-          val mineLive = rows.exists(r =>
-            r._1 == boundary && !r._4 && r._2 > nowMs - ttlMs)
+          // every claim row carries ITS OWN ttl, and liveness is judged
+          // by it — never by this caller's ttlMs: concurrent backfillers
+          // configured with different claimTtlMs would otherwise drop
+          // another boundary's still-live claim row here, spuriously
+          // fencing a healthy run mid-chain (correctness survives — the
+          // fenced claimant stops — but the run is killed and a third
+          // claimant takes the boundary over). Schema-tolerant: rows
+          // written before the ttl column default to the reader's ttl.
+          val raw = graft.sources.Versioned.read(spark, t, Some(v))
+          val rows = (if (raw.columns.contains("ttl_ms"))
+              raw.select("boundary_ms", "claimed_at_ms", "owner",
+                "released", "ttl_ms")
+            else raw.select(col("boundary_ms"), col("claimed_at_ms"),
+              col("owner"), col("released"), lit(ttlMs).as("ttl_ms")))
+            .as[(Long, Long, String, Boolean, Long)].collect().toSeq
+          def live(r: (Long, Long, String, Boolean, Long)) =
+            !r._4 && r._2 > nowMs - r._5
+          val mineLive = rows.exists(r => r._1 == boundary && live(r))
           if (mineLive && !boundaryCovered(spark, historyDir, boundary))
             return None
           // carry every OTHER boundary's live claim forward; released
           // and stale rows drop (the table stays backfill-width)
-          (v + 1, rows.filter(r =>
-            r._1 != boundary && !r._4 && r._2 > nowMs - ttlMs))
+          (v + 1, rows.filter(r => r._1 != boundary && live(r)))
         }
       try {
         graft.sources.Versioned.overwriteExpecting(
-          (keep :+ ((boundary, nowMs, owner, false)))
-            .toDF("boundary_ms", "claimed_at_ms", "owner", "released"),
+          (keep :+ ((boundary, nowMs, owner, false, ttlMs)))
+            .toDF("boundary_ms", "claimed_at_ms", "owner", "released",
+              "ttl_ms"),
           t, vNext): Unit
         return Some(owner)
       } catch {
@@ -487,22 +501,32 @@ object Scheduler {
                               boundary: Long, owner: String,
                               casRetries: Int = 5): Unit = try {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
     val t = claimsTable(historyDir)
     var attempt = 0
     var done = false
     while (!done && attempt <= casRetries) {
       attempt += 1
       val v = graft.sources.Versioned.latestVersion(spark, t)
-      val rows = graft.sources.Versioned.read(spark, t, Some(v))
-        .select("boundary_ms", "claimed_at_ms", "owner", "released")
-        .as[(Long, Long, String, Boolean)].collect().toSeq
+      // preserve each row's own ttl through the rewrite (legacy rows
+      // default to a 0 ttl: already-stale, the pre-ttl-column behavior
+      // for a release racing a reader is unaffected — release only
+      // flips our own row)
+      val raw = graft.sources.Versioned.read(spark, t, Some(v))
+      val rows = (if (raw.columns.contains("ttl_ms"))
+          raw.select("boundary_ms", "claimed_at_ms", "owner", "released",
+            "ttl_ms")
+        else raw.select(col("boundary_ms"), col("claimed_at_ms"),
+          col("owner"), col("released"), lit(0L).as("ttl_ms")))
+        .as[(Long, Long, String, Boolean, Long)].collect().toSeq
       if (!rows.exists(r => r._1 == boundary && r._3 == owner && !r._4))
         done = true // taken over or already released — nothing ours to flip
       else try {
         graft.sources.Versioned.overwriteExpecting(
           rows.map(r => if (r._1 == boundary && r._3 == owner)
-              (r._1, r._2, r._3, true) else r)
-            .toDF("boundary_ms", "claimed_at_ms", "owner", "released"),
+              (r._1, r._2, r._3, true, r._5) else r)
+            .toDF("boundary_ms", "claimed_at_ms", "owner", "released",
+              "ttl_ms"),
           t, v + 1): Unit
         done = true
       } catch { case _: IllegalArgumentException => () }

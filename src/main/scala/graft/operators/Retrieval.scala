@@ -201,7 +201,9 @@ object Retrieval {
   def buildBm25Index(docs: DataFrame, id: Column, text: Column,
                      indexDir: String, nBuckets: Int = 8,
                      layout: String = "bucket", nPartDirs: Int = 16,
-                     stopTokens: Seq[String] = Nil): Long = {
+                     stopTokens: Seq[String] = Nil,
+                     stopMaxDfRatio: Option[Double] = None): Long = {
+    val spark = docs.sparkSession
     val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
     val postings0 = postingsOf(base)
@@ -209,12 +211,27 @@ object Retrieval {
       if (stopTokens.isEmpty) postings0
       else postings0.filter(!col("tok").isInCollection(stopTokens))
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // the cap marker lands BEFORE the table commits (fail-closed order):
+    // a capped build that dies between its commits and a post-hoc marker
+    // write would otherwise read as UNCAPPED — appends would land stop
+    // postings unfiltered onto a filtered base, silent ranking
+    // corruption with no repair signal. Every build writes its epoch
+    // marker (empty token list = explicitly uncapped) at the version it
+    // is ABOUT to commit, so the commit can never land without its cap
+    // status on disk; a pre-commit crash leaves only an orphan marker at
+    // a version that does not exist, which the next build overwrites.
+    val postT = s"$indexDir/postings"
+    val vPred =
+      if (Versioned.exists(spark, postT))
+        Versioned.latestVersion(spark, postT) + 1
+      else 0L
+    writeStopEpoch(spark, indexDir, stopTokens, stopMaxDfRatio, vPred)
     val vp = layout match {
       case "bucket" => Versioned.overwriteBucketed(postings,
-        s"$indexDir/postings", "tok", nBuckets)
+        postT, "tok", nBuckets)
       case "partition" => Versioned.overwritePartitioned(
         postings.withColumn("tok_part", tokPartExpr(col("tok"), nPartDirs)),
-        s"$indexDir/postings", "tok_part")
+        postT, "tok_part")
       case other => throw new IllegalArgumentException(
         s"postings layout must be bucket or partition, got $other")
     }
@@ -225,79 +242,165 @@ object Retrieval {
     // discipline): queries and appends derive tok_part from there, so
     // there is no way to probe or append with a mismatched modulus
     if (layout == "partition")
-      writePartDirs(docs.sparkSession, indexDir, nPartDirs, vp)
-    if (stopTokens.nonEmpty)
-      writeStopSidecar(docs.sparkSession, indexDir, stopTokens, vp)
+      writePartDirs(spark, indexDir, nPartDirs, vp)
+    // lost the predicted version to a concurrent writer (already UB for
+    // builds, but never leave the marker pointing at someone else's
+    // commit); the legacy head pointer is convenience, written last
+    if (vp != vPred)
+      writeStopEpoch(spark, indexDir, stopTokens, stopMaxDfRatio, vp)
+    writeStopHead(spark, indexDir, stopTokens, stopMaxDfRatio, vp)
     vp
   }
 
   // ---------------------------------------------------- stop-list sidecar
+  //
+  // Two files per capped (or explicitly-uncapped) build:
+  //  - `stop_toks@<v>` — the EPOCH MARKER, written BEFORE the postings
+  //    commit it describes (fail-closed: the commit cannot land without
+  //    its cap status on disk). Append-only history: one per overwrite.
+  //  - `stop_toks` — the legacy head pointer, written after the commits
+  //    (convenience + back-compat; epoch markers take precedence).
+  // Format (both): line 1 = "<version>" or "<version> <maxDfRatio>",
+  // remaining lines = the sorted stop tokens (none = uncapped). A
+  // recorded ratio opts the index into stop-list RE-DERIVATION at
+  // [[compactBm25Index]] (boilerplate that emerges after the build gets
+  // capped at the next compaction instead of never).
 
   private def stopSidecarPath(indexDir: String) =
     new org.apache.hadoop.fs.Path(indexDir, "stop_toks")
 
-  private def writeStopSidecar(spark: SparkSession, indexDir: String,
-                               toks: Seq[String], version: Long): Unit = {
-    val p = stopSidecarPath(indexDir)
+  private def stopEpochPath(indexDir: String, v: Long) =
+    new org.apache.hadoop.fs.Path(indexDir, s"stop_toks@$v")
+
+  private def writeStopFile(spark: SparkSession,
+                            p: org.apache.hadoop.fs.Path,
+                            toks: Seq[String], ratio: Option[Double],
+                            version: Long): Unit = {
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = version.toString + ratio.map(r => s" $r").getOrElse("")
     val out = f.create(p, true)
-    try out.write((version.toString +: toks.distinct.sorted)
-      .mkString("\n").getBytes("UTF-8"))
+    try out.write((head +: toks.distinct.sorted).mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** The recorded stop list regardless of stamp freshness — the
-    * compact/repair re-stamp input. None when absent or corrupt.
+  private def writeStopEpoch(spark: SparkSession, indexDir: String,
+                             toks: Seq[String], ratio: Option[Double],
+                             version: Long): Unit =
+    writeStopFile(spark, stopEpochPath(indexDir, version), toks, ratio, version)
+
+  private def writeStopHead(spark: SparkSession, indexDir: String,
+                            toks: Seq[String], ratio: Option[Double],
+                            version: Long): Unit =
+    writeStopFile(spark, stopSidecarPath(indexDir), toks, ratio, version)
+
+  /** Parse a stop file: (stamped version, recap ratio, tokens). The
+    * legacy single-line-header format (version only, ≥1 token) parses
+    * identically. None when absent or corrupt.
     */
-  private def stopSidecarRaw(spark: SparkSession,
-                             indexDir: String): Option[(Long, Seq[String])] = {
-    val p = stopSidecarPath(indexDir)
+  private def readStopFile(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): Option[(Long, Option[Double], Seq[String])] = {
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
       val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      raw.split("\n").toSeq match {
-        case v +: toks if v.forall(_.isDigit) && toks.nonEmpty =>
-          Some((v.toLong, toks))
+      val lines = raw.split("\n", -1).toSeq
+      lines.headOption.map(_.trim.split(" ").toSeq).flatMap {
+        case Seq(v) if v.nonEmpty && v.forall(_.isDigit) =>
+          Some((v.toLong, None, lines.tail.filter(_.nonEmpty)))
+        case Seq(v, r) if v.nonEmpty && v.forall(_.isDigit) &&
+            r.toDoubleOption.exists(d => d > 0 && d < 1) =>
+          Some((v.toLong, r.toDoubleOption, lines.tail.filter(_.nonEmpty)))
         case _ => None
       }
     }
   }
 
-  /** The stop list IF the index is capped: None = uncapped (no sidecar).
-    * A present-but-stale stamp throws — appending unfiltered batches to
-    * a capped index would rank stop-bearing documents inconsistently
-    * (some days' postings carry the token, others' do not), which is
-    * silent corruption, not degradation; [[repairBm25Index]] restores
-    * the stamp after verifying the recorded list against the data.
+  /** The cap state of the index at its current overwrite snapshot:
+    * (stop tokens — empty = uncapped, recap ratio). Resolution order:
+    *
+    *  1. The epoch marker for the head overwrite. It was written before
+    *     that commit, so a build/compaction can never land without it —
+    *     its absence for a NEW-code overwrite cannot happen, and its
+    *     word is final (an empty list is an explicit uncapped build).
+    *  2. Legacy head pointer with a matching stamp (pre-marker indexes).
+    *  3. Legacy head pointer with a STALE stamp throws — the cap status
+    *     of the head snapshot is unknowable, and appending with a
+    *     maybe-wrong set is silent ranking corruption, not degradation;
+    *     [[repairBm25Index]] restores the stamp after the pure-rewrite
+    *     content check.
+    *  4. Nothing on disk = uncapped (pre-cap-era index).
+    */
+  private def stopStateOf(spark: SparkSession,
+                          indexDir: String): (Seq[String], Option[Double]) = {
+    val h = lastPostingsOverwrite(spark, indexDir)
+    readStopFile(spark, stopEpochPath(indexDir, h)) match {
+      case Some((v, ratio, toks)) =>
+        require(v == h, s"$indexDir stop_toks@$h epoch marker records " +
+          s"version $v — foreign write; rebuild the index")
+        (toks, ratio)
+      case None => readStopFile(spark, stopSidecarPath(indexDir)) match {
+        case None => (Nil, None)
+        // a stale pointer recording an EMPTY list is inert — filtering
+        // with the empty set is the identity, so no append can become
+        // inconsistent with any base; only a stale NON-empty list is
+        // unknowable cap status
+        case Some((_, ratio, toks)) if toks.isEmpty => (Nil, ratio)
+        case Some((v, ratio, toks)) =>
+          require(v == h,
+            s"$indexDir stop_toks sidecar is STALE (a compaction or " +
+              "rebuild died between its postings commit and the re-stamp) " +
+              "— run repairBm25Index to restore it, or rebuild the index")
+          (toks, ratio)
+      }
+    }
+  }
+
+  /** The stop list IF the index is capped: None = uncapped. Throws on
+    * an unresolvable legacy stamp (see [[stopStateOf]]).
     */
   private def stopTokensOf(spark: SparkSession,
                            indexDir: String): Option[Seq[String]] =
-    stopSidecarRaw(spark, indexDir).map { case (v, toks) =>
-      require(v == lastPostingsOverwrite(spark, indexDir),
-        s"$indexDir stop_toks sidecar is STALE (a compaction or rebuild " +
-          "died between its postings commit and the re-stamp) — run " +
-          "repairBm25Index to restore it, or rebuild the index")
-      toks
-    }
+    Some(stopStateOf(spark, indexDir)._1).filter(_.nonEmpty)
 
-  /** Re-stamp the stop_toks sidecar after a repair restored lockstep —
-    * the [[restampTokParts]] discipline: the recorded list is blessed
-    * only after data verification (no recorded token may appear in the
-    * postings — a rebuild that DROPPED the cap leaves them present, and
-    * blessing the old list there would filter appends against a
-    * non-capped index). No-op when absent or already trusted.
+  /** Re-stamp a stale LEGACY stop_toks pointer after a repair restored
+    * lockstep. The recorded list is blessed only when the head overwrite
+    * snapshot is CONTENT-IDENTICAL to the stamped version (the
+    * [[restampChunkGrid]] pure-rewrite discipline) — true for a crashed
+    * compaction chain, false for ANY crashed rebuild (capped→uncapped
+    * leaves the tokens present; an ENLARGED list leaves both old and new
+    * tokens absent, where the weaker tokens-absent check would bless the
+    * old list and appends would then filter with a smaller set than the
+    * base build used). New-code indexes never need this: their epoch
+    * markers precede their commits. No-op when absent, already trusted,
+    * or nothing on disk can prove the rewrite was pure (vacuumed stamp
+    * version included).
     */
-  private def restampStopToks(spark: SparkSession, indexDir: String): Unit =
-    stopSidecarRaw(spark, indexDir).foreach { case (v, toks) =>
-      val head = lastPostingsOverwrite(spark, indexDir)
-      if (v != head &&
-          Versioned.read(spark, s"$indexDir/postings")
-            .filter(col("tok").isInCollection(toks)).isEmpty)
-        writeStopSidecar(spark, indexDir, toks, head)
+  private def restampStopToks(spark: SparkSession, indexDir: String): Unit = {
+    val h = lastPostingsOverwrite(spark, indexDir)
+    if (readStopFile(spark, stopEpochPath(indexDir, h)).nonEmpty) return
+    readStopFile(spark, stopSidecarPath(indexDir)).foreach {
+      case (v, ratio, toks) if v < h && h > 0 && toks.nonEmpty =>
+        // pure means the head overwrite changed nothing vs ITS INPUT
+        // (version h−1): then cap status at h equals cap status at h−1,
+        // which by induction through the sidecar-filtered appends is the
+        // recorded list — true for a compaction, false for any content-
+        // changing rebuild (capped→uncapped leaves the tokens present;
+        // an ENLARGED list leaves different postings), which stays
+        // refused with the manual-rebuild message
+        val pure = try {
+          val now  = Versioned.read(spark, s"$indexDir/postings", Some(h))
+          val prev = Versioned.read(spark, s"$indexDir/postings", Some(h - 1))
+          now.exceptAll(prev).isEmpty && prev.exceptAll(now).isEmpty
+        } catch { case _: Exception => false }
+        if (pure) {
+          writeStopEpoch(spark, indexDir, toks, ratio, h)
+          writeStopHead(spark, indexDir, toks, ratio, h)
+        }
+      case _ => ()
     }
+  }
 
   /** Sidecar recording a partitioned layout's shard modulus, stamped
     * with the overwrite version of the table it describes (the
@@ -309,14 +412,50 @@ object Retrieval {
   private def shardSidecarPath(indexDir: String, name: String) =
     new org.apache.hadoop.fs.Path(indexDir, name)
 
+  private def shardEpochPath(indexDir: String, name: String, v: Long) =
+    new org.apache.hadoop.fs.Path(indexDir, s"$name@$v")
+
+  /** Writes BOTH the head sidecar and an append-only per-EPOCH copy
+    * (`<name>@<version>`). The head file serves latest reads; the epoch
+    * files give every historical layout epoch its own surviving record,
+    * so a read PINNED before the current epoch (a serving stream that
+    * straddled a compaction) prunes with ITS epoch's modulus instead of
+    * degrading to an unpruned scan for the stream's remaining lifetime —
+    * old epochs' shard columns are persisted per row, so an old modulus
+    * prunes its own files correctly.
+    */
   private[operators] def writeShardSidecar(spark: SparkSession,
                                 indexDir: String,
                                 name: String, nParts: Int,
                                 version: Long): Unit = {
-    val p = shardSidecarPath(indexDir, name)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(shardSidecarPath(indexDir, name),
+        shardEpochPath(indexDir, name, version)).foreach { p =>
+      val out = p.getFileSystem(conf).create(p, true)
+      try out.write(s"$nParts $version".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** The modulus recorded by epoch `v`'s sidecar copy, or None when the
+    * epoch predates the history (legacy index) or its stamp disagrees
+    * with its filename (foreign write). Only meaningful for `v`s that
+    * are overwrite commits of the stamp table.
+    */
+  private def epochShardSidecarOf(spark: SparkSession, indexDir: String,
+                                  name: String, v: Long): Option[Int] = {
+    val p = shardEpochPath(indexDir, name, v)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = f.create(p, true)
-    try out.write(s"$nParts $version".getBytes("UTF-8")) finally out.close()
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      raw.trim.split(" ") match {
+        case Array(n, sv) if Seq(n, sv).forall(_.forall(_.isDigit)) &&
+            sv.toLong == v => Some(n.toInt)
+        case _ => None
+      }
+    }
   }
 
   /** Shard modulus recorded by a sidecar, or None when the sidecar is
@@ -349,24 +488,37 @@ object Retrieval {
                             nParts: Int, version: Long): Unit =
     writeShardSidecar(spark, indexDir, "tok_parts", nParts, version)
 
-  /** [[shardSidecarOf]] for a possibly-PINNED read: a trusted sidecar
-    * describes the LIVE LAYOUT EPOCH — every version from the last
-    * overwrite (the build/compaction that laid the directories out) to
-    * the head, because appends derive their shard column from the
-    * sidecar itself. An asOf INSIDE that epoch therefore prunes exactly
-    * like a latest read; only a pin BEFORE the epoch (a pre-compaction
-    * snapshot, whose layout may differ) degrades to the unpruned scan.
-    * This is what keeps PINNED STREAMS index-pruned: the serving
-    * streams pin their index version at stream start and pass it per
-    * micro-batch — without the epoch rule every micro-batch re-read
-    * the whole table.
+  /** [[shardSidecarOf]] for a possibly-PINNED read. A layout EPOCH runs
+    * from an overwrite commit (the build/compaction that laid the
+    * directories out) to the next overwrite; appends inside an epoch
+    * derive their shard column from the epoch's own sidecar, so every
+    * version inside it shares one modulus. Resolution:
+    *
+    *  - no pin, or a pin inside the LIVE epoch → the stamp-checked head
+    *    sidecar (exactly the pre-r14 behavior);
+    *  - a pin in an EARLIER epoch → that epoch's own `<name>@<v>`
+    *    history copy ([[writeShardSidecar]] appends one per overwrite),
+    *    so a serving stream that pinned its version at start KEEPS
+    *    pruning after a mid-stream compaction moves the live layout —
+    *    previously every subsequent micro-batch of that stream read the
+    *    table unpruned for the stream's remaining lifetime;
+    *  - an epoch with no surviving record (legacy index, or the epoch's
+    *    own writer crashed before its sidecar) → None: the unpruned-
+    *    but-correct scan.
     */
   private[operators] def shardSidecarFor(spark: SparkSession,
       indexDir: String, name: String, stampTable: String,
-      asOf: Option[Long]): Option[Int] =
-    shardSidecarOf(spark, indexDir, name, stampTable)
-      .filter(_ => asOf.forall(_ >=
-        lastOverwriteOf(spark, indexDir, stampTable)))
+      asOf: Option[Long]): Option[Int] = asOf match {
+    case None => shardSidecarOf(spark, indexDir, name, stampTable)
+    case Some(pin) =>
+      val overwrites = Versioned.history(spark, s"$indexDir/$stampTable")
+        .collect { case (v, "overwrite", _) => v }
+      overwrites.filter(_ <= pin).lastOption.flatMap { epoch =>
+        if (overwrites.lastOption.contains(epoch))
+          shardSidecarOf(spark, indexDir, name, stampTable)
+        else epochShardSidecarOf(spark, indexDir, name, epoch)
+      }
+  }
 
   /** The modulus a sidecar RECORDS, ignoring its stamp — a repair's
     * first candidate (the stamp is stale exactly when a repair is
@@ -587,20 +739,65 @@ object Retrieval {
     * shape.
     */
   def compactBm25Index(spark: SparkSession, indexDir: String): Long = {
+    val postT = s"$indexDir/postings"
+    val statT = s"$indexDir/stats"
     // a partition-layout index re-stamps its shard sidecar — and a
     // capped index its stop-list sidecar — at the new overwrite version
     // (compaction is an overwrite); both are read-validated BEFORE the
-    // rewrite moves the stamp (a stale one is never blessed here)
+    // rewrite moves the stamp (a stale legacy state is never blessed
+    // here: the compact proceeds and the index stays refused until
+    // repairBm25Index adjudicates it)
     val nParts = partDirsOf(spark, indexDir)
-    val head0 = lastPostingsOverwrite(spark, indexDir)
-    val stops = stopSidecarRaw(spark, indexDir)
-      .collect { case (v, toks) if v == head0 => toks }
-    val vp = Versioned.compact(spark, s"$indexDir/postings")
-    val vs = Versioned.compact(spark, s"$indexDir/stats")
+    val state: Option[(Seq[String], Option[Double])] =
+      try Some(stopStateOf(spark, indexDir))
+      catch { case _: IllegalArgumentException => None }
+    // RE-DERIVE the stop list when the build recorded its df ratio: the
+    // compaction rewrites every postings byte anyway, so re-running the
+    // heavy-token derivation is free — boilerplate that emerged AFTER
+    // the build (a new spam template, a new crawl source) gets capped
+    // at the next compaction instead of never, closing the Zipf gap on
+    // a growing corpus. df comes off the postings themselves (one row
+    // per (tok, doc)); stats stay TRUE corpus stats, so surviving terms
+    // keep scoring exactly as on the uncapped twin — the q183 invariant.
+    val recapped: Option[(Seq[String], Option[Double])] = state.map {
+      case (toks, Some(r)) =>
+        val nDocs = Versioned.read(spark, statT)
+          .select(col("n_docs")).head.getLong(0)
+        val newly = Versioned.read(spark, postT)
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .filter(col("df").cast("double") > lit(r) * nDocs)
+          .collect().map(_.getString(0)).toSeq // bounded: ≤ 1/r tokens
+        ((toks ++ newly).distinct.sorted, Some(r))
+      case s => s
+    }
+    val dropped = recapped.map(_._1).getOrElse(Nil)
+      .diff(state.map(_._1).getOrElse(Nil))
+    // the epoch marker precedes the commit it describes, as at build
+    val vPred = Versioned.latestVersion(spark, postT) + 1
+    recapped.foreach { case (t, r) => writeStopEpoch(spark, indexDir, t, r, vPred) }
+    val vp =
+      if (dropped.isEmpty) Versioned.compact(spark, postT)
+      else {
+        // layout-preserving rewrite minus the newly-heavy tokens
+        val filtered = Versioned.read(spark, postT)
+          .filter(!col("tok").isInCollection(dropped))
+        Versioned.declaredLayout(spark, postT) match {
+          case l if l.startsWith("bucket:") =>
+            val parts = l.split(":")
+            Versioned.overwriteBucketed(filtered, postT, parts(1), parts(2).toInt)
+          case l if l.startsWith("part:") =>
+            Versioned.overwritePartitioned(filtered, postT, l.stripPrefix("part:"))
+          case _ => Versioned.overwrite(filtered, postT)
+        }
+      }
+    val vs = Versioned.compact(spark, statT)
     require(vp == vs, s"BM25 compaction left tables out of lockstep " +
       s"(postings v$vp, stats v$vs) — run repairBm25Index")
     nParts.foreach(n => writePartDirs(spark, indexDir, n, vp))
-    stops.foreach(toks => writeStopSidecar(spark, indexDir, toks, vp))
+    recapped.foreach { case (t, r) =>
+      if (vp != vPred) writeStopEpoch(spark, indexDir, t, r, vp)
+      writeStopHead(spark, indexDir, t, r, vp)
+    }
     vp
   }
 
@@ -1038,18 +1235,32 @@ object Retrieval {
     * interleave incompatible spans silently). The grid is immutable
     * for an index's lifetime: changing it is a rebuild, not an append.
     */
+  /** [[heavyTokens]] at CHUNK grain — df counts chunks containing the
+    * token (what the chunk index's postings lists are sized by), over
+    * the same window grid the index will use. The stop-set derivation
+    * for a df-capped [[buildChunkBm25Index]].
+    */
+  def heavyChunkTokens(docs: DataFrame, id: Column, text: Column,
+                       size: Int, stride: Int,
+                       maxDfRatio: Double): DataFrame =
+    heavyTokens(chunkKeyed(docs, id, text, size, stride),
+      col("ck"), col("chunk_text"), maxDfRatio)
+
   def buildChunkBm25Index(docs: DataFrame, id: Column, text: Column,
                           indexDir: String, size: Int, stride: Int,
                           nBuckets: Int = 8,
-                          stopTokens: Seq[String] = Nil): Long = {
+                          stopTokens: Seq[String] = Nil,
+                          stopMaxDfRatio: Option[Double] = None): Long = {
     require(size > 0 && stride > 0)
     // the df cap applies at chunk grain too — at 100 TB the chunk index
     // is the LARGER postings artifact, and a stop token's chunk-grain
     // list is size/stride× the doc-grain one; appends inherit the
-    // frozen set through the shared stop_toks sidecar
+    // frozen set through the shared stop_toks sidecar, and a recorded
+    // ratio has [[compactBm25Index]] re-derive the set over the grown
+    // chunk corpus (chunk-grain df: chunks containing the token)
     val v = buildBm25Index(chunkKeyed(docs, id, text, size, stride),
       col("ck"), col("chunk_text"), indexDir, nBuckets,
-      stopTokens = stopTokens)
+      stopTokens = stopTokens, stopMaxDfRatio = stopMaxDfRatio)
     // sidecar AFTER the build commits, stamped with the overwrite
     // version it describes: a rebuild that dies between the two writes
     // leaves a version mismatch chunkGrid() refuses loudly, instead of
@@ -1855,18 +2066,27 @@ object Retrieval {
     */
   def repairForwardIndex(spark: SparkSession, indexDir: String): Unit =
     restampModSidecar(spark, indexDir, "doc_parts", "fwd",
-      "doc_id", "doc_part")
+      "doc_id", "doc_part", n => Some(autoDocShards(n)))
 
   /** The generic pmod-shard restamp behind [[repairForwardIndex]] and
     * the ANN vectors table's vec_parts repair: verify a candidate
     * modulus against every row's recorded shard, then re-stamp the
     * sidecar at the table's current overwrite snapshot. Shared by every
     * partitioned layout whose shard key is `pmod(id, n)` (tok_parts
-    * hashes the token first and keeps its own verifier).
+    * hashes the token first and keeps its own verifier). Candidates, in
+    * order: the stale sidecar's recorded modulus (an append/compact
+    * crash that kept the modulus), max(partCol)+1 off the data (the
+    * sidecar-missing shape — exact when the top shard is non-empty),
+    * and `autoModulus(row count)` — the modulus an AUTO-SIZED crashed
+    * compaction actually used, which the first two miss when the
+    * compact re-derived a NEW modulus whose top shard happens to be
+    * empty (no id ≡ n−1 mod n): without it the sidecar stayed stale and
+    * appends wedged behind a rebuild message that repair cannot honor.
     */
   private[operators] def restampModSidecar(spark: SparkSession,
       indexDir: String, name: String, table: String,
-      idCol: String, partCol: String): Unit = {
+      idCol: String, partCol: String,
+      autoModulus: Long => Option[Int] = _ => None): Unit = {
     val t = s"$indexDir/$table"
     if (!Versioned.exists(spark, t)) return
     if (!Versioned.declaredLayout(spark, t).startsWith("part:")) return
@@ -1874,10 +2094,13 @@ object Retrieval {
     val stampV = lastOverwriteOf(spark, indexDir, table)
     val rows = Versioned.read(spark, t).select(col(idCol), col(partCol))
     val recorded = sidecarRecordedModulus(spark, indexDir, name)
-    val maxRow = rows.agg(max(col(partCol))).head
+    val maxRow = rows.agg(max(col(partCol)), count(lit(1))).head
     val fromData: Seq[Int] =
       if (maxRow.isNullAt(0)) Seq.empty else Seq(maxRow.getLong(0).toInt + 1)
-    (recorded.toSeq ++ fromData).distinct
+    val fromAuto: Seq[Int] =
+      if (maxRow.isNullAt(0)) Seq.empty
+      else autoModulus(maxRow.getLong(1)).toSeq
+    (recorded.toSeq ++ fromData ++ fromAuto).distinct
       .find(n => rows
         .filter(col(partCol) =!= pmod(col(idCol), lit(n.toLong))).isEmpty)
       .foreach(n => writeShardSidecar(spark, indexDir, name, n, stampV))

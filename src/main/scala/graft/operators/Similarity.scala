@@ -180,6 +180,48 @@ object Similarity {
     .select(col("id").as("cand_id"), VectorOps.toDoubleArray(col("vec")).as("cv"))
     .withColumn("c_norm_sq", VectorOps.normSq(col("cv")))
 
+  /** Core assignment columns across the index family; anything else on
+    * an assignment row is caller-baked METADATA — the columns a
+    * filtered probe may gate on. */
+  private val assignmentCoreCols =
+    Set("centroid_id", "cand_id", "cv", "c_norm_sq", "cq", "pqcode")
+
+  private def assignmentMetaCols(assigned: DataFrame): Seq[String] =
+    assigned.columns.toSeq.filterNot(assignmentCoreCols)
+
+  /** Bake caller-named metadata columns (language, date, license — the
+    * filtered-search gates) onto index rows by cand_id. One equality
+    * join at BUILD/APPEND cadence buys every probe a join-free,
+    * scan-resident gate. */
+  private def withMeta(rows: DataFrame, source: DataFrame,
+                       metaCols: Seq[String]): DataFrame =
+    if (metaCols.isEmpty) rows
+    else rows.join(
+      source.select((col("id").as("cand_id") +: metaCols.map(col)): _*),
+      Seq("cand_id"))
+
+  /** Refuse a probe predicate naming columns the index does not carry:
+    * silently scoring an UNfiltered stream would be a wrong answer, not
+    * a degradation — the one sidecar-style fail-open this family must
+    * never have. */
+  private def requirePredicateCols(indexDir: String, assigned: DataFrame,
+                                   predicate: Column): Unit =
+    try assigned.filter(predicate).queryExecution.analyzed: Unit
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$indexDir assignment cannot resolve the probe predicate " +
+            s"`$predicate` — a filtered probe gates candidates INSIDE the " +
+            "probed-bucket scan, so the predicate may only reference " +
+            "columns baked into the index at build (metaCols; available " +
+            s"metadata here: ${assignmentMetaCols(assigned) match {
+              case Nil => "none — this index was built without metaCols"
+              case ms => ms.mkString(", ")
+            }}). Rebuild with the column in metaCols, or gate through a " +
+            "separate (id, label) relation with hardNegativesIndexed-style " +
+            s"post-join scoring. Analyzer: ${e.getSimpleMessage}", e)
+    }
+
   /** The IVF build: deterministic seed sample, optional Lloyd passes,
     * final assignment. Returns (centroids, assignment) — exactly the
     * two relations a persisted index stores.
@@ -376,9 +418,14 @@ object Similarity {
   def buildIvfIndex(candidates: DataFrame, indexDir: String,
                     nCentroids: Int = 16, lloydIters: Int = 0,
                     nBuckets: Int = 8,
-                    assignmentLayout: String = "bucket"): Long = {
+                    assignmentLayout: String = "bucket",
+                    metaCols: Seq[String] = Nil): Long = {
     val c = prepCandidates(candidates)
-    val (centroids, assigned) = centroidsAndAssignment(c, nCentroids, lloydIters)
+    val (centroids, assigned0) = centroidsAndAssignment(c, nCentroids, lloydIters)
+    // metadata gates ride the assignment rows ([[withMeta]]): one build-
+    // cadence join so [[queryIvfIndexFiltered]] probes pay neither a
+    // join nor a distance eval for gated candidates
+    val assigned = withMeta(assigned0, candidates, metaCols)
     val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
     val va = commitAssignment(assigned, s"$indexDir/assignment",
       assignmentLayout, nBuckets)
@@ -450,9 +497,20 @@ object Similarity {
           centroids.select(col("s")).limit(1)), Seq("cand_id"))
         .select(col("centroid_id"), col("cand_id"), col("q").as("cq"))
     }
+    // a metadata-carrying index keeps its filtered-probe contract
+    // through appends: the batch must supply the SAME baked columns
+    // (rows without them would silently pass every gate)
+    val meta = assignmentMetaCols(
+      graft.sources.Versioned.read(spark, s"$indexDir/assignment"))
+    val metaMissing = meta.filterNot(batch.columns.contains)
+    require(metaMissing.isEmpty,
+      s"$indexDir assignment carries metadata column(s) " +
+        s"${meta.mkString(", ")} (filtered-probe gates); the append batch " +
+        s"must supply them — missing: ${metaMissing.mkString(", ")}")
+    val assignedNewM = withMeta(assignedNew, batch, meta)
     val vc = graft.sources.Versioned.overwrite(guardedCentroids,
       s"$indexDir/centroids")
-    val va = appendAssignment(assignedNew, s"$indexDir/assignment")
+    val va = appendAssignment(assignedNewM, s"$indexDir/assignment")
     require(vc == va, s"index tables diverged: centroids v$vc vs assignment v$va")
     vc
   }
@@ -611,8 +669,13 @@ object Similarity {
     // COMPLETE the append by re-encoding it on the frozen centroids +
     // codebook (new-id-only append invariant makes cand_id membership
     // the delta)
+    // the orphan slice carries the baked metadata too (the build/append
+    // write it onto the vectors table precisely so this repair can
+    // restore a meta-carrying assignment row set)
+    val metaR = assignmentMetaCols(
+      Versioned.read(spark, s"$indexDir/assignment", Some(va)))
     val orphan = Versioned.read(spark, s"$indexDir/vectors", Some(vv))
-      .select(col("cand_id"), col("cv"))
+      .select((col("cand_id") +: col("cv") +: metaR.map(col)): _*)
       .join(Versioned.read(spark, s"$indexDir/vectors", Some(va))
         .select(col("cand_id")), Seq("cand_id"), "left_anti")
     val cb = Versioned.read(spark, s"$indexDir/codebook")
@@ -629,10 +692,14 @@ object Similarity {
     val assignedB = assignTo(c, centroids
       .select(col("centroid_id"), col("centv"), col("cent_norm_sq")))
     val encBase = if (residual) residualsOf(assignedB, centroids) else c
-    val delta = assignedB.select(col("centroid_id"), col("cand_id"))
+    val delta0 = assignedB.select(col("centroid_id"), col("cand_id"))
       .join(withPqCodes(encBase, cb, m, sub)
         .select(col("cand_id"), col("pqcode")), Seq("cand_id"))
       .select(col("centroid_id"), col("cand_id"), col("pqcode"))
+    val delta =
+      if (metaR.isEmpty) delta0
+      else delta0.join(
+        orphan.select((col("cand_id") +: metaR.map(col)): _*), Seq("cand_id"))
     heads.filter(_._2 == va).foreach { case (t, v) =>
       Versioned.overwrite(
         Versioned.read(spark, s"$indexDir/$t", Some(v)),
@@ -644,7 +711,7 @@ object Similarity {
   private def restampVecParts(spark: org.apache.spark.sql.SparkSession,
                               indexDir: String): Unit =
     Retrieval.restampModSidecar(spark, indexDir, "vec_parts", "vectors",
-      "cand_id", "vec_part")
+      "cand_id", "vec_part", n => Some(autoVecShards(n)))
 
   /** Compact a persisted IVF / IVF-SQ8 / IVF-PQ index after appends:
     * re-establishes the assignment table's bucketed-by-centroid layout
@@ -719,6 +786,37 @@ object Similarity {
                     asOf: Option[Long] = None): DataFrame = {
     val (centroids, assigned) = readIndexPair(spark, indexDir, asOf)
     probeIndex(queries, centroids, assigned, k, nProbes)
+  }
+
+  /** Predicate-FILTERED IVF probe — filtered vector search, the
+    * metadata-gate + ANN composition every RAG deployment hits
+    * (language / date / license gates on candidates). The predicate
+    * applies to the FULL probed-candidate stream BEFORE scoring and
+    * ranking — the [[hardNegativesIndexed]] lesson: a post-filter on an
+    * already-truncated top-k starves a query whose nearest neighbors
+    * are gated — and it rides the probed-bucket SCAN itself: the gate
+    * columns were baked into the assignment rows at build
+    * ([[buildIvfIndex]] `metaCols`), so gated candidates die at the
+    * scan (simple comparisons push into parquet) without paying a join
+    * OR a distance evaluation. A predicate naming a column the index
+    * does not carry REFUSES loudly ([[requirePredicateCols]]); the
+    * fallback for un-baked gates is the separate (id, label) relation
+    * joined post-probe, [[hardNegativesIndexed]]'s shape, at the cost
+    * of a corpus-keyed join per serve batch.
+    *
+    * With nProbes = nCentroids the output is EXACTLY the brute-force
+    * top-k over the filtered corpus (spec-proven); at lower probe
+    * counts recall follows the probe dial measured against that
+    * filtered brute force — NOT against unfiltered brute force, whose
+    * gated neighbors no probe count could return.
+    */
+  def queryIvfIndexFiltered(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, queries: DataFrame, k: Int,
+                            predicate: Column, nProbes: Int = 4,
+                            asOf: Option[Long] = None): DataFrame = {
+    val (centroids, assigned) = readIndexPair(spark, indexDir, asOf)
+    requirePredicateCols(indexDir, assigned, predicate)
+    probeIndex(queries, centroids, assigned.filter(predicate), k, nProbes)
   }
 
   /** Build an IVF index whose buckets store SQ8 CODES instead of float
@@ -1039,7 +1137,8 @@ object Similarity {
                       dim: Int = 64, residual: Boolean = false,
                       nBuckets: Int = 8,
                       assignmentLayout: String = "bucket",
-                      nVecParts: Int = 0): Long = {
+                      nVecParts: Int = 0,
+                      metaCols: Seq[String] = Nil): Long = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
     val c = prepCandidates(candidates)
@@ -1055,16 +1154,22 @@ object Similarity {
     val cb = pqCodebook(encBase, m, sub, ks, pqLloydIters)
       .withColumn("res", lit(residual))
     val codes = withPqCodes(encBase, cb, m, sub).select(col("cand_id"), col("pqcode"))
-    val assignedQ = assigned.select(col("centroid_id"), col("cand_id"))
-      .join(codes, Seq("cand_id"))
-      .select(col("centroid_id"), col("cand_id"), col("pqcode"))
+    // metadata gates ride BOTH the code rows (the filtered-probe scan)
+    // and the vectors table (so the crashed-append repair, which
+    // re-derives the batch from the orphan vectors slice, can restore
+    // them — meta that lived only in the crashed caller would be gone)
+    val assignedQ = withMeta(
+      assigned.select(col("centroid_id"), col("cand_id"))
+        .join(codes, Seq("cand_id"))
+        .select(col("centroid_id"), col("cand_id"), col("pqcode")),
+      candidates, metaCols)
     // the full-precision table lands FIRST (the postings-first
     // discipline: a crash after it leaves the raw data on disk, from
     // which repairIvfIndex COMPLETES the operation)
     val nVec = if (nVecParts > 0) nVecParts else autoVecShards(c.count())
     val vv = graft.sources.Versioned.overwritePartitioned(
-      c.select(col("cand_id"), col("cv"),
-        pmod(col("cand_id"), lit(nVec.toLong)).as("vec_part")),
+      withMeta(c.select(col("cand_id"), col("cv")), candidates, metaCols)
+        .withColumn("vec_part", pmod(col("cand_id"), lit(nVec.toLong))),
       s"$indexDir/vectors", "vec_part")
     val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
     val vb = graft.sources.Versioned.overwrite(cb, s"$indexDir/codebook")
@@ -1135,9 +1240,18 @@ object Similarity {
         .agg(org.apache.spark.sql.functions.max(sz(col("centv"))).as("__dim"))))
       .filter(sz(col("cv")) =!= col("__dim"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("__bad"))
-    val guardedVecs = c
-      .select(col("cand_id"), col("cv"),
-        pmod(col("cand_id"), lit(nVec.toLong)).as("vec_part"))
+    // a metadata-carrying index keeps its filtered-probe contract
+    // through appends (see appendToIvfIndex): the batch must supply the
+    // baked columns, and they land on BOTH tables, matching the build
+    val meta = assignmentMetaCols(
+      graft.sources.Versioned.read(spark, s"$indexDir/assignment"))
+    val metaMissing = meta.filterNot(batch.columns.contains)
+    require(metaMissing.isEmpty,
+      s"$indexDir assignment carries metadata column(s) " +
+        s"${meta.mkString(", ")} (filtered-probe gates); the append batch " +
+        s"must supply them — missing: ${metaMissing.mkString(", ")}")
+    val guardedVecs = withMeta(c.select(col("cand_id"), col("cv")), batch, meta)
+      .withColumn("vec_part", pmod(col("cand_id"), lit(nVec.toLong)))
       .crossJoin(broadcast(badDims))
       .filter(org.apache.spark.sql.functions.assert_true(
         col("__bad") === 0L,
@@ -1148,11 +1262,12 @@ object Similarity {
       .drop("__bad")
     val assignedB = assignTo(c, centroids)
     val encBase = if (residual) residualsOf(assignedB, centroids) else c
-    val assignedNew = assignedB
+    val assignedNew = withMeta(assignedB
       .select(col("centroid_id"), col("cand_id"))
       .join(withPqCodes(encBase, cb, m, sub).select(col("cand_id"), col("pqcode")),
         Seq("cand_id"))
-      .select(col("centroid_id"), col("cand_id"), col("pqcode"))
+      .select(col("centroid_id"), col("cand_id"), col("pqcode")),
+      batch, meta)
     val vv = graft.sources.Versioned.appendPartitioned(guardedVecs,
       s"$indexDir/vectors", "vec_part")
     val vc = graft.sources.Versioned.overwrite(centroids, s"$indexDir/centroids")
@@ -1178,7 +1293,31 @@ object Similarity {
   def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                       queries: DataFrame, k: Int, nProbes: Int = 4,
                       asOf: Option[Long] = None, m: Int = 8, ks: Int = 16,
-                      dim: Int = 64, residual: Boolean = false): DataFrame = {
+                      dim: Int = 64, residual: Boolean = false): DataFrame =
+    queryIvfPqIndexWhere(spark, indexDir, queries, k, nProbes, asOf, m, ks,
+      dim, residual, None)
+
+  /** [[queryIvfPqIndex]] with the [[queryIvfIndexFiltered]] metadata
+    * gate riding the probed code-row scan — the predicate applies to
+    * the full ADC-scored stream BEFORE the compressed ranking, so the
+    * shortlist is drawn from eligible candidates only (no starvation),
+    * and a predicate column the index does not carry refuses loudly.
+    */
+  def queryIvfPqIndexFiltered(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String, queries: DataFrame, k: Int,
+                              predicate: Column, nProbes: Int = 4,
+                              asOf: Option[Long] = None, m: Int = 8,
+                              ks: Int = 16, dim: Int = 64,
+                              residual: Boolean = false): DataFrame =
+    queryIvfPqIndexWhere(spark, indexDir, queries, k, nProbes, asOf, m, ks,
+      dim, residual, Some(predicate))
+
+  private def queryIvfPqIndexWhere(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String,
+                      queries: DataFrame, k: Int, nProbes: Int,
+                      asOf: Option[Long], m: Int, ks: Int,
+                      dim: Int, residual: Boolean,
+                      pred: Option[Column]): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val sub = dim / m
     if (asOf.isEmpty) {
@@ -1193,7 +1332,10 @@ object Similarity {
     val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids", asOf)
     val cb = pqResGuard(
       graft.sources.Versioned.read(spark, s"$indexDir/codebook", asOf), residual)
-    val assigned = graft.sources.Versioned.read(spark, s"$indexDir/assignment", asOf)
+    val assignedAll =
+      graft.sources.Versioned.read(spark, s"$indexDir/assignment", asOf)
+    pred.foreach(requirePredicateCols(indexDir, assignedAll, _))
+    val assigned = pred.map(assignedAll.filter).getOrElse(assignedAll)
 
     val q = queries
       .select(col("id").as("query_id"), VectorOps.toDoubleArray(col("vec")).as("qv"))
@@ -1255,15 +1397,42 @@ object Similarity {
                               k: Int, alpha: Int = 4,
                               nProbes: Int = 4, asOf: Option[Long] = None,
                               m: Int = 8, ks: Int = 16, dim: Int = 64,
-                              residual: Boolean = false): DataFrame = {
+                              residual: Boolean = false): DataFrame =
+    queryIvfPqIndexRerankedWhere(spark, indexDir, queries, k, alpha, nProbes,
+      asOf, m, ks, dim, residual, None)
+
+  /** [[queryIvfPqIndexReranked]] with the metadata gate on the ADC
+    * shortlist stage ([[queryIvfPqIndexFiltered]]): the k·alpha
+    * shortlist is drawn from ELIGIBLE candidates only, so the exact
+    * re-rank's top-k can never starve on gated neighbors — and the
+    * re-rank fetch needs no second gate (its input is already a subset
+    * of the filtered stream).
+    */
+  def queryIvfPqIndexRerankedFiltered(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String, queries: DataFrame,
+                              k: Int, predicate: Column, alpha: Int = 4,
+                              nProbes: Int = 4, asOf: Option[Long] = None,
+                              m: Int = 8, ks: Int = 16, dim: Int = 64,
+                              residual: Boolean = false): DataFrame =
+    queryIvfPqIndexRerankedWhere(spark, indexDir, queries, k, alpha, nProbes,
+      asOf, m, ks, dim, residual, Some(predicate))
+
+  private def queryIvfPqIndexRerankedWhere(
+                              spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String, queries: DataFrame,
+                              k: Int, alpha: Int,
+                              nProbes: Int, asOf: Option[Long],
+                              m: Int, ks: Int, dim: Int,
+                              residual: Boolean,
+                              pred: Option[Column]): DataFrame = {
     require(alpha >= 1, s"alpha must be >= 1, got $alpha")
     require(graft.sources.Versioned.exists(spark, s"$indexDir/vectors"),
       s"$indexDir has no vectors table — the exact re-rank serves the " +
         "shortlist from the index's own full-precision snapshot; rebuild " +
         "this (pre-vectors) index with buildIvfPqIndex")
     val shortlist = Retrieval.constraintFreeStage(
-      queryIvfPqIndex(spark, indexDir, queries, k * alpha,
-          nProbes, asOf, m, ks, dim, residual)
+      queryIvfPqIndexWhere(spark, indexDir, queries, k * alpha,
+          nProbes, asOf, m, ks, dim, residual, pred)
         .select(col("query_id"), col("cand_id")))
     val q = queries.select(col("id").as("query_id"),
       VectorOps.toDoubleArray(col("vec")).as("qv"))

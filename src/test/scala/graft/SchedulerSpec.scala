@@ -733,6 +733,47 @@ class SchedulerSpec extends SparkSpec {
     assert(covered.sorted == Seq(9L, 10L, 11L, 12L).map(_ * Day))
   }
 
+  test("backfill claims carry their OWN ttl: a short-ttl backfiller on " +
+      "another boundary must not drop a long-ttl claimant's live claim " +
+      "(the spurious mid-chain fence)") {
+    import graft.sources.Versioned
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("backfillttl").toString
+    var ran = List.empty[Long]
+    def stagesFor(b: Long): Seq[(String, () => Unit)] =
+      Seq("work" -> (() => ran ::= b))
+    // boundary 20 covered once so the claims table exists
+    assert(Scheduler.backfillStages(spark, dir, 20 * Day, stagesFor,
+      nowMs = 30 * Day, retries = 0, sleep = _ => ()).nonEmpty)
+    // plant a LIVE claim on boundary 21 with a LONG declared ttl (a
+    // slow in-flight run, claimed 2 days ago, ttl 10 days)
+    val v = Versioned.latestVersion(spark, s"$dir/claims")
+    Versioned.overwriteExpecting(
+      Seq((21 * Day, 28 * Day, "slow-owner", false, 10 * Day))
+        .toDF("boundary_ms", "claimed_at_ms", "owner", "released", "ttl_ms"),
+      s"$dir/claims", v + 1): Unit
+    // a backfiller on a DIFFERENT boundary with a SHORT ttl (1 hour —
+    // by which the slow claim would look stale) runs, and must carry
+    // the slow claim forward judged by ITS OWN ttl, not the caller's
+    assert(Scheduler.backfillStages(spark, dir, 22 * Day, stagesFor,
+      nowMs = 30 * Day, retries = 0, sleep = _ => (),
+      claimTtlMs = 3600 * 1000L).nonEmpty)
+    val after = Versioned.read(spark, s"$dir/claims")
+      .filter(col("boundary_ms") === 21 * Day && !col("released"))
+      .count()
+    assert(after == 1L,
+      "the long-ttl claim must survive a short-ttl peer's rewrite")
+    // and the slow claimant still excludes a takeover on its boundary
+    assert(Scheduler.backfillStages(spark, dir, 21 * Day, stagesFor,
+      nowMs = 30 * Day, retries = 0, sleep = _ => ()).isEmpty,
+      "the surviving claim must still exclude a second claimant")
+    // past its OWN ttl the claim goes stale and the boundary is
+    // backfillable again
+    assert(Scheduler.backfillStages(spark, dir, 21 * Day, stagesFor,
+      nowMs = 39 * Day, retries = 0, sleep = _ => ()).nonEmpty)
+    assert(ran.count(_ == 21 * Day) == 1)
+  }
+
   test("a compaction crash between index commits can never eat the NEXT " +
       "boundary's batch: compact stages heal at their own boundary and " +
       "append stages verify the batch landed after a repair") {

@@ -956,4 +956,121 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(Similarity.queryIvfPqIndex(spark, idx, q, k = 5, nProbes = 8,
       residual = true, asOf = Some(0L))) == before)
   }
+
+  test("filtered IVF probe (metadata gate baked at build): exhaustive " +
+      "probes ≡ brute force over the FILTERED corpus, pruned probes keep " +
+      "a recall floor vs that filtered truth, a predicate column the " +
+      "index lacks refuses loudly, and appends keep the contract") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    val q = e.filter(col("id") < 4)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_meta").toString
+    Similarity.buildIvfIndex(e, idx, nCentroids = 8,
+      assignmentLayout = "partition", metaCols = Seq("label")): Unit
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("cand_id"), col("sim"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    def filteredBrute(corpus: org.apache.spark.sql.DataFrame) =
+      pairs(Similarity.bruteForceTopK(q, corpus.filter(col("label") === 3), 5))
+    val wantExact = filteredBrute(e)
+    // exhaustive probes: EXACTLY the brute force over the filtered
+    // corpus — the filter applied to the full scored set BEFORE ranking
+    // (a gated post-filter would starve queries whose neighbors are
+    // gated; this is the hardNegativesIndexed contract generalized)
+    assert(pairs(Similarity.queryIvfIndexFiltered(spark, idx, q, k = 5,
+      predicate = col("label") === 3, nProbes = 8)) == wantExact)
+    // pruned probes: recall measured against the FILTERED truth (the
+    // unfiltered truth is unreachable by construction — its gated
+    // neighbors no probe count could return)
+    val got2 = pairs(Similarity.queryIvfIndexFiltered(spark, idx, q, k = 5,
+      predicate = col("label") === 3, nProbes = 2))
+    val hit = got2.map(r => (r._1, r._2)).toSet
+      .intersect(wantExact.map(r => (r._1, r._2)).toSet)
+    assert(hit.size * 2 >= wantExact.size,
+      s"2-of-8-probe filtered recall collapsed: ${hit.size}/${wantExact.size}")
+    // a predicate column the index does not carry refuses loudly —
+    // silently scoring unfiltered would be a wrong answer, not a
+    // degradation
+    val err = intercept[IllegalArgumentException] {
+      Similarity.queryIvfIndexFiltered(spark, idx, q, k = 5,
+        predicate = col("license") === "mit")
+    }
+    assert(err.getMessage.contains("metaCols"))
+    // appends supply the baked columns and the contract survives
+    val batch = e.filter(col("id") < 20)
+      .select((col("id") + 50000L).as("id"), col("vec"), col("label"))
+    Similarity.appendToIvfIndex(batch, idx): Unit
+    assert(pairs(Similarity.queryIvfIndexFiltered(spark, idx, q, k = 5,
+      predicate = col("label") === 3, nProbes = 8)) ==
+      filteredBrute(e.unionByName(batch)))
+    // ...and a batch MISSING a baked column refuses before any commit
+    val vBefore = graft.sources.Versioned.latestVersion(spark, s"$idx/assignment")
+    val err2 = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(
+        batch.drop("label").select((col("id") + 90000L).as("id"), col("vec")),
+        idx)
+    }
+    assert(err2.getMessage.contains("label"))
+    assert(graft.sources.Versioned.latestVersion(spark, s"$idx/assignment")
+      == vBefore, "a refused append must commit nothing")
+  }
+
+  test("filtered IVF-PQ re-rank: the gate rides the ADC shortlist stage " +
+      "(the exact top-k never starves on gated neighbors); a crashed " +
+      "meta-carrying append repairs with its metadata intact") {
+    import graft.sources.Versioned
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    val q = e.filter(col("id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSeq
+    val all  = java.nio.file.Files.createTempDirectory("graft_pqf_all").toString
+    val fl   = java.nio.file.Files.createTempDirectory("graft_pqf_flt").toString
+    Similarity.buildIvfPqIndex(e, all, nCentroids = 8,
+      metaCols = Seq("label")): Unit
+    Similarity.buildIvfPqIndex(e.filter(col("label") === 3), fl,
+      nCentroids = 8): Unit
+    // exhaustive probes + corpus-covering alpha: the filtered re-rank
+    // over the SHARED index equals the exact path over a filtered-corpus
+    // twin index — both reduce to the exact dot top-k over the eligible
+    // set (codebooks differ; the covered shortlist makes that moot)
+    val got = rows(Similarity.queryIvfPqIndexRerankedFiltered(spark, all, q,
+      k = 5, predicate = col("label") === 3, alpha = 200, nProbes = 8))
+    assert(got == rows(Similarity.queryIvfPqIndexReranked(spark, fl, q,
+      k = 5, alpha = 200, nProbes = 8)))
+    // the PQ probe refuses un-baked predicate columns too
+    val err = intercept[IllegalArgumentException] {
+      Similarity.queryIvfPqIndexFiltered(spark, all, q, k = 5,
+        predicate = col("license") === "mit")
+    }
+    assert(err.getMessage.contains("metaCols"))
+    // crashed append on the meta index: the batch's vectors land (WITH
+    // their metadata — the build writes meta onto the vectors table
+    // precisely for this repair), nothing else commits; repair completes
+    // the append and the restored assignment rows carry the label
+    val batch = e.filter(col("id").between(100, 119))
+      .select((col("id") + 50000L).as("id"), col("vec"), col("label"))
+    val twin = java.nio.file.Files.createTempDirectory("graft_pqf_tw").toString
+    Similarity.buildIvfPqIndex(e, twin, nCentroids = 8,
+      metaCols = Seq("label")): Unit
+    Similarity.appendToIvfPqIndex(batch, twin): Unit // the uncrashed twin
+    val nShards = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(all, "vec_parts").toPath), "UTF-8")
+      .trim.split(" ")(0).toInt
+    Versioned.appendPartitioned(
+      batch.select(col("id").as("cand_id"),
+          VectorOps.toDoubleArray(col("vec")).as("cv"), col("label"))
+        .withColumn("vec_part", pmod(col("cand_id"), lit(nShards.toLong))),
+      s"$all/vectors", "vec_part"): Unit
+    assert(Similarity.repairIvfIndex(spark, all) == 1L)
+    assert(Versioned.read(spark, s"$all/assignment")
+      .filter(col("cand_id") >= 50000L && col("label").isNull).isEmpty,
+      "the repaired assignment rows must carry the batch's metadata")
+    assert(rows(Similarity.queryIvfPqIndexRerankedFiltered(spark, all, q,
+      k = 5, predicate = col("label") === 3, alpha = 200, nProbes = 8)) ==
+      rows(Similarity.queryIvfPqIndexRerankedFiltered(spark, twin, q,
+        k = 5, predicate = col("label") === 3, alpha = 200, nProbes = 8)),
+      "repair must complete the meta append — filtered serving identical " +
+        "to the uncrashed twin")
+  }
 }
