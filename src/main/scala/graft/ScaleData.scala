@@ -45,11 +45,16 @@ object ScaleData {
     val docSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val docReps = (1 until factor).map { k =>
       docs.withColumn("doc_id", col("doc_id") + lit(k.toLong * docSpan))
-        // a replica-unique rare suffix: text is never an exact dup and
-        // the appended tokens are Zipf-tail (df 1), so dedup/stats
-        // queries keep realistic selectivity at the bigger tier
-        .withColumn("text", concat(col("text"), lit(s" rep${k}tok"),
-          pmod(col("doc_id") * 131, lit(9973L)).cast("string")))
+        // rewrite EVERY token with a replica tag (the ScaleProbe
+        // .replicate discipline): replicas then share no shingles,
+        // fingerprints, or minhash bands with their originals — a
+        // one-suffix perturbation left each replica a NEAR-DUP of its
+        // original, so the near-dup pair graph (and every funnel built
+        // on it) grew ~replicas² — probe-injected super-linearity the
+        // first sf0.3 run measured as a phantom 3.7× slope on q117
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            t => concat(lit(s"r$k"), t)), " "))
     }
     docReps.foldLeft(docs)(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")

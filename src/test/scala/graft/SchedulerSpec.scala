@@ -648,6 +648,91 @@ class SchedulerSpec extends SparkSpec {
     assert(Versioned.read(spark, s"$work/bm25/postings").count() > 0)
   }
 
+  test("DailyMaintenance with a df-cap ratio: day-0 builds derive doc- AND " +
+      "chunk-grain stop sets, appends inherit the frozen sets through the " +
+      "shared sidecar, the day-2 compaction RE-DERIVES them over the grown " +
+      "corpus, and survivors score exactly as a fresh ratio-capped build") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Versioned
+    import graft.operators.Retrieval
+    val work = java.nio.file.Files.createTempDirectory("graft-dailycap").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // days 1–2 carry a boilerplate burst the day-0 build never saw (a
+    // new spam template): 'promoblock' ends at union df 200/300 > 0.5 —
+    // the post-build-burst shape the compaction recap exists for
+    def dayDocs(k: Int) = {
+      val base =
+        docs.filter(col("doc_id") >= k * 100 && col("doc_id") < (k + 1) * 100)
+      if (k == 0) base
+      else base.withColumn("text", concat(lit("promoblock "), col("text")))
+    }
+    def dayVecs(k: Int) =
+      vecs.filter(col("id") >= k * 100 && col("id") < (k + 1) * 100)
+    def dayOf(b: Long): Int = (b / Day - 9).toInt
+    (0 until 3).foreach { k =>
+      val res = graft.app.DailyMaintenance.tick(spark, work,
+        b => dayDocs(dayOf(b)), b => dayVecs(dayOf(b)),
+        nowMs = (10 + k) * Day + 5,
+        intervalMs = Day, retries = 0, retryDelayMs = 1L, sleep = _ => (),
+        compactEvery = 2, retainVersions = 1,
+        stopMaxDfRatio = Some(0.5))
+      assert(res.nonEmpty && res.forall(_._2.last.ok),
+        s"day $k had a failed stage: ${res.filter(!_._2.last.ok).map(_._1)}")
+    }
+    val union = dayDocs(0).unionByName(dayDocs(1)).unionByName(dayDocs(2))
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getString(0)).toSeq
+    // the recap covers BOTH epochs of heaviness: tokens heavy at the
+    // day-0 build were never stored, tokens that became heavy only once
+    // the corpus grew were dropped by the day-2 compaction's recap —
+    // the full union-derived heavy set is absent at BOTH grains
+    val heavyDocU = toks(Retrieval.heavyTokens(union,
+      col("doc_id"), col("text"), 0.5))
+    val heavyChunkU = toks(Retrieval.heavyChunkTokens(union,
+      col("doc_id"), col("text"), 32, 16, 0.5))
+    val newlyDoc = heavyDocU.diff(toks(Retrieval.heavyTokens(dayDocs(0),
+      col("doc_id"), col("text"), 0.5)))
+    assert(heavyDocU.nonEmpty && heavyChunkU.nonEmpty,
+      "fixture drift: the ratio must derive non-empty stop sets")
+    assert(newlyDoc.contains("promoblock"),
+      "the planted burst token must be newly heavy (absent at day 0)")
+    assert(Versioned.read(spark, s"$work/bm25/postings")
+      .filter(col("tok").isInCollection(heavyDocU)).isEmpty,
+      "doc-grain postings must carry neither build-heavy nor newly-heavy tokens")
+    assert(Versioned.read(spark, s"$work/chunks/postings")
+      .filter(col("tok").isInCollection(heavyChunkU)).isEmpty,
+      "chunk-grain postings must carry neither build-heavy nor newly-heavy tokens")
+    // survivors score EXACTLY as a fresh ratio-capped build over the
+    // union (true corpus stats on both sides — the q183 invariant,
+    // held through 2 appends and a recapping compaction)
+    val freshC = java.nio.file.Files.createTempDirectory("graft-dailycapf").toString
+    Retrieval.buildChunkBm25Index(union, col("doc_id"), col("text"),
+      s"$freshC/chunks", size = 32, stride = 16,
+      stopTokens = heavyChunkU, stopMaxDfRatio = Some(0.5)): Unit
+    def chunkQ(dir: String, terms: Seq[String]) =
+      Retrieval.queryChunkBm25Index(spark, dir, terms, k = 10)
+        .collect().map(_.toSeq).toSeq
+    assert(chunkQ(s"$work/chunks", Seq("dup")) ==
+      chunkQ(s"$freshC/chunks", Seq("dup")),
+      "maintained chunk index must serve survivors exactly as fresh-capped")
+    // a term stopped by the recap contributes nothing, mixed queries
+    // rank by survivors alone — on the maintained index
+    val stoppedC = heavyChunkU.head
+    assert(!heavyChunkU.contains("dup"), "fixture drift: dup must survive")
+    assert(chunkQ(s"$work/chunks", Seq(stoppedC)).isEmpty)
+    assert(chunkQ(s"$work/chunks", Seq(stoppedC, "dup")) ==
+      chunkQ(s"$work/chunks", Seq("dup")))
+    // and the NEXT append still filters with the recapped (enlarged) set
+    Retrieval.appendToChunkBm25Index(
+      Seq((900001L, (s"$stoppedC dup " * 4).trim)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), s"$work/chunks"): Unit
+    assert(Versioned.read(spark, s"$work/chunks/postings")
+      .filter(col("tok") === stoppedC).isEmpty,
+      "appends after the recap must inherit the enlarged frozen set")
+  }
+
   test("a fresh unreleased claim on a COVERED boundary is releasable at " +
       "acquire: a failed release never stalls the historyDir until TTL") {
     val dir = java.nio.file.Files.createTempDirectory("claimcov").toString
