@@ -206,6 +206,57 @@ object RetrievalQueries {
   // oracle replays BOTH rankers (the q153 BM25 CTEs + the q98 IVF
   // probe CTEs) AND the fusion in one statement — every rank and the
   // DECIMAL-exact fused sum hash-match end-to-end.
+  // ---------------------------------------------------------------------
+  // [EXT] metadata-FILTERED BM25 — the lexical half of filtered
+  // retrieval (q184 is the embedding half): the gate column (`lang`) is
+  // DENORMALIZED onto every postings row at build (metaCols — the dl
+  // discipline), so the predicate runs inside the token-pruned scan
+  // with no doc-meta join per query. Lucene filtered-search semantics:
+  // df stays INDEX-GLOBAL (the gate changes WHO ranks, never how a
+  // survivor scores — a gated document's score is IDENTICAL to its
+  // q147 score), the gate applies to the full matching set BEFORE
+  // ranking (no starvation), and a predicate over un-baked columns
+  // refuses loudly. The oracle replays global df + the gated scoring.
+  private def cachedBm25Meta(spark: SparkSession, dir: String): String =
+    graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "bm25metaq",
+      "postings", "stats")(
+      Retrieval.buildBm25Index(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), _,
+        metaCols = Seq("lang")): Unit)
+
+  def q185Bm25Filtered(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.queryBm25IndexFiltered(spark, cachedBm25Meta(spark, dir),
+      bmTerms, k = 20, predicate = col("lang") === "en")
+
+  private val q185Sql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+      |tf AS (
+      |  SELECT doc_id, lang, dl, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, lang, dl, unnest(toks) AS tok FROM d)
+      |  WHERE tok IN ('dup', 'spark', 'hash')
+      |  GROUP BY 1, 2, 3, 4),
+      |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |term AS (
+      |  SELECT tf.doc_id,
+      |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+      |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |          * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS t
+      |  FROM tf JOIN dfs USING (tok) CROSS JOIN stats
+      |  WHERE tf.lang = 'en')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
+      |FROM term GROUP BY doc_id
+      |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
   def q166HybridRrf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val terms = Seq((0L, Seq("dup", "spark")), (1L, Seq("hash", "join", "table")))
@@ -305,6 +356,160 @@ object RetrievalQueries {
        |          * (0.25 + 0.75 * CAST(dl AS DOUBLE)
        |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS t
        |  FROM hits h JOIN dfs USING (query_id, tok) CROSS JOIN stats),
+       |lexscored AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
+       |  FROM term GROUP BY 1, 2),
+       |lexr AS (
+       |  SELECT query_id, doc_id, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rn FROM lexscored)
+       |  WHERE rn <= 20),
+       |contrib AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(CAST(1.0 AS DOUBLE) / (60 + rn) AS DECIMAL(27,10)) AS rw
+       |  FROM lexr
+       |  UNION ALL
+       |  SELECT query_id, doc_id,
+       |    CAST(CAST(1.0 AS DOUBLE) / (60 + rn) AS DECIMAL(27,10)) AS rw
+       |  FROM semr),
+       |fused AS (
+       |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_rankers,
+       |    CAST(sum(rw) AS DOUBLE) AS rrf
+       |  FROM contrib GROUP BY 1, 2)
+       |SELECT query_id, doc_id, n_rankers, rrf FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused)
+       |WHERE rn <= 10
+       |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // [EXT] end-to-end FILTERED hybrid retrieval — ONE metadata gate
+  // (lang = 'en') applied to BOTH persisted arms before fusion: the
+  // lexical arm gates inside its token-pruned postings scan (metaCols
+  // denormalized per posting, df stays index-global), the semantic arm
+  // inside its probed centroid buckets (metaCols on assignment rows,
+  // pushed into the scan), and both gate the FULL scored set before
+  // their top-kEach, so no arm starves on gated neighbors and the
+  // fusion sees only eligible documents. This is the serving shape of
+  // a multilingual / license-gated RAG deployment. The oracle replays
+  // both gated rankers AND the RRF fusion in one statement.
+  def q186HybridFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq((0L, Seq("dup", "spark")), (1L, Seq("hash", "join", "table")))
+      .toDF("query_id", "terms")
+    val vecs = Tables.embeddings(spark, dir).filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("vec"))
+    val ivfLang = graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "embeddings.parquet"), "ivf_c16_l2lang",
+      "centroids", "assignment")(d => {
+        // the gate column rides in from the documents table by id (the
+        // corpus' embeddings are 1:1 with its documents); baked once at
+        // build, joined never again at query time
+        val e = Tables.embeddings(spark, dir)
+          .join(Tables.documents(spark, dir)
+            .select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+          .select(col("vec_id").as("id"), col("embedding").as("vec"),
+            col("lang"))
+        graft.operators.Similarity.buildIvfIndex(e, d, nCentroids = 16,
+          lloydIters = 2, metaCols = Seq("lang")): Unit
+      })
+    Retrieval.hybridSearchFiltered(spark, cachedBm25Meta(spark, dir),
+      ivfLang, terms.join(vecs, Seq("query_id")), k = 10,
+      predicate = col("lang") === "en", kEach = 20)
+  }
+
+  private val q186Sql = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i]))"
+    def lloyd(prev: String, asg: String, mean: String, next: String) =
+      s"""$asg AS (
+         |  SELECT centroid_id, cv FROM (
+         |    SELECT c.centroid_id, b.v AS cv,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+         |                 c.centroid_id ASC) AS rn
+         |    FROM base b CROSS JOIN $prev c)
+         |  WHERE rn = 1),
+         |$mean AS (
+         |  SELECT centroid_id, i,
+         |    CAST(sum(CAST(cv[i] AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+         |  FROM $asg CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+         |  GROUP BY 1, 2),
+         |$next AS (
+         |  SELECT centroid_id, v, list_sum(list_transform(v, x -> x * x)) AS nsq
+         |  FROM (SELECT centroid_id, list(m ORDER BY i) AS v FROM $mean GROUP BY 1))"""
+        .stripMargin
+    s"""WITH base AS (
+       |  SELECT e.vec_id, dd.lang, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+       |  FROM embeddings e JOIN documents dd ON dd.doc_id = e.vec_id),
+       |cent0 AS (
+       |  SELECT vec_id AS centroid_id, v, nsq FROM base
+       |  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+       |           vec_id ASC
+       |  LIMIT 16),
+       |${lloyd("cent0", "asg1", "m1", "cent1")},
+       |${lloyd("cent1", "asg2", "m2", "cent2")},
+       |assigned AS (
+       |  SELECT centroid_id, cand_id, lab, cv, cnsq FROM (
+       |    SELECT c.centroid_id, b.vec_id AS cand_id, b.lang AS lab,
+       |      b.v AS cv, b.nsq AS cnsq,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent2 c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id, qv, qnsq FROM (
+       |    SELECT b.vec_id AS query_id, c.centroid_id, b.v AS qv, b.nsq AS qnsq,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent2 c
+       |    WHERE b.vec_id < 2)
+       |  WHERE rn <= 4),
+       |semscored AS (
+       |  SELECT p.query_id, a.cand_id,
+       |    list_sum(list_transform(range(1, 65), i -> p.qv[i] * a.cv[i]))
+       |      / (sqrt(p.qnsq) * sqrt(a.cnsq)) AS sim
+       |  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+       |  WHERE a.cand_id <> p.query_id AND a.lab = 'en'),
+       |semr AS (
+       |  SELECT query_id, cand_id AS doc_id, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, cand_id ASC) AS rn FROM semscored)
+       |  WHERE rn <= 20),
+       |q AS (
+       |  SELECT * FROM (VALUES (CAST(0 AS BIGINT), ['dup', 'spark']),
+       |                        (CAST(1 AS BIGINT), ['hash', 'join', 'table']))
+       |    AS v(query_id, terms)),
+       |qt AS (SELECT DISTINCT query_id, unnest(terms) AS tok FROM q),
+       |d AS (
+       |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |tf AS (
+       |  SELECT doc_id, lang, dl, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, lang, dl, unnest(toks) AS tok FROM d)
+       |  GROUP BY 1, 2, 3, 4),
+       |hits AS (SELECT qt.query_id, tf.* FROM tf JOIN qt USING (tok)),
+       |dfs AS (
+       |  SELECT query_id, tok, CAST(count(*) AS BIGINT) AS df
+       |  FROM hits GROUP BY 1, 2),
+       |term AS (
+       |  SELECT h.query_id, h.doc_id,
+       |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+       |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+       |          * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+       |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS t
+       |  FROM hits h JOIN dfs USING (query_id, tok) CROSS JOIN stats
+       |  WHERE h.lang = 'en'),
        |lexscored AS (
        |  SELECT query_id, doc_id,
        |    CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
@@ -1354,6 +1559,8 @@ object RetrievalQueries {
     "q152_phrase_index" -> (q152PhraseIndex _),
     "q153_bm25_many"    -> (q153Bm25Many _),
     "q166_hybrid_rrf"   -> (q166HybridRrf _),
+    "q185_bm25_filtered" -> (q185Bm25Filtered _),
+    "q186_hybrid_filtered" -> (q186HybridFiltered _),
     "q167_chunk_bm25"   -> (q167ChunkBm25 _),
     "q168_chunk_index"  -> (q168ChunkIndex _),
     "q169_chunk_hybrid" -> (q169ChunkHybrid _),
@@ -1376,6 +1583,8 @@ object RetrievalQueries {
     "q152_phrase_index" -> q152Sql,
     "q153_bm25_many"    -> q153Sql,
     "q166_hybrid_rrf"   -> q166Sql,
+    "q185_bm25_filtered" -> q185Sql,
+    "q186_hybrid_filtered" -> q186Sql,
     "q167_chunk_bm25"   -> q167Sql,
     // the persisted chunk index replays q167's inline pipeline
     "q168_chunk_index"  -> q167Sql,

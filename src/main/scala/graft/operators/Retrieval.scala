@@ -116,12 +116,20 @@ object Retrieval {
     * 1-based position list — the Lucene posting shape that makes
     * phrase queries index-only. Shared by build and append.
     */
-  private def postingsOf(base: DataFrame): DataFrame = base
-    .select(col("doc_id"), col("dl"), posexplode(col("toks")))
-    .groupBy(col("col").as("tok"), col("doc_id"), col("dl"))
+  private def postingsOf(base: DataFrame,
+                         metaCols: Seq[String] = Nil): DataFrame = base
+    .select((col("doc_id") +: col("dl") +: metaCols.map(col) :+
+      posexplode(col("toks"))): _*)
+    // metadata gate columns ride the grouping keys (functionally
+    // dependent on doc_id — the dl denormalization discipline applied
+    // to filtered search: a probe's predicate then runs INSIDE the
+    // token-pruned scan, no doc-meta join per query)
+    .groupBy((col("col").as("tok") +: col("doc_id") +: col("dl") +:
+      metaCols.map(col)): _*)
     .agg(count(lit(1)).as("tf"),
          sort_array(collect_list(col("pos") + 1)).as("positions"))
-    .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("positions"))
+    .select((col("tok") +: col("doc_id") +: col("tf") +: col("dl") +:
+      col("positions") +: metaCols.map(col)): _*)
 
   /** Deterministic token shard in [0, nParts): md5-derived, the
     * engine's cross-run/cross-engine-stable hash family (the
@@ -202,11 +210,14 @@ object Retrieval {
                      indexDir: String, nBuckets: Int = 8,
                      layout: String = "bucket", nPartDirs: Int = 16,
                      stopTokens: Seq[String] = Nil,
-                     stopMaxDfRatio: Option[Double] = None): Long = {
+                     stopMaxDfRatio: Option[Double] = None,
+                     metaCols: Seq[String] = Nil): Long = {
     val spark = docs.sparkSession
-    val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
-    val postings0 = postingsOf(base)
+    val base = docs.select((id.as("doc_id") +:
+        TextOps.tokens(text).as("toks") +: metaCols.map(col)): _*)
+      .select((col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+        col("toks") +: metaCols.map(col)): _*)
+    val postings0 = postingsOf(base, metaCols)
     val postings =
       if (stopTokens.isEmpty) postings0
       else postings0.filter(!col("tok").isInCollection(stopTokens))
@@ -567,14 +578,25 @@ object Retrieval {
     require(vPost == vStats, s"BM25 index tables out of lockstep (postings " +
       s"v$vPost, stats v$vStats) — a build or append crashed between " +
       "commits; run repairBm25Index, then retry")
-    val base = batch.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+    // a metadata-carrying index keeps its filtered-probe contract
+    // through appends: the batch must supply the SAME baked columns
+    // (the Similarity.withMeta discipline at the lexical layer)
+    val meta = postingsMetaCols(Versioned.read(spark, s"$indexDir/postings"))
+    val metaMissing = meta.filterNot(batch.columns.contains)
+    require(metaMissing.isEmpty,
+      s"$indexDir postings carry metadata column(s) ${meta.mkString(", ")} " +
+        "(filtered-probe gates); the append batch must supply them — " +
+        s"missing: ${metaMissing.mkString(", ")}")
+    val base = batch.select((id.as("doc_id") +:
+        TextOps.tokens(text).as("toks") +: meta.map(col)): _*)
+      .select((col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+        col("toks") +: meta.map(col)): _*)
     // a capped index filters every batch with its FROZEN stop set (from
     // the sidecar, never the caller) — stats stay true corpus stats
     val postings = stopTokensOf(spark, indexDir) match {
       case Some(stops) =>
-        postingsOf(base).filter(!col("tok").isInCollection(stops))
-      case None => postingsOf(base)
+        postingsOf(base, meta).filter(!col("tok").isInCollection(stops))
+      case None => postingsOf(base, meta)
     }
     val delta = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val merged = Versioned.read(spark, s"$indexDir/stats", Some(vStats))
@@ -845,6 +867,79 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Postings columns beyond the core shape = caller-baked metadata
+    * (the filtered-probe gate columns). */
+  private def postingsMetaCols(posts: DataFrame): Seq[String] =
+    posts.columns.toSeq.filterNot(
+      Set("tok", "doc_id", "tf", "dl", "positions", "tok_part"))
+
+  private def requirePostingsPredicate(indexDir: String, posts: DataFrame,
+                                       predicate: Column): Unit =
+    try posts.filter(predicate).queryExecution.analyzed: Unit
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$indexDir postings cannot resolve the probe predicate " +
+            s"`$predicate` — the filtered probe gates candidates inside " +
+            "the token-pruned scan, so the predicate may only reference " +
+            "columns baked into the index at build (metaCols; available " +
+            s"metadata here: ${postingsMetaCols(posts) match {
+              case Nil => "none — this index was built without metaCols"
+              case ms => ms.mkString(", ")
+            }}). Rebuild with the column in metaCols, or gate through a " +
+            s"doc-meta relation joined post-probe. Analyzer: ${
+              e.getSimpleMessage}", e)
+    }
+
+  /** Metadata-FILTERED BM25 probe — the lexical half of filtered
+    * retrieval ([[graft.operators.Similarity.queryIvfIndexFiltered]] is
+    * the embedding half): the caller's predicate gates CANDIDATES, over
+    * columns baked into the postings rows at build (`metaCols` —
+    * denormalized per posting exactly like the doc length, so the gate
+    * runs inside the token-pruned scan with no doc-meta join per
+    * query). Semantics follow Lucene's filtered search: term statistics
+    * stay INDEX-GLOBAL — df counts every matching document, gated or
+    * not, and the corpus stats table is untouched — so a document's
+    * score is IDENTICAL to its unfiltered score (the gate changes WHO
+    * ranks, never HOW a survivor scores; a sub-corpus re-weighting
+    * would make the same document score differently under every gate,
+    * and both df variants read the same token-pruned slice anyway).
+    * The gate applies to the full matching set BEFORE ranking (the
+    * no-starvation contract), and a predicate naming a column the
+    * index lacks refuses loudly.
+    */
+  def queryBm25IndexFiltered(spark: SparkSession, indexDir: String,
+                             terms: Seq[String], k: Int, predicate: Column,
+                             k1: Double = K1, b: Double = B,
+                             asOf: Option[Long] = None): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    if (asOf.isEmpty) {
+      val vp = Versioned.latestVersion(spark, s"$indexDir/postings")
+      val vs = Versioned.latestVersion(spark, s"$indexDir/stats")
+      require(vp == vs, s"BM25 index tables out of lockstep (postings v$vp, " +
+        s"stats v$vs) — an append or build crashed between commits; run " +
+        "repairBm25Index, or pin an intact version with asOf")
+    }
+    val posts = Versioned.read(spark, s"$indexDir/postings", asOf)
+    requirePostingsPredicate(indexDir, posts, predicate)
+    val slice = shardPruned(spark, indexDir, posts, terms, asOf)
+      .filter(col("tok").isInCollection(terms))
+    // df from the UNgated slice (index-global idf), scoring over the
+    // gated rows — both consume the same token-pruned scan
+    val dfTab = slice.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = Versioned.read(spark, s"$indexDir/stats", asOf)
+    slice.filter(predicate)
+      .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
+      .join(dfTab, Seq("tok"))
+      .crossJoin(stats) // 1 row — broadcast nested loop by construction
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+           sum(bmTermExpr(k1, b).cast("decimal(27,10)")).as("s"))
+      .select(col("doc_id"), col("n_terms"), col("s").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** MANY queries against the persisted index in ONE postings pass —
     * the batch-serving shape (and what [[graft.streaming.StreamJobs]]'s
     * search stream runs per micro-batch): `queries` is (query_id,
@@ -878,7 +973,8 @@ object Retrieval {
       else None
     val posts = postsAll.select(
       (partN.map(_ => col("tok_part")).toSeq ++
-        Seq(col("doc_id"), col("dl"), col("tok"), col("tf"))): _*)
+        Seq(col("doc_id"), col("dl"), col("tok"), col("tf")) ++
+        postingsMetaCols(postsAll).map(col)): _*)
     val qt0 = queries
       .select(col("query_id"), explode(col("terms")).as("tok")).distinct()
     val (qt, joinKeys) = partN match {
@@ -911,6 +1007,48 @@ object Retrieval {
     val dfTab = hits.groupBy(col("query_id"), col("tok"))
       .agg(count(lit(1)).as("df"))
     val scored = hits.join(dfTab, Seq("query_id", "tok"))
+      .crossJoin(stats)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+           sum(bmTermExpr(k1, b).cast("decimal(27,10)")).as("s"))
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        col("s").cast("double").as("score"))
+    Ranking.topPerGroup(scored, Seq(col("query_id")),
+        Seq(col("score").desc, col("doc_id").asc), k)
+      .select(col("query_id"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  /** [[queryBm25IndexFiltered]] at serving batch width — MANY queries,
+    * one predicate-gated postings pass: identical probe shape to
+    * [[queryBm25IndexMany]] (broadcast term join, DPP on a partition
+    * layout — the hits carry the baked metadata columns through the
+    * seam), df stays INDEX-GLOBAL per query (Lucene filtered-search
+    * semantics: the gate changes WHO ranks, never how a survivor
+    * scores), and the gate applies to the full matching set before
+    * ranking. Output: (query_id, doc_id, n_terms, score) top-k/query.
+    */
+  def queryBm25IndexManyFiltered(spark: SparkSession, indexDir: String,
+                                 queries: DataFrame, k: Int,
+                                 predicate: Column,
+                                 k1: Double = K1, b: Double = B,
+                                 asOf: Option[Long] = None): DataFrame = {
+    if (asOf.isEmpty) {
+      val vp = Versioned.latestVersion(spark, s"$indexDir/postings")
+      val vs = Versioned.latestVersion(spark, s"$indexDir/stats")
+      require(vp == vs, s"BM25 index tables out of lockstep (postings v$vp, " +
+        s"stats v$vs) — an append or build crashed between commits; run " +
+        "repairBm25Index, or pin an intact version with asOf")
+    }
+    requirePostingsPredicate(indexDir,
+      Versioned.read(spark, s"$indexDir/postings", asOf), predicate)
+    val stats = Versioned.read(spark, s"$indexDir/stats", asOf)
+    val hits = bm25ManyHits(spark, indexDir, queries, asOf)
+      .localCheckpoint(eager = false)
+    val dfTab = hits.groupBy(col("query_id"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val scored = hits.filter(predicate)
+      .join(dfTab, Seq("query_id", "tok"))
       .crossJoin(stats)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
@@ -1489,6 +1627,38 @@ object Retrieval {
     val sem = Similarity.queryIvfIndex(spark, ivfDir,
         queries.select(col("query_id").as("id"), col("vec")), kEach,
         nProbes, asOf = ivfAsOf)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        col("sim").as("score"))
+    rrfFuse(Seq(lex, sem), k, c)
+  }
+
+  /** [[hybridSearch]] with ONE metadata gate applied to BOTH arms —
+    * end-to-end FILTERED retrieval, the shape a multilingual /
+    * license-gated RAG deployment actually serves: the lexical arm
+    * gates inside its token-pruned postings scan
+    * ([[queryBm25IndexManyFiltered]] — gate columns denormalized onto
+    * postings rows at build), the semantic arm inside its probed
+    * centroid buckets ([[Similarity.queryIvfIndexFiltered]] — gate
+    * columns baked onto assignment rows), and BOTH apply the gate to
+    * the full scored set before their top-kEach (no arm can starve on
+    * gated neighbors), so the fusion sees only eligible documents.
+    * The SAME Column predicate resolves against each index's own baked
+    * columns — build both with the same metaCols names; either side
+    * missing them refuses loudly.
+    */
+  def hybridSearchFiltered(spark: SparkSession, bm25Dir: String,
+                           ivfDir: String, queries: DataFrame, k: Int,
+                           predicate: Column,
+                           kEach: Int = 20, nProbes: Int = 4, c: Int = 60,
+                           bm25AsOf: Option[Long] = None,
+                           ivfAsOf: Option[Long] = None): DataFrame = {
+    val lex = queryBm25IndexManyFiltered(spark, bm25Dir,
+        queries.select(col("query_id"), col("terms")), kEach, predicate,
+        asOf = bm25AsOf)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    val sem = Similarity.queryIvfIndexFiltered(spark, ivfDir,
+        queries.select(col("query_id").as("id"), col("vec")), kEach,
+        predicate, nProbes, asOf = ivfAsOf)
       .select(col("query_id"), col("cand_id").as("doc_id"),
         col("sim").as("score"))
     rrfFuse(Seq(lex, sem), k, c)

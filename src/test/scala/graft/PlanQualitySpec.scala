@@ -51,7 +51,10 @@ class PlanQualitySpec extends SparkSpec {
     "q141_tpch_q20",
     // 1-row corpus stats (N, Σdl) / min-max range stats broadcasts
     "q146_bm25", "q147_bm25_index", "q148_zorder_key", "q153_bm25_many",
-    "q183_bm25_stopped",
+    "q183_bm25_stopped", "q185_bm25_filtered",
+    // filtered hybrid: the gated q147 stats broadcast + the gated q116
+    // probe's broadcast centroid-array scoring
+    "q186_hybrid_filtered",
     // chunk-grain BM25: same 1-row (N, Σdl) stats broadcast, chunk corpus
     "q167_chunk_bm25", "q168_chunk_index",
     // 1-row corpus total broadcast onto the candidate recount

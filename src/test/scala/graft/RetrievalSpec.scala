@@ -387,6 +387,136 @@ class RetrievalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("postings shard pruning survives a pin ACROSS a compaction: the " +
+      "literal probe and the dynamic-term DPP join both prune with the " +
+      "pin's own epoch record") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25pin").toString
+    val docs = corpus.toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), dir,
+      layout = "partition", nPartDirs = 8): Unit          // v0: epoch A
+    Retrieval.appendToBm25Index(
+      Seq((90L, "spark appended")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), dir): Unit              // v1: the pin
+    val pinnedRows = Retrieval.queryBm25Index(spark, dir, Seq("spark"), 10,
+      asOf = Some(1L)).as[(Long, Long, Double)].collect().toSeq
+    Retrieval.compactBm25Index(spark, dir): Unit          // v2: epoch B
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def listed(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.executedPlan.collectLeaves()
+          .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+              .map(_.files.length.toLong).sum }.get
+      // the pre-epoch pin still prunes token shards (before r14 it read
+      // the snapshot unpruned for the pinned stream's whole lifetime)
+      // and returns exactly its snapshot's rows
+      val pinned = Retrieval.queryBm25Index(spark, dir, Seq("spark"), 10,
+        asOf = Some(1L))
+      assert(listed(pinned) <
+        listed(graft.sources.Versioned.read(spark, s"$dir/postings",
+          Some(1L))),
+        "a pre-epoch pin must prune with its own epoch's modulus")
+      assert(pinned.as[(Long, Long, Double)].collect().toSeq == pinnedRows)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the dynamic-term (DPP) probe keeps its pruning under the same pin
+    import spark.implicits._
+    val qdir = java.nio.file.Files.createTempDirectory("bm25pinq").toString
+    Seq((1L, Seq("spark"))).toDF("query_id", "terms")
+      .write.mode("overwrite").parquet(qdir)
+    val qdf = spark.read.parquet(qdir)
+    val plan = Retrieval.bm25ManyHits(spark, dir, qdf, Some(1L))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("dynamicpruning"),
+      "the pinned dynamic-term probe must keep DPP:\n" + plan)
+  }
+
+  test("filtered BM25 (metadata gate baked onto postings): a survivor " +
+      "scores IDENTICALLY to its unfiltered self (index-global df), the " +
+      "gate never starves the top-k, appends carry the baked columns, " +
+      "and un-baked predicates refuse loudly") {
+    import graft.sources.Versioned
+    val docs = Seq(
+      (1L, "spark shuffle join spark spark", "en"),
+      (2L, "rare spark", "fr"),
+      (3L, "join join join shuffle shuffle shuffle pad pad pad pad", "en"),
+      (4L, "nothing matches here at all", "fr"),
+      (5L, "spark rare join", "de")).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("bm25flt").toString
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), dir,
+      layout = "partition", nPartDirs = 4, metaCols = Seq("lang")): Unit
+    val terms = Seq("spark", "rare", "join")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_terms", "score")
+        .as[(Long, Long, Double)].collect().toSeq
+    val unfiltered = rows(Retrieval.queryBm25Index(spark, dir, terms, 50))
+    val en = Set(1L, 3L)
+    // Lucene filtered-search semantics: the gate selects WHO ranks, a
+    // survivor's score never moves (df/idf stay index-global — a
+    // sub-corpus reweighting would score the same doc differently
+    // under every gate)
+    val got = rows(Retrieval.queryBm25IndexFiltered(spark, dir, terms, 50,
+      predicate = col("lang") === "en"))
+    assert(got == unfiltered.filter(r => en(r._1)))
+    // the gate applies BEFORE ranking: k=1 returns the best EN doc even
+    // though the global top doc is gated (no starvation)
+    val top1 = rows(Retrieval.queryBm25IndexFiltered(spark, dir, terms, 1,
+      predicate = col("lang") === "en"))
+    assert(top1 == unfiltered.filter(r => en(r._1)).take(1))
+    // the many-query path agrees with the single-query path
+    val qdf = Seq((7L, terms)).toDF("query_id", "terms")
+    assert(Retrieval.queryBm25IndexManyFiltered(spark, dir, qdf, 50,
+        predicate = col("lang") === "en")
+      .select("doc_id", "n_terms", "score")
+      .as[(Long, Long, Double)].collect().toSeq == got)
+    // un-baked predicate columns refuse loudly
+    val err = intercept[IllegalArgumentException] {
+      Retrieval.queryBm25IndexFiltered(spark, dir, terms, 5,
+        predicate = col("license") === "mit")
+    }
+    assert(err.getMessage.contains("metaCols"))
+    // appends must supply the baked columns (refused before commit)...
+    val vBefore = Versioned.latestVersion(spark, s"$dir/postings")
+    val err2 = intercept[IllegalArgumentException] {
+      Retrieval.appendToBm25Index(
+        Seq((9L, "spark encore")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), dir)
+    }
+    assert(err2.getMessage.contains("lang"))
+    assert(Versioned.latestVersion(spark, s"$dir/postings") == vBefore)
+    // ...and carried batches serve the gate correctly
+    Retrieval.appendToBm25Index(
+      Seq((9L, "spark encore", "en"), (10L, "spark aussi", "fr"))
+        .toDF("doc_id", "text", "lang"),
+      col("doc_id"), col("text"), dir): Unit
+    val after = rows(Retrieval.queryBm25IndexFiltered(spark, dir, terms, 50,
+      predicate = col("lang") === "en"))
+    assert(after.map(_._1).contains(9L) && !after.map(_._1).contains(10L))
+    assert(after == rows(Retrieval.queryBm25Index(spark, dir, terms, 50))
+      .filter(r => Set(1L, 3L, 9L)(r._1)))
+    // the fused serving pair: one predicate gates BOTH arms; an index
+    // missing the column refuses the whole serve
+    val emb = graft.operators.Corpus.hashEmbed(docs, col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfflt").toString
+    graft.operators.Similarity.buildIvfIndex(emb, ivfDir, nCentroids = 4,
+      metaCols = Seq("lang")): Unit
+    val queries = Seq((1L, terms)).toDF("query_id", "terms")
+      .join(emb.select(col("id").as("query_id"), col("vec")), Seq("query_id"))
+    val fused = Retrieval.hybridSearchFiltered(spark, dir, ivfDir, queries,
+      k = 10, predicate = col("lang") === "en", kEach = 10, nProbes = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fused.nonEmpty && fused.subsetOf(Set(1L, 3L, 9L)),
+      s"fused results must all pass the gate, got $fused")
+    val ivfPlain = java.nio.file.Files.createTempDirectory("ivfflt2").toString
+    graft.operators.Similarity.buildIvfIndex(emb, ivfPlain, nCentroids = 4): Unit
+    val err3 = intercept[IllegalArgumentException] {
+      Retrieval.hybridSearchFiltered(spark, dir, ivfPlain, queries,
+        k = 10, predicate = col("lang") === "en").collect()
+    }
+    assert(err3.getMessage.contains("metaCols"))
+  }
+
   test("hashEmbed: deterministic, dense, ±1 token contributions; token " +
       "multisets add") {
     val docs = Seq((1L, "a b a"), (2L, "a b a"), (3L, "a"), (4L, "b"))
