@@ -1045,6 +1045,94 @@ object RetrievalQueries {
        |FROM sel ORDER BY query_id, rrf DESC, doc_id, chunk_start""".stripMargin
 
   // ---------------------------------------------------------------------
+  // [EXT] FILTERED chunk-grain hybrid — q169's serving composition with
+  // ONE metadata gate (lang = 'en') on BOTH chunk arms: a span ranks
+  // only if its DOCUMENT passes. Engine side the gate columns were
+  // inherited by every chunk at build (postings metaCols on the lexical
+  // arm, assignment metaCols on the semantic arm — no per-query
+  // doc-meta join); each arm gates its FULL scored set before its
+  // top-kEach (no starvation), df/idf stay index-global, and the fused
+  // output keeps span-exact attribution. The oracle replays chunking,
+  // embedding, IVF probe, chunk BM25, the gate on both arms, the
+  // fusion, and the key decode in ONE statement (the gate joins a
+  // ck→lang map — the oracle may derive the same result any way).
+  def q187ChunkHybridFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val bm = graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "bm25chunklang",
+      "postings", "stats")(
+      Retrieval.buildChunkBm25Index(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), _,
+        size = 32, stride = 16, metaCols = Seq("lang")): Unit)
+    val iv = graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "chunkivflang",
+      "centroids", "assignment")(
+      Retrieval.buildChunkIvfIndex(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), _,
+        size = 32, stride = 16, metaCols = Seq("lang")): Unit)
+    Retrieval.hybridSearchChunksFiltered(spark, bm, iv,
+      chunkQueryBatch(spark), k = 10, predicate = col("lang") === "en",
+      kEach = 20)
+  }
+
+  private val q187Sql =
+    s"""$chunkPrefixCtes,
+       |cklang AS (
+       |  SELECT doc_id * 4294967296 +
+       |    unnest(range(1, len(string_split(text, ' ')) + 1, 16)) AS ck, lang
+       |  FROM documents),
+       |semscored AS (
+       |  SELECT p.query_id, a.cand_id,
+       |    ${dot64("p.qv", "a.cv")} / (sqrt(p.qnsq) * sqrt(a.cnsq)) AS sim
+       |  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+       |  JOIN cklang kl ON kl.ck = a.cand_id
+       |  WHERE a.cand_id <> p.query_id AND kl.lang = 'en'),
+       |semr AS (
+       |  SELECT query_id, cand_id AS ckid, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, cand_id ASC) AS rn FROM semscored)
+       |  WHERE rn <= 20),
+       |d AS (
+       |  SELECT ck, CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS dl,
+       |    string_split(chunk_text, ' ') AS toks
+       |  FROM ch),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |qt AS (SELECT DISTINCT query_id, tok FROM qtokall),
+       |tf AS (
+       |  SELECT ck, dl, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT ck, dl, unnest(toks) AS tok FROM d)
+       |  GROUP BY 1, 2, 3),
+       |hits AS (SELECT qt.query_id, tf.* FROM tf JOIN qt USING (tok)),
+       |dfs AS (
+       |  SELECT query_id, tok, CAST(count(*) AS BIGINT) AS df
+       |  FROM hits GROUP BY 1, 2),
+       |term AS (
+       |  SELECT h.query_id, h.ck,
+       |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+       |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+       |          * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+       |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS t
+       |  FROM hits h JOIN dfs USING (query_id, tok)
+       |  JOIN cklang kl ON kl.ck = h.ck
+       |  CROSS JOIN stats
+       |  WHERE kl.lang = 'en'),
+       |lexscored AS (
+       |  SELECT query_id, ck,
+       |    CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
+       |  FROM term GROUP BY 1, 2),
+       |lexr AS (
+       |  SELECT query_id, ck AS ckid, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, ck ASC) AS rn FROM lexscored)
+       |  WHERE rn <= 20),
+       |${chunkFusionTail(Seq("lexr", "semr"))}
+       |SELECT query_id, ckid // 4294967296 AS doc_id,
+       |  ckid % 4294967296 AS chunk_start, n_rankers, rrf
+       |FROM sel ORDER BY query_id, rrf DESC, doc_id, chunk_start""".stripMargin
+
+  // ---------------------------------------------------------------------
   // [EXT] RAG context assembly — the step between retrieval and the
   // prompt, over the q169 fused ranking: cap chunks per doc (2),
   // interval-merge overlapping/adjacent co-ranked spans (stride 16 <
@@ -1561,6 +1649,7 @@ object RetrievalQueries {
     "q166_hybrid_rrf"   -> (q166HybridRrf _),
     "q185_bm25_filtered" -> (q185Bm25Filtered _),
     "q186_hybrid_filtered" -> (q186HybridFiltered _),
+    "q187_chunk_hybrid_filtered" -> (q187ChunkHybridFiltered _),
     "q167_chunk_bm25"   -> (q167ChunkBm25 _),
     "q168_chunk_index"  -> (q168ChunkIndex _),
     "q169_chunk_hybrid" -> (q169ChunkHybrid _),
@@ -1585,6 +1674,7 @@ object RetrievalQueries {
     "q166_hybrid_rrf"   -> q166Sql,
     "q185_bm25_filtered" -> q185Sql,
     "q186_hybrid_filtered" -> q186Sql,
+    "q187_chunk_hybrid_filtered" -> q187Sql,
     "q167_chunk_bm25"   -> q167Sql,
     // the persisted chunk index replays q167's inline pipeline
     "q168_chunk_index"  -> q167Sql,

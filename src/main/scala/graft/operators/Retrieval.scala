@@ -1334,16 +1334,24 @@ object Retrieval {
     * ranker and the persisted-index builder.
     */
   private def chunkKeyed(docs: DataFrame, id: Column, text: Column,
-                         size: Int, stride: Int): DataFrame =
-    Corpus.chunk(docs, id, text, size, stride)
+                         size: Int, stride: Int,
+                         metaCols: Seq[String] = Nil): DataFrame = {
+    val chunked = Corpus.chunk(docs, id, text, size, stride)
       .filter(assert_true(
         col("doc_id") >= 0 && col("doc_id") < lit(1L << 31) &&
           col("chunk_start") < lit(ChunkKeyBase),
         lit(s"chunk key overflow: need 0 <= doc_id < 2^31 and chunk_start " +
           "< 2^32 for span-exact attribution (negative ids would decode " +
           "to the wrong span)")).isNull)
-      .select((col("doc_id") * lit(ChunkKeyBase) + col("chunk_start")).as("ck"),
-        col("chunk_text"))
+    // a chunk inherits its document's metadata (the filtered-search
+    // gate columns) — one build-cadence equality join by doc id
+    val withM =
+      if (metaCols.isEmpty) chunked
+      else chunked.join(
+        docs.select((id.as("doc_id") +: metaCols.map(col)): _*), Seq("doc_id"))
+    withM.select(((col("doc_id") * lit(ChunkKeyBase) + col("chunk_start"))
+      .as("ck") +: col("chunk_text") +: metaCols.map(col)): _*)
+  }
 
   /** Decode (doc_id, chunk_start) off a ranking whose doc_id column
     * carries the composite ck — bit ops, not double division (a key
@@ -1388,17 +1396,21 @@ object Retrieval {
                           indexDir: String, size: Int, stride: Int,
                           nBuckets: Int = 8,
                           stopTokens: Seq[String] = Nil,
-                          stopMaxDfRatio: Option[Double] = None): Long = {
+                          stopMaxDfRatio: Option[Double] = None,
+                          metaCols: Seq[String] = Nil): Long = {
     require(size > 0 && stride > 0)
     // the df cap applies at chunk grain too — at 100 TB the chunk index
     // is the LARGER postings artifact, and a stop token's chunk-grain
     // list is size/stride× the doc-grain one; appends inherit the
     // frozen set through the shared stop_toks sidecar, and a recorded
     // ratio has [[compactBm25Index]] re-derive the set over the grown
-    // chunk corpus (chunk-grain df: chunks containing the token)
-    val v = buildBm25Index(chunkKeyed(docs, id, text, size, stride),
+    // chunk corpus (chunk-grain df: chunks containing the token).
+    // metaCols: chunks inherit their document's gate columns, so
+    // [[queryChunkBm25IndexFiltered]] gates spans inside the pruned scan
+    val v = buildBm25Index(chunkKeyed(docs, id, text, size, stride, metaCols),
       col("ck"), col("chunk_text"), indexDir, nBuckets,
-      stopTokens = stopTokens, stopMaxDfRatio = stopMaxDfRatio)
+      stopTokens = stopTokens, stopMaxDfRatio = stopMaxDfRatio,
+      metaCols = metaCols)
     // sidecar AFTER the build commits, stamped with the overwrite
     // version it describes: a rebuild that dies between the two writes
     // leaves a version mismatch chunkGrid() refuses loudly, instead of
@@ -1545,6 +1557,20 @@ object Retrieval {
                           asOf: Option[Long] = None): DataFrame =
     decodeChunkKey(queryBm25Index(spark, indexDir, terms, k, asOf = asOf))
 
+  /** [[queryBm25IndexFiltered]] at chunk grain: the gate columns were
+    * inherited from each chunk's DOCUMENT at build, so a span ranks
+    * only if its document passes — language/license gates compose with
+    * span-exact attribution at no per-query join. Same Lucene
+    * semantics: chunk df stays index-global, survivors score exactly
+    * as unfiltered.
+    */
+  def queryChunkBm25IndexFiltered(spark: SparkSession, indexDir: String,
+                                  terms: Seq[String], k: Int,
+                                  predicate: Column,
+                                  asOf: Option[Long] = None): DataFrame =
+    decodeChunkKey(queryBm25IndexFiltered(spark, indexDir, terms, k,
+      predicate, asOf = asOf))
+
   /** Append a document batch's chunks to the chunk-grain index —
     * [[appendToBm25Index]] semantics (new keys only, stats merge under
     * CAS). The window grid comes from the index's own sidecar, never
@@ -1552,8 +1578,14 @@ object Retrieval {
     */
   def appendToChunkBm25Index(batch: DataFrame, id: Column, text: Column,
                              indexDir: String): Long = {
-    val (size, stride) = chunkGrid(batch.sparkSession, indexDir)
-    appendToBm25Index(chunkKeyed(batch, id, text, size, stride),
+    val spark = batch.sparkSession
+    val (size, stride) = chunkGrid(spark, indexDir)
+    // a metadata-carrying chunk index derives its gate columns from the
+    // index itself, never the caller — appendToBm25Index then enforces
+    // the batch actually supplies them
+    val meta = postingsMetaCols(Versioned.read(spark, s"$indexDir/postings"))
+    appendToBm25Index(chunkKeyed(batch, id, text, size, stride,
+        meta.filter(batch.columns.contains)),
       col("ck"), col("chunk_text"), indexDir)
   }
 
@@ -1711,12 +1743,21 @@ object Retrieval {
   def buildChunkIvfIndex(docs: DataFrame, id: Column, text: Column,
                          indexDir: String, size: Int, stride: Int,
                          dim: Int = 64, nCentroids: Int = 16,
-                         lloydIters: Int = 0, nBuckets: Int = 8): Long = {
+                         lloydIters: Int = 0, nBuckets: Int = 8,
+                         metaCols: Seq[String] = Nil): Long = {
     require(size > 0 && stride > 0)
-    val vecs = Corpus.hashEmbed(chunkKeyed(docs, id, text, size, stride),
-      col("ck"), col("chunk_text"), dim)
+    val chunked = chunkKeyed(docs, id, text, size, stride, metaCols)
+    val vecs0 = Corpus.hashEmbed(chunked, col("ck"), col("chunk_text"), dim)
+    // chunks inherit their document's gate columns (chunkKeyed carried
+    // them); bake them onto the assignment so the filtered probe gates
+    // spans inside the probed buckets
+    val vecs =
+      if (metaCols.isEmpty) vecs0
+      else vecs0.join(
+        chunked.select((col("ck").as("id") +: metaCols.map(col)): _*),
+        Seq("id"))
     val v = Similarity.buildIvfIndex(vecs, indexDir, nCentroids,
-      lloydIters, nBuckets)
+      lloydIters, nBuckets, metaCols = metaCols)
     writeChunkGrid(docs.sparkSession, indexDir, size, stride, v)
     v
   }
@@ -1732,11 +1773,20 @@ object Retrieval {
     */
   def appendToChunkIvfIndex(batch: DataFrame, id: Column, text: Column,
                             indexDir: String, dim: Int = 64): Long = {
-    val (size, stride) = chunkGrid(batch.sparkSession, indexDir,
+    val spark = batch.sparkSession
+    val (size, stride) = chunkGrid(spark, indexDir,
       stampTable = "assignment")
-    Similarity.appendToIvfIndex(
-      Corpus.hashEmbed(chunkKeyed(batch, id, text, size, stride),
-        col("ck"), col("chunk_text"), dim), indexDir)
+    // re-derive the index's gate columns for the batch's chunks; the
+    // underlying append enforces the batch actually supplies them
+    val meta = Similarity.indexMetaCols(spark, indexDir)
+      .filter(batch.columns.contains)
+    val chunked = chunkKeyed(batch, id, text, size, stride, meta)
+    val vecs0 = Corpus.hashEmbed(chunked, col("ck"), col("chunk_text"), dim)
+    val vecs =
+      if (meta.isEmpty) vecs0
+      else vecs0.join(
+        chunked.select((col("ck").as("id") +: meta.map(col)): _*), Seq("id"))
+    Similarity.appendToIvfIndex(vecs, indexDir)
   }
 
   /** Compact the chunk-grain ANN index and RE-STAMP its grid sidecar
@@ -1772,12 +1822,19 @@ object Retrieval {
                            m: Int = 8, ks: Int = 16,
                            pqLloydIters: Int = 0, lloydIters: Int = 0,
                            residual: Boolean = false,
-                           nBuckets: Int = 8): Long = {
+                           nBuckets: Int = 8,
+                           metaCols: Seq[String] = Nil): Long = {
     require(size > 0 && stride > 0)
-    val vecs = Corpus.hashEmbed(chunkKeyed(docs, id, text, size, stride),
-      col("ck"), col("chunk_text"), dim)
+    val chunked = chunkKeyed(docs, id, text, size, stride, metaCols)
+    val vecs0 = Corpus.hashEmbed(chunked, col("ck"), col("chunk_text"), dim)
+    val vecs =
+      if (metaCols.isEmpty) vecs0
+      else vecs0.join(
+        chunked.select((col("ck").as("id") +: metaCols.map(col)): _*),
+        Seq("id"))
     val v = Similarity.buildIvfPqIndex(vecs, indexDir, nCentroids, m, ks,
-      pqLloydIters, lloydIters, dim, residual, nBuckets)
+      pqLloydIters, lloydIters, dim, residual, nBuckets,
+      metaCols = metaCols)
     writeChunkGrid(docs.sparkSession, indexDir, size, stride, v)
     v
   }
@@ -1790,11 +1847,18 @@ object Retrieval {
   def appendToChunkIvfPqIndex(batch: DataFrame, id: Column, text: Column,
                               indexDir: String, dim: Int = 64, m: Int = 8,
                               residual: Boolean = false): Long = {
-    val (size, stride) = chunkGrid(batch.sparkSession, indexDir,
+    val spark = batch.sparkSession
+    val (size, stride) = chunkGrid(spark, indexDir,
       stampTable = "assignment")
-    Similarity.appendToIvfPqIndex(
-      Corpus.hashEmbed(chunkKeyed(batch, id, text, size, stride),
-        col("ck"), col("chunk_text"), dim), indexDir, m, dim, residual)
+    val meta = Similarity.indexMetaCols(spark, indexDir)
+      .filter(batch.columns.contains)
+    val chunked = chunkKeyed(batch, id, text, size, stride, meta)
+    val vecs0 = Corpus.hashEmbed(chunked, col("ck"), col("chunk_text"), dim)
+    val vecs =
+      if (meta.isEmpty) vecs0
+      else vecs0.join(
+        chunked.select((col("ck").as("id") +: meta.map(col)): _*), Seq("id"))
+    Similarity.appendToIvfPqIndex(vecs, indexDir, m, dim, residual)
   }
 
   /** HYBRID retrieval at CHUNK grain — the full RAG serving unit: the
@@ -1847,6 +1911,44 @@ object Retrieval {
         col("doc_id").bitwiseAND(lit(ChunkKeyBase - 1)).as("chunk_start"),
         col("query_id"), col("n_rankers"), col("rrf"))
       .select(col("query_id"), col("doc_id"), col("chunk_start"),
+        col("n_rankers"), col("rrf"))
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"),
+        col("chunk_start"))
+  }
+
+  /** [[hybridSearchChunks]] with ONE metadata gate on BOTH chunk arms —
+    * [[hybridSearchFiltered]] at the RAG serving grain: spans rank only
+    * if their DOCUMENT passes the gate (chunks inherited the columns at
+    * build — postings metaCols on the lexical arm, assignment metaCols
+    * on the semantic arm), each arm gates its full scored set before
+    * its top-kEach, and the fused output keeps span-exact attribution.
+    * Both indexes must share the window grid AND carry the predicate's
+    * columns; either missing refuses the whole serve.
+    */
+  def hybridSearchChunksFiltered(spark: SparkSession, chunkBm25Dir: String,
+                         chunkIvfDir: String, queries: DataFrame, k: Int,
+                         predicate: Column,
+                         kEach: Int = 20, nProbes: Int = 4, c: Int = 60,
+                         bm25AsOf: Option[Long] = None,
+                         ivfAsOf: Option[Long] = None): DataFrame = {
+    val gridLex = chunkGrid(spark, chunkBm25Dir)
+    val gridSem = chunkGrid(spark, chunkIvfDir, stampTable = "assignment")
+    require(gridLex == gridSem, s"chunk index grids disagree: BM25 " +
+      s"$gridLex vs ANN $gridSem — spans from different grids never " +
+      "align; rebuild one index on the other's grid")
+    val lex = queryBm25IndexManyFiltered(spark, chunkBm25Dir,
+        queries.select(col("query_id"), col("terms")), kEach, predicate,
+        asOf = bm25AsOf)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    val sem = Similarity.queryIvfIndexFiltered(spark, chunkIvfDir,
+        queries.select(col("query_id").as("id"), col("vec")), kEach,
+        predicate, nProbes, asOf = ivfAsOf)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        col("sim").as("score"))
+    rrfFuse(Seq(lex, sem), k, c)
+      .select(col("query_id"),
+        shiftright(col("doc_id"), 32).as("doc_id"),
+        col("doc_id").bitwiseAND(lit(ChunkKeyBase - 1)).as("chunk_start"),
         col("n_rankers"), col("rrf"))
       .orderBy(col("query_id"), col("rrf").desc, col("doc_id"),
         col("chunk_start"))

@@ -189,6 +189,15 @@ object Similarity {
   private def assignmentMetaCols(assigned: DataFrame): Seq[String] =
     assigned.columns.toSeq.filterNot(assignmentCoreCols)
 
+  /** Metadata columns a persisted index's assignment carries — what a
+    * composing caller (the chunk-grain appenders) must re-derive for
+    * its batch before handing it to the append. */
+  private[operators] def indexMetaCols(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Seq[String] =
+    assignmentMetaCols(
+      graft.sources.Versioned.read(spark, s"$indexDir/assignment"))
+
   /** Bake caller-named metadata columns (language, date, license — the
     * filtered-search gates) onto index rows by cand_id. One equality
     * join at BUILD/APPEND cadence buys every probe a join-free,

@@ -385,6 +385,63 @@ object StreamJobs {
       .start()
   }
 
+  /** Online FILTERED hybrid retrieval — [[hybridSearchStream]] with
+    * one metadata gate applied to BOTH persisted arms
+    * ([[graft.operators.Retrieval.hybridSearchFiltered]]): the serving
+    * stream of a multilingual / license-gated RAG deployment. The
+    * predicate resolves against the gate columns BAKED into each index
+    * at build, so the per-micro-batch cost is exactly the unfiltered
+    * stream's (token-pruned postings + probed buckets, the gate inside
+    * each scan) — and an index missing the column refuses AT STREAM
+    * START (the predicate is validated against both snapshots before
+    * the first batch), never mid-stream. Versions pin at start; the
+    * epoch-history sidecars keep both arms shard-pruned even when a
+    * compaction lands mid-stream.
+    */
+  def hybridSearchFilteredStream(queryStream: DataFrame, bm25Dir: String,
+                         ivfDir: String, outDir: String,
+                         checkpointDir: String,
+                         predicate: org.apache.spark.sql.Column,
+                         k: Int = 10,
+                         kEach: Int = 20, nProbes: Int = 4): StreamingQuery = {
+    val spark = queryStream.sparkSession
+    val pinnedLex = {
+      val vp = graft.sources.Versioned.latestVersion(spark, s"$bm25Dir/postings")
+      val vs = graft.sources.Versioned.latestVersion(spark, s"$bm25Dir/stats")
+      require(vp == vs, s"BM25 index tables out of lockstep (postings v$vp, " +
+        s"stats v$vs) — a build crashed between commits; rebuild into a " +
+        "fresh directory")
+      vp
+    }
+    val pinnedSem = {
+      val vc = graft.sources.Versioned.latestVersion(spark, s"$ivfDir/centroids")
+      val va = graft.sources.Versioned.latestVersion(spark, s"$ivfDir/assignment")
+      require(vc == va, s"IVF index tables out of lockstep (centroids v$vc, " +
+        s"assignment v$va) — a build/append crashed between commits; " +
+        "rebuild the index or pin an intact version with asOf")
+      vc
+    }
+    // fail an un-baked predicate NOW, not inside the first micro-batch:
+    // run the gated plans once against an empty query batch — both
+    // arms' predicate validation fires at analysis
+    graft.operators.Retrieval.hybridSearchFiltered(spark, bm25Dir, ivfDir,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        queryStream.schema),
+      k, predicate, kEach, nProbes,
+      bm25AsOf = Some(pinnedLex), ivfAsOf = Some(pinnedSem)): Unit
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(
+          graft.operators.Retrieval.hybridSearchFiltered(spark, bm25Dir,
+            ivfDir, batch, k, predicate, kEach, nProbes,
+            bm25AsOf = Some(pinnedLex), ivfAsOf = Some(pinnedSem)),
+          checkpointDir, batchId, outDir)
+      }
+      .start()
+  }
+
   /** Online CHUNK-grain hybrid retrieval — [[hybridSearchStream]] at
     * the RAG serving grain: each micro-batch of (query_id, terms, vec)
     * fuses the chunk BM25 and chunk ANN indexes at composite-key grain

@@ -70,8 +70,10 @@ class PlanQualitySpec extends SparkSpec {
     // centroid-array scoring); the fusion itself is all equality joins
     "q166_hybrid_rrf",
     // chunk-grain hybrid: chunk BM25's 1-row stats + the chunk ANN's
-    // broadcast centroid array (q170/q173 ride q169's fused set)
+    // broadcast centroid array (q170/q173 ride q169's fused set;
+    // q187 is the same pair with the metadata gate inside both scans)
     "q169_chunk_hybrid", "q170_context_pack", "q173_context_text",
+    "q187_chunk_hybrid_filtered",
     // PQ+rerank arm: broadcast codebook/LUT + the BM25 1-row stats
     "q171_hybrid_pq_rerank",
     // partition-layout BM25 many: the same 1-row stats broadcast

@@ -517,6 +517,100 @@ class RetrievalSpec extends SparkSpec {
     assert(err3.getMessage.contains("metaCols"))
   }
 
+  test("filtered retrieval at CHUNK grain: spans rank only if their " +
+      "document passes, survivors score exactly as unfiltered, appends " +
+      "inherit the doc gate per chunk, and the fused serve keeps " +
+      "span-exact attribution") {
+    import graft.sources.Versioned
+    import graft.operators.{Corpus, Similarity}
+    val filler = (1L to 4L).map(i =>
+      (i, Seq.fill(40)("filler").mkString(" "), if (i % 2 == 0) "en" else "fr"))
+    val planted = (5L,
+      (Seq.fill(16)("pad") ++ Seq("zebra", "quark", "xylem") ++
+        Seq.fill(29)("pad")).mkString(" "), "en")
+    val plantedFr = (6L,
+      (Seq.fill(16)("pad") ++ Seq("zebra", "quark", "xylem") ++
+        Seq.fill(29)("pad")).mkString(" "), "fr")
+    val docs = (filler :+ planted :+ plantedFr).toDF("doc_id", "text", "lang")
+    val bmDir = java.nio.file.Files.createTempDirectory("cbmflt").toString
+    val ivDir = java.nio.file.Files.createTempDirectory("civflt").toString
+    Retrieval.buildChunkBm25Index(docs, col("doc_id"), col("text"), bmDir,
+      size = 16, stride = 8, metaCols = Seq("lang")): Unit
+    Retrieval.buildChunkIvfIndex(docs, col("doc_id"), col("text"), ivDir,
+      size = 16, stride = 8, dim = 16, nCentroids = 4,
+      metaCols = Seq("lang")): Unit
+    val terms = Seq("zebra", "quark", "xylem")
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "chunk_start", "n_terms", "score")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    // identical planted spans in an EN and an FR doc: the gate keeps
+    // only the EN doc's spans, at their unfiltered scores
+    val unf = spans(Retrieval.queryChunkBm25Index(spark, bmDir, terms, 20))
+    assert(unf.map(_._1).toSet == Set(5L, 6L))
+    val flt = spans(Retrieval.queryChunkBm25IndexFiltered(spark, bmDir,
+      terms, 20, predicate = col("lang") === "en"))
+    assert(flt == unf.filter(_._1 == 5L),
+      "gated spans must be exactly the EN doc's, at unfiltered scores")
+    // chunk appends inherit the doc gate per chunk (batch must carry it)
+    val vB = Versioned.latestVersion(spark, s"$bmDir/postings")
+    intercept[IllegalArgumentException] {
+      Retrieval.appendToChunkBm25Index(
+        Seq((7L, "zebra quark xylem encore")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), bmDir)
+    }
+    assert(Versioned.latestVersion(spark, s"$bmDir/postings") == vB)
+    Retrieval.appendToChunkBm25Index(
+      Seq((7L, "zebra quark xylem encore", "en"),
+          (8L, "zebra quark xylem aussi", "fr"))
+        .toDF("doc_id", "text", "lang"),
+      col("doc_id"), col("text"), bmDir): Unit
+    val flt2 = spans(Retrieval.queryChunkBm25IndexFiltered(spark, bmDir,
+      terms, 20, predicate = col("lang") === "en")).map(_._1).toSet
+    assert(flt2 == Set(5L, 7L), s"expected EN docs only, got $flt2")
+    // the ANN arm appends inherit the gate too
+    Retrieval.appendToChunkIvfIndex(
+      Seq((7L, "zebra quark xylem encore", "en"),
+          (8L, "zebra quark xylem aussi", "fr"))
+        .toDF("doc_id", "text", "lang"),
+      col("doc_id"), col("text"), ivDir, dim = 16): Unit
+    assert(Versioned.read(spark, s"$ivDir/assignment")
+      .filter(col("lang").isNull).isEmpty)
+    // the fused filtered serve: every span's DOCUMENT passes the gate
+    val qraw = Seq((900000001L, terms)).toDF("query_id", "terms")
+    val queries = qraw.join(Corpus.hashEmbed(qraw, col("query_id"),
+        concat_ws(" ", col("terms")), dim = 16)
+      .withColumnRenamed("id", "query_id"), Seq("query_id"))
+    val fused = Retrieval.hybridSearchChunksFiltered(spark, bmDir, ivDir,
+      queries, k = 10, predicate = col("lang") === "en", kEach = 10,
+      nProbes = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fused.nonEmpty && fused.subsetOf(Set(2L, 4L, 5L, 7L)),
+      s"fused spans must come from EN documents only, got $fused")
+    assert(fused.contains(5L))
+    // an arm missing the gate column refuses the whole serve
+    val plain = java.nio.file.Files.createTempDirectory("civplain").toString
+    Retrieval.buildChunkIvfIndex(docs, col("doc_id"), col("text"), plain,
+      size = 16, stride = 8, dim = 16, nCentroids = 4): Unit
+    val err = intercept[IllegalArgumentException] {
+      Retrieval.hybridSearchChunksFiltered(spark, bmDir, plain, queries,
+        k = 10, predicate = col("lang") === "en").collect()
+    }
+    assert(err.getMessage.contains("metaCols"))
+    // the PQ chunk build carries the gate too: the generic filtered
+    // re-rank works on it unchanged
+    val pqDir = java.nio.file.Files.createTempDirectory("cpqflt").toString
+    Retrieval.buildChunkIvfPqIndex(docs, col("doc_id"), col("text"), pqDir,
+      size = 16, stride = 8, dim = 16, nCentroids = 4, m = 4,
+      metaCols = Seq("lang")): Unit
+    val pq = Similarity.queryIvfPqIndexRerankedFiltered(spark, pqDir,
+      queries.select(col("query_id").as("id"), col("vec")), k = 5,
+      predicate = col("lang") === "en", alpha = 50, nProbes = 4,
+      m = 4, dim = 16)
+    assert(pq.select(shiftright(col("cand_id"), 32).as("d"))
+      .as[Long].collect().toSet.subsetOf(Set(2L, 4L, 5L)),
+      "PQ filtered re-rank must return only EN documents' chunks")
+  }
+
   test("hashEmbed: deterministic, dense, ±1 token contributions; token " +
       "multisets add") {
     val docs = Seq((1L, "a b a"), (2L, "a b a"), (3L, "a"), (4L, "b"))

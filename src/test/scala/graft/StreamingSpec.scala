@@ -670,6 +670,70 @@ class StreamingSpec extends SparkSpec {
       "the pinned index pair must reproduce the pre-append fusion")
   }
 
+  test("streaming FILTERED hybrid search: deliveries ≡ the gated batch " +
+      "fusion, every delivered doc passes the gate, and an un-baked " +
+      "predicate refuses at stream start — never mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Retrieval, Similarity}
+
+    val work = tmpDir()
+    val bm25 = s"$work/bm25"
+    val ivf = s"$work/ivf"
+    val docs = Seq(
+      (1L, "spark shuffle join", "en"), (2L, "rare spark spark", "fr"),
+      (3L, "join join shuffle", "en"), (4L, "nothing here", "de"))
+      .toDF("doc_id", "text", "lang")
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.1), "en"), (2L, Seq(0.9, 0.1, 0.0, 0.0), "fr"),
+      (3L, Seq(0.0, 1.0, 0.1, 0.0), "en"), (4L, Seq(0.0, 0.0, 1.0, 0.9), "de"))
+      .toDF("id", "vec", "lang")
+    assert(Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), bm25,
+      metaCols = Seq("lang")) == 0L)
+    assert(Similarity.buildIvfIndex(vecs, ivf, nCentroids = 2,
+      lloydIters = 1, metaCols = Seq("lang")) == 0L)
+
+    val queries = Seq(
+      (10L, Seq("spark", "rare"), Seq(1.0, 0.05, 0.0, 0.0)),
+      (11L, Seq("join"), Seq(0.0, 0.1, 1.0, 0.8)))
+    var n = 0
+    def deliver(rows: Seq[(Long, Seq[String], Seq[Double])], out: String,
+                pred: org.apache.spark.sql.Column): Unit = {
+      n += 1
+      val mem = MemoryStream[(Long, Seq[String], Seq[Double])]
+      mem.addData(rows.toIndexedSeq: _*)
+      StreamJobs.hybridSearchFilteredStream(
+        mem.toDF().toDF("query_id", "terms", "vec"), bm25, ivf,
+        out, s"$work/fckpt$n", pred, k = 10, kEach = 10, nProbes = 2)
+        .awaitTermination()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "n_rankers", "rrf")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+    deliver(queries.take(1), s"$work/fout1", col("lang") === "en")
+    deliver(queries.drop(1), s"$work/fout1", col("lang") === "en")
+    val expect = rows(Retrieval.hybridSearchFiltered(spark, bm25, ivf,
+      queries.toDF("query_id", "terms", "vec"), k = 10,
+      predicate = col("lang") === "en", kEach = 10, nProbes = 2))
+    assert(expect.nonEmpty && expect.forall(r => Set(1L, 3L)(r._2)),
+      "the gated batch fusion must return only EN docs")
+    assert(rows(spark.read.parquet(s"$work/fout1")) == expect,
+      "streamed gated fusion diverged from the batch pass")
+
+    // an un-baked predicate refuses BEFORE the stream starts (the first
+    // micro-batch is the worst place to learn the gate cannot resolve)
+    val err = intercept[IllegalArgumentException] {
+      val mem = MemoryStream[(Long, Seq[String], Seq[Double])]
+      mem.addData(queries.head)
+      StreamJobs.hybridSearchFilteredStream(
+        mem.toDF().toDF("query_id", "terms", "vec"), bm25, ivf,
+        s"$work/fout2", s"$work/fckptX", col("license") === "mit")
+    }
+    assert(err.getMessage.contains("metaCols"))
+  }
+
   test("streaming chunk-grain hybrid: deliveries ≡ the batch span fusion; " +
       "appends on both chunk indexes reach a new span while the pinned " +
       "pair reproduces") {
