@@ -257,6 +257,114 @@ object RetrievalQueries {
       |FROM term GROUP BY doc_id
       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // [EXT] document TAKEDOWN — the deletion path a 100 TB training-data
+  // pipeline needs routinely (opt-outs, DMCA, discovered contamination):
+  // build the index, tombstone every doc_id ≡ 3 (mod 7), and run the
+  // compaction MERGE (physical drop + stats correction — Lucene
+  // delete-then-merge, where pre-merge probes gate candidates with
+  // pre-delete statistics and the merge makes the index row-identical
+  // to a fresh build without the docs). The oracle replays BM25 over
+  // "corpus minus the tombstoned docs" end-to-end, so the drop, the
+  // df/stats correction, and the ranking all hash-match ground truth.
+  private def cachedBm25Takedown(spark: SparkSession, dir: String): String =
+    graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "bm25tdq",
+      "postings", "stats") { d =>
+      val docs = Tables.documents(spark, dir)
+      graft.operators.Retrieval.buildBm25Index(
+        docs, col("doc_id"), col("text"), d): Unit
+      graft.operators.Tombstones.add(
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), d): Unit
+      graft.operators.Retrieval.compactBm25Index(spark, d): Unit
+    }
+
+  def q188TakedownBm25(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.queryBm25Index(spark, cachedBm25Takedown(spark, dir),
+      bmTerms, k = 20)
+
+  private val q188Sql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents WHERE doc_id % 7 <> 3),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+      |tf AS (
+      |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+      |  WHERE tok IN ('dup', 'spark', 'hash')
+      |  GROUP BY 1, 2, 3),
+      |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |term AS (
+      |  SELECT tf.doc_id,
+      |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+      |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |          * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS t
+      |  FROM tf JOIN dfs USING (tok) CROSS JOIN stats)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
+      |FROM term GROUP BY doc_id
+      |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] FACET COUNTS over retrieval — the serving aggregate every
+  // search UI mounts beside its top-k: per gate-column value, the count
+  // of the FULL eligible matching set (docs matching ≥1 query term),
+  // not of the truncated top-k. The count rides the probe's own
+  // token-pruned postings slice (the facet column was baked at build —
+  // metaCols), so facet bytes == probe bytes and no doc-meta table is
+  // joined at query time; queryBm25IndexFaceted serves ranking + facets
+  // off ONE staged slice (spec-asserted pair-consistency).
+  def q189Bm25Facets(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25Facets(spark, cachedBm25Meta(spark, dir), bmTerms,
+      facetCols = Seq("lang"))
+
+  private val q189Sql =
+    """WITH m AS (
+      |  SELECT DISTINCT doc_id, lang FROM (
+      |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)
+      |  WHERE tok IN ('dup', 'spark', 'hash'))
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+
+  // [EXT] the same facet panel at CHUNK grain — counts of matching
+  // SPANS per facet value over the chunk index (chunks inherit their
+  // document's gate columns at build), the panel a RAG UI shows beside
+  // retrieved context. Same machinery (the index is grain-agnostic);
+  // the oracle replays the window grid + the distinct-chunk counts.
+  def q190ChunkFacets(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "bm25chunklang",
+      "postings", "stats")(
+      Retrieval.buildChunkBm25Index(
+        Tables.documents(spark, dir), col("doc_id"), col("text"), _,
+        size = 32, stride = 16, metaCols = Seq("lang")): Unit)
+    Retrieval.bm25Facets(spark, d, bmTerms, facetCols = Seq("lang"))
+  }
+
+  private val q190Sql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS parts FROM documents),
+      |starts AS (
+      |  SELECT doc_id, lang, parts,
+      |    unnest(range(1, len(parts) + 1, 16)) AS chunk_start
+      |  FROM t),
+      |ch AS (
+      |  SELECT doc_id * 4294967296 + chunk_start AS ck, lang,
+      |    array_to_string(parts[chunk_start : chunk_start + 31], ' ') AS chunk_text
+      |  FROM starts),
+      |m AS (
+      |  SELECT DISTINCT ck, lang FROM (
+      |    SELECT ck, lang, unnest(string_split(chunk_text, ' ')) AS tok FROM ch)
+      |  WHERE tok IN ('dup', 'spark', 'hash'))
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+
   def q166HybridRrf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val terms = Seq((0L, Seq("dup", "spark")), (1L, Seq("hash", "join", "table")))
@@ -1650,6 +1758,9 @@ object RetrievalQueries {
     "q185_bm25_filtered" -> (q185Bm25Filtered _),
     "q186_hybrid_filtered" -> (q186HybridFiltered _),
     "q187_chunk_hybrid_filtered" -> (q187ChunkHybridFiltered _),
+    "q188_takedown_bm25" -> (q188TakedownBm25 _),
+    "q189_bm25_facets" -> (q189Bm25Facets _),
+    "q190_chunk_facets" -> (q190ChunkFacets _),
     "q167_chunk_bm25"   -> (q167ChunkBm25 _),
     "q168_chunk_index"  -> (q168ChunkIndex _),
     "q169_chunk_hybrid" -> (q169ChunkHybrid _),
@@ -1675,6 +1786,9 @@ object RetrievalQueries {
     "q185_bm25_filtered" -> q185Sql,
     "q186_hybrid_filtered" -> q186Sql,
     "q187_chunk_hybrid_filtered" -> q187Sql,
+    "q188_takedown_bm25" -> q188Sql,
+    "q189_bm25_facets" -> q189Sql,
+    "q190_chunk_facets" -> q190Sql,
     "q167_chunk_bm25"   -> q167Sql,
     // the persisted chunk index replays q167's inline pipeline
     "q168_chunk_index"  -> q167Sql,

@@ -405,6 +405,49 @@ object ScaleProbe {
         f"   (bytes 10x/1x: ${rows.last._2._2.toDouble / rows.head._2._2}%.1f)")
     }
 
+    // Round-15 filtered-ANN claim: a SELECTIVE gate (~1% of candidates)
+    // underfills a fixed-width probe, and the adaptive widening
+    // (queryIvfIndexFilteredAdaptive) escalates until k eligible rows
+    // fill — so probed BYTES are set by the gate's selectivity, not the
+    // corpus: at small scale few eligible rows sit per bucket and the
+    // escalation approaches the exhaustive scan (the information floor
+    // — they must be found), while at 10× each probed bucket holds 10×
+    // the eligible rows, the first width already fills k, and bytes
+    // grow SUB-linearly vs the corpus. The exhaustive-filtered row is
+    // the ceiling the adaptive path must undercut at scale.
+    if (opFilter.isEmpty || opFilter.exists("ann_filtered_selective".contains)) {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      def grow(s: Int) = (0 until s).map(i =>
+        e.select((col("id") + lit(i * 1000000L)).as("id"), col("vec")))
+        .reduce(_ unionByName _)
+        .withColumn("rare", pmod(col("id"), lit(97L)) < 1) // ~1% uniform
+      val queries = e.filter(col("id") < 2)
+      val rows = scales.map { s =>
+        val big = grow(s)
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"scaleprobe_annf_$s").toString
+        graft.operators.Similarity.buildIvfIndex(big, dir,
+          nCentroids = 16, assignmentLayout = "partition",
+          metaCols = Seq("rare")): Unit
+        def probeA() = measured(() =>
+          Bench.force(graft.operators.Similarity.queryIvfIndexFilteredAdaptive(
+            spark, dir, queries, k = 5, predicate = col("rare"), nProbes = 1)))
+        def probeX() = measured(() =>
+          Bench.force(graft.operators.Similarity.queryIvfIndexFiltered(
+            spark, dir, queries, k = 5, predicate = col("rare"), nProbes = 16)))
+        val a = probeA(); val x = probeX()
+        spark.catalog.clearCache()
+        (a, x)
+      }
+      println(f"${"ann_filtered_sel"}%-18s " +
+        rows.map(r => f"${r._1._1}%5.2fs ${r._1._2 / 1024}%7dKB").mkString(" ") +
+        f"   (bytes 10x/1x: ${rows.last._1._2.toDouble / rows.head._1._2}%.1f)")
+      println(f"${"ann_filtered_exh"}%-18s " +
+        rows.map(r => f"${r._2._1}%5.2fs ${r._2._2 / 1024}%7dKB").mkString(" ") +
+        f"   (bytes 10x/1x: ${rows.last._2._2.toDouble / rows.head._2._2}%.1f)")
+    }
+
     // Round-11 layout claim: DYNAMIC term sets (queryBm25IndexMany —
     // terms arrive as data, nothing pushes into the scan) against a
     // growing index. The bucketed layout must read ALL postings bytes

@@ -2,7 +2,7 @@ package graft.app
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Corpus, Retrieval, Similarity}
+import graft.operators.{Curation, Corpus, Retrieval, Similarity, Tombstones}
 import graft.sources.Versioned
 
 /** The COMPOSED daily maintenance job (SURVEY §8, round 10) — the full
@@ -76,7 +76,14 @@ object DailyMaintenance {
     s"$work/fwd/fwd",
     s"$work/bpe_model/merges", s"$work/bpe_model/vocab",
     s"$work/nb_model/model", s"$work/nb_model/priors",
-    s"$work/runs", s"$work/claims")
+    s"$work/runs", s"$work/claims") ++
+    indexDirs(work).map(d => s"$d/${Tombstones.TableName}")
+
+  /** The index dirs a takedown must reach — every artifact that can
+    * serve (or mount) a document. */
+  private def indexDirs(work: String): Seq[String] =
+    Seq("bm25", "chunks", "ivf", "chunk_ivf", "chunk_pq", "fwd")
+      .map(d => s"$work/$d")
 
   /** Append commits sitting on top of `table`'s last overwrite — the
     * compaction trigger. "Latest action is an append" is NOT a usable
@@ -179,7 +186,8 @@ object DailyMaintenance {
              boundary: Long = 0L,
              intervalMs: Long = 24L * 3600 * 1000,
              retrainEvery: Int = 7,
-             stopMaxDfRatio: Option[Double] = None): Seq[(String, () => Unit)] = {
+             stopMaxDfRatio: Option[Double] = None,
+             takedown: Option[DataFrame] = None): Seq[(String, () => Unit)] = {
     // df-cap stop set for a ratio-opted pipeline: the FIRST build
     // derives it from its day's batch and records the ratio in the
     // stop_toks sidecar; appends inherit the frozen set through that
@@ -383,6 +391,29 @@ object DailyMaintenance {
           "manually from the full corpus")
       }
     }),
+    // TAKEDOWN — the day's deletion list (opt-outs, DMCA, discovered
+    // contamination): tombstone the documents in every serving artifact
+    // (gates stop serving them at the next probe — [[Tombstones]]) and
+    // subtract their counts from the signal state. The physical drop
+    // + stats correction rides the compact stages below on their own
+    // cadence. Idempotence: tombstone re-adds are harmless (anti-join
+    // gate); the signal-state delete shares the documented narrow
+    // window of every state stage (a crash between its commit and the
+    // history row re-applies it — the underflow guard inside
+    // deleteFromSignalState then fails loudly on the shapes it can
+    // detect rather than corrupting silently).
+    "takedown" -> (() => takedown.foreach { td =>
+      if (!td.isEmpty) { // bounded: takedown lists are tiny by nature
+        val live = indexDirs(work).filter(d =>
+          Versioned.exists(spark, s"$d/postings") ||
+            Versioned.exists(spark, s"$d/assignment") ||
+            Versioned.exists(spark, s"$d/fwd"))
+        Tombstones.addAll(td.select(col("doc_id")), live)
+        if (Versioned.exists(spark, s"$work/signals/nd"))
+          Corpus.deleteFromSignalState(td, col("doc_id"), col("text"),
+            s"$work/signals"): Unit
+      }
+    }),
     // model maintenance — the LONGER cadence (every `retrainEvery`
     // boundaries, day 0 included): retrain the BPE tokenizer and the NB
     // gate the pipeline serves. Each retrain is a fresh lockstep
@@ -402,6 +433,49 @@ object DailyMaintenance {
       if (due || !Versioned.exists(spark, s"$work/nb_model/model"))
         Corpus.buildNbModel(batch, col("lang"), col("text"),
           s"$work/nb_model"): Unit
+    }),
+    // INDEX rebuild on the SAME retrainEvery cadence (day 0 excluded —
+    // the build itself is fresh): IVF centroids and PQ codebooks freeze
+    // at build, FAISS-add appends degrade recall as the corpus drifts
+    // from the training distribution, and nothing turned the documented
+    // "rebuild dial" until this stage. Each rebuild re-trains from the
+    // index's OWN tables (float: assignment carries cv; PQ: the
+    // full-precision vectors table) — a fresh lockstep overwrite
+    // version; pinned consumers keep their epoch via the sidecar
+    // history; pending tombstones drop in the rewrite. A broken pair is
+    // repaired first when repair applies (a crashed APPEND — completing
+    // it keeps the batch); a repair REFUSAL is the crashed-REBUILD
+    // shape, which the rebuild itself heals via version padding, so it
+    // is tolerated rather than wedging the cadence.
+    "ivf_rebuild" -> (() => {
+      val due = boundary > 0 && (boundary / intervalMs) % retrainEvery == 0
+      if (due && Versioned.exists(spark, s"$work/ivf/centroids")) {
+        if (ivfTablesBroken(spark, s"$work/ivf"))
+          try Similarity.repairIvfIndex(spark, s"$work/ivf"): Unit
+          catch { case _: Exception => () }
+        Similarity.rebuildIvfIndex(spark, s"$work/ivf"): Unit
+      }
+    }),
+    "chunk_ivf_rebuild" -> (() => {
+      val due = boundary > 0 && (boundary / intervalMs) % retrainEvery == 0
+      if (due && Versioned.exists(spark, s"$work/chunk_ivf/centroids")) {
+        if (ivfTablesBroken(spark, s"$work/chunk_ivf"))
+          try Similarity.repairIvfIndex(spark, s"$work/chunk_ivf"): Unit
+          catch { case _: Exception => () }
+        Retrieval.rebuildChunkIvfIndex(spark, s"$work/chunk_ivf"): Unit
+      }
+    }),
+    "chunk_pq_rebuild" -> (() => {
+      val due = boundary > 0 && (boundary / intervalMs) % retrainEvery == 0
+      if (due && Versioned.exists(spark, s"$work/chunk_pq/centroids")) {
+        // the PQ repair COMPLETES a crashed append from the orphan
+        // vectors slice — run it first so a rebuild never sources a
+        // snapshot that silently drops the batch
+        if (ivfTablesBroken(spark, s"$work/chunk_pq"))
+          try Similarity.repairIvfIndex(spark, s"$work/chunk_pq"): Unit
+          catch { case _: Exception => () }
+        Retrieval.rebuildChunkIvfPqIndex(spark, s"$work/chunk_pq"): Unit
+      }
     }),
     // Each compact stage HEALS its own crash shape first: a compaction
     // that died between its per-table commits leaves the lockstep
@@ -472,6 +546,11 @@ object DailyMaintenance {
       maintainedTables(work)
         .filter(Versioned.exists(spark, _))
         .foreach(t => Versioned.vacuum(spark, t, retainVersions): Unit)
+      // bound the per-epoch sidecar/marker history files with the same
+      // retention as the data they describe (a pin past the vacuum
+      // horizon can no longer read data, so its epoch record is dead)
+      indexDirs(work).foreach(d =>
+        Retrieval.vacuumIndexSidecars(spark, d, retainVersions): Unit)
     }))
   }
 
@@ -490,12 +569,14 @@ object DailyMaintenance {
            compactEvery: Int = 7,
            retainVersions: Int = 2,
            retrainEvery: Int = 7,
-           stopMaxDfRatio: Option[Double] = None): Seq[(String, Seq[Scheduler.Attempt])] =
+           stopMaxDfRatio: Option[Double] = None,
+           takedownFor: Long => Option[DataFrame] = _ => None)
+      : Seq[(String, Seq[Scheduler.Attempt])] =
     Scheduler.tickStagesFor(spark, work,
       b => stages(spark, batchFor(b), vecsFor(b), work,
         retainVersions = retainVersions, compactEvery = compactEvery,
         boundary = b, intervalMs = intervalMs, retrainEvery = retrainEvery,
-        stopMaxDfRatio = stopMaxDfRatio),
+        stopMaxDfRatio = stopMaxDfRatio, takedown = takedownFor(b)),
       nowMs, intervalMs, retries, retryDelayMs, sleep)
 
   /** Real-clock entry point, one tick over an sf-dir batch.

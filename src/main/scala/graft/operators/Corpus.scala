@@ -850,6 +850,60 @@ object Corpus {
     commitSignalState(stateDir, nd, c1, c12, vsz, v0 + 1)
   }
 
+  /** DELETE documents from the signal state — the takedown half of the
+    * incremental cadence ([[graft.operators.Tombstones]]' counterpart
+    * for the non-index state artifact): subtract the deleted documents'
+    * nd/c1/c12 contributions, drop keys whose count reaches zero, and
+    * recount the vocabulary — after which the state is row-identical to
+    * one built without the documents (spec-proven). Exact under the
+    * append-only doc-id invariant (each doc contributed exactly once)
+    * PROVIDED the caller passes the same text the doc was appended
+    * with; an underflow — a count going negative, or a key the state
+    * never held — means exactly that contract broke (never-appended doc
+    * or drifted text) and FAILS IN-PLAN before anything commits, since
+    * committing it would silently corrupt every downstream ppl/dup
+    * score. Cost is deletion-batch-sized against the
+    * vocabulary-bounded tables; commits all four in lockstep CAS order.
+    */
+  def deleteFromSignalState(deleted: DataFrame, id: Column, text: Column,
+      stateDir: String,
+      shingler: Column => Column = NearDup.shingleHashes3Inst): Long = {
+    val spark = deleted.sparkSession
+    val v0 = signalStateVersion(spark, stateDir)
+    def tbl(t: String) = graft.sources.Versioned.read(spark, s"$stateDir/$t",
+      Some(v0))
+
+    val ndB = ngramDocCounts(shingleInstances(deleted, id, text, shingler))
+    val base = hashedTokenBase(deleted, id, text).localCheckpoint(eager = false)
+    val (c1B, c12B) = lmCountTables(base, lmBigrams(base))
+
+    def unmerge(state: DataFrame, delta: DataFrame, key: String,
+                cnt: String): DataFrame =
+      state.withColumnRenamed(cnt, "_old")
+        .join(delta.withColumnRenamed(cnt, "_new"), Seq(key), "full_outer")
+        // the underflow guard lives INSIDE the projected count (not a
+        // standalone filter): a violating row's count is null/negative,
+        // so a filter-form guard would be reordered behind the `> 0`
+        // cut and short-circuit away exactly on the rows it must catch
+        .select(col(key),
+          when(assert_true(
+            col("_new").isNull ||
+              (col("_old").isNotNull && col("_old") >= col("_new")),
+            lit(s"signal-state delete underflow on $stateDir/$cnt: a " +
+              "deleted document's counts exceed (or miss) the stored " +
+              "totals — it was never appended to this state, or its text " +
+              "drifted since the append; nothing was committed")).isNull,
+            col("_old") - coalesce(col("_new"), lit(0L))).as(cnt))
+        .filter(col(cnt) > 0)
+
+    val nd  = unmerge(tbl("nd"),  ndB,  "ngram", "nd")
+    val c1  = unmerge(tbl("c1"),  c1B,  "tk",    "c1")
+      .localCheckpoint(eager = false) // feeds its commit AND the recount
+    val c12 = unmerge(tbl("c12"), c12B, "ngk",   "c12")
+    val vsz = c1.agg(count(lit(1)).as("v"))
+    commitSignalState(stateDir, nd, c1, c12, vsz, v0 + 1)
+  }
+
   /** The doc-signals sheet ([[graft.PipelineQueries.q136SignalSheet]]'s
     * columns) for a BATCH of documents scored against FROZEN
     * [[buildSignalState]] state — the streaming half of the sheet:

@@ -556,6 +556,80 @@ object Retrieval {
   private def partDirsOf(spark: SparkSession, indexDir: String): Option[Int] =
     shardSidecarOf(spark, indexDir, "tok_parts", "postings")
 
+  /** Bound the per-epoch sidecar/marker history: [[writeShardSidecar]]
+    * and [[writeStopEpoch]] append one `<name>@<v>` file per overwrite
+    * FOREVER, and [[graft.sources.Versioned.vacuum]] prunes data files
+    * but never these — the one artifact class that grew unboundedly.
+    * Drop history entries for epochs no retained version can pin: after
+    * `vacuum(retainVersions = N)` the readable versions are the last N,
+    * so the epochs that matter are the overwrites INSIDE that window
+    * plus the one covering its floor (a retained version between two
+    * overwrites pins the EARLIER one's layout). A pin older than that
+    * can no longer read data anyway. Call after vacuuming the index's
+    * tables with the SAME retention. Returns the number of files
+    * removed.
+    */
+  def vacuumIndexSidecars(spark: SparkSession, indexDir: String,
+                          retainVersions: Int = 2): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pairs = Seq("tok_parts" -> "postings", "stop_toks" -> "postings",
+      "doc_parts" -> "fwd", "vec_parts" -> "vectors")
+    var removed = 0
+    pairs.foreach { case (name, t) =>
+      val tab = s"$indexDir/$t"
+      if (Versioned.exists(spark, tab)) {
+        val hist = Versioned.history(spark, tab)
+        val floor = hist.map(_._1).takeRight(math.max(1, retainVersions)).head
+        val overwrites = hist.collect { case (v, "overwrite", _) => v }
+        val keep = (overwrites.filter(_ <= floor).lastOption.toSeq ++
+          overwrites.filter(_ > floor)).toSet
+        val dir = new org.apache.hadoop.fs.Path(indexDir)
+        val f = dir.getFileSystem(conf)
+        if (f.exists(dir)) f.listStatus(dir).filter(_.isFile)
+          .map(_.getPath).filter(_.getName.startsWith(s"$name@"))
+          .foreach { p =>
+            val v = p.getName.stripPrefix(s"$name@")
+            if (v.nonEmpty && v.forall(_.isDigit) && !keep.contains(v.toLong)) {
+              if (f.delete(p, false)) removed += 1
+            }
+          }
+      }
+    }
+    removed
+  }
+
+  // --------------------------------------------------- tombstone gating
+  //
+  // Document deletion ([[Tombstones]]): every probe of a persisted
+  // index anti-joins its candidates against the index's broadcast
+  // tombstone set BEFORE ranking — survivors fill the top-k (no
+  // starvation), and df/cf/corpus stats stay PRE-delete until the
+  // compaction physically drops the rows and corrects them (Lucene
+  // delete-then-merge). Chunk-grain indexes gate on the decoded doc id
+  // (high 32 bits of the composite key), detected from the index's own
+  // chunk_grid sidecar.
+
+  /** True when `indexDir` is a chunk-grain index (has a chunk_grid
+    * sidecar) — its rows key by the composite ck, so doc-grain
+    * tombstones match on the decoded high 32 bits. */
+  private[operators] def hasChunkGrid(spark: SparkSession,
+                                      indexDir: String): Boolean = {
+    val p = chunkGridPath(indexDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The DOCUMENT id of an index row's key column: identity at doc
+    * grain, the composite-key decode at chunk grain. */
+  private[operators] def docKeyExpr(spark: SparkSession, indexDir: String,
+                                    c: Column): Column =
+    if (hasChunkGrid(spark, indexDir)) shiftright(c, 32) else c
+
+  /** [[Tombstones.gate]] with the index's own grain decode. */
+  private def tombGate(spark: SparkSession, indexDir: String,
+                       rows: DataFrame, docCol: String): DataFrame =
+    Tombstones.gate(spark, indexDir, rows,
+      docKeyExpr(spark, indexDir, col(docCol)))
+
   /** Add a batch of NEW documents to an existing index (FAISS-add /
     * daily-cadence semantics; doc_ids must be previously unseen — the
     * same append-only invariant as `Corpus.appendSignalState`). Postings
@@ -692,13 +766,27 @@ object Retrieval {
       "it); rebuild into a fresh directory")
     // pre-crash lockstep means postings snapshot vs is exactly the
     // corpus stats v(vs) describes; append-only + new-doc-only
-    // invariants make doc_id membership the delta
-    val newDocs = Versioned.read(spark, postT, Some(vp))
+    // invariants make doc_id membership the delta — in BOTH directions:
+    // docs present at vp but not vs are a crashed APPEND's batch (add
+    // their stats), and docs present at vs but not vp are a crashed
+    // tombstone-MERGE's drop set (subtract theirs) — but ONLY when they
+    // are actually tombstoned: a crashed stop-list RECAP also removes
+    // rows (a doc whose every token got capped vanishes from postings),
+    // and those documents remain corpus members whose stats must stay
+    // (stats are TRUE corpus stats under the cap — the q183 invariant).
+    val headDocs = Versioned.read(spark, postT, Some(vp))
       .select(col("doc_id"), col("dl")).distinct()
-      .join(Versioned.read(spark, postT, Some(vs))
-        .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    val baseDocs = Versioned.read(spark, postT, Some(vs))
+      .select(col("doc_id"), col("dl")).distinct()
+    val newDocs = headDocs.join(baseDocs.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val goneDocs = Tombstones.hits(spark, indexDir,
+      baseDocs.join(headDocs.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+      docKeyExpr(spark, indexDir, col("doc_id")))
     val merged = Versioned.read(spark, statT, Some(vs))
       .unionByName(statsOf(newDocs))
+      .unionByName(statsOf(goneDocs).select(
+        (-col("n_docs")).as("n_docs"), (-col("sum_dl")).as("sum_dl")))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     var v = Versioned.overwriteExpecting(merged, statT, vs + 1)
     while (v < vp)
@@ -794,25 +882,49 @@ object Retrieval {
     }
     val dropped = recapped.map(_._1).getOrElse(Nil)
       .diff(state.map(_._1).getOrElse(Nil))
+    // tombstone MERGE (the physical half of [[Tombstones]]' Lucene
+    // split): the pending deletes' postings drop from the rewrite, and
+    // stats subtract the dropped documents' denormalized lengths — after
+    // this the index is row-identical to a fresh build without the docs
+    // (post-merge df/cf derive per-query from the dropped postings).
+    // The dropped (doc, dl) set comes off the postings BEFORE the
+    // rewrite; the 1-row aggregate is a bounded control read. Known
+    // epsilon (shared with repairBm25Index): a tombstoned document whose
+    // every token was stop-capped has no postings row, so its length
+    // stays in stats — a rebuild restores exact stats.
+    val docX = docKeyExpr(spark, indexDir, col("doc_id"))
+    val goneRow = Tombstones.hits(spark, indexDir,
+        Versioned.read(spark, postT).select(col("doc_id"), col("dl")), docX)
+      .distinct()
+      .agg(count(lit(1)), sum(col("dl"))).head
+    val nGone = goneRow.getLong(0)
+    val dlGone = if (goneRow.isNullAt(1)) 0L else goneRow.getLong(1)
     // the epoch marker precedes the commit it describes, as at build
     val vPred = Versioned.latestVersion(spark, postT) + 1
     recapped.foreach { case (t, r) => writeStopEpoch(spark, indexDir, t, r, vPred) }
     val vp =
-      if (dropped.isEmpty) Versioned.compact(spark, postT)
+      if (dropped.isEmpty && nGone == 0L) Versioned.compact(spark, postT)
       else {
-        // layout-preserving rewrite minus the newly-heavy tokens
-        val filtered = Versioned.read(spark, postT)
-          .filter(!col("tok").isInCollection(dropped))
-        Versioned.declaredLayout(spark, postT) match {
-          case l if l.startsWith("bucket:") =>
-            val parts = l.split(":")
-            Versioned.overwriteBucketed(filtered, postT, parts(1), parts(2).toInt)
-          case l if l.startsWith("part:") =>
-            Versioned.overwritePartitioned(filtered, postT, l.stripPrefix("part:"))
-          case _ => Versioned.overwrite(filtered, postT)
-        }
+        // layout-preserving rewrite minus the newly-heavy tokens and the
+        // tombstoned documents' rows
+        val recapFiltered =
+          if (dropped.isEmpty) Versioned.read(spark, postT)
+          else Versioned.read(spark, postT)
+            .filter(!col("tok").isInCollection(dropped))
+        Versioned.overwriteLike(
+          Tombstones.gate(spark, indexDir, recapFiltered, docX), postT)
       }
-    val vs = Versioned.compact(spark, statT)
+    val vs =
+      if (nGone == 0L) Versioned.compact(spark, statT)
+      else {
+        // postings committed first, so a crash here leaves the
+        // postings-ahead-with-REMOVED-content shape repairBm25Index
+        // heals (it subtracts exactly the tombstoned gone-docs' stats)
+        val corrected = Versioned.read(spark, statT).select(
+          (col("n_docs") - lit(nGone)).cast("long").as("n_docs"),
+          (col("sum_dl") - lit(dlGone)).cast("long").as("sum_dl"))
+        Versioned.overwriteExpecting(corrected, statT, vp)
+      }
     require(vp == vs, s"BM25 compaction left tables out of lockstep " +
       s"(postings v$vp, stats v$vs) — run repairBm25Index")
     nParts.foreach(n => writePartDirs(spark, indexDir, n, vp))
@@ -862,7 +974,9 @@ object Retrieval {
       .filter(col("tok").isInCollection(terms))
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
     val stats = Versioned.read(spark, s"$indexDir/stats", asOf)
-    scoreDocs(tf, stats, k1, b)
+    // pending deletes gate the scored set pre-ranking (stats/df stay
+    // pre-delete until compaction — the Lucene split, see [[Tombstones]])
+    tombGate(spark, indexDir, scoreDocs(tf, stats, k1, b), "doc_id")
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -928,14 +1042,15 @@ object Retrieval {
     // gated rows — both consume the same token-pruned scan
     val dfTab = slice.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = Versioned.read(spark, s"$indexDir/stats", asOf)
-    slice.filter(predicate)
+    tombGate(spark, indexDir, slice.filter(predicate)
       .select(col("doc_id"), col("dl"), col("tok"), col("tf"))
       .join(dfTab, Seq("tok"))
       .crossJoin(stats) // 1 row — broadcast nested loop by construction
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
            sum(bmTermExpr(k1, b).cast("decimal(27,10)")).as("s"))
-      .select(col("doc_id"), col("n_terms"), col("s").cast("double").as("score"))
+      .select(col("doc_id"), col("n_terms"), col("s").cast("double").as("score")),
+      "doc_id")
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -1013,8 +1128,8 @@ object Retrieval {
            sum(bmTermExpr(k1, b).cast("decimal(27,10)")).as("s"))
       .select(col("query_id"), col("doc_id"), col("n_terms"),
         col("s").cast("double").as("score"))
-    Ranking.topPerGroup(scored, Seq(col("query_id")),
-        Seq(col("score").desc, col("doc_id").asc), k)
+    Ranking.topPerGroup(tombGate(spark, indexDir, scored, "doc_id"),
+        Seq(col("query_id")), Seq(col("score").desc, col("doc_id").asc), k)
       .select(col("query_id"), col("doc_id"), col("n_terms"), col("score"))
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
@@ -1055,11 +1170,111 @@ object Retrieval {
            sum(bmTermExpr(k1, b).cast("decimal(27,10)")).as("s"))
       .select(col("query_id"), col("doc_id"), col("n_terms"),
         col("s").cast("double").as("score"))
-    Ranking.topPerGroup(scored, Seq(col("query_id")),
-        Seq(col("score").desc, col("doc_id").asc), k)
+    Ranking.topPerGroup(tombGate(spark, indexDir, scored, "doc_id"),
+        Seq(col("query_id")), Seq(col("score").desc, col("doc_id").asc), k)
       .select(col("query_id"), col("doc_id"), col("n_terms"), col("score"))
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
+
+  // ------------------------------------------------------ facet counts
+
+  /** FACET COUNTS over filtered retrieval — the serving aggregate every
+    * search UI mounts beside its top-k: per gate-column value, the
+    * count of the FULL eligible matching set (documents matching ≥1
+    * query term AND the predicate, minus pending deletes) — NOT of the
+    * truncated top-k. Rides exactly the probe's own slice: the token
+    * filter pushes into the (bucket/shard-pruned) postings scan, the
+    * facet columns were baked onto the postings rows at build
+    * (`metaCols` — the dl denormalization discipline), and the count is
+    * one distinct-doc aggregation over that slice, so facet bytes ==
+    * probe bytes and no doc-meta table joins at query time. Facet and
+    * predicate columns must be baked; un-baked names refuse loudly.
+    * Output: (facetCols…, n_docs), ordered by the facet columns.
+    */
+  def bm25Facets(spark: SparkSession, indexDir: String, terms: Seq[String],
+                 facetCols: Seq[String], predicate: Option[Column] = None,
+                 asOf: Option[Long] = None): DataFrame =
+    facetsOf(spark, indexDir,
+      facetSlice(spark, indexDir, terms, facetCols, predicate, asOf),
+      facetCols)
+
+  /** Ranking AND facets off ONE physical pass: the token-pruned slice
+    * stages once (lazy localCheckpoint — the first action materializes
+    * it, the second reuses the rows), the left half is exactly
+    * [[queryBm25IndexFiltered]]'s ranking and the right half exactly
+    * [[bm25Facets]]' counts (both spec-asserted). This is the serving
+    * shape: a UI needs both per request, and paying the probe scan
+    * twice would double the per-request index bytes.
+    */
+  def queryBm25IndexFaceted(spark: SparkSession, indexDir: String,
+                            terms: Seq[String], k: Int,
+                            facetCols: Seq[String],
+                            predicate: Option[Column] = None,
+                            k1: Double = K1, b: Double = B,
+                            asOf: Option[Long] = None)
+      : (DataFrame, DataFrame) = {
+    // the slice rows already carry INDEX-GLOBAL df (facetSlice joins it
+    // pre-gate — Lucene filtered semantics: survivor scores equal their
+    // unfiltered scores), so ranking needs no second df pass
+    val slice = facetSlice(spark, indexDir, terms, facetCols, predicate,
+      asOf).localCheckpoint(eager = false)
+    val stats = Versioned.read(spark, s"$indexDir/stats", asOf)
+    val ranked = tombGate(spark, indexDir, slice
+      .crossJoin(stats) // 1 row — broadcast nested loop by construction
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+           sum(bmTermExpr(k1, b).cast("decimal(27,10)")).as("s"))
+      .select(col("doc_id"), col("n_terms"),
+        col("s").cast("double").as("score")), "doc_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    (ranked, facetsOf(spark, indexDir, slice, facetCols))
+  }
+
+  /** The shared eligible slice: token-pruned postings rows with
+    * INDEX-GLOBAL df joined on (computed pre-gate, so survivor scores
+    * equal their unfiltered scores), then predicate-gated. Carries
+    * (doc_id, dl, tok, tf, df, facetCols…).
+    */
+  private def facetSlice(spark: SparkSession, indexDir: String,
+                         terms: Seq[String], facetCols: Seq[String],
+                         predicate: Option[Column],
+                         asOf: Option[Long]): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    require(facetCols.nonEmpty, "need at least one facet column")
+    if (asOf.isEmpty) {
+      val vp = Versioned.latestVersion(spark, s"$indexDir/postings")
+      val vs = Versioned.latestVersion(spark, s"$indexDir/stats")
+      require(vp == vs, s"BM25 index tables out of lockstep (postings v$vp, " +
+        s"stats v$vs) — an append or build crashed between commits; run " +
+        "repairBm25Index, or pin an intact version with asOf")
+    }
+    val posts = Versioned.read(spark, s"$indexDir/postings", asOf)
+    predicate.foreach(requirePostingsPredicate(indexDir, posts, _))
+    val missing = facetCols.filterNot(postingsMetaCols(posts).contains)
+    require(missing.isEmpty,
+      s"$indexDir postings do not carry facet column(s) " +
+        s"${missing.mkString(", ")} — facets count inside the token-pruned " +
+        "scan, so the columns must be baked at build (metaCols; available: " +
+        s"${postingsMetaCols(posts) match {
+          case Nil => "none"; case ms => ms.mkString(", ") }})")
+    val slice = shardPruned(spark, indexDir, posts, terms, asOf)
+      .filter(col("tok").isInCollection(terms))
+    val dfTab = slice.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val gated = predicate.map(slice.filter).getOrElse(slice)
+    gated.select((col("doc_id") +: col("dl") +: col("tok") +: col("tf") +:
+        facetCols.map(col)): _*)
+      .join(dfTab, Seq("tok"))
+  }
+
+  private def facetsOf(spark: SparkSession, indexDir: String,
+                       slice: DataFrame, facetCols: Seq[String]): DataFrame =
+    tombGate(spark, indexDir,
+        slice.select((col("doc_id") +: facetCols.map(col)): _*).distinct(),
+        "doc_id")
+      .groupBy(facetCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(facetCols.map(col(_).asc): _*)
 
   /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
     * SIGIR 2001) — the second classic ranker beside BM25, over the SAME
@@ -1103,7 +1318,7 @@ object Retrieval {
     val stats = Versioned.read(spark, s"$indexDir/stats", asOf)
     val cf = pruned.groupBy(col("tok")).agg(sum(col("tf")).as("cf"))
     val cand = pruned.select(col("doc_id"), col("dl")).distinct()
-    cand.crossJoin(broadcast(cf))
+    val scoredQl = cand.crossJoin(broadcast(cf))
       .join(pruned.select(col("doc_id"), col("tok"), col("tf")),
         Seq("doc_id", "tok"), "left")
       .crossJoin(stats)
@@ -1116,6 +1331,7 @@ object Retrieval {
         sum(col("__s").cast("decimal(27,10)")).as("__sc"))
       .select(col("doc_id"), col("n_terms"),
         col("__sc").cast("double").as("score"))
+    tombGate(spark, indexDir, scoredQl, "doc_id")
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -1162,8 +1378,8 @@ object Retrieval {
         sum(col("__s").cast("decimal(27,10)")).as("__sc"))
       .select(col("query_id"), col("doc_id"), col("n_terms"),
         col("__sc").cast("double").as("score"))
-    Ranking.topPerGroup(scored, Seq(col("query_id")),
-        Seq(col("score").desc, col("doc_id").asc), k)
+    Ranking.topPerGroup(tombGate(spark, indexDir, scored, "doc_id"),
+        Seq(col("query_id")), Seq(col("score").desc, col("doc_id").asc), k)
       .select(col("query_id"), col("doc_id"), col("n_terms"), col("score"))
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
@@ -1300,7 +1516,9 @@ object Retrieval {
     val joined = slices.reduce((a, b) => a.join(b, Seq("doc_id")))
     val inter = (1 until phrase.length).foldLeft(col("p0"))((acc, j) =>
       array_intersect(acc, col(s"p$j")))
-    joined.select(col("doc_id"), size(inter).cast("long").as("n_occur"))
+    tombGate(spark, indexDir,
+        joined.select(col("doc_id"), size(inter).cast("long").as("n_occur")),
+        "doc_id")
       .filter(col("n_occur") > 0)
       .orderBy(col("n_occur").desc, col("doc_id").asc)
       .limit(k)
@@ -1523,9 +1741,21 @@ object Retrieval {
         // vNew == 0 is a first build with nothing before it to verify
         // against; vNew <= recorded stamp is a foreign shape
         if (vNew <= v.toLong || vNew == 0L) return
+        // a rewrite is grid-preserving when it ADDED nothing and removed
+        // at most TOMBSTONED documents' rows (a pure compaction, or a
+        // crashed tombstone merge — survivors keep their ck keys, so the
+        // recorded grid still describes them); a grid-CHANGING rebuild
+        // adds re-keyed rows and stays refused
         val now  = Versioned.read(spark, t, Some(vNew))
         val prev = Versioned.read(spark, t, Some(vNew - 1))
-        if (now.exceptAll(prev).isEmpty && prev.exceptAll(now).isEmpty)
+        val keyCol = if (now.columns.contains("doc_id")) "doc_id" else "cand_id"
+        val goneUntombed = Tombstones.of(spark, indexDir) match {
+          case None => prev.exceptAll(now)
+          case Some(tb) => prev.exceptAll(now).join(
+            broadcast(tb.select(col("doc_id").as("__ts_doc"))),
+            shiftright(col(keyCol), 32) === col("__ts_doc"), "left_anti")
+        }
+        if (now.exceptAll(prev).isEmpty && goneUntombed.isEmpty)
           writeChunkGrid(spark, indexDir, s.toInt, st.toInt, vNew)
       case _ => ()
     }
@@ -1799,6 +2029,63 @@ object Retrieval {
   def compactChunkIvfIndex(spark: SparkSession, indexDir: String): Long = {
     val (size, stride) = chunkGrid(spark, indexDir, stampTable = "assignment")
     val v = Similarity.compactIvfIndex(spark, indexDir)
+    writeChunkGrid(spark, indexDir, size, stride, v)
+    v
+  }
+
+  /** The grid values the sidecar RECORDS, ignoring its stamp — what a
+    * RETRAIN rebuild reads (the sidecarRecordedModulus discipline: the
+    * stamp is stale exactly when a prior rebuild crashed, the recorded
+    * grid is still the corpus's grid, and the rebuild re-stamps at its
+    * own commit, which is what makes the stamp true again). None when
+    * absent or corrupt.
+    */
+  private def chunkGridRecorded(spark: SparkSession,
+                                indexDir: String): Option[(Int, Int)] = {
+    val p = chunkGridPath(indexDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      raw.trim.split(" ") match {
+        case Array(s, st, v) if Seq(s, st, v).forall(_.forall(_.isDigit)) =>
+          Some((s.toInt, st.toInt))
+        case _ => None
+      }
+    }
+  }
+
+  /** [[Similarity.rebuildIvfIndex]] on a CHUNK-grain dir, re-stamping
+    * the grid sidecar at the rebuilt overwrite (the grid itself is
+    * immutable across a retrain — same windows, fresh centroids). The
+    * grid reads stamp-UNvalidated ([[chunkGridRecorded]]): a stale
+    * stamp left by a crashed prior rebuild must not wedge the retrain
+    * cadence, and the rebuild sources from the last LOCKSTEP snapshot —
+    * the era the recorded grid describes — then makes the stamp true
+    * again at its own commit.
+    */
+  def rebuildChunkIvfIndex(spark: SparkSession, indexDir: String,
+                           lloydIters: Int = 0): Long = {
+    val (size, stride) = chunkGridRecorded(spark, indexDir).getOrElse(
+      sys.error(s"$indexDir carries no parseable chunk_grid sidecar — " +
+        "rebuild from the corpus with buildChunkIvfIndex"))
+    val v = Similarity.rebuildIvfIndex(spark, indexDir, lloydIters)
+    writeChunkGrid(spark, indexDir, size, stride, v)
+    v
+  }
+
+  /** [[Similarity.rebuildIvfPqIndex]] on a CHUNK-grain dir, grid
+    * re-stamped as in [[rebuildChunkIvfIndex]]. */
+  def rebuildChunkIvfPqIndex(spark: SparkSession, indexDir: String,
+                             pqLloydIters: Int = 0,
+                             lloydIters: Int = 0): Long = {
+    val (size, stride) = chunkGridRecorded(spark, indexDir).getOrElse(
+      sys.error(s"$indexDir carries no parseable chunk_grid sidecar — " +
+        "rebuild from the corpus with buildChunkIvfPqIndex"))
+    val v = Similarity.rebuildIvfPqIndex(spark, indexDir, pqLloydIters,
+      lloydIters)
     writeChunkGrid(spark, indexDir, size, stride, v)
     v
   }
@@ -2306,7 +2593,11 @@ object Retrieval {
   def compactForwardIndex(spark: SparkSession, indexDir: String): Long =
     docPartsOf(spark, indexDir) match {
       case Some(_) =>
-        val cur = Versioned.read(spark, s"$indexDir/fwd").drop("doc_part")
+        // tombstoned documents drop from the rewrite (single table — no
+        // stats to correct, no lockstep partner; see [[Tombstones]])
+        val cur = Tombstones.gate(spark, indexDir,
+          Versioned.read(spark, s"$indexDir/fwd").drop("doc_part"),
+          col("doc_id"))
         val n = autoDocShards(cur.count())
         val v = Versioned.overwritePartitioned(
           cur.withColumn("doc_part", pmod(col("doc_id"), lit(n.toLong))),
@@ -2314,7 +2605,14 @@ object Retrieval {
         writeShardSidecar(spark, indexDir, "doc_parts", n, v)
         v
       case None =>
-        Versioned.compact(spark, s"$indexDir/fwd")
+        // untrusted sidecar: layout-preserving compact, with the
+        // tombstone drop folded in only when there is one to apply
+        if (Tombstones.of(spark, indexDir).isEmpty)
+          Versioned.compact(spark, s"$indexDir/fwd")
+        else Versioned.overwriteLike(
+          Tombstones.gate(spark, indexDir,
+            Versioned.read(spark, s"$indexDir/fwd"), col("doc_id")),
+          s"$indexDir/fwd")
     }
 
   private def docPartsOf(spark: SparkSession, indexDir: String): Option[Int] =
@@ -2411,7 +2709,11 @@ object Retrieval {
                          docSet: DataFrame, need: Seq[String],
                          asOf: Option[Long]): DataFrame = {
     val fwd = Versioned.read(spark, s"$indexDir/fwd", asOf)
-    val ids = docSet.select(col("doc_id")).distinct()
+    // the takedown gate rides the REQUEST set (already bounded and
+    // broadcast-bound), so a tombstoned document's text never mounts
+    // into a context window even if an ungated caller asks for it
+    val ids = Tombstones.gate(spark, indexDir,
+      docSet.select(col("doc_id")).distinct(), col("doc_id"))
     shardSidecarFor(spark, indexDir, "doc_parts", "fwd", asOf) match {
       case Some(n) =>
         // the shard-range guard is an invariant (pmod lands in [0, n))

@@ -653,24 +653,51 @@ object Similarity {
     }
     val headAction = Versioned.history(spark, s"$indexDir/vectors").last._2
     if (headAction == "overwrite") {
-      // a COMPACTION died mid-way: verify the vectors overwrite was a
-      // pure rewrite, then catch the lagging tables up
+      // a COMPACTION died mid-way: verify the vectors overwrite added
+      // nothing and removed at most TOMBSTONED rows (a pure rewrite, or
+      // a tombstone merge — [[compactIvfIndex]] drops pending deletes),
+      // then catch the lagging tables up. Anything else is a crashed
+      // REBUILD and refuses.
       val now  = Versioned.read(spark, s"$indexDir/vectors", Some(vv))
         .select(col("cand_id"), col("cv"))
       val prev = Versioned.read(spark, s"$indexDir/vectors", Some(vv - 1))
         .select(col("cand_id"), col("cv"))
-      require(now.exceptAll(prev).isEmpty && prev.exceptAll(now).isEmpty,
-        s"$indexDir/vectors v$vv CHANGED content vs v${vv - 1} — a " +
+      require(now.exceptAll(prev).isEmpty,
+        s"$indexDir/vectors v$vv ADDED content vs v${vv - 1} — a " +
           "crashed REBUILD, not a crashed compaction; rebuild into a " +
           "fresh directory")
+      val gone = prev.exceptAll(now).select(col("cand_id")).distinct()
+      val goneUntombed = Tombstones.of(spark, indexDir) match {
+        case None => gone
+        case Some(t) => gone.join(
+          broadcast(t.select(col("doc_id").as("__ts_doc"))),
+          Retrieval.docKeyExpr(spark, indexDir, col("cand_id"))
+            === col("__ts_doc"), "left_anti")
+      }
+      require(goneUntombed.isEmpty,
+        s"$indexDir/vectors v$vv REMOVED non-tombstoned rows vs " +
+          s"v${vv - 1} — a crashed REBUILD, not a crashed compaction or " +
+          "tombstone merge; rebuild into a fresh directory")
+      val wasDrop = !gone.isEmpty
       heads.filter(_._2 == va).foreach { case (t, v) =>
         Versioned.overwrite(
           Versioned.read(spark, s"$indexDir/$t", Some(v)),
           s"$indexDir/$t"): Unit
       }
-      val empty = Versioned.read(spark, s"$indexDir/assignment", Some(va))
-        .limit(0)
-      val out = appendAssignment(empty, s"$indexDir/assignment")
+      // complete the merge on the assignment: a crashed tombstone drop
+      // re-applies the CURRENT tombstone set (a superset of the crashed
+      // run's is safe — gates already hide those rows everywhere, and
+      // the vectors rows they orphan drop at the next compaction); a
+      // pure compaction catches up with an empty append as before
+      val out =
+        if (!wasDrop) appendAssignment(
+          Versioned.read(spark, s"$indexDir/assignment", Some(va)).limit(0),
+          s"$indexDir/assignment")
+        else Versioned.overwriteLike(
+          Tombstones.gate(spark, indexDir,
+            Versioned.read(spark, s"$indexDir/assignment", Some(va)),
+            Retrieval.docKeyExpr(spark, indexDir, col("cand_id"))),
+          s"$indexDir/assignment")
       restampVecParts(spark, indexDir)
       return out
     }
@@ -736,18 +763,29 @@ object Similarity {
       .filter(t => graft.sources.Versioned.exists(spark, s"$indexDir/$t"))
     require(tables.contains("assignment"),
       s"$indexDir is not a persisted IVF index (no assignment/ table)")
+    val docX = Retrieval.docKeyExpr(spark, indexDir, col("cand_id"))
+    val hasTomb = Tombstones.of(spark, indexDir).nonEmpty
     // the vectors table compacts FIRST (mirroring the append order, so
     // a mid-way crash leaves the repairable vectors-ahead shape) and
     // RE-DERIVES its shard modulus from the grown corpus: a compaction
     // rewrites the snapshot anyway, so the re-shard is free — probed
     // shard bytes stay flat as appends accumulate instead of growing
-    // with the corpus
+    // with the corpus. Pending deletes ([[Tombstones]]) drop here too —
+    // this is the index family's merge step; centroids/codebook are
+    // corpus-level models, untouched until the rebuild cadence.
     val vVec =
       if (!graft.sources.Versioned.exists(spark, s"$indexDir/vectors"))
         Seq.empty[Long]
       else {
-        val cur = graft.sources.Versioned.read(spark, s"$indexDir/vectors")
-          .select(col("cand_id"), col("cv"))
+        // every column except the re-derived vec_part survives the
+        // rewrite: baked metadata rides the vectors table precisely so
+        // the crashed-append repair and post-compaction appends can
+        // restore/extend a meta-carrying assignment (a bare
+        // (cand_id, cv) projection here would silently strip it)
+        val all = graft.sources.Versioned.read(spark, s"$indexDir/vectors")
+        val cur = Tombstones.gate(spark, indexDir,
+          all.select(all.columns.filterNot(_ == "vec_part").map(col): _*),
+          docX)
         val n = autoVecShards(cur.count())
         val v = graft.sources.Versioned.overwritePartitioned(
           cur.withColumn("vec_part", pmod(col("cand_id"), lit(n.toLong))),
@@ -756,12 +794,144 @@ object Similarity {
         Seq(v)
       }
     val names = (if (vVec.nonEmpty) Seq("vectors") else Nil) ++ tables
-    val vs = vVec ++
-      tables.map(t => graft.sources.Versioned.compact(spark, s"$indexDir/$t"))
+    val vs = vVec ++ tables.map {
+      case "assignment" if hasTomb =>
+        graft.sources.Versioned.overwriteLike(
+          Tombstones.gate(spark, indexDir,
+            graft.sources.Versioned.read(spark, s"$indexDir/assignment"),
+            docX),
+          s"$indexDir/assignment")
+      case t => graft.sources.Versioned.compact(spark, s"$indexDir/$t")
+    }
     require(vs.distinct.size == 1, s"index compaction left tables out of " +
       s"lockstep (${names.zip(vs).map { case (t, v) => s"$t v$v" }
         .mkString(", ")}) — run repairIvfIndex")
     vs.head
+  }
+
+  // ------------------------------------------------- retrain-cadence rebuild
+
+  /** REBUILD a float IVF index's centroids from its CURRENT corpus —
+    * the retrain-cadence maintenance FAISS-add semantics defer to the
+    * caller: centroids freeze at build, appended batches assign to them,
+    * and recall decays as the corpus drifts from the training
+    * distribution; nothing turned that dial until this stage. The
+    * corpus is the index's OWN assignment rows (float assignments carry
+    * full-precision cv), so no external table is consulted — the
+    * [[graft.operators.Bpe]] retrain discipline: a fresh lockstep
+    * overwrite version; pinned `asOf` consumers keep their epoch (the
+    * per-epoch sidecar history), and pending tombstones drop here too
+    * (a rebuild is the strongest merge).
+    *
+    * Crash safety: a prior rebuild that died between its two overwrites
+    * leaves versions skewed; this pads the lagging table with
+    * content-identical commits until both sit one below a common
+    * target, then rebuilds — the pad versions are gap versions that
+    * never existed as consistent pairs (the [[graft.operators.Retrieval
+    * .repairBm25Index]] catch-up precedent: pin at or before the gap,
+    * or at the rebuilt head). SQ8 indexes refuse (codes only — the
+    * original vectors are gone); IVF-PQ uses [[rebuildIvfPqIndex]].
+    */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, lloydIters: Int = 0): Long = {
+    import graft.sources.Versioned
+    val ts = Seq("centroids", "assignment")
+    require(ts.forall(t => Versioned.exists(spark, s"$indexDir/$t")),
+      s"$indexDir is not a persisted IVF index (centroids/ + assignment/)")
+    require(!Versioned.exists(spark, s"$indexDir/codebook"),
+      s"$indexDir is an IVF-PQ index — use rebuildIvfPqIndex")
+    val vLock = ts.map(t => Versioned.latestVersion(spark, s"$indexDir/$t")).min
+    val cents = Versioned.read(spark, s"$indexDir/centroids", Some(vLock))
+    require(!cents.columns.contains("s"),
+      s"$indexDir is an SQ8 index — its assignment stores codes, not " +
+        "vectors; rebuild from the original corpus with buildIvfSq8Index")
+    val rows = Tombstones.gate(spark, indexDir,
+      Versioned.read(spark, s"$indexDir/assignment", Some(vLock)),
+      Retrieval.docKeyExpr(spark, indexDir, col("cand_id")))
+    val meta = assignmentMetaCols(rows)
+    val nCent = cents.count().toInt // nCentroids rows — bounded
+    val cand = rows.select((col("cand_id").as("id") +:
+      col("cv").as("vec") +: meta.map(col)): _*)
+    val (layoutName, nBuckets) = assignLayoutOf(spark, indexDir)
+    val target = padToLockstepTarget(spark, indexDir, ts)
+    val v = buildIvfIndex(cand, indexDir, nCent, lloydIters, nBuckets,
+      layoutName, meta)
+    require(v == target, s"$indexDir rebuild landed at v$v, expected " +
+      s"v$target — a concurrent writer interleaved; verify lockstep")
+    v
+  }
+
+  /** [[rebuildIvfIndex]] for the four-table IVF-PQ format: centroids
+    * AND codebook retrain from the index's own full-precision `vectors`
+    * table; every encode parameter (m, ks, dim, residual) derives from
+    * the persisted codebook itself, so the rebuild needs no
+    * caller-supplied knobs and cannot drift from the build's contract.
+    */
+  def rebuildIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, pqLloydIters: Int = 0,
+                        lloydIters: Int = 0): Long = {
+    import graft.sources.Versioned
+    val ts = Seq("vectors", "centroids", "codebook", "assignment")
+    require(ts.forall(t => Versioned.exists(spark, s"$indexDir/$t")),
+      s"$indexDir is not a four-table IVF-PQ index " +
+        "(vectors/ centroids/ codebook/ assignment/)")
+    val vLock = ts.map(t => Versioned.latestVersion(spark, s"$indexDir/$t")).min
+    val cb = Versioned.read(spark, s"$indexDir/codebook", Some(vLock))
+    val spec = cb.agg(
+      (org.apache.spark.sql.functions.max(col("j")) + 1).cast("int"),
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.size(col("cb"))).cast("int"),
+      count(lit(1))).head
+    val m = spec.getInt(0)
+    val sub = spec.getInt(1)
+    val ks = (spec.getLong(2) / m).toInt
+    val residual = cb.columns.contains("res") &&
+      cb.select(col("res")).head.getBoolean(0)
+    val nCent = Versioned.read(spark, s"$indexDir/centroids", Some(vLock))
+      .count().toInt
+    val meta = assignmentMetaCols(
+      Versioned.read(spark, s"$indexDir/assignment", Some(vLock)))
+    val vecs = Tombstones.gate(spark, indexDir,
+      Versioned.read(spark, s"$indexDir/vectors", Some(vLock)),
+      Retrieval.docKeyExpr(spark, indexDir, col("cand_id")))
+    val cand = vecs.select((col("cand_id").as("id") +:
+      col("cv").as("vec") +: meta.map(col)): _*)
+    val (layoutName, nBuckets) = assignLayoutOf(spark, indexDir)
+    val target = padToLockstepTarget(spark, indexDir, ts)
+    val v = buildIvfPqIndex(cand, indexDir, nCent, m, ks, pqLloydIters,
+      lloydIters, m * sub, residual, nBuckets, layoutName, metaCols = meta)
+    require(v == target, s"$indexDir rebuild landed at v$v, expected " +
+      s"v$target — a concurrent writer interleaved; verify lockstep")
+    v
+  }
+
+  /** The assignment table's declared physical layout, as
+    * (buildIvfIndex's layout name, nBuckets). */
+  private def assignLayoutOf(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String): (String, Int) =
+    graft.sources.Versioned.declaredLayout(spark, s"$indexDir/assignment") match {
+      case l if l.startsWith("bucket:") => ("bucket", l.split(":")(2).toInt)
+      case l if l.startsWith("part:") => ("partition", 8)
+      case _ => ("bucket", 8)
+    }
+
+  /** Pad each table with content-identical commits until all sit one
+    * below a common target version, so a multi-table build's overwrites
+    * land in lockstep even after a crashed prior rebuild skewed them.
+    * Pad versions are documented gap versions (never consistent pairs).
+    */
+  private def padToLockstepTarget(spark: org.apache.spark.sql.SparkSession,
+                                  indexDir: String,
+                                  tables: Seq[String]): Long = {
+    import graft.sources.Versioned
+    val target = tables
+      .map(t => Versioned.latestVersion(spark, s"$indexDir/$t")).max + 1
+    tables.foreach { t =>
+      val tab = s"$indexDir/$t"
+      while (Versioned.latestVersion(spark, tab) < target - 1)
+        Versioned.overwriteLike(Versioned.read(spark, tab), tab): Unit
+    }
+    target
   }
 
   /** Probe a persisted IVF index: identical output to the [[ivfTopK]]
@@ -786,8 +956,16 @@ object Similarity {
         s"assignment v$va) — a build/append crashed between commits; " +
         "run repairIvfIndex, or pin an intact version with asOf")
     }
+    // document deletion ([[Tombstones]]): pending deletes gate the
+    // candidate rows BEFORE scoring/ranking (survivors fill k — no
+    // starvation); the physical drop happens at [[compactIvfIndex]].
+    // Gates read the LATEST tombstones even under asOf — takedown is
+    // retroactive. Chunk-grain indexes (composite ck keys) gate on the
+    // decoded doc id.
     (graft.sources.Versioned.read(spark, s"$indexDir/centroids", asOf),
-     graft.sources.Versioned.read(spark, s"$indexDir/assignment", asOf))
+     Tombstones.gate(spark, indexDir,
+       graft.sources.Versioned.read(spark, s"$indexDir/assignment", asOf),
+       Retrieval.docKeyExpr(spark, indexDir, col("cand_id"))))
   }
 
   def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
@@ -826,6 +1004,80 @@ object Similarity {
     val (centroids, assigned) = readIndexPair(spark, indexDir, asOf)
     requirePredicateCols(indexDir, assigned, predicate)
     probeIndex(queries, centroids, assigned.filter(predicate), k, nProbes)
+  }
+
+  /** [[queryIvfIndexFiltered]] with ADAPTIVE probe widening — the
+    * filtered-ANN starvation fix (the problem ACORN and FAISS's
+    * selectivity-aware probing address): a highly selective gate (a
+    * rare language, a narrow date) can leave fewer than k eligible
+    * candidates inside the probed buckets while eligible vectors sit in
+    * UNprobed ones — the fixed-probe result underfills k at full
+    * correctness but poor recall. When any query underfills, the probe
+    * count DOUBLES and the probe re-runs, until every query fills k or
+    * the scan is exhaustive (nProbes = nCentroids, where the result is
+    * EXACTLY the filtered brute force). Escalation cost is geometric:
+    * the final round dominates, total probed bytes ≤ 2× the bytes the
+    * right probe count would have paid, and a query batch that fills k
+    * at the starting width pays exactly [[queryIvfIndexFiltered]]'s
+    * plan plus one |Q|-row underfill check. The check is a bounded
+    * control read (|Q| rows), the documented Scheduler-style exception.
+    */
+  def queryIvfIndexFilteredAdaptive(spark: org.apache.spark.sql.SparkSession,
+                                    indexDir: String, queries: DataFrame,
+                                    k: Int, predicate: Column,
+                                    nProbes: Int = 4,
+                                    asOf: Option[Long] = None): DataFrame = {
+    val (centroids, assigned) = readIndexPair(spark, indexDir, asOf)
+    requirePredicateCols(indexDir, assigned, predicate)
+    val gated = assigned.filter(predicate)
+    val nCent = centroids.count().toInt // nCentroids rows — bounded
+    adaptiveWiden(queries, k, math.max(1, nProbes), nCent,
+      p => probeIndex(queries, centroids, gated, k, p))
+  }
+
+  /** [[queryIvfPqIndexFiltered]] with the same adaptive widening over
+    * the compressed ADC scan; with escalation exhausted the output is
+    * exactly the filtered [[pqTopK]]. */
+  def queryIvfPqIndexFilteredAdaptive(spark: org.apache.spark.sql.SparkSession,
+                                      indexDir: String, queries: DataFrame,
+                                      k: Int, predicate: Column,
+                                      nProbes: Int = 4,
+                                      asOf: Option[Long] = None, m: Int = 8,
+                                      ks: Int = 16, dim: Int = 64,
+                                      residual: Boolean = false): DataFrame = {
+    val nCent = graft.sources.Versioned
+      .read(spark, s"$indexDir/centroids", asOf).count().toInt
+    adaptiveWiden(queries, k, math.max(1, nProbes), nCent,
+      p => queryIvfPqIndexWhere(spark, indexDir, queries, k, p, asOf, m, ks,
+        dim, residual, Some(predicate)))
+  }
+
+  /** The escalation loop: run the probe at width p, return when every
+    * query has k rows or the scan is exhaustive; else double. The
+    * result stages through a lazy localCheckpoint so the underfill
+    * check and the returned rows share one computation. Underfill
+    * detection joins from the QUERY side (a query with ZERO eligible
+    * probed candidates has no result group at all — a result-side
+    * group-count would miss it and never escalate exactly where
+    * escalation matters most).
+    */
+  private def adaptiveWiden(queries: DataFrame, k: Int, startProbes: Int,
+                            nCent: Int,
+                            probe: Int => DataFrame): DataFrame = {
+    val qids = queries.select(col("id").as("query_id")).distinct()
+    var p = math.min(startProbes, math.max(1, nCent))
+    while (true) {
+      val r = probe(p).localCheckpoint(eager = false)
+      if (p >= nCent) return r
+      val underfilled = !qids
+        .join(r.groupBy(col("query_id")).agg(count(lit(1)).as("__n")),
+          Seq("query_id"), "left")
+        .filter(coalesce(col("__n"), lit(0L)) < k)
+        .isEmpty
+      if (!underfilled) return r
+      p = math.min(nCent, p * 2)
+    }
+    sys.error("unreachable")
   }
 
   /** Build an IVF index whose buckets store SQ8 CODES instead of float
@@ -1341,8 +1593,10 @@ object Similarity {
     val centroids = graft.sources.Versioned.read(spark, s"$indexDir/centroids", asOf)
     val cb = pqResGuard(
       graft.sources.Versioned.read(spark, s"$indexDir/codebook", asOf), residual)
-    val assignedAll =
-      graft.sources.Versioned.read(spark, s"$indexDir/assignment", asOf)
+    // takedown gate before scoring, as in [[readIndexPair]]
+    val assignedAll = Tombstones.gate(spark, indexDir,
+      graft.sources.Versioned.read(spark, s"$indexDir/assignment", asOf),
+      Retrieval.docKeyExpr(spark, indexDir, col("cand_id")))
     pred.foreach(requirePredicateCols(indexDir, assignedAll, _))
     val assigned = pred.map(assignedAll.filter).getOrElse(assignedAll)
 

@@ -454,6 +454,21 @@ object Versioned {
   def appendPartitioned(df: DataFrame, table: String, partCol: String): Long =
     commit(df, table, "append", layout = partLayout(partCol))
 
+  /** Overwrite re-establishing the table's DECLARED layout — what a
+    * content-CHANGING maintenance rewrite (a tombstone drop, a stop-list
+    * recap) uses where plain [[compact]] would preserve content: the new
+    * snapshot lands bucketed/partitioned exactly as the last overwrite
+    * declared, so probes keep their pruning across the rewrite.
+    */
+  def overwriteLike(df: DataFrame, table: String): Long = {
+    val layout = declaredLayout(df.sparkSession, table)
+    parseBucketLayout(layout).map { case (c, n) =>
+      overwriteBucketed(df, table, c, n)
+    }.orElse(parsePartLayout(layout).map { c =>
+      overwritePartitioned(df, table, c)
+    }).getOrElse(overwrite(df, table))
+  }
+
   /** Compare-and-swap overwrite: commit ONLY if it lands exactly at
     * `expected` — no retry onto the next free version. This is the
     * primitive multi-table artifacts need (an ANN index's or signal

@@ -100,7 +100,10 @@ class PlanQualitySpec extends SparkSpec {
     "q181_context_model_pack",
     // chunk-grain RM3: two chunk-BM25 passes, each with the 1-row
     // stats broadcast (the q174 shape at span grain)
-    "q182_rm3_chunks")
+    "q182_rm3_chunks",
+    // takedown: the merged index serves through queryBm25Index — the
+    // same 1-row (N, Σdl) stats broadcast as q147
+    "q188_takedown_bm25")
 
   test("PLAN_AUDIT.md has a row for every SparkEntry query") {
     // The audit artifact is regenerated by `tools/run.sh graft.PlanAudit`;

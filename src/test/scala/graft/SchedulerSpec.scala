@@ -648,6 +648,99 @@ class SchedulerSpec extends SparkSpec {
     assert(Versioned.read(spark, s"$work/bm25/postings").count() > 0)
   }
 
+  test("DailyMaintenance with a MID-RUN TAKEDOWN: day 2 tombstones two " +
+      "day-0 docs; the same day's compactions merge the drop, and every " +
+      "maintained artifact ends row-identical to a cadence run that " +
+      "never ingested them — minus the documented stats epsilon (none " +
+      "here: the docs carry postings)") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Versioned
+    val work = java.nio.file.Files.createTempDirectory("graft-takedown").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val dead = Seq(5L, 17L)
+    def dayDocs(k: Int) =
+      docs.filter(col("doc_id") >= k * 100 && col("doc_id") < (k + 1) * 100)
+    def dayVecs(k: Int) =
+      vecs.filter(col("id") >= k * 100 && col("id") < (k + 1) * 100)
+    def dayOf(b: Long): Int = (b / Day - 9).toInt
+
+    (0 until 3).foreach { k =>
+      val res = graft.app.DailyMaintenance.tick(spark, work,
+        b => dayDocs(dayOf(b)), b => dayVecs(dayOf(b)),
+        nowMs = (10 + k) * Day + 5,
+        intervalMs = Day, retries = 0, retryDelayMs = 1L, sleep = _ => (),
+        compactEvery = 2, retainVersions = 2,
+        takedownFor = b =>
+          if (dayOf(b) == 2)
+            Some(docs.filter(col("doc_id").isInCollection(dead)))
+          else None)
+      assert(res.nonEmpty && res.forall(_._2.last.ok),
+        s"day $k had a failed stage: ${res.filter(!_._2.last.ok).map(_._1)}")
+    }
+    // the takedown stage has an ok row on every boundary (no-op days too)
+    val hist = Versioned.read(spark, s"$work/runs")
+      .filter(col("ok") && col("stage") === "takedown")
+      .select("boundary_ms").as[Long].collect().toSet
+    assert(hist == Set(9L * Day, 10L * Day, 11L * Day))
+
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSeq
+    val union = docs.filter(col("doc_id") < 300)
+    val survivors = union.filter(!col("doc_id").isInCollection(dead))
+
+    // lexical: the day-2 compaction merged the drop — the maintained
+    // index equals a fresh build that never saw the docs
+    val freshB = java.nio.file.Files.createTempDirectory("gtd-b").toString
+    graft.operators.Retrieval.buildBm25Index(survivors, col("doc_id"),
+      col("text"), freshB)
+    assert(rows(graft.operators.Retrieval.queryBm25Index(
+        spark, s"$work/bm25", Seq("dup", "spark"), k = 10)) ==
+      rows(graft.operators.Retrieval.queryBm25Index(
+        spark, freshB, Seq("dup", "spark"), k = 10)))
+    assert(Versioned.read(spark, s"$work/bm25/postings")
+      .filter(col("doc_id").isInCollection(dead)).isEmpty,
+      "merged postings must not hold the tombstoned docs")
+
+    // chunk grain: one DOC takedown removed every span
+    val freshC = java.nio.file.Files.createTempDirectory("gtd-c").toString
+    graft.operators.Retrieval.buildChunkBm25Index(survivors, col("doc_id"),
+      col("text"), freshC, size = 32, stride = 16)
+    assert(rows(graft.operators.Retrieval.queryChunkBm25Index(
+        spark, s"$work/chunks", Seq("dup"), k = 10)) ==
+      rows(graft.operators.Retrieval.queryChunkBm25Index(
+        spark, freshC, Seq("dup"), k = 10)))
+
+    // ANN: exhaustive probe ≡ brute force over the surviving vectors
+    val queries = vecs.filter(col("id") < 2)
+    assert(rows(graft.operators.Similarity.queryIvfIndex(spark,
+        s"$work/ivf", queries, k = 5, nProbes = 16)
+        .select("query_id", "cand_id", "sim")) ==
+      rows(graft.operators.Similarity.bruteForceTopK(queries,
+        vecs.filter(col("id") < 300 && !col("id").isInCollection(dead)), k = 5)
+        .select("query_id", "cand_id", "sim")))
+
+    // forward index: a tombstoned doc's text never mounts, dropped rows
+    val spans = Seq((9L, 5L, 1L, 3L, 0.9), (9L, 6L, 1L, 3L, 0.8))
+      .toDF("query_id", "doc_id", "span_start", "span_end", "score")
+    val mounted = graft.operators.Retrieval.contextTextsIndexed(spark,
+      spans, s"$work/fwd").select("doc_id").as[Long].collect().toSet
+    assert(mounted == Set(6L))
+    assert(Versioned.read(spark, s"$work/fwd/fwd")
+      .filter(col("doc_id").isInCollection(dead)).isEmpty)
+
+    // signal state: counts subtracted ≡ a state built without the docs
+    val freshS = java.nio.file.Files.createTempDirectory("gtd-s").toString
+    graft.operators.Corpus.buildSignalState(survivors, col("doc_id"),
+      col("text"), freshS)
+    Seq("nd", "c1", "c12", "vsz").foreach { t =>
+      val a = Versioned.read(spark, s"$work/signals/$t")
+      val b = Versioned.read(spark, s"$freshS/$t")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"signals/$t diverged from the never-ingested state")
+    }
+  }
+
   test("DailyMaintenance with a df-cap ratio: day-0 builds derive doc- AND " +
       "chunk-grain stop sets, appends inherit the frozen sets through the " +
       "shared sidecar, the day-2 compaction RE-DERIVES them over the grown " +

@@ -5,7 +5,10 @@ graft.Verify output dir, runs each statement against the same parquet
 tables (min of 2 runs, matching Bench's warm discipline), prints one
 JSON line.
 
-Usage: tools/twin_time.py <sfDir> <verifyOutDir>
+Usage: tools/twin_time.py <sfDir> <verifyOutDir> [only=q1,q2,...]
+  only= restricts to a comma-separated query subset (the sf0.3 serve
+  tier passes BenchTier's list so the 2x gate gets a same-scale
+  comparison at the larger tier).
 """
 import sys, json, time
 import duckdb
@@ -17,6 +20,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main():
     sf_dir, vout = sys.argv[1], sys.argv[2]
     oracle = json.load(open(f"{vout}/oracle_sql.json"))
+    only = [a for a in sys.argv[3:] if a.startswith("only=")]
+    if only:
+        keep = set(only[0][len("only="):].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     con = duckdb.connect()
     con.execute(f"SET threads TO 32")
     for t in TABLES:
