@@ -267,6 +267,37 @@ class TombstoneSpec extends SparkSpec {
     assert(Corpus.signalStateVersion(spark, sd) == 1L)
   }
 
+  test("the tombstone gate does not cost the pruned layouts their DPP: " +
+       "a partition-layout IVF probe and a forward-index fetch keep " +
+       "dynamicpruningexpression with pending deletes in place") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val dir = tmp("ts_dpp")
+    Similarity.buildIvfIndex(e, dir, nCentroids = 8,
+      assignmentLayout = "partition")
+    Tombstones.add(Seq(3L, 7L).toDF("doc_id"), dir)
+    val probe = Similarity.queryIvfIndex(spark, dir,
+      e.filter(col("id") < 2), 5, nProbes = 3)
+    val plan = probe.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("dynamicpruningexpression"),
+      "gated partitioned assignment must still dynamic-partition-prune")
+    assert((probe.select("cand_id").as[Long].collect().toSet
+      & Set(3L, 7L)).isEmpty)
+
+    val fdir = tmp("ts_dppf")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    Retrieval.buildForwardIndex(docs, col("doc_id"), col("text"), fdir)
+    Tombstones.add(Seq(3L).toDF("doc_id"), fdir)
+    val packed = Seq((0L, 1L, 1L, 2L, 1.0), (0L, 5L, 1L, 2L, 0.5))
+      .toDF("query_id", "doc_id", "span_start", "span_end", "score")
+    val fetch = Retrieval.contextTextsIndexed(spark, packed, fdir)
+    val plan2 = fetch.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan2.contains("dynamicpruningexpression"),
+      "gated forward fetch must still dynamic-partition-prune")
+  }
+
   test("vacuumIndexSidecars bounds the epoch history and surviving pins " +
        "still prune") {
     val dir = tmp("ts_vac")
