@@ -26,9 +26,13 @@ def main():
         oracle = {k: v for k, v in oracle.items() if k in keep}
     con = duckdb.connect()
     con.execute(f"SET threads TO 32")
+    import os
     for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables (the ScaleData sf0.3 tier) are DIRECTORIES
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{pat}')")
     times = {}
     for name in sorted(oracle):
         sql = oracle[name]
