@@ -412,6 +412,11 @@ object DailyMaintenance {
         if (Versioned.exists(spark, s"$work/signals/nd"))
           Corpus.deleteFromSignalState(td, col("doc_id"), col("text"),
             s"$work/signals"): Unit
+        // the curation state persists doc-derived data (norm_fp + the
+        // shingle-hash set) — drop it too; idempotent, and re-firing
+        // every boundary also completes a previously-crashed drop
+        Curation.deleteFromState(spark, s"$work/state",
+          td.select(col("doc_id"))): Unit
       }
     }),
     // model maintenance — the LONGER cadence (every `retrainEvery`

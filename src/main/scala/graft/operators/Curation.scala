@@ -175,6 +175,58 @@ object Curation {
     vc
   }
 
+  /** TAKEDOWN for the curation state — the [[Tombstones]] discipline's
+    * state-artifact sibling (candidates persist a document's normalized
+    * fingerprint AND its full shingle-hash set, doc-derived data a
+    * deletion must actually remove, not merely stop serving): drop the
+    * documents' candidate rows and every pair edge touching them, as
+    * two lockstep overwrites. After the delete the state behaves as one
+    * that never admitted the docs — a later re-ingest of the same
+    * content is ADMITTED again (its norm_fp keeper row is gone), a
+    * near-dup cluster whose representative died promotes its next-min
+    * member (pairs among survivors persist, CC re-derives), and
+    * [[survivors]] ≡ [[fullCurate]] over the corpus minus the docs
+    * (spec-proven). One documented divergence, inherent to INCREMENTAL
+    * dedup: a document the deleted doc had SHADOWED at ingest (same
+    * norm_fp, dropped by the anti-join before ever entering state)
+    * stays absent — its text lives only in its original batch; re-admit
+    * it by replaying that batch.
+    *
+    * Crash shape: candidates commit first; a death before the pairs
+    * commit leaves candidates ahead, which [[heal]] closes with an
+    * empty pair append (the orphan-batch algebra sees no new docs) —
+    * lockstep restores with the dead EDGES still present, and the next
+    * [[deleteFromState]] call (the takedown stage re-fires it every
+    * boundary) detects and completes the drop. Idempotent: nothing to
+    * drop ⇒ None, no version bump. Deletion lists broadcast.
+    */
+  def deleteFromState(spark: SparkSession, stateDir: String,
+                      docIds: DataFrame): Option[Long] = {
+    if (!Versioned.exists(spark, candTable(stateDir))) return None
+    heal(spark, stateDir)
+    val dead = docIds.select(col("doc_id").cast("long").as("__dead"))
+      .distinct().localCheckpoint(eager = false) // feeds 4 joins
+    val cands = Versioned.read(spark, candTable(stateDir))
+    val prs = Versioned.read(spark, pairTable(stateDir))
+    val hitC = !cands.join(broadcast(dead),
+      col("doc_id") === col("__dead"), "left_semi").isEmpty
+    val hitP = !prs.join(broadcast(dead),
+      col("doc_a") === col("__dead") || col("doc_b") === col("__dead"),
+      "left_semi").isEmpty
+    if (!hitC && !hitP) return None
+    val vc = Versioned.overwrite(
+      cands.join(broadcast(dead), col("doc_id") === col("__dead"),
+        "left_anti"),
+      candTable(stateDir))
+    val vp = Versioned.overwrite(
+      prs.join(broadcast(dead), col("doc_a") === col("__dead"), "left_anti")
+        .join(broadcast(dead), col("doc_b") === col("__dead"), "left_anti"),
+      pairTable(stateDir))
+    require(vc == vp,
+      s"curation state diverged after delete: candidates v$vc vs pairs v$vp")
+    Some(vc)
+  }
+
   /** The curated corpus at state version `asOf` (default latest):
     * candidates minus near-dup cluster non-representatives, with the
     * deterministic train-split flag. Output: (doc_id, is_train).

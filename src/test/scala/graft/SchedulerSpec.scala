@@ -729,6 +729,14 @@ class SchedulerSpec extends SparkSpec {
     assert(Versioned.read(spark, s"$work/fwd/fwd")
       .filter(col("doc_id").isInCollection(dead)).isEmpty)
 
+    // curation state: the dead docs' candidate rows and pair edges are
+    // gone (the norm_fp + shingle-hash data a takedown must remove)
+    assert(Versioned.read(spark, s"$work/state/candidates")
+      .filter(col("doc_id").isInCollection(dead)).isEmpty)
+    assert(Versioned.read(spark, s"$work/state/pairs")
+      .filter(col("doc_a").isInCollection(dead) ||
+        col("doc_b").isInCollection(dead)).isEmpty)
+
     // signal state: counts subtracted ≡ a state built without the docs
     val freshS = java.nio.file.Files.createTempDirectory("gtd-s").toString
     graft.operators.Corpus.buildSignalState(survivors, col("doc_id"),

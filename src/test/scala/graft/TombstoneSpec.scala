@@ -298,6 +298,66 @@ class TombstoneSpec extends SparkSpec {
       "gated forward fetch must still dynamic-partition-prune")
   }
 
+  test("curation-state takedown: candidate rows + pair edges drop; a " +
+       "dead cluster representative's next-min member is promoted and " +
+       "survivors ≡ fullCurate over the corpus minus the docs; a crashed " +
+       "delete heals and completes on the next call") {
+    import graft.operators.Curation
+    val mk = (id: Long, text: String) => (id, text, text.length.toLong)
+    // three near-dup cluster members (ids 10 < 11 < 12) + two singletons;
+    // texts long + wordy enough to pass the row-local quality gates
+    val dupBase = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the quiet green forest before evening falls"
+    val batch1 = Seq(
+      mk(10L, dupBase), mk(11L, dupBase + " tonight"),
+      mk(20L, "completely different prose about distributed query " +
+        "engines and their shuffle behavior at large scale today"))
+      .toDF("doc_id", "text", "n_chars")
+    val batch2 = Seq(
+      mk(12L, dupBase + " again"),
+      mk(30L, "another unrelated document describing parquet column " +
+        "pruning and predicate pushdown in vectorized readers"))
+      .toDF("doc_id", "text", "n_chars")
+    val sd = tmp("ts_cur")
+    Curation.curateBatch(batch1, sd)
+    Curation.curateBatch(batch2, sd)
+    val before = Curation.survivors(spark, sd).select("doc_id")
+      .as[Long].collect().toSet
+    assert(before.contains(10L) && !before.contains(11L),
+      s"fixture: 10 must represent the cluster (got $before)")
+
+    // takedown the representative: its rows/edges drop, 11 is promoted
+    val del = Curation.deleteFromState(spark, sd, Seq(10L).toDF("doc_id"))
+    assert(del.nonEmpty)
+    val cands = Versioned.read(spark, s"$sd/candidates")
+    assert(cands.filter(col("doc_id") === 10L).isEmpty)
+    val prs = Versioned.read(spark, s"$sd/pairs")
+    assert(prs.filter(col("doc_a") === 10L || col("doc_b") === 10L).isEmpty)
+    val after = Curation.survivors(spark, sd).select("doc_id")
+      .as[Long].collect().toSet
+    val fresh = Curation.fullCurate(
+      batch1.unionByName(batch2).filter(col("doc_id") =!= 10L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == fresh,
+      s"post-delete survivors $after must equal fresh-without $fresh")
+    assert(after.contains(11L) && !after.contains(12L),
+      "the next-min cluster member must be promoted to representative")
+
+    // idempotent no-op
+    assert(Curation.deleteFromState(spark, sd, Seq(10L).toDF("doc_id")).isEmpty)
+
+    // crashed delete: candidates overwritten without 30, pairs not
+    // touched — heal() closes lockstep with an empty pair append, and
+    // the next deleteFromState completes any remaining edge drop
+    val c2 = Versioned.read(spark, s"$sd/candidates")
+    Versioned.overwrite(c2.filter(col("doc_id") =!= 30L), s"$sd/candidates")
+    val v = Curation.survivors(spark, sd) // heal() runs inside
+    assert(v.filter(col("doc_id") === 30L).isEmpty)
+    assert(Versioned.latestVersion(spark, s"$sd/candidates") ==
+      Versioned.latestVersion(spark, s"$sd/pairs"))
+    assert(Curation.deleteFromState(spark, sd, Seq(30L).toDF("doc_id")).isEmpty)
+  }
+
   test("vacuumIndexSidecars bounds the epoch history and surviving pins " +
        "still prune") {
     val dir = tmp("ts_vac")
