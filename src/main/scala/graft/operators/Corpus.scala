@@ -864,12 +864,54 @@ object Corpus {
     * committing it would silently corrupt every downstream ppl/dup
     * score. Cost is deletion-batch-sized against the
     * vocabulary-bounded tables; commits all four in lockstep CAS order.
+    *
+    * RETRY SAFETY (`batchId`): the underflow guard cannot catch a
+    * DOUBLE-applied delete whose shared token/ngram totals stay
+    * positive — a scheduler that re-runs a takedown stage after a
+    * LATER sub-step failed would silently subtract the same counts
+    * twice. A caller that names its deletion batch (any stable id —
+    * the maintenance boundary) gets exactly-once application: the id
+    * and its target version CLAIM into a tiny `dels/` table BEFORE the
+    * subtraction commits, and a retry that finds the state already at
+    * (or past) the claimed target SKIPS re-application. Crash shapes:
+    * claim landed / subtraction didn't → the retry sees target = v0+1
+    * and applies; subtraction landed / caller's later step failed →
+    * the retry sees v0 ≥ target and skips (the ADVICE r15 window);
+    * crash INSIDE the four-table commit → lockstep is broken and
+    * [[signalStateVersion]] fails loudly, as for every state write.
+    * Without `batchId` the legacy at-most-per-call semantics apply.
     */
   def deleteFromSignalState(deleted: DataFrame, id: Column, text: Column,
       stateDir: String,
-      shingler: Column => Column = NearDup.shingleHashes3Inst): Long = {
+      shingler: Column => Column = NearDup.shingleHashes3Inst,
+      batchId: Option[String] = None): Long = {
     val spark = deleted.sparkSession
     val v0 = signalStateVersion(spark, stateDir)
+    val delsT = s"$stateDir/dels"
+    import spark.implicits._
+    val alreadyApplied = batchId.exists { b =>
+      val claimed: Option[Long] =
+        if (!graft.sources.Versioned.exists(spark, delsT)) None
+        else // 1-row control read (the bounded Scheduler-style exception)
+          graft.sources.Versioned.read(spark, delsT)
+            .filter(col("batch_id") === b)
+            .agg(max(col("target_v"))).as[Option[Long]]
+            .collect().headOption.flatten
+      claimed match {
+        case Some(t) if v0 >= t => true // prior attempt committed — skip
+        case Some(t) =>
+          require(t == v0 + 1, s"signal-state deletion claim for batch " +
+            s"'$b' targets v$t but the state is at v$v0 — the claim was " +
+            "written against a different state history; investigate " +
+            "before re-applying")
+          false
+        case None =>
+          graft.sources.Versioned.append(
+            Seq((b, v0 + 1)).toDF("batch_id", "target_v"), delsT): Unit
+          false
+      }
+    }
+    if (alreadyApplied) return v0
     def tbl(t: String) = graft.sources.Versioned.read(spark, s"$stateDir/$t",
       Some(v0))
 

@@ -195,10 +195,17 @@ object Curation {
     * Crash shape: candidates commit first; a death before the pairs
     * commit leaves candidates ahead, which [[heal]] closes with an
     * empty pair append (the orphan-batch algebra sees no new docs) —
-    * lockstep restores with the dead EDGES still present, and the next
-    * [[deleteFromState]] call (the takedown stage re-fires it every
-    * boundary) detects and completes the drop. Idempotent: nothing to
-    * drop ⇒ None, no version bump. Deletion lists broadcast.
+    * lockstep restores with the dead EDGES still present. Those
+    * dangling edges are INERT: [[survivorsFrom]] drops every edge
+    * whose endpoint has no candidate row before clustering, so the
+    * healed state derives the same survivors as a completed delete;
+    * new batches cannot pair against the dead doc (its candidate row —
+    * the shingle source — is gone); and the next [[deleteFromState]]
+    * carrying the same ids physically completes the drop (the daily
+    * takedown stage fires this only on boundaries WITH a takedown
+    * list, which may be never — hence the in-read cut rather than a
+    * re-fire contract). Idempotent: nothing to drop ⇒ None, no version
+    * bump. Deletion lists broadcast.
     */
   def deleteFromState(spark: SparkSession, stateDir: String,
                       docIds: DataFrame): Option[Long] = {
@@ -243,7 +250,20 @@ object Curation {
     survivorsFrom(cands, prs)
   }
 
-  private def survivorsFrom(cands: DataFrame, prs: DataFrame): DataFrame = {
+  private def survivorsFrom(cands: DataFrame, prs0: DataFrame): DataFrame = {
+    // Drop DANGLING edges first — edges whose endpoint has no candidate
+    // row. The one shape that produces them: a [[deleteFromState]] that
+    // crashed between its candidates and pairs overwrites, healed by
+    // [[heal]]'s empty pair append (lockstep restored, dead edges
+    // intact). Without this cut the connected components still contain
+    // the deleted doc, it can be a cluster's min (= representative),
+    // and every SURVIVING member of that cluster would be silently
+    // dropped from the curated corpus. Pair-graph-sized semi joins —
+    // orders of magnitude below the corpus.
+    val ids = cands.select(col("doc_id"))
+    val prs = prs0
+      .join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
     val nodes = prs.select(col("doc_a").as("id"))
       .unionByName(prs.select(col("doc_b").as("id"))).distinct()
     val dropNear = Graph.connectedComponents(nodes, prs, maxIter = 60)

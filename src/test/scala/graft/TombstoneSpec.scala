@@ -386,4 +386,78 @@ class TombstoneSpec extends SparkSpec {
     val got = Retrieval.queryBm25Index(spark, dir, terms, 10)
     assert(got.count() > 0)
   }
+
+  test("signal-state delete with a named deletion batch is exactly-once: " +
+       "a retry after the commit skips re-subtracting; a retry after a " +
+       "claim-only crash applies; distinct batches both apply") {
+    val sd = tmp("ts_sig_retry")
+    val docs = corpus.toDF("doc_id", "text")
+    Corpus.buildSignalState(docs, col("doc_id"), col("text"), sd)
+    val deadDocs = docs.filter(col("doc_id") === 2L)
+    val v1 = Corpus.deleteFromSignalState(deadDocs, col("doc_id"),
+      col("text"), sd, batchId = Some("takedown:100"))
+    assert(v1 == 1L)
+    // the ADVICE r15 window: a later sub-step of the same stage failed
+    // and the scheduler re-runs the whole stage — the shared-token
+    // double-subtract the underflow guard cannot see must NOT happen
+    val v2 = Corpus.deleteFromSignalState(deadDocs, col("doc_id"),
+      col("text"), sd, batchId = Some("takedown:100"))
+    assert(v2 == 1L, "retry of a committed deletion batch must be a no-op")
+    val fresh = tmp("ts_sig_retry_fresh")
+    Corpus.buildSignalState(docs.filter(col("doc_id") =!= 2L),
+      col("doc_id"), col("text"), fresh)
+    Seq("nd", "c1", "c12", "vsz").foreach { t =>
+      val a = Versioned.read(spark, s"$sd/$t")
+      val b = Versioned.read(spark, s"$fresh/$t")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$t drifted from fresh-without after the retried delete")
+    }
+    // claim landed but the subtraction never committed (crash between
+    // the claim append and the nd commit): the retry must APPLY
+    Versioned.append(Seq(("takedown:200", 2L)).toDF("batch_id", "target_v"),
+      s"$sd/dels")
+    val v3 = Corpus.deleteFromSignalState(
+      docs.filter(col("doc_id") === 5L), col("doc_id"), col("text"), sd,
+      batchId = Some("takedown:200"))
+    assert(v3 == 2L, "claim-only crash must still apply on retry")
+    // a DIFFERENT batch against the same state applies normally
+    val v4 = Corpus.deleteFromSignalState(
+      docs.filter(col("doc_id") === 4L), col("doc_id"), col("text"), sd,
+      batchId = Some("takedown:300"))
+    assert(v4 == 3L)
+  }
+
+  test("a curation-state delete that crashed between its two overwrites " +
+       "cannot poison survivors: the healed state's dangling edges are " +
+       "dropped before clustering, so the dead representative's cluster " +
+       "keeps its promoted member") {
+    import graft.operators.Curation
+    val mk = (id: Long, text: String) => (id, text, text.length.toLong)
+    val dupBase = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the quiet green forest before evening falls"
+    val batch = Seq(
+      mk(10L, dupBase), mk(11L, dupBase + " tonight"),
+      mk(12L, dupBase + " again"),
+      mk(20L, "completely different prose about distributed query " +
+        "engines and their shuffle behavior at large scale today"))
+      .toDF("doc_id", "text", "n_chars")
+    val sd = tmp("ts_cur_crash")
+    Curation.curateBatch(batch, sd)
+    // simulate deleteFromState(10) dying AFTER its candidates overwrite
+    // and BEFORE its pairs overwrite: candidates lose 10, every pair
+    // edge touching 10 stays (10 is the edge-graph min = the old
+    // representative)
+    val cands = Versioned.read(spark, s"$sd/candidates")
+    Versioned.overwrite(cands.filter(col("doc_id") =!= 10L),
+      s"$sd/candidates")
+    val got = Curation.survivors(spark, sd) // heal() runs inside
+      .select("doc_id").as[Long].collect().toSet
+    val fresh = Curation.fullCurate(batch.filter(col("doc_id") =!= 10L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == fresh,
+      s"healed-state survivors $got must equal fresh-without $fresh " +
+        "(dangling edges must not elect a deleted doc as representative)")
+    assert(got.contains(11L),
+      "the surviving cluster must keep its promoted representative")
+  }
 }
