@@ -65,12 +65,54 @@ object Tombstones {
   /** Append doc ids to `indexDir`'s tombstone set (creating it on first
     * use). `docIds` may be any relation with a `doc_id` column; ids are
     * long (the engine-wide doc key). Returns the committed version.
+    *
+    * AUDIT TRAIL: every row carries (reason, requested_at, boundary) —
+    * a real takedown pipeline must be able to DEMONSTRATE erasure
+    * (GDPR art. 17 / DMCA both require who/why/when, not just that the
+    * doc stopped serving), so the compliance record rides the gate
+    * table itself instead of a side system that can drift from it.
+    * `reason` is the request class ("dmca", "optout", "superseded",
+    * …); `requestedAt` the request's epoch ms; `boundary` the
+    * maintenance boundary at which the gate became effective. Gates
+    * read doc_id only (audit columns are metadata, parquet-pruned
+    * away); [[audit]] serves the full trail. Tables written before the
+    * audit columns existed migrate in place on first touch (tombstone
+    * tables are takedown-list-sized — the rewrite is trivial).
     */
-  def add(docIds: DataFrame, indexDir: String): Long = {
-    val rows = docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
+  def add(docIds: DataFrame, indexDir: String,
+          reason: String = "unspecified",
+          requestedAt: Long = 0L,
+          boundary: Long = 0L): Long = {
+    // row-level audit columns on the input win over the call-level
+    // scalars (a mixed takedown list carries per-request provenance)
+    def c(name: String, dflt: Column): Column =
+      if (docIds.columns.contains(name)) col(name) else dflt
+    val rows = docIds.select(col("doc_id").cast("long").as("doc_id"),
+        c("reason", lit(reason)).cast("string").as("reason"),
+        c("requested_at", lit(requestedAt)).cast("long").as("requested_at"),
+        lit(boundary).as("boundary"))
+      .distinct()
     val t = table(indexDir)
-    if (Versioned.exists(rows.sparkSession, t)) Versioned.append(rows, t)
-    else Versioned.overwrite(rows, t)
+    val spark = rows.sparkSession
+    if (!Versioned.exists(spark, t)) Versioned.overwrite(rows, t)
+    else {
+      migrate(spark, t)
+      Versioned.append(rows, t)
+    }
+  }
+
+  /** In-place schema migration for a pre-audit tombstone table: add the
+    * audit columns with explicit "unknown provenance" defaults so later
+    * appends land on one schema (per-commit schemas are not merged at
+    * read). No-op on current-schema tables.
+    */
+  private def migrate(spark: SparkSession, t: String): Unit = {
+    val cur = Versioned.read(spark, t)
+    if (!cur.columns.contains("reason"))
+      Versioned.overwrite(cur
+        .withColumn("reason", lit("unspecified"))
+        .withColumn("requested_at", lit(0L))
+        .withColumn("boundary", lit(0L)), t): Unit
   }
 
   /** [[add]] across every index dir a corpus serves from — the takedown
@@ -78,8 +120,33 @@ object Tombstones {
     * semantic, and forward artifacts together. Dirs whose tombstone
     * table does not exist yet get one.
     */
-  def addAll(docIds: DataFrame, indexDirs: Seq[String]): Unit =
-    indexDirs.foreach(d => add(docIds, d): Unit)
+  def addAll(docIds: DataFrame, indexDirs: Seq[String],
+             reason: String = "unspecified",
+             requestedAt: Long = 0L,
+             boundary: Long = 0L): Unit = {
+    // stage once: the same tiny list lands in every dir
+    val staged = docIds.localCheckpoint(eager = false)
+    indexDirs.foreach(d =>
+      add(staged, d, reason, requestedAt, boundary): Unit)
+  }
+
+  /** The full audit trail — one row per (doc_id, reason, requested_at,
+    * boundary) takedown event (re-adds of the same event collapse; the
+    * same doc taken down under two requests keeps both rows — each
+    * request needs its own erasure evidence). Empty relation when the
+    * index has no tombstone table.
+    */
+  def audit(spark: SparkSession, indexDir: String): DataFrame = {
+    val t = table(indexDir)
+    if (!Versioned.exists(spark, t))
+      return spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit("").as("reason"),
+          lit(0L).as("requested_at"), lit(0L).as("boundary")).limit(0)
+    migrate(spark, t)
+    Versioned.read(spark, t)
+      .select(col("doc_id"), col("reason"), col("requested_at"),
+        col("boundary")).distinct()
+  }
 
   /** The current tombstone set (latest version — see retroactivity in
     * the object doc), or None when the index has none. Deduplicated:
@@ -107,6 +174,57 @@ object Tombstones {
         broadcast(t.select(col("doc_id").as("__ts_doc"))),
         docExpr === col("__ts_doc"), "left_anti")
     }
+
+  /** Retention-aligned tombstone VACUUM — the [[graft.operators
+    * .Retrieval.vacuumIndexSidecars]] discipline applied to the gate
+    * table itself: "never cleared" is correct only while some retained
+    * version can still SERVE the doc; once the physical drop has
+    * compacted through AND the data retention window has passed the
+    * pre-drop snapshots, the tombstone row gates nothing — and on a
+    * decade-long pipeline the accumulated takedown list itself becomes
+    * a corpus-scale artifact riding every probe's broadcast.
+    *
+    * A row is dropped exactly when its doc appears in NO retained
+    * version of the index's primary data table (presence over versions
+    * is one contiguous interval — appended once, dropped once at a
+    * compaction — but the interval can sit strictly INSIDE the
+    * retention window, so every retained version is checked, as a
+    * column-pruned id scan each). Rows still serving anywhere in the
+    * window stay, so pinned `asOf` reads of any retained version stay
+    * gated. Audit note: the erasure evidence for vacuumed rows lives
+    * in the takedown history the deployment exports BEFORE the
+    * retention floor passes ([[audit]] at any earlier time) — the gate
+    * table needs only the rows that still gate.
+    *
+    * Call AFTER `Versioned.vacuum(dataTable, retainVersions)` with the
+    * same retention (the daily vacuum stage's order), so "retained"
+    * means the versions whose files survive. Returns the committed
+    * version, or None when nothing dropped (no table / all rows still
+    * serving).
+    */
+  def vacuum(spark: SparkSession, indexDir: String,
+             retainVersions: Int): Option[Long] = {
+    val t = table(indexDir)
+    if (!Versioned.exists(spark, t)) return None
+    val dataT = Seq("postings", "assignment", "fwd")
+      .map(n => s"$indexDir/$n").find(Versioned.exists(spark, _))
+      .getOrElse(return None)
+    val latest = Versioned.latestVersion(spark, dataT)
+    val floor = math.max(0L, latest - math.max(1, retainVersions) + 1)
+    val keyCol = if (dataT.endsWith("assignment")) "cand_id" else "doc_id"
+    val served = (floor to latest).map(v =>
+        Versioned.read(spark, dataT, Some(v))
+          .select(Retrieval.docKeyExpr(spark, indexDir, col(keyCol))
+            .as("doc_id")))
+      .reduce(_ unionByName _).distinct()
+    migrate(spark, t)
+    val cur = Versioned.read(spark, t)
+    val kept = cur.join(served, Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = false) // feeds the count AND the rewrite
+    // bounded control reads: the tombstone table is takedown-list-sized
+    if (kept.count() == cur.count()) None
+    else Some(Versioned.overwrite(kept, t))
+  }
 
   /** The rows of `df` whose document IS tombstoned — the drop set a
     * compaction removes (semi form of [[gate]]). Empty when no

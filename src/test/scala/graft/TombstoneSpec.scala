@@ -387,6 +387,48 @@ class TombstoneSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("audit trail: takedown rows carry who/why/when; pre-audit tables " +
+       "migrate in place; retention vacuum drops only rows no retained " +
+       "version can serve and every retained version stays gated") {
+    val dir = tmp("ts_audit")
+    val docs = corpus.toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, col("doc_id"), col("text"), dir) // v0
+    // legacy (pre-audit) tombstone table → first audited add migrates it
+    Versioned.overwrite(Seq(99L).toDF("doc_id"), Tombstones.table(dir))
+    Tombstones.add(dead.toDF("doc_id"), dir, reason = "dmca",
+      requestedAt = 1234L, boundary = 9L)
+    val aud = Tombstones.audit(spark, dir)
+      .select("doc_id", "reason", "requested_at", "boundary")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(aud == Set((99L, "unspecified", 0L, 0L),
+      (2L, "dmca", 1234L, 9L), (5L, "dmca", 1234L, 9L)),
+      s"audit rows wrong: $aud")
+
+    // physical drop, then new serving history on top
+    Retrieval.compactBm25Index(spark, dir) // v1: dead + 99 absent
+    Retrieval.appendToBm25Index(Seq((7L, "spark extra late doc"))
+      .toDF("doc_id", "text"), col("doc_id"), col("text"), dir) // v2
+    Tombstones.add(Seq(3L).toDF("doc_id"), dir, reason = "optout",
+      requestedAt = 5678L, boundary = 11L)
+
+    // retain = 2 → retained postings versions {1, 2}: 2/5/99 appear in
+    // neither (dropped at v1), 3 appears in both → only 3 survives
+    val v = Tombstones.vacuum(spark, dir, retainVersions = 2)
+    assert(v.nonEmpty, "vacuum must rewrite the table")
+    val left = Tombstones.of(spark, dir).get
+      .select("doc_id").as[Long].collect().toSet
+    assert(left == Set(3L),
+      s"vacuum kept wrong rows: $left (want only the still-serving 3)")
+    // every retained version still gates its pending delete
+    Seq(1L, 2L).foreach { asOf =>
+      val got = Retrieval.queryBm25Index(spark, dir, terms, 10,
+        asOf = Some(asOf)).select("doc_id").as[Long].collect().toSet
+      assert(!got.contains(3L), s"v$asOf must stay gated for doc 3")
+    }
+    // idempotent: nothing more to drop
+    assert(Tombstones.vacuum(spark, dir, retainVersions = 2).isEmpty)
+  }
+
   test("signal-state delete with a named deletion batch is exactly-once: " +
        "a retry after the commit skips re-subtracting; a retry after a " +
        "claim-only crash applies; distinct batches both apply") {
