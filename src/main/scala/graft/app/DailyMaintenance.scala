@@ -67,6 +67,7 @@ object DailyMaintenance {
     s"$work/state/candidates", s"$work/state/pairs",
     s"$work/signals/nd", s"$work/signals/c1",
     s"$work/signals/c12", s"$work/signals/vsz",
+    s"$work/signals/dels",
     s"$work/bm25/postings", s"$work/bm25/stats",
     s"$work/chunks/postings", s"$work/chunks/stats",
     s"$work/ivf/centroids", s"$work/ivf/assignment",
@@ -76,6 +77,7 @@ object DailyMaintenance {
     s"$work/fwd/fwd",
     s"$work/bpe_model/merges", s"$work/bpe_model/vocab",
     s"$work/nb_model/model", s"$work/nb_model/priors",
+    s"$work/lineage",
     s"$work/runs", s"$work/claims") ++
     indexDirs(work).map(d => s"$d/${Tombstones.TableName}")
 
@@ -187,7 +189,8 @@ object DailyMaintenance {
              intervalMs: Long = 24L * 3600 * 1000,
              retrainEvery: Int = 7,
              stopMaxDfRatio: Option[Double] = None,
-             takedown: Option[DataFrame] = None): Seq[(String, () => Unit)] = {
+             takedown: Option[DataFrame] = None,
+             supersede: Option[DataFrame] = None): Seq[(String, () => Unit)] = {
     // df-cap stop set for a ratio-opted pipeline: the FIRST build
     // derives it from its day's batch and records the ratio in the
     // stop_toks sidecar; appends inherit the frozen set through that
@@ -391,27 +394,57 @@ object DailyMaintenance {
           "manually from the full corpus")
       }
     }),
+    // SUPERSEDE — the day's recrawl list: (old_id, new_id) pairs whose
+    // NEW documents rode this boundary's batch through every append
+    // stage above; the stage swaps the predecessors out atomically at
+    // boundary grain ([[graft.operators.Supersede]] — tombstone v1
+    // everywhere, subtract its signal counts exactly-once, drop its
+    // curation rows/edges, record lineage). Runs BEFORE takedown (a
+    // doc both superseded and taken down the same day ends gated
+    // either way) and before the compact stages (the predecessors'
+    // text must still be physically readable for the signal
+    // subtraction on a retry).
+    "supersede" -> (() => supersede.foreach { up =>
+      if (!up.isEmpty) { // bounded: recrawl lists are batch-sized
+        val live = indexDirs(work).filter(d =>
+          Versioned.exists(spark, s"$d/postings") ||
+            Versioned.exists(spark, s"$d/assignment") ||
+            Versioned.exists(spark, s"$d/fwd"))
+        graft.operators.Supersede.supersede(spark, up, work, boundary,
+          live): Unit
+      }
+    }),
     // TAKEDOWN — the day's deletion list (opt-outs, DMCA, discovered
     // contamination): tombstone the documents in every serving artifact
     // (gates stop serving them at the next probe — [[Tombstones]]) and
     // subtract their counts from the signal state. The physical drop
     // + stats correction rides the compact stages below on their own
     // cadence. Idempotence: tombstone re-adds are harmless (anti-join
-    // gate); the signal-state delete shares the documented narrow
-    // window of every state stage (a crash between its commit and the
-    // history row re-applies it — the underflow guard inside
-    // deleteFromSignalState then fails loudly on the shapes it can
-    // detect rather than corrupting silently).
+    // gate); the signal-state delete names its deletion batch
+    // (`takedown:<boundary>`), so a stage retry — whether a later
+    // sub-step failed THIS attempt or a crash landed between the
+    // stage's commits and its history row — detects the prior commit
+    // through the dels claim table and skips re-subtracting (the
+    // underflow guard alone cannot catch a double-subtract whose
+    // shared totals stay positive).
     "takedown" -> (() => takedown.foreach { td =>
       if (!td.isEmpty) { // bounded: takedown lists are tiny by nature
         val live = indexDirs(work).filter(d =>
           Versioned.exists(spark, s"$d/postings") ||
             Versioned.exists(spark, s"$d/assignment") ||
             Versioned.exists(spark, s"$d/fwd"))
-        Tombstones.addAll(td.select(col("doc_id")), live)
+        // audit provenance rides the gate table: row-level
+        // reason/requested_at when the takedown feed carries them,
+        // with the gate-effective boundary stamped here
+        val auditCols = Seq("reason", "requested_at")
+          .filter(td.columns.contains).map(col)
+        Tombstones.addAll(td.select((col("doc_id") +: auditCols): _*),
+          live, reason = "takedown", requestedAt = boundary,
+          boundary = boundary)
         if (Versioned.exists(spark, s"$work/signals/nd"))
           Corpus.deleteFromSignalState(td, col("doc_id"), col("text"),
-            s"$work/signals"): Unit
+            s"$work/signals",
+            batchId = Some(s"takedown:$boundary")): Unit
         // the curation state persists doc-derived data (norm_fp + the
         // shingle-hash set) — drop it too; idempotent, and re-firing
         // every boundary also completes a previously-crashed drop
@@ -439,8 +472,14 @@ object DailyMaintenance {
         Corpus.buildNbModel(batch, col("lang"), col("text"),
           s"$work/nb_model"): Unit
     }),
-    // INDEX rebuild on the SAME retrainEvery cadence (day 0 excluded —
-    // the build itself is fresh): IVF centroids and PQ codebooks freeze
+    // INDEX rebuild on the SAME retrainEvery cadence (an index whose
+    // history is still the fresh build — version 0, no appends — skips:
+    // rebuilding it would re-train from the exact distribution it was
+    // just trained on; the version gate is data-verified, where the old
+    // `boundary > 0` literal only excluded the epoch-zero boundary and
+    // immediately re-built a day-0 index on any pipeline whose first
+    // absolute day index happened to hit the cadence): IVF centroids
+    // and PQ codebooks freeze
     // at build, FAISS-add appends degrade recall as the corpus drifts
     // from the training distribution, and nothing turned the documented
     // "rebuild dial" until this stage. Each rebuild re-trains from the
@@ -453,8 +492,10 @@ object DailyMaintenance {
     // shape, which the rebuild itself heals via version padding, so it
     // is tolerated rather than wedging the cadence.
     "ivf_rebuild" -> (() => {
-      val due = boundary > 0 && (boundary / intervalMs) % retrainEvery == 0
-      if (due && Versioned.exists(spark, s"$work/ivf/centroids")) {
+      val due = (boundary / intervalMs) % retrainEvery == 0 &&
+        Versioned.exists(spark, s"$work/ivf/centroids") &&
+        Versioned.latestVersion(spark, s"$work/ivf/assignment") > 0
+      if (due) {
         if (ivfTablesBroken(spark, s"$work/ivf"))
           try Similarity.repairIvfIndex(spark, s"$work/ivf"): Unit
           catch { case _: Exception => () }
@@ -462,8 +503,10 @@ object DailyMaintenance {
       }
     }),
     "chunk_ivf_rebuild" -> (() => {
-      val due = boundary > 0 && (boundary / intervalMs) % retrainEvery == 0
-      if (due && Versioned.exists(spark, s"$work/chunk_ivf/centroids")) {
+      val due = (boundary / intervalMs) % retrainEvery == 0 &&
+        Versioned.exists(spark, s"$work/chunk_ivf/centroids") &&
+        Versioned.latestVersion(spark, s"$work/chunk_ivf/assignment") > 0
+      if (due) {
         if (ivfTablesBroken(spark, s"$work/chunk_ivf"))
           try Similarity.repairIvfIndex(spark, s"$work/chunk_ivf"): Unit
           catch { case _: Exception => () }
@@ -471,8 +514,10 @@ object DailyMaintenance {
       }
     }),
     "chunk_pq_rebuild" -> (() => {
-      val due = boundary > 0 && (boundary / intervalMs) % retrainEvery == 0
-      if (due && Versioned.exists(spark, s"$work/chunk_pq/centroids")) {
+      val due = (boundary / intervalMs) % retrainEvery == 0 &&
+        Versioned.exists(spark, s"$work/chunk_pq/centroids") &&
+        Versioned.latestVersion(spark, s"$work/chunk_pq/assignment") > 0
+      if (due) {
         // the PQ repair COMPLETES a crashed append from the orphan
         // vectors slice — run it first so a rebuild never sources a
         // snapshot that silently drops the batch
@@ -556,6 +601,13 @@ object DailyMaintenance {
       // horizon can no longer read data, so its epoch record is dead)
       indexDirs(work).foreach(d =>
         Retrieval.vacuumIndexSidecars(spark, d, retainVersions): Unit)
+      // and the tombstone gate tables: rows no retained version can
+      // serve gate nothing — without this the takedown list itself
+      // grows corpus-scale on a long-lived pipeline ([[Tombstones
+      // .vacuum]]; runs AFTER the data vacuum above so "retained"
+      // matches the versions whose files survive)
+      indexDirs(work).foreach(d =>
+        Tombstones.vacuum(spark, d, retainVersions): Unit)
     }))
   }
 
@@ -575,13 +627,15 @@ object DailyMaintenance {
            retainVersions: Int = 2,
            retrainEvery: Int = 7,
            stopMaxDfRatio: Option[Double] = None,
-           takedownFor: Long => Option[DataFrame] = _ => None)
+           takedownFor: Long => Option[DataFrame] = _ => None,
+           supersedeFor: Long => Option[DataFrame] = _ => None)
       : Seq[(String, Seq[Scheduler.Attempt])] =
     Scheduler.tickStagesFor(spark, work,
       b => stages(spark, batchFor(b), vecsFor(b), work,
         retainVersions = retainVersions, compactEvery = compactEvery,
         boundary = b, intervalMs = intervalMs, retrainEvery = retrainEvery,
-        stopMaxDfRatio = stopMaxDfRatio, takedown = takedownFor(b)),
+        stopMaxDfRatio = stopMaxDfRatio, takedown = takedownFor(b),
+        supersede = supersedeFor(b)),
       nowMs, intervalMs, retries, retryDelayMs, sleep)
 
   /** Real-clock entry point, one tick over an sf-dir batch.

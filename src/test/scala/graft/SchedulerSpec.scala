@@ -340,6 +340,32 @@ class SchedulerSpec extends SparkSpec {
       dayDocs(0), col("doc_id"), col("text"), asOf = Some(0L)).count() > 0)
   }
 
+  test("index rebuild skips a boundary whose build is itself fresh: a " +
+      "first-ever tick landing ON the retrain cadence builds the indexes " +
+      "but does not immediately rebuild them") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Versioned
+    val work = java.nio.file.Files.createTempDirectory("graft-rb0").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 100)
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .filter(col("id") < 100)
+    // first tick at 11·Day+5 → boundary 10·Day, day index 10: ON the
+    // retrainEvery=2 cadence. Under the old `boundary > 0` gate this
+    // rebuilt every index the same tick that built it.
+    val res = graft.app.DailyMaintenance.tick(spark, work,
+      _ => docs, _ => vecs, nowMs = 11 * Day + 5,
+      intervalMs = Day, retries = 0, retryDelayMs = 1L, sleep = _ => (),
+      compactEvery = 4, retrainEvery = 2)
+    assert(res.nonEmpty && res.forall(_._2.last.ok),
+      s"failed stages: ${res.filter(!_._2.last.ok).map(_._1)}")
+    Seq("ivf", "chunk_ivf", "chunk_pq").foreach { d =>
+      assert(Versioned.latestVersion(spark, s"$work/$d/assignment") == 0L,
+        s"$d must stay at its fresh build (v0) — no same-tick rebuild")
+    }
+  }
+
   test("chunk_append self-heals a crashed FIRST build (no grid stamp) by " +
       "rebuilding from the boundary's batch; a multi-day untrusted grid " +
       "fails loudly instead of silently dropping prior days") {
