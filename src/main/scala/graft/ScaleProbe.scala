@@ -430,22 +430,34 @@ object ScaleProbe {
         graft.operators.Similarity.buildIvfIndex(big, dir,
           nCentroids = 16, assignmentLayout = "partition",
           metaCols = Seq("rare")): Unit
+        graft.operators.Similarity.refreshGateCounts(spark, dir,
+          Seq("rare")): Unit
         def probeA() = measured(() =>
           Bench.force(graft.operators.Similarity.queryIvfIndexFilteredAdaptive(
             spark, dir, queries, k = 5, predicate = col("rare"), nProbes = 1)))
+        // round-16: the gatecounts sidecar picks every query's probe
+        // width in ONE round — bytes must track the adaptive path's
+        // FINAL round alone (no geometric re-scans, no per-doubling
+        // driver round-trip)
+        def probeC() = measured(() =>
+          Bench.force(graft.operators.Similarity.queryIvfIndexFilteredCounted(
+            spark, dir, queries, k = 5, gateCol = "rare", gateVal = true)))
         def probeX() = measured(() =>
           Bench.force(graft.operators.Similarity.queryIvfIndexFiltered(
             spark, dir, queries, k = 5, predicate = col("rare"), nProbes = 16)))
-        val a = probeA(); val x = probeX()
+        val a = probeA(); val c = probeC(); val x = probeX()
         spark.catalog.clearCache()
-        (a, x)
+        (a, c, x)
       }
       println(f"${"ann_filtered_sel"}%-18s " +
         rows.map(r => f"${r._1._1}%5.2fs ${r._1._2 / 1024}%7dKB").mkString(" ") +
         f"   (bytes 10x/1x: ${rows.last._1._2.toDouble / rows.head._1._2}%.1f)")
-      println(f"${"ann_filtered_exh"}%-18s " +
+      println(f"${"ann_filtered_cnt"}%-18s " +
         rows.map(r => f"${r._2._1}%5.2fs ${r._2._2 / 1024}%7dKB").mkString(" ") +
         f"   (bytes 10x/1x: ${rows.last._2._2.toDouble / rows.head._2._2}%.1f)")
+      println(f"${"ann_filtered_exh"}%-18s " +
+        rows.map(r => f"${r._3._1}%5.2fs ${r._3._2 / 1024}%7dKB").mkString(" ") +
+        f"   (bytes 10x/1x: ${rows.last._3._2.toDouble / rows.head._3._2}%.1f)")
     }
 
     // Round-11 layout claim: DYNAMIC term sets (queryBm25IndexMany —

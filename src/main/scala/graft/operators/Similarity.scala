@@ -521,6 +521,11 @@ object Similarity {
       s"$indexDir/centroids")
     val va = appendAssignment(assignedNewM, s"$indexDir/assignment")
     require(vc == va, s"index tables diverged: centroids v$vc vs assignment v$va")
+    // gatecounts sidecar (if present): fold the batch in additively —
+    // a crash before this lands leaves it stale, which probes detect
+    // (fall back to adaptive) and compact/rebuild re-derive
+    maintainGateCountsAfterAppend(spark, indexDir, assignedNewM,
+      vaPrev = va - 1, vaNew = va)
     vc
   }
 
@@ -806,6 +811,10 @@ object Similarity {
     require(vs.distinct.size == 1, s"index compaction left tables out of " +
       s"lockstep (${names.zip(vs).map { case (t, v) => s"$t v$v" }
         .mkString(", ")}) — run repairIvfIndex")
+    // the merge is where tombstoned rows leave the data — re-derive the
+    // gatecounts sidecar so one-shot probes stay byte-tight (and heal
+    // any staleness a crashed append left)
+    refreshGateCountsIfPresent(spark, indexDir)
     vs.head
   }
 
@@ -858,6 +867,7 @@ object Similarity {
       layoutName, meta)
     require(v == target, s"$indexDir rebuild landed at v$v, expected " +
       s"v$target — a concurrent writer interleaved; verify lockstep")
+    refreshGateCountsIfPresent(spark, indexDir)
     v
   }
 
@@ -1033,6 +1043,202 @@ object Similarity {
     val nCent = centroids.count().toInt // nCentroids rows — bounded
     adaptiveWiden(queries, k, math.max(1, nProbes), nCent,
       p => probeIndex(queries, centroids, gated, k, p))
+  }
+
+  // --------------------------------------------- gate-count sidecar
+  //
+  // The one-shot alternative to [[adaptiveWiden]]'s geometric re-scan
+  // for CATEGORICAL gates (the ACORN-style selectivity statistic): a
+  // per-(gate column, value, centroid) eligible-candidate count table
+  // beside the index, consulted at probe time to pick each query's
+  // probe width in ONE round — the widening loop's re-scans (bounded
+  // ≤2× final-round bytes, plus one driver round-trip per doubling)
+  // collapse to the final round alone.
+
+  /** Derive and commit the `gatecounts` sidecar table from the CURRENT
+    * assignment: (gate_col, gate_val, centroid_id, n) per categorical
+    * gate value, tombstone-gated so the counts reflect what a probe
+    * can actually return, stamped with the assignment version they
+    * describe (`src_v` — the staleness check readers apply). Called at
+    * build cadence by the operator owner; [[appendToIvfIndex]] merges
+    * batches additively, [[compactIvfIndex]]/[[rebuildIvfIndex]]
+    * re-derive. Counts are (nCentroids × gate cardinality) rows —
+    * broadcast-sized by the categorical-gate contract.
+    */
+  def refreshGateCounts(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, gateCols: Seq[String]): Long = {
+    require(gateCols.nonEmpty, "at least one gate column")
+    val va = graft.sources.Versioned.latestVersion(spark,
+      s"$indexDir/assignment")
+    val asg = Tombstones.gate(spark, indexDir,
+      graft.sources.Versioned.read(spark, s"$indexDir/assignment"),
+      Retrieval.docKeyExpr(spark, indexDir, col("cand_id")))
+    val meta = assignmentMetaCols(asg)
+    val missing = gateCols.filterNot(meta.contains)
+    require(missing.isEmpty, s"$indexDir assignment does not carry " +
+      s"gate column(s) ${missing.mkString(", ")} — bake them at build " +
+      s"(metaCols); available: ${meta.mkString(", ")}")
+    graft.sources.Versioned.overwrite(
+      gateCountsOf(asg, gateCols).withColumn("src_v", lit(va)),
+      s"$indexDir/gatecounts")
+  }
+
+  private def gateCountsOf(rows: DataFrame,
+                           gateCols: Seq[String]): DataFrame =
+    gateCols.map(g => rows
+        .groupBy(col("centroid_id"), col(g).cast("string").as("gate_val"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(g).as("gate_col"), col("gate_val"),
+          col("centroid_id"), col("n")))
+      .reduce(_ unionByName _)
+
+  /** Re-derive the gatecounts sidecar over the columns it already
+    * tracks — the compact/rebuild-cadence heal (also repairs a sidecar
+    * gone stale after a crashed append). No-op without a sidecar.
+    */
+  private def refreshGateCountsIfPresent(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    val t = s"$indexDir/gatecounts"
+    if (!graft.sources.Versioned.exists(spark, t)) return
+    val gcols = graft.sources.Versioned.read(spark, t)
+      .select(col("gate_col")).distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: few gate columns
+    if (gcols.nonEmpty) refreshGateCounts(spark, indexDir, gcols): Unit
+  }
+
+  /** Fold an appended batch's counts into a FRESH gatecounts sidecar
+    * (src_v = the pre-append assignment version); a stale sidecar is
+    * left stale — probes degrade to the adaptive path (correct,
+    * slower) and the compact/rebuild cadence re-derives. Crash between
+    * the assignment append and this overwrite = exactly that stale
+    * shape. No-op when the index has no sidecar.
+    */
+  private def maintainGateCountsAfterAppend(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      batchAssigned: DataFrame, vaPrev: Long, vaNew: Long): Unit = {
+    val t = s"$indexDir/gatecounts"
+    if (!graft.sources.Versioned.exists(spark, t)) return
+    val cur = graft.sources.Versioned.read(spark, t)
+    // 1-row control read (bounded: the sidecar is broadcast-sized)
+    val srcV = cur.select(max(col("src_v"))).head.getLong(0)
+    if (srcV != vaPrev) return // stale — heal at compact/rebuild
+    val gateCols = cur.select(col("gate_col")).distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: few gate columns
+    val merged = cur.drop("src_v")
+      .unionByName(gateCountsOf(batchAssigned, gateCols))
+      .groupBy(col("gate_col"), col("gate_val"), col("centroid_id"))
+      .agg(sum(col("n")).as("n"))
+      .withColumn("src_v", lit(vaNew))
+    graft.sources.Versioned.overwrite(merged, t): Unit
+  }
+
+  /** [[queryIvfIndexFiltered]] for a CATEGORICAL gate with the probe
+    * width chosen in ONE shot from the gatecounts sidecar: each query
+    * ranks the centroids as usual, then takes the shortest prefix
+    * whose cumulative eligible count reaches k+1 (one row of headroom
+    * for the self-match exclusion — a query that is itself an eligible
+    * corpus member is counted but never scored) — per-query widths, no
+    * widening loop, probed bytes ≈ the adaptive path's final round
+    * alone. Guarantees: the gate applies to the full probed stream
+    * before ranking (never a post-filter); a gate value the counts
+    * never saw — or a total eligible count below k — degrades to the
+    * exhaustive scan, which is EXACTLY the filtered brute force; a
+    * STALE sidecar (appends since the last refresh, or a pinned asOf)
+    * falls back to [[queryIvfIndexFilteredAdaptive]] — correctness
+    * never rides the sidecar, only the byte bound does. Tombstones
+    * added since the refresh can make counts overcount; the |Q|-row
+    * underfill backstop re-routes exactly those batches to the
+    * adaptive path.
+    */
+  def queryIvfIndexFilteredCounted(spark: org.apache.spark.sql.SparkSession,
+                                   indexDir: String, queries: DataFrame,
+                                   k: Int, gateCol: String, gateVal: Any,
+                                   asOf: Option[Long] = None): DataFrame = {
+    val predicate = col(gateCol) === lit(gateVal)
+    def adaptive() = queryIvfIndexFilteredAdaptive(spark, indexDir,
+      queries, k, predicate, asOf = asOf)
+    val t = s"$indexDir/gatecounts"
+    if (asOf.nonEmpty || !graft.sources.Versioned.exists(spark, t))
+      return adaptive()
+    val cur = graft.sources.Versioned.read(spark, t)
+    val head = cur.select(max(col("src_v"))).head // 1-row control read
+    val fresh = !head.isNullAt(0) && head.getLong(0) ==
+      graft.sources.Versioned.latestVersion(spark, s"$indexDir/assignment")
+    if (!fresh) return adaptive()
+    val (centroids, assigned) = readIndexPair(spark, indexDir, None)
+    requirePredicateCols(indexDir, assigned, predicate)
+    val counts = cur
+      .filter(col("gate_col") === gateCol &&
+        col("gate_val") === lit(gateVal).cast("string"))
+      .select(col("centroid_id"), col("n"))
+    val r = probeIndexCounted(queries, centroids,
+      assigned.filter(predicate), k, counts)
+      .localCheckpoint(eager = false) // shares the underfill check
+    val qids = queries.select(col("id").as("query_id")).distinct()
+    val underfilled = !qids
+      .join(r.groupBy(col("query_id")).agg(count(lit(1)).as("__n")),
+        Seq("query_id"), "left")
+      .filter(coalesce(col("__n"), lit(0L)) < k)
+      .isEmpty
+    // under-count only happens when tombstones landed after the last
+    // refresh — route those (rare) batches through the widening loop;
+    // but an EXHAUSTIVE one-shot (total eligible ≤ k ⇒ the k+1 target
+    // was unreachable and the prefix took every centroid) is already
+    // the filtered brute force and must return as-is, not re-probe
+    val totalEligible = counts.agg(coalesce(sum(col("n")), lit(0L)))
+      .head.getLong(0) // 1-row control read
+    if (underfilled && totalEligible > k.toLong) adaptive() else r
+  }
+
+  /** The one-round counted probe: rank centroids per query, cut the
+    * prefix at cumulative eligible count ≥ k (an ordered left fold over
+    * the broadcast centroid array — the lambda binds everything it
+    * dereferences), explode to per-query probe sets, scan, rank.
+    */
+  private def probeIndexCounted(queries: DataFrame, centroids: DataFrame,
+                                gated: DataFrame, k: Int,
+                                counts: DataFrame): DataFrame = {
+    val centsN = centroids
+      .join(counts, Seq("centroid_id"), "left")
+      .select(col("centroid_id"), col("centv"), col("cent_norm_sq"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .agg(collect_list(struct(col("centroid_id"), col("centv"),
+        col("cent_norm_sq"), col("n"))).as("cents"))
+    val q = queries
+      .select(col("id").as("query_id"),
+        VectorOps.toDoubleArray(col("vec")).as("qv"))
+      .withColumn("q_norm_sq", VectorOps.normSq(col("qv")))
+    val scoredN = transform(col("cents"), ct => struct(
+      coalesce(VectorOps.cosineWithNorms(col("qv"), ct("centv"),
+        col("q_norm_sq"), ct("cent_norm_sq")),
+        lit(Double.NegativeInfinity)).as("sim"),
+      ct("centroid_id").as("centroid_id"),
+      ct("n").as("n")))
+    val emptyIds = typedLit(Seq.empty[Long])
+    val probes = q
+      .join(broadcast(centsN), lit(true))
+      .withColumn("__probe_ids", aggregate(
+        array_sort(scoredN, bySimDescIdAsc),
+        struct(lit(0L).as("cum"), emptyIds.as("ids")),
+        // target k+1, not k: a query that is itself an eligible corpus
+        // member is counted by the sidecar but excluded from scoring
+        // (cand_id <> query_id), so a bare-k prefix underfills by one
+        // exactly when the query's own row sits in the probed buckets
+        (acc, x) => when(acc("cum") >= k + 1, acc)
+          .otherwise(struct((acc("cum") + x("n")).as("cum"),
+            concat(acc("ids"), array(x("centroid_id"))).as("ids"))),
+        acc => acc("ids")))
+      .select(col("query_id"), explode(col("__probe_ids")).as("centroid_id"),
+        col("qv"), col("q_norm_sq"))
+    val scored = gated.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("sim", VectorOps.cosineWithNorms(
+        col("qv"), col("cv"), col("q_norm_sq"), col("c_norm_sq")))
+      .select(col("query_id"), col("cand_id"), col("sim"))
+    Ranking.topPerGroup(scored, Seq(col("query_id")),
+        Seq(col("sim").desc, col("cand_id").asc), k)
+      .select(col("query_id"), col("cand_id"), col("sim"))
+      .orderBy(col("query_id"), col("sim").desc, col("cand_id"))
   }
 
   /** [[queryIvfPqIndexFiltered]] with the same adaptive widening over

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
-import graft.operators.{Retrieval, Similarity}
+import graft.operators.{Retrieval, Similarity, Tombstones}
+import graft.sources.Versioned
 
 /** Round-15 serving hardening: facet counts riding the probe slice,
   * adaptive probe widening for selective filtered ANN, and the
@@ -124,6 +125,84 @@ class ServeHardeningSpec extends SparkSpec {
       corpus.filter(col("id") < 2).select("id", "vec"), k = 3,
       predicate = !col("rare"), nProbes = 4)
     assert(rows(loose) == rows(fixedLoose))
+  }
+
+  test("counted filtered probe: the gatecounts sidecar picks each " +
+       "query's width in ONE round — minimal prefix for an unselective " +
+       "gate, exhaustive-filtered recall for the planted selective gate; " +
+       "a stale or missing sidecar degrades to the adaptive path; " +
+       "tombstone drift trips the underfill backstop") {
+    val corpus = plantedGateCorpus()
+    val dir = tmp("cnt")
+    Similarity.buildIvfIndex(corpus, dir, nCentroids = 8, lloydIters = 2,
+      metaCols = Seq("rare"))
+    Similarity.refreshGateCounts(spark, dir, Seq("rare"))
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+    val q = corpus.filter(col("id") === 1L).select("id", "vec")
+
+    // planted selective gate (all eligible docs in a far cluster): the
+    // one-shot prefix walks out exactly far enough and returns the
+    // exhaustive-filtered answer — the adaptive path's recall without
+    // its geometric re-scans
+    val counted = Similarity.queryIvfIndexFilteredCounted(spark, dir, q,
+      k = 3, gateCol = "rare", gateVal = true)
+    val exhaustive = Similarity.queryIvfIndexFiltered(spark, dir, q, k = 3,
+      predicate = col("rare"), nProbes = 8)
+    assert(rows(counted) == rows(exhaustive),
+      "counted must reach the exhaustive-filtered answer in one round")
+
+    // unselective gate: each query's top centroid already holds ≥ k
+    // eligible rows, so the one-shot width is ONE probe — rows
+    // identical to the fixed nProbes=1 filtered plan
+    val qs = corpus.filter(col("id") < 2).select("id", "vec")
+    val cnt1 = Similarity.queryIvfIndexFilteredCounted(spark, dir, qs,
+      k = 3, gateCol = "rare", gateVal = false)
+    val fix1 = Similarity.queryIvfIndexFiltered(spark, dir, qs, k = 3,
+      predicate = !col("rare"), nProbes = 1)
+    assert(rows(cnt1) == rows(fix1),
+      "an unselective gate must probe the minimal per-query width")
+
+    // append keeps the sidecar fresh additively: src_v tracks the new
+    // assignment version and the batch's counts land
+    Similarity.appendToIvfIndex(
+      Seq((900L, Seq.fill(8)(0.25f), true)).toDF("id", "vec", "rare"), dir)
+    val gc = Versioned.read(spark, s"$dir/gatecounts")
+    assert(gc.select(max(col("src_v"))).head.getLong(0) ==
+      Versioned.latestVersion(spark, s"$dir/assignment"))
+    assert(gc.filter(col("gate_col") === "rare" &&
+        col("gate_val") === "true")
+      .agg(sum(col("n"))).head.getLong(0) == 4L,
+      "the appended eligible row must fold into the counts")
+
+    // missing sidecar ⇒ correct fallback to the adaptive path
+    val dir2 = tmp("cnt2")
+    Similarity.buildIvfIndex(corpus, dir2, nCentroids = 8, lloydIters = 2,
+      metaCols = Seq("rare"))
+    assert(rows(Similarity.queryIvfIndexFilteredCounted(spark, dir2, q,
+        k = 3, gateCol = "rare", gateVal = true)) ==
+      rows(Similarity.queryIvfIndexFilteredAdaptive(spark, dir2, q, k = 3,
+        predicate = col("rare"))),
+      "no sidecar must degrade to the adaptive path, not fail")
+
+    // tombstones landed AFTER the refresh: counts overcount, the
+    // underfill backstop re-routes to the adaptive path and survivors
+    // still fill from whatever remains
+    Tombstones.add(Seq(24L, 25L).toDF("doc_id"), dir) // two of the rare
+    val afterTomb = Similarity.queryIvfIndexFilteredCounted(spark, dir, q,
+      k = 3, gateCol = "rare", gateVal = true)
+    val exhTomb = Similarity.queryIvfIndexFiltered(spark, dir, q, k = 3,
+      predicate = col("rare"), nProbes = 8)
+    assert(rows(afterTomb) == rows(exhTomb),
+      "tombstone drift must fall back to the widening loop's answer")
+    // and the compaction merge re-derives the sidecar tombstone-free
+    Similarity.compactIvfIndex(spark, dir)
+    val gc2 = Versioned.read(spark, s"$dir/gatecounts")
+    assert(gc2.filter(col("gate_col") === "rare" &&
+        col("gate_val") === "true")
+      .agg(sum(col("n"))).head.getLong(0) == 2L,
+      "compaction must re-derive counts without the dropped docs")
+    assert(gc2.select(max(col("src_v"))).head.getLong(0) ==
+      Versioned.latestVersion(spark, s"$dir/assignment"))
   }
 
   test("adaptive filtered IVF-PQ probe escalates the ADC scan the same way") {
