@@ -149,6 +149,29 @@ object RecallProbe {
       srecall(ctruthDot, spairs(Retrieval.hybridSearchChunksPq(spark, cbm,
         cpq, cqb, k = 10, alpha = 4, nProbes = 4,
         ks = 64)))}%.3f  (~1/32 chunk-vector scan bytes)")
+
+    // LATE-INTERACTION maxsim arm (round 16): the bounded serving
+    // config (shortlist 20, 4 probes) against its own wide-shortlist
+    // exhaustive-probe truth, plus the single-vector exact-dot re-rank
+    // measured against that SAME maxsim truth — the agreement gap is
+    // what token-level interaction re-orders beyond one vector.
+    val msTruth = spairs(Retrieval.maxSimRerankChunks(spark, cpq, docs,
+      col("doc_id"), col("text"), cqb, k = 10, kEach = 200, alpha = 200,
+      nProbes = 16, ks = 64))
+    println(f"chunk maxsim rerank    nProbes=4 kEach=20 recall@10 = ${
+      srecall(msTruth, spairs(Retrieval.maxSimRerankChunks(spark, cpq,
+        docs, col("doc_id"), col("text"), cqb, k = 10, kEach = 20,
+        alpha = 4, nProbes = 4, ks = 64)))}%.3f  (token-level work on " +
+      "the shortlist only)")
+    println(f"single-vector rerank vs maxsim truth agreement@10 = ${
+      srecall(msTruth, spairs(Similarity.queryIvfPqIndexReranked(spark,
+          cpq, cqb.select(col("query_id").as("id"), col("vec")), 10, 4,
+          4, None, 8, 64, 64, false)
+        .select(col("query_id"),
+          org.apache.spark.sql.functions.shiftright(col("cand_id"), 32)
+            .as("doc_id"),
+          col("cand_id").bitwiseAND(org.apache.spark.sql.functions
+            .lit((1L << 32) - 1)).as("chunk_start"))))}%.3f")
     spark.stop()
   }
 }

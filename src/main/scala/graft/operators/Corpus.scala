@@ -126,6 +126,42 @@ object Corpus {
           i => coalesce(element_at(col("m"), i), lit(0.0))).as("vec"))
   }
 
+  /** Character-trigram hashing-trick embedding of TOKEN strings — the
+    * per-token encoder behind the late-interaction (maxsim) re-rank
+    * ([[Retrieval.maxSimRerankChunks]]): each token embeds as the
+    * signed-one-hot sum of its padded character trigrams
+    * (`^token$` windows of 3), so identical tokens score cosine 1 and
+    * morphological variants score high — the deterministic,
+    * SQL-replayable stand-in for per-token neural vectors, exactly as
+    * [[hashEmbed]] stands in for a document encoder. Every token has
+    * ≥ 1 trigram (the padding), so norms are never zero. Input: any
+    * relation with the token column; output one row per DISTINCT
+    * token: (tok, vec array<double>, nsq).
+    */
+  def charTrigramEmbed(toks: DataFrame, tok: Column,
+                       dim: Int = 64): DataFrame = {
+    require(dim > 0, s"embedding dim must be positive, got $dim")
+    toks.select(tok.as("tok")).distinct()
+      // stage the padded form OUTSIDE the lambda: an unbound computed
+      // subexpression inside a HOF body re-evaluates per element
+      .select(col("tok"), concat(lit("^"), col("tok"), lit("$")).as("__pad"))
+      .select(col("tok"), explode(transform(
+        sequence(lit(1), length(col("tok"))),
+        i => col("__pad").substr(i, lit(3)))).as("g"))
+      .select(col("tok"),
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("h"))
+      .select(col("tok"), (col("h") % dim).cast("int").as("d"),
+        when((col("h") / dim).cast("long") % 2 === 0, lit(1.0))
+          .otherwise(lit(-1.0)).as("s"))
+      .groupBy(col("tok"), col("d")).agg(sum(col("s")).as("v"))
+      .groupBy(col("tok"))
+      .agg(map_from_entries(collect_list(struct(col("d"), col("v")))).as("m"))
+      .select(col("tok"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("vec"))
+      .withColumn("nsq", graft.functions.VectorOps.normSq(col("vec")))
+  }
+
   /** Deterministic hash bucket in [0, 100): md5 of the key's string form
     * — stable across engines, runs, and physical layout, which
     * rand(seed)-based sampling is not (row order dependence).

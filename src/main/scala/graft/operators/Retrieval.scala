@@ -2287,6 +2287,146 @@ object Retrieval {
         col("chunk_start"))
   }
 
+  /** LATE-INTERACTION (multi-vector) re-rank — ColBERT's maxsim
+    * (Khattab & Zaharia, SIGIR 2020) bounded to the serving shape a
+    * 100 TB pipeline can afford: single-vector ANN recalls a shortlist
+    * cheaply, then ONLY the |Q|·kEach shortlist pays token-level
+    * interaction — maxsim(q, c) = Σ_{query token} max_{chunk token}
+    * cos(tokvec_q, tokvec_c) — never the corpus. Token vectors are
+    * deterministic character-trigram hash embeddings
+    * ([[Corpus.charTrigramEmbed]] — the SQL-replayable stand-in for
+    * per-token neural vectors), derived on demand for the shortlist's
+    * chunks alone: the shortlist's doc ids broadcast-semi-join the
+    * corpus (DPP-prunable, bounded), those docs re-window on the
+    * index's OWN grid, and everything downstream is
+    * shortlist × query-token sized equality joins. Per-(query, chunk,
+    * query-token) maxes are order-independent; the final sum runs in
+    * DECIMAL(27,10) so the score replays exactly cross-engine.
+    *
+    * Output: (query_id, doc_id, chunk_start, maxsim) — top `k` per
+    * query, span-exact attribution like every chunk server here.
+    */
+  def maxSimRerankChunks(spark: SparkSession, chunkPqDir: String,
+                         docs: DataFrame, id: Column, text: Column,
+                         queries: DataFrame, k: Int, kEach: Int = 20,
+                         alpha: Int = 4, nProbes: Int = 4,
+                         asOf: Option[Long] = None, m: Int = 8,
+                         ks: Int = 16, dim: Int = 64,
+                         residual: Boolean = false): DataFrame =
+    Ranking.topPerGroup(
+        maxSimScores(spark, chunkPqDir, docs, id, text, queries, kEach,
+          alpha, nProbes, asOf, m, ks, dim, residual),
+        Seq(col("query_id")), Seq(col("score").desc, col("doc_id").asc), k)
+      .select(col("query_id"),
+        shiftright(col("doc_id"), 32).as("doc_id"),
+        col("doc_id").bitwiseAND(lit(ChunkKeyBase - 1)).as("chunk_start"),
+        col("score").as("maxsim"))
+      .orderBy(col("query_id"), col("maxsim").desc, col("doc_id"),
+        col("chunk_start"))
+
+  /** The maxsim arm at ck grain — (query_id, doc_id = ck, score), the
+    * [[rrfFuse]] input shape shared with the other arms. */
+  private def maxSimScores(spark: SparkSession, chunkPqDir: String,
+                           docs: DataFrame, id: Column, text: Column,
+                           queries: DataFrame, kEach: Int, alpha: Int,
+                           nProbes: Int, asOf: Option[Long], m: Int,
+                           ks: Int, dim: Int,
+                           residual: Boolean): DataFrame = {
+    val (size, stride) = chunkGrid(spark, chunkPqDir,
+      stampTable = "assignment")
+    val short = Similarity.queryIvfPqIndexReranked(spark, chunkPqDir,
+        queries.select(col("query_id").as("id"), col("vec")),
+        kEach, alpha, nProbes, asOf, m, ks, dim, residual)
+      .select(col("query_id"), col("cand_id").as("ck"))
+      .localCheckpoint(eager = false) // feeds doc fetch + the pair join
+    // ONLY the shortlist's documents re-window — never the corpus
+    val docIds = short.select(shiftright(col("ck"), 32).as("__d")).distinct()
+    val shortDocs = docs.join(broadcast(docIds), id === col("__d"),
+      "left_semi")
+    val ctoks = chunkKeyed(shortDocs, id, text, size, stride)
+      .join(broadcast(short.select(col("ck")).distinct()), Seq("ck"),
+        "left_semi")
+      .select(col("ck"),
+        explode(graft.functions.TextOps.tokens(col("chunk_text")))
+          .as("tok"))
+      .distinct() // maxes over duplicate tokens are identical
+    val qtoks = queries
+      .select(col("query_id"), explode(col("terms")).as("tok")).distinct()
+    val vocab = ctoks.select(col("tok"))
+      .unionByName(qtoks.select(col("tok"))).distinct()
+    // the vocabulary is shortlist-token-bounded — broadcast it onto
+    // both token streams (statless plans otherwise SMJ these tiny sides)
+    val tv = Corpus.charTrigramEmbed(vocab, col("tok"), dim = 64)
+      .localCheckpoint(eager = false) // joined on both sides of the pair
+    val qv = qtoks.join(broadcast(tv), Seq("tok"))
+      .select(col("query_id"), col("tok").as("qtok"),
+        col("vec").as("qtv"), col("nsq").as("qnsq"))
+    val cv = ctoks.join(broadcast(tv), Seq("tok"))
+      .select(col("ck"), col("vec").as("ctv"), col("nsq").as("cnsq"))
+    // the shortlist itself is |Q|·kEach rows — broadcast it onto the
+    // (larger) chunk-token stream
+    cv.join(broadcast(short), Seq("ck"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", graft.functions.VectorOps.cosineWithNorms(
+        col("qtv"), col("ctv"), col("qnsq"), col("cnsq")))
+      .groupBy(col("query_id"), col("ck"), col("qtok"))
+      .agg(max(col("cos")).as("mxc"))
+      .groupBy(col("query_id"), col("ck"))
+      .agg(sum(col("mxc").cast("decimal(27,10)")).cast("double")
+        .as("score"))
+      .select(col("query_id"), col("ck").as("doc_id"), col("score"))
+  }
+
+  /** [[hybridSearchChunksPq]] grown to the FOUR-arm serving unit: BM25
+    * + Dirichlet QL (both off the pruned postings slice) + the
+    * PQ-shortlisted exact-dot single-vector arm + the late-interaction
+    * maxsim re-rank of that same shortlist ([[maxSimRerankChunks]]).
+    * RRF stays rank-only, so the four incommensurate scales (log-odds,
+    * log-likelihood, dot, summed cosine) never need calibration;
+    * n_rankers reaches 4 where every arm finds the span. The maxsim
+    * arm re-uses the PQ arm's shortlist — the fourth ranking costs
+    * token-level work on |Q|·kEach chunks, nothing corpus-sized.
+    */
+  def hybridSearchChunksMaxSim(spark: SparkSession, chunkBm25Dir: String,
+                               chunkPqDir: String, docs: DataFrame,
+                               id: Column, text: Column,
+                               queries: DataFrame, k: Int,
+                               kEach: Int = 20, alpha: Int = 4,
+                               nProbes: Int = 4, c: Int = 60,
+                               mu: Double = 2000.0, m: Int = 8,
+                               ks: Int = 16, dim: Int = 64,
+                               residual: Boolean = false,
+                               bm25AsOf: Option[Long] = None,
+                               pqAsOf: Option[Long] = None): DataFrame = {
+    val gridLex = chunkGrid(spark, chunkBm25Dir)
+    val gridSem = chunkGrid(spark, chunkPqDir, stampTable = "assignment")
+    require(gridLex == gridSem, s"chunk index grids disagree: BM25 " +
+      s"$gridLex vs PQ $gridSem — spans from different grids never " +
+      "align; rebuild one index on the other's grid")
+    val lex = queryBm25IndexMany(spark, chunkBm25Dir,
+        queries.select(col("query_id"), col("terms")), kEach,
+        asOf = bm25AsOf)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    val ql = queryQlIndexMany(spark, chunkBm25Dir,
+        queries.select(col("query_id"), col("terms")), kEach, mu,
+        asOf = bm25AsOf)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    val sem = Similarity.queryIvfPqIndexReranked(spark, chunkPqDir,
+        queries.select(col("query_id").as("id"), col("vec")),
+        kEach, alpha, nProbes, pqAsOf, m, ks, dim, residual)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        col("dot").as("score"))
+    val msim = maxSimScores(spark, chunkPqDir, docs, id, text, queries,
+      kEach, alpha, nProbes, pqAsOf, m, ks, dim, residual)
+    rrfFuse(Seq(lex, ql, sem, msim), k, c)
+      .select(col("query_id"),
+        shiftright(col("doc_id"), 32).as("doc_id"),
+        col("doc_id").bitwiseAND(lit(ChunkKeyBase - 1)).as("chunk_start"),
+        col("n_rankers"), col("rrf"))
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"),
+        col("chunk_start"))
+  }
+
   /** RAG context assembly over a fused chunk ranking — the step between
     * retrieval and the prompt: per query,
     *
