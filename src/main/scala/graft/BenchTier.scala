@@ -35,7 +35,11 @@ object BenchTier {
     "q170_context_pack", "q173_context_text", "q181_context_model_pack",
     "q116_ann_index", "q145_ann_ivf_pq", "q158_ann_ivf_pq_rerank",
     "q162_ann_index_dpp", "q184_ann_filtered",
-    "q176_bpe_roundtrip", "q178_bpe_byte_roundtrip")
+    "q176_bpe_roundtrip", "q178_bpe_byte_roundtrip",
+    // round 16 serving paths: supersede-merged BM25, the one-shot
+    // counted filtered probe, and the late-interaction arm + fusion
+    "q191_supersede_bm25", "q195_ann_filtered_counted",
+    "q196_chunk_maxsim", "q197_chunk_hybrid_maxsim")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf0.3")

@@ -269,13 +269,15 @@ object RetrievalQueries {
   // df/stats correction, and the ranking all hash-match ground truth.
   private def cachedBm25Takedown(spark: SparkSession, dir: String): String =
     graft.sources.CachedArtifact.resolve(spark,
-      new java.io.File(dir, "documents.parquet"), "bm25tdq",
+      new java.io.File(dir, "documents.parquet"), "bm25tdq3",
       "postings", "stats") { d =>
       val docs = Tables.documents(spark, dir)
       graft.operators.Retrieval.buildBm25Index(
         docs, col("doc_id"), col("text"), d): Unit
       graft.operators.Tombstones.add(
-        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), d): Unit
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), d,
+        reason = "dmca", requestedAt = 86400000L,
+        boundary = 86400000L): Unit
       graft.operators.Retrieval.compactBm25Index(spark, d): Unit
     }
 
@@ -309,6 +311,161 @@ object RetrievalQueries {
       |  CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
       |FROM term GROUP BY doc_id
       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] document SUPERSEDE (recrawl) — the UPDATE path a mutable-
+  // source pipeline needs (the reference's daily batch re-ingests
+  // MUTABLE RDS rows — 0affc6b7559b_dag.py:30 — so "same logical doc,
+  // new content" is its routine case): every doc_id ≡ 7 (mod 13) is
+  // re-crawled as a successor (new id, revised text), the successor
+  // APPENDS to the live index, the predecessor tombstones with reason
+  // "superseded", and the compaction merge makes the index
+  // row-identical to one built over the v2-only corpus. The oracle
+  // replays BM25 over exactly that corpus — predecessors out,
+  // successors in — end-to-end: df/stats correction, the appended
+  // postings, and the ranking all hash-match ground truth.
+  private val supMod = 13
+  private val supOff = 10000000L
+  private def supersedePairs(docs: DataFrame): (DataFrame, DataFrame) = {
+    val old = docs.filter(col("doc_id") % supMod === 7)
+    val v2 = old.select((col("doc_id") + supOff).as("doc_id"),
+      concat(col("text"), lit(" revised edition")).as("text"))
+    (old, v2)
+  }
+
+  private def cachedBm25Supersede(spark: SparkSession, dir: String): String =
+    graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "bm25supq",
+      "postings", "stats") { d =>
+      val docs = Tables.documents(spark, dir)
+      graft.operators.Retrieval.buildBm25Index(
+        docs, col("doc_id"), col("text"), d): Unit
+      val (old, v2) = supersedePairs(docs)
+      graft.operators.Retrieval.appendToBm25Index(
+        v2, col("doc_id"), col("text"), d): Unit
+      graft.operators.Tombstones.add(old.select(col("doc_id")), d,
+        reason = "superseded", requestedAt = 86400000L,
+        boundary = 86400000L): Unit
+      graft.operators.Retrieval.compactBm25Index(spark, d): Unit
+    }
+
+  def q191SupersedeBm25(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.queryBm25Index(spark, cachedBm25Supersede(spark, dir),
+      bmTerms, k = 20)
+
+  private val q191Sql =
+    s"""WITH corp AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % $supMod <> 7
+      |  UNION ALL
+      |  SELECT doc_id + $supOff AS doc_id, text || ' revised edition' AS text
+      |  FROM documents WHERE doc_id % $supMod = 7),
+      |d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |    string_split(text, ' ') AS toks
+      |  FROM corp),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+      |tf AS (
+      |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+      |  WHERE tok IN ('dup', 'spark', 'hash')
+      |  GROUP BY 1, 2, 3),
+      |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |term AS (
+      |  SELECT tf.doc_id,
+      |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+      |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |          * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS t
+      |  FROM tf JOIN dfs USING (tok) CROSS JOIN stats)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum(CAST(t AS DECIMAL(27,10))) AS DOUBLE) AS score
+      |FROM term GROUP BY doc_id
+      |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] supersede LINEAGE + forward serving + audit — the whole
+  // [[graft.operators.Supersede]] operator on a work dir (forward index
+  // + lineage + tombstone audit): the successors append, supersede()
+  // swaps the predecessors out in one call, and the query serves the
+  // lineage relation joined with the successor's forward-index length,
+  // the audit reason, and the PROOF the predecessor no longer serves
+  // (a gated forward-index probe that must come back empty). The
+  // oracle replays all of it from the documents table — who superseded
+  // whom, at which boundary, the v2 token length, the recorded reason,
+  // and old_served = false.
+  private def cachedSupersedeWork(spark: SparkSession, dir: String): String =
+    graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "documents.parquet"), "supworkq",
+      "lineage", "lineage") { w =>
+      val docs = Tables.documents(spark, dir)
+      graft.operators.Retrieval.buildForwardIndex(
+        docs, col("doc_id"), col("text"), s"$w/fwd"): Unit
+      val (old, v2) = supersedePairs(docs)
+      graft.operators.Retrieval.appendToForwardIndex(
+        v2, col("doc_id"), col("text"), s"$w/fwd"): Unit
+      graft.operators.Supersede.supersede(spark,
+        old.select(col("doc_id").as("old_id"),
+          (col("doc_id") + supOff).as("new_id")),
+        w, boundary = 86400000L, indexDirs = Seq(s"$w/fwd")): Unit
+    }
+
+  def q193SupersedeLineage(spark: SparkSession, dir: String): DataFrame = {
+    val w = cachedSupersedeWork(spark, dir)
+    val fwdDir = s"$w/fwd"
+    val fwd = graft.sources.Versioned.read(spark, s"$fwdDir/fwd")
+    val gated = graft.operators.Tombstones.gate(spark, fwdDir,
+      fwd, col("doc_id"))
+    val lin = graft.operators.Supersede.lineage(spark, w)
+    val aud = graft.operators.Tombstones.audit(spark, fwdDir)
+      .select(col("doc_id").as("old_id"), col("reason"))
+    lin
+      .join(gated.select(col("doc_id").as("new_id"), col("dl")),
+        Seq("new_id"))
+      .join(gated.select(col("doc_id").as("old_id"),
+        lit(true).as("__srv")), Seq("old_id"), "left")
+      .join(aud, Seq("old_id"))
+      .select(col("new_id"), col("old_id"), col("boundary"), col("dl"),
+        col("reason"), coalesce(col("__srv"), lit(false)).as("old_served"))
+      .orderBy(col("old_id"))
+  }
+
+  private val q193Sql =
+    s"""SELECT doc_id + $supOff AS new_id, doc_id AS old_id,
+      |  CAST(86400000 AS BIGINT) AS boundary,
+      |  CAST(len(string_split(text || ' revised edition', ' ')) AS BIGINT) AS dl,
+      |  'superseded' AS reason, FALSE AS old_served
+      |FROM documents WHERE doc_id % $supMod = 7
+      |ORDER BY old_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] takedown AUDIT TRAIL — erasure proven by data (GDPR art. 17 /
+  // DMCA compliance both require demonstrable who/why/when, not just a
+  // doc that stopped serving): the q188 takedown's audit rows aggregate
+  // per (reason, boundary) with the count of docs erased AND the count
+  // still physically present in the merged postings — which the oracle
+  // pins to ZERO, so a compaction that failed to drop a row
+  // hash-mismatches ground truth instead of passing silently.
+  def q194TakedownAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = cachedBm25Takedown(spark, dir)
+    val aud = graft.operators.Tombstones.audit(spark, d)
+    val posted = graft.sources.Versioned.read(spark, s"$d/postings")
+      .select(col("doc_id")).distinct().withColumn("__srv", lit(1L))
+    aud.join(posted, Seq("doc_id"), "left")
+      .groupBy(col("reason"), col("boundary"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__srv"), lit(0L))).as("n_served_after"))
+      .orderBy(col("reason"), col("boundary"))
+  }
+
+  private val q194Sql =
+    """SELECT 'dmca' AS reason, CAST(86400000 AS BIGINT) AS boundary,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(0 AS BIGINT) AS n_served_after
+      |FROM documents WHERE doc_id % 7 = 3
+      |ORDER BY reason, boundary""".stripMargin
 
   // ---------------------------------------------------------------------
   // [EXT] FACET COUNTS over retrieval — the serving aggregate every
@@ -1109,6 +1266,103 @@ object RetrievalQueries {
        |$chunkPqArmCtes,
        |$chunkLexFusionCtes""".stripMargin
 
+  /** Late-interaction maxsim CTEs over the PQ arm's shortlist (`semr`):
+    * distinct shortlist-chunk tokens, padded-character-trigram token
+    * vectors (Corpus.charTrigramEmbed's exact arithmetic), per-(query,
+    * chunk, query-token) max cosine, DECIMAL-exact summed score
+    * (`msim`), and the top-`kArm` arm ranking (`mxr`) for fusion.
+    */
+  private def maxSimCtes(kArm: Int): String =
+    s"""stoks AS (
+       |  SELECT DISTINCT s.query_id, s.ckid, c.tok
+       |  FROM semr s JOIN ctok c ON c.ck = s.ckid),
+       |qtd AS (SELECT DISTINCT query_id, tok FROM qtokall),
+       |vocab AS (
+       |  SELECT DISTINCT tok FROM (
+       |    SELECT tok FROM stoks UNION ALL SELECT tok FROM qtd)),
+       |tg AS (
+       |  SELECT tok, unnest(list_transform(range(1, len(tok) + 1),
+       |    i -> substr('^' || tok || '$$', i, 3))) AS g
+       |  FROM vocab),
+       |tgh AS (SELECT tok, ${md5long("g")} AS h FROM tg),
+       |tgc AS (
+       |  SELECT tok, CAST(h % 64 AS INTEGER) AS d,
+       |    sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+       |  FROM tgh GROUP BY 1, 2),
+       |tgd AS (
+       |  SELECT k.tok, r.i, coalesce(s.v, 0.0) AS v
+       |  FROM vocab k
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r
+       |  LEFT JOIN tgc s ON s.tok = k.tok AND s.d = r.i),
+       |tvec AS (
+       |  SELECT tok, v, list_sum(list_transform(v, x -> x * x)) AS nsq
+       |  FROM (SELECT tok, list(v ORDER BY i) AS v FROM tgd GROUP BY 1)),
+       |mxp AS (
+       |  SELECT st.query_id, st.ckid, q.tok AS qtok,
+       |    max(${dot64("qv.v", "cv.v")} / (sqrt(qv.nsq) * sqrt(cv.nsq))) AS mxc
+       |  FROM stoks st
+       |  JOIN qtd q ON q.query_id = st.query_id
+       |  JOIN tvec qv ON qv.tok = q.tok
+       |  JOIN tvec cv ON cv.tok = st.tok
+       |  GROUP BY 1, 2, 3),
+       |msim AS (
+       |  SELECT query_id, ckid,
+       |    CAST(sum(CAST(mxc AS DECIMAL(27,10))) AS DOUBLE) AS score
+       |  FROM mxp GROUP BY 1, 2),
+       |mxr AS (
+       |  SELECT query_id, ckid, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, ckid ASC) AS rn FROM msim)
+       |  WHERE rn <= $kArm)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] LATE-INTERACTION re-rank — ColBERT maxsim bounded to the
+  // shortlist: the PQ arm recalls top-20 spans cheaply, then ONLY those
+  // spans pay token-level interaction (Σ over query tokens of the max
+  // token-cosine in the chunk) under deterministic character-trigram
+  // token vectors. The oracle replays chunking, the PQ probe, the exact
+  // re-rank shortlist, the trigram token embeddings, every pairwise
+  // token cosine, the max/Σ algebra, and the final ranking in ONE
+  // statement.
+  def q196ChunkMaxSim(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.maxSimRerankChunks(spark, cachedChunkPq(spark, dir),
+      Tables.documents(spark, dir), col("doc_id"), col("text"),
+      chunkQueryBatch(spark), k = 10)
+
+  private lazy val q196Sql =
+    s"""$chunkPrefixCtes,
+       |$chunkPqArmCtes,
+       |${maxSimCtes(10)}
+       |SELECT query_id, ckid // 4294967296 AS doc_id,
+       |  ckid % 4294967296 AS chunk_start, score AS maxsim
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, ckid ASC) AS rn FROM msim)
+       |WHERE rn <= 10
+       |ORDER BY query_id, maxsim DESC, doc_id, chunk_start""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // [EXT] FOUR-arm chunk fusion — the full late-interaction serving
+  // unit: BM25 + Dirichlet QL (one pruned postings slice), the
+  // PQ-shortlisted exact-dot arm, and the maxsim re-rank of that same
+  // shortlist, RRF-fused at span grain. n_rankers reaches 4 where every
+  // arm agrees. The oracle replays all four rankings and the fusion in
+  // ONE statement.
+  def q197ChunkHybridMaxSim(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.hybridSearchChunksMaxSim(spark, cachedChunkBm25(spark, dir),
+      cachedChunkPq(spark, dir), Tables.documents(spark, dir),
+      col("doc_id"), col("text"), chunkQueryBatch(spark), k = 10)
+
+  private lazy val q197Sql =
+    s"""$chunkPrefixCtes,
+       |$chunkPqArmCtes,
+       |$chunkLexArmCtes,
+       |$chunkQlArmCtes,
+       |${maxSimCtes(20)},
+       |${chunkFusionTail(Seq("lexr", "qlr", "semr", "mxr"))}
+       |SELECT query_id, ckid // 4294967296 AS doc_id,
+       |  ckid % 4294967296 AS chunk_start, n_rankers, rrf
+       |FROM sel ORDER BY query_id, rrf DESC, doc_id, chunk_start""".stripMargin
+
   /** The Dirichlet-QL arm at chunk grain (μ = 2000, top-20 as `qlr`):
     * candidates/cf/tf all come off `hits` — the same pruned (query,
     * posting) slice the BM25 arm reads, so the third ranker costs no
@@ -1759,6 +2013,9 @@ object RetrievalQueries {
     "q186_hybrid_filtered" -> (q186HybridFiltered _),
     "q187_chunk_hybrid_filtered" -> (q187ChunkHybridFiltered _),
     "q188_takedown_bm25" -> (q188TakedownBm25 _),
+    "q191_supersede_bm25" -> (q191SupersedeBm25 _),
+    "q193_supersede_lineage" -> (q193SupersedeLineage _),
+    "q194_takedown_audit" -> (q194TakedownAudit _),
     "q189_bm25_facets" -> (q189Bm25Facets _),
     "q190_chunk_facets" -> (q190ChunkFacets _),
     "q167_chunk_bm25"   -> (q167ChunkBm25 _),
@@ -1774,7 +2031,9 @@ object RetrievalQueries {
     "q180_chunk_hybrid_3arm" -> (q180ChunkHybrid3 _),
     "q181_context_model_pack" -> (q181ContextModelPack _),
     "q182_rm3_chunks" -> (q182Rm3Chunks _),
-    "q183_bm25_stopped" -> (q183Bm25Stopped _))
+    "q183_bm25_stopped" -> (q183Bm25Stopped _),
+    "q196_chunk_maxsim" -> (q196ChunkMaxSim _),
+    "q197_chunk_hybrid_maxsim" -> (q197ChunkHybridMaxSim _))
 
   val oracle: Map[String, String] = Map(
     "q146_bm25"         -> q146Sql,
@@ -1787,6 +2046,9 @@ object RetrievalQueries {
     "q186_hybrid_filtered" -> q186Sql,
     "q187_chunk_hybrid_filtered" -> q187Sql,
     "q188_takedown_bm25" -> q188Sql,
+    "q191_supersede_bm25" -> q191Sql,
+    "q193_supersede_lineage" -> q193Sql,
+    "q194_takedown_audit" -> q194Sql,
     "q189_bm25_facets" -> q189Sql,
     "q190_chunk_facets" -> q190Sql,
     "q167_chunk_bm25"   -> q167Sql,
@@ -1804,5 +2066,7 @@ object RetrievalQueries {
     "q180_chunk_hybrid_3arm" -> q180Sql,
     "q181_context_model_pack" -> q181Sql,
     "q182_rm3_chunks" -> q182Sql,
-    "q183_bm25_stopped" -> q183Sql)
+    "q183_bm25_stopped" -> q183Sql,
+    "q196_chunk_maxsim" -> q196Sql,
+    "q197_chunk_hybrid_maxsim" -> q197Sql)
 }

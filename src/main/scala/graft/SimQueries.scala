@@ -1191,6 +1191,156 @@ object SimQueries {
   }
 
   // ---------------------------------------------------------------------
+  // J7 lifecycle — document SUPERSEDE on the PERSISTED ANN index (the
+  // recrawl path, [[graft.operators.Supersede]]'s semantic half): every
+  // corpus vector with id ≥ 10 and id ≡ 7 (mod 13) is re-embedded (new
+  // id = old + 10⁷, vector negated — the deterministic stand-in for a
+  // re-encoded document), the successor APPENDS to the frozen-centroid
+  // index, the predecessor tombstones with reason "superseded", and the
+  // compaction merge drops it physically. ORACLE-CHECKED end-to-end:
+  // centroids stay the BUILD corpus's md5 seed sample (supersede never
+  // retrains — that is the rebuild cadence's job), the assignment
+  // replays over the v2-only corpus against those frozen centroids, and
+  // the probe ranking hash-matches ground truth.
+  def q192SupersedeAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val idx = cachedIndex(spark, dir, "ivf_supq") { d =>
+      Similarity.buildIvfIndex(e, d, nCentroids = 16): Unit
+      val old = e.filter(col("id") >= 10 && col("id") % 13 === 7)
+      val v2 = old.select((col("id") + 10000000L).as("id"),
+        transform(col("vec"), x => -x).as("vec"))
+      Similarity.appendToIvfIndex(v2, d): Unit
+      graft.operators.Tombstones.add(old.select(col("id").as("doc_id")), d,
+        reason = "superseded", requestedAt = 86400000L,
+        boundary = 86400000L): Unit
+      Similarity.compactIvfIndex(spark, d): Unit
+    }
+    Similarity.queryIvfIndex(spark, idx, e.filter(col("id") < 10), k = 5)
+  }
+
+  private val q192Sql = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i]))"
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS centroid_id, v, nsq FROM base
+       |  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+       |           vec_id ASC
+       |  LIMIT 16),
+       |corp AS (
+       |  SELECT vec_id, v, nsq FROM base
+       |  WHERE NOT (vec_id >= 10 AND vec_id % 13 = 7)
+       |  UNION ALL
+       |  SELECT vec_id + 10000000 AS vec_id,
+       |    list_transform(v, x -> -x) AS v, nsq
+       |  FROM base WHERE vec_id >= 10 AND vec_id % 13 = 7),
+       |assigned AS (
+       |  SELECT centroid_id, cand_id, cv, cnsq FROM (
+       |    SELECT c.centroid_id, b.vec_id AS cand_id, b.v AS cv, b.nsq AS cnsq,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM corp b CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id, qv, qnsq FROM (
+       |    SELECT b.vec_id AS query_id, c.centroid_id, b.v AS qv, b.nsq AS qnsq,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent c
+       |    WHERE b.vec_id < 10)
+       |  WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.cand_id,
+       |    list_sum(list_transform(range(1, 65), i -> p.qv[i] * a.cv[i]))
+       |      / (sqrt(p.qnsq) * sqrt(a.cnsq)) AS sim
+       |  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+       |  WHERE a.cand_id <> p.query_id)
+       |SELECT query_id, cand_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5
+       |ORDER BY query_id, sim DESC, cand_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // J7 filtered ANN, ONE-SHOT width — the gatecounts sidecar finishes
+  // the ACORN pair: where q184's adaptive sibling re-probes at each
+  // doubling until every query fills k, the counted path consults the
+  // per-(centroid, gate-value) eligible counts maintained at
+  // build/append/compact and takes each query's shortest centroid
+  // prefix whose cumulative count reaches k — ONE probe round, bytes ≈
+  // the adaptive path's final round alone. ORACLE-CHECKED end-to-end:
+  // the seed-sampled centroids, the per-centroid label counts, the
+  // per-query running-sum prefix cut, the gated bucket scan, and the
+  // ranking all replay in SQL.
+  def q195AnnFilteredCounted(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val idx = graft.sources.CachedArtifact.resolve(spark,
+      new java.io.File(dir, "embeddings.parquet"), "ivf_cnt1",
+      "centroids", "assignment", "gatecounts") { d =>
+      Similarity.buildIvfIndex(e, d, nCentroids = 16,
+        metaCols = Seq("label")): Unit
+      Similarity.refreshGateCounts(spark, d, Seq("label")): Unit
+    }
+    Similarity.queryIvfIndexFilteredCounted(spark, idx,
+      e.filter(col("id") < 10), k = 5, gateCol = "label", gateVal = 1)
+  }
+
+  private val q195Sql = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> $a.v[i] * $b.v[i]))"
+    s"""WITH base AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS centroid_id, v, nsq FROM base
+       |  ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+       |           vec_id ASC
+       |  LIMIT 16),
+       |assigned AS (
+       |  SELECT centroid_id, cand_id, label, cv, cnsq FROM (
+       |    SELECT c.centroid_id, b.vec_id AS cand_id, b.label, b.v AS cv,
+       |      b.nsq AS cnsq,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM base b CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |counts AS (
+       |  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM assigned WHERE label = 1 GROUP BY 1),
+       |qc AS (
+       |  SELECT b.vec_id AS query_id, c.centroid_id, b.v AS qv, b.nsq AS qnsq,
+       |    row_number() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${dot("b", "c")} / (sqrt(b.nsq) * sqrt(c.nsq)) DESC,
+       |               c.centroid_id ASC) AS rn
+       |  FROM base b CROSS JOIN cent c
+       |  WHERE b.vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, centroid_id, qv, qnsq FROM (
+       |    SELECT qc.*, coalesce(sum(coalesce(n, 0)) OVER (
+       |      PARTITION BY query_id ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |    FROM qc LEFT JOIN counts USING (centroid_id))
+       |  WHERE cum_before < 5 + 1),
+       |scored AS (
+       |  SELECT p.query_id, a.cand_id,
+       |    list_sum(list_transform(range(1, 65), i -> p.qv[i] * a.cv[i]))
+       |      / (sqrt(p.qnsq) * sqrt(a.cnsq)) AS sim
+       |  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+       |  WHERE a.label = 1 AND a.cand_id <> p.query_id)
+       |SELECT query_id, cand_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= 5
+       |ORDER BY query_id, sim DESC, cand_id""".stripMargin
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cosine_topk"      -> (q31CosineTopK _),
@@ -1218,6 +1368,8 @@ object SimQueries {
     "q158_ann_ivf_pq_rerank" -> (q158AnnIvfPqRerank _),
     "q162_ann_index_dpp"    -> (q162AnnIndexDpp _),
     "q184_ann_filtered"     -> (q184AnnFiltered _),
+    "q192_supersede_ann"    -> (q192SupersedeAnn _),
+    "q195_ann_filtered_counted" -> (q195AnnFilteredCounted _),
   )
 
   /** q33/q34/q37/q43 are xxhash64-sketch-based → rows-only check
@@ -1252,5 +1404,7 @@ object SimQueries {
     // the partitioned-layout probe replays q98's inline pipeline exactly
     "q162_ann_index_dpp"    -> q98Sql,
     "q184_ann_filtered"     -> q184Sql,
+    "q192_supersede_ann"    -> q192Sql,
+    "q195_ann_filtered_counted" -> q195Sql,
   )
 }

@@ -103,7 +103,21 @@ class PlanQualitySpec extends SparkSpec {
     "q182_rm3_chunks",
     // takedown: the merged index serves through queryBm25Index — the
     // same 1-row (N, Σdl) stats broadcast as q147
-    "q188_takedown_bm25")
+    "q188_takedown_bm25",
+    // supersede: the merged index serves through the same paths — the
+    // 1-row stats broadcast (q191) / the broadcast centroid array
+    // (q192)
+    "q191_supersede_bm25", "q192_supersede_ann",
+    // counted filtered probe: the broadcast centroid+counts array
+    // scoring (the q116 shape with the prefix fold)
+    "q195_ann_filtered_counted",
+    // maxsim: the PQ shortlist arm's broadcast codebook/LUT + the
+    // broadcast shortlist-doc-id semi probe; the token-pair join is
+    // all equality
+    "q196_chunk_maxsim",
+    // 4-arm fusion: BM25/QL 1-row stats + PQ codebook/LUT + the maxsim
+    // arm above
+    "q197_chunk_hybrid_maxsim")
 
   test("PLAN_AUDIT.md has a row for every SparkEntry query") {
     // The audit artifact is regenerated by `tools/run.sh graft.PlanAudit`;
