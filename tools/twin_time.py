@@ -33,20 +33,33 @@ def main():
         pat = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{pat}')")
-    times = {}
+    # large tiers: let DuckDB spill instead of dying, and survive a
+    # per-query failure (an OOM on one twin must not zero the pass —
+    # the failed query is recorded and excluded from the total, which
+    # under-counts DUCKDB's side, never the engine's)
+    con.execute("SET temp_directory='/tmp/duck_twin_spill'")
+    times, failed = {}, {}
     for name in sorted(oracle):
         sql = oracle[name]
         best = None
-        for _ in range(2):
-            t0 = time.time()
-            con.execute(sql).fetchall()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 4)
-    print(json.dumps({"metric": "duckdb_twin_total",
-                      "value": round(sum(times.values()), 2),
-                      "unit": "sec", "queries": times,
-                      "sf": sf_dir.rstrip("/").split("/")[-1]}))
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 4)
+        except Exception as e:
+            failed[name] = str(e).split("\n")[0][:200]
+        print(f"[twin] {name}: {times.get(name, 'FAILED')}",
+              file=sys.stderr, flush=True)
+    out = {"metric": "duckdb_twin_total",
+           "value": round(sum(times.values()), 2),
+           "unit": "sec", "queries": times,
+           "sf": sf_dir.rstrip("/").split("/")[-1]}
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
