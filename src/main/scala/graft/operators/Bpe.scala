@@ -399,9 +399,18 @@ object Bpe {
     */
   def decodeIds(ids: DataFrame, vocabDf: DataFrame,
                 byteLevel: Boolean = false): DataFrame = {
+    // ONE exchange for the whole decode: hash-partitioning on doc_id
+    // satisfies BOTH the (doc_id, word_pos) word assembly and the
+    // doc_id text assembly (HashPartitioning on a subset of the group
+    // keys clusters every group), so the explicit repartition replaces
+    // two token-/word-level shuffles with one (guide §2.4 — two
+    // operations keyed the same way share one exchange). collect_list
+    // has no map-side reduction, so skipping partial aggregation costs
+    // nothing.
     val words = ids
       .select(col("doc_id"), col("word_pos"), col("sym_pos"), col("tok_id"))
       .join(vocabDf.select(col("tok_id"), col("tok")), Seq("tok_id"))
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("word_pos"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("sym_pos"), col("tok")))),

@@ -521,14 +521,32 @@ object Corpus {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("ngram"))
 
+  /** [[shingleInstances]] staged for multi-consumer operators: every
+    * dup-signal operator feeds the instance stream into BOTH its
+    * ngram→doc-count aggregation and its per-position probe side, and
+    * without staging each consumer re-tokenizes and re-hashes the full
+    * corpus (the [[NearDup.ngramJaccardPairs]] staging discipline —
+    * 8-byte keys, ~16 B/row; at production scale this is the parquet
+    * stage between jobs). localCheckpoint so the operator owns the
+    * blocks; lazy so plan construction stays computation-free.
+    */
+  private def shingleInstancesStaged(docs: DataFrame, id: Column,
+                                     text: Column,
+                                     shingler: Column => Column): DataFrame =
+    shingleInstances(docs, id, text, shingler).localCheckpoint(eager = false)
+
   /** ngram → number of distinct documents containing it. */
   private def ngramDocCounts(inst: DataFrame): DataFrame =
     inst.select(col("doc_id"), col("ngram")).distinct()
       .groupBy(col("ngram")).agg(count(lit(1)).as("nd"))
 
   def lmScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val base = hashedTokenBase(docs, id, text)
-    val bg = lmBigrams(base)
+    // staged like buildSignalState's base (r17): base feeds the bigram
+    // stream AND the c1 table, and bg feeds the scoring probe AND the
+    // c12 table — unstaged, the md5 token hashing ran 3× over the
+    // corpus (bg twice + c1 once)
+    val base = hashedTokenBase(docs, id, text).localCheckpoint(eager = false)
+    val bg = lmBigrams(base).localCheckpoint(eager = false)
     val (c1, c12) = lmCountTables(base, bg)
     val v = c1.agg(count(lit(1)).as("v"))             // 1 row → broadcast
     val term = log((col("c12") + 1).cast("double") /
@@ -572,6 +590,8 @@ object Corpus {
     // 3-gram INSTANCES (not distinct), one hashed key per token
     // position — <3-token docs produce an empty array and vanish at
     // the explode.
+    // inst has ONE consumer here (perDoc — whose exchange both readers
+    // below reuse), so no staging: a checkpoint would only add block I/O
     val inst = shingleInstances(docs, id, text, shingler)
     val perDoc = inst.groupBy(col("doc_id"), col("ngram"))
       .agg(count(lit(1)).as("cnt"))
@@ -611,7 +631,7 @@ object Corpus {
     // Instance shinglers emit element i = the 3-gram starting at token
     // i (in order), so posexplode's 0-based pos + 1 IS the 1-based
     // token position the run algebra expects.
-    val inst = shingleInstances(docs, id, text, shingler)
+    val inst = shingleInstancesStaged(docs, id, text, shingler)
     val nd = ngramDocCounts(inst)
     // one ngram per (doc, pos) by construction and one nd row per
     // ngram, so the join preserves (doc_id, pos) uniqueness — no
@@ -645,7 +665,7 @@ object Corpus {
   def dupSignals(docs: DataFrame, id: Column, text: Column,
                  shingler: Column => Column = NearDup.shingleHashes3Inst)
       : DataFrame = {
-    val inst = shingleInstances(docs, id, text, shingler)
+    val inst = shingleInstancesStaged(docs, id, text, shingler)
     val nd = ngramDocCounts(inst)
     val marked = inst.join(nd, Seq("ngram"))
       .select(col("doc_id"), col("pos"), (col("nd") >= 2).as("is_dup"))
@@ -689,7 +709,7 @@ object Corpus {
                     shingler: Column => Column = NearDup.shingleHashes3Inst)
       : DataFrame = {
     require(minSpanTokens >= 3, "a 3-gram already spans 3 tokens")
-    val inst = shingleInstances(docs, id, text, shingler)
+    val inst = shingleInstancesStaged(docs, id, text, shingler)
     val nd = ngramDocCounts(inst)
     val dupPos = inst.join(nd.filter(col("nd") >= 2), Seq("ngram"))
       .select(col("doc_id"), col("pos"))
@@ -1093,10 +1113,15 @@ object Corpus {
     require(k > 0 && buckets > 0)
     val base = docs.select(id.as("doc_id"), TextOps.tokens(text).as("toks"),
       isTarget.as("is_target"))
+    // staged (r17): the bucketed token stream feeds the model pass AND
+    // the scoring pass — unstaged, the md5 feature hashing ran twice
+    // over the corpus. ~17 B/row; the parquet stage between jobs at
+    // production scale.
     val tb = base.select(col("doc_id"), col("is_target"),
         explode(col("toks")).as("tok"))
       .select(col("doc_id"), col("is_target"),
         tokenBucket(col("tok"), buckets).as("b"))
+      .localCheckpoint(eager = false)
     // ONE model pass over the token stream: raw and target counts ride
     // the same grouped aggregate, and the totals fold from the model
     // table (≤`buckets` rows) instead of rescanning the corpus.
@@ -1208,24 +1233,62 @@ object Corpus {
     */
   private[graft] def nbScore(test: DataFrame, id: Column, text: Column,
       model: DataFrame, prior: DataFrame): DataFrame = {
-    val nb = model.agg((max(col("b")) + 1).as("nb"))
-    val testToks = test.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("tok"))
-      .crossJoin(broadcast(nb))
-      .select(col("doc_id"), tokenBucket(col("tok"), col("nb")).as("b"))
-    testToks.join(broadcast(model), Seq("b"))
-      .groupBy(col("doc_id"), col("label"))
-      .agg(count(lit(1)).as("n_tok"),
-           sum(col("ll").cast("decimal(27,10)")).as("s"))
-      .join(broadcast(prior), Seq("label"))
-      .select(col("doc_id"), col("label"), col("n_tok"),
-        (col("lp") + col("s").cast("double")).as("score"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("label").asc)))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("label").as("predicted"),
-        col("score"), col("n_tok"))
+    // ZERO-SHUFFLE scoring (r17, guide §2.4/§1.2): the model is a dense
+    // L×B grid — KB-sized by construction — so the whole classifier
+    // rides ONE broadcast row (per-label ll arrays indexed by bucket,
+    // label-ascending), and each document scores entirely row-locally:
+    // hash its tokens once, fold each label's log-likelihoods in exact
+    // DECIMAL(27,10) (scale-10 adds are exact, so the fold equals the
+    // old distributed Sum bit for bit), and take the argmax with a
+    // strict-> fold over the label-ascending array (= the old window's
+    // score desc, label asc). Replaces the tokens×L row fan-out, the
+    // (doc,label) hash aggregation, its exchange, the prior join and
+    // the per-doc ranking window with map-side codegen'd HOFs — nothing
+    // shuffles but the caller's own downstream.
+    val nbRow = broadcast(model.agg((max(col("b")) + 1).as("nb")))
+    val labsRow = broadcast(model.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("b"), col("ll")))).as("bl"))
+      .join(prior, Seq("label"))
+      .crossJoin(nbRow)
+      // indexed lookup needs the DENSE grid nbModelFrames commits; a
+      // sparse grid would silently mis-index — refuse in-plan (the
+      // guard rides the projected array per the assert_true discipline)
+      .select(col("label"), col("lp"),
+        when(assert_true(size(col("bl")) === col("nb").cast("int"),
+          lit("nbScore: model grid is not dense (cells != max(b)+1 for " +
+            "some label) — this model was not written by buildNbModel/" +
+            "nbModelFrames; rebuild it")).isNull,
+          transform(col("bl"), x => x("ll"))).as("arr"))
+      .agg(array_sort(collect_list(
+        struct(col("label"), col("lp"), col("arr")))).as("labs")))
+    val decZero = lit(java.math.BigDecimal.ZERO).cast("decimal(27,10)")
+    test.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
+      // the old explode dropped token-less docs; mirror that row set
+      .filter(col("toks").isNotNull && size(col("toks")) > 0)
+      .crossJoin(nbRow)
+      .crossJoin(labsRow)
+      // bs is consumed once per label below — materialized here and
+      // referenced AGAIN for n_tok so CollapseProject cannot inline the
+      // md5 hashing into the per-label lambda (the HOF re-evaluation
+      // trap: an inlined bs would re-hash every token L times)
+      .withColumn("bs", transform(col("toks"), t =>
+        (tokenBucket(t, col("nb")) + 1L).cast("int")))
+      .withColumn("scored", transform(col("labs"), l => struct(
+        (l.getField("lp") +
+          aggregate(col("bs"), decZero, (acc, b) =>
+            (acc + element_at(l.getField("arr"), b).cast("decimal(27,10)"))
+              .cast("decimal(27,10)"))
+            .cast("double")).as("score"),
+        l.getField("label").as("predicted"))))
+      .withColumn("best", aggregate(col("scored"),
+        struct(lit(Double.NegativeInfinity).as("score"),
+          lit("").as("predicted")),
+        (acc, x) => when(x.getField("score") > acc.getField("score"), x)
+          .otherwise(acc)))
+      .select(col("doc_id"),
+        col("best").getField("predicted").as("predicted"),
+        col("best").getField("score").as("score"),
+        size(col("bs")).cast("long").as("n_tok"))
   }
 
   /** Persist an NB model as two Versioned tables committing in

@@ -202,9 +202,15 @@ object NearDup {
     // shuffle moves 8-byte keys, the join compares longs, and no shingle
     // string is ever materialized. Collision risk at 2^-64 per pair is
     // below the oracle's resolution.
+    // Staged at the ARRAY grain: the exploded join feed AND both n_sh
+    // side tables derive from this one checkpoint, so the corpus is
+    // tokenized+md5-shingled exactly ONCE (r17 — previously the sizes
+    // broadcast re-evaluated shingleHashes3 over the whole corpus: one
+    // full redundant hashing pass, 2× the map-side cost at any scale).
     val withShingles = docs
       .select(id.as("doc_id"), shingleHashes3(text).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+      .localCheckpoint(eager = false)
     // Stage the exploded shingle table: it feeds BOTH sides of the
     // self-join, and without materialization each side re-tokenizes and
     // re-hashes the full corpus. ~16 bytes/shingle; at larger scale this

@@ -2331,14 +2331,28 @@ object Retrieval {
                            queries: DataFrame, kEach: Int, alpha: Int,
                            nProbes: Int, asOf: Option[Long], m: Int,
                            ks: Int, dim: Int,
-                           residual: Boolean): DataFrame = {
+                           residual: Boolean): DataFrame =
+    maxSimScoresFrom(spark, chunkPqDir, docs, id, text, queries,
+      Similarity.queryIvfPqIndexReranked(spark, chunkPqDir,
+          queries.select(col("query_id").as("id"), col("vec")),
+          kEach, alpha, nProbes, asOf, m, ks, dim, residual)
+        .select(col("query_id"), col("cand_id").as("ck"))
+        .localCheckpoint(eager = false)) // feeds doc fetch + the pair join
+
+  /** [[maxSimScores]] over a CALLER-STAGED shortlist (query_id, ck) —
+    * the seam that lets [[hybridSearchChunksMaxSim]] run the PQ
+    * probe+rerank ONCE and feed both the exact-dot arm and the maxsim
+    * arm from the same staged rows, instead of evaluating the identical
+    * probe subtree twice per serve call. The shortlist must be staged
+    * (checkpointed) by the caller: it feeds the doc fetch, the chunk
+    * semi-join and the pair join below.
+    */
+  private def maxSimScoresFrom(spark: SparkSession, chunkPqDir: String,
+                           docs: DataFrame, id: Column, text: Column,
+                           queries: DataFrame,
+                           short: DataFrame): DataFrame = {
     val (size, stride) = chunkGrid(spark, chunkPqDir,
       stampTable = "assignment")
-    val short = Similarity.queryIvfPqIndexReranked(spark, chunkPqDir,
-        queries.select(col("query_id").as("id"), col("vec")),
-        kEach, alpha, nProbes, asOf, m, ks, dim, residual)
-      .select(col("query_id"), col("cand_id").as("ck"))
-      .localCheckpoint(eager = false) // feeds doc fetch + the pair join
     // ONLY the shortlist's documents re-window — never the corpus
     val docIds = short.select(shiftright(col("ck"), 32).as("__d")).distinct()
     val shortDocs = docs.join(broadcast(docIds), id === col("__d"),
@@ -2411,13 +2425,19 @@ object Retrieval {
         queries.select(col("query_id"), col("terms")), kEach, mu,
         asOf = bm25AsOf)
       .select(col("query_id"), col("doc_id"), col("score"))
-    val sem = Similarity.queryIvfPqIndexReranked(spark, chunkPqDir,
+    // ONE PQ probe+rerank serves both semantic arms: the exact-dot arm
+    // reads (ck, dot), the maxsim arm re-ranks the same shortlist —
+    // staged once, never evaluated twice (r17: the duplicated probe
+    // subtree was the single largest cost in this composition).
+    val semRaw = Similarity.queryIvfPqIndexReranked(spark, chunkPqDir,
         queries.select(col("query_id").as("id"), col("vec")),
         kEach, alpha, nProbes, pqAsOf, m, ks, dim, residual)
+      .localCheckpoint(eager = false)
+    val sem = semRaw
       .select(col("query_id"), col("cand_id").as("doc_id"),
         col("dot").as("score"))
-    val msim = maxSimScores(spark, chunkPqDir, docs, id, text, queries,
-      kEach, alpha, nProbes, pqAsOf, m, ks, dim, residual)
+    val msim = maxSimScoresFrom(spark, chunkPqDir, docs, id, text, queries,
+      semRaw.select(col("query_id"), col("cand_id").as("ck")))
     rrfFuse(Seq(lex, ql, sem, msim), k, c)
       .select(col("query_id"),
         shiftright(col("doc_id"), 32).as("doc_id"),

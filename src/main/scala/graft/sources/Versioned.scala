@@ -615,6 +615,31 @@ object Versioned {
 
   // -------------------------------------------------------------- reads
 
+  /** Resolved-relation cache keyed by (session, table, version) — the
+    * [[graft.Tables]] relation-cache discipline extended to versioned
+    * snapshots: a (table, version) file set is IMMUTABLE by
+    * construction (log files are never rewritten; appends/overwrites
+    * mint new versions and staged dirs never receive files after their
+    * commit), so a cached plan (file index + schema) cannot go stale —
+    * except through [[vacuum]], which deletes dropped versions' files
+    * and therefore clears the table's entries. Only the PLAN is cached
+    * (file listing + relation), never row data; `resolve` still runs
+    * per read, so "latest" always re-resolves against the log. Without
+    * this every probe of a persisted index re-lists and re-plans 4+
+    * tables per call — driver-side overhead a metastore amortizes in
+    * production (guide §6: file listing is a real cost at scale).
+    */
+  private val relationCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Long, Int), DataFrame]
+
+  /** Drop cached relations for `table` (every session/version) — called
+    * by [[vacuum]]; required by anything else that DELETES files under
+    * a committed version instead of minting a new one.
+    */
+  def invalidateRelations(table: String): Unit =
+    relationCache.keys.filter(_._2 == table)
+      .foreach(relationCache.remove(_): Unit)
+
   /** Snapshot-isolated read of `table` at `asOf` (default: latest).
     * The schema comes from the LOG (written at commit time), not from
     * file footers — schema-on-read is pinned to schema-at-commit.
@@ -622,6 +647,22 @@ object Versioned {
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
     val f = fs(spark, new Path(table))
     val snap = resolve(f, table, asOf)
+    relationCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) relationCache.remove(k): Unit
+    }
+    // the key carries a digest of the snapshot's FILE SET (staged dirs
+    // embed a random salt), so a table dir that is deleted and rebuilt
+    // from scratch — same path, version numbers restarting at 0 — can
+    // never serve a stale cached file index (the q117 state-dir wipe
+    // shape); it simply mints a new key.
+    val fileSet = (snap.add, snap.schemaJson, snap.layout).hashCode()
+    relationCache.getOrElseUpdate((spark, table, snap.version, fileSet),
+      readUncached(spark, table, snap))
+  }
+
+  private def readUncached(spark: SparkSession, table: String,
+                           snap: Commit): DataFrame = {
+    val f = fs(spark, new Path(table))
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     if (snap.add.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -733,6 +774,8 @@ object Versioned {
     * working — the documented trade, same as Delta's VACUUM).
     */
   def vacuum(spark: SparkSession, table: String, retainVersions: Int = 2): Int = {
+    // cached (table, version) relations may reference files this drops
+    invalidateRelations(table)
     val f = fs(spark, new Path(table))
     val vs = versions(f, table)
     require(vs.nonEmpty, s"not a versioned table: $table")
