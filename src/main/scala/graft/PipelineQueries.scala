@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.operators.{Bpe, Corpus, Graph, Ids, NearDup, Upsert}
+import graft.operators.Stage.StagedOps
 
 /** Training-data-pipeline queries (SURVEY.md §2 [EXT] north-star rows,
   * q69–q76 + q81): TF-IDF, chunking, corpus n-gram stats, PII-style
@@ -196,8 +197,16 @@ object PipelineQueries {
       .agg(min(to_date(col("ts"))).as("day"))
     val byDay = firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
     byDay
+      // BOUNDED single-partition window: byDay has one row per distinct
+      // calendar day (a collapsed time dimension — thousands of rows
+      // after decades, never event-scale). The BoundedWindow key keeps
+      // the identical single-partition semantics while stating the
+      // bound (and keeping WindowExec's corpus-scale warning
+      // meaningful elsewhere).
       .withColumn("cum_users",
-        sum(col("n_new")).over(Window.orderBy(col("day"))
+        sum(col("n_new")).over(Window
+          .partitionBy(graft.operators.BoundedWindow.key(col("day")))
+          .orderBy(col("day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("day"), col("n_new"), col("cum_users"))
       .orderBy(col("day"))
@@ -376,19 +385,28 @@ object PipelineQueries {
     */
   private def funnelStages(base0: DataFrame): DataFrame = {
     import graft.functions.TextOps
-    import graft.operators.NearDup
+    import graft.operators.{NearDup, Stage}
     import graft.operators.Curation.{minQuality, minJaccard, trainPct}
-    val base = base0
+    // Staged (r18, guide §1.2): the flagged base feeds the repetition
+    // branch AND the withF3 probe side — and for q159 the f1 gate is
+    // the full-corpus NB scoring join, which otherwise re-evaluates
+    // once per reference (the flag chain below references base 3×:
+    // keepRep's filter, keepExact's withF3, withF4's withF3 — measured
+    // 3 langId+quality(+NB) passes over the corpus before staging).
+    val base = Stage.staged(base0
       .withColumn("f2", col("f1") &&
-        TextOps.qualityScore(col("text"), col("n_chars")) >= minQuality)
+        TextOps.qualityScore(col("text"), col("n_chars")) >= minQuality))
     val keepRep = Corpus.repetitionStats(
         base.filter(col("f2")), col("doc_id"), col("text"))
       .filter(!Corpus.isRepetitive(col("distinct_ratio"),
         col("top_token_frac"), col("top_bigram_frac")))
       .select(col("doc_id"), lit(true).as("kr"))
-    val withF3 = base.join(keepRep, Seq("doc_id"), "left")
+    // Staged: feeds the exact-dedup norm aggregation AND withF4's probe
+    // side — without it the repetition join (and its agg subtree) runs
+    // once per consumer.
+    val withF3 = Stage.staged(base.join(keepRep, Seq("doc_id"), "left")
       .withColumn("f3", col("f2") && coalesce(col("kr"), lit(false)))
-      .drop("kr")
+      .drop("kr"))
     val keepExact = withF3.filter(col("f3"))
       .groupBy(TextOps.normalized(col("text")).as("norm"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -396,10 +414,9 @@ object PipelineQueries {
     // Staged: the flagged table feeds BOTH the near-dup pair join and
     // the final aggregation — without it the whole flag chain
     // (including the repetition join) recomputes per consumer.
-    val withF4 = withF3.join(keepExact, Seq("doc_id"), "left")
+    val withF4 = Stage.staged(withF3.join(keepExact, Seq("doc_id"), "left")
       .withColumn("f4", col("f3") && coalesce(col("ke"), lit(false)))
-      .drop("ke")
-      .localCheckpoint(eager = false)
+      .drop("ke"))
     val pairs = NearDup.ngramJaccardPairs(
         withF4.filter(col("f4")), col("doc_id"), col("text"))
       .filter(col("jaccard") >= minJaccard)
@@ -705,7 +722,7 @@ object PipelineQueries {
     val deduped = clean.join(keep, Seq("doc_id"))
     Corpus.mixtureSample(deduped, col("source"), col("doc_id"), exportWeights)
       .withColumn("mid", col("doc_id") * 4 + col("epoch"))
-      .localCheckpoint(eager = false)
+      .staged
   }
 
   /** The (copy → source, original doc) map of the mixed stream —
@@ -1659,7 +1676,7 @@ object PipelineQueries {
       .distinct()
       // consumed four times (two union arms x out-degree + join) -
       // staged so the orders x lineitem distinct runs once
-      .localCheckpoint(eager = false)
+      .staged
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
     val nodes = Tables.customer(spark, dir).select(col("c_custkey").as("id"))

@@ -83,6 +83,41 @@ object ProfileFunnel {
     t("q159_full")(PipelineQueries.q159NbFunnel(spark, dir))
     t("q117_full")(PipelineQueries.q117IncrementalCuration(spark, dir))
 
+    // ---- funnel staging evidence (r18) ----
+    // BEFORE (r17 funnelStages): withF4 built with NO staged base/withF3
+    // — the full flag chain (scan + langId/quality flags [+ NB join in
+    // q159] and the repetition agg) appears once PER REFERENCE in one
+    // job plan. AFTER (r18): each stage reads the previous stage's
+    // staged rows (LogicalRDD seam), so every subtree appears exactly
+    // once across the three stage plans printed below.
+    def explainOf(df: DataFrame): String = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    println("=== funnel withF4 plan: UNSTAGED (r17 shape) ===")
+    println(explainOf(withF4))
+    val baseSt = graft.operators.Stage.staged(base)
+    val repSt = Corpus.repetitionStats(baseSt.filter(col("f2")),
+        col("doc_id"), col("text"))
+      .filter(!Corpus.isRepetitive(col("distinct_ratio"),
+        col("top_token_frac"), col("top_bigram_frac")))
+      .select(col("doc_id"), lit(true).as("kr"))
+    val withF3St = graft.operators.Stage.staged(
+      baseSt.join(repSt, Seq("doc_id"), "left")
+        .withColumn("f3", col("f2") && coalesce(col("kr"), lit(false)))
+        .drop("kr"))
+    val keepExactSt = withF3St.filter(col("f3"))
+      .groupBy(TextOps.normalized(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("ke"))
+    val withF4St = withF3St.join(keepExactSt, Seq("doc_id"), "left")
+      .withColumn("f4", col("f3") && coalesce(col("ke"), lit(false)))
+      .drop("ke")
+    println("=== funnel STAGED (r18): stage 1 = flagged base (computed once) ===")
+    println(explainOf(base))
+    println("=== funnel STAGED (r18): stage 2 = withF3 (reads staged base) ===")
+    println(explainOf(withF3St))
+    println("=== funnel STAGED (r18): stage 3 = withF4 (reads staged withF3) ===")
+    println(explainOf(withF4St))
+
     // ---- pagerank attribution (q154 shape) ----
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))

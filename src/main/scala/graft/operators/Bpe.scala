@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
+import Stage.StagedOps
 
 /** BPE tokenizer training on the corpus — byte-pair-encoding merge
   * learning (Sennrich, Haddow & Birch 2016, "Neural Machine Translation
@@ -136,11 +137,27 @@ object Bpe {
     * dropped, unlike [[wordTypes]]'s U+0001 guard. One corpus pass.
     */
   def wordTypesByteLevel(docs: DataFrame, text: Column): DataFrame =
+    rawWordTypesByteLevel(docs, text).select(col("word"), col("n"))
+
+  /** Byte-level word types keyed by BOTH alphabets: (raw, word, n).
+    * Occurrences group on the RAW word first, so the per-byte
+    * [[symbolsFromHex]] conversion runs once per word TYPE (Zipf: types
+    * ≪ occurrences — the r17 deferred map-side cost cut), never per
+    * occurrence. raw → word is INJECTIVE (each UTF-8 byte maps to a
+    * distinct [[ByteToUnicode]] symbol, so distinct byte strings yield
+    * distinct symbol strings): grouping by raw and converting the
+    * group keys produces exactly the (word, n) rows the per-occurrence
+    * conversion + regroup did, and the raw key joins an occurrence
+    * stream without converting it at all ([[encodeIds]]/
+    * [[tokenCounts]]).
+    */
+  private[graft] def rawWordTypesByteLevel(docs: DataFrame,
+                                           text: Column): DataFrame =
     docs.select(explode(TextOps.tokens(text)).as("raw"))
       .filter(length(col("raw")) > 0)
+      .groupBy(col("raw")).agg(count(lit(1)).as("n"))
       .withColumn("h", hex(encode(col("raw"), "UTF-8")))
-      .select(symbolsFromHex(col("h")).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(col("raw"), symbolsFromHex(col("h")).as("word"), col("n"))
 
   /** Learn up to `k` merges from the corpus. Output: (step, lhs, rhs,
     * pair_n), one row per learned merge in training order — fewer than
@@ -193,25 +210,42 @@ object Bpe {
       .select(col("word"), col("n"), col("seg"))
   }
 
-  /** Documents exploded to positioned words, in the requested alphabet:
-    * char-level passes raw words through; byte-level maps each word to
-    * its byte-symbol form (bound hex column, per the [[symbolsFromHex]]
-    * contract) so the join key matches [[wordTypesByteLevel]]'s table.
+  /** Documents exploded to positioned RAW words — the occurrence
+    * stream both alphabets join their type tables from. The byte-level
+    * alphabet transform NEVER touches this stream (r18): the type
+    * table carries the raw join key ([[typeSegsKeyedByRaw]]), so
+    * [[symbolsFromHex]] stays at type grain.
     */
-  private def docWordsPos(docs: DataFrame, id: Column, text: Column,
-                          byteLevel: Boolean): DataFrame = {
-    val raw = docs.select(id.as("doc_id"), posexplode(TextOps.tokens(text)))
+  private def docWordsPosRaw(docs: DataFrame, id: Column,
+                             text: Column): DataFrame =
+    docs.select(id.as("doc_id"), posexplode(TextOps.tokens(text)))
       .select(col("doc_id"), col("pos").as("word_pos"), col("col").as("raw"))
       .filter(length(col("raw")) > 0)
-    if (!byteLevel) raw.withColumnRenamed("raw", "word")
-    else raw.withColumn("h", hex(encode(col("raw"), "UTF-8")))
-      .select(col("doc_id"), col("word_pos"),
-        symbolsFromHex(col("h")).as("word"))
-  }
 
   private def typesOf(docs: DataFrame, text: Column,
                       byteLevel: Boolean): DataFrame =
     if (byteLevel) wordTypesByteLevel(docs, text) else wordTypes(docs, text)
+
+  /** Segmented word types keyed by the RAW word: (raw, n, seg). For
+    * char-level the raw word IS the type key; byte-level re-attaches
+    * the raw key through the injective (raw, word) map — one
+    * type-grain join — so the per-occurrence stream joins on raw and
+    * the alphabet conversion cost stays O(types). The byte-level type
+    * table is staged once (it feeds both the segmentation and the
+    * key map).
+    */
+  private def typeSegsKeyedByRaw(docs: DataFrame, text: Column,
+                                 merges: DataFrame,
+                                 byteLevel: Boolean): DataFrame =
+    if (!byteLevel)
+      encodeSegs(wordTypes(docs, text), merges)
+        .select(col("word").as("raw"), col("n"), col("seg"))
+    else {
+      val rawTypes = Stage.staged(rawWordTypesByteLevel(docs, text))
+      encodeSegs(rawTypes.select(col("word"), col("n")), merges)
+        .join(rawTypes.select(col("raw"), col("word")), Seq("word"))
+        .select(col("raw"), col("n"), col("seg"))
+    }
 
   def encodeTypes(words: DataFrame, merges: DataFrame): DataFrame =
     encodeSegs(words, merges)
@@ -232,8 +266,14 @@ object Bpe {
     val counts = enc
       .select(col("n"), explode(symsOf(col("seg"))).as("tok"))
       .groupBy(col("tok")).agg(sum(col("n")).as("n_occ"))
+    // BOUNDED single-partition window: `counts` has one row per vocab
+    // SYMBOL (base alphabet + ≤k merge products — KB-sized by
+    // construction, never corpus-scale). The [[BoundedWindow]] key
+    // keeps the identical global rank while stating the bound (and
+    // keeping WindowExec's corpus-scale warning meaningful elsewhere).
     counts.withColumn("tok_id",
       row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(BoundedWindow.key(col("tok")))
         .orderBy(col("n_occ").desc, col("tok").asc)) - 1)
       .select(col("tok"), col("n_occ"), col("tok_id"))
   }
@@ -250,10 +290,10 @@ object Bpe {
   def encodeIds(docs: DataFrame, id: Column, text: Column,
                 merges: DataFrame, vocabDf: DataFrame,
                 byteLevel: Boolean = false): DataFrame = {
-    val types = encodeSegs(typesOf(docs, text, byteLevel), merges)
-      .select(col("word"), symsOf(col("seg")).as("syms"))
-    docWordsPos(docs, id, text, byteLevel)
-      .join(types, Seq("word"))
+    val types = typeSegsKeyedByRaw(docs, text, merges, byteLevel)
+      .select(col("raw"), symsOf(col("seg")).as("syms"))
+    docWordsPosRaw(docs, id, text)
+      .join(types, Seq("raw"))
       .select(col("doc_id"), col("word_pos"), posexplode(col("syms")))
       .select(col("doc_id"), col("word_pos"),
         col("pos").as("sym_pos"), col("col").as("tok"))
@@ -271,11 +311,11 @@ object Bpe {
     */
   def tokenCounts(docs: DataFrame, id: Column, text: Column,
                   merges: DataFrame, byteLevel: Boolean = false): DataFrame = {
-    val types = encodeTypes(typesOf(docs, text, byteLevel), merges)
-      .select(col("word"), col("n_sym"))
-    docWordsPos(docs, id, text, byteLevel)
+    val types = typeSegsKeyedByRaw(docs, text, merges, byteLevel)
+      .select(col("raw"), size(symsOf(col("seg"))).cast("long").as("n_sym"))
+    docWordsPosRaw(docs, id, text)
       .drop("word_pos")
-      .join(types, Seq("word"))
+      .join(types, Seq("raw"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tok"))
   }
@@ -495,10 +535,10 @@ object Bpe {
             col("word_pos"), col("sym_pos"), col("tok_id")))),
           c => c("tok_id")).as("ids"))
       .withColumn("n_tok", size(col("ids")).cast("long"))
-      .localCheckpoint(eager = false)
+      .staged
     val spans = Corpus.packSequencesCounted(
       arr.select(col("doc_id"), col("n_tok")), budget)
-      .localCheckpoint(eager = false)
+      .staged
     (arr, spans)
   }
 

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
+import Stage.StagedOps
 
 /** Corpus-level text operators for training-data pipelines: TF-IDF
   * scoring, overlapping token chunking, corpus n-gram statistics,
@@ -267,7 +268,14 @@ object Corpus {
       sum(col("n_tok")).over(slice.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+    // BOUNDED single-partition window: input is the per-slice total
+    // table — exactly one row per shuffle partition of `ranged`
+    // (groupBy(pid) of spark_partition_id()), i.e. O(partitions) rows
+    // ≪ corpus at any scale. The [[BoundedWindow]] key keeps the
+    // identical single-partition semantics while stating the bound
+    // (and keeping WindowExec's corpus-scale warning meaningful).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(BoundedWindow.key(col("pid"))).orderBy(col("pid"))
     val offsets = ranged.groupBy(col("pid")).agg(sum(col("n_tok")).as("scnt"))
       .select(col("pid").as("o_pid"),
         coalesce(sum(col("scnt")).over(w.rowsBetween(
@@ -533,7 +541,7 @@ object Corpus {
   private def shingleInstancesStaged(docs: DataFrame, id: Column,
                                      text: Column,
                                      shingler: Column => Column): DataFrame =
-    shingleInstances(docs, id, text, shingler).localCheckpoint(eager = false)
+    shingleInstances(docs, id, text, shingler).staged
 
   /** ngram → number of distinct documents containing it. */
   private def ngramDocCounts(inst: DataFrame): DataFrame =
@@ -545,8 +553,8 @@ object Corpus {
     // stream AND the c1 table, and bg feeds the scoring probe AND the
     // c12 table — unstaged, the md5 token hashing ran 3× over the
     // corpus (bg twice + c1 once)
-    val base = hashedTokenBase(docs, id, text).localCheckpoint(eager = false)
-    val bg = lmBigrams(base).localCheckpoint(eager = false)
+    val base = hashedTokenBase(docs, id, text).staged
+    val bg = lmBigrams(base).staged
     val (c1, c12) = lmCountTables(base, bg)
     val v = c1.agg(count(lit(1)).as("v"))             // 1 row → broadcast
     val term = log((col("c12") + 1).cast("double") /
@@ -669,7 +677,7 @@ object Corpus {
     val nd = ngramDocCounts(inst)
     val marked = inst.join(nd, Seq("ngram"))
       .select(col("doc_id"), col("pos"), (col("nd") >= 2).as("is_dup"))
-      .localCheckpoint(eager = false)
+      .staged
     val frac = marked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
@@ -820,9 +828,9 @@ object Corpus {
     // LM model in [[lmScore]]'s hashed key space. The base is STAGED:
     // each Versioned commit is its own action, so without staging c1,
     // c12, and vsz would each re-run the corpus tokenize+md5 pass.
-    val base = hashedTokenBase(docs, id, text).localCheckpoint(eager = false)
+    val base = hashedTokenBase(docs, id, text).staged
     val (c1raw, c12) = lmCountTables(base, lmBigrams(base))
-    val c1 = c1raw.localCheckpoint(eager = false) // feeds its commit AND vsz
+    val c1 = c1raw.staged // feeds its commit AND vsz
     val vsz = c1.agg(count(lit(1)).as("v"))
     commitSignalState(stateDir, nd, c1, c12, vsz, expected)
   }
@@ -883,7 +891,7 @@ object Corpus {
     val ndB = ngramDocCounts(shingleInstances(batch, id, text, shingler))
     // batch-side aggregates through the shared LM helpers; the base is
     // staged so c1/c12 don't each re-tokenize the batch
-    val base = hashedTokenBase(batch, id, text).localCheckpoint(eager = false)
+    val base = hashedTokenBase(batch, id, text).staged
     val (c1B, c12B) = lmCountTables(base, lmBigrams(base))
 
     def merge(state: DataFrame, delta: DataFrame, key: String,
@@ -897,7 +905,7 @@ object Corpus {
     val nd  = merge(tbl("nd"),  ndB,  "ngram", "nd")
     // merged c1 feeds its own commit AND the vocab recount — staged so
     // the full_outer merge join runs once
-    val c1  = merge(tbl("c1"),  c1B,  "tk",    "c1").localCheckpoint(eager = false)
+    val c1  = merge(tbl("c1"),  c1B,  "tk",    "c1").staged
     val c12 = merge(tbl("c12"), c12B, "ngk",   "c12")
     val vsz = c1.agg(count(lit(1)).as("v"))
     // CAS at v0+1: a concurrent appender that read the same v0 fails
@@ -972,7 +980,7 @@ object Corpus {
       Some(v0))
 
     val ndB = ngramDocCounts(shingleInstances(deleted, id, text, shingler))
-    val base = hashedTokenBase(deleted, id, text).localCheckpoint(eager = false)
+    val base = hashedTokenBase(deleted, id, text).staged
     val (c1B, c12B) = lmCountTables(base, lmBigrams(base))
 
     def unmerge(state: DataFrame, delta: DataFrame, key: String,
@@ -996,7 +1004,7 @@ object Corpus {
 
     val nd  = unmerge(tbl("nd"),  ndB,  "ngram", "nd")
     val c1  = unmerge(tbl("c1"),  c1B,  "tk",    "c1")
-      .localCheckpoint(eager = false) // feeds its commit AND the recount
+      .staged // feeds its commit AND the recount
     val c12 = unmerge(tbl("c12"), c12B, "ngk",   "c12")
     val vsz = c1.agg(count(lit(1)).as("v"))
     commitSignalState(stateDir, nd, c1, c12, vsz, v0 + 1)
@@ -1044,7 +1052,7 @@ object Corpus {
     val dupped = inst.join(nd, Seq("ngram"), "left")
       .select(col("doc_id"), col("pos"),
         (coalesce(col("nd"), lit(0L)) >= dupThreshold).as("is_dup"))
-      .localCheckpoint(eager = false)
+      .staged
     val dup = dupped.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
@@ -1121,7 +1129,7 @@ object Corpus {
         explode(col("toks")).as("tok"))
       .select(col("doc_id"), col("is_target"),
         tokenBucket(col("tok"), buckets).as("b"))
-      .localCheckpoint(eager = false)
+      .staged
     // ONE model pass over the token stream: raw and target counts ride
     // the same grouped aggregate, and the totals fold from the model
     // table (≤`buckets` rows) instead of rescanning the corpus.
@@ -1246,6 +1254,15 @@ object Corpus {
     // the per-doc ranking window with map-side codegen'd HOFs — nothing
     // shuffles but the caller's own downstream.
     val nbRow = broadcast(model.agg((max(col("b")) + 1).as("nb")))
+    // Per-label ll arrays as UNSCALED DECIMAL(27,10) longs (ll·10¹⁰,
+    // r18): scale-10 decimal addition IS unscaled-long addition, so the
+    // per-token fold below runs in plain codegen'd long adds instead of
+    // allocating a JVM Decimal per token×label (the r17 deferred item).
+    // The double→decimal rounding (HALF_UP at scale 10 — exactly what
+    // the old fold's per-token cast did) happens HERE, L×B times at
+    // broadcast-build time, never per token.
+    val unscaledLl = (c: Column) =>
+      (c.cast("decimal(27,10)") * lit(10000000000L)).cast("long")
     val labsRow = broadcast(model.groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("b"), col("ll")))).as("bl"))
       .join(prior, Seq("label"))
@@ -1258,10 +1275,17 @@ object Corpus {
           lit("nbScore: model grid is not dense (cells != max(b)+1 for " +
             "some label) — this model was not written by buildNbModel/" +
             "nbModelFrames; rebuild it")).isNull,
-          transform(col("bl"), x => x("ll"))).as("arr"))
+          transform(col("bl"), x => unscaledLl(x("ll")))).as("arr"))
       .agg(array_sort(collect_list(
-        struct(col("label"), col("lp"), col("arr")))).as("labs")))
-    val decZero = lit(java.math.BigDecimal.ZERO).cast("decimal(27,10)")
+        struct(col("label"), col("lp"), col("arr")))).as("labs"),
+        max(array_max(transform(col("arr"), v => abs(v)))).as("maxu")))
+    // The long fold is exact while |Σ unscaled| stays below 10¹⁷ (17
+    // integer digits — the decimal(27,10) reconstruction bound, itself
+    // far below the 2⁶³ long wrap). |unscaled ll| ≤ ln(tot+B)·10¹⁰
+    // (≈3.3·10¹¹ even at 10¹⁴ corpus tokens), so the bound allows
+    // ~3·10⁵-token documents at 100 TB scale and the in-plan guard
+    // refuses loudly beyond it instead of wrapping silently.
+    val foldBound = 100000000000000000L // 1e17
     test.select(id.as("doc_id"), TextOps.tokens(text).as("toks"))
       // the old explode dropped token-less docs; mirror that row set
       .filter(col("toks").isNotNull && size(col("toks")) > 0)
@@ -1275,10 +1299,30 @@ object Corpus {
         (tokenBucket(t, col("nb")) + 1L).cast("int")))
       .withColumn("scored", transform(col("labs"), l => struct(
         (l.getField("lp") +
-          aggregate(col("bs"), decZero, (acc, b) =>
-            (acc + element_at(l.getField("arr"), b).cast("decimal(27,10)"))
-              .cast("decimal(27,10)"))
-            .cast("double")).as("score"),
+          // overflow guard rides the PROJECTED fold result (the house
+          // assert_true discipline — a standalone filter would be
+          // reordered/pruned); size() is O(1), so the per-label
+          // re-evaluation inside this lambda is free. The product is
+          // compared in DECIMAL so the guard itself cannot wrap
+          // (n_tok·maxu can exceed a long exactly when the guard must
+          // fire).
+          when(assert_true(
+            size(col("bs")).cast("decimal(19,0)") *
+              col("maxu").cast("decimal(19,0)") <
+              lit(foldBound).cast("decimal(19,0)"),
+            lit("nbScore: document too long for the unscaled-long " +
+              "fold (n_tok * max|ll*1e10| >= 1e17) — split the " +
+              "document or widen the fold")).isNull,
+            (aggregate(col("bs"), lit(0L), (acc, b) =>
+              acc + element_at(l.getField("arr"), b))
+              // reconstruct the exact scale-10 decimal from the
+              // unscaled sum: decimal(27,10) × decimal(10,10) 1e-10 is
+              // precision 38 / scale 20 — NO precision adjustment, so
+              // the product is exact and its double cast is the same
+              // correctly-rounded value the old decimal fold produced
+              .cast("decimal(27,10)") *
+              lit(java.math.BigDecimal.valueOf(1L, 10)))
+              .cast("double"))).as("score"),
         l.getField("label").as("predicted"))))
       .withColumn("best", aggregate(col("scored"),
         struct(lit(Double.NegativeInfinity).as("score"),

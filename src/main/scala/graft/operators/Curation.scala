@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 import graft.sources.Versioned
+import Stage.StagedOps
 
 /** INCREMENTAL corpus curation — the daily-cadence form of the q110
   * curation funnel (the reference runs its pipeline on a daily Airflow
@@ -75,9 +76,13 @@ object Curation {
     * (doc_id, text, norm_fp) for the survivors.
     */
   private[graft] def rowLocal(docs: DataFrame): DataFrame = {
+    // staged (r18, guide §1.2): the filtered batch feeds BOTH the
+    // repetition-stats branch and the join's probe side — unstaged,
+    // the langId/quality token passes run twice over the batch
     val base = docs.select(col("doc_id"), col("text"), col("n_chars"))
       .filter(TextOps.langId(col("text")) === "en")
       .filter(TextOps.qualityScore(col("text"), col("n_chars")) >= minQuality)
+      .staged
     val keepRep = Corpus.repetitionStats(base, col("doc_id"), col("text"))
       .filter(!Corpus.isRepetitive(col("distinct_ratio"),
         col("top_token_frac"), col("top_bigram_frac")))
@@ -132,7 +137,7 @@ object Curation {
     val orphan = prev.fold(all)(p =>
         all.join(p.select(col("doc_id")), Seq("doc_id"), "left_anti"))
       .select(col("doc_id").as("id"), col("sh"))
-      .localCheckpoint(eager = false)
+      .staged
     Versioned.append(
       newPairsFor(orphan, prev.map(_.select(col("doc_id").as("id"), col("sh")))),
       pairTable(stateDir)): Unit
@@ -162,7 +167,7 @@ object Curation {
     val f4B = f4Batch
       .select(col("doc_id"), col("norm_fp"),
         NearDup.shingleHashes3(col("text")).as("sh"))
-      .localCheckpoint(eager = false)
+      .staged
     val f4Sh = f4B.select(col("doc_id").as("id"), col("sh"))
     val newPairs = newPairsFor(f4Sh,
       if (!hasState) None
@@ -212,7 +217,7 @@ object Curation {
     if (!Versioned.exists(spark, candTable(stateDir))) return None
     heal(spark, stateDir)
     val dead = docIds.select(col("doc_id").cast("long").as("__dead"))
-      .distinct().localCheckpoint(eager = false) // feeds 4 joins
+      .distinct().staged // feeds 4 joins
     val cands = Versioned.read(spark, candTable(stateDir))
     val prs = Versioned.read(spark, pairTable(stateDir))
     val hitC = !cands.join(broadcast(dead),
@@ -283,7 +288,7 @@ object Curation {
   def fullCurate(docs: DataFrame): DataFrame = {
     val f4 = exactKeepers(rowLocal(docs))
       .select(col("doc_id"), col("text"))
-      .localCheckpoint(eager = false)
+      .staged
     val prs = NearDup.ngramJaccardPairs(f4, col("doc_id"), col("text"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextOps, VectorOps}
+import Stage.StagedOps
 
 /** Near-duplicate detection for large text corpora — the LLM-pipeline
   * dedup family: token-shingle Jaccard (exact, blocked join), MinHash +
@@ -210,7 +211,7 @@ object NearDup {
     val withShingles = docs
       .select(id.as("doc_id"), shingleHashes3(text).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-      .localCheckpoint(eager = false)
+      .staged
     // Stage the exploded shingle table: it feeds BOTH sides of the
     // self-join, and without materialization each side re-tokenizes and
     // re-hashes the full corpus. ~16 bytes/shingle; at larger scale this
@@ -228,7 +229,7 @@ object NearDup {
     // and the pair aggregation groups on two keys, not four.
     val staged = withShingles
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .localCheckpoint(eager = false)
+      .staged
     val exploded = maxShingleFreq.fold(staged)(dropHeavyKeys(staged, Seq("s"), _))
     val sizes = withShingles.select(col("doc_id"), col("n_sh"))
     val a = exploded.select(col("doc_id").as("doc_a"), col("s"))
@@ -345,7 +346,7 @@ object NearDup {
     // once for its two consumers (totals + the semi-join)
     val te = test.select(id.as("test_id"),
         explode(shingleHashes3(text)).as("s"))
-      .localCheckpoint(eager = false)
+      .staged
     val trSet = train.select(explode(shingleHashes3(text)).as("s")).distinct()
     val shared = te.join(trSet, Seq("s"), "left_semi")
       .groupBy(col("test_id")).agg(count(lit(1)).as("n_shared"))
@@ -474,7 +475,7 @@ object NearDup {
       .select(id.as("doc_id"), shingler(text).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignatureFromHashes(col("sh"), nPerms))
-      .localCheckpoint(eager = false)
+      .staged
     val base = withSig.select(col("doc_id"), col("sh"))
     // Band join carries only (doc_id, sig): the shingle arrays — the wide
     // payload — never enter the nBands-way explode or the shuffle. The
@@ -602,7 +603,7 @@ object NearDup {
       .select(id.as("doc_id"), signature(text).as("sig"))
       // feeds both sides of the band self-join; localCheckpoint so the
       // operator owns the blocks (no cache-manager entry to clean up)
-      .localCheckpoint(eager = false)
+      .staged
     val banded = signed
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))

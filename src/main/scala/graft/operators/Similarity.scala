@@ -1428,9 +1428,15 @@ object Similarity {
                          lloydIters: Int): DataFrame = {
     val sampleKey =
       conv(substring(md5(col("cand_id").cast("string")), 1, 8), 16, 10).cast("long")
+    // BOUNDED single-partition window: the input is limit(ks) rows
+    // (the codebook seed sample, a small constant). The
+    // [[BoundedWindow]] key keeps the identical global rank while
+    // stating the bound (and keeping WindowExec's corpus-scale
+    // warning meaningful elsewhere).
     val seeds = c.orderBy(sampleKey.asc, col("cand_id").asc).limit(ks)
       .withColumn("code",
         row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(BoundedWindow.key(col("cand_id")))
           .orderBy(sampleKey.asc, col("cand_id").asc)) - 1)
     val seedCb = seeds
       .withColumn("j", explode(sequence(lit(0), lit(m - 1))))

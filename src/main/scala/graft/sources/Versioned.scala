@@ -632,6 +632,18 @@ object Versioned {
   private val relationCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Long, Int), DataFrame]
 
+  /** Entries retained per (session, table): the live version plus the
+    * handful of pinned `asOf` reads a maintenance/audit path touches.
+    * Long-lived sessions otherwise accumulate one plan-sized entry per
+    * (version, digest) between vacuums (r17 VERDICT #6) — bounded here
+    * by evicting the OLDEST versions beyond this count on each insert.
+    */
+  private val relationCacheRetain = 4
+
+  /** Test hook: live relation-cache entries for `table`. */
+  private[graft] def relationCacheEntries(table: String): Int =
+    relationCache.keys.count(_._2 == table)
+
   /** Drop cached relations for `table` (every session/version) — called
     * by [[vacuum]]; required by anything else that DELETES files under
     * a committed version instead of minting a new one.
@@ -656,8 +668,16 @@ object Versioned {
     // never serve a stale cached file index (the q117 state-dir wipe
     // shape); it simply mints a new key.
     val fileSet = (snap.add, snap.schemaJson, snap.layout).hashCode()
-    relationCache.getOrElseUpdate((spark, table, snap.version, fileSet),
+    val df = relationCache.getOrElseUpdate((spark, table, snap.version, fileSet),
       readUncached(spark, table, snap))
+    // latest-N retention per (session, table): drop the oldest-version
+    // entries beyond the retain bound (plan-sized, but a long-lived
+    // session re-reading a churning table should not grow without limit)
+    relationCache.keys.toSeq
+      .filter(k => (k._1 eq spark) && k._2 == table)
+      .sortBy(-_._3).drop(relationCacheRetain)
+      .foreach(relationCache.remove(_): Unit)
+    df
   }
 
   private def readUncached(spark: SparkSession, table: String,

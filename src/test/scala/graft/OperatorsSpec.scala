@@ -140,4 +140,24 @@ class OperatorsSpec extends SparkSpec {
       .select(col("id"), col("s").cast("binary").as("payload"))
     assert(Multimodal.sampleFrames(df, "id", "payload", stride = 4).count() == 0)
   }
+
+  test("Stage.staged: identical rows/schema, one materialization for " +
+      "many consumers (the cluster-swap staging seam)") {
+    import graft.operators.Stage
+    import graft.operators.Stage.StagedOps
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .withColumn("h", md5(col("v")))
+    val st = Stage.staged(df)
+    assert(st.schema == df.schema)
+    assert(st.collect().sortBy(_.getLong(0)).toSeq ==
+      df.collect().sortBy(_.getLong(0)).toSeq)
+    // the suffix form is the same seam
+    assert(df.staged.collect().length == 3)
+    // the stage cuts the producing plan: consumers read the staged rows
+    // (scan of an existing RDD), not the original subtree — the
+    // property a parquet-stage swap must also satisfy
+    val planStr = st.queryExecution.optimizedPlan.toString
+    assert(planStr.contains("LogicalRDD") || planStr.contains("Scan"),
+      s"staged plan did not cut lineage:\n$planStr")
+  }
 }

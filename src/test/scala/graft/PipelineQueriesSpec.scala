@@ -904,4 +904,53 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(confusion.forall(_._2 == "en"),
       "on a no-signal corpus the prior argmax (en) must win every doc")
   }
+
+  test("nbScore unscaled-long fold is bit-identical to the decimal reference") {
+    // r18: the per-token×label fold runs in unscaled-long adds. This
+    // replays the OLD semantics independently — per token, round ll to
+    // DECIMAL(27,10) (HALF_UP, what cast(double as decimal) does), sum
+    // the decimals exactly, add lp in double — and requires the
+    // operator's score to match to the LAST BIT, argmax included.
+    val buckets = 64
+    val train = Seq(
+      ("X", "aa bb cc aa dd"), ("X", "bb cc cc"), ("Y", "dd ee dd ff"),
+      ("Y", "ee ff gg"), ("Z", "hh ii"), ("Z", "hh hh ii jj aa"))
+      .toDF("label", "text").withColumn("doc_id", monotonically_increasing_id())
+    val testDocs = Seq(
+      (1L, "aa dd ee zz"), (2L, "bb"), (3L, "hh ii jj kk ll mm aa aa"),
+      (4L, "zz zz zz"), (5L, "dd ee ff gg hh"))
+      .toDF("doc_id", "text")
+    val got = Corpus.nbClassify(train, testDocs, col("doc_id"), col("label"),
+        col("text"), buckets = buckets)
+      .select("doc_id", "predicted", "score")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    val (modelDf, priorDf) = Corpus.nbModelFrames(
+      train, col("label"), col("text"), buckets)
+    val ll = modelDf.select("label", "b", "ll")
+      .as[(String, Long, Double)].collect()
+      .map { case (l, b, v) => (l, b) -> v }.toMap
+    val lp = priorDf.select("label", "lp").as[(String, Double)].collect().toMap
+    def bucket(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4).map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(h, 16) % buckets
+    }
+    val labels = lp.keys.toSeq.sorted
+    testDocs.as[(Long, String)].collect().foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      // strict > over label-ascending order = old window's
+      // (score desc, label asc) pick
+      var best: (Double, String) = (Double.NegativeInfinity, "")
+      labels.foreach { l =>
+        val s = toks.map(t => new java.math.BigDecimal(ll((l, bucket(t))))
+            .setScale(10, java.math.RoundingMode.HALF_UP))
+          .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+        val score = lp(l) + s.doubleValue
+        if (score > best._1) best = (score, l)
+      }
+      assert(got(id) == ((best._2, best._1)),
+        s"doc $id: got ${got(id)}, reference $best")
+    }
+  }
 }

@@ -27,6 +27,15 @@ class PlanQualitySpec extends SparkSpec {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  /** Every declared query's static plan, built ONCE: three suite-wide
+    * structural gates read the same strings (r18 — each previously
+    * re-planned all 197 queries, ~40 s per pass of pure driver-side
+    * analysis; memoizing cuts the suite's wall time without touching
+    * any assertion).
+    */
+  private lazy val planCache: Map[String, String] =
+    SparkEntry.queries.keys.map(n => n -> planOf(n)).toMap
+
   /** Nested-loop joins that ARE the declared algorithm: the build side
     * is constant-sized (query vectors q31, centroid table q37, 1-row
     * aggregate q53/q69), so the "loop" is O(n·k) with tiny k — the
@@ -138,23 +147,23 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("no query plans a CartesianProduct") {
-    SparkEntry.queries.keys.foreach { name =>
-      assert(!planOf(name).contains("CartesianProduct"),
+    planCache.foreach { case (name, plan) =>
+      assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct")
     }
   }
 
   test("nested-loop joins appear only where the algorithm declares them") {
-    SparkEntry.queries.keys.filterNot(intentionalNestedLoop).foreach { name =>
-      assert(!planOf(name).contains("BroadcastNestedLoopJoin"),
+    planCache.keys.filterNot(intentionalNestedLoop).foreach { name =>
+      assert(!planCache(name).contains("BroadcastNestedLoopJoin"),
         s"$name plans an undeclared BroadcastNestedLoopJoin — " +
           "a join key is missing or a broadcast side grew")
     }
   }
 
   test("every query keeps a whole-stage-codegen span") {
-    SparkEntry.queries.keys.foreach { name =>
-      assert(planOf(name).contains("[codegen id :"),
+    planCache.foreach { case (name, plan) =>
+      assert(plan.contains("[codegen id :"),
         s"$name fell entirely out of codegen")
     }
   }
@@ -166,18 +175,18 @@ class PlanQualitySpec extends SparkSpec {
     // as an InSubquery/exists subquery node or a nested-loop — both
     // absent here, so each of these is ONE join keyed on the
     // correlation column (the shape that survives 100 TB).
-    assert(planOf("q85_exists_correlated").contains("LeftSemi"))
-    assert(planOf("q86_in_subquery").contains("LeftSemi"))
-    val q87 = planOf("q87_not_in_null")
+    assert(planCache("q85_exists_correlated").contains("LeftSemi"))
+    assert(planCache("q86_in_subquery").contains("LeftSemi"))
+    val q87 = planCache("q87_not_in_null")
     assert(q87.contains("LeftAnti"))
     assert(!q87.contains("NestedLoop"), "null-aware anti fell to nested loop")
-    val q88 = planOf("q88_scalar_correlated")
+    val q88 = planCache("q88_scalar_correlated")
     assert(q88.contains("HashAggregate") &&
       (q88.contains("BroadcastHashJoin") || q88.contains("SortMergeJoin")))
-    val q92 = planOf("q92_not_exists")
+    val q92 = planCache("q92_not_exists")
     assert(q92.contains("LeftAnti") && !q92.contains("NestedLoop"))
     // multi-key correlation: BOTH equality predicates become join keys
-    val q93 = planOf("q93_multikey_exists")
+    val q93 = planCache("q93_multikey_exists")
     assert(q93.contains("LeftSemi") && !q93.contains("NestedLoop"))
   }
 
@@ -216,7 +225,7 @@ class PlanQualitySpec extends SparkSpec {
     val pushed = raw"PushedFilters: \[[^\]]".r
     Seq("q02_filter_project", "q60_regexp_extract", "q66_shipping_priority")
       .foreach { name =>
-        assert(pushed.findFirstIn(planOf(name)).isDefined,
+        assert(pushed.findFirstIn(planCache(name)).isDefined,
           s"$name: no non-empty PushedFilters on any scan")
       }
   }

@@ -344,6 +344,24 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.declaredLayout(spark, parted) == "part:p")
   }
 
+  test("relation cache retains latest-N entries per table; evicted " +
+      "versions stay readable") {
+    val t = tmpTable()
+    (0 to 6).foreach(i =>
+      Versioned.overwrite(Seq((i.toLong, s"v$i")).toDF("k", "v"), t): Unit)
+    // touch every historical version plus latest: the cache must stay
+    // bounded (latest-N retention, r18) …
+    (0L to 6L).foreach(v =>
+      Versioned.read(spark, t, asOf = Some(v)).collect(): Unit)
+    Versioned.read(spark, t).collect(): Unit
+    assert(Versioned.relationCacheEntries(t) <= 4,
+      s"cache grew to ${Versioned.relationCacheEntries(t)} entries")
+    // … and an evicted version re-reads correctly (eviction drops the
+    // cached plan, never the data)
+    assert(Versioned.read(spark, t, asOf = Some(0L)).select("v")
+      .as[String].head() == "v0")
+  }
+
   test("merge: CDC upserts produce new versions with Upsert semantics") {
     val t = tmpTable()
     Versioned.merge(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "seq"), t,
